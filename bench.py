@@ -1,0 +1,81 @@
+"""BENCH harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a `noop`-format write so timing covers the
+full physical plan (scan -> shuffle -> agg) without driver-side collect
+overhead; a tiny warmup query first absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mirror_lake_kusto_spark.queries import all_queries
+from mirror_lake_kusto_spark.session import build_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "e1_topk_per_group",
+    "d3_argmax_window",
+    "c1_anti_join",
+    "g3_except_all",
+    "d11_cube",
+]
+
+EXTENSION_HEADLINE = [
+    # appended as the extension operators land
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "s1_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_session(app_name="mlk-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in registry]
+
+    # warmup: JVM + codegen + parquet footer caches
+    registry["q6_forecast_revenue"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Unit tests for the Delta<->Kusto<->Spark type mapping (SURVEY §1.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from mirror_lake_kusto_spark.schema import (
+    delta_type_to_spark,
+    parse_delta_schema_string,
+    spark_schema_to_kusto_columns,
+    spark_type_to_kusto,
+)
+
+
+def test_primitives():
+    assert delta_type_to_spark("string") == T.StringType()
+    assert delta_type_to_spark("long") == T.LongType()
+    assert delta_type_to_spark("integer") == T.IntegerType()
+    assert delta_type_to_spark("double") == T.DoubleType()
+    assert delta_type_to_spark("binary") == T.BinaryType()
+    assert delta_type_to_spark("timestamp") == T.TimestampType()
+
+
+def test_decimal():
+    assert delta_type_to_spark("decimal(10,2)") == T.DecimalType(10, 2)
+    assert delta_type_to_spark("decimal") == T.DecimalType(38, 18)
+
+
+def test_nested():
+    node = {
+        "type": "array",
+        "elementType": "string",
+        "containsNull": True,
+    }
+    assert delta_type_to_spark(node) == T.ArrayType(T.StringType(), True)
+
+
+def test_schema_string_roundtrip():
+    s = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"name","type":"string","nullable":false,"metadata":{}}]}'
+    )
+    st = parse_delta_schema_string(s)
+    assert st.fieldNames() == ["id", "name"]
+    assert st["name"].nullable is False
+
+
+def test_schema_root_must_be_struct():
+    with pytest.raises(ValueError):
+        parse_delta_schema_string('{"type":"array","elementType":"string"}')
+
+
+def test_unknown_type_raises():
+    # the reference hits NotImplementedException for unknown types
+    # (TransactionLogEntry.cs:341-342); we match that strictness
+    with pytest.raises(NotImplementedError):
+        delta_type_to_spark("uuid")
+
+
+def test_kusto_mapping():
+    assert spark_type_to_kusto(T.LongType()) == "long"
+    assert spark_type_to_kusto(T.IntegerType()) == "int"
+    assert spark_type_to_kusto(T.FloatType()) == "real"
+    assert spark_type_to_kusto(T.TimestampType()) == "datetime"
+    assert spark_type_to_kusto(T.ArrayType(T.StringType())) == "dynamic"
+
+
+def test_columns_list():
+    st = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    assert spark_schema_to_kusto_columns(st) == [("a", "string"), ("b", "long")]
