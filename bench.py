@@ -34,12 +34,11 @@ HEADLINE = [
 ]
 
 EXTENSION_HEADLINE = [
-    # appended as the extension operators land
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
-    "text_quality_score",
-    "s1_tumbling_window",
+    "text_profile",
+    "s1_tumbling_window",  # lands with the streaming module
 ]
 
 

