@@ -1,0 +1,136 @@
+"""Event-time windowed aggregation + stateful dedup (SURVEY §2.I).
+
+The reference has *no* event-time surface — its only stream is the
+strictly-ordered Delta commit log polled every 5 s (reference
+Orchestrations/DeltaTableOrchestration.cs:16,50-83, I1/I4).  The engine
+adds the standard late-data toolkit over the ``events`` fixture:
+tumbling / sliding / session windows and watermarked dedup.
+
+Every function here takes *any* DataFrame — batch or streaming — and
+returns the same logical plan for both.  That is the Spark-first design:
+the batch run is the DuckDB-oracle-checkable twin of the streaming run,
+and tests assert stream(AvailableNow) ≡ batch on identical input.
+
+Scale notes (100 TB posture):
+- A windowed groupBy shuffles once on (window, *keys); with watermarks
+  the streaming state store evicts closed windows, so state is bounded
+  by (active windows × key cardinality), not history length.
+- ``session_window`` merges per-key on the shuffle; skewed users are the
+  hazard — AQE skew-join handles the batch twin, and for streams the
+  gap parameter bounds session growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _std_aggs() -> list[Column]:
+    return [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+
+
+def _windowed(
+    df: DataFrame,
+    window_col: Column,
+    window_name: str,
+    out_prefix: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column] | None,
+) -> DataFrame:
+    out = df.groupBy(window_col, *keys).agg(*(aggs or _std_aggs()))
+    agg_cols = [c for c in out.columns if c not in (window_name, *keys)]
+    return out.select(
+        *keys,
+        F.col(f"{window_name}.start").alias(f"{out_prefix}_start"),
+        F.col(f"{window_name}.end").alias(f"{out_prefix}_end"),
+        *agg_cols,
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: Sequence[str] = ("event_type",),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Fixed, non-overlapping event-time buckets (I4).
+
+    One shuffle on (window, keys); partial aggregation runs map-side
+    before the exchange, so per-window traffic is O(distinct keys).
+    """
+    return _windowed(df, F.window(F.col(ts_col), duration), "window", "window", keys, aggs)
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: Sequence[str] = ("event_type",),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows.
+
+    Spark expands the event into its covering windows *before* the
+    shuffle (an explode, not a self-join), so cost scales linearly with
+    the overlap factor — the plan survives 100× data unchanged.
+    """
+    return _windowed(
+        df, F.window(F.col(ts_col), duration, slide), "window", "window", keys, aggs
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Dynamic-width sessions: a session closes after ``gap`` of
+    inactivity; ``session_end`` = last event + gap (Spark semantics).
+
+    Batch twin of the DuckDB gaps-and-islands formulation (lag + running
+    sum of gap-breaks) — asserted equivalent in the oracle gate.
+    """
+    return _windowed(
+        df, F.session_window(F.col(ts_col), gap), "session_window", "session", keys, aggs
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound (I4): streaming state for windows older than
+    max(event time) - delay is finalized and evicted.  No-op on batch
+    DataFrames (watermarks only affect streaming plans) — the same
+    pipeline code serves both modes.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def stateful_dedup(
+    df: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state holds one entry
+    per key seen in the last ``delay``, evicted by watermark (bounded
+    state; a plain ``dropDuplicates`` on a stream would grow forever).
+    Batch: plain ``dropDuplicates`` (the whole input IS the horizon).
+    This is the streaming generalization of the reference's
+    last-writer-wins checkpoint dedup (Storage/GlobalTableStatus.cs:72-74).
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
