@@ -1,0 +1,410 @@
+"""MirrorPipeline: incremental, exactly-once Delta->table sync
+(SURVEY §3.2/§3.3 — the reference's entire runtime, Spark-first).
+
+One ``run_once()`` = one transaction batch, mirroring
+DeltaTableOrchestration.ProcessTransactionBatchAsync
+(Orchestrations/DeltaTableOrchestration.cs:85-133):
+
+1. discover   — new commits past the processed high-water mark,
+                coalesced into one batch with add/remove cancellation
+                (C1/O2/O3; Storage/TransactionLog.cs:72-164);
+2. persist    — every action becomes a TransactionItem row
+                (state=Initial) in the state store
+                (PersistNewLogsAsync, DeltaTableOrchestration.cs:337-351);
+3. analyze    — empty files -> Done (O4); go-back retention skip via the
+                user's creation-time expression evaluated over distinct
+                partition tuples in ONE Spark job (J1/O5/O7;
+                BlobAnalysisOrchestration.cs:67-244);
+4. stage+load — read surviving blobs grouped by partition tuple with
+                partition constants injected (D5/O6/A7), add lineage
+                columns (H5), ONE atomic sink commit carrying a Delta
+                ``txn`` action for idempotence (K5/O11/I3 — the
+                staging-table + `.move extents` dance collapses into
+                write-then-commit);
+5. removes    — each remove joins its historical add (C3,
+                BlobLoadingOrchestration.cs:96-115): skipped add =>
+                skipped remove; otherwise one `.delete`-records commit
+                keyed on MLK_BlobPath (K6, :117-138);
+6. done       — items flip to Done; state compacts periodically (O10).
+
+Crash recovery (I3, DeltaTableOrchestration.cs:76-81,181-200): an
+incomplete batch is re-detected from the state store; whether its data
+already landed is decided by the sink's ``txn`` version — never by our
+own bookkeeping — so a crash between sink-commit and state-persist does
+not double-ingest.  Deletes are idempotent by construction (deleting
+rows of already-deleted blob paths matches nothing).
+
+Scale: all data movement is executor-side (`spark.read.parquet` ->
+`sink.append`); the driver handles only the batch's action metadata.
+Lineage column MLK_BlobPath (TableDefinition.cs:16,58-69) is
+``input_file_name()`` at scan time — zero-cost, no shuffle.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import time
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..sources import delta_log as DL
+from ..sources.delta_sink import DeltaSink
+from .state import COMPLETE_STATES, StateStore
+
+
+class SchemaChangedError(NotImplementedError):
+    """Mid-stream schema / partition-column change — unsupported, as in
+    the reference (Storage/TransactionLog.cs:153-157)."""
+
+
+def _utcnow() -> _dt.datetime:
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+
+class MirrorPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        target_path: str,
+        state_dir: str,
+        table_name: str = "mirror",
+        go_back_days: int | None = None,
+        creation_time_expr: str | None = None,
+        now_fn=None,
+        compact_every: int = 8,
+    ):
+        self.spark = spark
+        self.source = source_path
+        self.table = table_name
+        self.sink = DeltaSink(spark, target_path)
+        self.state = StateStore(spark, state_dir)
+        self.go_back_days = go_back_days
+        self.creation_time_expr = creation_time_expr
+        self.now_fn = now_fn or _utcnow
+        self.app_id = f"mlk-mirror:{table_name}"
+        self.compact_every = compact_every
+        self._batches_run = 0
+
+    # -- public -------------------------------------------------------------
+
+    def run_once(self) -> dict[str, Any]:
+        """Process ONE coalesced batch of new commits; returns a summary.
+        Call repeatedly to drain (one-shot mode processes each pending
+        batch; continuous mode wraps this in a poll loop, I1)."""
+        resumed = self.state.incomplete_batch(self.table)
+        if resumed is not None:
+            items = resumed
+            start_tx = items[0]["start_tx_id"]
+            end_tx = items[0]["end_tx_id"]
+        else:
+            discovered = self._discover()
+            if discovered is None:
+                return {"status": "up-to-date"}
+            items, start_tx, end_tx = discovered
+            self.state.persist(items)
+
+        self._analyze(items, end_tx)
+        n_staged = self._stage_and_load(items, end_tx)
+        n_deleted_paths = self._apply_removes(items)
+        for it in items:
+            if it["state"] not in COMPLETE_STATES:
+                it["state"] = "Done"
+        self._stamp_and_persist(items)
+        self._batches_run += 1
+        if self._batches_run % self.compact_every == 0:
+            self.state.compact()
+        return {
+            "status": "processed",
+            "start_tx": start_tx,
+            "end_tx": end_tx,
+            "adds_staged": n_staged,
+            "removes_applied": n_deleted_paths,
+            "resumed": resumed is not None,
+        }
+
+    def run_until_idle(self, max_batches: int | None = None) -> list[dict[str, Any]]:
+        """One-shot mode: drain all pending commits (I1 without the poll
+        delay; Trigger.AvailableNow semantics)."""
+        out = []
+        while max_batches is None or len(out) < max_batches:
+            r = self.run_once()
+            if r["status"] == "up-to-date":
+                break
+            out.append(r)
+        return out
+
+    def run_continuous(
+        self, poll_seconds: float = 5.0, max_polls: int | None = None
+    ) -> None:
+        """Continuous mode: infinite poll loop, 5 s default probe delay
+        (I1; CommandLineOptions.cs:10-14, BETWEEN_TX_PROBE_DELAY at
+        DeltaTableOrchestration.cs:16)."""
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            r = self.run_once()
+            if r["status"] == "up-to-date":
+                time.sleep(poll_seconds)
+                polls += 1
+
+    def mirror_df(self) -> DataFrame:
+        """The mirrored table's current contents."""
+        return self.sink.to_df()
+
+    # -- phases -------------------------------------------------------------
+
+    def _discover(self):
+        hwm = self.state.high_water(self.table)
+        versions = DL.list_commit_versions(self.source)
+        if not versions or versions[-1] <= hwm:
+            return None
+        end_tx = versions[-1]
+        start_tx = hwm + 1
+        schema_item = self._check_schema(hwm, end_tx)
+        adds, removes = DL.coalesced_segment(self.spark, self.source, after=hwm, upto=end_tx)
+        now = self.now_fn().isoformat()
+        items: list[dict[str, Any]] = [
+            self._item(start_tx, end_tx, "StagingTable", "Initial", now)
+        ]
+        if schema_item is not None:
+            # persisted WITH the batch so a crash here leaves no
+            # complete-looking partial batch in the state store
+            items.append(schema_item)
+        for r in adds.collect():
+            it = self._item(start_tx, end_tx, "Add", "Initial", now)
+            it.update(
+                blob_path=r["path"],
+                partition_values=json.dumps(r["partitionValues"] or {}),
+                size=r["size"],
+                record_count=r["numRecords"],
+                delta_timestamp=str(r["modificationTime"]),
+            )
+            items.append(it)
+        for r in removes.collect():
+            it = self._item(start_tx, end_tx, "Remove", "Initial", now)
+            it.update(
+                blob_path=r["path"],
+                partition_values=json.dumps(r["partitionValues"] or {}),
+            )
+            items.append(it)
+        return items, start_tx, end_tx
+
+    def _item(self, start_tx, end_tx, action, state, now) -> dict[str, Any]:
+        return {
+            "table_name": self.table,
+            "start_tx_id": start_tx,
+            "end_tx_id": end_tx,
+            "action": action,
+            "state": state,
+            "mirror_timestamp": now,
+            "delta_timestamp": None,
+            "blob_path": None,
+            "partition_values": None,
+            "size": None,
+            "record_count": None,
+            "partition_columns": None,
+            "schema": None,
+            "internal_state": None,
+        }
+
+    def _check_schema(self, hwm: int, end_tx: int) -> dict[str, Any] | None:
+        """Schema fixed per mirror lifetime; change mid-stream throws
+        (TransactionLog.cs:153-157 parity).  Returns the Schema item to
+        record on first discovery, else None."""
+        meta = DL.latest_metadata(self.spark, self.source, upto=end_tx)
+        if meta is None:
+            raise ValueError(f"no metaData action in {self.source}")
+        recorded = self._recorded_schema()
+        if recorded is None:
+            return {
+                **self._item(hwm + 1, end_tx, "Schema", "Done", self.now_fn().isoformat()),
+                "schema": meta["schemaString"],
+                "partition_columns": json.dumps(meta.get("partitionColumns") or []),
+            }
+        if json.loads(recorded["schema"]) != json.loads(meta["schemaString"]) or json.loads(
+            recorded["partition_columns"]
+        ) != (meta.get("partitionColumns") or []):
+            raise SchemaChangedError(
+                "source schema or partition columns changed mid-stream"
+            )
+        return None
+
+    def _recorded_schema(self) -> dict | None:
+        rows = (
+            self.state.status_df()
+            .filter(
+                (F.col("table_name") == self.table) & (F.col("action") == "Schema")
+            )
+            .orderBy(F.desc("start_tx_id"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def _analyze(self, items: list[dict], end_tx: int) -> None:
+        """O4 empty-file skip + O5 go-back retention skip, with the
+        creation-time expression batched over distinct partition tuples
+        (one createDataFrame + F.expr round trip = the reference's ONE
+        parameterized print/union query, O7)."""
+        add_items = [i for i in items if i["action"] == "Add" and i["state"] == "Initial"]
+        for it in add_items:
+            if it["record_count"] == 0:
+                it["state"] = "Done"  # nothing to ingest
+        if self.go_back_days is None:
+            for it in add_items:
+                if it["state"] == "Initial":
+                    it["state"] = "Analyzed"
+            return
+        cutoff = self.now_fn() - _dt.timedelta(days=self.go_back_days)
+        pending = [i for i in add_items if i["state"] == "Initial"]
+        creation = self._creation_times(pending)
+        for it in pending:
+            ct = creation.get(it["blob_path"])
+            if ct is not None and ct < cutoff:
+                it["state"] = "Skipped"  # O5: predates retention window
+            else:
+                it["state"] = "Analyzed"
+
+    def _creation_times(self, items: list[dict]) -> dict[str, _dt.datetime]:
+        """blob path -> creation time.  With an expression: evaluate it
+        server-side over p0..pn partition-value columns (J1); without:
+        the blob's delta modificationTime."""
+        if not items:
+            return {}
+        if self.creation_time_expr is None:
+            return {
+                i["blob_path"]: _dt.datetime.utcfromtimestamp(
+                    int(i["delta_timestamp"]) / 1000.0
+                )
+                for i in items
+                if i["delta_timestamp"] is not None
+            }
+        meta = DL.latest_metadata(self.spark, self.source)
+        part_cols = meta.get("partitionColumns") or []
+        if not part_cols:
+            row = self.spark.range(1).select(
+                F.expr(self.creation_time_expr).cast("timestamp").alias("_ct")
+            ).first()
+            return (
+                {i["blob_path"]: row["_ct"] for i in items}
+                if row["_ct"] is not None
+                else {}
+            )
+        tuples = {}
+        for i in items:
+            pv = json.loads(i["partition_values"] or "{}")
+            tuples.setdefault(tuple(pv.get(c) for c in part_cols), []).append(
+                i["blob_path"]
+            )
+        rows = [list(k) for k in tuples]
+        cols = [f"p{j}" for j in range(len(part_cols))]
+        df = self.spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+        evaluated = df.withColumn(
+            "_ct", F.expr(self.creation_time_expr).cast("timestamp")
+        ).collect()
+        out: dict[str, _dt.datetime] = {}
+        for r in evaluated:
+            key = tuple(r[c] for c in cols)
+            for path in tuples[key]:
+                if r["_ct"] is not None:
+                    out[path] = r["_ct"]
+        return out
+
+    def _stage_and_load(self, items: list[dict], end_tx: int) -> int:
+        """Read surviving add blobs (grouped per partition tuple, D5),
+        inject typed partition constants (O6/A7) + lineage columns (H5),
+        and publish with ONE idempotent atomic commit (K5/O11/I3)."""
+        todo = [i for i in items if i["action"] == "Add" and i["state"] == "Analyzed"]
+        if not todo:
+            return 0
+        last_v = DL.last_txn_version(self.spark, self.sink.path, self.app_id)
+        if last_v is not None and last_v >= end_tx:
+            # crash happened after the data commit: nothing to redo (I3)
+            for it in todo:
+                it["state"] = "Staged"
+            return len(todo)
+        meta = DL.latest_metadata(self.spark, self.source, upto=end_tx)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        type_of = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for it in todo:
+            pv = tuple(sorted(json.loads(it["partition_values"] or "{}").items()))
+            groups.setdefault(pv, []).append(it["blob_path"])
+        parts: list[DataFrame] = []
+        for pv, rel_paths in groups.items():
+            df = self.spark.read.parquet(
+                *[os.path.join(self.source, p) for p in rel_paths]
+            )
+            for col_name, raw in pv:
+                df = df.withColumn(col_name, F.lit(raw).cast(type_of[col_name]))
+            df = df.select(*[f.name for f in schema.fields]).withColumns(
+                {
+                    "MLK_BlobPath": F.url_decode(
+                        F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+                    ),
+                    "MLK_BatchTxId": F.lit(end_tx).cast("long"),
+                }
+            )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self.sink.append(out, txn=(self.app_id, end_tx))
+        for it in todo:
+            it["state"] = "Staged"
+        return len(todo)
+
+    def _apply_removes(self, items: list[dict]) -> int:
+        """C3 + K6: match removes to their historical adds; a skipped
+        add skips its remove (BlobLoadingOrchestration.cs:88-153); the
+        rest become one row-level delete keyed on MLK_BlobPath."""
+        removes = [
+            i
+            for i in items
+            if i["action"] == "Remove" and i["state"] not in COMPLETE_STATES
+        ]
+        if not removes:
+            return 0
+        hist = {
+            r["blob_path"]: r["state"]
+            for r in self.state.status_df()
+            .filter(
+                (F.col("table_name") == self.table) & (F.col("action") == "Add")
+            )
+            .select("blob_path", "state")
+            .collect()
+        }
+        # adds staged in THIS batch are in `items`, possibly not yet persisted
+        for i in items:
+            if i["action"] == "Add":
+                hist[i["blob_path"]] = i["state"]
+        to_delete: list[str] = []
+        for it in removes:
+            add_state = hist.get(it["blob_path"])
+            if add_state is None:
+                raise ValueError(
+                    f"remove without historical add: {it['blob_path']}"
+                )  # consistency check, BlobLoadingOrchestration.cs:109-115
+            if add_state == "Skipped":
+                it["state"] = "Skipped"  # skipped add => skipped remove (O5)
+            else:
+                to_delete.append(it["blob_path"])
+                it["state"] = "Staged"
+        if to_delete:
+            abs_paths = [
+                os.path.abspath(os.path.join(self.source, p)) for p in to_delete
+            ]
+            quoted = ", ".join("'" + p.replace("'", "\\'") + "'" for p in abs_paths)
+            self.sink.delete(f"MLK_BlobPath IN ({quoted})")
+        return len(to_delete)
+
+    def _stamp_and_persist(self, items: list[dict]) -> None:
+        now = self.now_fn().isoformat()
+        for it in items:
+            it["mirror_timestamp"] = now
+        self.state.persist(items)

@@ -1,0 +1,360 @@
+"""Minimal Delta-protocol table writer (no delta-spark dependency).
+
+The reference *consumes* Delta tables that Spark jobs author
+(MirrorLakeKustoTest authors them with PySpark scripts, e.g.
+Simple/Scripts/DoingCheckpointTx.py:2-4) and publishes into Kusto with
+an O(metadata) atomic `.move extents` (BlobLoadingOrchestration.cs:57-86,
+K5/O11).  This module provides both halves for an environment without
+the delta-spark package, speaking the public Delta transaction-log
+protocol (delta-io PROTOCOL.md, cited by the reference at
+Storage/DeltaLake/TransactionLogEntry.cs:15):
+
+- data files are regular parquet written by Spark executors;
+- a commit = one atomically-created ``_delta_log/<20-digit>.json`` of
+  newline-delimited add/remove/metaData actions — creation with
+  ``open(..., "x")`` is the optimistic-concurrency point, exactly
+  Delta's rename-based commit;
+- every ``checkpoint_interval`` commits a parquet checkpoint +
+  ``_last_checkpoint`` pointer is written (what the reference reads at
+  DeltaTableGateway.cs:20-26 / TransactionLogEntry.cs:365-398).
+
+Scale posture: data moves only through ``df.write.parquet`` (executors,
+columnar, never collected); the driver touches metadata only (file
+names, sizes, row counts from parquet footers) — same split as Delta
+itself.  Commits list O(files-per-commit) entries; snapshot
+reconstruction is the reader's job (delta_log.py) and runs as a Spark
+job over the log files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+TX_FMT = "{:020d}"
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def _list_versions(table_path: str) -> list[int]:
+    d = _log_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                out.append(int(name[:20]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+class DeltaSink:
+    """Append / delete / optimize on a local or shared-FS Delta table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        partition_by: Sequence[str] = (),
+        checkpoint_interval: int = 10,
+    ):
+        self.spark = spark
+        self.path = table_path
+        self.partition_by = list(partition_by)
+        self.checkpoint_interval = checkpoint_interval
+        self._pending_schema = "{}"
+        os.makedirs(_log_dir(table_path), exist_ok=True)
+
+    # -- commit machinery ---------------------------------------------------
+
+    def _next_version(self) -> int:
+        vs = _list_versions(self.path)
+        return (vs[-1] + 1) if vs else 0
+
+    def _commit(self, actions: list[dict]) -> int:
+        """Atomically create the next numbered commit file.  ``open(x)``
+        fails if a concurrent writer won the version — retry with the
+        next number (optimistic concurrency, Delta-style)."""
+        while True:
+            v = self._next_version()
+            target = os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
+            body = []
+            if v == 0:
+                body.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+                body.append({"metaData": self._metadata_action()})
+            elif self._schema_changed():
+                # appending a different schema records new metaData, so
+                # readers (and the mirror's schema guard) see the change
+                body.append({"metaData": self._metadata_action()})
+            body.extend(actions)
+            try:
+                with open(target, "x") as f:
+                    f.write("\n".join(json.dumps(a) for a in body) + "\n")
+            except FileExistsError:
+                continue
+            if (v + 1) % self.checkpoint_interval == 0:
+                self._write_checkpoint(v)
+            return v
+
+    def _schema_changed(self) -> bool:
+        """Driver-side scan of the newest commits for the last recorded
+        schemaString (metadata-only; no Spark job)."""
+        if self._pending_schema == "{}":
+            return False
+        d = _log_dir(self.path)
+        for v in reversed(_list_versions(self.path)):
+            with open(os.path.join(d, TX_FMT.format(v) + ".json")) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "metaData" in act:
+                        return act["metaData"]["schemaString"] != self._pending_schema
+        return False
+
+    def _metadata_action(self, df: DataFrame | None = None) -> dict:
+        schema_string = df.schema.json() if df is not None else self._pending_schema
+        return {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": self.partition_by,
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Flatten the whole log into ``<v>.checkpoint.parquet`` +
+        ``_last_checkpoint`` (read path: DeltaTableGateway.cs:285-300)."""
+        from .delta_log import reconciled_actions
+
+        acts = reconciled_actions(self.spark, self.path)
+        ckpt = os.path.join(_log_dir(self.path), TX_FMT.format(version) + ".checkpoint.parquet")
+        tmp = os.path.join(_log_dir(self.path), f"_tmp_ckpt_{uuid.uuid4().hex}")
+        # reconstructed snapshot: active adds + latest metaData/protocol;
+        # single file — the protocol's classic (non-multipart) checkpoint
+        acts.coalesce(1).write.parquet(tmp)
+        part = next(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        shutil.move(part, ckpt)
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(_log_dir(self.path), "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": acts.count()}, f)
+
+    # -- data operations ----------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        data_change: bool = True,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Write ``df``'s rows as new parquet files + one atomic commit.
+
+        The parquet write runs distributed; the subsequent file moves and
+        the commit are driver-side metadata ops (O(new files)) — the
+        Delta analogue of the reference's `.move extents` publish (K5):
+        data becomes visible only at the commit point.
+
+        ``txn=(app_id, version)`` embeds a Delta ``txn`` action in the
+        same commit, making the append idempotent: a writer that crashed
+        after committing discovers the fact via last_txn_version and
+        does not re-append (I3 exactly-once).
+        """
+        self._pending_schema = df.schema.json()
+        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+
+        adds = []
+        for dirpath, _dirs, files in os.walk(tmp):
+            rel_dir = os.path.relpath(dirpath, tmp)
+            part_values = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = val
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = (
+                    os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
+                )
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                meta = pq.read_metadata(src)
+                shutil.move(src, dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": part_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(time.time() * 1000),
+                            "dataChange": data_change,
+                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                        }
+                    }
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        if txn is not None:
+            adds.insert(
+                0,
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                },
+            )
+        return self._commit(adds)
+
+    def _rewrite_group(
+        self,
+        paths: list[str],
+        part_values: dict[str, str],
+        transform,
+        data_change: bool,
+        now: int,
+    ) -> list[dict]:
+        """Rewrite one partition group's files through ``transform``:
+        emit removes for the old files and adds for the rewritten ones.
+        Partition columns stay OUT of the data files (injected at read,
+        A7/O6), so the rewrite only moves the non-partition columns."""
+        from .delta_log import partition_subdir
+
+        df = self.spark.read.parquet(*[os.path.join(self.path, p) for p in paths])
+        out = transform(df)
+        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        out.write.parquet(tmp)
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now,
+                    "dataChange": data_change,
+                    "partitionValues": part_values,
+                }
+            }
+            for rel in paths
+        ]
+        subdir = partition_subdir(part_values)
+        for name in os.listdir(tmp):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(tmp, name)
+            meta = pq.read_metadata(src)
+            if meta.num_rows == 0:
+                continue
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = f"{subdir}/{new_name}" if subdir else new_name
+            dst = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": part_values,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now,
+                        "dataChange": data_change,
+                        "stats": json.dumps({"numRecords": meta.num_rows}),
+                    }
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return actions
+
+    def _partition_groups(self) -> dict[tuple, list[str]]:
+        from .delta_log import snapshot_files
+
+        groups: dict[tuple, list[str]] = {}
+        for f in snapshot_files(self.spark, self.path):
+            key = tuple(sorted((f["partitionValues"] or {}).items()))
+            groups.setdefault(key, []).append(f["path"])
+        return groups
+
+    def delete(self, predicate: str) -> int:
+        """Row-level delete: rewrite only the files whose partition group
+        contains matching rows — K6's `.delete table records` as
+        copy-on-write.  Partition-group pruning runs first (the predicate
+        is evaluated on the injected partition literals too, so a
+        partition-only predicate rewrites nothing outside its
+        partition).  All groups' rewrites land in ONE atomic commit."""
+        import pyspark.sql.functions as F
+
+        from .delta_log import typed_partition_cols
+
+        now = int(time.time() * 1000)
+        types = typed_partition_cols(self.spark, self.path)
+        actions: list[dict] = []
+        for key, paths in self._partition_groups().items():
+            part_values = dict(key)
+
+            def inject(df, pv=part_values):
+                for c, raw in pv.items():
+                    df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+                return df
+
+            full = inject(
+                self.spark.read.parquet(*[os.path.join(self.path, p) for p in paths])
+            )
+            if full.filter(predicate).limit(1).count() == 0:
+                continue
+            actions.extend(
+                self._rewrite_group(
+                    paths,
+                    part_values,
+                    lambda df, pv=part_values: inject(df)
+                    .filter(f"NOT ({predicate})")
+                    .drop(*pv.keys()),
+                    data_change=True,
+                    now=now,
+                )
+            )
+        return self._commit(actions)
+
+    def optimize(self) -> int:
+        """Compact each partition group to one file; every action carries
+        ``dataChange: false`` — the churn the mirror must NOT re-ingest
+        (O2; reference test Electric/Scripts/Optimize.py +
+        LoadTest.cs:31-48)."""
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+        for key, paths in self._partition_groups().items():
+            if len(paths) <= 1:
+                continue
+            actions.extend(
+                self._rewrite_group(
+                    paths,
+                    dict(key),
+                    lambda df: df.coalesce(1),
+                    data_change=False,
+                    now=now,
+                )
+            )
+        return self._commit(actions)
+
+    # -- reads --------------------------------------------------------------
+
+    def to_df(self) -> DataFrame:
+        """Current snapshot (log replay + partition-injected scan)."""
+        from .delta_log import read_snapshot
+
+        return read_snapshot(self.spark, self.path)

@@ -1,0 +1,248 @@
+"""Mirror-pipeline scenario replay — the reference's integration matrix
+(SURVEY §5) on local Delta tables, DuckDB-free (asserts are exact row
+sets, like the reference's Kusto-query asserts).
+
+Key idioms replicated: author source with a writer, sync, assert
+row counts / key sets / partition-scoped counts on the mirror; run
+scenarios both one-shot (all commits then one sync) and two-shot
+(sync between commits) to prove incremental ≡ batch
+(SimpleTest.cs:46-95, LoadTest.cs:30-71, DeleteTest.cs:12-108).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline, SchemaChangedError
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+
+def _mk(spark, tmp_path, name, **kw):
+    return MirrorPipeline(
+        spark,
+        str(tmp_path / f"{name}_src"),
+        str(tmp_path / f"{name}_dst"),
+        str(tmp_path / f"{name}_state"),
+        table_name=name,
+        **kw,
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+# -- Simple suite (SimpleTest.cs) -------------------------------------------
+
+
+def test_one_row_one_column(spark, tmp_path):
+    p = _mk(spark, tmp_path, "one")
+    src = DeltaSink(spark, p.source)
+    src.append(spark.range(1).toDF("id"))
+    r = p.run_once()
+    assert r["status"] == "processed" and r["adds_staged"] >= 1
+    out = p.mirror_df()
+    assert _ids(out) == [0]
+    assert {"MLK_BlobPath", "MLK_BatchTxId"} <= set(out.columns)  # lineage (H5)
+    assert p.run_once()["status"] == "up-to-date"
+
+
+def test_multi_row(spark, tmp_path):
+    p = _mk(spark, tmp_path, "multi")
+    DeltaSink(spark, p.source).append(spark.range(10).toDF("id"))
+    p.run_once()
+    assert _ids(p.mirror_df()) == list(range(10))
+
+
+@pytest.mark.parametrize("mode", ["one_shot", "incremental"])
+def test_checkpoint_crossing(spark, tmp_path, mode):
+    """11 commits cross the source's parquet checkpoint; both sync
+    cadences land ids 0..10 (SimpleTest.cs:46-95)."""
+    p = _mk(spark, tmp_path, f"ckpt_{mode}")
+    src = DeltaSink(spark, p.source, checkpoint_interval=10)
+    for i in range(11):
+        src.append(spark.createDataFrame([(i,)], "id long"))
+        if mode == "incremental":
+            p.run_once()
+    if mode == "one_shot":
+        p.run_until_idle()
+    assert _ids(p.mirror_df()) == list(range(11))
+    assert DL.read_last_checkpoint(p.source) is not None  # crossing happened
+
+
+def test_delete_then_sync(spark, tmp_path):
+    p = _mk(spark, tmp_path, "del")
+    src = DeltaSink(spark, p.source)
+    for i in range(11):
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    p.run_once()
+    src.delete("id = 0")
+    p.run_once()
+    assert _ids(p.mirror_df()) == list(range(1, 11))
+
+
+# -- Electric suite (LoadTest.cs / DeleteTest.cs) ---------------------------
+
+
+def _author_partitioned(spark, path, n=300):
+    src = DeltaSink(spark, path, partition_by=["year"])
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 3 + 2020).cast("long").alias("year")
+    )
+    src.append(df)
+    return src
+
+
+def test_partitioned_load(spark, tmp_path):
+    """Partition values are injected constants, never read from data
+    files (O6/A7); partition-scoped count matches (LoadTest.cs:73-89)."""
+    p = _mk(spark, tmp_path, "pload")
+    _author_partitioned(spark, p.source)
+    p.run_once()
+    out = p.mirror_df()
+    assert out.count() == 300
+    assert out.filter("year = 2020").count() == 100
+    assert dict(out.groupBy().agg(F.countDistinct("year").alias("y")).first().asDict())["y"] == 3
+
+
+@pytest.mark.parametrize("mode", ["one_shot", "two_shot"])
+def test_optimize_no_duplication(spark, tmp_path, mode):
+    """OPTIMIZE churn (dataChange=false add+remove) must not change the
+    mirror's contents (O2; LoadTest.cs:30-71).  one_shot: cancellation
+    inside the coalesced batch (C1).  two_shot: compacted file ingested,
+    original blobs' rows deleted (C3+K6) — net identical."""
+    p = _mk(spark, tmp_path, f"opt_{mode}")
+    src = DeltaSink(spark, p.source)
+    for i in range(4):
+        src.append(spark.range(i * 25, (i + 1) * 25).toDF("id"))
+    if mode == "two_shot":
+        p.run_until_idle()
+    src.optimize()
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == list(range(100))
+
+
+def test_partitioned_delete(spark, tmp_path):
+    p = _mk(spark, tmp_path, "pdel")
+    src = _author_partitioned(spark, p.source)
+    p.run_once()
+    src.delete("year = 2021")
+    p.run_once()
+    out = p.mirror_df()
+    assert out.count() == 200
+    assert out.filter("year = 2021").count() == 0
+
+
+def test_go_back_with_creation_time(spark, tmp_path):
+    """go-back retention: partitions whose creation-time expression
+    predates the cutoff are never ingested, and their later removes are
+    skipped without error (O5/J1; DeleteTest.cs:55-108, expr shape from
+    ElectricTestBase.cs:12)."""
+    fixed_now = dt.datetime(2022, 6, 1)
+    p = _mk(
+        spark,
+        tmp_path,
+        "goback",
+        go_back_days=547,
+        creation_time_expr="to_timestamp(concat(p0, '-01-01'))",
+        now_fn=lambda: fixed_now,
+    )
+    src = _author_partitioned(spark, p.source)  # years 2020/2021/2022
+    p.run_once()
+    out = p.mirror_df()
+    # 2020-01-01 < cutoff(~2020-12-06): skipped; 2021/2022 kept
+    assert out.filter("year = 2020").count() == 0
+    assert out.filter("year = 2021").count() == 100
+    assert out.filter("year = 2022").count() == 100
+    # delete spanning skipped + kept years: no error, kept year shrinks
+    src.delete("year IN (2020, 2022)")
+    p.run_once()
+    out2 = p.mirror_df()
+    assert out2.filter("year = 2022").count() == 0
+    assert out2.filter("year = 2021").count() == 100
+
+
+# -- engine-specific guarantees ---------------------------------------------
+
+
+def test_one_shot_equals_two_shot(spark, tmp_path):
+    """Incremental ≡ batch, the reference's core invariant, with mixed
+    appends/deletes/compaction."""
+
+    def scenario(src):
+        yield src.append(spark.range(0, 50).toDF("id"))
+        yield src.append(spark.range(50, 100).toDF("id"))
+        yield src.delete("id % 7 = 0")
+        yield src.optimize()
+        yield src.append(spark.range(100, 120).toDF("id"))
+
+    p1 = _mk(spark, tmp_path, "oneshot")
+    for _ in scenario(DeltaSink(spark, p1.source)):
+        pass
+    p1.run_until_idle()
+
+    p2 = _mk(spark, tmp_path, "twoshot")
+    src2 = DeltaSink(spark, p2.source)
+    for _ in scenario(src2):
+        p2.run_until_idle()
+
+    assert _ids(p1.mirror_df()) == _ids(p2.mirror_df()) == sorted(
+        i for i in range(120) if not (i % 7 == 0 and i < 100)
+    )
+
+
+def test_crash_recovery_no_double_ingest(spark, tmp_path):
+    """Crash between the sink data commit and the state persist: the
+    resumed batch sees the sink's txn version and does NOT re-append
+    (I3; DeltaTableOrchestration.cs:76-81 + Delta txn idempotence)."""
+    p = _mk(spark, tmp_path, "crash")
+    DeltaSink(spark, p.source).append(spark.range(100).toDF("id"))
+
+    boom = RuntimeError("simulated crash")
+    orig = MirrorPipeline._stamp_and_persist
+    try:
+        def crash(self, items):
+            raise boom
+
+        MirrorPipeline._stamp_and_persist = crash
+        with pytest.raises(RuntimeError):
+            p.run_once()
+    finally:
+        MirrorPipeline._stamp_and_persist = orig
+
+    # fresh pipeline object = fresh process; state says batch incomplete
+    p2 = _mk(spark, tmp_path, "crash")
+    r = p2.run_once()
+    assert r["resumed"] is True
+    assert _ids(p2.mirror_df()) == list(range(100))  # exactly once
+    assert p2.run_once()["status"] == "up-to-date"
+
+
+def test_schema_change_rejected(spark, tmp_path):
+    """Mid-stream schema change fails loudly
+    (TransactionLog.cs:153-157 parity)."""
+    p = _mk(spark, tmp_path, "schemachg")
+    src = DeltaSink(spark, p.source)
+    src.append(spark.range(5).toDF("id"))
+    p.run_once()
+    src.append(spark.range(5).select(F.col("id"), F.lit("x").alias("extra")))
+    with pytest.raises(SchemaChangedError):
+        p.run_once()
+
+
+def test_state_view_arg_max(spark, tmp_path):
+    """The status view is last-writer-wins per item key (D3/D4/K7) and
+    deterministically ordered (F1)."""
+    p = _mk(spark, tmp_path, "stateview")
+    DeltaSink(spark, p.source).append(spark.range(3).toDF("id"))
+    p.run_once()
+    st = p.state.status_df().collect()
+    add_rows = [r for r in st if r["action"] == "Add"]
+    assert add_rows and all(r["state"] == "Done" for r in add_rows)
+    # raw store has Initial AND Done rows for the same key; view has one
+    raw = p.state._raw_df()
+    assert raw.count() > len(st)
