@@ -16,12 +16,22 @@ Four families, all pure DataFrame programs designed for 100 TB:
 The reference has no dedup beyond arg_max last-writer-wins
 (Kusto/DatabaseGateway.cs:93); these extend that surface per the
 north-star contract (BASELINE.json).
+
+Performance note (measured, not guessed): tokenize -> shingle -> hash
+-> signature MUST be materialized as separate projections.  Inlining
+them into one expression tree makes Catalyst re-evaluate the whole
+chain once per signature lane (codegen subexpression elimination does
+not cross higher-order-function lambda boundaries) — a 64-lane MinHash
+then tokenizes every document ~200x.  Multi-referenced non-trivial
+aliases block the CollapseProject rule, so each stage below is computed
+exactly once per row.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
 
 # 31-bit Mersenne prime: affine perms stay in 62 bits -> no ANSI overflow.
 _MERSENNE_P = (1 << 31) - 1
@@ -55,11 +65,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _shingles_from_tokens(toks_col: str, n: int) -> Column:
+    """Distinct word n-grams from a materialized token-array column.
+    Texts shorter than n words yield an empty array (sequence(0, -1)
+    would count DOWN, so the short case is guarded explicitly)."""
+    toks = F.col(toks_col)
+    cnt = F.size(toks) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.when(
+        cnt > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), cnt - 1), gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side only:
-    split + sequence + transform, no Python UDF).  Texts shorter than
-    n words yield an empty array (Spark's sequence(0, -1) would count
-    DOWN, so the short case is guarded explicitly)."""
+    """Distinct word n-gram shingles of a text column, as a single
+    expression (JVM-side only).  Prefer _shingled() inside operators —
+    it stages tokenization into its own projection (see module note)."""
     toks = F.split(F.col(text_col), " ")
     cnt = F.size(toks) - (n - 1)
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -70,74 +93,43 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.5,
-    n: int = 3,
-) -> DataFrame:
-    """Exact Jaccard-similar pairs via inverted-index self-join.
-
-    explode(shingles) -> self-join on shingle -> |intersection| per pair
-    -> join set sizes -> filter.  At scale the only quadratic term is
-    within a single shingle's posting list (cap hot shingles upstream
-    with a document-frequency filter if the corpus has stopword-like
-    shingles).
-    """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).withColumn("sh_size", F.size("sh"))
-    sizes = sh.select("id", "sh_size")
-    posting = sh.select("id", F.explode("sh").alias("shingle"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
-    s2 = sizes.select(F.col("id").alias("id2"), F.col("sh_size").alias("size2"))
-    return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size1") + F.col("size2") - F.col("n_common")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) with tokenize and shingle as separate projections."""
+    return df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select("id", _shingles_from_tokens("_toks", n).alias("sh"))
 
 
 def minhash_signature(text_col: str, n: int = 3, k: int = 64) -> Column:
-    """k-wide MinHash signature over word-n-gram shingles.
+    """k-wide MinHash signature over word-n-gram shingles, as a single
+    column expression: sig[i] = min over shingles of
+    (a_i * xxhash64(shingle) + b_i) mod p.
 
-    base = xxhash64(shingle) folded into [0, p); sig_i = min over
-    shingles of (a_i*base + b_i) mod p.  Everything stays in Catalyst
-    expressions (array transform/min) — whole-stage codegen, no UDF.
+    One ``transform`` over the lane indices with the seed vectors as
+    array literals — the shingle hashes are referenced once, so this
+    composes with a materialized hash column without re-evaluation.
     """
     base = F.transform(
         word_shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
     )
-    sig = [
-        F.array_min(
+    return _sig_from_hashes(base, k)
+
+
+def _sig_from_hashes(hashes: Column, k: int) -> Column:
+    a_vec = F.array(*[F.lit(a) for a in _MINHASH_A[:k]])
+    b_vec = F.array(*[F.lit(b) for b in _MINHASH_B[:k]])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
             F.transform(
-                base,
+                hashes,
                 lambda h: F.pmod(
-                    F.lit(_MINHASH_A[i]) * h + F.lit(_MINHASH_B[i]),
+                    F.element_at(a_vec, i + 1) * h + F.element_at(b_vec, i + 1),
                     F.lit(_MERSENNE_P),
                 ),
             )
-        )
-        for i in range(k)
-    ]
-    return F.array(*sig)
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -155,12 +147,23 @@ def minhash_lsh_pairs(
     signature collides (bucket equi-join — linear shuffle).  Candidates
     are then exact-verified so the output contains no false positives;
     with 32 bands of 2 rows, recall at J>=0.5 is 1-(1-0.25)^32 ~ 0.9999.
+
+    The (id, shingles, signature) frame is persisted (memory-and-disk):
+    it feeds the bucket join AND both sides of the verification join,
+    and signatures are exactly the thing LSH precomputes once at scale.
     """
     rows = k // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-        minhash_signature(text_col, n, k).alias("sig"),
+    sh = (
+        _shingled(df, id_col, text_col, n)
+        .select(
+            "id",
+            "sh",
+            F.transform(
+                "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+            ).alias("_hb"),
+        )
+        .select("id", "sh", _sig_from_hashes(F.col("_hb"), k).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_cols = [
         F.hash(F.slice("sig", i * rows + 1, rows), F.lit(i)).alias("band_hash")
@@ -202,15 +205,61 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index self-join.
+
+    explode(shingles) -> self-join on shingle -> |intersection| per pair
+    -> join set sizes -> filter.  At scale the only quadratic term is
+    within a single shingle's posting list (cap hot shingles upstream
+    with a document-frequency filter if the corpus has stopword-like
+    shingles).
+    """
+    sh = _shingled(df, id_col, text_col, n).withColumn("sh_size", F.size("sh"))
+    sizes = sh.select("id", "sh_size")
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sh_size").alias("size2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size1") + F.col("size2") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def simhash64(text_col: str) -> Column:
     """64-bit SimHash over word hashes: sum per-bit +/-1 contributions
-    of each token's xxhash64, take the sign bit-vector.
-
-    Implemented as 64 JVM-side bit tests over the token-hash array —
-    no UDF; codegen keeps it a single projection.
+    of each token's xxhash64, take the sign bit-vector.  Single-column
+    form; simhash_pairs stages the token hashing separately.
     """
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: F.xxhash64(t)
+    )
+    return _simhash_from_hashes(hashes)
+
+
+def _simhash_from_hashes(hashes: Column) -> Column:
     bits = [
         F.when(
             F.aggregate(
@@ -247,7 +296,16 @@ def simhash_pairs(
     bit_count(xor).
     """
     width = 64 // bands
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+        )
+        .select(
+            "id", F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th")
+        )
+        .select("id", _simhash_from_hashes(F.col("_th")).alias("sig"))
+    )
     slices = sigs.select(
         "id",
         "sig",
