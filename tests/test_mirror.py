@@ -246,3 +246,22 @@ def test_state_view_arg_max(spark, tmp_path):
     # raw store has Initial AND Done rows for the same key; view has one
     raw = p.state._raw_df()
     assert raw.count() > len(st)
+
+
+def test_multi_table_fan_out(spark, tmp_path):
+    """One pipeline per table, drained in parallel (§3.1 Task.WhenAll
+    shape; MirrorOrchestration.cs:64-81,127-132)."""
+    from mirror_lake_kusto_spark.pipeline.multi import MirrorOrchestration
+
+    srcs = {}
+    for name, n in [("alpha", 20), ("beta", 30), ("gamma", 40)]:
+        path = str(tmp_path / f"src_{name}")
+        DeltaSink(spark, path).append(spark.range(n).toDF("id"))
+        srcs[name] = {"source_path": path}
+    orch = MirrorOrchestration(spark, srcs, str(tmp_path / "mirrors"))
+    results = orch.run_until_idle()
+    assert set(results) == {"alpha", "beta", "gamma"}
+    assert all(len(r) == 1 for r in results.values())
+    assert orch.mirror_df("alpha").count() == 20
+    assert orch.mirror_df("beta").count() == 30
+    assert orch.mirror_df("gamma").count() == 40
