@@ -1,0 +1,93 @@
+"""mlk_delta Python streaming DataSource: the Delta commit log consumed
+as true Structured Streaming micro-batches (SURVEY §2.I; streaming twin
+of the reference's poll-loop log tailer, DeltaTableGateway.cs:71-159)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.errors.exceptions.captured import StreamingQueryException
+
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+from mirror_lake_kusto_spark.streaming.delta_source import DeltaLogDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(DeltaLogDataSource)
+
+
+def _drain(spark, path, ckpt, name, skip_change=False):
+    """Run the stream to exhaustion; returns the rows of THIS drain only
+    (foreachBatch + checkpoint -> restarts resume from stored offsets)."""
+    reader = spark.readStream.format("mlk_delta").option("path", path)
+    if skip_change:
+        reader = reader.option("skipChangeCommits", "true")
+    rows: list = []
+
+    def collect_batch(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_stream_reads_partitioned_table(spark, tmp_path):
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    src = DeltaSink(spark, path, partition_by=["year"])
+    src.append(spark.range(90).select("id", (F.col("id") % 3 + 2020).alias("year")))
+    out = _drain(spark, path, ckpt, "t_part")
+    assert len(out) == 90
+    # partition column injected typed from partitionValues, not files
+    assert all(isinstance(r["year"], int) for r in out[:3])
+    assert sum(1 for r in out if r["year"] == 2021) == 30
+
+
+def test_incremental_offsets_across_restarts(spark, tmp_path):
+    path, ckpt = str(tmp_path / "t2"), str(tmp_path / "ckpt2")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(50).toDF("id"))
+    first = _drain(spark, path, ckpt, "t_inc1")
+    assert len(first) == 50
+    src.append(spark.range(50, 80).toDF("id"))
+    # same checkpoint -> only the new commit's rows flow
+    second = _drain(spark, path, ckpt, "t_inc2")
+    assert sorted(r["id"] for r in second) == list(range(50, 80))
+
+
+def test_optimize_commits_ignored(spark, tmp_path):
+    """dataChange=false churn never re-enters the stream (O2 twin)."""
+    path, ckpt = str(tmp_path / "t3"), str(tmp_path / "ckpt3")
+    src = DeltaSink(spark, path)
+    for i in range(3):
+        src.append(spark.range(i * 10, (i + 1) * 10).toDF("id"))
+    assert len(_drain(spark, path, ckpt, "t_opt1")) == 30
+    src.optimize()
+    assert len(_drain(spark, path, ckpt, "t_opt2")) == 0  # nothing new
+
+
+def test_data_remove_raises_without_option(spark, tmp_path):
+    path, ckpt = str(tmp_path / "t4"), str(tmp_path / "ckpt4")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(20).toDF("id"))
+    src.delete("id < 5")
+    with pytest.raises(StreamingQueryException, match="retract|skipChangeCommits"):
+        _drain(spark, path, ckpt, "t_del")
+
+
+def test_skip_change_commits_drops_rewrite(spark, tmp_path):
+    """With skipChangeCommits the delete commit is dropped whole — the
+    stream sees the original rows only (Delta option parity)."""
+    path, ckpt = str(tmp_path / "t5"), str(tmp_path / "ckpt5")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(20).toDF("id"))
+    src.delete("id < 5")
+    out = _drain(spark, path, ckpt, "t_skip", skip_change=True)
+    assert len(out) == 20
