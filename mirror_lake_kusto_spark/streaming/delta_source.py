@@ -75,6 +75,9 @@ def _latest_metadata(path: str) -> dict | None:
     return meta
 
 
+LINEAGE_COL = "MLK_BlobPath"
+
+
 @dataclasses.dataclass
 class _FilePartition(InputPartition):
     file_path: str
@@ -142,6 +145,11 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         for field in arrow_schema:
             if field.name in table.column_names:
                 cols.append(table.column(field.name).cast(field.type))
+            elif field.name == LINEAGE_COL:
+                # source-level lineage (H5): the per-row blob path the
+                # reference injects via its SourceLocation mapping
+                # (BlobStagingOrchestration.cs:309-316)
+                cols.append(pa.array([partition.file_path] * n, type=pa.string()))
             else:
                 raw = partition.partition_values.get(field.name)
                 cols.append(
@@ -165,7 +173,12 @@ class DeltaLogDataSource(DataSource):
         meta = _latest_metadata(self.options["path"])
         if meta is None:
             raise ValueError(f"no Delta metaData under {self.options['path']}")
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get("lineage", "false")).lower() == "true":
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType([*schema.fields, StructField(LINEAGE_COL, StringType())])
+        return schema
 
     def streamReader(self, schema: StructType) -> DeltaLogStreamReader:
         skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"

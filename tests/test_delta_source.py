@@ -91,3 +91,53 @@ def test_skip_change_commits_drops_rewrite(spark, tmp_path):
     src.delete("id < 5")
     out = _drain(spark, path, ckpt, "t_skip", skip_change=True)
     assert len(out) == 20
+
+
+# -- StreamingMirror (pipeline/stream_mirror.py) -----------------------------
+
+
+def test_streaming_mirror_end_to_end(spark, tmp_path):
+    """Mirror as a Structured Streaming query: incremental epochs land
+    as atomic txn-guarded sink commits; restart syncs only new data."""
+    from mirror_lake_kusto_spark.pipeline.stream_mirror import StreamingMirror
+
+    src_path = str(tmp_path / "sm_src")
+    src = DeltaSink(spark, src_path, partition_by=["year"])
+    src.append(spark.range(60).select("id", (F.col("id") % 2 + 2023).alias("year")))
+
+    sm = StreamingMirror(
+        spark, src_path, str(tmp_path / "sm_dst"), str(tmp_path / "sm_ckpt")
+    )
+    sm.run_until_idle()
+    out = sm.mirror_df()
+    assert out.count() == 60
+    assert {"MLK_BlobPath", "MLK_BatchTxId"} <= set(out.columns)
+    assert out.filter("year = 2023").count() == 30
+
+    # incremental: second commit, same checkpoint
+    src.append(spark.range(60, 90).select("id", (F.col("id") % 2 + 2023).alias("year")))
+    sm2 = StreamingMirror(
+        spark, src_path, str(tmp_path / "sm_dst"), str(tmp_path / "sm_ckpt")
+    )
+    sm2.run_until_idle()
+    assert sm2.mirror_df().count() == 90
+    assert sorted(r["id"] for r in sm2.mirror_df().select("id").collect()) == list(range(90))
+
+
+def test_streaming_mirror_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (crash between sink commit and checkpoint
+    advance) must not double-ingest: the txn guard detects it."""
+    from mirror_lake_kusto_spark.pipeline.stream_mirror import StreamingMirror
+
+    src_path = str(tmp_path / "rp_src")
+    DeltaSink(spark, src_path).append(spark.range(40).toDF("id"))
+    sm = StreamingMirror(
+        spark, src_path, str(tmp_path / "rp_dst"), str(tmp_path / "rp_ckpt")
+    )
+    sm.run_until_idle()
+    assert sm.mirror_df().count() == 40
+    # simulate Spark re-invoking foreachBatch with an already-committed
+    # epoch id (exactly what happens on recovery)
+    batch = sm.mirror_df().drop("MLK_BatchTxId")
+    sm._write_batch(batch, 0)
+    assert sm.mirror_df().count() == 40  # unchanged
