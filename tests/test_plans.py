@@ -59,3 +59,81 @@ def test_b1_projection_prunes_scan(spark):
     plan = _plan(spark, "b1_project_rename")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema
+
+
+# -- extension / streaming operator plan shapes ------------------------------
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    """LSH banding must join on equality — a cartesian/broadcast-nested-
+    loop plan would be quadratic at scale."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_no_cartesian(spark):
+    plan = _plan(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join lowers to union + window — no join node, ONE
+    shuffle on the key."""
+    plan = _plan(spark, "s5_asof_join")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_text_profile_stays_jvm_side(spark):
+    """No Python evaluation in the text pipeline — pure Catalyst
+    expressions keep it inside whole-stage codegen."""
+    plan = _plan(spark, "text_profile")
+    assert "Python" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tumbling_window_single_shuffle(spark):
+    plan = _plan(spark, "s1_tumbling_window")
+    assert plan.count("Exchange") <= 2  # partial agg -> one exchange (+AQE)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew salting is a pure plan transformation: same results."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.operators.skew import salted_join
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", SF_DIR)
+    cust = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    salted = salted_join(
+        orders.withColumn("c_custkey", F.col("o_custkey")),
+        cust,
+        on=["c_custkey"],
+        n_salts=8,
+    ).select("o_orderkey", "c_mktsegment")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.operators.skew import salted_agg
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"), F.count("*").alias("n")
+    )
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"qty": F.sum("l_quantity"), "n": F.count("*")},
+        n_salts=8,
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
