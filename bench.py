@@ -38,7 +38,12 @@ EXTENSION_HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_profile",
-    "s1_tumbling_window",  # lands with the streaming module
+    "s1_tumbling_window",
+    "s5_asof_join",
+    # the flagship: full exactly-once mirror sync of a lineitem slice
+    # (authors a Delta source, 2 commits + row-level delete, syncs) —
+    # pipeline throughput, not just query throughput
+    "mirror_e2e_roundtrip",
 ]
 
 
