@@ -166,7 +166,16 @@ class MirrorPipeline:
         end_tx = versions[-1]
         start_tx = hwm + 1
         schema_item = self._check_schema(hwm, end_tx)
-        adds, removes = DL.coalesced_segment(self.spark, self.source, after=hwm, upto=end_tx)
+        if hwm >= 0 and versions[0] > hwm + 1:
+            # commits (hwm, versions[0]) were vacuumed/truncated: fall
+            # back to the checkpoint snapshot diffed against processed
+            # state (C2, TransactionLog.cs:116-164 / O1 checkpoint path,
+            # DeltaTableGateway.cs:71-122)
+            adds, removes = self._snapshot_diff(end_tx)
+        else:
+            adds, removes = DL.coalesced_segment(
+                self.spark, self.source, after=hwm, upto=end_tx
+            )
         now = self.now_fn().isoformat()
         items: list[dict[str, Any]] = [
             self._item(start_tx, end_tx, "StagingTable", "Initial", now)
@@ -193,6 +202,65 @@ class MirrorPipeline:
             )
             items.append(it)
         return items, start_tx, end_tx
+
+    def _snapshot_diff(self, end_tx: int):
+        """C2: newAdds = current snapshot ∖ processed adds; newRemoves =
+        processed live adds absent from the snapshot.  Consistency: a
+        'remove' of a path we never processed is an error (the reference
+        throws a MirrorException for broken removes,
+        TransactionLog.cs:137-151 — here impossible by construction
+        since removes are derived FROM processed state)."""
+        import pyspark.sql.functions as F2
+
+        current = DL.file_actions(self.spark, self.source, upto=end_tx)
+        # replay to active files (same argmax as snapshot_files, kept as
+        # a DataFrame for the anti-joins)
+        active = (
+            current.groupBy("path")
+            .agg(
+                F2.max_by(
+                    F2.struct(
+                        "is_add", "partitionValues", "size", "numRecords",
+                        "modificationTime",
+                    ),
+                    F2.struct("tx_id", F2.col("is_add").cast("int")),
+                ).alias("last")
+            )
+            .filter(F2.col("last.is_add"))
+            .select(
+                "path",
+                F2.col("last.partitionValues").alias("partitionValues"),
+                F2.col("last.size").alias("size"),
+                F2.col("last.numRecords").alias("numRecords"),
+                F2.col("last.modificationTime").alias("modificationTime"),
+            )
+        )
+        processed = (
+            self.state.status_df()
+            .filter(
+                (F2.col("table_name") == self.table)
+                & (F2.col("action") == "Add")
+            )
+            .select(F2.col("blob_path").alias("path"), "partition_values")
+        )
+        # removes already applied must not resurface as missing adds
+        removed = (
+            self.state.status_df()
+            .filter(
+                (F2.col("table_name") == self.table)
+                & (F2.col("action") == "Remove")
+            )
+            .select(F2.col("blob_path").alias("path"))
+        )
+        live_processed = processed.join(removed, "path", "left_anti")
+        new_adds = active.join(processed, "path", "left_anti")
+        new_removes = live_processed.join(active, "path", "left_anti").select(
+            "path",
+            F2.from_json(
+                "partition_values", "map<string,string>"
+            ).alias("partitionValues"),
+        )
+        return new_adds, new_removes
 
     def _item(self, start_tx, end_tx, action, state, now) -> dict[str, Any]:
         return {

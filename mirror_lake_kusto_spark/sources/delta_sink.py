@@ -351,6 +351,37 @@ class DeltaSink:
             )
         return self._commit(actions)
 
+    def vacuum(self) -> dict:
+        """Physically delete data files no longer referenced by the
+        current snapshot, and truncate commit JSONs older than the last
+        checkpoint (Delta's VACUUM + metadata cleanup).  After this,
+        readers MUST take the checkpoint path (O1) and incremental
+        consumers past the truncation point must snapshot-diff (C2) —
+        both exercised in tests."""
+        from .delta_log import read_last_checkpoint, snapshot_files
+
+        ckpt = read_last_checkpoint(self.path)
+        live = {f["path"] for f in snapshot_files(self.spark, self.path)}
+        removed_data = 0
+        for dirpath, _dirs, files in os.walk(self.path):
+            if "_delta_log" in dirpath or "_staging_" in dirpath:
+                continue
+            for name in files:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path).replace(os.sep, "/")
+                if name.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed_data += 1
+        removed_commits = 0
+        if ckpt is not None:
+            for v in _list_versions(self.path):
+                if v <= ckpt:
+                    os.remove(
+                        os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
+                    )
+                    removed_commits += 1
+        return {"data_files": removed_data, "log_files": removed_commits}
+
     # -- reads --------------------------------------------------------------
 
     def to_df(self) -> DataFrame:

@@ -265,3 +265,26 @@ def test_multi_table_fan_out(spark, tmp_path):
     assert orch.mirror_df("alpha").count() == 20
     assert orch.mirror_df("beta").count() == 30
     assert orch.mirror_df("gamma").count() == 40
+
+
+def test_vacuumed_log_snapshot_diff(spark, tmp_path):
+    """Commits older than the checkpoint are vacuumed away AFTER the
+    mirror's last sync: the pipeline must fall back to checkpoint
+    snapshot-diff (C2/O1; TransactionLog.cs:116-164) — new files since
+    the high-water mark are discovered as snapshot-minus-processed, and
+    files deleted meanwhile become removes."""
+    p = _mk(spark, tmp_path, "vac")
+    src = DeltaSink(spark, p.source, checkpoint_interval=10)
+    for i in range(6):  # v0..v5
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    p.run_until_idle()  # hwm = 5
+    src.delete("id = 2")  # v6: remove + rewrite
+    for i in range(6, 12):  # v7..v12 (checkpoint written at v9)
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    stats = src.vacuum()
+    assert stats["log_files"] > 0  # JSONs <= checkpoint version gone
+    assert DL.list_commit_versions(p.source)[0] > 6  # gap before hwm+1
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == [i for i in range(12) if i != 2]
+    # idempotent: a second sync discovers nothing
+    assert p.run_once()["status"] == "up-to-date"
