@@ -813,3 +813,51 @@ def j1(spark, sf_dir):
         F.col("p0").cast("string").alias("p0"),
         F.expr(user_expr).alias("creation_time"),
     )
+
+
+# -- array / explode surface (SURVEY §2.H closing note: the query layer
+# exposes the standard array/explode set beyond the reference's scalars)
+
+
+@query(
+    "h15_explode_tokens",
+    """
+    WITH x AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY token
+    """,
+    doc="explode(split(text)) -> token frequencies; generator expansion "
+    "is map-side, aggregation is the only shuffle",
+)
+def h15_explode_tokens(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "h16_array_ops",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+           list_contains(toks, 'the') AS has_the
+    FROM t
+    """,
+    doc="array_distinct/sort_array/slice/array_join/array_contains — "
+    "single-projection JVM-side array toolkit",
+)
+def h16_array_ops(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )

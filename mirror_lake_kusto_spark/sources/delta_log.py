@@ -270,15 +270,25 @@ def snapshot_files(
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, upto: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    upto: int | None = None,
+    partition_predicate: str | None = None,
 ) -> DataFrame:
     """Current table contents.  Files are read grouped by partition
     tuple with the partition values injected as typed literal columns —
     the reference's ConstValue ingestion mapping (A7/O6,
     BlobStagingOrchestration.cs:291-308): partition columns are never
-    stored in the data files."""
+    stored in the data files.
+
+    ``partition_predicate`` (SQL over partition columns only) prunes
+    whole partition groups BEFORE any data file is opened — classic
+    partition pruning, evaluated once per distinct tuple on a
+    metadata-sized DataFrame."""
     files = snapshot_files(spark, table_path, upto=upto)
     meta = latest_metadata(spark, table_path, upto=upto)
+    if partition_predicate is not None and files and meta is not None:
+        files = _prune_partitions(spark, files, meta, partition_predicate)
     if not files or meta is None:
         return spark.createDataFrame(
             [],
@@ -308,6 +318,39 @@ def read_snapshot(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _prune_partitions(
+    spark: SparkSession,
+    files: list[dict[str, Any]],
+    meta: dict[str, Any],
+    predicate: str,
+) -> list[dict[str, Any]]:
+    """Keep only the files whose partition tuple satisfies ``predicate``
+    (evaluated typed, one row per distinct tuple — never touches data)."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    if not part_cols:
+        return files
+    type_of = {f.name: f.dataType for f in schema.fields}
+    tuples = sorted({tuple((f["partitionValues"] or {}).get(c) for c in part_cols) for f in files})
+    # raw strings ride along untyped so the kept-set keys match the
+    # add-action partitionValues exactly (no cast-then-format drift)
+    raw_cols = [f"_raw_{i}" for i in range(len(part_cols))]
+    df = spark.createDataFrame(
+        [list(t) * 2 for t in tuples],
+        ", ".join(f"{c} string" for c in [*part_cols, *raw_cols]),
+    )
+    for c in part_cols:
+        df = df.withColumn(c, F.col(c).cast(type_of.get(c, StringType())))
+    kept = {
+        tuple(r[rc] for rc in raw_cols) for r in df.filter(predicate).collect()
+    }
+    return [
+        f
+        for f in files
+        if tuple((f["partitionValues"] or {}).get(c) for c in part_cols) in kept
+    ]
 
 
 def partition_subdir(part_values: dict[str, str]) -> str:

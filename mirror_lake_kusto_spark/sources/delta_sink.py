@@ -384,8 +384,12 @@ class DeltaSink:
 
     # -- reads --------------------------------------------------------------
 
-    def to_df(self) -> DataFrame:
-        """Current snapshot (log replay + partition-injected scan)."""
+    def to_df(self, partition_predicate: str | None = None) -> DataFrame:
+        """Current snapshot (log replay + partition-injected scan);
+        ``partition_predicate`` prunes partition groups before any data
+        file is opened (O6)."""
         from .delta_log import read_snapshot
 
-        return read_snapshot(self.spark, self.path)
+        return read_snapshot(
+            self.spark, self.path, partition_predicate=partition_predicate
+        )

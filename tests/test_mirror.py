@@ -288,3 +288,17 @@ def test_vacuumed_log_snapshot_diff(spark, tmp_path):
     assert _ids(p.mirror_df()) == [i for i in range(12) if i != 2]
     # idempotent: a second sync discovers nothing
     assert p.run_once()["status"] == "up-to-date"
+
+
+def test_partition_pruning_skips_files(spark, tmp_path):
+    """A partition-only predicate must prune whole partition groups
+    before any data file is opened (O6 dual; partition values live in
+    the log, not the files)."""
+    path = str(tmp_path / "prune_t")
+    src = _author_partitioned(spark, path)  # years 2020..2022
+    full = src.to_df()
+    pruned = src.to_df(partition_predicate="year = 2021")
+    assert pruned.count() == 100
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # typed comparison works too (year is long)
+    assert src.to_df(partition_predicate="year >= 2021").count() == 200
