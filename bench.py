@@ -60,6 +60,11 @@ def main() -> None:
     registry["q6_forecast_revenue"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the Python/Arrow worker pool (mapInPandas queries otherwise
+    # pay ~2s one-time worker spin-up inside their timed run)
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -93,9 +93,20 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan
+    under-parallelizes (a small corpus in one parquet file would
+    otherwise hash/shingle serially on one core).  A well-partitioned
+    100 TB input passes through untouched — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, sh) with tokenize and shingle as separate projections."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
     ).select("id", _shingles_from_tokens("_toks", n).alias("sh"))
 
@@ -153,16 +164,21 @@ def minhash_lsh_pairs(
     and signatures are exactly the thing LSH precomputes once at scale.
     """
     rows = k // bands
+    # verification runs on the hashed shingle sets, not the strings:
+    # |A∩B| and |A∪B| are identical under a collision-free hash, and
+    # int64 arrays are ~4x cheaper to persist and shuffle than the
+    # string shingles (xxhash64 collisions at corpus scale: ~n²/2⁶⁴)
     sh = (
         _shingled(df, id_col, text_col, n)
         .select(
             "id",
-            "sh",
-            F.transform(
-                "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-            ).alias("_hb"),
+            F.array_sort(
+                F.transform(
+                    "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+                )
+            ).alias("hsh"),
         )
-        .select("id", "sh", _sig_from_hashes(F.col("_hb"), k).alias("sig"))
+        .select("id", "hsh", _sig_from_hashes(F.col("hsh"), k).alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_cols = [
@@ -187,16 +203,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    s1 = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    s1 = sh.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh1", "sh2"))
-                / F.size(F.array_union("sh1", "sh2")),
+                F.size(F.array_intersect("hs1", "hs2"))
+                / F.size(F.array_union("hs1", "hs2")),
                 4,
             ),
         )
@@ -297,7 +313,8 @@ def simhash_pairs(
     """
     width = 64 // bands
     sigs = (
-        df.select(
+        _spread(df)
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
         )

@@ -112,16 +112,89 @@ def fingerprint(text_col: str) -> Column:
     )
 
 
+def _stopword_predicate(words):
+    # factory, not a defaulted lambda: higher-order functions inspect
+    # the lambda's arity, and an extra bound parameter would be taken
+    # for the (element, index) two-arg form
+    return lambda t: F.lower(t).isin(*words)
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass text-analysis profile of a document table."""
-    return df.select(
+    """One-pass text-analysis profile of a document table.
+
+    Values are identical to the standalone helpers above, but the
+    pipeline is staged into successive projections so the tokenization
+    and whitespace-strip each run ONCE per row instead of once per
+    derived metric (see operators/dedup.py's module note on
+    CollapseProject and lambda-boundary CSE), and the input is spread
+    across the cluster when the scan under-parallelizes."""
+    from .dedup import _spread
+
+    staged = _spread(df).select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        bpe_token_count(text_col).alias("n_bpe_tokens"),
-        F.length(text_col).cast("long").alias("n_chars"),
-        punct_ratio(text_col).alias("punct_ratio"),
-        stopword_ratio(text_col, "en").alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fingerprint"),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+        F.regexp_replace(F.col(text_col), r"\s", "").alias("_stripped"),
+    )
+    counted = staged.select(
+        id_col,
+        "_text",
+        "_stripped",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        *[
+            F.size(F.filter("_toks", _stopword_predicate(STOPWORDS[lang])))
+            .cast("long")
+            .alias(f"_c_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    featured = counted.select(
+        id_col,
+        "n_tokens",
+        F.size(F.regexp_extract_all("_text", F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("_text").cast("long").alias("n_chars"),
+        F.round(
+            (
+                F.length("_stripped")
+                - F.length(F.regexp_replace("_stripped", r"[^A-Za-z0-9_]", ""))
+            )
+            / F.greatest(F.length("_stripped"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        *[F.col(f"_c_{lang}") for lang in STOPWORDS],
+        F.aggregate(
+            F.split("_text", ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(_FP_PRIME)),
+        ).alias("fingerprint"),
+    ).withColumn(
+        "stopword_ratio",
+        F.round(F.col("_c_en") / F.greatest(F.col("n_tokens"), F.lit(1)), 4),
+    )
+    counts = {lang: F.col(f"_c_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    len_ok = (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000)
+    punct_ok = F.col("punct_ratio") <= 0.3
+    stop_ok = F.col("stopword_ratio") >= 0.01
+    return featured.select(
+        id_col,
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars",
+        "punct_ratio",
+        "stopword_ratio",
+        F.round(
+            (len_ok.cast("int") + punct_ok.cast("int") + stop_ok.cast("int"))
+            / F.lit(3.0),
+            4,
+        ).alias("quality"),
+        F.when((best > 0) & (counts["en"] == best), "en")
+        .when((best > 0) & (counts["de"] == best), "de")
+        .when((best > 0) & (counts["fr"] == best), "fr")
+        .when((best > 0) & (counts["es"] == best), "es")
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        "fingerprint",
     )
