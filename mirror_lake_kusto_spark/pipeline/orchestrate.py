@@ -172,10 +172,18 @@ class MirrorPipeline:
             # state (C2, TransactionLog.cs:116-164 / O1 checkpoint path,
             # DeltaTableGateway.cs:71-122)
             adds, removes = self._snapshot_diff(end_tx)
+            add_rows, remove_rows = adds.collect(), removes.collect()
         else:
-            adds, removes = DL.coalesced_segment(
-                self.spark, self.source, after=hwm, upto=end_tx
-            )
+            local = DL.coalesced_segment_local(self.source, after=hwm, upto=end_tx)
+            if local is not None:
+                # driver-scale segment: the reference's own hash-set
+                # cancellation, no cluster round trip
+                add_rows, remove_rows = local
+            else:
+                adds, removes = DL.coalesced_segment(
+                    self.spark, self.source, after=hwm, upto=end_tx
+                )
+                add_rows, remove_rows = adds.collect(), removes.collect()
         now = self.now_fn().isoformat()
         items: list[dict[str, Any]] = [
             self._item(start_tx, end_tx, "StagingTable", "Initial", now)
@@ -184,7 +192,7 @@ class MirrorPipeline:
             # persisted WITH the batch so a crash here leaves no
             # complete-looking partial batch in the state store
             items.append(schema_item)
-        for r in adds.collect():
+        for r in add_rows:
             it = self._item(start_tx, end_tx, "Add", "Initial", now)
             it.update(
                 blob_path=r["path"],
@@ -194,7 +202,7 @@ class MirrorPipeline:
                 delta_timestamp=str(r["modificationTime"]),
             )
             items.append(it)
-        for r in removes.collect():
+        for r in remove_rows:
             it = self._item(start_tx, end_tx, "Remove", "Initial", now)
             it.update(
                 blob_path=r["path"],
@@ -235,22 +243,20 @@ class MirrorPipeline:
                 F2.col("last.modificationTime").alias("modificationTime"),
             )
         )
-        processed = (
-            self.state.status_df()
-            .filter(
-                (F2.col("table_name") == self.table)
-                & (F2.col("action") == "Add")
-            )
-            .select(F2.col("blob_path").alias("path"), "partition_values")
+        processed = self.spark.createDataFrame(
+            [
+                (r["blob_path"], r["partition_values"])
+                for r in self.state.current_items(self.table, "Add")
+            ],
+            "path string, partition_values string",
         )
         # removes already applied must not resurface as missing adds
-        removed = (
-            self.state.status_df()
-            .filter(
-                (F2.col("table_name") == self.table)
-                & (F2.col("action") == "Remove")
-            )
-            .select(F2.col("blob_path").alias("path"))
+        removed = self.spark.createDataFrame(
+            [
+                (r["blob_path"],)
+                for r in self.state.current_items(self.table, "Remove")
+            ],
+            "path string",
         )
         live_processed = processed.join(removed, "path", "left_anti")
         new_adds = active.join(processed, "path", "left_anti")
@@ -303,16 +309,8 @@ class MirrorPipeline:
         return None
 
     def _recorded_schema(self) -> dict | None:
-        rows = (
-            self.state.status_df()
-            .filter(
-                (F.col("table_name") == self.table) & (F.col("action") == "Schema")
-            )
-            .orderBy(F.desc("start_tx_id"))
-            .limit(1)
-            .collect()
-        )
-        return rows[0].asDict() if rows else None
+        rows = self.state.current_items(self.table, "Schema")
+        return max(rows, key=lambda r: r["start_tx_id"]) if rows else None
 
     def _analyze(self, items: list[dict], end_tx: int) -> None:
         """O4 empty-file skip + O5 go-back retention skip, with the
@@ -399,13 +397,19 @@ class MirrorPipeline:
         meta = DL.latest_metadata(self.spark, self.source, upto=end_tx)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         type_of = {f.name: f.dataType for f in schema.fields}
+        part_cols = set(meta.get("partitionColumns") or [])
+        # source files hold only data columns; explicit schema skips a
+        # footer-inference job per partition group
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
         groups: dict[tuple, list[str]] = {}
         for it in todo:
             pv = tuple(sorted(json.loads(it["partition_values"] or "{}").items()))
             groups.setdefault(pv, []).append(it["blob_path"])
         parts: list[DataFrame] = []
         for pv, rel_paths in groups.items():
-            df = self.spark.read.parquet(
+            df = self.spark.read.schema(data_schema).parquet(
                 *[os.path.join(self.source, p) for p in rel_paths]
             )
             for col_name, raw in pv:
@@ -440,12 +444,7 @@ class MirrorPipeline:
             return 0
         hist = {
             r["blob_path"]: r["state"]
-            for r in self.state.status_df()
-            .filter(
-                (F.col("table_name") == self.table) & (F.col("action") == "Add")
-            )
-            .select("blob_path", "state")
-            .collect()
+            for r in self.state.current_items(self.table, "Add")
         }
         # adds staged in THIS batch are in `items`, possibly not yet persisted
         for i in items:

@@ -63,11 +63,32 @@ KEY = ["table_name", "start_tx_id", "end_tx_id", "action", "blob_path"]
 COMPLETE_STATES = ("Done", "Skipped")
 
 
+_INT_COLS = ("start_tx_id", "end_tx_id", "size", "record_count")
+
+
+def _item_key(it: dict[str, Any]) -> tuple:
+    return tuple(it.get(k) for k in KEY)
+
+
 class StateStore:
+    """Driver-held LWW view + append-only CSV persistence.
+
+    The driver keeps the current item map in memory (exactly the
+    reference's GlobalTableStatus in-memory list,
+    GlobalTableStatus.cs:66-74) and every read that steers the pipeline
+    (high-water mark, incomplete batch, historical adds) is served from
+    it — steering on metadata must not cost a cluster job.  The CSV
+    files remain the durable source of truth: a fresh StateStore
+    rehydrates from them, and ``status_df()`` exposes the same LWW view
+    as a DataFrame (K7) computed independently by Spark — the oracle
+    checks both agree.  Item count is O(source files), the same
+    driver-scale metadata Delta itself replays."""
+
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+        self._cache: dict[tuple, dict[str, Any]] | None = None
 
     # -- writes -------------------------------------------------------------
 
@@ -87,10 +108,13 @@ class StateStore:
             w.writeheader()
             for it in items:
                 w.writerow({c: it.get(c) for c in COLUMNS})
+        cache = self._items()
+        for it in items:
+            cache[_item_key(it)] = {c: it.get(c) for c in COLUMNS}
 
     def compact(self) -> None:
         """Rewrite the LWW view as a single file, drop history (A12)."""
-        rows = [r.asDict() for r in self.status_df().collect()]
+        rows = self.current_items()
         old = [n for n in os.listdir(self.dir) if n.startswith("ix_")]
         tmp = os.path.join(self.dir, f"_tmp_{uuid.uuid4().hex}.csv")
         with open(tmp, "x", newline="") as f:
@@ -102,6 +126,48 @@ class StateStore:
         os.rename(tmp, final)
         for n in old:
             os.remove(os.path.join(self.dir, n))
+
+    # -- driver-side LWW view -----------------------------------------------
+
+    def _items(self) -> dict[tuple, dict[str, Any]]:
+        if self._cache is None:
+            cache: dict[tuple, dict[str, Any]] = {}
+            # ascending file order = append order; later rows win (D4)
+            for name in sorted(
+                n for n in os.listdir(self.dir) if n.startswith("ix_")
+            ):
+                with open(os.path.join(self.dir, name), newline="") as f:
+                    for row in csv.DictReader(f):
+                        it: dict[str, Any] = {
+                            c: (row.get(c) or None) for c in COLUMNS
+                        }
+                        for c in _INT_COLS:
+                            if it[c] is not None:
+                                it[c] = int(it[c])
+                        cache[_item_key(it)] = it
+            self._cache = cache
+        return self._cache
+
+    def current_items(
+        self, table_name: str | None = None, action: str | None = None
+    ) -> list[dict[str, Any]]:
+        """LWW current state, deterministically ordered (driver twin of
+        ``status_df``)."""
+        out = [
+            dict(it)
+            for it in self._items().values()
+            if (table_name is None or it["table_name"] == table_name)
+            and (action is None or it["action"] == action)
+        ]
+        out.sort(
+            key=lambda r: (
+                r["table_name"] or "",
+                r["start_tx_id"] or 0,
+                r["action"] or "",
+                r["blob_path"] or "",
+            )
+        )
+        return out
 
     # -- reads --------------------------------------------------------------
 
@@ -135,41 +201,36 @@ class StateStore:
 
     def high_water(self, table_name: str) -> int:
         """Highest end_tx_id with every item of its batch complete —
-        the resume point (TableStatus.cs:50-77)."""
-        st = self.status_df().filter(F.col("table_name") == table_name)
-        per_batch = st.groupBy("end_tx_id").agg(
-            F.max(F.when(~F.col("state").isin(*COMPLETE_STATES), 1).otherwise(0)).alias(
-                "incomplete"
+        the resume point (TableStatus.cs:50-77).  Driver-side."""
+        incomplete: dict[int, bool] = {}
+        for it in self._items().values():
+            if it["table_name"] != table_name:
+                continue
+            b = it["end_tx_id"]
+            incomplete[b] = incomplete.get(b, False) or (
+                it["state"] not in COMPLETE_STATES
             )
-        )
-        row = (
-            per_batch.filter("incomplete = 0")
-            .agg(F.max("end_tx_id").alias("hwm"))
-            .first()
-        )
-        return row["hwm"] if row and row["hwm"] is not None else -1
+        done = [b for b, inc in incomplete.items() if not inc]
+        return max(done) if done else -1
 
     def incomplete_batch(self, table_name: str) -> list[dict[str, Any]] | None:
         """Items of the earliest batch still in flight, if any (restart
-        recovery, DeltaTableOrchestration.cs:76-81,181-200)."""
-        st = self.status_df().filter(F.col("table_name") == table_name)
-        batches = (
-            st.groupBy("start_tx_id", "end_tx_id")
-            .agg(
-                F.max(
-                    F.when(~F.col("state").isin(*COMPLETE_STATES), 1).otherwise(0)
-                ).alias("incomplete")
+        recovery, DeltaTableOrchestration.cs:76-81,181-200).
+        Driver-side."""
+        pending: dict[tuple[int, int], bool] = {}
+        for it in self._items().values():
+            if it["table_name"] != table_name:
+                continue
+            b = (it["start_tx_id"], it["end_tx_id"])
+            pending[b] = pending.get(b, False) or (
+                it["state"] not in COMPLETE_STATES
             )
-            .filter("incomplete = 1")
-            .orderBy("start_tx_id")
-            .limit(1)
-            .collect()
-        )
-        if not batches:
+        open_batches = sorted(b for b, inc in pending.items() if inc)
+        if not open_batches:
             return None
-        b = batches[0]
-        items = st.filter(
-            (F.col("start_tx_id") == b["start_tx_id"])
-            & (F.col("end_tx_id") == b["end_tx_id"])
-        ).collect()
-        return [r.asDict() for r in items]
+        start, end = open_batches[0]
+        return [
+            it
+            for it in self.current_items(table_name)
+            if it["start_tx_id"] == start and it["end_tx_id"] == end
+        ]

@@ -37,10 +37,12 @@ def _run_mirror(spark, sf_dir: str, workdir: str):
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     src_path = os.path.join(workdir, "src")
-    li = load_table(spark, "lineitem", sf_dir).filter("l_orderkey <= 4000")
+    # cache the slice: both authoring commits and neither rescans lineitem
+    li = load_table(spark, "lineitem", sf_dir).filter("l_orderkey <= 4000").cache()
     src = DeltaSink(spark, src_path, partition_by=["l_returnflag"])
     src.append(li.filter("l_linenumber <= 3"))
     src.append(li.filter("l_linenumber > 3"))
+    li.unpersist()
     pipe = MirrorPipeline(
         spark,
         src_path,

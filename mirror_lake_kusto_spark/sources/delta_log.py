@@ -30,6 +30,7 @@ import json
 import os
 from typing import Any
 
+import pyarrow.parquet as _pq
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -102,9 +103,54 @@ ACTIONS_SCHEMA = StructType(
 
 _TX_RE = r"(\d{20})\.(?:json|checkpoint\.parquet)$"
 
+# JSON commits up to this total size are parsed on the driver (a commit
+# is O(files-touched) metadata, KBs-to-MBs even on huge tables — the log
+# IS driver-scale data, which is exactly how Delta itself treats it);
+# beyond it we fall back to a distributed spark.read.json.
+_DRIVER_JSON_BYTES = 64 << 20
+
 
 def log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_delta_log")
+
+
+def _commit_file(table_path: str, version: int) -> str:
+    return os.path.join(log_dir(table_path), f"{version:020d}.json")
+
+
+def _read_commit(table_path: str, version: int) -> list[dict]:
+    """One commit's newline-delimited JSON actions, driver-side (A1)."""
+    with open(_commit_file(table_path, version)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _conform(value: Any, dtype) -> Any:
+    """Shape a parsed-JSON action value to a Spark schema (drop unknown
+    keys, coerce ints/bools) so createDataFrame accepts it verbatim."""
+    if value is None:
+        return None
+    if isinstance(dtype, StructType):
+        return {f.name: _conform(value.get(f.name), f.dataType) for f in dtype.fields}
+    if isinstance(dtype, MapType):
+        return dict(value)
+    if isinstance(dtype, LongType):
+        return int(value)
+    if isinstance(dtype, BooleanType):
+        return bool(value)
+    return value
+
+
+def _driver_commit_rows(table_path: str, versions: list[int]) -> list[dict]:
+    rows: list[dict] = []
+    for v in versions:
+        for act in _read_commit(table_path, v):
+            row = {
+                f.name: _conform(act.get(f.name), f.dataType)
+                for f in ACTIONS_SCHEMA.fields
+            }
+            row["tx_id"] = v
+            rows.append(row)
+    return rows
 
 
 def list_commit_versions(table_path: str) -> list[int]:
@@ -161,14 +207,26 @@ def read_actions(
         versions = [v for v in versions if v > ckpt_version]
     if versions:
         paths = [os.path.join(d, f"{v:020d}.json") for v in versions]
-        srcs.append(
-            spark.read.schema(ACTIONS_SCHEMA)
-            .json(paths)
-            .withColumn(
-                "tx_id",
-                F.regexp_extract(F.input_file_name(), _TX_RE, 1).cast("long"),
-            )
+        row_schema = StructType(
+            [*ACTIONS_SCHEMA.fields, StructField("tx_id", LongType())]
         )
+        if sum(os.path.getsize(p) for p in paths) <= _DRIVER_JSON_BYTES:
+            # local relation: no file-scan job, no schema pass over the
+            # cluster — commit JSONs are driver-scale metadata
+            srcs.append(
+                spark.createDataFrame(
+                    _driver_commit_rows(table_path, versions), row_schema
+                )
+            )
+        else:
+            srcs.append(
+                spark.read.schema(ACTIONS_SCHEMA)
+                .json(paths)
+                .withColumn(
+                    "tx_id",
+                    F.regexp_extract(F.input_file_name(), _TX_RE, 1).cast("long"),
+                )
+            )
     if not srcs:
         return spark.createDataFrame(
             [], StructType([*ACTIONS_SCHEMA.fields, StructField("tx_id", LongType())])
@@ -179,19 +237,34 @@ def read_actions(
     return out
 
 
+def _checkpoint_column(table_path: str, version: int, column: str) -> list:
+    """Non-null values of one action column from a checkpoint parquet,
+    read driver-side with column projection (pyarrow)."""
+    path = os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.parquet")
+    tbl = _pq.read_table(path, columns=[column])
+    return [v for v in tbl.column(0).to_pylist() if v is not None]
+
+
 def latest_metadata(
     spark: SparkSession, table_path: str, upto: int | None = None
 ) -> dict[str, Any] | None:
     """Latest metaData action ≤ upto (schema + partition columns) — F3's
-    'latest schema at txId' (TableStatus.cs:99-106)."""
-    acts = read_actions(spark, table_path, upto=upto)
-    rows = (
-        acts.filter(F.col("metaData").isNotNull())
-        .orderBy(F.desc("tx_id"))
-        .limit(1)
-        .collect()
-    )
-    return rows[0]["metaData"].asDict(recursive=True) if rows else None
+    'latest schema at txId' (TableStatus.cs:99-106).
+
+    Pure driver-side: reverse-scan the JSON commits, falling back to the
+    checkpoint parquet (column-projected) — one metadata lookup must not
+    cost a cluster job."""
+    versions = [v for v in list_commit_versions(table_path) if upto is None or v <= upto]
+    for v in reversed(versions):
+        metas = [a["metaData"] for a in _read_commit(table_path, v) if "metaData" in a]
+        if metas:
+            return _conform(metas[-1], METADATA_SCHEMA)
+    ckpt = read_last_checkpoint(table_path)
+    if ckpt is not None and (upto is None or ckpt <= upto):
+        metas = _checkpoint_column(table_path, ckpt, "metaData")
+        if metas:
+            return _conform(metas[-1], METADATA_SCHEMA)
+    return None
 
 
 def file_actions(
@@ -243,12 +316,61 @@ def coalesced_segment(
     return live_adds, live_removes
 
 
+def coalesced_segment_local(
+    table_path: str, after: int, upto: int | None = None
+) -> tuple[list[dict], list[dict]] | None:
+    """Driver-side twin of ``coalesced_segment`` — the reference's exact
+    hash-set cancellation (TransactionLog.cs:84-98) over parsed commit
+    actions.  Returns None when the segment exceeds the driver-parse
+    budget (caller falls back to the DataFrame path)."""
+    versions = [
+        v
+        for v in list_commit_versions(table_path)
+        if v > after and (upto is None or v <= upto)
+    ]
+    if (
+        sum(os.path.getsize(_commit_file(table_path, v)) for v in versions)
+        > _DRIVER_JSON_BYTES
+    ):
+        return None
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    for v in versions:
+        for act in _read_commit(table_path, v):
+            if "add" in act:
+                a = act["add"]
+                adds[a["path"]] = {
+                    "path": a["path"],
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size"),
+                    "numRecords": _num_records(a.get("stats")),
+                    "modificationTime": a.get("modificationTime"),
+                }
+            elif "remove" in act:
+                r = act["remove"]
+                removes[r["path"]] = {
+                    "path": r["path"],
+                    "partitionValues": dict(r.get("partitionValues") or {}),
+                }
+    live_adds = [a for p, a in sorted(adds.items()) if p not in removes]
+    live_removes = [r for p, r in sorted(removes.items()) if p not in adds]
+    return live_adds, live_removes
+
+
 def snapshot_files(
     spark: SparkSession, table_path: str, upto: int | None = None
 ) -> list[dict[str, Any]]:
     """Log replay: active files at version ``upto`` (default: latest).
     Per-path argmax(tx_id) — the D3 arg_max pattern applied to the log
-    itself."""
+    itself.
+
+    Driver fast path (checkpoint via pyarrow + JSON commits via json)
+    when the log is driver-scale; the Spark replay remains the fallback
+    for logs past _DRIVER_JSON_BYTES."""
+    try:
+        return _snapshot_files_driver(table_path, upto)
+    except _LogTooBig:
+        pass
     fa = file_actions(spark, table_path, upto=upto)
     latest = (
         fa.groupBy("path")
@@ -267,6 +389,80 @@ def snapshot_files(
         )
     )
     return [r.asDict(recursive=True) for r in latest.collect()]
+
+
+class _LogTooBig(Exception):
+    pass
+
+
+def _num_records(stats: str | None) -> int | None:
+    if not stats:
+        return None
+    n = json.loads(stats).get("numRecords")
+    return int(n) if n is not None else None
+
+
+def _snapshot_files_driver(
+    table_path: str, upto: int | None
+) -> list[dict[str, Any]]:
+    """Same replay as the Spark path: per path keep the action with the
+    greatest (tx_id, is_add); files whose last action is an add are
+    active."""
+    versions = [v for v in list_commit_versions(table_path) if upto is None or v <= upto]
+    ckpt = read_last_checkpoint(table_path)
+    use_ckpt = ckpt is not None and (upto is None or ckpt <= upto)
+    json_versions = [v for v in versions if not use_ckpt or v > ckpt]
+    total = sum(os.path.getsize(_commit_file(table_path, v)) for v in json_versions)
+    if total > _DRIVER_JSON_BYTES:
+        raise _LogTooBig
+    state: dict[str, tuple[tuple[int, int], dict | None]] = {}
+
+    def apply(tx_id: int, path: str, is_add: bool, info: dict | None) -> None:
+        rank = (tx_id, 1 if is_add else 0)
+        cur = state.get(path)
+        if cur is None or rank >= cur[0]:
+            state[path] = (rank, info)
+
+    if use_ckpt:
+        for add in _checkpoint_column(table_path, ckpt, "add"):
+            apply(
+                ckpt,
+                add["path"],
+                True,
+                {
+                    "path": add["path"],
+                    "partitionValues": dict(add.get("partitionValues") or {}),
+                    "size": add.get("size"),
+                    "numRecords": _num_records(add.get("stats")),
+                },
+            )
+        try:
+            removes = _checkpoint_column(table_path, ckpt, "remove")
+        except Exception:
+            removes = []  # column absent in minimal checkpoints
+        for rm in removes:
+            apply(ckpt, rm["path"], False, None)
+    for v in json_versions:
+        for act in _read_commit(table_path, v):
+            if "add" in act:
+                a = act["add"]
+                apply(
+                    v,
+                    a["path"],
+                    True,
+                    {
+                        "path": a["path"],
+                        "partitionValues": dict(a.get("partitionValues") or {}),
+                        "size": a.get("size"),
+                        "numRecords": _num_records(a.get("stats")),
+                    },
+                )
+            elif "remove" in act:
+                apply(v, act["remove"]["path"], False, None)
+    return sorted(
+        (info for _rank, info in state.values() if info is not None),
+        key=lambda f: f["path"],
+    )
 
 
 def read_snapshot(
@@ -299,6 +495,9 @@ def read_snapshot(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     type_of = {f.name: f.dataType for f in schema.fields}
+    # files hold only the data columns (partition values live in the
+    # log); passing the schema skips a footer-inference job per group
+    data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
 
     groups: dict[tuple, list[str]] = {}
     for f in files:
@@ -308,7 +507,7 @@ def read_snapshot(
         )
     parts: list[DataFrame] = []
     for key, paths in groups.items():
-        df = spark.read.parquet(*paths)
+        df = spark.read.schema(data_schema).parquet(*paths)
         for col_name, raw in key:
             df = df.withColumn(
                 col_name, F.lit(raw).cast(type_of.get(col_name, StringType()))
@@ -378,17 +577,21 @@ def reconciled_actions(spark: SparkSession, table_path: str) -> DataFrame:
     acts.append({**blank, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
     # carry forward the latest txn version per appId (Delta checkpoints
     # retain txn actions so idempotent-writer recovery survives log
-    # truncation)
-    txns = (
-        read_actions(spark, table_path)
-        .filter(F.col("txn").isNotNull())
-        .groupBy("txn.appId")
-        .agg(F.max("txn.version").alias("version"))
-        .collect()
-    )
-    for t in txns:
+    # truncation) — driver-side scan, same as last_txn_version
+    txns: dict[str, int] = {}
+    ckpt = read_last_checkpoint(table_path)
+    if ckpt is not None:
+        for t in _checkpoint_column(table_path, ckpt, "txn"):
+            if t.get("appId") and t.get("version") is not None:
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    for v in list_commit_versions(table_path):
+        for act in _read_commit(table_path, v):
+            t = act.get("txn")
+            if t and t.get("appId") and t.get("version") is not None:
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    for app_id, version in sorted(txns.items()):
         acts.append(
-            {**blank, "txn": {"appId": t["appId"], "version": t["version"], "lastUpdated": 0}}
+            {**blank, "txn": {"appId": app_id, "version": version, "lastUpdated": 0}}
         )
     for f in files:
         acts.append(
@@ -413,11 +616,21 @@ def last_txn_version(spark: SparkSession, table_path: str, app_id: str) -> int |
     """Latest committed ``txn`` version for an idempotent writer —
     exactly-once recovery reads this instead of trusting its own state
     (I3; the Delta analogue of the reference's restart re-detection,
-    DeltaTableOrchestration.cs:76-81)."""
-    row = (
-        read_actions(spark, table_path)
-        .filter(F.col("txn.appId") == app_id)
-        .agg(F.max("txn.version").alias("v"))
-        .first()
-    )
-    return row["v"] if row else None
+    DeltaTableOrchestration.cs:76-81).  Driver-side: scans JSON commits
+    plus the checkpoint's carried-forward txn actions."""
+    best: int | None = None
+
+    def consider(txn: dict | None) -> None:
+        nonlocal best
+        if txn and txn.get("appId") == app_id and txn.get("version") is not None:
+            v = int(txn["version"])
+            best = v if best is None or v > best else best
+
+    for v in list_commit_versions(table_path):
+        for act in _read_commit(table_path, v):
+            consider(act.get("txn"))
+    ckpt = read_last_checkpoint(table_path)
+    if ckpt is not None:
+        for txn in _checkpoint_column(table_path, ckpt, "txn"):
+            consider(txn)
+    return best

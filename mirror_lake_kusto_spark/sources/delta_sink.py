@@ -231,6 +231,7 @@ class DeltaSink:
         transform,
         data_change: bool,
         now: int,
+        read_schema=None,
     ) -> list[dict]:
         """Rewrite one partition group's files through ``transform``:
         emit removes for the old files and adds for the rewritten ones.
@@ -238,7 +239,10 @@ class DeltaSink:
         A7/O6), so the rewrite only moves the non-partition columns."""
         from .delta_log import partition_subdir
 
-        df = self.spark.read.parquet(*[os.path.join(self.path, p) for p in paths])
+        reader = self.spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        df = reader.parquet(*[os.path.join(self.path, p) for p in paths])
         out = transform(df)
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         out.write.parquet(tmp)
@@ -290,44 +294,80 @@ class DeltaSink:
             groups.setdefault(key, []).append(f["path"])
         return groups
 
+    def _data_schema(self):
+        """(partition-col types, data-col StructType) from the table
+        metadata — both driver-side reads."""
+        from pyspark.sql.types import StructType as _St
+
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            return {}, None
+        schema = _St.fromJson(json.loads(meta["schemaString"]))
+        part_cols = set(meta.get("partitionColumns") or [])
+        types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
+        return types, _St([f for f in schema.fields if f.name not in part_cols])
+
     def delete(self, predicate: str) -> int:
-        """Row-level delete: rewrite only the files whose partition group
-        contains matching rows — K6's `.delete table records` as
-        copy-on-write.  Partition-group pruning runs first (the predicate
-        is evaluated on the injected partition literals too, so a
-        partition-only predicate rewrites nothing outside its
-        partition).  All groups' rewrites land in ONE atomic commit."""
+        """Row-level delete: rewrite only the FILES that contain matching
+        rows — K6's `.delete table records` as copy-on-write.
+
+        One probe scan over the whole snapshot (partition values injected
+        per group, data predicates pushed down to parquet) finds the
+        affected files; each is then rewritten without its matching rows.
+        All rewrites land in ONE atomic commit.  At scale this is two
+        jobs total — probe + rewrite — not one probe per partition."""
+        import urllib.parse
+
         import pyspark.sql.functions as F
 
-        from .delta_log import typed_partition_cols
-
         now = int(time.time() * 1000)
-        types = typed_partition_cols(self.spark, self.path)
+        types, data_schema = self._data_schema()
+        groups = self._partition_groups()
+
+        def inject(df, pv):
+            for c, raw in pv.items():
+                df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+            return df
+
+        probes = []
+        for key, paths in groups.items():
+            reader = self.spark.read
+            if data_schema is not None:
+                reader = reader.schema(data_schema)
+            probes.append(
+                inject(
+                    reader.parquet(*[os.path.join(self.path, p) for p in paths]),
+                    dict(key),
+                ).withColumn("_f", F.input_file_name())
+            )
         actions: list[dict] = []
-        for key, paths in self._partition_groups().items():
-            part_values = dict(key)
-
-            def inject(df, pv=part_values):
-                for c, raw in pv.items():
-                    df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
-                return df
-
-            full = inject(
-                self.spark.read.parquet(*[os.path.join(self.path, p) for p in paths])
-            )
-            if full.filter(predicate).limit(1).count() == 0:
-                continue
-            actions.extend(
-                self._rewrite_group(
-                    paths,
-                    part_values,
-                    lambda df, pv=part_values: inject(df)
-                    .filter(f"NOT ({predicate})")
-                    .drop(*pv.keys()),
-                    data_change=True,
-                    now=now,
+        if probes:
+            probe = probes[0]
+            for p in probes[1:]:
+                probe = probe.unionByName(p)
+            hit_names = {
+                os.path.basename(urllib.parse.unquote(r["_f"]))
+                for r in probe.filter(predicate).select("_f").distinct().collect()
+            }
+            for key, paths in groups.items():
+                part_values = dict(key)
+                hit = [p for p in paths if os.path.basename(p) in hit_names]
+                if not hit:
+                    continue
+                actions.extend(
+                    self._rewrite_group(
+                        hit,
+                        part_values,
+                        lambda df, pv=part_values: inject(df, pv)
+                        .filter(f"NOT ({predicate})")
+                        .drop(*pv.keys()),
+                        data_change=True,
+                        now=now,
+                        read_schema=data_schema,
+                    )
                 )
-            )
         return self._commit(actions)
 
     def optimize(self) -> int:
@@ -336,6 +376,7 @@ class DeltaSink:
         (O2; reference test Electric/Scripts/Optimize.py +
         LoadTest.cs:31-48)."""
         now = int(time.time() * 1000)
+        _types, data_schema = self._data_schema()
         actions: list[dict] = []
         for key, paths in self._partition_groups().items():
             if len(paths) <= 1:
@@ -347,6 +388,7 @@ class DeltaSink:
                     lambda df: df.coalesce(1),
                     data_change=False,
                     now=now,
+                    read_schema=data_schema,
                 )
             )
         return self._commit(actions)
