@@ -302,3 +302,38 @@ def test_partition_pruning_skips_files(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     # typed comparison works too (year is long)
     assert src.to_df(partition_predicate="year >= 2021").count() == 200
+
+
+def test_distributed_log_paths_match_driver_paths(spark, tmp_path, monkeypatch):
+    """The driver-side log fast paths (json/pyarrow parsing) fall back
+    to the distributed readers (spark.read.json, Spark log replay,
+    DataFrame anti-join coalescing) past _DRIVER_JSON_BYTES — the path
+    a 100 TB table's log takes.  Forcing the threshold to 0 must
+    produce the identical mirror."""
+    # driver-path run (same scenario, separate table)
+    pd_ = _mk(spark, tmp_path, "fbA")
+    srcA = DeltaSink(spark, pd_.source)
+    for i in range(3):
+        srcA.append(spark.createDataFrame([(i,)], "id long"))
+    pd_.run_until_idle()
+    srcA.delete("id = 1")
+    pd_.run_until_idle()
+    expect = _ids(pd_.mirror_df())
+    assert expect == [0, 2]
+
+    monkeypatch.setattr(DL, "_DRIVER_JSON_BYTES", 0)
+    ps = _mk(spark, tmp_path, "fbB")
+    srcB = DeltaSink(spark, ps.source)
+    for i in range(3):
+        srcB.append(spark.createDataFrame([(i,)], "id long"))
+    ps.run_until_idle()
+    srcB.delete("id = 1")
+    ps.run_until_idle()
+    assert _ids(ps.mirror_df()) == expect
+    # spark-side snapshot replay agrees with the driver replay
+    spark_files = DL.snapshot_files(spark, ps.source)
+    monkeypatch.undo()
+    driver_files = DL.snapshot_files(spark, ps.source)
+    assert sorted(f["path"] for f in spark_files) == sorted(
+        f["path"] for f in driver_files
+    )
