@@ -13,9 +13,10 @@ Spark shape:
 - the current view is ``arg_max(seq) by item key`` — the same D3/D4
   dedup the reference runs both client-side (GroupBy…Last) and
   server-side (KQL ``arg_max(MirrorTimestamp, *)``,
-  DatabaseGateway.cs:93) — computed as a Spark window so it scales to
-  millions of items without driver memory (the reference's in-memory
-  item list is its scaling ceiling; SURVEY §7.4);
+  DatabaseGateway.cs:93) — held as a driver map for the pipeline's
+  steering reads (items are O(source files), the same driver-scale
+  metadata Delta itself replays) AND computed independently as a Spark
+  window by ``status_df()`` (K7 view; the tests assert both agree);
 - ``compact()`` rewrites one CSV + deletes the old files
   (GlobalTableStatus.cs:210-222's temp-blob + atomic-rename dance).
 

@@ -246,6 +246,14 @@ def test_state_view_arg_max(spark, tmp_path):
     # raw store has Initial AND Done rows for the same key; view has one
     raw = p.state._raw_df()
     assert raw.count() > len(st)
+    # the driver-held LWW map and the Spark-computed view agree exactly,
+    # including for a fresh store rehydrated from the CSVs
+    from mirror_lake_kusto_spark.pipeline.state import COLUMNS, StateStore
+
+    spark_view = [{c: r[c] for c in COLUMNS} for r in st]
+    assert p.state.current_items() == spark_view
+    fresh = StateStore(spark, p.state.dir)
+    assert fresh.current_items() == spark_view
 
 
 def test_multi_table_fan_out(spark, tmp_path):
