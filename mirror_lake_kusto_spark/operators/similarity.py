@@ -1,15 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per the north-star contract:
+Three paths, per the north-star contract:
 
 - brute-force cosine top-k: the exactness baseline.  Implemented as a
   vectorized numpy matmul inside ``mapInPandas`` — the query matrix is
   tiny and broadcast to every partition; the corpus streams through in
   Arrow batches.  Per-row work is O(dim x n_queries); no cross join is
   materialized.
-- LSH-bucketed ANN (random hyperplanes): the scale path.  Signatures
+- LSH-bucketed ANN (random hyperplanes): a scale path.  Signatures
   are computed JVM-side from a fixed seeded projection matrix; probing
   a bucket (and optionally its neighbors) bounds the candidate set.
+- IVF (inverted-file) ANN: the classic coarse-quantizer scale path.
+  Spherical-k-means centroids train on a driver-side sample; the
+  corpus is assigned to clusters in one narrow map (cluster = natural
+  bucket key for a persisted index); queries probe only their n_probe
+  nearest clusters via a broadcast equi-join.
 
 At 100 TB the corpus never collects to the driver; only query vectors /
 the projection matrix (a few KB) do.
@@ -226,3 +231,138 @@ def cosine_pairs(
             )
 
     return df.mapInPandas(score, "id1 bigint, id2 bigint, cos_sim double")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids trained on a deterministic sample.
+
+    Only the sample (<= ``sample`` rows, a few MB) collects to the
+    driver; Lloyd iterations run in numpy.  Centroids are L2-normalized
+    so assignment-by-dot-product == assignment-by-cosine.
+    """
+    rows = corpus.select(vec_col).orderBy(id_col).limit(sample).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cent[c] = m / (n if n else 1.0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Attach the nearest-centroid (by cosine) cluster id.  The centroid
+    matrix (n_clusters x dim, KBs) broadcasts; vectors stream through in
+    Arrow batches — at 100 TB this is one narrow map over the corpus."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = df.schema.simpleString()[7:-1] + ",cluster int"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.where(n == 0, 1.0, n)
+            out = pdf.copy()
+            out["cluster"] = np.argmax(vecs @ cent.T, axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score each query only against the
+    ``n_probe`` clusters nearest its vector — candidate volume drops to
+    ~n_probe/n_clusters of the corpus.  Recall < 1 by construction; the
+    exactness oracle is cosine_topk_bruteforce.
+
+    Scale shape: corpus assignment is one narrow map (cluster becomes
+    the natural partition/bucket key for a persisted index); the probe
+    list is a broadcast equi-join on cluster, so no shuffle of the
+    corpus is ever needed.
+    """
+    cent = ivf_centroids(
+        corpus, vec_col, id_col, n_clusters=n_clusters, seed=seed
+    )
+    spark = corpus.sparkSession
+    assigned = ivf_assign(corpus, vec_col, cent)
+
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
+    order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), int(c), [float(x) for x in qmat[i]])
+        for i, qid in enumerate(qids)
+        for c in order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, cluster int, _qvec array<double>"
+    )
+    joined = assigned.join(F.broadcast(probes), "cluster", "inner")
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_qvec"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(F.col("_qvec"), F.lit(0.0), lambda acc, v: acc + v * v)
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        joined.select(
+            "query_id", F.col(id_col).alias("cand_id"), sim.alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )

@@ -150,6 +150,23 @@ def similarity_topk_ann(spark, sf_dir):
     return similarity.cosine_topk_ann(corpus, queries_df, k=10, n_planes=6)
 
 
+@query(
+    "similarity_topk_ivf",
+    None,  # approximate by construction; anchor = similarity_topk_bruteforce
+    doc="IVF (inverted-file) approximate top-k: spherical-k-means coarse "
+    "quantizer trained on a driver-side sample, corpus assigned to "
+    "clusters in one narrow map, queries probe only their n_probe "
+    "nearest clusters",
+)
+def similarity_topk_ivf(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.cosine_topk_ivf(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -113,3 +113,32 @@ def test_fingerprint_matches_python(spark):
     for ch in sample:
         h = (h * 31 + ord(ch)) % ((1 << 31) - 1)
     assert got == h
+
+
+def test_ivf_recall_against_bruteforce(spark, emb):
+    """IVF with n_probe=4 of 16 clusters must recover most of the exact
+    top-10 (deterministic seed; recall floor is generous on purpose —
+    the point is the probe machinery works, not a tuned index)."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=10).collect()
+    ivf = similarity.cosine_topk_ivf(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.cand_id)
+        assert r.cand_id >= 5 and -1.0 <= r.cos_sim <= 1.0
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # repeatable: same seed, same result
+    again = similarity.cosine_topk_ivf(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, ivf))
