@@ -200,3 +200,236 @@ def q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join + group",
+)
+def q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: 6-way join, two roles of one dim, disjunctive "
+    "cross-nation predicate, year rollup",
+)
+def q7(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rev)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregate ratio over a dim join",
+)
+def q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: HAVING subquery as a semi-join of an aggregate",
+)
+def q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"),
+                li.l_orderkey == F.col("_bk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_predicate",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive ranges across the "
+    "join — classic pushdown/join-predicate stress",
+)
+def q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    def arm(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20)
+                | arm("Brand#34", 35, 20, 30))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_prospective_customers",
+    """
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar-average subquery + NOT EXISTS as a "
+    "left-anti join (customers above average balance with no order in "
+    "1997H1)",
+)
+def q22(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()["a"]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
