@@ -137,3 +137,34 @@ def test_salted_agg_matches_plain_agg(spark):
         n_salts=8,
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_q4_semi_join_shape(spark):
+    """EXISTS must decorrelate to a semi join, never a full join +
+    dedup; the returnflag filter reaches the lineitem scan."""
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan or "left_semi" in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_returnflag" in seg[:300] for seg in pushed[1:])
+
+
+def test_q19_disjunction_broadcasts_part(spark):
+    """The OR-of-ranges join keeps an equi key (p_partkey=l_partkey), so
+    the plan must be a broadcast hash join with the disjunction as a
+    post-join filter — never a nested-loop/cartesian."""
+    plan = _plan(spark, "q19_disjunctive_predicate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_shape(spark):
+    plan = _plan(spark, "q22_prospective_customers")
+    assert "LeftAnti" in plan or "left_anti" in plan
+
+
+def test_ivf_probe_broadcasts_queries(spark):
+    """IVF probing must broadcast the (tiny) query/probe list, never
+    shuffle the corpus."""
+    plan = _plan(spark, "similarity_topk_ivf")
+    assert "BroadcastHashJoin" in plan
