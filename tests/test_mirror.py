@@ -345,3 +345,24 @@ def test_distributed_log_paths_match_driver_paths(spark, tmp_path, monkeypatch):
     assert sorted(f["path"] for f in spark_files) == sorted(
         f["path"] for f in driver_files
     )
+
+
+def test_empty_file_add_skips_ingestion(spark, tmp_path):
+    """O4: an add whose stats say numRecords==0 flips straight to Done —
+    no read, no sink commit for it (BlobStagingOrchestration.cs:185-205;
+    stats parse TransactionLogEntry.cs:345-361)."""
+    p = _mk(spark, tmp_path, "emptyadd")
+    src = DeltaSink(spark, p.source)
+    src.append(spark.range(3).toDF("id"))
+    src.append(spark.range(0).toDF("id"))  # commit with an empty file
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == [0, 1, 2]
+    adds = p.state.current_items("emptyadd", "Add")
+    empty = [a for a in adds if a["record_count"] == 0]
+    full = [a for a in adds if a["record_count"] and a["record_count"] > 0]
+    assert empty and all(a["state"] == "Done" for a in empty)
+    assert full and all(a["state"] == "Done" for a in full)
+    # the empty blob was never ingested: no mirror row carries its path
+    empty_paths = {a["blob_path"] for a in empty}
+    lineage = {r["MLK_BlobPath"] for r in p.mirror_df().select("MLK_BlobPath").collect()}
+    assert not any(any(bp in ln for ln in lineage) for bp in empty_paths)
