@@ -113,6 +113,25 @@ def s4_stateful_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "s6_dedup_with_counts",
+    """
+    SELECT user_id, event_type,
+           MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="custom stateful operator (applyInPandasWithState on streams, "
+    "EventTimeTimeout): per-key first-seen ts + duplicate count — what "
+    "dropDuplicatesWithinWatermark cannot express; batch twin is a "
+    "plain aggregate, stream ≡ batch asserted in tests",
+)
+def s6_dedup_with_counts(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    return W.dedup_with_counts(ev, keys=("user_id", "event_type"), ts_col="ts")
+
+
 # ---------------------------------------------------------------------------
 # temporal join
 # ---------------------------------------------------------------------------

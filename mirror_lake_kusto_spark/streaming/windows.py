@@ -134,3 +134,92 @@ def stateful_dedup(
     if df.isStreaming:
         return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+def dedup_with_counts(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator (J2 beyond-reference surface): per-key
+    first-seen timestamp AND the number of occurrences inside the
+    watermark horizon — the thing ``dropDuplicatesWithinWatermark``
+    cannot express (it discards the duplicate count).
+
+    Streaming: ``applyInPandasWithState`` with EventTimeTimeout.  State
+    per key = (first_us, last_us, n); each micro-batch folds its Arrow
+    batches into the state; the summary row is emitted when the
+    watermark passes last-event + delay, then the state is freed —
+    bounded by live-key cardinality, not history.
+    Batch twin: ``groupBy(keys).agg(min(ts), count(*))`` — asserted
+    equal in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    if not df.isStreaming:
+        return df.groupBy(*keys).agg(
+            F.min(ts_col).alias("first_ts"), F.count("*").alias("n_events")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            *[df.schema[k] for k in keys],
+            StructField("first_ts", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    delay_ms = int(pd.Timedelta(delay).total_seconds() * 1000)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            first_us, _last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    **{k: [v] for k, v in zip(keys, key)},
+                    "first_ts": [pd.to_datetime(first_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        first_us = last_us = None
+        n = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            ts = pd.to_datetime(pdf[ts_col])
+            lo = ts.min().value // 1000
+            hi = ts.max().value // 1000
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        if n == 0:
+            return
+        if state.exists:
+            f0, l0, n0 = state.get
+            first_us, last_us, n = min(f0, first_us), max(l0, last_us), n0 + n
+        state.update((first_us, last_us, n))
+        # fire once the watermark passes this key's horizon (must be set
+        # strictly ahead of the current watermark)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + delay_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

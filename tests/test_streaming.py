@@ -216,3 +216,58 @@ def test_asof_join_matches_window_impl(spark):
         )
     )
     assert _sorted_rows(got) == _sorted_rows(ref)
+
+
+def test_dedup_with_counts_custom_stateful(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-key first-seen ts AND
+    duplicate count, emitted on watermark timeout.  Key 7 spans three
+    micro-batches (count 3); the far-future sentinel only advances the
+    watermark so every real key's state times out and flushes."""
+    import pandas as pd
+
+    src = str(tmp_path / "cnt_src")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [7, 100 + i],
+                "ts": [t0 + pd.Timedelta(minutes=i)] * 2,
+                "value": [1.0, 1.0],
+            }
+        )
+        p = os.path.join(src, f"f{i}.parquet")
+        pdf.astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1000 + i, 1000 + i))
+    sentinel = pd.DataFrame(
+        {"event_id": [999], "ts": [t0 + pd.Timedelta(days=30)], "value": [0.0]}
+    )
+    p = os.path.join(src, "f3.parquet")
+    sentinel.astype({"ts": "datetime64[us]"}).to_parquet(p)
+    os.utime(p, (1004, 1004))
+
+    schema = spark.read.parquet(src).schema
+    got = _run_stream(
+        spark,
+        src,
+        schema,
+        lambda s: W.dedup_with_counts(
+            s, keys=("event_id",), ts_col="ts", delay="1 hour"
+        ),
+        "append",
+        str(tmp_path / "ckpt_cnt"),
+    )
+    rows = {r["event_id"]: (r["first_ts"], r["n_events"]) for r in got.collect()}
+    assert set(rows) == {7, 100, 101, 102}  # sentinel state never timed out
+    assert rows[7] == (t0.to_pydatetime(), 3)
+    assert all(n == 1 for k, (_, n) in rows.items() if k != 7)
+    # batch twin agrees on the same (non-sentinel) input
+    batch = W.dedup_with_counts(
+        spark.read.parquet(src).filter("event_id < 999").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        keys=("event_id",),
+        ts_col="ts",
+    )
+    brows = {r["event_id"]: (r["first_ts"], r["n_events"]) for r in batch.collect()}
+    assert brows == rows
