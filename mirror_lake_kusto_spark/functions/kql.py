@@ -116,6 +116,30 @@ class KqlFrame:
     # KQL `sort by` is an alias of `order by`
     sort_by = order_by
 
+    def distinct(self, *cols: str) -> "KqlFrame":
+        """``distinct *`` / ``distinct c1, c2`` (KQL distinct)."""
+        if cols:
+            return KqlFrame(self.df.select(*cols).distinct())
+        return KqlFrame(self.df.distinct())
+
+    def mv_expand(self, col: str, alias: str | None = None) -> "KqlFrame":
+        """``mv-expand col`` / ``mv-expand alias = col`` — one output
+        row per array element (explode_outer: empty/null arrays keep a
+        row with null, KQL parity).  The element replaces the array."""
+        out = self.df.withColumn(alias or col, F.explode_outer(F.col(col)))
+        if alias is not None and alias != col:
+            out = out.drop(col)
+        return KqlFrame(out)
+
+    def where_has(self, col: str, term: str) -> "KqlFrame":
+        """KQL ``col has 'term'`` — whole-term, case-insensitive match
+        (term boundaries, not substring; B6 in the reference's emitted
+        KQL, Kusto/KustoClusterGateway.cs:73)."""
+        import re as _re
+
+        pat = r"(?i)(^|[^a-z0-9_])" + _re.escape(term) + r"($|[^a-z0-9_])"
+        return KqlFrame(self.df.filter(F.col(col).rlike(pat)))
+
     def take(self, n: int) -> "KqlFrame":
         return KqlFrame(self.df.limit(n))
 

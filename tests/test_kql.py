@@ -113,3 +113,28 @@ def test_count_and_take(spark):
     r = KqlFrame(load_table(spark, "region", SF_DIR))
     assert r.count().collect()[0]["count_"] == 5
     assert len(r.take(3).collect()) == 3
+
+
+def test_distinct_mv_expand_has(spark):
+    li = KqlFrame(load_table(spark, "lineitem", SF_DIR))
+    # distinct on a column subset
+    flags = li.distinct("l_returnflag").collect()
+    assert sorted(r["l_returnflag"] for r in flags) == ["A", "N", "R"]
+    # mv-expand: tokens of a synthesized array column; empty arrays keep a row
+    f = KqlFrame(
+        spark.createDataFrame(
+            [(1, ["a", "b"]), (2, [])], "id long, toks array<string>"
+        )
+    )
+    rows = f.mv_expand("toks", alias="tok").collect()
+    assert sorted((r["id"], r["tok"]) for r in rows) == [(1, "a"), (1, "b"), (2, None)]
+    assert "toks" not in f.mv_expand("toks", alias="tok").df.columns
+    # has: whole-term only (B6) — 'ship' must not match 'shipping'
+    t = KqlFrame(
+        spark.createDataFrame(
+            [(1, "fast ship today"), (2, "shipping costs"), (3, "SHIP it")],
+            "id long, note string",
+        )
+    )
+    got = sorted(r["id"] for r in t.where_has("note", "ship").collect())
+    assert got == [1, 3]
