@@ -78,6 +78,7 @@ class MirrorPipeline:
         creation_time_expr: str | None = None,
         now_fn=None,
         compact_every: int = 8,
+        optimize_target_every: int | None = None,
     ):
         self.spark = spark
         self.source = source_path
@@ -89,6 +90,10 @@ class MirrorPipeline:
         self.now_fn = now_fn or _utcnow
         self.app_id = f"mlk-mirror:{table_name}"
         self.compact_every = compact_every
+        # many small incremental syncs leave many small target files;
+        # periodic dataChange=false compaction is the Delta analogue of
+        # Kusto's extent merge (which the reference delegates, K2)
+        self.optimize_target_every = optimize_target_every
         self._batches_run = 0
 
     # -- public -------------------------------------------------------------
@@ -119,6 +124,11 @@ class MirrorPipeline:
         self._batches_run += 1
         if self._batches_run % self.compact_every == 0:
             self.state.compact()
+        if (
+            self.optimize_target_every
+            and self._batches_run % self.optimize_target_every == 0
+        ):
+            self.sink.optimize()
         return {
             "status": "processed",
             "start_tx": start_tx,

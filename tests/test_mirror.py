@@ -366,3 +366,21 @@ def test_empty_file_add_skips_ingestion(spark, tmp_path):
     empty_paths = {a["blob_path"] for a in empty}
     lineage = {r["MLK_BlobPath"] for r in p.mirror_df().select("MLK_BlobPath").collect()}
     assert not any(any(bp in ln for ln in lineage) for bp in empty_paths)
+
+
+def test_target_optimize_compacts_without_changing_rows(spark, tmp_path):
+    """optimize_target_every compacts the mirror's small files
+    (dataChange=false) without changing contents, and later syncs and
+    deletes still work against the compacted files."""
+    p = _mk(spark, tmp_path, "topt", optimize_target_every=4)
+    src = DeltaSink(spark, p.source)
+    for i in range(4):
+        src.append(spark.createDataFrame([(i,)], "id long"))
+        p.run_until_idle()
+    files_after = len(DL.snapshot_files(spark, p.sink.path))
+    assert files_after == 1  # 4 one-row commits compacted to one file
+    assert _ids(p.mirror_df()) == [0, 1, 2, 3]
+    # removes keyed on MLK_BlobPath still work after compaction
+    src.delete("id = 2")
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == [0, 1, 3]
