@@ -32,9 +32,15 @@ from mirror_lake_kusto_spark.session import build_session
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicate",
+    "q22_prospective_customers",
     "e1_topk_per_group",
     "d3_argmax_window",
     "c1_anti_join",
@@ -46,9 +52,11 @@ EXTENSION_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "text_profile",
     "s1_tumbling_window",
     "s5_asof_join",
+    "s6_dedup_with_counts",
     # the flagship: full exactly-once mirror sync of a lineitem slice
     # (authors a Delta source, 2 commits + row-level delete, syncs) —
     # pipeline throughput, not just query throughput
