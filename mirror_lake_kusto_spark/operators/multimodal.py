@@ -16,6 +16,7 @@ never even deserialized.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -92,7 +93,12 @@ def extract_features(media: DataFrame, decode_fn=_decode_fake) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "byte_len": [len(p) for p in pdf["payload"]],
                     "content_digest": [f["digest"] for f in feats],
-                    "feat_mean": [round(f["mean"], 4) for f in feats],
+                    # half-up, not Python's banker's rounding: SQL
+                    # ROUND() (and the DuckDB oracle) round ties away
+                    # from zero
+                    "feat_mean": [
+                        math.floor(f["mean"] * 10000 + 0.5) / 10000 for f in feats
+                    ],
                     "feat_dim": [f["dim"] for f in feats],
                 }
             )

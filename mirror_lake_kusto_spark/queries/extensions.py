@@ -263,9 +263,23 @@ def text_quality_filter(spark, sf_dir):
 
 @query(
     "multimodal_features",
-    None,  # decode kernel is stubbed; plumbing (schema/batching) is the test
+    # the deterministic fake decode IS SQL-expressible (fixture text is
+    # pure ASCII, so payload bytes == character codes): full oracle
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS content_digest,
+           ROUND(COALESCE(list_sum([ascii(x) for x in split(text, '')]), 0) * 1.0
+                 / GREATEST(octet_length(encode(text)), 1), 4) AS feat_mean,
+           CAST(octet_length(encode(text)) % 512 AS INT) AS feat_dim
+    FROM documents
+    """,
     doc="binary payload + typed metadata -> Arrow-batched feature "
-    "extraction (decode stubbed: deterministic digest/mean-byte fake)",
+    "extraction (decode stubbed: deterministic digest/mean-byte fake, "
+    "replicated exactly by the SQL oracle)",
 )
 def multimodal_features(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
@@ -275,7 +289,13 @@ def multimodal_features(spark, sf_dir):
 
 @query(
     "multimodal_frame_sample",
-    None,
+    """
+    SELECT doc_id,
+           CAST(unnest(range(0, doc_id % 240 + 1, 10)) AS INT) AS frame_idx,
+           CAST(doc_id % 240 + 1 AS INT) AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
     doc="video frame-sampling plumbing: JVM-side sequence+explode of "
     "frame indices, payload carried by reference",
 )
