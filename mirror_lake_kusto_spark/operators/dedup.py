@@ -10,8 +10,11 @@ Four families, all pure DataFrame programs designed for 100 TB:
 - MinHash + LSH: fixed seeded affine permutations over xxhash64
             shingle hashes; band signatures bucket-join candidates,
             which are then exact-verified.  Linear shuffle volume.
+            (Broder 1997 min-wise resemblance; banding analysis per
+            Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3.)
 - SimHash:  64-bit signature; banded equi-join finds hamming<=k
-            candidates without a cross join.
+            candidates without a cross join (Charikar 2002 similarity
+            estimation; Manku et al. 2007 near-dup detection).
 
 The reference has no dedup beyond arg_max last-writer-wins
 (Kusto/DatabaseGateway.cs:93); these extend that surface per the

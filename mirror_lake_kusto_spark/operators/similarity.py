@@ -10,7 +10,9 @@ Three paths, per the north-star contract:
 - LSH-bucketed ANN (random hyperplanes): a scale path.  Signatures
   are computed JVM-side from a fixed seeded projection matrix; probing
   a bucket (and optionally its neighbors) bounds the candidate set.
-- IVF (inverted-file) ANN: the classic coarse-quantizer scale path.
+- IVF (inverted-file) ANN: the classic coarse-quantizer scale path
+  (inverted-file indexing per Sivic & Zisserman 2003; the IVF-flat
+  design popularized by FAISS, Johnson et al. 2017).
   Spherical-k-means centroids train on a driver-side sample; the
   corpus is assigned to clusters in one narrow map (cluster = natural
   bucket key for a persisted index); queries probe only their n_probe
