@@ -370,22 +370,36 @@ class DeltaSink:
                 )
         return self._commit(actions)
 
-    def optimize(self) -> int:
-        """Compact each partition group to one file; every action carries
-        ``dataChange: false`` — the churn the mirror must NOT re-ingest
-        (O2; reference test Electric/Scripts/Optimize.py +
-        LoadTest.cs:31-48)."""
+    def optimize(self, target_file_bytes: int = 128 << 20) -> int:
+        """Compact each partition group toward ``target_file_bytes``-sized
+        files; every action carries ``dataChange: false`` — the churn
+        the mirror must NOT re-ingest (O2; reference test
+        Electric/Scripts/Optimize.py + LoadTest.cs:31-48).
+
+        Output file count = ceil(group bytes / target), so a 1 TB
+        partition compacts to ~8000 healthy files, never one; groups
+        already at or below their target count are left untouched."""
+        import math as _math
+
+        from .delta_log import snapshot_files
+
         now = int(time.time() * 1000)
         _types, data_schema = self._data_schema()
+        groups: dict[tuple, list[dict]] = {}
+        for f in snapshot_files(self.spark, self.path):
+            key = tuple(sorted((f["partitionValues"] or {}).items()))
+            groups.setdefault(key, []).append(f)
         actions: list[dict] = []
-        for key, paths in self._partition_groups().items():
-            if len(paths) <= 1:
+        for key, files in groups.items():
+            total = sum(f["size"] or 0 for f in files)
+            n_out = max(1, _math.ceil(total / target_file_bytes))
+            if len(files) <= n_out:
                 continue
             actions.extend(
                 self._rewrite_group(
-                    paths,
+                    [f["path"] for f in files],
                     dict(key),
-                    lambda df: df.coalesce(1),
+                    lambda df, n=n_out: df.coalesce(n),
                     data_change=False,
                     now=now,
                     read_schema=data_schema,

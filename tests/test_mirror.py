@@ -384,3 +384,22 @@ def test_target_optimize_compacts_without_changing_rows(spark, tmp_path):
     src.delete("id = 2")
     p.run_until_idle()
     assert _ids(p.mirror_df()) == [0, 1, 3]
+
+
+def test_optimize_respects_target_file_size(spark, tmp_path):
+    """optimize() sizes its output by bytes, never blindly one file: a
+    tiny target forces multiple output files; the default compacts the
+    same group to one."""
+    path = str(tmp_path / "szopt")
+    src = DeltaSink(spark, path)
+    for i in range(4):
+        src.append(spark.range(i * 1000, (i + 1) * 1000).toDF("id").coalesce(1))
+    files = DL.snapshot_files(spark, path)
+    group_bytes = sum(f["size"] for f in files)
+    assert len(files) == 4
+    src.optimize(target_file_bytes=group_bytes // 2)
+    after = DL.snapshot_files(spark, path)
+    assert 2 <= len(after) < 4  # compacted, but not to a single file
+    assert sorted(r["id"] for r in src.to_df().collect()) == list(range(4000))
+    src.optimize()  # default 128MB target -> single file
+    assert len(DL.snapshot_files(spark, path)) == 1
