@@ -38,13 +38,24 @@ WITH tok AS (
          list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM tok
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM sh
+), posting AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh
+), common AS (
+  -- inverted-index join (same shape as the operator): |A∩B| per pair,
+  -- near-linear vs the all-pairs list_intersect cross join, which is
+  -- O(n^2) and unusable past ~1k docs
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id1, b.doc_id AS id2,
-       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
-             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+SELECT id1, id2,
+       ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
 """
 
 

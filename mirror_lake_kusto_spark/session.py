@@ -50,6 +50,9 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bound writer output files: one giant unsplittable parquet from
+        # a hot partition is as bad as a million tiny ones (K2 analogue)
+        .config("spark.sql.files.maxRecordsPerFile", str(5_000_000))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
