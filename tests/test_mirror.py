@@ -403,3 +403,28 @@ def test_optimize_respects_target_file_size(spark, tmp_path):
     assert sorted(r["id"] for r in src.to_df().collect()) == list(range(4000))
     src.optimize()  # default 128MB target -> single file
     assert len(DL.snapshot_files(spark, path)) == 1
+
+
+def test_go_back_without_expr_uses_blob_timestamps(spark, tmp_path):
+    """O5 default path: with no creation-time expression, retention is
+    judged on each add's delta modificationTime.  A far-future 'now'
+    puts every blob outside the window -> nothing ingested; a later
+    source delete of a skipped blob is itself skipped without error."""
+    future = dt.datetime(2100, 1, 1)
+    p = _mk(
+        spark,
+        tmp_path,
+        "goback_ts",
+        go_back_days=365,
+        now_fn=lambda: future,
+    )
+    src = DeltaSink(spark, p.source)
+    src.append(spark.range(5).toDF("id").coalesce(1))
+    p.run_until_idle()
+    assert p.mirror_df().count() == 0
+    adds = p.state.current_items("goback_ts", "Add")
+    assert adds and all(a["state"] == "Skipped" for a in adds)
+    src.delete("id = 1")
+    p.run_until_idle()  # remove of a skipped add -> skipped, no error
+    removes = p.state.current_items("goback_ts", "Remove")
+    assert removes and all(r["state"] == "Skipped" for r in removes)
