@@ -316,3 +316,34 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n=10).select(
         "doc_id", "frame_idx", F.col("meta.n_frames").alias("n_frames")
     )
+
+
+@query(
+    "multimodal_resize_plan",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             CAST(doc_id % 64 * 16 + 16 AS INT) AS w,
+             CAST(doc_id % 48 * 16 + 16 AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST(ROUND(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)
+               AS target_width,
+           CAST(ROUND(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)
+               AS target_height
+    FROM m
+    """,
+    doc="metadata-only resize planning: target dims computed JVM-side "
+    "from the typed metadata struct; the pixel transform is the stubbed "
+    "decode kernel",
+)
+def multimodal_resize_plan(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.resize_meta(media, max_side=256).select(
+        "doc_id", "media_type", "target_width", "target_height"
+    )

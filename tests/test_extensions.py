@@ -142,3 +142,64 @@ def test_ivf_recall_against_bruteforce(spark, emb):
         corpus, queries_df, k=10, n_clusters=16, n_probe=4
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, ivf))
+
+
+def test_standalone_text_helpers_match_profile(spark, docs):
+    """text_profile's staged pipeline claims value-identity with the
+    standalone column helpers — prove it on the corpus."""
+    sample = docs.limit(50)
+    staged = {r["doc_id"]: r for r in text.text_profile(sample, "doc_id", "text").collect()}
+    solo = {
+        r["doc_id"]: r
+        for r in sample.select(
+            "doc_id",
+            text.token_count("text").alias("n_tokens"),
+            text.bpe_token_count("text").alias("n_bpe_tokens"),
+            text.punct_ratio("text").alias("punct_ratio"),
+            text.stopword_ratio("text", "en").alias("stopword_ratio"),
+            text.quality_score("text").alias("quality"),
+            text.lang_id("text").alias("lang_pred"),
+            text.fingerprint("text").alias("fingerprint"),
+        ).collect()
+    }
+    for k, s in staged.items():
+        for c in ("n_tokens", "n_bpe_tokens", "punct_ratio", "stopword_ratio",
+                  "quality", "lang_pred", "fingerprint"):
+            assert s[c] == solo[k][c], (k, c, s[c], solo[k][c])
+
+
+def test_minhash_signature_matches_staged_pipeline(spark, docs):
+    """The one-expression minhash_signature equals the staged
+    (tokenize->shingle->hash->sig) pipeline used inside the operator."""
+    import pyspark.sql.functions as F2
+
+    sample = docs.limit(20)
+    solo = {
+        r["doc_id"]: r["sig"]
+        for r in sample.select(
+            "doc_id", dedup.minhash_signature("text", n=3, k=16).alias("sig")
+        ).collect()
+    }
+    staged = {
+        r["id"]: r["sig"]
+        for r in dedup._shingled(sample, "doc_id", "text", 3)
+        .select(
+            "id",
+            dedup._sig_from_hashes(
+                F2.transform(
+                    "sh", lambda s: F2.pmod(F2.xxhash64(s), F2.lit(dedup._MERSENNE_P))
+                ),
+                16,
+            ).alias("sig"),
+        )
+        .collect()
+    }
+    assert solo == staged
+
+
+def test_register_views_enables_sql(spark):
+    from mirror_lake_kusto_spark.sources.tables import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
