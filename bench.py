@@ -36,7 +36,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate",

@@ -433,3 +433,137 @@ def q22(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: 8-way join, dual-role nation dim, conditional "
+    "share-of-total ratio per year",
+)
+def q8(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: LIKE-filtered dim join, nation x year profit "
+    "rollup (supply cost omitted: fixture has no partsupp)",
+)
+def q9(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: left-outer join with an ON-clause filter, then "
+    "two-level aggregation (count per customer -> distribution of counts)",
+)
+def q13(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
