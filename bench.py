@@ -41,6 +41,8 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate",
     "q22_prospective_customers",

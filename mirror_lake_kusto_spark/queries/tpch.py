@@ -567,3 +567,67 @@ def q13(spark, sf_dir):
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-count aggregation with a NOT IN "
+    "subquery as a left-anti join (lineitem stands in for partsupp)",
+)
+def q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad_key")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("_bad_key"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average subquery, "
+    "decorrelated to a per-key aggregate join",
+)
+def q17(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
