@@ -168,3 +168,26 @@ def test_ivf_probe_broadcasts_queries(spark):
     shuffle the corpus."""
     plan = _plan(spark, "similarity_topk_ivf")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan or "left_anti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    """The correlated avg subquery must run as a per-key aggregate join,
+    never a per-row re-aggregation or nested loop."""
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q8_all_dims_broadcast(spark):
+    """8-way star: every dimension side must broadcast; the only
+    shuffling join is the lineitem-orders fact join."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
