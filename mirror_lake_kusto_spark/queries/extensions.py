@@ -347,3 +347,49 @@ def multimodal_resize_plan(spark, sf_dir):
     return multimodal.resize_meta(media, max_side=256).select(
         "doc_id", "media_type", "target_width", "target_height"
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             regexp_replace(text, '\\s', '', 'g') AS stripped
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM base
+      WHERE len(toks) BETWEEN 5 AND 5000
+        AND ROUND((length(stripped) - length(regexp_replace(stripped,
+             '[^A-Za-z0-9_]', '', 'g'))) * 1.0 /
+             greatest(length(stripped), 1), 4) <= 0.3
+        AND len(list_filter(toks, t -> lower(t) IN ({_SW['en']}))) > 0
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM kept
+    GROUP BY text
+    """,
+    doc="composed training-data pipeline: quality gate (length, punct, "
+    "stopwords) then exact dedup keeping the lowest doc_id — filters "
+    "push to the scan, dedup shuffles only the 256-bit hash + metadata",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.filter(
+        (text.token_count("text") >= 5)
+        & (text.token_count("text") <= 5000)
+        & (text.punct_ratio("text") <= 0.3)
+        & (text.stopword_count("text", "en") > 0)
+    ).select("doc_id", "text", text.token_count("text").alias("n_tokens"))
+    return (
+        kept.withColumn("_h", dedup.content_hash("text"))
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("doc_id", "n_tokens", "n_copies")
+    )
