@@ -203,3 +203,17 @@ def test_register_views_enables_sql(spark):
 
     register_views(spark, SF_DIR)
     assert spark.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """d13 has no SQL oracle (sketches differ across engines); bound its
+    error against the exact distinct count instead."""
+    from mirror_lake_kusto_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact < 0.05  # 5x the 1% rsd, generous
