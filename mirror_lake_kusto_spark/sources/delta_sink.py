@@ -347,13 +347,17 @@ class DeltaSink:
             probe = probes[0]
             for p in probes[1:]:
                 probe = probe.unionByName(p)
-            hit_names = {
-                os.path.basename(urllib.parse.unquote(r["_f"]))
-                for r in probe.filter(predicate).select("_f").distinct().collect()
-            }
+            root = os.path.abspath(self.path)
+            hit_rels = set()
+            for r in probe.filter(predicate).select("_f").distinct().collect():
+                p = urllib.parse.unquote(r["_f"])
+                p = p[7:] if p.startswith("file://") else p.removeprefix("file:")
+                hit_rels.add(
+                    os.path.relpath(os.path.abspath(p), root).replace(os.sep, "/")
+                )
             for key, paths in groups.items():
                 part_values = dict(key)
-                hit = [p for p in paths if os.path.basename(p) in hit_names]
+                hit = [p for p in paths if p in hit_rels]
                 if not hit:
                     continue
                 actions.extend(
