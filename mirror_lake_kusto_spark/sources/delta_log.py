@@ -309,8 +309,28 @@ def coalesced_segment(
     AND removed inside the span cancel (compaction/OPTIMIZE churn never
     reaches the sink — O2).  Returns (adds, removes) DataFrames."""
     seg = file_actions(spark, table_path, after=after, upto=upto, use_checkpoint=False)
-    adds = seg.filter("is_add")
-    removes = seg.filter("NOT is_add")
+    # a path re-committed by a later add (stats recompute, dataChange
+    # toggles) must appear ONCE with its latest action — without this
+    # argmax the anti-join would keep both rows and double-ingest
+    adds = (
+        seg.filter("is_add")
+        .groupBy("path")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "partitionValues", "size", "numRecords", "modificationTime"
+                ),
+                "tx_id",
+            ).alias("last")
+        )
+        .select("path", "last.*")
+    )
+    removes = (
+        seg.filter("NOT is_add")
+        .groupBy("path")
+        .agg(F.max_by(F.struct("partitionValues"), "tx_id").alias("last"))
+        .select("path", "last.*")
+    )
     live_adds = adds.join(removes.select("path"), "path", "left_anti")
     live_removes = removes.join(adds.select("path"), "path", "left_anti")
     return live_adds, live_removes

@@ -428,3 +428,41 @@ def test_go_back_without_expr_uses_blob_timestamps(spark, tmp_path):
     p.run_until_idle()  # remove of a skipped add -> skipped, no error
     removes = p.state.current_items("goback_ts", "Remove")
     assert removes and all(r["state"] == "Skipped" for r in removes)
+
+
+def test_re_added_path_ingested_once(spark, tmp_path, monkeypatch):
+    """A path re-committed by a later add (stats recompute pattern:
+    same file, dataChange=false, refreshed stats) must ingest ONCE —
+    on both the driver-parse path and the distributed DataFrame path."""
+    import json as _json
+    import os as _os
+
+    def author(name):
+        p = _mk(spark, tmp_path, name)
+        src = DeltaSink(spark, p.source)
+        src.append(spark.range(10).toDF("id").coalesce(1))
+        f0 = DL.snapshot_files(spark, p.source)[0]
+        re_add = {
+            "add": {
+                "path": f0["path"],
+                "partitionValues": {},
+                "size": f0["size"],
+                "modificationTime": 1,
+                "dataChange": False,
+                "stats": _json.dumps({"numRecords": f0["numRecords"]}),
+            }
+        }
+        with open(
+            _os.path.join(p.source, "_delta_log", f"{1:020d}.json"), "x"
+        ) as fh:
+            fh.write(_json.dumps(re_add) + "\n")
+        return p
+
+    p1 = author("readd_driver")
+    p1.run_until_idle()
+    assert _ids(p1.mirror_df()) == list(range(10))
+
+    monkeypatch.setattr(DL, "_DRIVER_JSON_BYTES", 0)
+    p2 = author("readd_spark")
+    p2.run_until_idle()
+    assert _ids(p2.mirror_df()) == list(range(10))
