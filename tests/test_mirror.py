@@ -466,3 +466,25 @@ def test_re_added_path_ingested_once(spark, tmp_path, monkeypatch):
     p2 = author("readd_spark")
     p2.run_until_idle()
     assert _ids(p2.mirror_df()) == list(range(10))
+
+
+def test_concurrent_writers_optimistic_commit(spark, tmp_path):
+    """Two DeltaSink instances on the same table: version-file creation
+    with open('x') is the optimistic-concurrency point — interleaved
+    appends must land as distinct commits with no lost updates."""
+    path = str(tmp_path / "cc_table")
+    a = DeltaSink(spark, path)
+    b = DeltaSink(spark, path)
+    a.append(spark.createDataFrame([(1,)], "id long"))
+    b.append(spark.createDataFrame([(2,)], "id long"))
+    a.append(spark.createDataFrame([(3,)], "id long"))
+    b.append(spark.createDataFrame([(4,)], "id long"))
+    assert DL.list_commit_versions(path) == [0, 1, 2, 3]
+    assert sorted(r["id"] for r in a.to_df().collect()) == [1, 2, 3, 4]
+    # a mirror consuming the mixed-writer log sees everything
+    p = MirrorPipeline(
+        spark, path, str(tmp_path / "cc_dst"), str(tmp_path / "cc_state"),
+        table_name="cc",
+    )
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == [1, 2, 3, 4]
