@@ -488,3 +488,32 @@ def test_concurrent_writers_optimistic_commit(spark, tmp_path):
     )
     p.run_until_idle()
     assert _ids(p.mirror_df()) == [1, 2, 3, 4]
+
+
+def test_crashed_append_leaves_no_visible_rows(spark, tmp_path):
+    """The commit file is the atomicity point (K5/O11): a writer that
+    dies after moving data files but before committing leaves orphans
+    that no reader sees; vacuum physically removes them."""
+    path = str(tmp_path / "crash_append")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(5).toDF("id").coalesce(1))
+
+    orig = DeltaSink._commit
+    boom = RuntimeError("crash before commit")
+    try:
+        def crash(self, actions):
+            raise boom
+
+        DeltaSink._commit = crash
+        with pytest.raises(RuntimeError):
+            src.append(spark.range(5, 10).toDF("id").coalesce(1))
+    finally:
+        DeltaSink._commit = orig
+
+    assert _ids(src.to_df()) == [0, 1, 2, 3, 4]  # orphan invisible
+    stats = src.vacuum()
+    assert stats["data_files"] == 1  # the orphan is physically removed
+    assert _ids(src.to_df()) == [0, 1, 2, 3, 4]
+    # the writer keeps working after the crash
+    src.append(spark.range(5, 10).toDF("id").coalesce(1))
+    assert _ids(src.to_df()) == list(range(10))
