@@ -98,6 +98,11 @@ class DeltaSink:
                 # readers (and the mirror's schema guard) see the change
                 body.append({"metaData": self._metadata_action()})
             body.extend(actions)
+            if not body:
+                # nothing to record (e.g. OPTIMIZE/DELETE that matched
+                # nothing): a commit with no actions is protocol noise —
+                # skip it and report the current version
+                return v - 1
             try:
                 with open(target, "x") as f:
                     f.write("\n".join(json.dumps(a) for a in body) + "\n")
@@ -116,6 +121,8 @@ class DeltaSink:
         for v in reversed(_list_versions(self.path)):
             with open(os.path.join(d, TX_FMT.format(v) + ".json")) as f:
                 for line in f:
+                    if not line.strip():
+                        continue
                     act = json.loads(line)
                     if "metaData" in act:
                         return act["metaData"]["schemaString"] != self._pending_schema
