@@ -196,14 +196,102 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    n_blocks: int = 8,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup).
+    """All pairs with cosine >= threshold (embedding near-dup), EXACT.
 
-    Each Arrow batch of the corpus is scored against the full corpus
-    matrix (broadcast) with one matmul — O(N^2 d / P) flops spread over
-    partitions, no materialized cross join.  For corpora where even
-    that is too big, bucket with lsh_bucket_ids first.
+    Default path — block-matrix self-join (1-bucket-theta blocking,
+    Okcan & Riedewald, SIGMOD'11): every row hashes to one of
+    ``n_blocks`` blocks; each unordered block pair (i <= j) is one
+    reduce group; inside a group a single numpy matmul scores block i
+    against block j.  The corpus NEVER collects to the driver and no
+    cartesian join is materialized: shuffle volume is N x n_blocks
+    rows, per-group work (N/n_blocks)^2 dot products, parallelism
+    n_blocks(n_blocks+1)/2 groups.  At 100 TB pick n_blocks so a block
+    (N/n_blocks rows x dim doubles) fits executor memory.
+
+    ``broadcast_rows=n`` opts into the small-corpus path (driver
+    collects the matrix and broadcasts it) — only taken when a count
+    proves the corpus is within the bound; otherwise the block path
+    runs.  Exactness is identical on both paths.
     """
+    if broadcast_rows is not None and df.count() <= broadcast_rows:
+        return _cosine_pairs_broadcast(
+            df, threshold, id_col, vec_col, round_digits
+        )
+    B = int(n_blocks)
+    blocks = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_blk", F.pmod(F.hash(F.col("_id")), F.lit(B)).cast("int"))
+    # Group keys encoded as gi*B+gj.  A row in block b serves as the
+    # LEFT side of pairs (b, j), j=b..B-1 (diagonal included), and as
+    # the RIGHT side of pairs (i, b), i=0..b-1.
+    as_left = F.transform(
+        F.sequence(F.col("_blk"), F.lit(B - 1)),
+        lambda j: F.col("_blk") * B + j,
+    )
+    as_right = F.when(
+        F.col("_blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_blk") - 1),
+            lambda i: i * B + F.col("_blk"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    grouped = blocks.withColumn(
+        "_gk", F.explode(F.concat(as_left, as_right))
+    )
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id1": pd.Series(dtype="int64"),
+                "id2": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        gi, gj = divmod(int(key[0]), B)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        if gi == gj:
+            sims = unit @ unit.T
+            li, ri = np.where(sims >= threshold)
+            keep = ids[li] < ids[ri]
+            id1, id2 = ids[li][keep], ids[ri][keep]
+            sim = sims[li, ri][keep]
+        else:
+            amask = pdf["_blk"].to_numpy() == gi
+            if not amask.any() or amask.all():
+                return empty  # one side of the block pair is empty
+            aids, bids = ids[amask], ids[~amask]
+            sims = unit[amask] @ unit[~amask].T
+            li, ri = np.where(sims >= threshold)
+            id1 = np.minimum(aids[li], bids[ri])
+            id2 = np.maximum(aids[li], bids[ri])
+            sim = sims[li, ri]
+        if not len(id1):
+            return empty
+        return pd.DataFrame(
+            {"id1": id1, "id2": id2, "cos_sim": np.round(sim, round_digits)}
+        )
+
+    return grouped.groupBy("_gk").applyInPandas(
+        block_pairs, "id1 bigint, id2 bigint, cos_sim double"
+    )
+
+
+def _cosine_pairs_broadcast(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Small-corpus path: collect + broadcast the full matrix, score
+    each Arrow batch against it with one matmul.  Driver-bounded by the
+    caller's ``broadcast_rows`` check — never the default."""
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -176,11 +176,15 @@ class MirrorPipeline:
         end_tx = versions[-1]
         start_tx = hwm + 1
         schema_item = self._check_schema(hwm, end_tx)
-        if hwm >= 0 and versions[0] > hwm + 1:
+        if versions[0] > hwm + 1:
             # commits (hwm, versions[0]) were vacuumed/truncated: fall
             # back to the checkpoint snapshot diffed against processed
             # state (C2, TransactionLog.cs:116-164 / O1 checkpoint path,
-            # DeltaTableGateway.cs:71-122)
+            # DeltaTableGateway.cs:71-122).  This includes the FRESH
+            # mirror (hwm=-1) of an already-vacuumed source: the
+            # surviving JSON commits alone miss every checkpoint-only
+            # file, and with empty processed state the snapshot diff
+            # yields exactly the full active snapshot.
             adds, removes = self._snapshot_diff(end_tx)
             add_rows, remove_rows = adds.collect(), removes.collect()
         else:

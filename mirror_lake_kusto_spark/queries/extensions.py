@@ -108,8 +108,8 @@ def dedup_simhash(spark, sf_dir):
           (sqrt(list_dot_product(a.emb, a.emb)) *
            sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
     """,
-    doc="embedding-cosine near-dup pairs (blocked matmul over Arrow "
-    "batches; LSH-bucketed variant is the 100TB path)",
+    doc="embedding-cosine near-dup pairs, exact block-matrix self-join "
+    "(no driver collect, no cartesian; per-group numpy matmul)",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)

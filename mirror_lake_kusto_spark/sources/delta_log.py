@@ -587,11 +587,16 @@ def typed_partition_cols(spark: SparkSession, table_path: str) -> dict[str, Any]
     return {f.name: f.dataType for f in schema.fields if f.name in part_cols}
 
 
-def reconciled_actions(spark: SparkSession, table_path: str) -> DataFrame:
+def reconciled_actions(
+    spark: SparkSession, table_path: str, upto: int | None = None
+) -> DataFrame:
     """Checkpoint content: active adds + latest metaData + protocol,
-    in the standard checkpoint column layout."""
-    meta = latest_metadata(spark, table_path)
-    files = snapshot_files(spark, table_path)
+    in the standard checkpoint column layout.  ``upto`` pins the log
+    replay to that version — a checkpoint file named v must embed
+    exactly the state at v even if a concurrent writer lands v+1
+    mid-write (else upto=v time-travel reads are corrupted)."""
+    meta = latest_metadata(spark, table_path, upto=upto)
+    files = snapshot_files(spark, table_path, upto=upto)
     blank = {"metaData": None, "add": None, "remove": None, "protocol": None, "txn": None}
     acts: list[dict] = [{**blank, "metaData": meta}]
     acts.append({**blank, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
@@ -600,11 +605,13 @@ def reconciled_actions(spark: SparkSession, table_path: str) -> DataFrame:
     # truncation) — driver-side scan, same as last_txn_version
     txns: dict[str, int] = {}
     ckpt = read_last_checkpoint(table_path)
-    if ckpt is not None:
+    if ckpt is not None and (upto is None or ckpt <= upto):
         for t in _checkpoint_column(table_path, ckpt, "txn"):
             if t.get("appId") and t.get("version") is not None:
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
     for v in list_commit_versions(table_path):
+        if upto is not None and v > upto:
+            continue
         for act in _read_commit(table_path, v):
             t = act.get("txn")
             if t and t.get("appId") and t.get("version") is not None:

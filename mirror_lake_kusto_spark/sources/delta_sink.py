@@ -41,6 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 TX_FMT = "{:020d}"
 
 
+class ConcurrentCommitConflict(RuntimeError):
+    """A concurrent writer committed actions touching the same files
+    between this commit's attempt and its retry (optimistic-concurrency
+    loser with a real conflict — caller must re-plan from the new
+    snapshot)."""
+
+
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_delta_log")
 
@@ -86,11 +93,25 @@ class DeltaSink:
         """Atomically create the next numbered commit file.  ``open(x)``
         fails if a concurrent writer won the version — retry with the
         next number (optimistic concurrency, Delta-style)."""
+        attempted: int | None = None
         while True:
             v = self._next_version()
+            if attempted is not None and v > attempted:
+                # lost the race: another writer committed [attempted, v).
+                # Re-submitting blindly is only safe when the winners
+                # touched disjoint files (concurrent DELETE/OPTIMIZE can
+                # otherwise both remove the same path) — Delta's
+                # conflict-detection rule, simplified to fail-on-overlap.
+                self._check_conflicts(range(attempted, v), actions)
             target = os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
             body = []
             if v == 0:
+                if not actions and self._pending_schema == "{}":
+                    # first-ever operation wrote no data and no schema is
+                    # known (OPTIMIZE/DELETE on an empty table): a v0
+                    # bootstrap would record the "{}" placeholder and
+                    # leave the table unreadable — skip the commit
+                    return -1
                 body.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
                 body.append({"metaData": self._metadata_action()})
             elif self._schema_changed():
@@ -107,10 +128,37 @@ class DeltaSink:
                 with open(target, "x") as f:
                     f.write("\n".join(json.dumps(a) for a in body) + "\n")
             except FileExistsError:
+                attempted = v
                 continue
             if (v + 1) % self.checkpoint_interval == 0:
                 self._write_checkpoint(v)
             return v
+
+    def _check_conflicts(self, versions, actions: list[dict]) -> None:
+        """Raise if any commit in ``versions`` (written by a concurrent
+        winner) touched a file this commit also adds or removes."""
+        mine = {
+            a[k]["path"] for a in actions for k in ("add", "remove") if k in a
+        }
+        if not mine:
+            return
+        d = _log_dir(self.path)
+        for v in versions:
+            p = os.path.join(d, TX_FMT.format(v) + ".json")
+            if not os.path.isfile(p):
+                continue
+            with open(p) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    for k in ("add", "remove"):
+                        if k in act and act[k]["path"] in mine:
+                            raise ConcurrentCommitConflict(
+                                f"concurrent commit {v} touched "
+                                f"{act[k]['path']}; retry the operation "
+                                f"from the new snapshot"
+                            )
 
     def _schema_changed(self) -> bool:
         """Driver-side scan of the newest commits for the last recorded
@@ -144,7 +192,7 @@ class DeltaSink:
         ``_last_checkpoint`` (read path: DeltaTableGateway.cs:285-300)."""
         from .delta_log import reconciled_actions
 
-        acts = reconciled_actions(self.spark, self.path)
+        acts = reconciled_actions(self.spark, self.path, upto=version)
         ckpt = os.path.join(_log_dir(self.path), TX_FMT.format(version) + ".checkpoint.parquet")
         tmp = os.path.join(_log_dir(self.path), f"_tmp_ckpt_{uuid.uuid4().hex}")
         # reconstructed snapshot: active adds + latest metaData/protocol;

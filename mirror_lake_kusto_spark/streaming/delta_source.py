@@ -66,12 +66,50 @@ def _commit_actions(path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _last_checkpoint_version(path: str) -> int | None:
+    p = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["version"])
+
+
+def _checkpoint_column(path: str, version: int, column: str) -> list:
+    import pyarrow.parquet as _pq
+
+    ckpt = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+    tbl = _pq.read_table(ckpt, columns=[column])
+    return [v for v in tbl.column(0).to_pylist() if v is not None]
+
+
+def _checkpoint_snapshot_files(path: str, version: int) -> list[dict]:
+    """Active files embedded in the checkpoint: adds minus any remove
+    tombstones (a reconciled checkpoint's adds ARE the snapshot; the
+    subtraction guards against writers that keep tombstones)."""
+    adds = _checkpoint_column(path, version, "add")
+    try:
+        removed = {
+            r["path"] for r in _checkpoint_column(path, version, "remove")
+        }
+    except Exception:
+        removed = set()
+    return [a for a in adds if a["path"] not in removed]
+
+
 def _latest_metadata(path: str) -> dict | None:
     meta = None
     for v in _versions(path):
         for act in _commit_actions(path, v):
             if "metaData" in act:
                 meta = act["metaData"]
+    if meta is None:
+        # vacuumed/log-truncated table: no surviving JSON commit carries
+        # metaData — fall back to the checkpoint (A3/O1)
+        ckpt = _last_checkpoint_version(path)
+        if ckpt is not None:
+            metas = _checkpoint_column(path, ckpt, "metaData")
+            if metas:
+                meta = metas[-1]
     return meta
 
 
@@ -96,14 +134,50 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         vs = _versions(self.path)
-        return {"version": vs[-1] if vs else -1}
+        if vs:
+            return {"version": vs[-1]}
+        # fully-vacuumed log: the checkpoint is the only readable state
+        ckpt = _last_checkpoint_version(self.path)
+        return {"version": ckpt if ckpt is not None else -1}
 
     def partitions(self, start: dict, end: dict):
         parts: list[_FilePartition] = []
         schema_json = self._schema.json()
-        for v in _versions(self.path):
-            if not (start["version"] < v <= end["version"]):
+        versions = _versions(self.path)
+        skip_upto = start["version"]
+        if start["version"] == -1 and (not versions or versions[0] > 0):
+            # initial offset on a vacuumed/truncated log: the surviving
+            # JSON commits miss every checkpoint-only file.  Like
+            # Delta's own streaming source, materialize the checkpoint
+            # snapshot as the first batch, then stream commits past it.
+            ckpt = _last_checkpoint_version(self.path)
+            if ckpt is None or (versions and ckpt < versions[0] - 1):
+                raise ValueError(
+                    f"transaction log of {self.path} starts at version "
+                    f"{versions[0] if versions else '<none>'} with no "
+                    "checkpoint covering the gap — initial snapshot "
+                    "cannot be reconstructed"
+                )
+            if ckpt <= end["version"]:
+                for f in _checkpoint_snapshot_files(self.path, ckpt):
+                    parts.append(
+                        _FilePartition(
+                            file_path=os.path.join(self.path, f["path"]),
+                            partition_values=f.get("partitionValues") or {},
+                            schema_json=schema_json,
+                        )
+                    )
+                skip_upto = ckpt  # commits <= ckpt are inside the snapshot
+        expect = skip_upto + 1
+        for v in versions:
+            if not (skip_upto < v <= end["version"]):
                 continue
+            if v != expect:
+                raise ValueError(
+                    f"transaction log of {self.path} is missing commits "
+                    f"[{expect}, {v}) — refusing to silently under-read"
+                )
+            expect = v + 1
             acts = _commit_actions(self.path, v)
             has_data_remove = any(
                 a["remove"].get("dataChange", True)

@@ -141,3 +141,34 @@ def test_streaming_mirror_epoch_replay_is_idempotent(spark, tmp_path):
     batch = sm.mirror_df().drop("MLK_BatchTxId")
     sm._write_batch(batch, 0)
     assert sm.mirror_df().count() == 40  # unchanged
+
+
+def test_stream_on_vacuumed_table_materializes_checkpoint(spark, tmp_path):
+    """A stream started against a vacuumed/log-truncated table must
+    emit the checkpoint snapshot as its first batch — surviving JSON
+    commits alone miss every checkpoint-only file (Delta's own initial
+    offset materializes the snapshot)."""
+    path, ckpt = str(tmp_path / "tv"), str(tmp_path / "ckptv")
+    src = DeltaSink(spark, path, checkpoint_interval=10)
+    for i in range(12):  # v0..v11, checkpoint at v9
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    stats = src.vacuum()
+    assert stats["log_files"] > 0
+    out = _drain(spark, path, ckpt, "t_vac")
+    assert sorted(r["id"] for r in out) == list(range(12))
+    # restart sees nothing new
+    assert _drain(spark, path, ckpt, "t_vac2") == []
+
+
+def test_stream_raises_on_unbridgeable_log_gap(spark, tmp_path):
+    """Log truncated past the checkpoint (or with none at all): raising
+    beats silently under-reading."""
+    import os
+
+    path, ckpt = str(tmp_path / "tg"), str(tmp_path / "ckptg")
+    src = DeltaSink(spark, path)
+    for i in range(3):
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))  # mid gap
+    with pytest.raises(StreamingQueryException, match="missing commits"):
+        _drain(spark, path, ckpt, "t_gap")

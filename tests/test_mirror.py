@@ -298,6 +298,30 @@ def test_vacuumed_log_snapshot_diff(spark, tmp_path):
     assert p.run_once()["status"] == "up-to-date"
 
 
+def test_fresh_mirror_on_vacuumed_source(spark, tmp_path):
+    """A BRAND-NEW mirror (hwm=-1) of a source whose early commits were
+    already vacuumed must read the checkpoint snapshot, not just the
+    surviving JSON commits — otherwise every checkpoint-only file is
+    silently lost (C2/O1; DeltaTableGateway.cs:71-122)."""
+    src_path = str(tmp_path / "fresh_vac_src")
+    src = DeltaSink(spark, src_path, checkpoint_interval=10)
+    for i in range(12):  # v0..v11, checkpoint written at v9
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    stats = src.vacuum()
+    assert stats["log_files"] > 0
+    assert DL.list_commit_versions(src_path)[0] > 0  # gap at the head
+    p = MirrorPipeline(
+        spark,
+        src_path,
+        str(tmp_path / "fresh_vac_dst"),
+        str(tmp_path / "fresh_vac_state"),
+        table_name="fresh_vac",
+    )
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == list(range(12))
+    assert p.run_once()["status"] == "up-to-date"
+
+
 def test_partition_pruning_skips_files(spark, tmp_path):
     """A partition-only predicate must prune whole partition groups
     before any data file is opened (O6 dual; partition values live in
@@ -488,6 +512,92 @@ def test_concurrent_writers_optimistic_commit(spark, tmp_path):
     )
     p.run_until_idle()
     assert _ids(p.mirror_df()) == [1, 2, 3, 4]
+
+
+def test_noop_first_op_leaves_no_unreadable_v0(spark, tmp_path):
+    """OPTIMIZE/DELETE as the very first operation on an empty table
+    must NOT bootstrap v0 with the '{}' placeholder schema — the table
+    would be unreadable until a later append."""
+    path = str(tmp_path / "noop_first")
+    sink = DeltaSink(spark, path)
+    assert sink.optimize() == -1
+    assert sink.delete("id = 1") == -1
+    assert DL.list_commit_versions(path) == []  # no junk commit
+    assert sink.to_df().count() == 0  # still readable (empty)
+    sink.append(spark.range(3).toDF("id"))
+    assert _ids(sink.to_df()) == [0, 1, 2]
+    meta = DL.latest_metadata(spark, path)
+    assert "fields" in meta["schemaString"]  # real schema at v0
+
+
+def test_commit_retry_detects_conflicting_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """An optimistic-commit loser must NOT blindly re-submit actions
+    that conflict with the winner's: a concurrent commit removing the
+    same path fails with ConcurrentCommitConflict; disjoint paths
+    retry cleanly."""
+    import json as _json
+    import os as _os
+
+    from mirror_lake_kusto_spark.sources.delta_sink import (
+        ConcurrentCommitConflict,
+    )
+
+    path = str(tmp_path / "conflict_t")
+    sink = DeltaSink(spark, path)
+    sink.append(spark.range(2).toDF("id"))  # v0
+    # a concurrent winner lands v1 removing file "X"
+    win = {
+        "remove": {
+            "path": "X",
+            "deletionTimestamp": 0,
+            "dataChange": True,
+            "partitionValues": {},
+        }
+    }
+    with open(_os.path.join(path, "_delta_log", f"{1:020d}.json"), "x") as f:
+        f.write(_json.dumps(win) + "\n")
+
+    def stale_then_real(real=sink._next_version):
+        # first call: the loser still believes v1 is free
+        calls.append(1)
+        return 1 if len(calls) == 1 else real()
+
+    calls: list[int] = []
+    monkeypatch.setattr(sink, "_next_version", stale_then_real)
+    with pytest.raises(ConcurrentCommitConflict):
+        sink._commit(
+            [{"remove": {"path": "X", "deletionTimestamp": 0,
+                         "dataChange": True, "partitionValues": {}}}]
+        )
+    # disjoint path: retry succeeds at the next version
+    calls.clear()
+    v = sink._commit(
+        [{"remove": {"path": "Y", "deletionTimestamp": 0,
+                     "dataChange": True, "partitionValues": {}}}]
+    )
+    assert v == 2
+
+
+def test_checkpoint_pinned_to_named_version(spark, tmp_path):
+    """A checkpoint file named v must embed the state at v, not the
+    latest state at write time — else upto=v time-travel reads see a
+    concurrent writer's v+1 effects."""
+    import pyarrow.parquet as _pq
+
+    path = str(tmp_path / "ckpt_pin")
+    sink = DeltaSink(spark, path, checkpoint_interval=1000)
+    for i in range(4):  # v0..v3, one file each
+        sink.append(spark.createDataFrame([(i,)], "id long").coalesce(1))
+    # simulate: checkpoint for v1 written while v2/v3 already exist
+    sink._write_checkpoint(1)
+    ckpt = f"{path}/_delta_log/{1:020d}.checkpoint.parquet"
+    adds = [
+        a for a in _pq.read_table(ckpt, columns=["add"]).column(0).to_pylist()
+        if a is not None
+    ]
+    assert len(adds) == 2  # only v0 and v1 files — not v2/v3
 
 
 def test_crashed_append_leaves_no_visible_rows(spark, tmp_path):

@@ -191,3 +191,23 @@ def test_q8_all_dims_broadcast(spark):
     plan = _plan(spark, "q8_market_share")
     assert plan.count("BroadcastHashJoin") >= 6
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_pairs_no_driver_collect_no_cartesian(spark, monkeypatch):
+    """The exact all-pairs path must be the block-matrix self-join:
+    constructing the DataFrame collects NOTHING to the driver, and the
+    plan contains no cartesian/nested-loop join (VERDICT r1 #2)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("cosine_pairs collected the corpus")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR)  # no collect
+    monkeypatch.undo()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # block-pair reduce groups
