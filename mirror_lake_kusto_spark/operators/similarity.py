@@ -103,6 +103,28 @@ def _projection_matrix(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((dim, n_planes))
 
 
+def _cosine_sim_expr(vec_col: str, qvec_col: str, round_digits: int = 6):
+    """JVM-side cosine between two array columns (zip_with dot product
+    over normalized magnitudes) — no Python in the scoring hot path."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col(qvec_col).cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    return F.round(dot / (sq(vec_col) * sq(qvec_col)), round_digits)
+
+
 def lsh_bucket_ids(
     df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42
 ) -> DataFrame:
@@ -130,6 +152,45 @@ def lsh_bucket_ids(
     return df.mapInPandas(project, schema)
 
 
+def lsh_bucket_ids_multi(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach ``n_tables`` independent random-hyperplane bucket ids
+    (one per hash table) as an array<bigint> column ``buckets`` —
+    classic multi-table LSH (Indyk & Motwani 1998; Gionis et al. 1999):
+    each table uses its own ``n_planes`` hyperplanes, and a candidate
+    matches if ANY table agrees.  One matmul per Arrow batch computes
+    all tables' sign bits at once."""
+    planes = _projection_matrix(dim, n_planes * n_tables, seed)
+    spark = df.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    schema = df.schema.simpleString()[7:-1] + ",buckets array<bigint>"
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (vecs @ mat) > 0  # (rows, n_planes*n_tables)
+            buckets = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for i in range(n_planes):
+                    buckets[:, t] |= (
+                        signs[:, t * n_planes + i].astype(np.int64) << i
+                    )
+            out = pdf.copy()
+            out["buckets"] = list(buckets)
+            yield out
+
+    return df.mapInPandas(project, schema)
+
+
 def cosine_topk_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,52 +198,48 @@ def cosine_topk_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only candidates sharing the query's LSH
-    bucket are scored.  Recall < 1 by construction — the exactness
-    oracle is cosine_topk_bruteforce."""
-    bucketed = lsh_bucket_ids(corpus, vec_col, dim, n_planes)
-    qb = lsh_bucket_ids(queries, vec_col, dim, n_planes).select(
+    """Approximate top-k via multi-table random-hyperplane LSH: a
+    corpus row is a candidate for a query iff they share a bucket in
+    ANY of the ``n_tables`` hash tables; candidates are scored exactly
+    (JVM-side cosine) and top-k'd.
+
+    Recall < 1 by construction — the exactness oracle is
+    cosine_topk_bruteforce, and tests pin recall@10 >= 0.8 on the
+    embeddings fixture.  Scale shape: the exploded (table, bucket)
+    index is n_tables x corpus rows (the standard multi-table LSH
+    space cost); queries broadcast; the only shuffle is the candidate
+    dedup.  Tune (n_planes up, n_tables down) as corpora get more
+    clustered — the defaults are sized for near-uniform embeddings,
+    the hardest case."""
+    cb = lsh_bucket_ids_multi(
+        corpus, vec_col, dim, n_planes, n_tables, seed
+    ).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    qb = lsh_bucket_ids_multi(
+        queries, vec_col, dim, n_planes, n_tables, seed
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        F.col("bucket").alias("_qbucket"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
-    joined = bucketed.join(
-        F.broadcast(qb), F.col("bucket") == F.col("_qbucket"), "inner"
-    )
-    sim = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.col("_qvec").cast("array<double>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        / (
-            F.sqrt(
-                F.aggregate(
-                    F.col(vec_col).cast("array<double>"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
-                )
-            )
-            * F.sqrt(
-                F.aggregate(
-                    F.col("_qvec").cast("array<double>"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
-                )
-            )
-        ),
-        6,
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"], "inner")
+        .select("query_id", "cand_id", "_cvec", "_qvec")
+        .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
-        joined.select(
-            "query_id", F.col(id_col).alias("cand_id"), sim.alias("cos_sim")
+        cand.select(
+            "query_id",
+            "cand_id",
+            _cosine_sim_expr("_cvec", "_qvec").alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -348,7 +405,31 @@ def ivf_centroids(
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.where(norms == 0, 1.0, norms)
     rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    # greedy k-means++ init (Arthur & Vassilvitskii 2007; the greedy
+    # multi-trial variant sklearn defaults to): D^2-weighted candidate
+    # seeds, keeping per step the candidate that minimizes total
+    # potential — spreads centroids across true clusters without
+    # chasing outliers the way plain D^2 sampling does
+    k_eff = min(n_clusters, len(mat))
+    first = int(rng.integers(len(mat)))
+    chosen = [first]
+    d2 = np.maximum(1.0 - mat @ mat[first], 0.0)  # cosine distance
+    trials = 8
+    for _ in range(1, k_eff):
+        total = d2.sum()
+        if total <= 0:
+            cands = rng.integers(len(mat), size=trials)
+        else:
+            cands = rng.choice(len(mat), p=d2 / total, size=trials)
+        best, best_d2, best_pot = None, None, None
+        for cd in cands:
+            nd2 = np.minimum(d2, np.maximum(1.0 - mat @ mat[int(cd)], 0.0))
+            pot = nd2.sum()
+            if best_pot is None or pot < best_pot:
+                best, best_d2, best_pot = int(cd), nd2, pot
+        chosen.append(best)
+        d2 = best_d2
+    cent = mat[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(mat @ cent.T, axis=1)
         for c in range(len(cent)):
@@ -361,25 +442,32 @@ def ivf_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, centroids: np.ndarray
+    df: DataFrame, vec_col: str, centroids: np.ndarray, n_assign: int = 1
 ) -> DataFrame:
-    """Attach the nearest-centroid (by cosine) cluster id.  The centroid
-    matrix (n_clusters x dim, KBs) broadcasts; vectors stream through in
-    Arrow batches — at 100 TB this is one narrow map over the corpus."""
+    """Attach the ``n_assign`` nearest-centroid (by cosine) cluster ids
+    as an array<int> column ``clusters``.  n_assign=1 is classic IVF;
+    n_assign>1 is redundant (spilled) assignment — each vector is
+    indexed under its top-a clusters, trading a x index size for
+    recall on corpora with weak cluster structure.  The centroid matrix
+    (n_clusters x dim, KBs) broadcasts; vectors stream through in Arrow
+    batches — at 100 TB this is one narrow map over the corpus."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
-    schema = df.schema.simpleString()[7:-1] + ",cluster int"
+    schema = df.schema.simpleString()[7:-1] + ",clusters array<int>"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cent = bc.value
+        a = min(n_assign, len(cent))
         for pdf in batches:
             if not len(pdf):
                 continue
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.where(n == 0, 1.0, n)
+            sims = vecs @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :a].astype(np.int32)
             out = pdf.copy()
-            out["cluster"] = np.argmax(vecs @ cent.T, axis=1).astype(np.int32)
+            out["clusters"] = list(top)
             yield out
 
     return df.mapInPandas(assign, schema)
@@ -393,12 +481,16 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     n_probe: int = 4,
+    n_assign: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k: score each query only against the
     ``n_probe`` clusters nearest its vector — candidate volume drops to
-    ~n_probe/n_clusters of the corpus.  Recall < 1 by construction; the
-    exactness oracle is cosine_topk_bruteforce.
+    ~n_probe/n_clusters of the corpus.  ``n_assign>1`` indexes each
+    corpus vector under its top-a clusters (redundant assignment),
+    which buys recall on weakly-clustered corpora for a x index size.
+    Recall < 1 by construction; the exactness oracle is
+    cosine_topk_bruteforce, and tests pin recall@10 floors.
 
     Scale shape: corpus assignment is one narrow map (cluster becomes
     the natural partition/bucket key for a persisted index); the probe
@@ -409,7 +501,11 @@ def cosine_topk_ivf(
         corpus, vec_col, id_col, n_clusters=n_clusters, seed=seed
     )
     spark = corpus.sparkSession
-    assigned = ivf_assign(corpus, vec_col, cent)
+    assigned = ivf_assign(corpus, vec_col, cent, n_assign=n_assign).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.explode("clusters").alias("cluster"),
+    )
 
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
@@ -423,34 +519,14 @@ def cosine_topk_ivf(
         probe_rows, "query_id bigint, cluster int, _qvec array<double>"
     )
     joined = assigned.join(F.broadcast(probes), "cluster", "inner")
-    sim = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.col("_qvec"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        / (
-            F.sqrt(
-                F.aggregate(
-                    F.col(vec_col).cast("array<double>"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
-                )
-            )
-            * F.sqrt(
-                F.aggregate(F.col("_qvec"), F.lit(0.0), lambda acc, v: acc + v * v)
-            )
-        ),
-        6,
-    )
+    if n_assign > 1:
+        joined = joined.dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         joined.select(
-            "query_id", F.col(id_col).alias("cand_id"), sim.alias("cos_sim")
+            "query_id",
+            "cand_id",
+            _cosine_sim_expr("_cvec", "_qvec").alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -152,13 +152,14 @@ def similarity_topk_bruteforce(spark, sf_dir):
 @query(
     "similarity_topk_ann",
     None,  # approximate by construction; anchor = similarity_topk_bruteforce
-    doc="LSH-bucketed (random hyperplane) approximate top-k",
+    doc="multi-table random-hyperplane LSH approximate top-k "
+    "(recall@10 >= 0.8 vs bruteforce, pinned by test)",
 )
 def similarity_topk_ann(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return similarity.cosine_topk_ann(corpus, queries_df, k=10, n_planes=6)
+    return similarity.cosine_topk_ann(corpus, queries_df, k=10)
 
 
 @query(
@@ -174,7 +175,7 @@ def similarity_topk_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return similarity.cosine_topk_ivf(
-        corpus, queries_df, k=10, n_clusters=16, n_probe=4
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4, n_assign=3
     )
 
 

@@ -217,3 +217,110 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("a")
     ).first()["a"]
     assert abs(approx - exact) / exact < 0.05  # 5x the 1% rsd, generous
+
+
+def test_ann_recall_floor_against_bruteforce(spark, emb):
+    """Multi-table LSH ANN must recover >= 0.8 of the exact top-10 on
+    the embeddings fixture (near-uniform vectors — the hardest
+    geometry).  Deterministic under the fixed seed; this is the gate
+    that makes similarity_topk_ann falsifiable (VERDICT r1 #3)."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=10).collect()
+    ann = similarity.cosine_topk_ann(corpus, queries_df, k=10).collect()
+    exact_sets, ann_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(exact_sets[q] & ann_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_redundant_assignment_recall_floor(spark, emb):
+    """IVF with redundant assignment (n_assign=3, the registry-query
+    configuration) must reach recall@10 >= 0.8 even on the fixture's
+    near-uniform vectors."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=10).collect()
+    ivf = similarity.cosine_topk_ivf(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4, n_assign=3
+    ).collect()
+    exact_sets, ivf_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_planted_clusters_recall(spark):
+    """On genuinely clustered data (the geometry IVF is built for),
+    plain IVF with n_probe=4 of 16 clusters must reach recall@10 >=
+    0.9 — separates 'the machinery works' from fixture geometry."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(16):
+        for _ in range(20):
+            # noise sigma keeps within-cluster cosine ~0.8: genuinely
+            # clustered geometry (0.25 would drown the unit center in
+            # sqrt(64)*0.25 = 2.0 of noise norm)
+            v = centers[c] + 0.09 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries_df = df.filter(F.col("vec_id") % 40 == 0)  # 8 queries
+    corpus = df.filter(F.col("vec_id") % 40 != 0)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=10).collect()
+    ivf = similarity.cosine_topk_ivf(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4
+    ).collect()
+    exact_sets, ivf_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_simhash_pairs_match_python_golden(spark, docs):
+    """simhash_pairs must return EXACTLY the pairs whose 64-bit
+    signatures are within max_hamming — golden set computed in pure
+    Python from the signature column (banding completeness by
+    pigeonhole for max_hamming < bands, plus verification filter)."""
+    sample = docs.limit(200)
+    sigs = {
+        r.doc_id: r.sig
+        for r in sample.select(
+            "doc_id", dedup.simhash64("text").alias("sig")
+        ).collect()
+    }
+    golden = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 2:
+                golden.add((a, b))
+    got = {
+        (r.id1, r.id2)
+        for r in dedup.simhash_pairs(sample, "doc_id", "text", max_hamming=2).collect()
+    }
+    assert got == golden
+    assert golden  # fixture contains at least one near-dup pair
