@@ -79,6 +79,7 @@ class MirrorPipeline:
         now_fn=None,
         compact_every: int = 8,
         optimize_target_every: int | None = None,
+        max_items_per_batch: int | None = 100_000,
     ):
         self.spark = spark
         self.source = source_path
@@ -94,6 +95,12 @@ class MirrorPipeline:
         # periodic dataChange=false compaction is the Delta analogue of
         # Kusto's extent merge (which the reference delegates, K2)
         self.optimize_target_every = optimize_target_every
+        # driver-metadata ceiling (SURVEY §7.4): one batch materializes
+        # at most this many TransactionItems on the driver.  Larger
+        # spans are processed in multiple batches — by commit boundary
+        # on the incremental path, by path order on the snapshot-diff
+        # path.  None disables chunking.
+        self.max_items_per_batch = max_items_per_batch
         self._batches_run = 0
 
     # -- public -------------------------------------------------------------
@@ -103,6 +110,12 @@ class MirrorPipeline:
         Call repeatedly to drain (one-shot mode processes each pending
         batch; continuous mode wraps this in a poll loop, I1)."""
         resumed = self.state.incomplete_batch(self.table)
+        if resumed is not None and self._only_partial_staging_open(resumed):
+            # previous snapshot-diff chunk finished its items; the batch
+            # stays open purely to hold back the high-water mark —
+            # discover computes the NEXT chunk (processed state excludes
+            # everything already chunked through)
+            resumed = None
         if resumed is not None:
             items = resumed
             start_tx = items[0]["start_tx_id"]
@@ -117,9 +130,17 @@ class MirrorPipeline:
         self._analyze(items, end_tx)
         n_staged = self._stage_and_load(items, end_tx)
         n_deleted_paths = self._apply_removes(items)
+        partial = any(
+            it["action"] == "StagingTable"
+            and it.get("internal_state") == "snapshot-chunk-partial"
+            for it in items
+        )
         for it in items:
             if it["state"] not in COMPLETE_STATES:
-                it["state"] = "Done"
+                if partial and it["action"] == "StagingTable":
+                    it["state"] = "Analyzed"  # keep the batch open
+                else:
+                    it["state"] = "Done"
         self._stamp_and_persist(items)
         self._batches_run += 1
         if self._batches_run % self.compact_every == 0:
@@ -136,7 +157,28 @@ class MirrorPipeline:
             "adds_staged": n_staged,
             "removes_applied": n_deleted_paths,
             "resumed": resumed is not None,
+            "n_items": len(items),
+            "partial": partial,
         }
+
+    @staticmethod
+    def _only_partial_staging_open(items: list[dict]) -> bool:
+        """True when the batch's only open item is its StagingTable
+        marker carrying the snapshot-chunk-partial flag."""
+        for it in items:
+            if it["state"] in COMPLETE_STATES:
+                continue
+            if (
+                it["action"] == "StagingTable"
+                and it.get("internal_state") == "snapshot-chunk-partial"
+            ):
+                continue
+            return False
+        return any(
+            it["action"] == "StagingTable"
+            and it.get("internal_state") == "snapshot-chunk-partial"
+            for it in items
+        )
 
     def run_until_idle(self, max_batches: int | None = None) -> list[dict[str, Any]]:
         """One-shot mode: drain all pending commits (I1 without the poll
@@ -175,7 +217,7 @@ class MirrorPipeline:
             return None
         end_tx = versions[-1]
         start_tx = hwm + 1
-        schema_item = self._check_schema(hwm, end_tx)
+        snapshot_chunk = None  # set on the snapshot-diff path
         if versions[0] > hwm + 1:
             # commits (hwm, versions[0]) were vacuumed/truncated: fall
             # back to the checkpoint snapshot diffed against processed
@@ -185,9 +227,31 @@ class MirrorPipeline:
             # surviving JSON commits alone miss every checkpoint-only
             # file, and with empty processed state the snapshot diff
             # yields exactly the full active snapshot.
+            schema_item = self._check_schema(hwm, end_tx)
+            cap = self.max_items_per_batch
             adds, removes = self._snapshot_diff(end_tx)
-            add_rows, remove_rows = adds.collect(), removes.collect()
+            if cap is None:
+                add_rows, remove_rows = adds.collect(), removes.collect()
+                snapshot_chunk = "snapshot-chunk-final"
+            else:
+                # path-ordered chunking: at most `cap` items reach the
+                # driver per batch; the diff recomputes smaller each
+                # round because processed state grows
+                add_rows = adds.orderBy("path").limit(cap + 1).collect()
+                if len(add_rows) > cap:
+                    add_rows = add_rows[:cap]
+                    remove_rows = []
+                    snapshot_chunk = "snapshot-chunk-partial"
+                else:
+                    remove_rows = removes.orderBy("path").limit(cap + 1).collect()
+                    if len(remove_rows) > cap:
+                        remove_rows = remove_rows[:cap]
+                        snapshot_chunk = "snapshot-chunk-partial"
+                    else:
+                        snapshot_chunk = "snapshot-chunk-final"
         else:
+            end_tx = self._cap_span(hwm, end_tx)
+            schema_item = self._check_schema(hwm, end_tx)
             local = DL.coalesced_segment_local(self.source, after=hwm, upto=end_tx)
             if local is not None:
                 # driver-scale segment: the reference's own hash-set
@@ -199,9 +263,10 @@ class MirrorPipeline:
                 )
                 add_rows, remove_rows = adds.collect(), removes.collect()
         now = self.now_fn().isoformat()
-        items: list[dict[str, Any]] = [
-            self._item(start_tx, end_tx, "StagingTable", "Initial", now)
-        ]
+        staging = self._item(start_tx, end_tx, "StagingTable", "Initial", now)
+        if snapshot_chunk is not None:
+            staging["internal_state"] = snapshot_chunk
+        items: list[dict[str, Any]] = [staging]
         if schema_item is not None:
             # persisted WITH the batch so a crash here leaves no
             # complete-looking partial batch in the state store
@@ -224,6 +289,31 @@ class MirrorPipeline:
             )
             items.append(it)
         return items, start_tx, end_tx
+
+    def _cap_span(self, hwm: int, end_tx: int) -> int:
+        """Commit-boundary chunking: choose the largest prefix of the
+        pending versions whose cumulative action count stays under
+        max_items_per_batch (always at least one commit).  Counts are
+        line counts of the commit JSONs — a cheap streaming read, and a
+        safe overestimate (metaData/protocol/txn lines count too)."""
+        cap = self.max_items_per_batch
+        if cap is None:
+            return end_tx
+        pending = [
+            v
+            for v in DL.list_commit_versions(self.source)
+            if hwm < v <= end_tx
+        ]
+        total = 0
+        chosen = pending[0]
+        for v in pending:
+            with open(DL._commit_file(self.source, v), "rb") as f:
+                n = sum(1 for line in f if line.strip())
+            if total + n > cap and v != pending[0]:
+                break
+            total += n
+            chosen = v
+        return chosen
 
     def _snapshot_diff(self, end_tx: int):
         """C2: newAdds = current snapshot ∖ processed adds; newRemoves =
@@ -402,7 +492,24 @@ class MirrorPipeline:
         todo = [i for i in items if i["action"] == "Add" and i["state"] == "Analyzed"]
         if not todo:
             return 0
-        last_v = DL.last_txn_version(self.spark, self.sink.path, self.app_id)
+        app_id = self.app_id
+        staging = next(
+            (i for i in items if i["action"] == "StagingTable"), None
+        )
+        if staging is not None and (
+            staging.get("internal_state") or ""
+        ).startswith("snapshot-chunk"):
+            # snapshot-diff chunks share one end_tx, so each chunk needs
+            # its own idempotence key: a digest of its blob-path set —
+            # deterministically re-derivable from the persisted items on
+            # crash recovery (I3 survives chunking)
+            import hashlib
+
+            digest = hashlib.sha256(
+                "\n".join(sorted(i["blob_path"] for i in todo)).encode()
+            ).hexdigest()[:16]
+            app_id = f"{self.app_id}#chunk-{digest}"
+        last_v = DL.last_txn_version(self.spark, self.sink.path, app_id)
         if last_v is not None and last_v >= end_tx:
             # crash happened after the data commit: nothing to redo (I3)
             for it in todo:
@@ -440,7 +547,7 @@ class MirrorPipeline:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        self.sink.append(out, txn=(self.app_id, end_tx))
+        self.sink.append(out, txn=(app_id, end_tx))
         for it in todo:
             it["state"] = "Staged"
         return len(todo)

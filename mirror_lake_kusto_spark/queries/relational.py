@@ -103,12 +103,16 @@ def b5(spark, sf_dir):
 
 @query(
     "b6_term_match",
-    "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%PROMO%'",
-    doc="B6 term match `has` — KustoClusterGateway.cs:73",
+    r"SELECT p_partkey, p_type FROM part "
+    r"WHERE regexp_matches(p_type, '\bPROMO\b')",
+    doc="B6 term match `has` — KQL `has` is WORD-BOUNDARY term match, "
+    "not substring (KustoClusterGateway.cs:73)",
 )
 def b6(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
-    return p.filter(F.col("p_type").contains("PROMO")).select("p_partkey", "p_type")
+    return p.filter(F.col("p_type").rlike(r"\bPROMO\b")).select(
+        "p_partkey", "p_type"
+    )
 
 
 @query(

@@ -627,3 +627,126 @@ def test_crashed_append_leaves_no_visible_rows(spark, tmp_path):
     # the writer keeps working after the crash
     src.append(spark.range(5, 10).toDF("id").coalesce(1))
     assert _ids(src.to_df()) == list(range(10))
+
+
+def _author_metadata_only_source(tmp_path, name, n_commits, adds_per_commit):
+    """Raw JSON Delta log with zero-record adds (no data files needed:
+    analyze marks them Done without any read) — lets tests exercise
+    metadata-scale batching without metadata-scale IO."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / name)
+    _os.makedirs(_os.path.join(path, "_delta_log"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+        ],
+    }
+    for v in range(n_commits):
+        lines = []
+        if v == 0:
+            lines.append(_json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ))
+            lines.append(_json.dumps({"metaData": {
+                "id": "synthetic", "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema), "partitionColumns": [],
+                "configuration": {}, "createdTime": 0,
+            }}))
+        for i in range(adds_per_commit):
+            lines.append(_json.dumps({"add": {
+                "path": f"f{v:05d}_{i:05d}.parquet", "partitionValues": {},
+                "size": 10, "modificationTime": 0, "dataChange": True,
+                "stats": "{\"numRecords\": 0}",
+            }}))
+        with open(_os.path.join(path, "_delta_log", f"{v:020d}.json"), "x") as f:
+            f.write("\n".join(lines) + "\n")
+    return path
+
+
+def test_incremental_chunking_bounds_driver_items(spark, tmp_path):
+    """A large pending commit span is processed in commit-boundary
+    chunks: no single batch materializes more than max_items_per_batch
+    TransactionItems on the driver (SURVEY §7.4 scaling ceiling)."""
+    src = _author_metadata_only_source(tmp_path, "chunk_src", 80, 25)  # 2000 adds
+    p = MirrorPipeline(
+        spark, src, str(tmp_path / "chunk_dst"), str(tmp_path / "chunk_state"),
+        table_name="chunk", max_items_per_batch=500,
+    )
+    results = p.run_until_idle()
+    assert len(results) >= 4  # 2000 adds / 500 cap
+    assert all(r["n_items"] <= 500 + 2 for r in results)  # + staging/schema
+    assert sum(r["n_items"] for r in results) >= 2000
+    assert p.run_once()["status"] == "up-to-date"
+    # every add item is recorded and complete
+    adds = p.state.current_items("chunk", "Add")
+    assert len(adds) == 2000
+    assert all(a["state"] in ("Done", "Skipped") for a in adds)
+
+
+def test_snapshot_diff_chunking_bounds_driver_items(spark, tmp_path):
+    """Fresh mirror of a vacuumed source whose checkpoint holds 5k
+    files: the snapshot diff drains in path-ordered chunks, each batch
+    bounded by max_items_per_batch."""
+    import os as _os
+
+    src = _author_metadata_only_source(tmp_path, "snapc_src", 5, 1000)
+    sink = DeltaSink(spark, src)
+    sink._write_checkpoint(4)
+    for v in range(4):  # truncate below the checkpoint, keep v4
+        _os.remove(_os.path.join(src, "_delta_log", f"{v:020d}.json"))
+    p = MirrorPipeline(
+        spark, src, str(tmp_path / "snapc_dst"), str(tmp_path / "snapc_state"),
+        table_name="snapc", max_items_per_batch=1000,
+    )
+    results = p.run_until_idle()
+    assert len(results) >= 5  # 5000 adds / 1000 cap
+    assert all(r["n_items"] <= 1000 + 2 for r in results)
+    assert results[-1]["partial"] is False and all(
+        r["partial"] for r in results[:-1]
+    )
+    assert p.run_once()["status"] == "up-to-date"
+    assert len(p.state.current_items("snapc", "Add")) == 5000
+
+
+def test_chunked_snapshot_crash_recovery_no_double_ingest(spark, tmp_path):
+    """Crash between a chunk's sink commit and its state persist must
+    not re-ingest the chunk on restart (I3 under chunking: each chunk
+    carries its own idempotence txn)."""
+    src_path = str(tmp_path / "ccrash_src")
+    src = DeltaSink(spark, src_path, checkpoint_interval=10)
+    for i in range(12):
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    src.vacuum()
+
+    def mk():
+        return MirrorPipeline(
+            spark, src_path, str(tmp_path / "ccrash_dst"),
+            str(tmp_path / "ccrash_state"), table_name="ccrash",
+            max_items_per_batch=5,
+        )
+
+    p = mk()
+    boom = RuntimeError("crash before state persist")
+    orig = MirrorPipeline._stamp_and_persist
+    calls = {"n": 0}
+
+    def crashing(self, items):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise boom  # first chunk: sink committed, state persist lost
+        return orig(self, items)
+
+    MirrorPipeline._stamp_and_persist = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            p.run_until_idle()
+    finally:
+        MirrorPipeline._stamp_and_persist = orig
+    p2 = mk()
+    p2.run_until_idle()
+    rows = [r["id"] for r in p2.mirror_df().collect()]
+    assert sorted(rows) == list(range(12))  # complete, no duplicates
+    assert p2.run_once()["status"] == "up-to-date"
