@@ -1,0 +1,150 @@
+"""CLI entry point — the Spark twin of the reference's console app
+(Program.cs:76, CommandLineOptions.cs:10-20).
+
+One-shot sync (drain all pending commits, then exit):
+
+    python -m mirror_lake_kusto_spark \
+        --storage /path/to/delta_source \
+        --target  /path/to/mirror_table \
+        --checkpoint /path/to/state_dir \
+        --table orders
+
+Continuous mode (5 s poll loop, like the reference's --continuous +
+BETWEEN_TX_PROBE_DELAY):
+
+    python -m mirror_lake_kusto_spark ... --continuous [--poll-seconds 5]
+
+Retention (the reference's --go-back / --creation-time pair, O5/J1):
+
+    python -m mirror_lake_kusto_spark ... \
+        --go-back 30 --creation-time "to_timestamp(p0)"
+
+Flag mapping to the reference:
+  --storage        <- -s/--storage  (Delta Table Storage URL)
+  --target         <- -d/-t db/table (the Kusto target; here a path)
+  --checkpoint     <- -c/--checkpoint (state CSV folder)
+  --table          <- -t/--table
+  --continuous     <- --continuous
+  --go-back        <- -g/--go-back (days)
+  --creation-time  <- --creation-time (SQL expr over partition values
+                      p0..pn, as the reference's Kusto expression)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m mirror_lake_kusto_spark",
+        description="Mirror a Delta Lake table into a target table, "
+        "exactly once, one transaction batch at a time.",
+    )
+    ap.add_argument(
+        "-s", "--storage", required=True, help="source Delta table path"
+    )
+    ap.add_argument(
+        "--target", required=True, help="target (mirror) table path"
+    )
+    ap.add_argument(
+        "-c",
+        "--checkpoint",
+        required=True,
+        help="state-store directory (the reference's checkpoint CSV folder)",
+    )
+    ap.add_argument(
+        "-t", "--table", default="mirror", help="logical table name"
+    )
+    ap.add_argument(
+        "--continuous",
+        action="store_true",
+        help="poll for new commits forever instead of exiting when idle",
+    )
+    ap.add_argument(
+        "--poll-seconds",
+        type=float,
+        default=5.0,
+        help="probe delay between polls in continuous mode (default 5)",
+    )
+    ap.add_argument(
+        "--max-polls",
+        type=int,
+        default=None,
+        help="stop continuous mode after N idle polls (mainly for tests)",
+    )
+    ap.add_argument(
+        "-g",
+        "--go-back",
+        type=int,
+        default=None,
+        metavar="DAYS",
+        help="skip blobs whose creation time predates now minus DAYS",
+    )
+    ap.add_argument(
+        "--creation-time",
+        default=None,
+        metavar="EXPR",
+        help="SQL expression over partition-value columns p0..pn that "
+        "yields each blob's creation timestamp (used with --go-back)",
+    )
+    ap.add_argument(
+        "--max-items-per-batch",
+        type=int,
+        default=100_000,
+        help="driver-metadata ceiling per transaction batch",
+    )
+    ap.add_argument(
+        "--optimize-target-every",
+        type=int,
+        default=None,
+        metavar="N",
+        help="compact the target's small files every N batches",
+    )
+    ap.add_argument(
+        "--cpus", type=int, default=None, help="local[N] parallelism"
+    )
+    ap.add_argument("-v", "--verbose", action="store_true")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .pipeline.orchestrate import MirrorPipeline
+    from .session import build_session
+
+    spark = build_session(app_name=f"mlk-mirror:{args.table}", cpus=args.cpus)
+    if not args.verbose:
+        spark.sparkContext.setLogLevel("WARN")
+    pipeline = MirrorPipeline(
+        spark,
+        args.storage,
+        args.target,
+        args.checkpoint,
+        table_name=args.table,
+        go_back_days=args.go_back,
+        creation_time_expr=args.creation_time,
+        max_items_per_batch=args.max_items_per_batch,
+        optimize_target_every=args.optimize_target_every,
+    )
+    if args.continuous:
+        pipeline.run_continuous(
+            poll_seconds=args.poll_seconds, max_polls=args.max_polls
+        )
+        return 0
+    results = pipeline.run_until_idle()
+    for r in results:
+        print(
+            f"batch tx [{r['start_tx']}, {r['end_tx']}]: "
+            f"{r['adds_staged']} adds staged, "
+            f"{r['removes_applied']} remove paths applied"
+            + (" (partial)" if r.get("partial") else "")
+        )
+    if not results:
+        print("up-to-date: no pending commits")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 64,
     bands: int = 32,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact Jaccard verification.
 
@@ -161,6 +162,15 @@ def minhash_lsh_pairs(
     signature collides (bucket equi-join — linear shuffle).  Candidates
     are then exact-verified so the output contains no false positives;
     with 32 bands of 2 rows, recall at J>=0.5 is 1-(1-0.25)^32 ~ 0.9999.
+
+    ``max_bucket_width`` bounds the quadratic term under adversarial
+    skew: a cluster of near-identical documents collides in EVERY band,
+    making one bucket O(cluster^2).  Buckets wider than the cap switch
+    from all-pairs to a STAR pattern — every member pairs with the
+    bucket's minimum id only — so candidate volume per bucket is
+    O(width) while every member of a pathological near-dup cluster is
+    still verified against the cluster representative.  Buckets at or
+    under the cap are unaffected (exact all-pairs).
 
     The (id, shingles, signature) frame is persisted (memory-and-disk):
     it feeds the bucket join AND both sides of the verification join,
@@ -194,18 +204,43 @@ def minhash_lsh_pairs(
             "band", "bh"
         ),
     ).select("id", "band", F.col("bh.h").alias("band_hash"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
+    if max_bucket_width is not None:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band", "band_hash")
+        buckets = buckets.withColumn("_bw", F.count("*").over(w)).withColumn(
+            "_head", F.min("id").over(w)
+        )
+        narrow = buckets.filter(F.col("_bw") <= max_bucket_width)
+        a = narrow.alias("a")
+        b = narrow.alias("b")
+        all_pairs = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        star = (
+            buckets.filter(
+                (F.col("_bw") > max_bucket_width)
+                & (F.col("id") != F.col("_head"))
+            )
+            .select(F.col("_head").alias("id1"), F.col("id").alias("id2"))
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
+        cand = all_pairs.unionByName(star).distinct()
+    else:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct()
+        )
     s1 = sh.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
     return (
@@ -230,35 +265,84 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via inverted-index self-join.
+    """Jaccard-similar pairs via inverted-index self-join.
 
     explode(shingles) -> self-join on shingle -> |intersection| per pair
     -> join set sizes -> filter.  At scale the only quadratic term is
-    within a single shingle's posting list (cap hot shingles upstream
-    with a document-frequency filter if the corpus has stopword-like
-    shingles).
+    within a single shingle's posting list.
+
+    ``max_doc_frequency`` caps that term: shingles appearing in more
+    than the cap's documents (stopword-like / boilerplate shingles) are
+    excluded from CANDIDATE GENERATION, and surviving candidate pairs
+    are verified with their FULL shingle sets — so every returned
+    jaccard value is exact.  A pair is only missed if every shingle it
+    shares is hot; near-dups virtually always share rare shingles.
+    With the cap unset the classic fully-exact counting path runs.
     """
     sh = _shingled(df, id_col, text_col, n).withColumn("sh_size", F.size("sh"))
-    sizes = sh.select("id", "sh_size")
+    if max_doc_frequency is None:
+        sizes = sh.select("id", "sh_size")
+        posting = sh.select("id", F.explode("sh").alias("shingle"))
+        a = posting.alias("a")
+        b = posting.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
+        s2 = sizes.select(F.col("id").alias("id2"), F.col("sh_size").alias("size2"))
+        return (
+            inter.join(s1, "id1")
+            .join(s2, "id2")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("size1") + F.col("size2") - F.col("n_common")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
+    hashed = sh.select(
+        "id",
+        F.array_sort(
+            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+        ).alias("hsh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("sh").alias("shingle"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count("*").alias("n_common"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_doc_frequency)
+        .select("shingle")
     )
-    s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
-    s2 = sizes.select(F.col("id").alias("id2"), F.col("sh_size").alias("size2"))
+    capped = posting.join(rare, "shingle")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    h1 = hashed.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
+    h2 = hashed.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
     return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
+        cand.join(h1, "id1")
+        .join(h2, "id2")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common")
-                / (F.col("size1") + F.col("size2") - F.col("n_common")),
+                F.size(F.array_intersect("hs1", "hs2"))
+                / F.size(F.array_union("hs1", "hs2")),
                 4,
             ),
         )

@@ -68,7 +68,9 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_frequency=1024
+    )
 
 
 @query(
@@ -82,7 +84,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_width=4096
+    )
 
 
 @query(

@@ -324,3 +324,74 @@ def test_simhash_pairs_match_python_golden(spark, docs):
     }
     assert got == golden
     assert golden  # fixture contains at least one near-dup pair
+
+
+def _skewed_corpus(spark):
+    """120 identical documents (an adversarial near-dup cluster whose
+    LSH bucket would be quadratic) plus 30 distinct ones."""
+    common = " ".join(f"w{i % 7}" for i in range(30))
+    rows = [(i, common) for i in range(120)]
+    rows += [
+        (200 + j, " ".join(f"u{j}t{t}" for t in range(25))) for j in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_width_cap_bounds_candidates(spark):
+    """Over-cap LSH buckets switch to the star pattern: the pathologic
+    cluster yields O(cluster) pairs (every member vs the head) instead
+    of O(cluster^2), and every member is still flagged as a dup."""
+    df = _skewed_corpus(spark)
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_width=20
+    ).collect()
+    cluster_pairs = [r for r in capped if r.id1 < 120 and r.id2 < 120]
+    assert len(cluster_pairs) == 119  # star: head (id 0) vs each member
+    assert all(r.id1 == 0 and r.jaccard == 1.0 for r in cluster_pairs)
+    flagged = {r.id2 for r in cluster_pairs}
+    assert flagged == set(range(1, 120))  # no member escapes dedup
+    # narrow buckets unaffected: no cross-cluster or distinct-doc pairs
+    assert len(capped) == 119
+
+
+def test_minhash_bucket_cap_noop_when_buckets_narrow(spark, docs):
+    """With a generous cap (the production configuration) results are
+    identical to the uncapped exact-verified output."""
+    base = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    capped = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 0.5, max_bucket_width=4096
+        ).collect()
+    }
+    assert capped == base
+
+
+def test_ngram_doc_frequency_cap_keeps_exact_values(spark):
+    """Hot boilerplate shingles are excluded from candidate generation
+    only — surviving pairs carry their EXACT full-set jaccard, equal to
+    the uncapped path's."""
+    preamble = " ".join(f"p{i}" for i in range(12))  # shared by all docs
+    rows = [
+        (i, preamble + " " + " ".join(f"d{i}x{t}" for t in range(20)))
+        for i in range(40)
+    ]
+    # planted near-dup pair sharing rare shingles
+    dup = preamble + " " + " ".join(f"q{t}" for t in range(20))
+    rows += [(100, dup), (101, dup + " extraword")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    }
+    capped = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", 0.5, max_doc_frequency=5
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert capped == exact  # qualifying pairs all share rare shingles
