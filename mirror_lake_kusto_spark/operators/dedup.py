@@ -208,8 +208,14 @@ def minhash_lsh_pairs(
         from pyspark.sql import Window as _W
 
         w = _W.partitionBy("band", "band_hash")
-        buckets = buckets.withColumn("_bw", F.count("*").over(w)).withColumn(
-            "_head", F.min("id").over(w)
+        # one window pass annotates width + head; persisted because the
+        # all-pairs join reads it twice and the star branch a third
+        # time (and the annotated bucket index is exactly what an LSH
+        # dedup service keeps materialized at scale)
+        buckets = (
+            buckets.withColumn("_bw", F.count("*").over(w))
+            .withColumn("_head", F.min("id").over(w))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         narrow = buckets.filter(F.col("_bw") <= max_bucket_width)
         a = narrow.alias("a")
