@@ -49,7 +49,8 @@ class MirrorOrchestration:
     def run_until_idle(self) -> dict[str, list[dict[str, Any]]]:
         """Drain every table's pending commits in parallel; returns
         per-table batch summaries (Task.WhenAll shape)."""
-        with ThreadPoolExecutor(max_workers=self.max_parallel) as ex:
+        width = min(self.max_parallel, max(len(self.pipelines), 1))
+        with ThreadPoolExecutor(max_workers=width) as ex:
             futures = {
                 name: ex.submit(p.run_until_idle)
                 for name, p in self.pipelines.items()
@@ -58,3 +59,68 @@ class MirrorOrchestration:
 
     def mirror_df(self, table: str):
         return self.pipelines[table].mirror_df()
+
+    # -- K8: `.show tables` / `.show capacity` twins ------------------------
+
+    def table_exists(self, table: str) -> bool:
+        """Existence probe — the reference's ``.show tables | where
+        TableName == '...' | count`` (DeltaTableOrchestration.cs:233-235)."""
+        return table in self.pipelines
+
+    def show_tables(self):
+        """One row per mirrored table with its sync posture, from state
+        metadata only (no data scan) — the ``.show tables`` twin.
+
+        Columns: table_name, source_path, target_path, high_water_tx,
+        n_adds, n_removes, n_pending, live_files, live_bytes,
+        live_records."""
+        rows = []
+        for name, p in sorted(self.pipelines.items()):
+            adds = p.state.current_items(name, "Add")
+            removes = p.state.current_items(name, "Remove")
+            removed = {r["blob_path"] for r in removes}
+            live = [
+                a
+                for a in adds
+                if a["state"] != "Skipped" and a["blob_path"] not in removed
+            ]
+            pending = sum(
+                1
+                for it in p.state.current_items(name)
+                if it["state"] not in ("Done", "Skipped")
+            )
+            rows.append(
+                (
+                    name,
+                    p.source,
+                    p.sink.path,
+                    p.state.high_water(name),
+                    len(adds),
+                    len(removes),
+                    pending,
+                    len(live),
+                    sum(a["size"] or 0 for a in live),
+                    sum(a["record_count"] or 0 for a in live),
+                )
+            )
+        spark = next(iter(self.pipelines.values())).spark
+        return spark.createDataFrame(
+            rows,
+            "table_name string, source_path string, target_path string, "
+            "high_water_tx long, n_adds long, n_removes long, "
+            "n_pending long, live_files long, live_bytes long, "
+            "live_records long",
+        )
+
+    def capacity(self) -> dict[str, int]:
+        """Ingestion-slot view — the reference sizes its pipeline width
+        as min(ingestion slots, items) from ``.show capacity``
+        (BlobStagingOrchestration.cs:326-338); the Spark analogue of an
+        ingestion slot is a scheduler core."""
+        spark = next(iter(self.pipelines.values())).spark
+        slots = spark.sparkContext.defaultParallelism
+        return {
+            "ingestion_slots": slots,
+            "tables": len(self.pipelines),
+            "width": min(self.max_parallel, max(len(self.pipelines), 1)),
+        }

@@ -93,3 +93,41 @@ def mirror_state_machine(spark, sf_dir):
         .orderBy("action", "state")
         .select("action", "state", (F.col("n_items") > 0).alias("nonempty"))
     )
+
+
+@query(
+    "mirror_show_tables",
+    f"""
+    SELECT 'lineitem_slice' AS table_name,
+           CAST(2 AS BIGINT) AS high_water_tx,
+           CAST(0 AS BIGINT) AS n_pending,
+           CAST(COUNT(*) AS BIGINT) AS live_records
+    FROM lineitem
+    WHERE l_orderkey <= 4000
+      AND NOT (l_linestatus = 'F' AND l_quantity < 10)
+    """,
+    doc="K8 `.show tables` twin: per-table sync posture from state "
+    "metadata only — live_records equals the logical survivor count, "
+    "high-water mark at the delete commit, nothing pending "
+    "(DeltaTableOrchestration.cs:233-235)",
+)
+def mirror_show_tables(spark, sf_dir):
+    from ..pipeline.multi import MirrorOrchestration
+
+    wd = _workdir("mirror_show", sf_dir)
+    _run_mirror(spark, sf_dir, wd)
+    orch = MirrorOrchestration(
+        spark,
+        {
+            "lineitem_slice": {
+                "source_path": os.path.join(wd, "src"),
+                "target_path": os.path.join(wd, "dst"),
+                "state_dir": os.path.join(wd, "state"),
+            }
+        },
+        wd,
+    )
+    orch.run_until_idle()  # already synced by _run_mirror; stays idle
+    return orch.show_tables().select(
+        "table_name", "high_water_tx", "n_pending", "live_records"
+    )

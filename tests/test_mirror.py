@@ -750,3 +750,29 @@ def test_chunked_snapshot_crash_recovery_no_double_ingest(spark, tmp_path):
     rows = [r["id"] for r in p2.mirror_df().collect()]
     assert sorted(rows) == list(range(12))  # complete, no duplicates
     assert p2.run_once()["status"] == "up-to-date"
+
+
+def test_show_tables_and_capacity(spark, tmp_path):
+    """K8 twins: `.show tables` as a metadata-only DataFrame and
+    `.show capacity` as the pipeline-width view
+    (DeltaTableOrchestration.cs:233-235, BlobStagingOrchestration.cs:326-338)."""
+    from mirror_lake_kusto_spark.pipeline.multi import MirrorOrchestration
+
+    srcs = {}
+    for name, n in [("t_a", 20), ("t_b", 30)]:
+        path = str(tmp_path / f"show_src_{name}")
+        DeltaSink(spark, path).append(spark.range(n).toDF("id"))
+        srcs[name] = {"source_path": path}
+    orch = MirrorOrchestration(spark, srcs, str(tmp_path / "show_mirrors"))
+    assert orch.table_exists("t_a") and not orch.table_exists("nope")
+    orch.run_until_idle()
+    rows = {r["table_name"]: r for r in orch.show_tables().collect()}
+    assert set(rows) == {"t_a", "t_b"}
+    assert rows["t_a"]["live_records"] == 20
+    assert rows["t_b"]["live_records"] == 30
+    assert all(r["n_pending"] == 0 for r in rows.values())
+    assert all(r["high_water_tx"] == 0 for r in rows.values())
+    assert all(r["live_bytes"] > 0 for r in rows.values())
+    cap = orch.capacity()
+    assert cap["tables"] == 2 and cap["width"] == 2
+    assert cap["ingestion_slots"] >= 1
