@@ -1,0 +1,123 @@
+"""KQL pipe-language queries: the reference's emitted dialect run as
+STRINGS through functions/kql_parse, oracle-checked against DuckDB SQL.
+
+These prove dialect parity end-to-end: a reference user can paste the
+KQL their tooling emits (SURVEY §2's B/D/F rows are all KQL text in the
+C# source) and get hash-identical results from this engine.
+"""
+
+from __future__ import annotations
+
+from ..functions.kql_parse import kql
+from ..sources.tables import load_table
+from .base import query
+
+
+def _tables(spark, sf_dir, *names):
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+@query(
+    "kql_summarize_pipeline",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP'1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="KQL string: where + datetime literal + extend + summarize by "
+    "(B2/B9/D5 as emitted text; DeltaTableOrchestration.cs:234)",
+)
+def kql_summarize_pipeline(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        lineitem
+        | where l_shipdate <= datetime(1998-09-02)
+        | extend net = l_extendedprice * (1 - l_discount)
+        | summarize revenue = round(sum(net), 2), n = count()
+            by l_returnflag, l_linestatus
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "kql_term_match_count",
+    r"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS Count FROM part
+    WHERE regexp_matches(p_type, '\bPROMO\b')
+    """,
+    doc="KQL string: `has` word-boundary term match + count verb "
+    "(B6/D1; KustoClusterGateway.cs:73)",
+)
+def kql_term_match_count(spark, sf_dir):
+    return kql(
+        spark,
+        "part | where p_type has 'PROMO' | count",
+        tables=_tables(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "kql_argmax_by_key",
+    """
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS l_quantity,
+           l_orderkey
+    FROM (
+      SELECT l_returnflag, l_quantity, l_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_quantity DESC, l_orderkey DESC, l_linenumber DESC
+             ) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+    doc="KQL string: summarize arg_max(x, *) by key (D3; "
+    "Kusto/DatabaseGateway.cs:93) — deterministic tiebreak on "
+    "(l_orderkey, l_linenumber) desc",
+)
+def kql_argmax_by_key(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        lineitem
+        | extend rank = l_quantity * 100000000000 + l_orderkey * 10
+            + l_linenumber
+        | summarize arg_max(rank, *) by l_returnflag
+        | project l_returnflag, l_quantity = tolong(l_quantity), l_orderkey
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "kql_join_subquery_topk",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(qty AS BIGINT) AS qty
+    FROM orders
+    JOIN (SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey) USING (o_orderkey)
+    WHERE qty > 250
+    """,
+    doc="KQL string: join kind=inner with a piped subquery on a shared "
+    "key (C3/C4 as emitted text; BlobLoadingOrchestration.cs:96-115)",
+)
+def kql_join_subquery_topk(spark, sf_dir):
+    tables = _tables(spark, sf_dir, "orders", "lineitem")
+    return kql(
+        spark,
+        """
+        orders
+        | project o_orderkey, o_orderdate
+        | join kind=inner (
+            lineitem
+            | summarize qty = sum(l_quantity) by o_orderkey = l_orderkey
+          ) on o_orderkey
+        | where qty > 250
+        | project o_orderkey, o_orderdate, qty = tolong(qty)
+        """,
+        tables=tables,
+    )

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from mirror_lake_kusto_spark.functions.kql import KqlFrame
 from mirror_lake_kusto_spark.sources.tables import load_table
@@ -138,3 +139,92 @@ def test_distinct_mv_expand_has(spark):
     )
     got = sorted(r["id"] for r in t.where_has("note", "ship").collect())
     assert got == [1, 3]
+
+
+# -- KQL string parser (functions/kql_parse.py) ------------------------------
+
+
+def test_parse_where_extend_summarize(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, k string, v double"
+    )
+    out = kql(
+        spark,
+        "t | where v > 5 | extend w = v * 2 | summarize s = sum(w), n = count() by k"
+        " | order by k asc",
+        tables={"t": df},
+    ).collect()
+    assert [(r.k, r.s, r.n) for r in out] == [("a", 60.0, 2), ("b", 60.0, 1)]
+
+
+def test_parse_string_operators(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "PROMO BURNISHED"), (2, "PROMOTION X"), (3, "other Promo")],
+        "id long, s string",
+    )
+    t = {"t": df}
+    has = kql(spark, "t | where s has 'promo' | project id", tables=t).collect()
+    assert sorted(r.id for r in has) == [1, 3]  # term match, case-insensitive
+    contains = kql(spark, "t | where s contains 'promo' | project id", tables=t)
+    assert contains.count() == 3  # substring matches PROMOTION too
+    neg = kql(spark, "t | where s !has 'promo' | project id", tables=t).collect()
+    assert [r.id for r in neg] == [2]
+    starts = kql(spark, "t | where s startswith 'promo' | project id", tables=t)
+    assert sorted(r.id for r in starts.collect()) == [1, 2]
+
+
+def test_parse_default_sort_is_desc_and_top(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    out = kql(spark, "t | order by x | take 3", tables={"t": df}).collect()
+    assert [r.x for r in out] == [9, 8, 7]  # KQL order by defaults DESC
+    top = kql(spark, "t | top 2 by x asc", tables={"t": df}).collect()
+    assert [r.x for r in top] == [0, 1]
+
+
+def test_parse_project_away_rename_distinct_mvexpand(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (1, "a", [3])], "id long, k string, xs array<long>"
+    )
+    t = {"t": df}
+    away = kql(spark, "t | project-away xs", tables=t)
+    assert away.columns == ["id", "k"]
+    ren = kql(spark, "t | project-rename key = k", tables=t)
+    assert "key" in ren.columns and "k" not in ren.columns
+    dis = kql(spark, "t | distinct id, k", tables=t)
+    assert dis.count() == 1
+    mv = kql(spark, "t | mv-expand x = xs | project id, x", tables=t).collect()
+    assert sorted(r.x for r in mv) == [1, 2, 3]
+
+
+def test_parse_union_and_casts(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    out = kql(spark, "a | union b | order by x asc", tables={"a": a, "b": b})
+    assert [r.x for r in out.collect()] == [1, 2]
+    cast = kql(
+        spark, "a | extend s = strcat(tostring(x), '!') | project s",
+        tables={"a": a},
+    ).collect()
+    assert cast[0].s == "1!"
+
+
+def test_parse_errors_are_loud(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(KqlParseError, match="unsupported operator"):
+        kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
+    with pytest.raises(KqlParseError, match="top needs"):
+        kql(spark, "t | top x", tables={"t": df})
+    with pytest.raises(KqlParseError, match="source must be"):
+        kql(spark, "t | where x > 0 | union 1+1", tables={"t": df})
