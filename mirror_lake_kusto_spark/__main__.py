@@ -103,6 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="compact the target's small files every N batches",
     )
     ap.add_argument(
+        "--state-backend",
+        choices=("csv", "delta"),
+        default="csv",
+        help="csv: reference-faithful append-blob + driver map (low "
+        "latency); delta: state in a Delta table, Spark-side current "
+        "view, driver holds at most one batch (large tables)",
+    )
+    ap.add_argument(
         "--cpus", type=int, default=None, help="local[N] parallelism"
     )
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -127,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         creation_time_expr=args.creation_time,
         max_items_per_batch=args.max_items_per_batch,
         optimize_target_every=args.optimize_target_every,
+        state_backend=args.state_backend,
     )
     if args.continuous:
         pipeline.run_continuous(

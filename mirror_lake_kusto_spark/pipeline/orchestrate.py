@@ -80,12 +80,24 @@ class MirrorPipeline:
         compact_every: int = 8,
         optimize_target_every: int | None = None,
         max_items_per_batch: int | None = 100_000,
+        state_backend: str = "csv",
     ):
         self.spark = spark
         self.source = source_path
         self.table = table_name
         self.sink = DeltaSink(spark, target_path)
-        self.state = StateStore(spark, state_dir)
+        if state_backend == "csv":
+            # reference-faithful: append-only CSV + driver LWW map —
+            # lowest batch latency, driver holds O(total files) items
+            self.state = StateStore(spark, state_dir)
+        elif state_backend == "delta":
+            # 100 TB path: state rows in a Delta table, LWW computed by
+            # Spark, steering reads collect at most one batch
+            from .delta_state import DeltaStateStore
+
+            self.state = DeltaStateStore(spark, state_dir)
+        else:
+            raise ValueError(f"unknown state_backend: {state_backend!r}")
         self.go_back_days = go_back_days
         self.creation_time_expr = creation_time_expr
         self.now_fn = now_fn or _utcnow
@@ -347,21 +359,37 @@ class MirrorPipeline:
                 F2.col("last.modificationTime").alias("modificationTime"),
             )
         )
-        processed = self.spark.createDataFrame(
-            [
-                (r["blob_path"], r["partition_values"])
-                for r in self.state.current_items(self.table, "Add")
-            ],
-            "path string, partition_values string",
-        )
-        # removes already applied must not resurface as missing adds
-        removed = self.spark.createDataFrame(
-            [
-                (r["blob_path"],)
-                for r in self.state.current_items(self.table, "Remove")
-            ],
-            "path string",
-        )
+        if hasattr(self.state, "adds_df"):
+            # scale path: processed state stays a DataFrame end-to-end —
+            # the driver never materializes the historical add list
+            processed = (
+                self.state.adds_df(self.table)
+                .select(
+                    F.col("blob_path").alias("path"), "partition_values"
+                )
+                .dropDuplicates(["path"])
+            )
+            removed = (
+                self.state.removes_df(self.table)
+                .select(F.col("blob_path").alias("path"))
+                .dropDuplicates(["path"])
+            )
+        else:
+            processed = self.spark.createDataFrame(
+                [
+                    (r["blob_path"], r["partition_values"])
+                    for r in self.state.current_items(self.table, "Add")
+                ],
+                "path string, partition_values string",
+            )
+            # removes already applied must not resurface as missing adds
+            removed = self.spark.createDataFrame(
+                [
+                    (r["blob_path"],)
+                    for r in self.state.current_items(self.table, "Remove")
+                ],
+                "path string",
+            )
         live_processed = processed.join(removed, "path", "left_anti")
         new_adds = active.join(processed, "path", "left_anti")
         new_removes = live_processed.join(active, "path", "left_anti").select(
@@ -563,10 +591,28 @@ class MirrorPipeline:
         ]
         if not removes:
             return 0
-        hist = {
-            r["blob_path"]: r["state"]
-            for r in self.state.current_items(self.table, "Add")
-        }
+        if hasattr(self.state, "adds_df"):
+            # scale path: look up only THIS batch's remove paths (a
+            # bounded broadcast probe), not the full historical add list
+            probe = self.spark.createDataFrame(
+                [(i["blob_path"],) for i in removes], "blob_path string"
+            )
+            latest = (
+                self.state.adds_df(self.table)
+                .join(F.broadcast(probe), "blob_path")
+                .groupBy("blob_path")
+                .agg(
+                    F.max_by(
+                        "state", F.struct("start_tx_id", "end_tx_id")
+                    ).alias("state")
+                )
+            )
+            hist = {r["blob_path"]: r["state"] for r in latest.collect()}
+        else:
+            hist = {
+                r["blob_path"]: r["state"]
+                for r in self.state.current_items(self.table, "Add")
+            }
         # adds staged in THIS batch are in `items`, possibly not yet persisted
         for i in items:
             if i["action"] == "Add":
