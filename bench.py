@@ -58,6 +58,9 @@ EXTENSION_HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "dedup_embedding_cosine",
+    "pipeline_dedup_corpus",
+    "kql_summarize_pipeline",
     "text_profile",
     "s1_tumbling_window",
     "s5_asof_join",

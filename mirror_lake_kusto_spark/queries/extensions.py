@@ -398,3 +398,74 @@ def pipeline_clean_corpus(spark, sf_dir):
         )
         .select("doc_id", "n_tokens", "n_copies")
     )
+
+
+@query(
+    "pipeline_dedup_corpus",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             regexp_replace(text, '\\s', '', 'g') AS stripped
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text
+      FROM base
+      WHERE len(toks) BETWEEN 5 AND 5000
+        AND ROUND((length(stripped) - length(regexp_replace(stripped,
+             '[^A-Za-z0-9_]', '', 'g'))) * 1.0 /
+             greatest(length(stripped), 1), 4) <= 0.3
+        AND len(list_filter(toks, t -> lower(t) IN ({_SW['en']}))) > 0
+    ), dd AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+      FROM kept GROUP BY text
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM dd
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM tok
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n FROM sh
+    ), posting AS (
+      SELECT doc_id, unnest(sh) AS g FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), neardup AS (
+      SELECT id2 FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+    )
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM dd WHERE doc_id NOT IN (SELECT id2 FROM neardup)
+    """,
+    doc="full training-data pipeline: quality gate -> exact dedup "
+    "(lowest id survives) -> near-dup removal (minhash-LSH candidates, "
+    "exact Jaccard verify, canonical lowest id kept) -> token stats. "
+    "Every stage is the bucketed/shuffle-bounded shape of its operator",
+)
+def pipeline_dedup_corpus(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.filter(
+        (text.token_count("text") >= 5)
+        & (text.token_count("text") <= 5000)
+        & (text.punct_ratio("text") <= 0.3)
+        & (text.stopword_count("text", "en") > 0)
+    ).select("doc_id", "text")
+    dd = (
+        kept.withColumn("_h", dedup.content_hash("text"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .drop("_h")
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        dd, "doc_id", "text", threshold=0.5, max_bucket_width=4096
+    )
+    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return (
+        dd.join(losers, "doc_id", "left_anti")
+        .select("doc_id", text.token_count("text").alias("n_tokens"))
+    )

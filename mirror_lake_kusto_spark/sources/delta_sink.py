@@ -499,12 +499,20 @@ class DeltaSink:
 
     # -- reads --------------------------------------------------------------
 
-    def to_df(self, partition_predicate: str | None = None) -> DataFrame:
-        """Current snapshot (log replay + partition-injected scan);
+    def to_df(
+        self,
+        partition_predicate: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read (log replay + partition-injected scan);
         ``partition_predicate`` prunes partition groups before any data
-        file is opened (O6)."""
+        file is opened (O6); ``version`` time-travels to that commit
+        (files must not have been vacuumed since)."""
         from .delta_log import read_snapshot
 
         return read_snapshot(
-            self.spark, self.path, partition_predicate=partition_predicate
+            self.spark,
+            self.path,
+            upto=version,
+            partition_predicate=partition_predicate,
         )

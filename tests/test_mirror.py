@@ -776,3 +776,19 @@ def test_show_tables_and_capacity(spark, tmp_path):
     cap = orch.capacity()
     assert cap["tables"] == 2 and cap["width"] == 2
     assert cap["ingestion_slots"] >= 1
+
+
+def test_time_travel_read(spark, tmp_path):
+    """to_df(version=v) reconstructs the snapshot at commit v (F3's
+    'state at txId'; upto replay in delta_log), including across a
+    delete and an OPTIMIZE."""
+    path = str(tmp_path / "tt_table")
+    sink = DeltaSink(spark, path)
+    sink.append(spark.range(10).toDF("id"))        # v0
+    sink.append(spark.range(10, 20).toDF("id"))    # v1
+    sink.delete("id < 5")                          # v2
+    sink.optimize()                                # v3 (dataChange=false)
+    assert _ids(sink.to_df(version=0)) == list(range(10))
+    assert _ids(sink.to_df(version=1)) == list(range(20))
+    assert _ids(sink.to_df(version=2)) == list(range(5, 20))
+    assert _ids(sink.to_df()) == list(range(5, 20))  # latest == post-delete
