@@ -174,6 +174,29 @@ def read_last_checkpoint(table_path: str) -> int | None:
         return int(json.load(f)["version"])
 
 
+def checkpoint_files(table_path: str, version: int) -> list[str]:
+    """The checkpoint's parquet file(s) at ``version`` — classic
+    single-file ``v.checkpoint.parquet`` or the protocol's multi-part
+    ``v.checkpoint.<part>.<parts>.parquet`` layout (a 10M-file table's
+    checkpoint is GBs; Delta shards it so writers parallelize and
+    readers scan it distributed)."""
+    d = log_dir(table_path)
+    single = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    if os.path.isfile(single):
+        return [single]
+    prefix = f"{version:020d}.checkpoint."
+    parts = sorted(
+        os.path.join(d, n)
+        for n in os.listdir(d)
+        if n.startswith(prefix) and n.endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(
+            f"no checkpoint parquet for version {version} under {d}"
+        )
+    return parts
+
+
 def read_actions(
     spark: SparkSession,
     table_path: str,
@@ -194,8 +217,7 @@ def read_actions(
         and after < 0
         and (upto is None or ckpt_version <= upto)
     ):
-        ckpt_path = os.path.join(d, f"{ckpt_version:020d}.checkpoint.parquet")
-        ckpt = spark.read.parquet(ckpt_path)
+        ckpt = spark.read.parquet(*checkpoint_files(table_path, ckpt_version))
         for col in ("metaData", "add", "remove", "protocol", "txn"):
             if col not in ckpt.columns:
                 ckpt = ckpt.withColumn(col, F.lit(None).cast(ACTIONS_SCHEMA[col].dataType))
@@ -238,11 +260,13 @@ def read_actions(
 
 
 def _checkpoint_column(table_path: str, version: int, column: str) -> list:
-    """Non-null values of one action column from a checkpoint parquet,
-    read driver-side with column projection (pyarrow)."""
-    path = os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.parquet")
-    tbl = _pq.read_table(path, columns=[column])
-    return [v for v in tbl.column(0).to_pylist() if v is not None]
+    """Non-null values of one action column from a checkpoint (single
+    or multi-part), read driver-side with column projection (pyarrow)."""
+    out: list = []
+    for path in checkpoint_files(table_path, version):
+        tbl = _pq.read_table(path, columns=[column])
+        out.extend(v for v in tbl.column(0).to_pylist() if v is not None)
+    return out
 
 
 def latest_metadata(

@@ -75,11 +75,13 @@ class DeltaSink:
         table_path: str,
         partition_by: Sequence[str] = (),
         checkpoint_interval: int = 10,
+        checkpoint_parts: int | None = None,
     ):
         self.spark = spark
         self.path = table_path
         self.partition_by = list(partition_by)
         self.checkpoint_interval = checkpoint_interval
+        self.checkpoint_parts = checkpoint_parts
         self._pending_schema = "{}"
         os.makedirs(_log_dir(table_path), exist_ok=True)
 
@@ -188,23 +190,42 @@ class DeltaSink:
         }
 
     def _write_checkpoint(self, version: int) -> None:
-        """Flatten the whole log into ``<v>.checkpoint.parquet`` +
+        """Flatten the whole log into ``<v>.checkpoint.parquet`` (or the
+        protocol's multi-part ``<v>.checkpoint.<i>.<n>.parquet`` when
+        ``checkpoint_parts`` > 1 — the shape a 10M-file table needs so
+        the checkpoint itself writes and reads distributed) +
         ``_last_checkpoint`` (read path: DeltaTableGateway.cs:285-300)."""
         from .delta_log import reconciled_actions
 
         acts = reconciled_actions(self.spark, self.path, upto=version)
-        ckpt = os.path.join(_log_dir(self.path), TX_FMT.format(version) + ".checkpoint.parquet")
         tmp = os.path.join(_log_dir(self.path), f"_tmp_ckpt_{uuid.uuid4().hex}")
-        # reconstructed snapshot: active adds + latest metaData/protocol;
-        # single file — the protocol's classic (non-multipart) checkpoint
-        acts.coalesce(1).write.parquet(tmp)
-        part = next(
+        n_parts = self.checkpoint_parts or 1
+        acts.coalesce(n_parts).write.parquet(tmp)
+        written = sorted(
             os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
         )
-        shutil.move(part, ckpt)
+        pointer: dict = {"version": version, "size": acts.count()}
+        if len(written) == 1:
+            shutil.move(
+                written[0],
+                os.path.join(
+                    _log_dir(self.path), TX_FMT.format(version) + ".checkpoint.parquet"
+                ),
+            )
+        else:
+            for i, src in enumerate(written, start=1):
+                shutil.move(
+                    src,
+                    os.path.join(
+                        _log_dir(self.path),
+                        TX_FMT.format(version)
+                        + f".checkpoint.{i:010d}.{len(written):010d}.parquet",
+                    ),
+                )
+            pointer["parts"] = len(written)
         shutil.rmtree(tmp, ignore_errors=True)
         with open(os.path.join(_log_dir(self.path), "_last_checkpoint"), "w") as f:
-            json.dump({"version": version, "size": acts.count()}, f)
+            json.dump(pointer, f)
 
     # -- data operations ----------------------------------------------------
 

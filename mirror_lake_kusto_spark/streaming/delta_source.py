@@ -77,9 +77,13 @@ def _last_checkpoint_version(path: str) -> int | None:
 def _checkpoint_column(path: str, version: int, column: str) -> list:
     import pyarrow.parquet as _pq
 
-    ckpt = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
-    tbl = _pq.read_table(ckpt, columns=[column])
-    return [v for v in tbl.column(0).to_pylist() if v is not None]
+    from ..sources.delta_log import checkpoint_files
+
+    out: list = []
+    for f in checkpoint_files(path, version):
+        tbl = _pq.read_table(f, columns=[column])
+        out.extend(v for v in tbl.column(0).to_pylist() if v is not None)
+    return out
 
 
 def _checkpoint_snapshot_files(path: str, version: int) -> list[dict]:

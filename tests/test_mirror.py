@@ -792,3 +792,28 @@ def test_time_travel_read(spark, tmp_path):
     assert _ids(sink.to_df(version=1)) == list(range(20))
     assert _ids(sink.to_df(version=2)) == list(range(5, 20))
     assert _ids(sink.to_df()) == list(range(5, 20))  # latest == post-delete
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Multi-part checkpoints (v.checkpoint.i.n.parquet + parts pointer)
+    — the layout a 10M-file table's checkpoint needs — are written,
+    read back for snapshots, and bridge a vacuumed log for a fresh
+    mirror."""
+    import os as _os
+
+    path = str(tmp_path / "mp_src")
+    src = DeltaSink(spark, path, checkpoint_interval=10, checkpoint_parts=3)
+    for i in range(12):  # checkpoint at v9, 3 parts
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    names = _os.listdir(_os.path.join(path, "_delta_log"))
+    parts = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(parts) == 3 and all("0000000003.parquet" in n for n in parts)
+    assert not any(n.endswith("checkpoint.parquet") for n in names)
+    assert _ids(src.to_df()) == list(range(12))  # reader handles parts
+    src.vacuum()
+    p = MirrorPipeline(
+        spark, path, str(tmp_path / "mp_dst"), str(tmp_path / "mp_state"),
+        table_name="mp",
+    )
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == list(range(12))
