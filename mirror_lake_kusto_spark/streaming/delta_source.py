@@ -128,23 +128,61 @@ class _FilePartition(InputPartition):
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, schema: StructType, skip_change_commits: bool):
+    def __init__(
+        self,
+        table_path: str,
+        schema: StructType,
+        skip_change_commits: bool,
+        max_commits_per_trigger: int | None = None,
+    ):
         self.path = table_path
         self._schema = schema
         self.skip_change_commits = skip_change_commits
+        self.max_commits_per_trigger = max_commits_per_trigger
+        # progress floor for admission control: learned from
+        # initialOffset (fresh query) and each planned batch's END
+        # offset in partitions().  The Python DataSource API calls
+        # latestOffset with no view of the start offset (and does not
+        # deliver commit() to the planner instance — verified
+        # empirically), so on a RESTARTED query the first batch is
+        # unbounded; every batch after it is capped (I5 latency tuning,
+        # the maxFilesPerTrigger analogue).
+        self._floor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._floor = -1
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.path)
         if vs:
-            return {"version": vs[-1]}
-        # fully-vacuumed log: the checkpoint is the only readable state
-        ckpt = _last_checkpoint_version(self.path)
-        return {"version": ckpt if ckpt is not None else -1}
+            latest = vs[-1]
+        else:
+            # fully-vacuumed log: the checkpoint is the only readable state
+            ckpt = _last_checkpoint_version(self.path)
+            latest = ckpt if ckpt is not None else -1
+        cap = self.max_commits_per_trigger
+        if cap is not None and self._floor is not None:
+            floor = self._floor
+            if floor == -1 and vs and vs[0] > 0:
+                # initial batch of a vacuumed table: the checkpoint
+                # snapshot is one unit; the cap counts commits past it
+                ckpt = _last_checkpoint_version(self.path)
+                if ckpt is not None:
+                    floor = ckpt
+            latest = min(latest, floor + cap)
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets derive from the immutable log; nothing to ack
 
     def partitions(self, start: dict, end: dict):
+        # learn progress from the planned END: the engine commits this
+        # batch at `end`, so the next latestOffset may admit past it (a
+        # failed batch replans from the checkpointed start and simply
+        # admits a larger range — never a gap)
+        if self._floor is None or end["version"] > self._floor:
+            self._floor = end["version"]
         parts: list[_FilePartition] = []
         schema_json = self._schema.json()
         versions = _versions(self.path)
@@ -236,12 +274,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         out = pa.table(cols, schema=arrow_schema)
         yield from out.to_batches(max_chunksize=65536)
 
-    def commit(self, end: dict) -> None:
-        pass  # offsets are derived from the immutable log; nothing to ack
-
-
 class DeltaLogDataSource(DataSource):
-    """format("mlk_delta") — options: path, skipChangeCommits."""
+    """format("mlk_delta") — options: path, skipChangeCommits,
+    maxCommitsPerTrigger."""
 
     @classmethod
     def name(cls) -> str:
@@ -260,4 +295,10 @@ class DeltaLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DeltaLogStreamReader:
         skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"
-        return DeltaLogStreamReader(self.options["path"], schema, skip)
+        max_commits = self.options.get("maxcommitspertrigger")
+        return DeltaLogStreamReader(
+            self.options["path"],
+            schema,
+            skip,
+            max_commits_per_trigger=int(max_commits) if max_commits else None,
+        )

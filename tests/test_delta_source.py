@@ -172,3 +172,48 @@ def test_stream_raises_on_unbridgeable_log_gap(spark, tmp_path):
     os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))  # mid gap
     with pytest.raises(StreamingQueryException, match="missing commits"):
         _drain(spark, path, ckpt, "t_gap")
+
+
+def test_max_commits_per_trigger_caps_batches(spark, tmp_path):
+    """maxCommitsPerTrigger bounds steady-state micro-batch admission
+    (I5 latency tuning on the mlk_delta source).  The Python DataSource
+    API calls latestOffset before any start offset is known, so the
+    FIRST batch of a run is unbounded (same caveat as Kafka without a
+    stored offset); every batch after it is capped."""
+    import time as _time
+
+    path, ckpt = str(tmp_path / "tcap"), str(tmp_path / "ckptcap")
+    src = DeltaSink(spark, path)
+    src.append(spark.createDataFrame([(0,)], "id long"))
+
+    batches = {}
+
+    def collect_batch(bdf, bid):
+        batches[bid] = sorted(r["id"] for r in bdf.collect())  # retry-safe
+
+    q = (
+        spark.readStream.format("mlk_delta")
+        .option("path", path)
+        .option("maxCommitsPerTrigger", "3")
+        .load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # backlog of 10 more commits appears while the stream runs
+        for i in range(1, 11):
+            src.append(spark.createDataFrame([(i,)], "id long"))
+        deadline = _time.time() + 150
+        while _time.time() < deadline:
+            if sum(len(b) for b in batches.values()) >= 11:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    got = sorted(x for b in batches.values() for x in b)
+    assert got == list(range(11))  # nothing lost, nothing duplicated
+    sizes = [len(b) for _, b in sorted(batches.items())[1:] if b]
+    assert sizes and all(s <= 3 for s in sizes)  # steady-state cap
+    assert len(sizes) >= 3  # backlog split across several batches
