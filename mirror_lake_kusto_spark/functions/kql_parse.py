@@ -17,7 +17,10 @@ directly:
 Supported verbs (the reference's surface + Kusto basics):
 ``where  project  project-away  project-rename  extend  summarize
 (incl. arg_max/arg_min)  order by / sort by  top  take / limit  count
-distinct  mv-expand  union  join kind=...``
+distinct  mv-expand  union  join kind=...``, plus the ``externaldata``
+source (typed CSV scan — the reference's status-view function,
+DatabaseGateway.cs:85-95, runs verbatim; tested against the engine's
+own state checkpoint).
 
 Expression translation is a bounded token rewrite into Spark SQL:
 ``has`` (word-boundary term match) / ``!has``, ``contains`` /
@@ -254,8 +257,13 @@ def _named_exprs(arglist: str) -> list[tuple[str | None, str]]:
 class KqlQuery:
     """Parses and lowers one KQL pipe expression."""
 
-    def __init__(self, resolve: Callable[[str], DataFrame]):
+    def __init__(
+        self,
+        resolve: Callable[[str], DataFrame],
+        spark: SparkSession | None = None,
+    ):
         self.resolve = resolve
+        self._spark = spark
 
     def run(self, text: str) -> DataFrame:
         text = re.sub(r"//[^\n]*", "", text)  # strip KQL line comments
@@ -271,9 +279,69 @@ class KqlQuery:
         src = src.strip()
         if src.startswith("(") and src.endswith(")"):
             return self.run(src[1:-1])
+        if re.match(r"externaldata\s*\(", src, re.IGNORECASE):
+            return self._externaldata(src)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", src):
             raise KqlParseError(f"source must be a table name: {src!r}")
         return self.resolve(src)
+
+    _KUSTO_TYPES = {
+        "string": "string",
+        "long": "bigint",
+        "int": "int",
+        "real": "double",
+        "double": "double",
+        "bool": "boolean",
+        "boolean": "boolean",
+        "datetime": "timestamp",
+        "decimal": "decimal(38,18)",
+        "guid": "string",
+        "timespan": "string",
+        "dynamic": "string",
+    }
+
+    def _externaldata(self, src: str) -> DataFrame:
+        """``externaldata(col:type, ...) ['uri', ...] with(format='csv',
+        ignoreFirstRecord=true)`` — the reference's status-view source
+        (DatabaseGateway.cs:85-95): a typed CSV scan of checkpoint
+        blobs.  ``;impersonate`` auth suffixes are stripped; format csv
+        only."""
+        args, end = _find_args(src, src.index("("))
+        fields = []
+        for a in args:
+            name, _, ktype = a.partition(":")
+            ktype = ktype.strip().lower()
+            if ktype not in self._KUSTO_TYPES:
+                raise KqlParseError(f"externaldata: unknown type {ktype!r}")
+            fields.append(f"{name.strip()} {self._KUSTO_TYPES[ktype]}")
+        rest = src[end:].strip()
+        m = re.match(r"\[(.*?)\]\s*(?:with\s*\((.*)\))?\s*$", rest, re.DOTALL)
+        if not m:
+            raise KqlParseError(
+                "externaldata needs ['uri', ...] with(...) after the schema"
+            )
+        uris = [
+            u.strip().strip("'\"").split(";")[0]
+            for u in _split_top(m.group(1), ",")
+            if u.strip()
+        ]
+        opts = {}
+        for kv in _split_top(m.group(2) or "", ","):
+            if "=" in kv:
+                k, _, v = kv.partition("=")
+                opts[k.strip().lower()] = v.strip().strip("'\"").lower()
+        fmt = opts.get("format", "csv")
+        if fmt != "csv":
+            raise KqlParseError(f"externaldata: only format='csv' (got {fmt!r})")
+        spark = self._spark
+        if spark is None:
+            raise KqlParseError("externaldata requires a SparkSession")
+        return spark.read.csv(
+            uris,
+            schema=", ".join(fields),
+            header=opts.get("ignorefirstrecord") == "true",
+            escape='"',
+        )
 
     def _apply(self, frame: KqlFrame, op: str) -> KqlFrame:
         verb_m = re.match(
@@ -466,4 +534,4 @@ def kql(
             return tables[name]
         return spark.table(name)
 
-    return KqlQuery(resolve).run(text)
+    return KqlQuery(resolve, spark=spark).run(text)

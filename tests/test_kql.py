@@ -228,3 +228,56 @@ def test_parse_errors_are_loud(spark):
         kql(spark, "t | top x", tables={"t": df})
     with pytest.raises(KqlParseError, match="source must be"):
         kql(spark, "t | where x > 0 | union 1+1", tables={"t": df})
+
+
+def test_reference_status_view_kql_runs_verbatim(spark, tmp_path):
+    """The reference's ONE emitted KQL function — the externaldata
+    status view (DatabaseGateway.cs:85-95) — runs verbatim through the
+    parser against a real mirror's state checkpoint and agrees with the
+    engine's own LWW view."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+    from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    src_path = str(tmp_path / "sv_src")
+    state_dir = str(tmp_path / "sv_state")
+    src = DeltaSink(spark, src_path)
+    src.append(spark.range(20).toDF("id"))
+    src.append(spark.range(20, 30).toDF("id"))
+    p = MirrorPipeline(
+        spark, src_path, str(tmp_path / "sv_dst"), state_dir, table_name="sv"
+    )
+    p.run_until_idle()
+    src.delete("id < 5")
+    p.run_until_idle()
+
+    schema_decl = (
+        "table_name:string, start_tx_id:long, end_tx_id:long, "
+        "action:string, state:string, mirror_timestamp:string, "
+        "delta_timestamp:string, blob_path:string, "
+        "partition_values:string, size:long, record_count:long, "
+        "partition_columns:string, schema:string, internal_state:string"
+    )
+    got = kql(
+        spark,
+        f"""
+        externaldata({schema_decl})
+        [
+           '{state_dir}/ix_*.csv;impersonate'
+        ]
+        with(format='csv', ignoreFirstRecord=true)
+        | summarize arg_max(mirror_timestamp, *)
+            by table_name, start_tx_id, end_tx_id, action, blob_path
+        | order by table_name asc, start_tx_id asc, action asc, blob_path asc
+        | project table_name, start_tx_id, action, blob_path, state
+        """,
+    ).collect()
+    expect = p.state.current_items("sv")
+    assert [
+        (r["table_name"], r["start_tx_id"], r["action"], r["blob_path"], r["state"])
+        for r in got
+    ] == [
+        (r["table_name"], r["start_tx_id"], r["action"], r["blob_path"], r["state"])
+        for r in expect
+    ]
+    assert all(r["state"] in ("Done", "Skipped") for r in got)
