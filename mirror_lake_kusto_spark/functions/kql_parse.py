@@ -123,16 +123,27 @@ def _find_args(text: str, start: int) -> tuple[list[str], int]:
     raise KqlParseError(f"unbalanced parentheses in: {text!r}")
 
 
-def _rewrite_calls(expr: str, name: str, fmt: Callable[[list[str]], str]) -> str:
+def _rewrite_calls(
+    expr: str,
+    name: str,
+    fmt: Callable[[list[str]], str],
+    self_referential: bool = False,
+) -> str:
     """Replace every call ``name(...)`` (word boundary) with
-    ``fmt(args)``, handling nesting by repeated single passes."""
+    ``fmt(args)``.  Non-self-referential rewrites rescan from the start
+    so nested calls inside arguments are rewritten too; a rewrite whose
+    REPLACEMENT still contains ``name(`` must set ``self_referential``
+    to scan past each replacement instead (else infinite loop)."""
     pat = re.compile(r"\b" + name + r"\s*\(", re.IGNORECASE)
+    pos = 0
     while True:
-        m = pat.search(expr)
+        m = pat.search(expr, pos)
         if not m:
             return expr
         args, end = _find_args(expr, expr.index("(", m.start()))
-        expr = expr[: m.start()] + fmt(args) + expr[end:]
+        repl = fmt(args)
+        expr = expr[: m.start()] + repl + expr[end:]
+        pos = m.start() + len(repl) if self_referential else 0
 
 
 _WORD_RE = r"[A-Za-z0-9_]"
@@ -230,6 +241,16 @@ def translate_expr(e: str) -> str:
         e, "isnotempty", lambda a: f"(coalesce({a[0]}, '') != '')"
     )
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
+    # Kusto percentile(x, P) takes a 0-100 percent; Spark's exact
+    # percentile takes a 0-1 fraction
+    e = _rewrite_calls(
+        e,
+        "percentile",
+        lambda a: f"percentile({a[0]}, ({a[1]}) / 100.0)",
+        self_referential=True,
+    )
+    e = re.sub(r"\bstdev\s*\(", "stddev_samp(", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bvariance\s*\(", "var_samp(", e, flags=re.IGNORECASE)
     return e
 
 

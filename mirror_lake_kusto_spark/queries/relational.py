@@ -462,6 +462,49 @@ def d13(spark, sf_dir):
     )
 
 
+@query(
+    "d14_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact percentiles per group (Kusto percentiles(); Spark's "
+    "exact `percentile` agg, linear-interpolated like quantile_cont — "
+    "the SQL-standard continuous quantile both engines share)",
+)
+def d14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "d15_stddev_variance",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd,
+           ROUND(var_samp(l_extendedprice), 2) AS var,
+           ROUND(avg(l_extendedprice), 4) AS mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="sample stddev/variance per group (Kusto stdev()/variance(); "
+    "Welford-style distributed moments on both engines)",
+)
+def d15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.E — window functions
 # ---------------------------------------------------------------------------

@@ -281,3 +281,16 @@ def test_reference_status_view_kql_runs_verbatim(spark, tmp_path):
         for r in expect
     ]
     assert all(r["state"] in ("Done", "Skipped") for r in got)
+
+
+def test_parse_percentile_stdev(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    out = kql(
+        spark,
+        "t | summarize p50 = percentile(v, 50), sd = round(stdev(v), 4)",
+        tables={"t": df},
+    ).collect()[0]
+    assert out.p50 == 50.5  # Kusto percent scale -> exact percentile
+    assert abs(out.sd - 29.0115) < 1e-3
