@@ -532,3 +532,44 @@ def cosine_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization — the storage path for 100 TB vector corpora
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: q[i] =
+    round(127 * v[i] / max|v|), stored with its ``scale`` (max|v|/127)
+    for dequantization — 4x smaller than float32 at <1% cosine error on
+    unit-scale embeddings (the standard SQ8 storage format, e.g.
+    FAISS's ScalarQuantizer).  Pure JVM expressions — no Python in the
+    path; composes with any downstream operator via dequantize_int8."""
+    absmax = F.array_max(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.abs(x))
+    )
+    safe = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax)
+    return df.withColumn("_absmax", safe).select(
+        *df.columns,
+        (F.col("_absmax") / F.lit(127.0)).alias(f"{out_col}_scale"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 127.0 / F.col("_absmax")).cast("tinyint"),
+        ).alias(out_col),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q", out_col: str = "embedding_dq"
+) -> DataFrame:
+    """Inverse of quantize_int8: v[i] ~= q[i] * scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda x: x.cast("double") * F.col(f"{q_col}_scale"),
+        ),
+    )

@@ -469,3 +469,68 @@ def pipeline_dedup_corpus(spark, sf_dir):
         dd.join(losers, "doc_id", "left_anti")
         .select("doc_id", text.token_count("text").alias("n_tokens"))
     )
+
+
+@query(
+    "embedding_quantize_roundtrip",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (
+      SELECT vec_id, emb,
+             CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(emb, x -> abs(x))) END AS am
+      FROM e
+    ), dq AS (
+      SELECT vec_id, emb, ROUND(am / 127.0, 6) AS q_scale,
+             list_transform(emb, x -> ROUND(x * 127.0 / am) * am / 127.0)
+                 AS dqv
+      FROM q
+    )
+    SELECT vec_id, q_scale,
+           ROUND(list_dot_product(emb, dqv) /
+                 (sqrt(list_dot_product(emb, emb)) *
+                  sqrt(list_dot_product(dqv, dqv))), 4) AS cos_dq
+    FROM dq
+    """,
+    doc="int8 scalar quantization round-trip (the 4x storage path for "
+    "100 TB vector corpora): per-vector symmetric SQ8, dequantize, "
+    "cosine fidelity against the original — all JVM expressions",
+)
+def embedding_quantize_roundtrip(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = similarity.quantize_int8(emb, "embedding", out_col="q")
+    dq = similarity.dequantize_int8(q, "q", out_col="embedding_dq")
+    return dq.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        similarity._cosine_sim_expr("embedding", "embedding_dq", 4).alias(
+            "cos_dq"
+        ),
+    )
+
+
+@query(
+    "text_token_topk",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n FROM counts
+    ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    doc="corpus token frequency top-k (vocabulary head): explode -> "
+    "count -> TakeOrdered; the map-side partial agg means only distinct "
+    "tokens shuffle, never the token stream",
+)
+def text_token_topk(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

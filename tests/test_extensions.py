@@ -395,3 +395,23 @@ def test_ngram_doc_frequency_cap_keeps_exact_values(spark):
     }
     assert (100, 101) in capped
     assert capped == exact  # qualifying pairs all share rare shingles
+
+
+def test_quantize_int8_fidelity_and_jvm_side(spark, emb):
+    """SQ8 round-trip keeps cosine fidelity >= 0.999 on every vector,
+    and the whole path is JVM expressions (no Python UDF in the plan)."""
+    q = similarity.quantize_int8(emb, "embedding")
+    dq = similarity.dequantize_int8(q, "q")
+    out = dq.select(
+        "vec_id",
+        similarity._cosine_sim_expr("embedding", "embedding_dq", 6).alias("c"),
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Python" not in plan and "Arrow" not in plan  # pure JVM
+    vals = [r.c for r in out.collect()]
+    assert min(vals) >= 0.999
+    # int8 range respected
+    qrow = q.select(F.array_max("q").alias("mx"), F.array_min("q").alias("mn")).collect()
+    assert all(-127 <= r.mn and r.mx <= 127 for r in qrow)
