@@ -158,3 +158,39 @@ def s5_asof_join(spark, sf_dir):
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     return asof_join(errors, clicks, on=["user_id"], right_cols=["ts", "value"])
+
+
+@query(
+    "s7_interval_join",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type FROM events),
+    c AS (SELECT user_id, ts AS cts, event_id AS click_id
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts, event_id AS purchase_id
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(epoch_ms(pts) - epoch_ms(cts) AS BIGINT) AS ms_to_purchase
+    FROM c JOIN p ON c.user_id = p.user_id
+               AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+    """,
+    doc="stream-stream interval join (I4 beyond-ref): each click pairs "
+    "with that user's purchases within the following hour — the "
+    "funnel/attribution shape; time bound in the join condition so "
+    "streaming state evicts by watermark",
+)
+def s7_interval_join(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = W.interval_join(clicks, purchases, "user_id", "ts", upper="1 hour")
+    return out.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("ms_to_purchase"),
+    )

@@ -223,3 +223,39 @@ def dedup_with_counts(
             fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    upper: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each left row with
+    every right row of the same key whose timestamp falls in
+    ``[left.ts, left.ts + upper]`` — the funnel/attribution join
+    (click -> purchase within an hour).
+
+    All columns come back prefixed ``l_``/``r_``.  The time bound lives
+    IN the join condition, which is what lets Structured Streaming
+    evict state: with a watermark on both sides, left rows older than
+    watermark+upper and right rows older than watermark are dropped
+    from the join state (Spark's stream-stream inner-join contract).
+    Batch mode runs the identical plan with no state at all.
+    """
+    lsel = left.select([F.col(c).alias("l_" + c) for c in left.columns])
+    rsel = right.select([F.col(c).alias("r_" + c) for c in right.columns])
+    if watermark is not None and left.isStreaming:
+        lsel = lsel.withWatermark("l_" + ts_col, watermark)
+        rsel = rsel.withWatermark("r_" + ts_col, watermark)
+    cond = (
+        (F.col("l_" + key_col) == F.col("r_" + key_col))
+        & (F.col("r_" + ts_col) >= F.col("l_" + ts_col))
+        & (
+            F.col("r_" + ts_col)
+            <= F.col("l_" + ts_col) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner")

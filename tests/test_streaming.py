@@ -218,6 +218,45 @@ def test_asof_join_matches_window_impl(spark):
     assert _sorted_rows(got) == _sorted_rows(ref)
 
 
+def test_interval_join_stream_equals_batch(spark, chunked_events, tmp_path):
+    """Stream-stream interval join (click->purchase within 1h) emits
+    exactly the batch result: inner-join matches are complete because
+    each micro-batch's right rows only need left state newer than
+    watermark-upper, which the eviction contract retains."""
+    batch_df = spark.read.parquet(chunked_events).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        return clicks, purchases
+
+    bc, bp = split(batch_df)
+    expected = _sorted_rows(W.interval_join(bc, bp, "user_id", "ts", upper="1 hour"))
+    assert expected, "fixture must produce at least one click->purchase pair"
+
+    def transform(s):
+        sc, sp = split(s)
+        return W.interval_join(
+            sc, sp, "user_id", "ts", upper="1 hour", watermark="10 minutes"
+        )
+
+    got = _run_stream(
+        spark,
+        chunked_events,
+        spark.read.parquet(chunked_events).schema,
+        transform,
+        "append",
+        str(tmp_path / "ckpt_ivj"),
+    )
+    assert _sorted_rows(got) == expected
+
+
 def test_dedup_with_counts_custom_stateful(spark, tmp_path):
     """applyInPandasWithState custom operator: per-key first-seen ts AND
     duplicate count, emitted on watermark timeout.  Key 7 spans three
