@@ -31,6 +31,7 @@ from mirror_lake_kusto_spark.session import build_session
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -39,12 +40,17 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
     "q22_prospective_customers",
     "e1_topk_per_group",
     "d3_argmax_window",

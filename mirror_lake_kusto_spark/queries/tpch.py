@@ -631,3 +631,289 @@ def q17(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("_qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ROUND(ps_supplycost, 2) AS supplycost
+    FROM ps, part, supplier, nation, region
+    WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+      AND p_size <= 10 AND p_type = 'ECONOMY'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.ps_partkey = ps.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          AND n2.n_nationkey = s2.s_nationkey AND r2.r_regionkey = n2.n_regionkey
+          AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    doc="TPC-H Q2 shape (partsupp derived from lineitem as min unit "
+    "price per part+supplier): correlated min-cost subquery, "
+    "decorrelated to a per-part window min over region-eligible rows; "
+    "supplier/nation/region/part all broadcast",
+)
+def q2(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    best = eligible.withColumn("_min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("_min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(part_value, 2) AS part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.0006 FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape: per-key value sum filtered against a global "
+    "scalar threshold (sum-of-sums * fraction) via broadcast cross join "
+    "-- the two-pass 'share of total' aggregate",
+)
+def q11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")
+    )
+    total = val.agg((F.sum("part_value") * 0.0006).alias("_threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (returnflag stands in for shipmode, "
+    "shipdate-vs-orderdate lag for receipt-vs-commit): fact-fact join "
+    "with a date-arithmetic predicate, then conditional CASE sums",
+)
+def q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: windowed-quarter revenue view joined against "
+    "its own scalar max (rounded before the compare so both engines "
+    "agree bit-for-bit); supplier broadcast",
+)
+def q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q20_part_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation, region
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey HAVING SUM(l_quantity) > 300
+      )
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: nested semi-join chain -- parts by name "
+    "prefix (broadcast semi into lineitem), per-supplier quantity "
+    "HAVING, then semi join into supplier with a region filter",
+)
+def q20(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM flagged f1
+    JOIN supplier ON s_suppkey = f1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE f1.late
+      AND EXISTS (SELECT 1 FROM flagged f2
+                  WHERE f2.l_orderkey = f1.l_orderkey
+                    AND f2.l_suppkey <> f1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged f3
+                      WHERE f3.l_orderkey = f1.l_orderkey
+                        AND f3.l_suppkey <> f1.l_suppkey AND f3.late)
+      AND n_name = 'NATION_9'
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape (lateness = shipdate > orderdate + 90d): "
+    "EXISTS another-supplier + NOT EXISTS another-late-supplier, "
+    "decorrelated to per-order distinct-supplier counts joined back on "
+    "the order key -- the oracle keeps the EXISTS form so the rewrite "
+    "is checked semantically",
+)
+def q21(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        flagged.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -211,3 +211,41 @@ def test_cosine_pairs_no_driver_collect_no_cartesian(spark, monkeypatch):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan  # block-pair reduce groups
+
+
+def test_q2_dims_broadcast_no_cartesian(spark):
+    # supplier/nation/region/part broadcast; the only shuffles are the
+    # partsupp-derivation groupBy and the per-part window min
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    # global threshold arrives via BroadcastNestedLoopJoin of a 1-row
+    # aggregate, not a shuffle or cartesian over the per-part values
+    plan = _plan(spark, "q11_important_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q15_supplier_broadcast(spark):
+    plan = _plan(spark, "q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_chain(spark):
+    # both IN subqueries lower to broadcast LEFT SEMI joins
+    plan = _plan(spark, "q20_part_promotion")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_decorrelated_single_fact_shuffle(spark):
+    # flagged joins per-order stats on the same key the fact join
+    # produced -- no cartesian, supplier side broadcast
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
