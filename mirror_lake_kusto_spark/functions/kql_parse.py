@@ -27,9 +27,14 @@ Expression translation is a bounded token rewrite into Spark SQL:
 ``!contains`` (case-insensitive substring), ``startswith`` /
 ``endswith``, ``matches regex``, ``strcat/strlen/tolower/toupper/
 iif/iff``, ``tostring/tolong/toint/todouble/tobool/todatetime`` (casts),
-``datetime(...)`` literals, ``ago(Nd|Nh|Nm|Ns)``, numeric ``bin(x, w)``;
-aggregate renames ``dcount -> count(distinct)``, ``make_list/make_set ->
-collect_list/collect_set``, ``countif -> count_if``.  Anything outside
+``datetime(...)`` literals, ``ago(Nd|Nh|Nm|Ns)``, numeric ``bin(x, w)``
+AND datetime ``bin(ts, 1h)`` (epoch-aligned, timespan width), timespan
+literals ``1d/12h/30m/45s/500ms`` (-> intervals, also via ``time(...)``),
+``x between (lo .. hi)``, ``now()``, ``datetime_diff``, ``startofday/
+week/month/year``, ``getyear/getmonth/dayofmonth/hourofday/
+format_datetime``; aggregate renames ``dcount -> count(distinct)``,
+``make_list/make_set -> collect_list/collect_set``, ``countif ->
+count_if``.  Anything outside
 the dialect raises ``KqlParseError`` naming the verb — no silent
 misreads.
 
@@ -175,6 +180,61 @@ _DT_RE = re.compile(r"\bdatetime\s*\(\s*([^()]*?)\s*\)", re.IGNORECASE)
 
 _AGO_UNIT = {"d": "day", "h": "hour", "m": "minute", "s": "second"}
 
+# KQL timespan literal: 1d / 12h / 30m / 45s / 500ms, optionally
+# fractional (1.5h).  `m` is minutes (KQL), never months.
+_TIMESPAN_BODY = r"(\d+(?:\.\d+)?)\s*(ms|[dhms])(?![A-Za-z0-9_(])"
+_TIMESPAN_RE = re.compile(r"(?<![A-Za-z0-9_.])" + _TIMESPAN_BODY)
+_TIMESPAN_UNIT = {
+    "d": "day",
+    "h": "hour",
+    "m": "minute",
+    "s": "second",
+    "ms": "millisecond",
+}
+_TIMESPAN_US = {
+    "d": 86_400_000_000,
+    "h": 3_600_000_000,
+    "m": 60_000_000,
+    "s": 1_000_000,
+    "ms": 1_000,
+}
+
+
+def _timespan_us(arg: str) -> int | None:
+    """Microseconds in a timespan literal ``1h`` / ``time(1h)`` /
+    ``time(0.5d)``, or None if ``arg`` isn't one."""
+    arg = arg.strip()
+    m = re.fullmatch(r"time\s*\((.*)\)", arg, re.IGNORECASE)
+    if m:
+        arg = m.group(1).strip()
+    m = re.fullmatch(_TIMESPAN_BODY.replace("(?![A-Za-z0-9_(])", ""), arg)
+    if not m:
+        return None
+    return int(float(m.group(1)) * _TIMESPAN_US[m.group(2)])
+
+
+def _sub_outside_quotes(pat: re.Pattern, repl, text: str) -> str:
+    """Apply ``pat.sub(repl, ...)`` only to regions outside single- or
+    double-quoted strings (timespan literals may legitimately appear
+    inside string literals — '30m' — and must survive)."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = text.find(ch, i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(text[i : j + 1])
+            i = j + 1
+        else:
+            j = n
+            for q in ("'", '"'):
+                k = text.find(q, i)
+                if k >= 0:
+                    j = min(j, k)
+            out.append(pat.sub(repl, text[i:j]))
+            i = j
+    return "".join(out)
+
 # plain function-name renames (args untouched)
 _FN_RENAME = {
     "strcat": "concat",
@@ -187,6 +247,12 @@ _FN_RENAME = {
     "make_set": "collect_set",
     "countif": "count_if",
     "strcat_delim": "concat_ws",
+    # datetime scalars (KQL name -> Spark SQL name, args align)
+    "getyear": "year",
+    "getmonth": "month",
+    "dayofmonth": "day",
+    "hourofday": "hour",
+    "format_datetime": "date_format",
 }
 _CASTS = {
     "tostring": "STRING",
@@ -196,6 +262,40 @@ _CASTS = {
     "tobool": "BOOLEAN",
     "todatetime": "TIMESTAMP",
 }
+
+
+_BETWEEN_RE = re.compile(r"(\S+)\s+(!?)between\s*\(", re.IGNORECASE)
+
+
+def _rewrite_between(e: str) -> str:
+    """KQL ``x between (lo .. hi)`` (inclusive) / ``!between`` -> range
+    predicate.  The bounds keep their KQL spellings (datetime(...),
+    timespan arithmetic) and are translated by the later rewrites."""
+    while True:
+        m = _BETWEEN_RE.search(e)
+        if not m:
+            return e
+        start = e.index("(", m.end() - 1)
+        depth, i = 0, start
+        while i < len(e):
+            if e[i] == "(":
+                depth += 1
+            elif e[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise KqlParseError(f"unbalanced parentheses in between: {e!r}")
+        lo, sep, hi = e[start + 1 : i].partition("..")
+        if not sep:
+            raise KqlParseError("between needs (lo .. hi)")
+        neg = "NOT " if m.group(2) else ""
+        repl = (
+            f"{neg}(({m.group(1)} >= {lo.strip()}) "
+            f"AND ({m.group(1)} <= {hi.strip()}))"
+        )
+        e = e[: m.start()] + repl + e[i + 1 :]
 
 
 def translate_expr(e: str) -> str:
@@ -222,6 +322,7 @@ def translate_expr(e: str) -> str:
     e = _CONTAINS_RE.sub(_contains, e)
     e = _STARTS_RE.sub(_startsends, e)
     e = _MATCHES_RE.sub(lambda m: f"({m.group(1)} RLIKE {m.group(2)})", e)
+    e = _rewrite_between(e)
     e = _DT_RE.sub(lambda m: f"TIMESTAMP'{m.group(1)}'", e)
     e = _AGO_RE.sub(
         lambda m: f"(current_timestamp() - INTERVAL {m.group(1)} "
@@ -233,9 +334,39 @@ def translate_expr(e: str) -> str:
         e = re.sub(r"\b" + k + r"\s*\(", v + "(", e, flags=re.IGNORECASE)
     for k, t in _CASTS.items():
         e = _rewrite_calls(e, k, lambda a, t=t: f"CAST({a[0]} AS {t})")
+    def _bin(a: list[str]) -> str:
+        # datetime bin: width is a timespan literal -> epoch-aligned
+        # floor in microseconds (matches Kusto's epoch alignment)
+        us = _timespan_us(a[1])
+        if us is not None:
+            return (
+                f"timestamp_micros(CAST(FLOOR(unix_micros({a[0]}) / {us}) "
+                f"AS BIGINT) * {us})"
+            )
+        return f"(FLOOR(({a[0]}) / ({a[1]})) * ({a[1]}))"
+
+    e = _rewrite_calls(e, "bin", _bin)
     e = _rewrite_calls(
-        e, "bin", lambda a: f"(FLOOR(({a[0]}) / ({a[1]})) * ({a[1]}))"
+        e,
+        "datetime_diff",
+        lambda a: f"timestampdiff({a[0].strip(chr(39))}, {a[2]}, {a[1]})",
     )
+    for part_ in ("day", "month", "year", "week"):
+        e = _rewrite_calls(
+            e, f"startof{part_}", lambda a, p=part_: f"date_trunc('{p}', {a[0]})"
+        )
+    e = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", e, flags=re.IGNORECASE)
+    e = _rewrite_calls(e, "time", lambda a: a[0])  # time(1h) -> bare literal
+    # standalone timespan literals become intervals (after bin/ago, so
+    # their widths are already consumed; quoted strings untouched)
+    def _interval(m: re.Match) -> str:
+        n, unit = m.group(1), m.group(2).lower()
+        if "." in n:  # Spark intervals only allow fractions on seconds
+            secs = float(n) * _TIMESPAN_US[unit] / 1_000_000
+            return f"INTERVAL '{secs:g}' second"
+        return f"INTERVAL '{n}' {_TIMESPAN_UNIT[unit]}"
+
+    e = _sub_outside_quotes(_TIMESPAN_RE, _interval, e)
     e = _rewrite_calls(e, "isempty", lambda a: f"(coalesce({a[0]}, '') = '')")
     e = _rewrite_calls(
         e, "isnotempty", lambda a: f"(coalesce({a[0]}, '') != '')"

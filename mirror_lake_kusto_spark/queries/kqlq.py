@@ -121,3 +121,36 @@ def kql_join_subquery_topk(spark, sf_dir):
         """,
         tables=tables,
     )
+
+
+@query(
+    "kql_datetime_bin",
+    """
+    SELECT CAST(to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 21600)
+                             * 21600) AS TIMESTAMP) AS slot,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-12'
+      AND event_type = 'click'
+    GROUP BY slot ORDER BY slot
+    """,
+    doc="KQL string: datetime bin(ts, 6h) epoch-aligned bucketing + "
+    "between range + timespan literals -- the Kusto time-series "
+    "idiom (summarize ... by bin(ts, dt)) over the events stream "
+    "table",
+)
+def kql_datetime_bin(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | where ts between (datetime(2024-01-05) .. datetime(2024-01-12))
+            and event_type == 'click'
+        | summarize n = count(), total = round(sum(value), 2)
+            by slot = bin(ts, 6h)
+        | order by slot asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -294,3 +294,63 @@ def test_parse_percentile_stdev(spark):
     ).collect()[0]
     assert out.p50 == 50.5  # Kusto percent scale -> exact percentile
     assert abs(out.sd - 29.0115) < 1e-3
+
+
+def test_translate_datetime_timespan_forms():
+    from mirror_lake_kusto_spark.functions.kql_parse import translate_expr as T
+
+    assert "3600000000" in T("bin(ts, 1h)")  # epoch-aligned µs floor
+    assert T("bin(x, 10)") == "(FLOOR((x) / (10)) * (10))"
+    assert T("bin(ts, time(30m))") == T("bin(ts, 30m)")
+    assert T("x + 1d") == "x + INTERVAL '1' day"
+    assert T("x + 1.5h") == "x + INTERVAL '5400' second"  # fractional -> s
+    assert T("x - 500ms") == "x - INTERVAL '500' millisecond"
+    assert T("s contains '30m'") == "contains(lower(s), '30m')"  # quoted safe
+    assert T("now()") == "current_timestamp()"
+    assert T("startofday(ts)") == "date_trunc('day', ts)"
+    assert T("datetime_diff('day', a, b)") == "timestampdiff(day, b, a)"
+    assert (
+        T("ts between (datetime(2024-01-01) .. datetime(2024-02-01))")
+        == "((ts >= TIMESTAMP'2024-01-01') AND (ts <= TIMESTAMP'2024-02-01'))"
+    )
+    assert T("x !between (1 .. 5)") == "NOT ((x >= 1) AND (x <= 5))"
+
+
+def test_parse_datetime_bin_matches_date_trunc(spark):
+    """bin(ts, 1h) must agree with Spark's own date_trunc on real data
+    (both epoch-aligned for whole-hour widths)."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    got = kql(
+        spark,
+        "events | summarize n = count() by h = bin(ts, 1h) | order by h asc",
+        tables={"events": ev},
+    ).collect()
+    ref = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("h")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_parse_between_and_timespan_arith(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 06:00:00"),
+         (3, "2024-01-02 00:00:01")],
+        "id long, s string",
+    ).selectExpr("id", "CAST(s AS TIMESTAMP) AS ts")
+    out = kql(
+        spark,
+        "t | where ts between (datetime(2024-01-01) .. datetime(2024-01-01) + 1d)"
+        " | project id",
+        tables={"t": df},
+    ).collect()
+    assert sorted(r.id for r in out) == [1, 2]
