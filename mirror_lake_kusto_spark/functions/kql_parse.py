@@ -16,7 +16,8 @@ directly:
 
 Supported verbs (the reference's surface + Kusto basics):
 ``where  project  project-away  project-rename  extend  summarize
-(incl. arg_max/arg_min)  order by / sort by  top  take / limit  count
+(incl. arg_max/arg_min)  make-series (regular time grid -> aligned
+arrays)  order by / sort by  top  take / limit  count
 distinct  mv-expand  union  join kind=...``, plus the ``externaldata``
 source (typed CSV scan — the reference's status-view function,
 DatabaseGateway.cs:85-95, runs verbatim; tested against the engine's
@@ -498,8 +499,8 @@ class KqlQuery:
     def _apply(self, frame: KqlFrame, op: str) -> KqlFrame:
         verb_m = re.match(
             r"(project-away|project-rename|order\s+by|sort\s+by|mv-expand"
-            r"|where|project|extend|summarize|take|limit|top|count|distinct"
-            r"|union|join)\b(.*)",
+            r"|make-series|where|project|extend|summarize|take|limit|top"
+            r"|count|distinct|union|join)\b(.*)",
             op,
             re.IGNORECASE | re.DOTALL,
         )
@@ -636,6 +637,84 @@ class KqlQuery:
             raise KqlParseError("mv-expand takes one column")
         name, col = named[0]
         return frame.mv_expand(col, alias=name)
+
+    _MAKE_SERIES_RE = re.compile(
+        r"^(.*?)\s+on\s+([A-Za-z_][A-Za-z0-9_]*)\s+from\s+(.+?)\s+to\s+(.+?)"
+        r"\s+step\s+(\S+)(?:\s+by\s+(.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _op_make_series(self, frame, rest):
+        """``make-series name = agg() [default = lit], ... on ts
+        from datetime(...) to datetime(...) step 1h [by k, ...]`` —
+        Kusto's regular-grid aggregation, lowered onto
+        operators.timeseries.make_series.  Bounds must be datetime
+        literals; step a timespan literal; empty slots fill with the
+        clause's default (null when omitted, Kusto semantics)."""
+        import datetime as _dt
+
+        from ..operators.timeseries import make_series
+
+        m = self._MAKE_SERIES_RE.match(rest)
+        if not m:
+            raise KqlParseError(
+                "make-series needs 'aggs on ts from <dt> to <dt> step "
+                f"<timespan> [by cols]': {rest!r}"
+            )
+        agg_part, ts_col, lo, hi, step_txt, by_part = m.groups()
+
+        def _bound(txt: str) -> _dt.datetime:
+            t = translate_expr(txt.strip())
+            bm = re.fullmatch(r"TIMESTAMP'(.*)'", t)
+            if not bm:
+                raise KqlParseError(
+                    f"make-series bound must be a datetime literal: {txt!r}"
+                )
+            return _dt.datetime.fromisoformat(bm.group(1))
+
+        step_us = _timespan_us(step_txt)
+        if step_us is None:
+            raise KqlParseError(
+                f"make-series step must be a timespan literal: {step_txt!r}"
+            )
+        aggs, defaults = {}, {}
+        for name, expr in _named_exprs(agg_part):
+            dm = re.match(
+                r"^(.*?)\s+default\s*=\s*(\S+)\s*$", expr, re.IGNORECASE | re.DOTALL
+            )
+            if dm:
+                expr, default_txt = dm.group(1), dm.group(2)
+                try:
+                    defaults[name or expr] = (
+                        int(default_txt)
+                        if re.fullmatch(r"-?\d+", default_txt)
+                        else float(default_txt)
+                    )
+                except ValueError as exc:
+                    raise KqlParseError(
+                        f"make-series default must be numeric: {default_txt!r}"
+                    ) from exc
+            if name is None:
+                name = re.sub(r"\W+", "_", expr).strip("_") or "agg"
+                if expr in defaults:
+                    defaults[name] = defaults.pop(expr)
+            aggs[name] = F.expr(translate_expr(expr))
+        by = (
+            [c.strip() for c in _split_top(by_part, ",")] if by_part else []
+        )
+        return KqlFrame(
+            make_series(
+                frame.df,
+                ts_col,
+                aggs,
+                _bound(lo),
+                _bound(hi),
+                _dt.timedelta(microseconds=step_us),
+                by=by,
+                defaults=defaults,
+                axis_col=ts_col,
+            )
+        )
 
     def _op_union(self, frame, rest):
         others = []

@@ -40,7 +40,15 @@ _RECORDED_R01 = frozenset({
 
 def all_queries() -> dict[str, Query]:
     # Import for side effects: each module registers its queries.
-    from . import extensions, kqlq, mirror, relational, streaming, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        extensions,
+        kqlq,
+        mirror,
+        relational,
+        streaming,
+        timeseries,
+        tpch,
+    )
 
     ordered = sorted(registry, key=lambda n: n in _RECORDED_R01)
     return {n: registry[n] for n in ordered}

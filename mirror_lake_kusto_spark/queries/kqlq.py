@@ -154,3 +154,52 @@ def kql_datetime_bin(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_make_series",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(to_timestamp(
+               FLOOR((epoch(CAST(ts AS TIMESTAMP))
+                      - epoch(TIMESTAMP '2024-01-01')) / 86400) * 86400
+               + epoch(TIMESTAMP '2024-01-01')) AS TIMESTAMP) AS slot,
+             value
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11'
+    ),
+    agg AS (
+      SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (
+      SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-10',
+                                    INTERVAL 1 DAY)) AS slot
+    )
+    SELECT k.event_type,
+           list(s.slot ORDER BY s.slot) AS ts,
+           list(COALESCE(a.n, 0) ORDER BY s.slot) AS n
+    FROM keys k CROSS JOIN slots s
+    LEFT JOIN agg a ON a.event_type = k.event_type AND a.slot = s.slot
+    GROUP BY k.event_type ORDER BY k.event_type
+    """,
+    doc="KQL string: make-series daily counts by event_type — Kusto's "
+    "time-chart idiom parsed from the emitted dialect and lowered onto "
+    "operators/timeseries.make_series",
+)
+def kql_make_series(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from datetime(2024-01-01) to datetime(2024-01-11) step 1d
+            by event_type
+        | order by event_type asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

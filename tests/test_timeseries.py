@@ -1,0 +1,128 @@
+"""make-series / series-function tests: regular-grid semantics
+(Kusto's make-series contract) computed Spark-first.
+
+Golden values are hand-computed on a four-row fixture; the sf fixtures
+are covered by the oracle gate (ts_make_series / ts_series_moving_avg /
+kql_make_series in the registry).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from mirror_lake_kusto_spark.operators.timeseries import (
+    make_series,
+    series_moving_avg,
+    series_stats,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+H = datetime.timedelta(hours=1)
+
+
+@pytest.fixture()
+def small(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:30:00", 1.0),
+            ("a", "2024-01-01 02:15:00", 2.0),
+            ("a", "2024-01-01 02:45:00", 3.0),
+            ("b", "2024-01-01 01:10:00", 5.0),
+        ],
+        "k string, s string, v double",
+    ).selectExpr("k", "CAST(s AS TIMESTAMP) AS ts", "v")
+
+
+def test_grid_fill_and_defaults(spark, small):
+    out = {
+        r["k"]: r
+        for r in make_series(
+            small,
+            "ts",
+            {"n": F.count("*"), "total": F.sum("v")},
+            T0,
+            T0 + 4 * H,
+            H,
+            by=["k"],
+            defaults={"n": 0},  # total left to null-fill
+        ).collect()
+    }
+    assert [t.hour for t in out["a"]["ts_axis"]] == [0, 1, 2, 3]
+    assert out["a"]["n"] == [1, 0, 2, 0]
+    assert out["a"]["total"] == [1.0, None, 5.0, None]
+    assert out["b"]["n"] == [0, 1, 0, 0]
+
+
+def test_range_is_half_open_and_groups_from_filtered_input(spark, small):
+    # [00:00, 01:00) excludes everything but a's 00:30 row; group b
+    # has no in-range rows and must not emit a series (Kusto semantics)
+    rows = make_series(
+        small, "ts", {"n": F.count("*")}, T0, T0 + H, H, by=["k"]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["k"] == "a" and rows[0]["n"] == [1]
+
+
+def test_partial_last_slot_ceil(spark, small):
+    # 90-minute span at 1h step -> 2 slots (ceil), second starts 01:00
+    rows = make_series(
+        small,
+        "ts",
+        {"n": F.count("*")},
+        T0,
+        T0 + datetime.timedelta(minutes=90),
+        H,
+        by=["k"],
+        defaults={"n": 0},
+    ).collect()
+    axes = {r["k"]: [t.minute + 60 * t.hour for t in r["ts_axis"]] for r in rows}
+    assert all(a == [0, 60] for a in axes.values())
+
+
+def test_no_by_single_series(spark, small):
+    rows = make_series(
+        small, "ts", {"n": F.count("*")}, T0, T0 + 4 * H, H, defaults={"n": 0}
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == [1, 1, 2, 0]
+
+
+def test_series_moving_avg_golden(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)], "arr array<double>")
+    got = df.select(series_moving_avg("arr", 2).alias("ma")).first()["ma"]
+    assert got == [1.0, 1.5, 2.5, 3.5]
+
+
+def test_series_stats_golden(spark):
+    df = spark.createDataFrame([([1.0, 5.0, 3.0],)], "arr array<double>")
+    st = df.select(series_stats("arr").alias("s")).first()["s"]
+    assert (st["min"], st["max"], st["sum"], st["avg"]) == (1.0, 5.0, 9.0, 3.0)
+
+
+def test_make_series_plan_no_cartesian_no_udf(spark, small):
+    df = make_series(
+        small, "ts", {"n": F.count("*")}, T0, T0 + 4 * H, H, by=["k"]
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kql_make_series_matches_operator(spark, small):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    got = {
+        r["k"]: r["n"]
+        for r in kql(
+            spark,
+            "t | make-series n = count() default = 0 on ts "
+            "from datetime(2024-01-01) to datetime(2024-01-01 04:00:00) "
+            "step 1h by k",
+            tables={"t": small},
+        ).collect()
+    }
+    assert got == {"a": [1, 0, 2, 0], "b": [0, 1, 0, 0]}
