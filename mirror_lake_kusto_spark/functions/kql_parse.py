@@ -18,7 +18,9 @@ Supported verbs (the reference's surface + Kusto basics):
 ``where  project  project-away  project-rename  extend  summarize
 (incl. arg_max/arg_min)  make-series (regular time grid -> aligned
 arrays)  order by / sort by  top  take / limit  count
-distinct  mv-expand  union  join kind=...``, plus the ``externaldata``
+distinct  mv-expand  union  join kind=...  serialize (+ prev/next/
+row_cumsum/row_number over the order-by sort)``, ``let`` statements
+(scalar substitution + lazily-resolved tabular views), plus the ``externaldata``
 source (typed CSV scan — the reference's status-view function,
 DatabaseGateway.cs:85-95, runs verbatim; tested against the engine's
 own state checkpoint).
@@ -417,9 +419,41 @@ class KqlQuery:
     ):
         self.resolve = resolve
         self._spark = spark
+        self._lets: dict[str, str] = {}  # tabular let bodies (lazy)
+        self._let_cache: dict[str, DataFrame] = {}
+        self._order_sql: list[str] | None = None  # serialized-row order
+
+    _LET_RE = re.compile(
+        r"^let\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
+    )
 
     def run(self, text: str) -> DataFrame:
         text = re.sub(r"//[^\n]*", "", text)  # strip KQL line comments
+        statements = [s for s in (t.strip() for t in _split_top(text, ";")) if s]
+        if not statements:
+            raise KqlParseError("empty query")
+        for i in range(len(statements) - 1):
+            stmt = statements[i]
+            m = self._LET_RE.match(stmt)
+            if not m:
+                raise KqlParseError(
+                    f"only the final statement may be a query: {stmt!r}"
+                )
+            name, body = m.group(1), m.group(2).strip()
+            if "|" in body or re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", body):
+                self._lets[name] = body  # tabular: resolved lazily
+            else:
+                # scalar let: substitute (word-boundary) into every
+                # LATER statement — they see this binding
+                sub = re.compile(r"\b" + re.escape(name) + r"\b")
+                repl = f"({body})"
+                for j in range(i + 1, len(statements)):
+                    statements[j] = sub.sub(repl, statements[j])
+        if self._LET_RE.match(statements[-1]):
+            raise KqlParseError("query cannot end with a let statement")
+        return self._run_pipe(statements[-1])
+
+    def _run_pipe(self, text: str) -> DataFrame:
         stages = [s.strip() for s in _split_top(text, "|")]
         if not stages or not stages[0]:
             raise KqlParseError("empty query")
@@ -431,11 +465,17 @@ class KqlQuery:
     def _source(self, src: str) -> DataFrame:
         src = src.strip()
         if src.startswith("(") and src.endswith(")"):
-            return self.run(src[1:-1])
+            return self._run_pipe(src[1:-1])
         if re.match(r"externaldata\s*\(", src, re.IGNORECASE):
             return self._externaldata(src)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", src):
             raise KqlParseError(f"source must be a table name: {src!r}")
+        if src in self._lets:
+            if src not in self._let_cache:
+                body = self._lets.pop(src)  # pop: a cycle fails loudly
+                self._let_cache[src] = self._run_pipe(body)
+                self._lets[src] = body
+            return self._let_cache[src]
         return self.resolve(src)
 
     _KUSTO_TYPES = {
@@ -499,8 +539,8 @@ class KqlQuery:
     def _apply(self, frame: KqlFrame, op: str) -> KqlFrame:
         verb_m = re.match(
             r"(project-away|project-rename|order\s+by|sort\s+by|mv-expand"
-            r"|make-series|where|project|extend|summarize|take|limit|top"
-            r"|count|distinct|union|join)\b(.*)",
+            r"|make-series|serialize|where|project|extend|summarize|take"
+            r"|limit|top|count|distinct|union|join)\b(.*)",
             op,
             re.IGNORECASE | re.DOTALL,
         )
@@ -541,8 +581,56 @@ class KqlQuery:
         for name, expr in _named_exprs(rest):
             if name is None:
                 raise KqlParseError(f"extend needs name = expr: {expr!r}")
-            exprs[name] = F.expr(translate_expr(expr))
+            exprs[name] = F.expr(self._serialized_fns(translate_expr(expr)))
         return frame.extend(**exprs)
+
+    def _op_serialize(self, frame, rest):
+        """Kusto ``serialize`` marks the row set ordered.  Spark has no
+        natural row order, so serialization here must come from an
+        explicit ``order by`` — the verb just validates that."""
+        if rest:
+            raise KqlParseError("serialize takes no arguments")
+        if not self._order_sql:
+            raise KqlParseError(
+                "serialize requires a preceding 'order by' (Spark has no "
+                "natural row order to serialize)"
+            )
+        return frame
+
+    def _serialized_fns(self, e: str) -> str:
+        """prev/next/row_cumsum/row_number -> window functions over the
+        serialized (order by) sort.  Single global window: this is what
+        Kusto's serialized-row semantics mean — fine for ordered result
+        tails, not a scale path (use summarize/window queries for
+        that)."""
+        if not re.search(r"\b(prev|next|row_cumsum|row_number)\s*\(", e, re.IGNORECASE):
+            return e
+        if not self._order_sql:
+            raise KqlParseError(
+                "prev/next/row_cumsum/row_number need a preceding "
+                "'order by' (serialized row set)"
+            )
+        over = "OVER (ORDER BY " + ", ".join(self._order_sql) + ")"
+        cum = (
+            "OVER (ORDER BY " + ", ".join(self._order_sql)
+            + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        e = _rewrite_calls(
+            e, "prev",
+            lambda a: f"lag({a[0]}, {a[1] if len(a) > 1 else 1}) {over}",
+        )
+        e = _rewrite_calls(
+            e, "next",
+            lambda a: f"lead({a[0]}, {a[1] if len(a) > 1 else 1}) {over}",
+        )
+        e = _rewrite_calls(e, "row_cumsum", lambda a: f"sum({a[0]}) {cum}")
+        e = _rewrite_calls(
+            e,
+            "row_number",
+            lambda a: f"row_number() {over}",
+            self_referential=True,  # replacement still contains row_number(
+        )
+        return e
 
     def _op_summarize(self, frame, rest):
         by_split = re.split(r"\bby\b", rest, maxsplit=1, flags=re.IGNORECASE)
@@ -592,11 +680,12 @@ class KqlQuery:
         return frame.summarize(by=by_cols, **aggs)
 
     def _op_order_by(self, frame, rest):
-        cols = []
+        cols, frags = [], []
         for part in _split_top(rest, ","):
             part = part.strip()
             m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", part, re.IGNORECASE | re.DOTALL)
-            expr = F.expr(translate_expr(m.group(1)))
+            sql = translate_expr(m.group(1))
+            expr = F.expr(sql)
             # KQL default sort order is DESCENDING (nulls last here)
             direction = (m.group(2) or "desc").lower()
             cols.append(
@@ -604,6 +693,8 @@ class KqlQuery:
                 if direction == "desc"
                 else expr.asc_nulls_first()
             )
+            frags.append(f"{sql} {direction.upper()}")
+        self._order_sql = frags  # the row set is now serialized
         return KqlFrame(frame.df.orderBy(*cols))
 
     _op_sort_by = _op_order_by

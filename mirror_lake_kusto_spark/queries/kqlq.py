@@ -203,3 +203,39 @@ def kql_make_series(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_let_serialize_cumsum",
+    """
+    WITH daily AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                               * 86400) AS TIMESTAMP) AS day,
+             ROUND(SUM(value), 2) AS daily
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT day, daily,
+           ROUND(SUM(daily) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum,
+           LAG(daily, 1) OVER (ORDER BY day) AS prev_day
+    FROM daily ORDER BY day
+    """,
+    doc="KQL string: let statements (scalar + tabular) -> serialize -> "
+    "row_cumsum/prev over the order-by sort -- Kusto's running-total "
+    "idiom on daily purchase revenue",
+)
+def kql_let_serialize_cumsum(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        let kind = 'purchase';
+        let purchases = events | where event_type == kind;
+        purchases
+        | summarize daily = round(sum(value), 2) by day = bin(ts, 1d)
+        | order by day asc
+        | serialize
+        | extend cum = round(row_cumsum(daily), 2), prev_day = prev(daily)
+        | project day, daily, cum, prev_day
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

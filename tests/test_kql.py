@@ -354,3 +354,65 @@ def test_parse_between_and_timespan_arith(spark):
         tables={"t": df},
     ).collect()
     assert sorted(r.id for r in out) == [1, 2]
+
+
+def test_parse_let_statements(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 5.0)], "id long, v double"
+    )
+    # scalar let substitutes; tabular let resolves lazily; later lets
+    # see earlier scalar bindings
+    out = kql(
+        spark,
+        "let cutoff = 2; let big = t | where id >= cutoff; "
+        "big | summarize s = sum(v)",
+        tables={"t": df},
+    ).first()
+    assert out["s"] == 25.0
+
+
+def test_parse_let_tabular_referenced_twice_and_union(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = kql(
+        spark,
+        "let a = t | where id == 1; a | union a | count",
+        tables={"t": df},
+    ).first()
+    assert out["Count"] == 2
+
+
+def test_parse_serialize_window_fns(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 5.0)], "id long, v double"
+    )
+    rows = kql(
+        spark,
+        "t | order by id asc | serialize"
+        " | extend cum = row_cumsum(v), p = prev(v), nx = next(v),"
+        " rn = row_number()",
+        tables={"t": df},
+    ).collect()
+    got = [(r.id, r.cum, r.p, r.nx, r.rn) for r in rows]
+    assert got == [
+        (1, 10.0, None, 20.0, 1),
+        (2, 30.0, 10.0, 5.0, 2),
+        (3, 35.0, 20.0, None, 3),
+    ]
+
+
+def test_parse_serialized_fns_require_order(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(KqlParseError, match="order by"):
+        kql(spark, "t | extend p = prev(id)", tables={"t": df})
+    with pytest.raises(KqlParseError, match="order by"):
+        kql(spark, "t | serialize", tables={"t": df})
+    with pytest.raises(KqlParseError, match="end with a let"):
+        kql(spark, "let a = 1; let b = 2", tables={"t": df})
