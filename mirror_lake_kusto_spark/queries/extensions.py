@@ -534,3 +534,50 @@ def text_token_topk(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY month ORDER BY month
+    """,
+    doc="bucketed co-located fact-fact join (sources/bucketed.py): both "
+    "sides hash-clustered on the order key at write time, so the join "
+    "and any groupBy on that key run with zero Exchange — the shuffle "
+    "is paid once at ingest, never per query.  The query writes the "
+    "bucketed twins to a temp location, joins them shuffle-free, and "
+    "must match the plain-join oracle",
+)
+def bucketed_colocated_join(spark, sf_dir):
+    import tempfile
+
+    from ..sources.bucketed import colocated_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="mlk_bucketed_")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "mlk_bkt_lineitem", ["l_orderkey"], 8,
+                   location=f"{base}/lineitem")
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "mlk_bkt_orders",
+        ["l_orderkey"],
+        8,
+        location=f"{base}/orders",
+    )
+    joined = colocated_join(spark, "mlk_bkt_lineitem", "mlk_bkt_orders",
+                            "l_orderkey")
+    return (
+        joined.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
