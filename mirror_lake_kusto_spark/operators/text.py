@@ -198,3 +198,56 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("lang_pred"),
         "fingerprint",
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search over a document table: per-document
+    ``score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` (the Lucene/
+    Robertson form).  Returns ``(id_col, score)`` for every document
+    containing at least one query term.
+
+    Scale posture: tokens are filtered to the query terms IMMEDIATELY
+    after the explode, so only matching (doc, term) rows reach the
+    tf shuffle — the corpus itself never shuffles.  Corpus statistics
+    (N, avgdl) are scalar aggregates (map-side partials, one row out);
+    per-term document frequencies are |query_terms| rows broadcast
+    back onto the tf frame.  Everything is JVM expressions — no UDFs.
+    """
+    terms = [t.lower() for t in query_terms]
+    base = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.lower(t)).alias("_toks"),
+    ).select(id_col, "_toks", F.size("_toks").cast("double").alias("_dl"))
+
+    stats = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_term"))
+        .filter(F.col("_term").isin(*terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count("*").cast("double").alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    df_t = tf.groupBy("_term").agg(
+        F.countDistinct(id_col).cast("double").alias("_df")
+    )
+    idf = F.log((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1)
+    tf_part = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, (idf * tf_part).alias("_s"))
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("score"))
+    )

@@ -581,3 +581,48 @@ def bucketed_colocated_join(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@query(
+    "text_bm25_search",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> lower(t)) AS toks
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM docs)
+      WHERE term IN ('vector', 'stream', 'query')
+      GROUP BY doc_id, term
+    ),
+    dft AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+             LN((n - df + 0.5) / (df + 0.5) + 1)
+             * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="BM25 keyword search (operators/text.py:bm25_search): corpus "
+    "never shuffles (explode filtered to query terms immediately), "
+    "stats are scalar aggregates, per-term dfs broadcast -- the "
+    "text-side retrieval twin of the embedding similarity ops",
+)
+def text_bm25_search(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = text.bm25_search(docs, ["vector", "stream", "query"])
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("doc_id")

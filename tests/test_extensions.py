@@ -415,3 +415,44 @@ def test_quantize_int8_fidelity_and_jvm_side(spark, emb):
     # int8 range respected
     qrow = q.select(F.array_max("q").alias("mx"), F.array_min("q").alias("mn")).collect()
     assert all(-127 <= r.mn and r.mx <= 127 for r in qrow)
+
+
+def test_bm25_golden_ranking(spark):
+    """Hand-checkable corpus: the doc with more occurrences of a rarer
+    term outranks one with a single common term."""
+    from mirror_lake_kusto_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark fast"),
+            (2, "spark slow"),
+            (3, "slow slow fast"),
+            (4, "other words only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_search(docs, ["spark"]).collect()}
+    assert set(got) == {1, 2}  # only docs containing the term
+    assert got[1] > got[2]  # higher tf wins
+    import math
+
+    # doc 2: tf=1, dl=2, N=4, df=2, avgdl=(4+2+3+3)/4=3
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1)
+    tfp = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 3))
+    assert abs(got[2] - idf * tfp) < 1e-9
+
+
+def test_bm25_plan_jvm_side_no_corpus_shuffle_blowup(spark):
+    from mirror_lake_kusto_spark.operators.text import bm25_search
+    from mirror_lake_kusto_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    df = bm25_search(load_table(spark, "documents", SF_DIR), ["vector"])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the term filter must sit under the explode's generate, before any
+    # aggregation — the corpus token stream never reaches a shuffle
+    assert "Generate" in plan
