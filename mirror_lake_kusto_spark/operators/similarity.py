@@ -573,3 +573,68 @@ def dequantize_int8(
             lambda x: x.cast("double") * F.col(f"{q_col}_scale"),
         ),
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-k fused with embedding-cosine
+    top-k by reciprocal-rank fusion ``rrf = sum_r 1/(rrf_k + rank_r)``
+    — the standard two-tower + lexical ensemble for corpus search.
+
+    Scale posture: each retriever reduces to its own top-k FIRST
+    (TakeOrdered — no global sort materialization), so the rank window
+    and the fusion join only ever see 2k rows regardless of corpus
+    size.  Ranks are assigned over scores ROUNDED to 4 decimals with
+    the id as tiebreak, making the ranking reproducible across engines
+    and runs (float ulp noise cannot flip adjacent ranks).
+
+    The query vector rides along as a broadcast 1-row frame — cosine
+    scoring is the JVM zip_with expression, no Python, no collect.
+    """
+    from .text import bm25_search
+
+    w_rank = Window.orderBy(F.desc("_rscore"), F.col(id_col))
+
+    bm_top = (
+        bm25_search(docs, query_terms, id_col=id_col, text_col=text_col)
+        .select(id_col, F.round("score", 4).alias("_rscore"))
+        .orderBy(F.desc("_rscore"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.row_number().over(w_rank).alias("_rank_bm"))
+    )
+    qvec = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    cos_top = (
+        embeddings.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(vec_id_col).alias(id_col),
+            _cosine_sim_expr(vec_col, "_qvec", 4).alias("_rscore"),
+        )
+        .orderBy(F.desc("_rscore"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.row_number().over(w_rank).alias("_rank_cos"))
+    )
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (rrf_k + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        bm_top.join(cos_top, id_col, "full_outer")
+        .select(
+            id_col,
+            F.round(contrib("_rank_bm") + contrib("_rank_cos"), 6).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+    )

@@ -626,3 +626,79 @@ def text_bm25_search(spark, sf_dir):
     return out.select(
         "doc_id", F.round("score", 4).alias("score")
     ).orderBy("doc_id")
+
+
+@query(
+    "hybrid_search_rrf",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> lower(t)) AS toks
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM docs)
+      WHERE term IN ('vector', 'stream', 'query')
+      GROUP BY doc_id, term
+    ),
+    dft AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tf GROUP BY term
+    ),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               LN((n - df + 0.5) / (df + 0.5) + 1)
+               * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 4) AS s
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    bm_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank_bm
+      FROM (SELECT * FROM bm ORDER BY s DESC, doc_id LIMIT 50)
+    ),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])))),
+             4) AS s
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    cos_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank_cos
+      FROM (SELECT * FROM cos ORDER BY s DESC, doc_id LIMIT 50)
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + rank_bm), 0)
+                 + COALESCE(1.0 / (60 + rank_cos), 0), 6) AS rrf_score
+    FROM bm_top b FULL OUTER JOIN cos_top c USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    """,
+    doc="hybrid retrieval (operators/similarity.py:hybrid_search_rrf): "
+    "BM25 top-50 fused with embedding-cosine top-50 by reciprocal-rank "
+    "fusion; each retriever reduces to top-k before ranking so fusion "
+    "sees 2k rows regardless of corpus size; ranks assigned over "
+    "4-decimal-rounded scores so they are reproducible across engines",
+)
+def hybrid_search_rrf_q(spark, sf_dir):
+    from ..operators.similarity import hybrid_search_rrf
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hybrid_search_rrf(
+        docs, emb, ["vector", "stream", "query"], query_vec_id=0, k=50
+    )

@@ -456,3 +456,34 @@ def test_bm25_plan_jvm_side_no_corpus_shuffle_blowup(spark):
     # the term filter must sit under the explode's generate, before any
     # aggregation — the corpus token stream never reaches a shuffle
     assert "Generate" in plan
+
+
+def test_hybrid_rrf_topk_before_rank_and_no_python(spark):
+    from mirror_lake_kusto_spark.operators.similarity import hybrid_search_rrf
+    from mirror_lake_kusto_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    df = hybrid_search_rrf(
+        load_table(spark, "documents", SF_DIR),
+        load_table(spark, "embeddings", SF_DIR),
+        ["vector", "stream"],
+        query_vec_id=0,
+        k=10,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # each retriever reduces via TakeOrdered before the rank window --
+    # the global-sort materialization never happens
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # full-outer fusion dedups by id
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # top score is at least a rank-1 single-list contribution (the
+    # fixture embeddings carry no text signal, so the lists may be
+    # disjoint); never more than rank-1 in both lists
+    assert round(1.0 / 61, 6) <= scores[0] <= round(2.0 / 61, 6)
+    assert all(s > 0 for s in scores)
