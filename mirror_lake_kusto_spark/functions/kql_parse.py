@@ -35,7 +35,10 @@ AND datetime ``bin(ts, 1h)`` (epoch-aligned, timespan width), timespan
 literals ``1d/12h/30m/45s/500ms`` (-> intervals, also via ``time(...)``),
 ``x between (lo .. hi)``, ``now()``, ``datetime_diff``, ``startofday/
 week/month/year``, ``getyear/getmonth/dayofmonth/hourofday/
-format_datetime``; aggregate renames ``dcount -> count(distinct)``,
+format_datetime``, ``extract`` (regex group), ``extractjson`` /
+``parse_json(x).field`` / ``todynamic(x).field`` (-> get_json_object),
+``case(...)`` (-> CASE WHEN), ``array_length``; aggregate renames
+``dcount -> count(distinct)``,
 ``make_list/make_set -> collect_list/collect_set``, ``countif ->
 count_if``.  Anything outside
 the dialect raises ``KqlParseError`` naming the verb — no silent
@@ -370,6 +373,37 @@ def translate_expr(e: str) -> str:
         return f"INTERVAL '{n}' {_TIMESPAN_UNIT[unit]}"
 
     e = _sub_outside_quotes(_TIMESPAN_RE, _interval, e)
+    # extract(regex, group, source) -> regexp_extract(source, regex, group)
+    e = _rewrite_calls(
+        e, "extract", lambda a: f"regexp_extract({a[2]}, {a[0]}, {a[1]})"
+    )
+    # extractjson('$.path', doc) -> get_json_object(doc, '$.path');
+    # todynamic/parse_json keep the string for downstream extractjson
+    e = _rewrite_calls(
+        e, "extractjson", lambda a: f"get_json_object({a[1]}, {a[0]})"
+    )
+    # dynamic field access: parse_json(x).a.b -> get_json_object(x,'$.a.b')
+    e = re.sub(
+        r"\b(?:parse_json|todynamic)\s*\(([^()]*)\)((?:\.[A-Za-z_][A-Za-z0-9_]*)+)",
+        lambda m: f"get_json_object({m.group(1)}, '${m.group(2)}')",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = _rewrite_calls(e, "todynamic", lambda a: a[0])
+    e = _rewrite_calls(e, "parse_json", lambda a: a[0])
+
+    def _case(a: list[str]) -> str:
+        if len(a) < 3 or len(a) % 2 == 0:
+            raise KqlParseError(
+                "case() needs pred1, val1, ..., else_val (odd arg count)"
+            )
+        whens = "".join(
+            f" WHEN {a[i]} THEN {a[i + 1]}" for i in range(0, len(a) - 1, 2)
+        )
+        return f"(CASE{whens} ELSE {a[-1]} END)"
+
+    e = _rewrite_calls(e, "case", _case)
+    e = _rewrite_calls(e, "array_length", lambda a: f"size({a[0]})")
     e = _rewrite_calls(e, "isempty", lambda a: f"(coalesce({a[0]}, '') = '')")
     e = _rewrite_calls(
         e, "isnotempty", lambda a: f"(coalesce({a[0]}, '') != '')"

@@ -239,3 +239,33 @@ def kql_let_serialize_cumsum(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+    GROUP BY k ORDER BY k
+    """,
+    doc="KQL string: dynamic JSON property access "
+    "(todynamic(props).k -> get_json_object) with a case-insensitive "
+    "predicate and aggregation over the extracted key",
+)
+def kql_json_props(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | where event_type == 'purchase'
+        | extend k = tolong(todynamic(props).k)
+        | where k >= 90
+        | summarize n = count(), total = round(sum(value), 2) by k
+        | order by k asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -416,3 +416,41 @@ def test_parse_serialized_fns_require_order(spark):
         kql(spark, "t | serialize", tables={"t": df})
     with pytest.raises(KqlParseError, match="end with a let"):
         kql(spark, "let a = 1; let b = 2", tables={"t": df})
+
+
+def test_translate_json_and_case_forms():
+    from mirror_lake_kusto_spark.functions.kql_parse import translate_expr as T
+
+    assert T("extract('(\\d+)', 1, s)") == "regexp_extract(s, '(\\d+)', 1)"
+    assert (
+        T("extractjson('$.k', props)") == "get_json_object(props, '$.k')"
+    )
+    assert (
+        T("tolong(todynamic(props).k)")
+        == "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    assert T("parse_json(props).a.b") == "get_json_object(props, '$.a.b')"
+    assert (
+        T("case(x > 1, 'big', 'small')")
+        == "(CASE WHEN x > 1 THEN 'big' ELSE 'small' END)"
+    )
+    assert T("array_length(split(s, ' '))") == "size(split(s, ' '))"
+
+
+def test_parse_json_and_case_end_to_end(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": 95}')], "id long, props string"
+    )
+    rows = kql(
+        spark,
+        "t | extend k = tolong(todynamic(props).k)"
+        " | extend bucket = case(k >= 90, 'hot', 'cold')"
+        " | project id, k, bucket | order by id asc",
+        tables={"t": df},
+    ).collect()
+    assert [(r.id, r.k, r.bucket) for r in rows] == [
+        (1, 5, "cold"),
+        (2, 95, "hot"),
+    ]
