@@ -52,6 +52,11 @@ HEADLINE = [
     "q20_part_promotion",
     "q21_waiting_supplier",
     "q22_prospective_customers",
+    "s7_interval_join",
+    "ts_make_series",
+    "text_bm25_search",
+    "hybrid_search_rrf",
+    "kql_datetime_bin",
     "e1_topk_per_group",
     "d3_argmax_window",
     "c1_anti_join",

@@ -19,8 +19,11 @@ Supported verbs (the reference's surface + Kusto basics):
 (incl. arg_max/arg_min)  make-series (regular time grid -> aligned
 arrays)  order by / sort by  top  take / limit  count
 distinct  mv-expand  union  join kind=...  serialize (+ prev/next/
-row_cumsum/row_number over the order-by sort)``, ``let`` statements
-(scalar substitution + lazily-resolved tabular views), plus the ``externaldata``
+row_cumsum/row_number over the order-by sort)  project-keep
+project-reorder  getschema  as``, ``let`` statements (scalar
+substitution + lazily-resolved tabular views), the ``range`` /
+``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
+dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
 source (typed CSV scan — the reference's status-view function,
 DatabaseGateway.cs:85-95, runs verbatim; tested against the engine's
 own state checkpoint).
@@ -502,6 +505,12 @@ class KqlQuery:
             return self._run_pipe(src[1:-1])
         if re.match(r"externaldata\s*\(", src, re.IGNORECASE):
             return self._externaldata(src)
+        if re.match(r"range\s", src, re.IGNORECASE):
+            return self._range(src)
+        if re.match(r"print\b", src, re.IGNORECASE):
+            return self._print(src)
+        if re.match(r"datatable\s*\(", src, re.IGNORECASE):
+            return self._datatable(src)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", src):
             raise KqlParseError(f"source must be a table name: {src!r}")
         if src in self._lets:
@@ -511,6 +520,85 @@ class KqlQuery:
                 self._lets[src] = body
             return self._let_cache[src]
         return self.resolve(src)
+
+    def _range(self, src: str) -> DataFrame:
+        """``range x from lo to hi step s`` — numeric or datetime axis,
+        INCLUSIVE bounds (Kusto semantics).  Lowered onto a sequence()
+        expression: generation happens JVM-side, and Spark distributes
+        the explode."""
+        m = re.match(
+            r"range\s+([A-Za-z_][A-Za-z0-9_]*)\s+from\s+(.+?)\s+to\s+(.+?)"
+            r"\s+step\s+(.+)$",
+            src,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError(f"range needs 'range x from a to b step s': {src!r}")
+        name, lo, hi, step = m.groups()
+        spark = self._spark
+        if spark is None:
+            raise KqlParseError("range requires a SparkSession")
+        lo_t, hi_t = translate_expr(lo), translate_expr(hi)
+        step_us = _timespan_us(step)
+        if step_us is not None:  # datetime axis
+            step_sql = f"INTERVAL {step_us} microsecond"
+        else:
+            step_sql = translate_expr(step)
+        return spark.range(1).select(
+            F.explode(F.expr(f"sequence({lo_t}, {hi_t}, {step_sql})")).alias(name)
+        )
+
+    def _print(self, src: str) -> DataFrame:
+        """``print a = expr, ...`` — one computed row."""
+        spark = self._spark
+        if spark is None:
+            raise KqlParseError("print requires a SparkSession")
+        rest = src[len("print"):].strip()
+        cols = []
+        for i, (name, expr) in enumerate(_named_exprs(rest)):
+            cols.append(
+                F.expr(translate_expr(expr)).alias(name or f"print_{i}")
+            )
+        if not cols:
+            raise KqlParseError("print needs at least one expression")
+        return spark.range(1).select(*cols)
+
+    def _datatable(self, src: str) -> DataFrame:
+        """``datatable(c1:type, ...) [v1, v2, ...]`` — inline literal
+        table, values listed row-major (Kusto's test-fixture idiom)."""
+        spark = self._spark
+        if spark is None:
+            raise KqlParseError("datatable requires a SparkSession")
+        args, end = _find_args(src, src.index("("))
+        names, types = [], []
+        for a in args:
+            cname, _, ktype = a.partition(":")
+            ktype = ktype.strip().lower()
+            if ktype not in self._KUSTO_TYPES:
+                raise KqlParseError(f"datatable: unknown type {ktype!r}")
+            names.append(cname.strip())
+            types.append(self._KUSTO_TYPES[ktype])
+        body = src[end:].strip()
+        m = re.fullmatch(r"\[(.*)\]", body, re.DOTALL)
+        if not m:
+            raise KqlParseError("datatable needs [v1, v2, ...] after the schema")
+        vals = [v.strip() for v in _split_top(m.group(1), ",") if v.strip()]
+        if not vals or len(vals) % len(names) != 0:
+            raise KqlParseError(
+                f"datatable: {len(vals)} values do not fill rows of "
+                f"{len(names)} columns"
+            )
+        n = len(names)
+        rows = [
+            "(" + ", ".join(
+                f"CAST({translate_expr(v)} AS {t})"
+                for v, t in zip(vals[i : i + n], types)
+            ) + ")"
+            for i in range(0, len(vals), n)
+        ]
+        return spark.sql(
+            f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({', '.join(names)})"
+        )
 
     _KUSTO_TYPES = {
         "string": "string",
@@ -571,10 +659,14 @@ class KqlQuery:
         )
 
     def _apply(self, frame: KqlFrame, op: str) -> KqlFrame:
+        # Kusto shuffle/strategy hints are physical advice Catalyst/AQE
+        # already handle — accept and drop them so real queries run
+        op = re.sub(r"\bhint\.[\w.]+\s*=\s*\S+\s*", "", op)
         verb_m = re.match(
-            r"(project-away|project-rename|order\s+by|sort\s+by|mv-expand"
-            r"|make-series|serialize|where|project|extend|summarize|take"
-            r"|limit|top|count|distinct|union|join)\b(.*)",
+            r"(project-away|project-rename|project-keep|project-reorder"
+            r"|order\s+by|sort\s+by|mv-expand|make-series|serialize"
+            r"|getschema|where|project|extend|summarize|take"
+            r"|limit|top|count|distinct|union|join|as)\b(.*)",
             op,
             re.IGNORECASE | re.DOTALL,
         )
@@ -609,6 +701,42 @@ class KqlQuery:
                 raise KqlParseError("project-rename needs new = old pairs")
             out = out.withColumnRenamed(expr, name)
         return KqlFrame(out)
+
+    def _op_project_keep(self, frame, rest):
+        cols = [c.strip() for c in rest.split(",")]
+        # keep the table's column order, not the listed order (Kusto)
+        keep = [c for c in frame.df.columns if c in cols]
+        return KqlFrame(frame.df.select(*keep))
+
+    def _op_project_reorder(self, frame, rest):
+        first = [c.strip() for c in rest.split(",")]
+        rest_cols = [c for c in frame.df.columns if c not in first]
+        return KqlFrame(frame.df.select(*first, *rest_cols))
+
+    def _op_getschema(self, frame, rest):
+        """Schema-as-a-table (driver-side metadata, no data read)."""
+        if rest:
+            raise KqlParseError("getschema takes no arguments")
+        spark = self._spark or frame.df.sparkSession
+        rows = [
+            (f.name, i, f.dataType.simpleString())
+            for i, f in enumerate(frame.df.schema.fields)
+        ]
+        return KqlFrame(
+            spark.createDataFrame(
+                rows, "ColumnName string, ColumnOrdinal int, ColumnType string"
+            )
+        )
+
+    def _op_as(self, frame, rest):
+        """``| as Name`` binds the current result for later statements
+        (and later sources inside this query)."""
+        name = rest.strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise KqlParseError(f"as needs a bare name: {rest!r}")
+        self._let_cache[name] = frame.df
+        self._lets[name] = name  # mark resolvable
+        return frame
 
     def _op_extend(self, frame, rest):
         exprs = {}

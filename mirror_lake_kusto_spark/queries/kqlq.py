@@ -269,3 +269,39 @@ def kql_json_props(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_range_calendar",
+    """
+    WITH daily AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                               * 86400) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT day, COALESCE(n, 0) AS n
+    FROM (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-30',
+                                        INTERVAL 1 DAY)) AS day)
+    LEFT JOIN daily USING (day)
+    ORDER BY day
+    """,
+    doc="KQL string: range-generated calendar axis left-joined with "
+    "daily counts (zero-filled gaps) -- the generated-dimension idiom; "
+    "also exercises let + leftouter join + coalesce",
+)
+def kql_range_calendar(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        let daily = events
+          | where event_type == 'view'
+          | summarize n = count() by day = bin(ts, 1d);
+        range day from datetime(2024-01-01) to datetime(2024-01-30) step 1d
+        | join kind=leftouter (daily) on day
+        | project day, n = coalesce(n, CAST(0 AS BIGINT))
+        | order by day asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

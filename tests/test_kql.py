@@ -454,3 +454,42 @@ def test_parse_json_and_case_end_to_end(spark):
         (1, 5, "cold"),
         (2, 95, "hot"),
     ]
+
+
+def test_parse_range_print_datatable_sources(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    assert [r.x for r in kql(spark, "range x from 1 to 5 step 2").collect()] == [1, 3, 5]
+    # datetime axis, inclusive bounds
+    days = kql(
+        spark,
+        "range d from datetime(2024-01-01) to datetime(2024-01-03) step 1d | count",
+    ).first()
+    assert days["Count"] == 3
+    row = kql(spark, "print a = 1 + 1, b = strcat('x', 'y')").first()
+    assert (row["a"], row["b"]) == (2, "xy")
+    rows = kql(
+        spark,
+        "datatable(id: long, name: string) [1, 'a', 2, 'b'] | order by id asc",
+    ).collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_parse_keep_reorder_getschema_as_hints(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, k string, v double")
+    t = {"t": df}
+    # project-keep preserves the TABLE's column order
+    assert kql(spark, "t | project-keep v, id", tables=t).columns == ["id", "v"]
+    assert kql(spark, "t | project-reorder v", tables=t).columns == ["v", "id", "k"]
+    schema = {(r.ColumnName, r.ColumnType) for r in kql(spark, "t | getschema", tables=t).collect()}
+    assert schema == {("id", "bigint"), ("k", "string"), ("v", "double")}
+    # `as` names the stream for reuse; hint.* tokens are dropped
+    out = kql(
+        spark,
+        "t | as snap | join kind=inner (snap | project id) on id"
+        " | summarize hint.shufflekey=id n = count() by id",
+        tables=t,
+    ).first()
+    assert (out["id"], out["n"]) == (1, 1)
