@@ -354,6 +354,20 @@ def translate_expr(e: str) -> str:
             )
         return f"(FLOOR(({a[0]}) / ({a[1]})) * ({a[1]}))"
 
+    def _bin_at(a: list[str]) -> str:
+        # bin_at(x, size, anchor): bins aligned to `anchor` not epoch
+        us = _timespan_us(a[1])
+        if us is not None:
+            anchor = f"unix_micros({a[2]})"
+            return (
+                f"timestamp_micros(CAST(FLOOR((unix_micros({a[0]}) - {anchor})"
+                f" / {us}) AS BIGINT) * {us} + {anchor})"
+            )
+        return (
+            f"(FLOOR((({a[0]}) - ({a[2]})) / ({a[1]})) * ({a[1]}) + ({a[2]}))"
+        )
+
+    e = _rewrite_calls(e, "bin_at", _bin_at)
     e = _rewrite_calls(e, "bin", _bin)
     e = _rewrite_calls(
         e,
@@ -494,9 +508,15 @@ class KqlQuery:
         stages = [s.strip() for s in _split_top(text, "|")]
         if not stages or not stages[0]:
             raise KqlParseError("empty query")
+        prev_name = getattr(self, "_src_name", "source0")
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", stages[0]):
+            self._src_name = stages[0]  # for `union withsource=`
         frame = KqlFrame(self._source(stages[0]))
-        for op in stages[1:]:
-            frame = self._apply(frame, op.strip())
+        try:
+            for op in stages[1:]:
+                frame = self._apply(frame, op.strip())
+        finally:
+            self._src_name = prev_name
         return frame.df
 
     def _source(self, src: str) -> DataFrame:
@@ -665,7 +685,7 @@ class KqlQuery:
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-expand|make-series|serialize"
-            r"|getschema|where|project|extend|summarize|take"
+            r"|getschema|evaluate|where|project|extend|summarize|take"
             r"|limit|top|count|distinct|union|join|as)\b(.*)",
             op,
             re.IGNORECASE | re.DOTALL,
@@ -969,15 +989,55 @@ class KqlQuery:
             )
         )
 
+    def _op_evaluate(self, frame, rest):
+        """``evaluate pivot(pivotCol [, agg(valueCol)])`` — the pivot
+        plugin lowered onto Spark's native groupBy().pivot().agg()
+        (distinct pivot values discovered and sorted by Spark; the
+        remaining columns group).  Other plugins raise loudly."""
+        m = re.match(r"^(\w+)\s*\(", rest.strip())
+        if not m:
+            raise KqlParseError(f"evaluate needs plugin(...): {rest!r}")
+        plugin = m.group(1).lower()
+        if plugin != "pivot":
+            raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
+        args, end = _find_args(rest, rest.index("("))
+        if rest[end:].strip():
+            raise KqlParseError(f"trailing text after evaluate: {rest!r}")
+        pcol = args[0].strip()
+        agg = args[1].strip() if len(args) > 1 else "count()"
+        # any column the aggregate consumes cannot also group
+        agg_refs = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", agg))
+        drop = {pcol} | (agg_refs & set(frame.df.columns))
+        group_cols = [c for c in frame.df.columns if c not in drop]
+        return KqlFrame(
+            frame.df.groupBy(*group_cols)
+            .pivot(pcol)
+            .agg(F.expr(translate_expr(agg)))
+        )
+
     def _op_union(self, frame, rest):
-        others = []
+        others, srcs, with_source = [], [], None
         for part in _split_top(rest, ","):
             part = part.strip()
             if not part or part.lower().startswith("kind="):
                 continue
+            ws = re.match(r"withsource\s*=\s*(\w+)\s+(.*)$", part,
+                          re.IGNORECASE | re.DOTALL)
+            if ws:
+                with_source, part = ws.group(1), ws.group(2).strip()
             others.append(KqlFrame(self._source(part)))
+            srcs.append(
+                part if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", part)
+                else f"source{len(srcs) + 1}"
+            )
         if not others:
             raise KqlParseError("union needs at least one table")
+        if with_source is not None:
+            tag = lambda kf, name: KqlFrame(  # noqa: E731
+                kf.df.withColumn(with_source, F.lit(name))
+            )
+            frame = tag(frame, getattr(self, "_src_name", "source0"))
+            others = [tag(kf, n) for kf, n in zip(others, srcs)]
         return frame.union(*others)
 
     def _op_join(self, frame, rest):

@@ -305,3 +305,35 @@ def kql_range_calendar(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_evaluate_pivot",
+    """
+    SELECT day, ROUND(click, 2) AS click, ROUND(error, 2) AS error,
+           ROUND(purchase, 2) AS purchase, ROUND(signup, 2) AS signup,
+           ROUND(view, 2) AS view
+    FROM (
+      PIVOT (SELECT CAST(to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP))
+                                            / 86400) * 86400) AS TIMESTAMP)
+                      AS day,
+                    event_type, value
+             FROM events)
+      ON event_type USING SUM(value) GROUP BY day
+    ) ORDER BY day
+    """,
+    doc="KQL string: evaluate pivot(event_type, sum(value)) per day -- "
+    "the pivot plugin lowered onto Spark's native groupBy().pivot(); "
+    "oracle is DuckDB's PIVOT of the same slice",
+)
+def kql_evaluate_pivot(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | project day = bin(ts, 1d), event_type, value
+        | evaluate pivot(event_type, round(sum(value), 2))
+        | order by day asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -222,8 +222,10 @@ def test_parse_errors_are_loud(spark):
     from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
 
     df = spark.createDataFrame([(1,)], "x long")
-    with pytest.raises(KqlParseError, match="unsupported operator"):
+    with pytest.raises(KqlParseError, match="unsupported evaluate plugin"):
         kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
+    with pytest.raises(KqlParseError, match="unsupported operator"):
+        kql(spark, "t | lookup kind=leftouter d on x", tables={"t": df})
     with pytest.raises(KqlParseError, match="top needs"):
         kql(spark, "t | top x", tables={"t": df})
     with pytest.raises(KqlParseError, match="source must be"):
@@ -493,3 +495,38 @@ def test_parse_keep_reorder_getschema_as_hints(spark):
         tables=t,
     ).first()
     assert (out["id"], out["n"]) == (1, 1)
+
+
+def test_parse_pivot_binat_withsource(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        kql,
+        translate_expr as T,
+    )
+
+    # bin_at anchors bins to the given origin, not the epoch
+    assert "unix_micros(TIMESTAMP'2024-01-01 12:00:00')" in T(
+        "bin_at(ts, 1d, datetime(2024-01-01 12:00:00))"
+    )
+    assert T("bin_at(x, 10, 5)") == "(FLOOR(((x) - (5)) / (10)) * (10) + (5))"
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("a", "x", 4.0)],
+        "k string, p string, v double",
+    )
+    out = {
+        r["k"]: (r["x"], r["y"])
+        for r in kql(
+            spark, "t | evaluate pivot(p, sum(v))", tables={"t": df}
+        ).collect()
+    }
+    assert out == {"a": (5.0, 2.0), "b": (3.0, None)}
+    u = {
+        r["Src"]: r["n"]
+        for r in kql(
+            spark,
+            "t | union withsource=Src (t | where k == 'b')"
+            " | summarize n = count() by Src",
+            tables={"t": df},
+        ).collect()
+    }
+    assert u == {"t": 4, "source1": 1}
