@@ -20,7 +20,8 @@ Supported verbs (the reference's surface + Kusto basics):
 arrays)  order by / sort by  top  take / limit  count
 distinct  mv-expand  union  join kind=...  serialize (+ prev/next/
 row_cumsum/row_number over the order-by sort)  project-keep
-project-reorder  getschema  as``, ``let`` statements (scalar
+project-reorder  getschema  as  lookup (broadcast dimension join)
+top-nested (hierarchical top-k)  evaluate pivot``, ``let`` statements (scalar
 substitution + lazily-resolved tabular views), the ``range`` /
 ``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
 dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
@@ -62,7 +63,7 @@ import re
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .kql import KqlFrame
 
@@ -685,8 +686,8 @@ class KqlQuery:
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-expand|make-series|serialize"
-            r"|getschema|evaluate|where|project|extend|summarize|take"
-            r"|limit|top|count|distinct|union|join|as)\b(.*)",
+            r"|getschema|evaluate|top-nested|where|project|extend|summarize"
+            r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
             op,
             re.IGNORECASE | re.DOTALL,
         )
@@ -986,6 +987,96 @@ class KqlQuery:
                 by=by,
                 defaults=defaults,
                 axis_col=ts_col,
+            )
+        )
+
+    def _op_lookup(self, frame, rest):
+        """``lookup [kind=leftouter|inner] Dim on key, ...`` — the
+        dimension-enrichment join.  Kusto's lookup is BY CONTRACT a
+        small right side, so it broadcasts unconditionally: at any
+        scale the fact stream never shuffles for an enrichment."""
+        m = re.match(
+            r"^(?:kind\s*=\s*(\w+)\s+)?(\(.*\)|\S+)\s+on\s+(.+)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError(f"lookup needs '[kind=] Dim on key': {rest!r}")
+        kind, src, on = m.groups()
+        kind = (kind or "leftouter").lower()
+        if kind not in ("leftouter", "inner"):
+            raise KqlParseError(f"lookup kind must be leftouter/inner: {kind!r}")
+        keys = [k.strip() for k in _split_top(on, ",")]
+        for k in keys:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k):
+                raise KqlParseError(
+                    f"lookup joins on shared column names only: {k!r}"
+                )
+        dim = F.broadcast(self._source(src))
+        how = "left" if kind == "leftouter" else "inner"
+        return KqlFrame(frame.df.join(dim, keys, how))
+
+    _TOP_NESTED_RE = re.compile(
+        r"^(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)\s+by\s+"
+        r"(?:([A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _op_top_nested(self, frame, rest):
+        """``top-nested N1 of k1 by agg1, top-nested N2 of k2 by agg2``
+        — hierarchical top-k: the top N1 groups by k1, and within each,
+        the top N2 by k2.  Lowered to one aggregation over the full key
+        tuple plus per-level window re-aggregation + rank — ranks run
+        over per-level partial sums, so each level shuffles only the
+        (k1..ki, value) aggregate, never the input."""
+        clauses = []
+        for i, part in enumerate(_split_top(rest, ",")):
+            part = part.strip()
+            if i > 0:
+                part = re.sub(r"^top-nested\s+", "", part, flags=re.IGNORECASE)
+            m = self._TOP_NESTED_RE.match(part)
+            if not m:
+                raise KqlParseError(
+                    f"top-nested needs 'N of col by [name =] agg': {part!r}"
+                )
+            n, key, alias, agg = m.groups()
+            clauses.append(
+                (int(n), key, alias or f"aggregated_{key}",
+                 translate_expr(agg))
+            )
+        keys = [c[1] for c in clauses]
+        base = frame.df.groupBy(*keys).agg(
+            *[F.expr(c[3]).alias(c[2]) for c in clauses]
+        )
+        # re-aggregation per level: sum/count roll up by sum, min/max
+        # by themselves; anything non-decomposable fails loudly
+        _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+        out = base
+        for lvl, (n, key, alias, agg_sql) in enumerate(clauses):
+            fn_name = re.match(r"\s*(\w+)", agg_sql).group(1).lower()
+            if re.search(r"\bDISTINCT\b", agg_sql, re.IGNORECASE):
+                fn_name = "distinct"  # count(DISTINCT x) does not roll up
+            if fn_name not in _REAGG:
+                raise KqlParseError(
+                    f"top-nested supports sum/count/min/max aggregates: "
+                    f"{agg_sql!r}"
+                )
+            lvl_keys = keys[: lvl + 1]
+            w_val = Window.partitionBy(*lvl_keys)
+            out = out.withColumn(f"__v{lvl}", _REAGG[fn_name](alias).over(w_val))
+            w_rank = Window.partitionBy(*keys[:lvl]).orderBy(
+                F.desc(f"__v{lvl}"), F.col(key)
+            )
+            out = out.withColumn(f"__r{lvl}", F.dense_rank().over(w_rank)).filter(
+                F.col(f"__r{lvl}") <= n
+            )
+        return KqlFrame(
+            out.select(
+                *[
+                    c
+                    for lvl, (n, key, alias, _) in enumerate(clauses)
+                    for c in (key, F.col(f"__v{lvl}").alias(alias))
+                ]
             )
         )
 

@@ -337,3 +337,51 @@ def kql_evaluate_pivot(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_lookup_top_nested",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS seg, o_custkey AS cust,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    lvl0 AS (SELECT seg, SUM(n) AS seg_n FROM base GROUP BY 1),
+    top0 AS (
+      SELECT seg, seg_n FROM (
+        SELECT seg, seg_n,
+               DENSE_RANK() OVER (ORDER BY seg_n DESC, seg) AS r
+        FROM lvl0) WHERE r <= 3
+    ),
+    lvl1 AS (
+      SELECT b.seg, seg_n, cust, n,
+             DENSE_RANK() OVER (PARTITION BY b.seg
+                                ORDER BY n DESC, cust) AS r
+      FROM base b JOIN top0 USING (seg)
+    )
+    SELECT seg, CAST(seg_n AS BIGINT) AS aggregated_seg,
+           cust, n AS aggregated_cust
+    FROM lvl1 WHERE r <= 2 ORDER BY seg, cust
+    """,
+    doc="KQL string: lookup (broadcast dimension enrichment) feeding "
+    "top-nested (hierarchical top-k: 3 segments by order count, top-2 "
+    "customers within each) -- ranks run over per-level aggregates, "
+    "never the fact rows",
+)
+def kql_lookup_top_nested(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        let ord = orders | project c_custkey = o_custkey;
+        ord
+        | lookup kind=inner (customer | project c_custkey,
+            seg = c_mktsegment) on c_custkey
+        | project seg, cust = c_custkey
+        | top-nested 3 of seg by aggregated_seg = count(),
+          top-nested 2 of cust by aggregated_cust = count()
+        | order by seg asc, cust asc
+        """,
+        tables=_tables(spark, sf_dir, "orders", "customer"),
+    )

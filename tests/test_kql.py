@@ -225,7 +225,7 @@ def test_parse_errors_are_loud(spark):
     with pytest.raises(KqlParseError, match="unsupported evaluate plugin"):
         kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
     with pytest.raises(KqlParseError, match="unsupported operator"):
-        kql(spark, "t | lookup kind=leftouter d on x", tables={"t": df})
+        kql(spark, "t | facet by x", tables={"t": df})
     with pytest.raises(KqlParseError, match="top needs"):
         kql(spark, "t | top x", tables={"t": df})
     with pytest.raises(KqlParseError, match="source must be"):
@@ -530,3 +530,35 @@ def test_parse_pivot_binat_withsource(spark):
         ).collect()
     }
     assert u == {"t": 4, "source1": 1}
+
+
+def test_parse_lookup_broadcasts_and_top_nested(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame(
+        [("r1", "a", 10.0), ("r1", "b", 1.0), ("r1", "c", 5.0),
+         ("r2", "a", 100.0), ("r3", "a", 1.0), ("r2", "b", 7.0)],
+        "region string, prod string, v double",
+    )
+    dim = spark.createDataFrame([("a", "Alpha"), ("b", "Beta")],
+                                "prod string, name string")
+    t = {"t": df, "d": dim}
+    enriched = kql(spark, "t | lookup kind=leftouter d on prod", tables=t)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        enriched._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan  # lookup = broadcast by contract
+    assert enriched.filter("name IS NULL").count() == 1  # prod 'c'
+
+    rows = kql(
+        spark,
+        "t | top-nested 2 of region by sum(v),"
+        " top-nested 1 of prod by sum(v) | order by region asc",
+        tables=t,
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("r1", 16.0, "a", 10.0),
+        ("r2", 107.0, "a", 100.0),
+    ]
+    with pytest.raises(KqlParseError, match="sum/count/min/max"):
+        kql(spark, "t | top-nested 2 of region by dcount(prod)", tables=t)
