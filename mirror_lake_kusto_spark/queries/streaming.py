@@ -194,3 +194,41 @@ def s7_interval_join(spark, sf_dir):
         F.col("r_event_id").alias("purchase_id"),
         (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("ms_to_purchase"),
     )
+
+
+@query(
+    "s8_funnel_dropout",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type FROM events),
+    c AS (SELECT user_id, ts AS cts, event_id AS click_id
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, cts AS ts
+    FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+    )
+    """,
+    doc="funnel dropout (I4 beyond-ref): clicks with NO purchase by the "
+    "same user within the following hour -- the left-outer interval "
+    "join filtered to null matches; in streaming mode the null-match "
+    "emits once the watermark proves no purchase can still arrive",
+)
+def s8_funnel_dropout(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = W.interval_join(
+        clicks, purchases, "user_id", "ts", upper="1 hour", how="left_outer"
+    )
+    return out.filter(F.col("r_event_id").isNull()).select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_ts").alias("ts"),
+    )

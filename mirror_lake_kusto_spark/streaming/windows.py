@@ -232,6 +232,7 @@ def interval_join(
     ts_col: str = "ts",
     upper: str = "1 hour",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) interval join: pair each left row with
     every right row of the same key whose timestamp falls in
@@ -244,7 +245,16 @@ def interval_join(
     watermark+upper and right rows older than watermark are dropped
     from the join state (Spark's stream-stream inner-join contract).
     Batch mode runs the identical plan with no state at all.
+
+    ``how="left_outer"`` emits the null-match row for a left row once
+    the watermark proves no in-interval right row can still arrive —
+    the funnel-dropout query (clicks with NO purchase within an hour).
+    Streaming outer joins REQUIRE a watermark; batch runs it stateless.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join supports inner/left_outer: {how!r}")
+    if how == "left_outer" and watermark is None and left.isStreaming:
+        raise ValueError("streaming left_outer interval_join needs a watermark")
     lsel = left.select([F.col(c).alias("l_" + c) for c in left.columns])
     rsel = right.select([F.col(c).alias("r_" + c) for c in right.columns])
     if watermark is not None and left.isStreaming:
@@ -258,4 +268,4 @@ def interval_join(
             <= F.col("l_" + ts_col) + F.expr(f"INTERVAL {upper}")
         )
     )
-    return lsel.join(rsel, cond, "inner")
+    return lsel.join(rsel, cond, how)

@@ -310,3 +310,60 @@ def test_dedup_with_counts_custom_stateful(spark, tmp_path):
     )
     brows = {r["event_id"]: (r["first_ts"], r["n_events"]) for r in batch.collect()}
     assert brows == rows
+
+
+def test_interval_left_outer_stream_subset_and_horizon(spark, chunked_events, tmp_path):
+    """Streaming left-outer interval join: matched rows equal the batch
+    inner join; null-match rows are exactly the batch null rows whose
+    eviction horizon passed (watermark proves no match can arrive)."""
+    batch_df = spark.read.parquet(chunked_events).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        return clicks, purchases
+
+    bc, bp = split(batch_df)
+    batch = W.interval_join(
+        bc, bp, "user_id", "ts", upper="1 hour", how="left_outer"
+    )
+    batch_matched = set(_sorted_rows(batch.filter("r_event_id IS NOT NULL")))
+    batch_nulls = set(_sorted_rows(batch.filter("r_event_id IS NULL")))
+
+    def transform(s):
+        sc, sp = split(s)
+        return W.interval_join(
+            sc, sp, "user_id", "ts", upper="1 hour",
+            watermark="10 minutes", how="left_outer",
+        )
+
+    got = _run_stream(
+        spark,
+        chunked_events,
+        spark.read.parquet(chunked_events).schema,
+        transform,
+        "append",
+        str(tmp_path / "ckpt_loj"),
+    )
+    got_matched = set(_sorted_rows(got.filter("r_event_id IS NOT NULL")))
+    got_nulls = set(_sorted_rows(got.filter("r_event_id IS NULL")))
+    assert got_matched == batch_matched
+    assert got_nulls <= batch_nulls
+    # null-match emission happens in the batch AFTER eviction becomes
+    # due, so the last chunk's watermark never flushes: anchor the
+    # completeness horizon to the third chunk's max (the 0.75 quantile)
+    import datetime
+
+    q75 = batch_df.agg(
+        F.percentile_approx("ts", 0.75, 10000).alias("q")
+    ).first()["q"]
+    horizon = q75 - datetime.timedelta(minutes=10) - datetime.timedelta(hours=1)
+    overdue = {r for r in batch_nulls if r[1] < horizon}  # r[1] = l_ts
+    assert overdue <= got_nulls
+    assert got_nulls  # the stream did emit dropouts
