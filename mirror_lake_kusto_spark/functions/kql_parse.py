@@ -258,6 +258,10 @@ _FN_RENAME = {
     "countif": "count_if",
     "strcat_delim": "concat_ws",
     # datetime scalars (KQL name -> Spark SQL name, args align)
+    "take_any": "any_value",
+    "array_strcat": "array_join",
+    "replace_string": "replace",
+    "replace_regex": "regexp_replace",
     "getyear": "year",
     "getmonth": "month",
     "dayofmonth": "day",
@@ -427,6 +431,25 @@ def translate_expr(e: str) -> str:
         e, "isnotempty", lambda a: f"(coalesce({a[0]}, '') != '')"
     )
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
+    # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)
+    for kql_fn, sql_fn in (
+        ("sumif", "sum"),
+        ("avgif", "avg"),
+        ("minif", "min"),
+        ("maxif", "max"),
+    ):
+        e = _rewrite_calls(
+            e, kql_fn,
+            lambda a, f=sql_fn: f"{f}({a[0]}) FILTER (WHERE {a[1]})",
+        )
+    e = _rewrite_calls(
+        e, "dcountif",
+        lambda a: f"count(DISTINCT {a[0]}) FILTER (WHERE {a[1]})",
+    )
+    e = _rewrite_calls(
+        e, "make_list_if",
+        lambda a: f"collect_list({a[0]}) FILTER (WHERE {a[1]})",
+    )
     # Kusto percentile(x, P) takes a 0-100 percent; Spark's exact
     # percentile takes a 0-1 fraction
     e = _rewrite_calls(

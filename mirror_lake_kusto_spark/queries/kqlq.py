@@ -385,3 +385,37 @@ def kql_lookup_top_nested(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "orders", "customer"),
     )
+
+
+@query(
+    "kql_conditional_aggs",
+    """
+    SELECT l_linestatus,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'A'), 2)
+             AS returned_rev,
+           ROUND(AVG(l_quantity) FILTER (WHERE l_discount > 0.05), 4)
+             AS avg_discounted_qty,
+           CAST(COUNT(DISTINCT l_orderkey) FILTER (WHERE l_quantity > 45)
+             AS BIGINT) AS big_orders
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="KQL string: sumif/avgif/dcountif conditional aggregates "
+    "lowered to SQL FILTER clauses -- one aggregation pass, no "
+    "self-joins, JVM-side",
+)
+def kql_conditional_aggs(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        lineitem
+        | summarize
+            returned_rev = round(sumif(l_extendedprice,
+                                       l_returnflag == 'A'), 2),
+            avg_discounted_qty = round(avgif(l_quantity,
+                                             l_discount > 0.05), 4),
+            big_orders = dcountif(l_orderkey, l_quantity > 45)
+            by l_linestatus
+        | order by l_linestatus asc
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )

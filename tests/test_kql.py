@@ -562,3 +562,32 @@ def test_parse_lookup_broadcasts_and_top_nested(spark):
     ]
     with pytest.raises(KqlParseError, match="sum/count/min/max"):
         kql(spark, "t | top-nested 2 of region by dcount(prod)", tables=t)
+
+
+def test_parse_conditional_aggregates_and_renames(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        kql,
+        translate_expr as T,
+    )
+
+    assert T("sumif(x, y > 1)") == "sum(x) FILTER (WHERE y > 1)"
+    assert T("dcountif(k, p)") == "count(DISTINCT k) FILTER (WHERE p)"
+    assert T("replace_string(s, 'a', 'b')") == "replace(s, 'a', 'b')"
+    assert T("take_any(x)") == "any_value(x)"
+    assert T("array_strcat(xs, ',')") == "array_join(xs, ',')"
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 5.0, "b")],
+        "id long, v double, k string",
+    )
+    rows = kql(
+        spark,
+        "t | summarize s = sumif(v, id >= 2), m = maxif(v, k == 'a'),"
+        " d = dcountif(id, v > 6), lst = make_list_if(id, v > 6) by k"
+        " | order by k asc",
+        tables={"t": df},
+    ).collect()
+    assert [(r.k, r.s, r.m, r.d, sorted(r.lst)) for r in rows] == [
+        ("a", 20.0, 20.0, 2, [1, 2]),
+        ("b", 5.0, None, 0, []),
+    ]
