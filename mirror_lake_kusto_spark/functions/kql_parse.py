@@ -1112,11 +1112,13 @@ class KqlQuery:
         if not m:
             raise KqlParseError(f"evaluate needs plugin(...): {rest!r}")
         plugin = m.group(1).lower()
-        if plugin != "pivot":
+        if plugin not in ("pivot", "bag_unpack"):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
         if rest[end:].strip():
             raise KqlParseError(f"trailing text after evaluate: {rest!r}")
+        if plugin == "bag_unpack":
+            return self._bag_unpack(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -1128,6 +1130,64 @@ class KqlQuery:
             .pivot(pcol)
             .agg(F.expr(translate_expr(agg)))
         )
+
+    _BAG_SAMPLE = 100
+
+    def _bag_unpack(self, frame, args: list[str]) -> KqlFrame:
+        """``evaluate bag_unpack(col [, prefix])``: a JSON-bag column
+        becomes real columns.  The key set and types come from a
+        BOUNDED driver-side sample (first {_BAG_SAMPLE} non-null bags —
+        schema inference is metadata work, O(sample), never O(rows));
+        the unpacking itself is get_json_object projections, JVM-side
+        over all rows.  Keys absent from the sample are missed — that
+        is the documented contract of sampling-based inference."""
+        import json
+
+        col = args[0].strip()
+        prefix = args[1].strip().strip("'\"") if len(args) > 1 else ""
+        sample = (
+            frame.df.select(col)
+            .filter(F.col(col).isNotNull())
+            .limit(self._BAG_SAMPLE)
+            .collect()
+        )
+        key_types: dict[str, str] = {}
+        for row in sample:
+            try:
+                bag = json.loads(row[0])
+            except (TypeError, ValueError):
+                continue
+            if not isinstance(bag, dict):
+                continue
+            for k, v in bag.items():
+                t = (
+                    "boolean" if isinstance(v, bool)
+                    else "bigint" if isinstance(v, int)
+                    else "double" if isinstance(v, float)
+                    else "string"
+                )
+                prev = key_types.get(k)
+                if prev is None:
+                    key_types[k] = t
+                elif prev != t:
+                    # widen: int+double -> double, anything else -> string
+                    key_types[k] = (
+                        "double"
+                        if {prev, t} <= {"bigint", "double"}
+                        else "string"
+                    )
+        if not key_types:
+            raise KqlParseError(
+                f"bag_unpack: no JSON objects found in sample of {col!r}"
+            )
+        keep = [c for c in frame.df.columns if c != col]
+        unpacked = [
+            F.get_json_object(F.col(col), f"$.{k}")
+            .cast(t)
+            .alias(prefix + k)
+            for k, t in sorted(key_types.items())
+        ]
+        return KqlFrame(frame.df.select(*keep, *unpacked))
 
     def _op_union(self, frame, rest):
         others, srcs, with_source = [], [], None

@@ -419,3 +419,30 @@ def kql_conditional_aggs(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "lineitem"),
     )
+
+
+@query(
+    "kql_bag_unpack",
+    """
+    SELECT event_type,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="KQL string: evaluate bag_unpack(props) turns the JSON bag "
+    "into typed columns (schema inferred from a bounded driver "
+    "sample, unpacking is JVM-side get_json_object over all rows)",
+)
+def kql_bag_unpack(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | project event_type, props
+        | evaluate bag_unpack(props)
+        | summarize max_k = max(k), n = count() by event_type
+        | order by event_type asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -591,3 +591,37 @@ def test_parse_conditional_aggregates_and_renames(spark):
         ("a", 20.0, 20.0, 2, [1, 2]),
         ("b", 5.0, None, 0, []),
     ]
+
+
+def test_parse_bag_unpack(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x", "c": 1.5, "d": true}'),
+            (2, '{"a": 2, "e": "late-key"}'),
+            (3, None),
+        ],
+        "id long, props string",
+    )
+    out = kql(
+        spark, "t | evaluate bag_unpack(props) | order by id asc",
+        tables={"t": df},
+    )
+    assert out.columns == ["id", "a", "b", "c", "d", "e"]
+    types = dict(out.dtypes)
+    assert types["a"] == "bigint" and types["c"] == "double"
+    assert types["d"] == "boolean" and types["e"] == "string"
+    rows = out.collect()
+    assert (rows[0]["a"], rows[0]["d"], rows[0]["e"]) == (1, True, None)
+    assert (rows[1]["a"], rows[1]["e"]) == (2, "late-key")
+    assert rows[2]["a"] is None  # null bag -> all-null row survives
+    # prefix form
+    pre = kql(spark, "t | evaluate bag_unpack(props, 'p_')", tables={"t": df})
+    assert "p_a" in pre.columns
+    with pytest.raises(KqlParseError, match="no JSON objects"):
+        kql(
+            spark,
+            "t | evaluate bag_unpack(id2)",
+            tables={"t": df.selectExpr("CAST(id AS STRING) AS id2")},
+        )
