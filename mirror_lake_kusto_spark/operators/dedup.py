@@ -450,3 +450,71 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_components(
+    pairs: DataFrame,
+    id_a: str = "id1",
+    id_b: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(id, cluster_id)`` where ``cluster_id`` is the smallest id
+    reachable through the pairs — the canonical representative every
+    fuzzy-dedup pipeline needs after pair generation (keep one doc per
+    cluster, drop the rest).
+
+    Min-label propagation: each iteration joins the edge list with the
+    current labels and takes the per-node minimum of own and neighbor
+    labels; convergence in at most graph-diameter iterations.  Dedup
+    graphs are overwhelmingly tiny cliques and chains (diameter <= a
+    few hops), so the driver loop runs 2-4 rounds of pure joins over
+    the PAIRS (never the corpus); each round shuffles O(edges).  The
+    loop stops as soon as an iteration changes nothing and fails
+    loudly past ``max_iter`` rather than returning a half-converged
+    labeling.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.b == labels.id)
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.id == nbr.a, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"cluster_components did not converge in {max_iter} iterations"
+        )
+    finally:
+        edges.unpersist()

@@ -702,3 +702,55 @@ def hybrid_search_rrf_q(spark, sf_dir):
     return hybrid_search_rrf(
         docs, emb, ["vector", "stream", "query"], query_vec_id=0, k=50
     )
+
+
+@query(
+    "dedup_cluster_minhash",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM tok
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n FROM sh
+    ), posting AS (
+      SELECT doc_id, unnest(sh) AS g FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id1, id2 FROM common
+      JOIN sizes s1 ON s1.doc_id = id1
+      JOIN sizes s2 ON s2.doc_id = id2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ), reach(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    doc="near-dup clustering: MinHash-LSH pairs -> connected components "
+    "by min-label propagation (operators/dedup.py:cluster_components); "
+    "cluster_id is the canonical (smallest) doc of each cluster -- the "
+    "keep-one-per-cluster step of a fuzzy-dedup pipeline.  Oracle: "
+    "exact-Jaccard pairs + a recursive min-reachability CTE",
+)
+def dedup_cluster_minhash(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_width=4096
+    )
+    comp = dedup.cluster_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
