@@ -55,6 +55,10 @@ def build_session(
         .config("spark.sql.files.maxRecordsPerFile", str(5_000_000))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (legacy default) writes NO column statistics, which
+        # blanks min/max data skipping on timestamp columns; µs is the
+        # modern parquet spec type and carries stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "true")
     )

@@ -310,6 +310,7 @@ def file_actions(
         F.col("add.partitionValues").alias("partitionValues"),
         F.col("add.size").alias("size"),
         F.get_json_object("add.stats", "$.numRecords").cast("long").alias("numRecords"),
+        F.col("add.stats").alias("stats"),
         F.col("add.dataChange").alias("dataChange"),
         F.col("add.modificationTime").alias("modificationTime"),
     )
@@ -320,6 +321,7 @@ def file_actions(
         F.col("remove.partitionValues").alias("partitionValues"),
         F.lit(None).cast("long").alias("size"),
         F.lit(None).cast("long").alias("numRecords"),
+        F.lit(None).cast("string").alias("stats"),
         F.col("remove.dataChange").alias("dataChange"),
         F.col("remove.deletionTimestamp").alias("modificationTime"),
     )
@@ -420,7 +422,7 @@ def snapshot_files(
         fa.groupBy("path")
         .agg(
             F.max_by(
-                F.struct("is_add", "partitionValues", "size", "numRecords"),
+                F.struct("is_add", "partitionValues", "size", "numRecords", "stats"),
                 F.struct("tx_id", F.col("is_add").cast("int")),
             ).alias("last")
         )
@@ -430,6 +432,7 @@ def snapshot_files(
             F.col("last.partitionValues").alias("partitionValues"),
             F.col("last.size").alias("size"),
             F.col("last.numRecords").alias("numRecords"),
+            F.col("last.stats").alias("stats"),
         )
     )
     return [r.asDict(recursive=True) for r in latest.collect()]
@@ -478,6 +481,7 @@ def _snapshot_files_driver(
                     "partitionValues": dict(add.get("partitionValues") or {}),
                     "size": add.get("size"),
                     "numRecords": _num_records(add.get("stats")),
+                    "stats": add.get("stats"),
                 },
             )
         try:
@@ -499,6 +503,7 @@ def _snapshot_files_driver(
                         "partitionValues": dict(a.get("partitionValues") or {}),
                         "size": a.get("size"),
                         "numRecords": _num_records(a.get("stats")),
+                        "stats": a.get("stats"),
                     },
                 )
             elif "remove" in act:
@@ -514,6 +519,7 @@ def read_snapshot(
     table_path: str,
     upto: int | None = None,
     partition_predicate: str | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Current table contents.  Files are read grouped by partition
     tuple with the partition values injected as typed literal columns —
@@ -524,11 +530,28 @@ def read_snapshot(
     ``partition_predicate`` (SQL over partition columns only) prunes
     whole partition groups BEFORE any data file is opened — classic
     partition pruning, evaluated once per distinct tuple on a
-    metadata-sized DataFrame."""
+    metadata-sized DataFrame.
+
+    ``predicate`` (general SQL over any columns) additionally prunes
+    individual FILES via the per-file min/max/nullCount stats the sink
+    records on every add action (data skipping — see
+    ``sources/skipping.py``), then re-applies the full predicate as a
+    row filter so the result is identical with pruning on or off.  At
+    100 TB this is the difference between opening every file and
+    opening only the few whose [min, max] range can match."""
     files = snapshot_files(spark, table_path, upto=upto)
     meta = latest_metadata(spark, table_path, upto=upto)
     if partition_predicate is not None and files and meta is not None:
         files = _prune_partitions(spark, files, meta, partition_predicate)
+    if predicate is not None and files and meta is not None:
+        from .skipping import prune_files
+
+        files = prune_files(
+            files,
+            predicate,
+            StructType.fromJson(json.loads(meta["schemaString"])),
+            list(meta.get("partitionColumns") or []),
+        )
     if not files or meta is None:
         return spark.createDataFrame(
             [],
@@ -560,6 +583,9 @@ def read_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if predicate is not None:
+        # pruning is advisory; the row filter guarantees exactness
+        out = out.filter(predicate)
     return out
 
 
@@ -654,9 +680,14 @@ def reconciled_actions(
                     "size": f["size"],
                     "modificationTime": 0,
                     "dataChange": False,
-                    "stats": json.dumps({"numRecords": f["numRecords"]})
-                    if f["numRecords"] is not None
-                    else None,
+                    # preserve full stats (min/max skipping survives
+                    # checkpointing); legacy dicts fall back to count-only
+                    "stats": f.get("stats")
+                    or (
+                        json.dumps({"numRecords": f["numRecords"]})
+                        if f["numRecords"] is not None
+                        else None
+                    ),
                 },
             }
         )

@@ -38,6 +38,8 @@ from collections.abc import Sequence
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
+from .skipping import file_stats_json
+
 TX_FMT = "{:020d}"
 
 
@@ -282,7 +284,7 @@ class DeltaSink:
                             "size": os.path.getsize(dst),
                             "modificationTime": int(time.time() * 1000),
                             "dataChange": data_change,
-                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                            "stats": file_stats_json(meta),
                         }
                     }
                 )
@@ -354,7 +356,7 @@ class DeltaSink:
                         "size": os.path.getsize(dst),
                         "modificationTime": now,
                         "dataChange": data_change,
-                        "stats": json.dumps({"numRecords": meta.num_rows}),
+                        "stats": file_stats_json(meta),
                     }
                 }
             )
@@ -524,11 +526,14 @@ class DeltaSink:
         self,
         partition_predicate: str | None = None,
         version: int | None = None,
+        predicate: str | None = None,
     ) -> DataFrame:
         """Snapshot read (log replay + partition-injected scan);
         ``partition_predicate`` prunes partition groups before any data
-        file is opened (O6); ``version`` time-travels to that commit
-        (files must not have been vacuumed since)."""
+        file is opened (O6); ``predicate`` additionally skips files via
+        per-file min/max stats then row-filters (data skipping);
+        ``version`` time-travels to that commit (files must not have
+        been vacuumed since)."""
         from .delta_log import read_snapshot
 
         return read_snapshot(
@@ -536,4 +541,5 @@ class DeltaSink:
             self.path,
             upto=version,
             partition_predicate=partition_predicate,
+            predicate=predicate,
         )

@@ -1,0 +1,386 @@
+"""Data skipping: per-file column stats and stats-based file pruning.
+
+The sink records Delta-style JSON stats on every ``add`` action
+(``numRecords`` / ``minValues`` / ``maxValues`` / ``nullCount``),
+harvested from the parquet footer it already reads — O(files) driver
+metadata, no extra data pass.  The reader turns a SQL predicate's
+top-level conjuncts into per-file interval tests over those stats, so a
+100 TB table scan opens only the files whose [min, max] range can
+contain matching rows.  This is the mechanism Delta/Iceberg/Hudi all
+use for file-level pruning; the reference's analogue is Kusto's extent
+min/max index which its query planner consults before touching extents.
+
+Safety: pruning is strictly an optimization.  A conjunct the parser
+does not understand, a column without stats, or a file without stats
+never excludes the file — and ``read_snapshot`` re-applies the full
+predicate as a row filter, so the result set is identical with pruning
+on or off.
+
+Reference: stats format mirrors the Delta protocol's per-file stats
+(numRecords parse in the reference at TransactionLogEntry.cs:345-361);
+everything else is public Delta/Iceberg design.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+from typing import Any
+
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    NumericType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+# Delta's default dataSkippingNumIndexedCols
+MAX_STATS_COLUMNS = 32
+# strings longer than this are not indexed (truncation-safety)
+MAX_STRING_STAT_LEN = 256
+
+
+# ---------------------------------------------------------------------------
+# write side: parquet footer -> Delta-style stats JSON
+# ---------------------------------------------------------------------------
+
+def file_stats_json(pq_meta) -> str:
+    """Aggregate row-group statistics from a parquet ``FileMetaData``
+    into a Delta-style stats JSON string.
+
+    Only flat leaf columns of JSON-representable types are indexed
+    (first MAX_STATS_COLUMNS, matching Delta's default); a column whose
+    chunks lack min/max (e.g. doubles with NaNs, where parquet writers
+    omit stats) is dropped from min/max but keeps its nullCount.
+    """
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    bad_minmax: set[str] = set()
+    bad_nulls: set[str] = set()
+    indexed: list[str] = []
+
+    for rg in range(pq_meta.num_row_groups):
+        group = pq_meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            if name not in indexed:
+                if len(indexed) >= MAX_STATS_COLUMNS:
+                    continue
+                indexed.append(name)
+            st = col.statistics
+            if st is None:
+                bad_minmax.add(name)
+                bad_nulls.add(name)
+                continue
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                bad_nulls.add(name)
+            if name in bad_minmax or not st.has_min_max:
+                bad_minmax.add(name)
+                continue
+            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            if lo is None or hi is None:
+                bad_minmax.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+
+    for name in bad_minmax:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    for name in bad_nulls:
+        nulls.pop(name, None)
+    stats: dict[str, Any] = {"numRecords": pq_meta.num_rows}
+    if mins:
+        stats["minValues"] = mins
+        stats["maxValues"] = maxs
+    if nulls:
+        stats["nullCount"] = nulls
+    return json.dumps(stats)
+
+
+def _jsonable(v: Any) -> Any:
+    """Parquet stat value -> JSON-encodable scalar (None = not indexable)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= MAX_STRING_STAT_LEN else None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None  # bytes, Decimal, ... — skip
+
+
+# ---------------------------------------------------------------------------
+# read side: predicate conjuncts -> per-file interval tests
+# ---------------------------------------------------------------------------
+
+_CMP_RE = re.compile(
+    r"^\s*(\w+)\s*(<=|>=|!=|<>|==|=|<|>)\s*(.+?)\s*$"
+)
+_NULL_RE = re.compile(r"^\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
+_IN_RE = re.compile(r"^\s*(\w+)\s+IN\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+# reversed literal-first comparison: 5 < x  ->  x > 5
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "==",
+         "!=": "!=", "<>": "<>"}
+_CMP_REV_RE = re.compile(r"^\s*('[^']*'|[\w.\-:]+)\s*(<=|>=|!=|<>|==|=|<|>)\s*(\w+)\s*$")
+
+
+def split_conjuncts(predicate: str) -> list[str]:
+    """Split on top-level AND (outside quotes and parens)."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    buf: list[str] = []
+    i = 0
+    up = predicate.upper()
+    while i < len(predicate):
+        ch = predicate[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not predicate[i - 1].isalnum())
+            and (i + 3 >= len(predicate) or not predicate[i + 3].isalnum())
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_parens(e: str) -> str:
+    e = e.strip()
+    while e.startswith("(") and e.endswith(")"):
+        depth = 0
+        ok = True
+        for i, ch in enumerate(e):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(e) - 1:
+                    ok = False
+                    break
+        if not ok:
+            break
+        e = e[1:-1].strip()
+    return e
+
+
+def _parse_literal(text: str, dtype) -> Any:
+    """SQL literal (or raw partition value) -> comparable Python value
+    in the stats domain (None = unparseable -> no pruning)."""
+    text = text.strip()
+    if (text.startswith("'") and text.endswith("'")) or (
+        text.startswith('"') and text.endswith('"')
+    ):
+        text = text[1:-1]
+    elif not re.match(r"^-?[\w.\-:+]+$", text):
+        return None  # expression, not a literal
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return _parse_ts(text)
+    if isinstance(dtype, DateType):
+        try:
+            return _dt.date.fromisoformat(text).isoformat()
+        except ValueError:
+            # date col compared against a timestamp literal
+            ts = _parse_ts(text)
+            return ts[:10] if ts else None
+    if isinstance(dtype, BooleanType):
+        return text.lower() == "true" if text.lower() in ("true", "false") else None
+    if isinstance(dtype, NumericType):
+        try:
+            return int(text)
+        except ValueError:
+            try:
+                return float(text)
+            except ValueError:
+                return None
+    if isinstance(dtype, StringType):
+        return text
+    return None  # binary/array/map/struct — not prunable
+
+
+def _parse_ts(text: str) -> str | None:
+    try:
+        v = _dt.datetime.fromisoformat(text.replace("T", " "))
+    except ValueError:
+        try:
+            v = _dt.datetime.combine(
+                _dt.date.fromisoformat(text), _dt.time.min
+            )
+        except ValueError:
+            return None
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v.isoformat(sep=" ")
+
+
+def _comparable(stat_val: Any, lit_val: Any) -> bool:
+    num = (int, float)
+    if isinstance(stat_val, bool) or isinstance(lit_val, bool):
+        return isinstance(stat_val, bool) and isinstance(lit_val, bool)
+    if isinstance(stat_val, num) and isinstance(lit_val, num):
+        return True
+    return isinstance(stat_val, str) and isinstance(lit_val, str)
+
+
+class _Conjunct:
+    """One parsed conjunct: decide keep/skip per file from its stats."""
+
+    def __init__(self, kind: str, col: str, op: str | None, values: list[Any]):
+        self.kind = kind  # "cmp" | "in" | "isnull" | "notnull"
+        self.col = col
+        self.op = op
+        self.values = values
+
+    def keep(self, stats: dict, part_value: Any) -> bool:
+        """True unless the stats PROVE no row in the file matches."""
+        if part_value is not None:
+            lo = hi = part_value
+            nulls, nrec = 0, 1
+        else:
+            mn = (stats.get("minValues") or {})
+            mx = (stats.get("maxValues") or {})
+            lo, hi = mn.get(self.col), mx.get(self.col)
+            nulls = (stats.get("nullCount") or {}).get(self.col)
+            nrec = stats.get("numRecords")
+        if self.kind == "isnull":
+            return nulls is None or nulls > 0
+        if self.kind == "notnull":
+            return nulls is None or nrec is None or nulls < nrec
+        if lo is None or hi is None:
+            return True
+        if self.kind == "in":
+            return any(
+                _comparable(lo, v) and lo <= v <= hi for v in self.values
+            ) or not all(_comparable(lo, v) for v in self.values)
+        v = self.values[0]
+        if not _comparable(lo, v):
+            return True
+        op = self.op
+        if op in ("=", "=="):
+            return lo <= v <= hi
+        if op in ("!=", "<>"):
+            return not (lo == hi == v)
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        return True
+
+
+def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
+    """Parse the prunable top-level conjuncts of ``predicate``.
+    Anything not understood is silently dropped (no pruning — safe)."""
+    type_of = {f.name: f.dataType for f in schema.fields}
+    out: list[_Conjunct] = []
+    for raw in split_conjuncts(predicate):
+        c = _strip_parens(raw)
+        m = _NULL_RE.match(c)
+        if m and m.group(1) in type_of:
+            out.append(
+                _Conjunct("notnull" if m.group(2) else "isnull", m.group(1), None, [])
+            )
+            continue
+        m = _IN_RE.match(c)
+        if m and m.group(1) in type_of:
+            vals = [
+                _parse_literal(v, type_of[m.group(1)])
+                for v in m.group(2).split(",")
+            ]
+            if all(v is not None for v in vals) and vals:
+                out.append(_Conjunct("in", m.group(1), None, vals))
+            continue
+        m = _CMP_RE.match(c)
+        if not (m and m.group(1) in type_of):
+            m2 = _CMP_REV_RE.match(c)
+            if m2 and m2.group(3) in type_of:
+                m = None
+                col, op, lit = m2.group(3), _FLIP[m2.group(2)], m2.group(1)
+                v = _parse_literal(lit, type_of[col])
+                if v is not None:
+                    out.append(_Conjunct("cmp", col, op, [v]))
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        v = _parse_literal(lit, type_of[col])
+        if v is not None:
+            out.append(_Conjunct("cmp", col, op, [v]))
+    return out
+
+
+def prune_files(
+    files: list[dict],
+    predicate: str,
+    schema: StructType,
+    partition_columns: list[str] | None = None,
+) -> list[dict]:
+    """Keep only the files whose stats (or partition value) admit rows
+    matching ``predicate``.  Partition-column conjuncts test the file's
+    single partition value; data-column conjuncts test [min, max] /
+    nullCount.  Files without stats are always kept."""
+    conjuncts = parse_conjuncts(predicate, schema)
+    if not conjuncts:
+        return files
+    part_cols = set(partition_columns or [])
+    type_of = {f.name: f.dataType for f in schema.fields}
+    kept = []
+    for f in files:
+        raw = f.get("stats")
+        try:
+            stats = json.loads(raw) if raw else {}
+        except (TypeError, ValueError):
+            stats = {}
+        ok = True
+        for c in conjuncts:
+            pv = None
+            if c.col in part_cols:
+                raw_pv = (f.get("partitionValues") or {}).get(c.col)
+                if raw_pv is None:
+                    continue  # null partition — only IS NULL could prune; skip
+                pv = _parse_literal(f"'{raw_pv}'", type_of[c.col])
+                if pv is None:
+                    continue
+            if not c.keep(stats, pv):
+                ok = False
+                break
+        if ok:
+            kept.append(f)
+    return kept

@@ -42,23 +42,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects.  Read nanos as LongType
-    (spark.sql.legacy.parquet.nanosAsLong) and project back to a
-    microsecond TimestampType in the scan — stays columnar/distributed,
-    no driver-side materialization.  DuckDB reads the same file as
-    TIMESTAMP_NS; oracle SQL casts to TIMESTAMP (µs) so both engines
-    see identical truncated values.
+    """Normalize ``events.ts`` to a microsecond TimestampType.
+
+    The driver has shipped two generations of the fixture: parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    nanos as LongType via spark.sql.legacy.parquet.nanosAsLong, then
+    project to µs in the scan) and native µs TIMESTAMP / TIMESTAMP_NTZ
+    (cast to session-zone TimestampType; identity under the UTC session
+    zone set above).  Both paths stay columnar/distributed.  DuckDB
+    reads the same file; oracle SQL casts to TIMESTAMP (µs) so both
+    engines see identical values.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     # Left set for the session: the conf must still hold when the scan
     # actually executes (it only affects TIMESTAMP(NANOS) fields).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # Integer DIV, not `/`: float division loses sub-µs precision at
-    # 1e18-scale nanosecond longs.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # Integer DIV, not `/`: float division loses sub-µs precision at
+        # 1e18-scale nanosecond longs.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -223,6 +223,9 @@ def test_parse_errors_are_loud(spark):
 
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(KqlParseError, match="unsupported evaluate plugin"):
+        kql(spark, "t | evaluate autocluster()", tables={"t": df})
+    # bag_unpack IS supported, but stays loud when the column has no JSON
+    with pytest.raises(KqlParseError, match="no JSON objects found"):
         kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
     with pytest.raises(KqlParseError, match="unsupported operator"):
         kql(spark, "t | facet by x", tables={"t": df})

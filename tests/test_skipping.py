@@ -1,0 +1,188 @@
+"""Data skipping: per-file min/max stats written by the sink, consumed
+by stats-based file pruning in read_snapshot (sources/skipping.py).
+
+The reference's analogue is Kusto's extent min/max index consulted
+before touching extents; on the Delta side this is the protocol's
+per-file ``stats`` JSON (the reference parses its numRecords at
+TransactionLogEntry.cs:345-361).  Correctness contract: pruning is
+strictly advisory — to_df(predicate=p) ≡ to_df().filter(p) always.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+from mirror_lake_kusto_spark.sources.skipping import (
+    parse_conjuncts,
+    prune_files,
+    split_conjuncts,
+)
+
+
+def _sink_with_ranges(spark, tmp_path, name, n_batches=8, rows=100):
+    """One add-file per batch, batch b holding ids [b*rows, (b+1)*rows)."""
+    sink = DeltaSink(spark, str(tmp_path / name))
+    for b in range(n_batches):
+        df = spark.range(b * rows, (b + 1) * rows).toDF("id").coalesce(1)
+        sink.append(df)
+    return sink
+
+
+# -- write side: stats recorded on add actions ------------------------------
+
+
+def test_sink_records_minmax_stats(spark, tmp_path):
+    sink = _sink_with_ranges(spark, tmp_path, "stats", n_batches=3)
+    files = DL.snapshot_files(spark, sink.path)
+    assert len(files) == 3
+    for f in files:
+        st = json.loads(f["stats"])
+        assert st["numRecords"] == 100
+        assert st["maxValues"]["id"] - st["minValues"]["id"] == 99
+        assert st["nullCount"]["id"] == 0
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "ckpt"), checkpoint_interval=5)
+    for b in range(7):
+        sink.append(spark.range(b * 10, b * 10 + 10).toDF("id").coalesce(1))
+    assert DL.read_last_checkpoint(sink.path) is not None
+    files = DL.snapshot_files(spark, sink.path)
+    assert len(files) == 7
+    assert all(
+        "minValues" in json.loads(f["stats"]) for f in files
+    ), "checkpoint reconciliation must preserve full stats, not just numRecords"
+
+
+# -- read side: predicate -> fewer files opened, identical rows -------------
+
+
+def test_predicate_prunes_files_and_matches_filter(spark, tmp_path):
+    sink = _sink_with_ranges(spark, tmp_path, "prune")
+    pred = "id >= 250 AND id < 320"
+    pruned = sink.to_df(predicate=pred)
+    plain = sink.to_df().filter(pred)
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in plain.collect()
+    )
+    # only the two files covering [200,300) and [300,400) survive pruning
+    assert len(pruned.inputFiles()) == 2
+    assert len(plain.inputFiles()) == 8
+
+
+def test_predicate_prunes_to_empty(spark, tmp_path):
+    sink = _sink_with_ranges(spark, tmp_path, "empty", n_batches=2)
+    out = sink.to_df(predicate="id > 100000")
+    assert out.count() == 0
+    assert out.columns  # schema preserved on the all-pruned path
+
+
+def test_unparseable_predicate_is_safe(spark, tmp_path):
+    sink = _sink_with_ranges(spark, tmp_path, "safe", n_batches=3)
+    pred = "id % 97 = 3"  # expression conjunct — parser must not prune
+    out = sink.to_df(predicate=pred)
+    assert len(out.inputFiles()) == 3
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in sink.to_df().filter(pred).collect()
+    )
+
+
+def test_mixed_partition_and_stats_pruning(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "mix"), partition_by=["g"])
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)], "id long, g string"
+    )
+    sink.append(df.repartition(2, "g"))
+    # partition conjunct on g + stats conjunct on id, through one predicate
+    out = sink.to_df(predicate="g = 'b' AND id >= 90")
+    assert sorted(r["id"] for r in out.collect()) == list(range(90, 100))
+    assert len(out.inputFiles()) == 1
+
+
+# -- parser unit coverage ----------------------------------------------------
+
+
+def test_split_conjuncts_respects_quotes_and_parens():
+    assert split_conjuncts("a = 'x AND y' AND (b > 1 AND c < 2) AND d IS NULL") == [
+        "a = 'x AND y'",
+        "(b > 1 AND c < 2)",
+        "d IS NULL",
+    ]
+
+
+@pytest.mark.parametrize(
+    "pred,kept_ids",
+    [
+        ("v = 5", [0]),
+        ("v != 5", [0, 1]),  # only a constant file v=[7,7] could be pruned
+        ("v < 5", [0]),
+        ("v <= 10", [0, 1]),
+        ("v > 10", [1]),
+        ("v >= 11", [1]),
+        ("5 < v", [0, 1]),
+        ("v IN (3, 12)", [0, 1]),
+        ("v IN (100)", []),
+        ("v IS NULL", [1]),
+        ("v IS NOT NULL", [0, 1]),
+        ("lower(v) = 'x'", [0, 1]),  # non-literal — never prunes
+    ],
+)
+def test_prune_files_interval_logic(pred, kept_ids):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("v", LongType())])
+    files = [
+        {
+            "path": "f0",
+            "partitionValues": {},
+            "stats": json.dumps(
+                {"numRecords": 10, "minValues": {"v": 0}, "maxValues": {"v": 9},
+                 "nullCount": {"v": 0}}
+            ),
+        },
+        {
+            "path": "f1",
+            "partitionValues": {},
+            "stats": json.dumps(
+                {"numRecords": 10, "minValues": {"v": 10}, "maxValues": {"v": 19},
+                 "nullCount": {"v": 3}}
+            ),
+        },
+    ]
+    kept = prune_files(files, pred, schema)
+    assert [f["path"] for f in kept] == [f"f{i}" for i in kept_ids]
+
+
+def test_file_without_stats_always_kept():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("v", LongType())])
+    files = [{"path": "f0", "partitionValues": {}, "stats": None}]
+    assert prune_files(files, "v = 123456", schema) == files
+
+
+def test_timestamp_stats_pruning(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "ts"))
+    base = dt.datetime(2024, 1, 1)
+    for day in (0, 10):
+        df = spark.createDataFrame(
+            [(i, base + dt.timedelta(days=day, hours=i)) for i in range(4)],
+            "id long, ts timestamp",
+        ).coalesce(1)
+        sink.append(df)
+    out = sink.to_df(predicate="ts >= '2024-01-11 00:00:00'")
+    assert len(out.inputFiles()) == 1
+    assert out.count() == 4
+
+
+def test_parse_conjuncts_drops_unknown_columns():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("v", LongType())])
+    cs = parse_conjuncts("nope = 1 AND v > 2", schema)
+    assert len(cs) == 1 and cs[0].col == "v"
