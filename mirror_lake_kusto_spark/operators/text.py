@@ -200,6 +200,161 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 — the public repetition
+    filters), as deterministic arithmetic:
+
+    - ``dup_line_frac``: 1 - distinct lines / lines
+    - ``dup_line_char_frac``: characters in repeated line occurrences
+      (beyond each line's first) / total line characters
+    - ``top_2gram_frac`` / ``top_3gram_frac``: tokens covered by the
+      most frequent 2-/3-gram: count * n / n_tokens
+    - ``symbol_word_ratio``: '#' and ellipsis occurrences per token
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: lines starting
+      with a bullet / ending with an ellipsis
+    - ``mean_word_len``; ``alpha_word_frac`` (words with a letter)
+
+    Line/word metrics are per-row array expressions (whole-stage
+    codegen, zero shuffle).  The top-n-gram metrics explode to
+    (doc, gram) and aggregate — two shuffles KEYED BY DOC ID whose
+    per-key cardinality is bounded by document length, the linear
+    shape that survives 100 TB (an all-pairs per-doc expression would
+    be O(len^2) per row)."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+        lines.alias("_lines"),
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size("_lines").cast("long").alias("_n_lines"),
+        F.size(F.array_distinct("_lines")).cast("long").alias("_n_distinct"),
+        F.aggregate(
+            F.col("_lines"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("_lc"),
+        F.aggregate(
+            F.array_distinct("_lines"),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.length(x),
+        ).alias("_dlc"),
+        F.size(F.filter("_lines", lambda ln: ln.rlike(r"^\s*[-*•]"))).alias(
+            "_bullet"
+        ),
+        F.size(
+            F.filter("_lines", lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+        ).alias("_ellipsis_l"),
+        F.size(F.regexp_extract_all("_text", F.lit(r"#|\.\.\.|…"), 0))
+        .cast("long")
+        .alias("_symbols"),
+        F.size(F.filter("_toks", lambda t: t.rlike("[A-Za-z]"))).alias("_alpha"),
+        F.aggregate(
+            F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("_tok_chars"),
+    )
+
+    def top_gram_counts(n: int, out: str) -> DataFrame:
+        slices = [F.slice("_toks", i + 1, F.size("_toks") - (n - 1)) for i in range(n)]
+        grams = slices[0]
+        for s in slices[1:]:
+            grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+        return (
+            base.filter(F.size("_toks") >= n)
+            .select(id_col, F.explode(grams).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count("*").alias("_c"))
+            .groupBy(id_col)
+            .agg(F.max("_c").alias(out))
+        )
+
+    top2 = top_gram_counts(2, "_top2")
+    top3 = top_gram_counts(3, "_top3")
+    nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
+    return (
+        base.join(top2, id_col, "left")
+        .join(top3, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                (F.col("_n_lines") - F.col("_n_distinct")) / nz(F.col("_n_lines")), 4
+            ).alias("dup_line_frac"),
+            F.round((F.col("_lc") - F.col("_dlc")) / nz(F.col("_lc")), 4).alias(
+                "dup_line_char_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("_top2"), F.lit(0)) * 2 / nz(F.col("n_tokens")), 4
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("_top3"), F.lit(0)) * 3 / nz(F.col("n_tokens")), 4
+            ).alias("top_3gram_frac"),
+            F.round(F.col("_symbols") / nz(F.col("n_tokens")), 4).alias(
+                "symbol_word_ratio"
+            ),
+            F.round(F.col("_bullet") / nz(F.col("_n_lines")), 4).alias(
+                "bullet_line_frac"
+            ),
+            F.round(F.col("_ellipsis_l") / nz(F.col("_n_lines")), 4).alias(
+                "ellipsis_line_frac"
+            ),
+            F.round(F.col("_tok_chars") / nz(F.col("n_tokens")), 4).alias(
+                "mean_word_len"
+            ),
+            F.round(F.col("_alpha") / nz(F.col("n_tokens")), 4).alias(
+                "alpha_word_frac"
+            ),
+        )
+    )
+
+
+#: C4 line filter: keep lines with >= min_words words that end in
+#: terminal punctuation (Raffel et al. 2020 §2.2's public heuristics).
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_lines: int = 1,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, §2.2): drop documents
+    containing a curly brace or the phrase "lorem ipsum"; within the
+    survivors keep only lines that end in terminal punctuation
+    (toggleable for corpora without sentence punctuation) and have
+    at least ``min_words_per_line`` words; drop documents left with
+    fewer than ``min_lines`` lines.  Returns (id, text) with ``text``
+    rebuilt from the kept lines.
+
+    Pure per-row array expressions (split -> filter -> array_join) —
+    whole-stage codegen, zero shuffle, trivially 100 TB-safe."""
+
+    def line_ok(ln):
+        ok = F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ln.rlike(C4_TERMINAL_RE) & ok
+        return ok
+
+    kept_lines = F.filter(F.split(F.col(text_col), "\n"), line_ok)
+    return (
+        df.filter(~F.col(text_col).contains("{"))
+        .filter(~F.lower(F.col(text_col)).contains("lorem ipsum"))
+        .select(F.col(id_col), kept_lines.alias("_kept"))
+        .filter(F.size("_kept") >= min_lines)
+        .select(
+            id_col,
+            F.array_join("_kept", "\n").alias(text_col),
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+        )
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],

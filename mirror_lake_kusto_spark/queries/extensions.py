@@ -272,6 +272,108 @@ def text_quality_filter(spark, sf_dir):
     ).select("doc_id", "lang", text.token_count("text").alias("n_tokens"))
 
 
+@query(
+    "text_repetition_profile",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, toks,
+             len(toks) AS n_tokens,
+             len(lines) AS n_lines,
+             len(list_distinct(lines)) AS n_distinct,
+             list_sum(list_transform(lines, x -> length(x))) AS lc,
+             list_sum(list_transform(list_distinct(lines),
+                                     x -> length(x))) AS dlc,
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '^\s*[-*•]'))) AS bullet,
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS ell,
+             len(regexp_extract_all(text, '#|\.\.\.|…')) AS symbols,
+             len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+             list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+      FROM base
+    ), g2 AS (
+      SELECT doc_id, MAX(c) AS top2 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM m WHERE len(toks) >= 2
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), g3 AS (
+      SELECT doc_id, MAX(c) AS top3 FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM m WHERE len(toks) >= 3
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND((n_lines - n_distinct) * 1.0 / greatest(n_lines, 1), 4)
+               AS dup_line_frac,
+           ROUND((lc - dlc) * 1.0 / greatest(lc, 1), 4) AS dup_line_char_frac,
+           ROUND(COALESCE(top2, 0) * 2.0 / greatest(n_tokens, 1), 4)
+               AS top_2gram_frac,
+           ROUND(COALESCE(top3, 0) * 3.0 / greatest(n_tokens, 1), 4)
+               AS top_3gram_frac,
+           ROUND(symbols * 1.0 / greatest(n_tokens, 1), 4) AS symbol_word_ratio,
+           ROUND(bullet * 1.0 / greatest(n_lines, 1), 4) AS bullet_line_frac,
+           ROUND(ell * 1.0 / greatest(n_lines, 1), 4) AS ellipsis_line_frac,
+           ROUND(tok_chars * 1.0 / greatest(n_tokens, 1), 4) AS mean_word_len,
+           ROUND(alpha * 1.0 / greatest(n_tokens, 1), 4) AS alpha_word_frac
+    FROM m LEFT JOIN g2 ON m.doc_id = g2.doc_id
+           LEFT JOIN g3 ON m.doc_id = g3.doc_id
+    """,
+    doc="Gopher-style repetition signals (Rae et al. 2021 App. A1.1): "
+    "dup-line/char fractions, top-2/3-gram coverage, symbol ratio, "
+    "bullet/ellipsis line fractions, mean word length, alpha-word "
+    "fraction — per-row array expressions + doc-id-keyed n-gram aggs",
+)
+def text_repetition_profile(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return text.repetition_profile(docs, "doc_id", "text")
+
+
+@query(
+    "pipeline_c4_clean",
+    r"""
+    WITH survivors AS (
+      SELECT doc_id, text FROM documents
+      WHERE strpos(text, '{') = 0
+        AND strpos(lower(text), 'lorem ipsum') = 0
+    ), kept AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                 ln -> len(regexp_split_to_array(trim(ln), '\s+')) >= 30)
+                 AS k
+      FROM survivors
+    )
+    SELECT doc_id,
+           array_to_string(k, chr(10)) AS text,
+           CAST(len(k) AS BIGINT) AS n_lines_kept
+    FROM kept WHERE len(k) >= 1
+    """,
+    doc="C4-style cleaning (Raffel et al. 2020 §2.2): drop brace / "
+    "lorem-ipsum docs, keep lines with >=30 words, rebuild text — "
+    "zero-shuffle array expressions.  The fixture corpus has no "
+    "sentence punctuation, so the terminal-punct rule is toggled off "
+    "here (its faithful default is pinned by pytest on crafted lines)",
+)
+def pipeline_c4_clean(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return text.c4_clean(
+        docs, "doc_id", "text",
+        min_words_per_line=30, require_terminal_punct=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -487,3 +487,55 @@ def test_hybrid_rrf_topk_before_rank_and_no_python(spark):
     # disjoint); never more than rank-1 in both lists
     assert round(1.0 / 61, 6) <= scores[0] <= round(2.0 / 61, 6)
     assert all(s > 0 for s in scores)
+
+
+def test_c4_clean_faithful_rules_on_crafted_lines(spark):
+    """The Raffel et al. §2.2 defaults: terminal punctuation + >=3
+    words per line; brace and lorem-ipsum docs dropped whole."""
+    rows = [
+        (1, "This is a good sentence.\nshort.\nNo terminal punct here\n"
+            "Another keeper stays in!"),
+        (2, "function() { return 1; }\nFine sentence here."),          # brace
+        (3, "Lorem Ipsum dolor sit amet.\nreal text follows here."),   # lorem
+        (4, "no punctuation anywhere at all"),                         # -> empty
+        (5, 'He said "stop".\nQuoted end works fine."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.c4_clean(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 5}
+    assert out[1].text == "This is a good sentence.\nAnother keeper stays in!"
+    assert out[1].n_lines_kept == 2
+    assert out[5].n_lines_kept == 2
+
+
+def test_repetition_profile_golden_values(spark):
+    doc = "a b a b a b\nx y z\nx y z"  # 3 lines, one dup pair
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = text.repetition_profile(df, "doc_id", "text").collect()[0]
+    # split(' ') only: newline-joined tokens ('b\nx', 'z\nx') count once
+    assert r.n_tokens == 10
+    assert r.dup_line_frac == round(1 / 3, 4)
+    # dup line chars: 'x y z' (5) repeated once / total (11+5+5)
+    assert r.dup_line_char_frac == round(5 / 21, 4)
+    # top 2-gram 'a b' appears 2x -> 2*2/10
+    assert r.top_2gram_frac == 0.4
+    # top 3-gram 'a b a' (= 'b a b') appears 2x -> 2*3/10
+    assert r.top_3gram_frac == 0.6
+    assert r.alpha_word_frac == 1.0
+    assert r.mean_word_len == 1.4
+
+
+def test_repetition_profile_plan_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        text.repetition_profile(df, "doc_id", "text")._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_profile_single_token_doc(spark):
+    df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = text.repetition_profile(df, "doc_id", "text").collect()[0]
+    assert r.n_tokens == 1
+    assert r.top_2gram_frac == 0.0 and r.top_3gram_frac == 0.0
+    assert r.mean_word_len == 4.0
