@@ -452,7 +452,11 @@ class DeltaSink:
                 )
         return self._commit(actions)
 
-    def optimize(self, target_file_bytes: int = 128 << 20) -> int:
+    def optimize(
+        self,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: Sequence[str] | None = None,
+    ) -> int:
         """Compact each partition group toward ``target_file_bytes``-sized
         files; every action carries ``dataChange: false`` — the churn
         the mirror must NOT re-ingest (O2; reference test
@@ -460,13 +464,34 @@ class DeltaSink:
 
         Output file count = ceil(group bytes / target), so a 1 TB
         partition compacts to ~8000 healthy files, never one; groups
-        already at or below their target count are left untouched."""
+        already at or below their target count are left untouched.
+
+        ``zorder_by`` clusters rows along the interleaved-bit z-curve
+        over the named data columns before writing (range-partitioned +
+        sorted within partitions), so every output file covers a tight
+        [min, max] range on ALL the named columns at once — the layout
+        that makes stats-based data skipping (``to_df(predicate=...)``)
+        selective on multi-column workloads.  Kusto's analogue is the
+        extent row-order policy its planner exploits via the min/max
+        index.  Z-ordering rewrites every group (the point is to move
+        rows), still as ``dataChange: false``."""
         import math as _math
 
         from .delta_log import snapshot_files
 
         now = int(time.time() * 1000)
         _types, data_schema = self._data_schema()
+        zcols = list(zorder_by or [])
+        if zcols:
+            if data_schema is None:
+                return self._commit([])
+            missing = [c for c in zcols if c not in data_schema.names]
+            if missing:
+                raise ValueError(
+                    f"zorder_by columns {missing} are not data columns "
+                    "(partition columns are already file-separated)"
+                )
+            bounds = self._zorder_bounds(zcols, data_schema)
         groups: dict[tuple, list[dict]] = {}
         for f in snapshot_files(self.spark, self.path):
             key = tuple(sorted((f["partitionValues"] or {}).items()))
@@ -475,19 +500,57 @@ class DeltaSink:
         for key, files in groups.items():
             total = sum(f["size"] or 0 for f in files)
             n_out = max(1, _math.ceil(total / target_file_bytes))
-            if len(files) <= n_out:
+            if not zcols and len(files) <= n_out:
                 continue
+            if zcols:
+                from .skipping import zvalue_column
+
+                def transform(df, n=n_out, s=data_schema, b=bounds):
+                    z = zvalue_column(zcols, b, s)
+                    out = df.withColumn("_mlk_z", z)
+                    if n > 1:
+                        out = out.repartitionByRange(n, "_mlk_z")
+                    else:
+                        out = out.coalesce(1)
+                    return out.sortWithinPartitions("_mlk_z").drop("_mlk_z")
+            else:
+                def transform(df, n=n_out):
+                    return df.coalesce(n)
             actions.extend(
                 self._rewrite_group(
                     [f["path"] for f in files],
                     dict(key),
-                    lambda df, n=n_out: df.coalesce(n),
+                    transform,
                     data_change=False,
                     now=now,
                     read_schema=data_schema,
                 )
             )
         return self._commit(actions)
+
+    def _zorder_bounds(self, zcols, data_schema) -> dict[str, tuple[float, float]]:
+        """Global [min, max] of each z-order column's numeric proxy —
+        ONE column-pruned aggregate over the snapshot (O(1) rows to the
+        driver; trivial next to the full rewrite OPTIMIZE performs)."""
+        import pyspark.sql.functions as F
+
+        from .skipping import numeric_proxy
+
+        type_of = {f.name: f.dataType for f in data_schema.fields}
+        df = self.to_df().select(
+            *[numeric_proxy(c, type_of[c]).alias(c) for c in zcols]
+        )
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in zcols],
+            *[F.max(c).alias(f"hi_{c}") for c in zcols],
+        ).collect()[0]
+        return {
+            c: (
+                row[f"lo_{c}"] if row[f"lo_{c}"] is not None else 0.0,
+                row[f"hi_{c}"] if row[f"hi_{c}"] is not None else 0.0,
+            )
+            for c in zcols
+        }
 
     def vacuum(self) -> dict:
         """Physically delete data files no longer referenced by the

@@ -126,6 +126,85 @@ def _jsonable(v: Any) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# layout side: z-order clustering (makes the stats above selective)
+# ---------------------------------------------------------------------------
+
+#: bits per dimension in the interleaved z-value; k dims use k*bits
+#: total — 16 bits x up to 4 columns fits a signed 64-bit long.
+ZORDER_BITS = 16
+
+
+def numeric_proxy(col: str, dtype) -> "Column":  # noqa: F821
+    """Order-preserving numeric projection of a column, used to scale
+    values onto the z-curve.  Strings map through their first 6 bytes
+    (hex -> long), which preserves lexicographic order at the
+    granularity file-level clustering needs."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    if isinstance(dtype, BooleanType):
+        return c.cast("int").cast("double")
+    if isinstance(dtype, NumericType):
+        return c.cast("double")
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return c.cast("double")  # epoch seconds (+fraction)
+    if isinstance(dtype, DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, StringType):
+        # first 12 hex chars = 6 bytes, big-endian -> ordered value that
+        # is exact in a double (48 bits < 53-bit mantissa)
+        return F.conv(
+            F.rpad(F.substring(F.hex(F.encode(c, "utf-8")), 1, 12), 12, "0"),
+            16,
+            10,
+        ).cast("double")
+    raise ValueError(f"column {col!r}: type {dtype} is not z-orderable")
+
+
+def zvalue_column(
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    schema: StructType,
+    bits: int = ZORDER_BITS,
+) -> "Column":  # noqa: F821
+    """Interleaved-bit z-value over ``cols`` — pure JVM expressions, no
+    UDF.  Each column's numeric proxy is scaled to a ``bits``-bit bucket
+    id inside its [min, max] bounds, then the bucket ids' bits are
+    interleaved (column j contributes bit i to output position i*k+j).
+    Rows adjacent on the z-curve land in the same file, so per-file
+    [min, max] stays tight on EVERY z-order dimension at once — the
+    multi-column layout that makes stats-based skipping selective
+    (public Delta OSS / Databricks OPTIMIZE ZORDER BY design).
+    Nulls sort to bucket 0."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) * bits <= 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
+    type_of = {f.name: f.dataType for f in schema.fields}
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, name in enumerate(cols):
+        lo, hi = bounds[name]
+        proxy = numeric_proxy(name, type_of[name])
+        if hi > lo:
+            scaled = (proxy - F.lit(lo)) / F.lit(hi - lo) * F.lit((1 << bits) - 1)
+        else:
+            scaled = F.lit(0)
+        bucket = F.coalesce(
+            F.least(
+                F.greatest(scaled.cast("long"), F.lit(0)),
+                F.lit((1 << bits) - 1),
+            ),
+            F.lit(0),
+        )
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return z
+
+
+# ---------------------------------------------------------------------------
 # read side: predicate conjuncts -> per-file interval tests
 # ---------------------------------------------------------------------------
 

@@ -180,6 +180,85 @@ def test_timestamp_stats_pruning(spark, tmp_path):
     assert out.count() == 4
 
 
+# -- z-order clustering ------------------------------------------------------
+
+
+def test_zorder_makes_multicolumn_skipping_selective(spark, tmp_path):
+    """Random (x, y) points arrive in arrival order, so every file spans
+    the whole domain of both columns and nothing can be pruned.  After
+    OPTIMIZE ZORDER BY (x, y), a selective predicate on EITHER column
+    opens only a corner of the files."""
+    import random
+
+    rnd = random.Random(42)
+    sink = DeltaSink(spark, str(tmp_path / "z"))
+    for _ in range(4):
+        rows = [(rnd.randrange(1000), rnd.randrange(1000)) for _ in range(2000)]
+        sink.append(
+            spark.createDataFrame(rows, "x long, y long").coalesce(1)
+        )
+    pred = "x < 100 AND y < 100"
+    before = sink.to_df(predicate=pred)
+    assert len(before.inputFiles()) == 4  # unclustered: nothing prunable
+    expected = sorted((r["x"], r["y"]) for r in before.collect())
+
+    sink.optimize(target_file_bytes=8 << 10, zorder_by=["x", "y"])
+    after = sink.to_df(predicate=pred)
+    total = len(sink.to_df().inputFiles())
+    assert total >= 4
+    assert len(after.inputFiles()) < total / 2
+    assert sorted((r["x"], r["y"]) for r in after.collect()) == expected
+    # single-column predicates prune too (the point of z vs linear sort)
+    for p in ("x >= 900", "y >= 900"):
+        assert len(sink.to_df(predicate=p).inputFiles()) < total
+
+
+def test_zorder_preserves_rows_and_is_not_datachange(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "znc"))
+    for b in range(3):
+        sink.append(spark.range(b * 100, b * 100 + 100).toDF("id").coalesce(1))
+    v = sink.optimize(zorder_by=["id"])
+    assert v >= 0
+    assert sorted(r["id"] for r in sink.to_df().collect()) == list(range(300))
+    # every action in the optimize commit is dataChange: false
+    log = tmp_path / "znc" / "_delta_log" / f"{v:020d}.json"
+    acts = [json.loads(line) for line in log.read_text().splitlines() if line.strip()]
+    assert acts and all(
+        not a[k]["dataChange"] for a in acts for k in ("add", "remove") if k in a
+    )
+
+
+def test_zorder_rejects_partition_and_unknown_columns(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "zbad"), partition_by=["g"])
+    sink.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    )
+    with pytest.raises(ValueError, match="not data columns"):
+        sink.optimize(zorder_by=["g"])
+    with pytest.raises(ValueError, match="not data columns"):
+        sink.optimize(zorder_by=["nope"])
+
+
+def test_zorder_string_column(spark, tmp_path):
+    import random
+
+    rnd = random.Random(7)
+    sink = DeltaSink(spark, str(tmp_path / "zs"))
+    words = [f"{c}{i:03d}" for c in "abcdefgh" for i in range(250)]
+    rnd.shuffle(words)
+    for b in range(4):
+        sink.append(
+            spark.createDataFrame(
+                [(w,) for w in words[b * 500 : (b + 1) * 500]], "w string"
+            ).coalesce(1)
+        )
+    sink.optimize(target_file_bytes=4 << 10, zorder_by=["w"])
+    total = len(sink.to_df().inputFiles())
+    pruned = sink.to_df(predicate="w >= 'h'")
+    assert len(pruned.inputFiles()) < total
+    assert pruned.count() == 250
+
+
 def test_parse_conjuncts_drops_unknown_columns():
     from pyspark.sql.types import LongType, StructField, StructType
 
