@@ -278,6 +278,44 @@ _CASTS = {
 }
 
 
+_HAS_ANY_ALL_RE = re.compile(r"(\S+)\s+has_(any|all)\s*\(", re.IGNORECASE)
+_IN_CI_RE = re.compile(r"(\S+)\s+(!?)in~\s*\(", re.IGNORECASE)
+
+
+def _rewrite_has_any_all(e: str) -> str:
+    """``x has_any ('a', 'b')`` -> OR of word-boundary term matches;
+    ``has_all`` -> AND."""
+    while True:
+        m = _HAS_ANY_ALL_RE.search(e)
+        if not m:
+            return e
+        args, end = _find_args(e, e.index("(", m.end() - 1))
+        joiner = " OR " if m.group(2).lower() == "any" else " AND "
+        parts = []
+        for a in args:
+            a = a.strip()
+            if not (a.startswith(("'", '"')) and a.endswith(("'", '"'))):
+                raise KqlParseError(f"has_{m.group(2)} needs string literals")
+            parts.append(
+                f"({m.group(1)} RLIKE '{_term_pattern(a[1:-1])}')"
+            )
+        repl = "(" + joiner.join(parts) + ")"
+        e = e[: m.start()] + repl + e[end:]
+
+
+def _rewrite_in_ci(e: str) -> str:
+    """Case-insensitive ``x in~ ('A', 'b')`` / ``!in~``."""
+    while True:
+        m = _IN_CI_RE.search(e)
+        if not m:
+            return e
+        args, end = _find_args(e, e.index("(", m.end() - 1))
+        neg = "NOT " if m.group(2) else ""
+        items = ", ".join(f"lower({a})" for a in args)
+        repl = f"{neg}(lower({m.group(1)}) IN ({items}))"
+        e = e[: m.start()] + repl + e[end:]
+
+
 _BETWEEN_RE = re.compile(r"(\S+)\s+(!?)between\s*\(", re.IGNORECASE)
 
 
@@ -336,6 +374,8 @@ def translate_expr(e: str) -> str:
     e = _CONTAINS_RE.sub(_contains, e)
     e = _STARTS_RE.sub(_startsends, e)
     e = _MATCHES_RE.sub(lambda m: f"({m.group(1)} RLIKE {m.group(2)})", e)
+    e = _rewrite_has_any_all(e)
+    e = _rewrite_in_ci(e)
     e = _rewrite_between(e)
     e = _DT_RE.sub(lambda m: f"TIMESTAMP'{m.group(1)}'", e)
     e = _AGO_RE.sub(
@@ -429,6 +469,37 @@ def translate_expr(e: str) -> str:
     e = _rewrite_calls(e, "isempty", lambda a: f"(coalesce({a[0]}, '') = '')")
     e = _rewrite_calls(
         e, "isnotempty", lambda a: f"(coalesce({a[0]}, '') != '')"
+    )
+    e = _rewrite_calls(e, "isnull", lambda a: f"(({a[0]}) IS NULL)")
+    e = _rewrite_calls(e, "isnotnull", lambda a: f"(({a[0]}) IS NOT NULL)")
+    # KQL substring/indexof/array_index_of are 0-based (Spark: 1-based)
+    e = _rewrite_calls(
+        e,
+        "substring",
+        lambda a: f"substr({a[0]}, ({a[1]}) + 1"
+        + (f", {a[2]})" if len(a) > 2 else ")"),
+    )
+    e = _rewrite_calls(
+        e, "indexof", lambda a: f"(instr({a[0]}, {a[1]}) - 1)"
+    )
+    e = _rewrite_calls(
+        e,
+        "array_index_of",
+        lambda a: f"(array_position({a[0]}, {a[1]}) - 1)",
+    )
+    e = _rewrite_calls(
+        e,
+        "countof",
+        lambda a: f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, "
+        f"''))) / length({a[1]}) AS INT)",
+    )
+    # Kusto hash() is xxhash64-family; hash(x, m) is modded
+    e = _rewrite_calls(
+        e,
+        "hash",
+        lambda a: f"xxhash64({a[0]})"
+        if len(a) == 1
+        else f"pmod(xxhash64({a[0]}), {a[1]})",
     )
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
     # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)
@@ -709,7 +780,9 @@ class KqlQuery:
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-expand|make-series|serialize"
-            r"|getschema|evaluate|top-nested|where|project|extend|summarize"
+            r"|getschema|evaluate|top-nested|parse-where|parse|search"
+            r"|sample-distinct|sample|top-hitters"
+            r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
             op,
             re.IGNORECASE | re.DOTALL,
@@ -725,6 +798,134 @@ class KqlQuery:
 
     def _op_where(self, frame, rest):
         return frame.where(translate_expr(rest))
+
+    # KQL parse pattern token: quoted literal | * | Column[:type]
+    _PARSE_TOK = re.compile(
+        r"('(?:[^']*)'|\"(?:[^\"]*)\"|\*|[A-Za-z_][A-Za-z0-9_]*(?::\s*\w+)?)"
+    )
+
+    def _op_parse(self, frame, rest, where=False):
+        """``parse [kind=simple|regex] Expr with [*] 'lit' Col[:type]
+        'lit' ...`` — one compiled regex, one ``regexp_extract`` per
+        output column (JVM-side, zero shuffle).  ``simple`` escapes the
+        literals; ``regex`` treats them as regex fragments.  Columns
+        are non-greedy captures (the final one greedy); typed columns
+        try_cast, so non-matching rows yield nulls (parse) or are
+        dropped (parse-where)."""
+        m = re.match(
+            r"(?:kind\s*=\s*(\w+)\s+)?(.+?)\s+with\s+(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError("parse needs: [kind=...] Expr with pattern")
+        kind = (m.group(1) or "simple").lower()
+        if kind not in ("simple", "regex"):
+            raise KqlParseError(f"parse: unsupported kind {kind!r}")
+        src = translate_expr(m.group(2))
+        toks = [
+            t for t in self._PARSE_TOK.findall(m.group(3).strip()) if t.strip()
+        ]
+        if not toks:
+            raise KqlParseError("parse: empty pattern")
+        pattern_parts, cols = [], []
+        for i, t in enumerate(toks):
+            if t == "*":
+                pattern_parts.append(".*?" if i == 0 else ".*")
+            elif t[0] in "'\"":
+                lit = t[1:-1]
+                pattern_parts.append(re.escape(lit) if kind == "simple" else lit)
+            else:
+                name, _, ktype = t.partition(":")
+                ktype = ktype.strip().lower() or "string"
+                if ktype not in self._KUSTO_TYPES:
+                    raise KqlParseError(f"parse: unknown type {ktype!r}")
+                greedy = i == len(toks) - 1
+                pattern_parts.append("(.*)" if greedy else "(.*?)")
+                cols.append((name.strip(), self._KUSTO_TYPES[ktype]))
+        if not cols:
+            raise KqlParseError("parse: pattern captures no columns")
+        pattern = "".join(pattern_parts)
+        if not pattern.startswith(".*?"):
+            pattern = "^" + pattern
+        sql_lit = pattern.replace("\\", "\\\\").replace("'", "\\'")
+        out = frame.df
+        if where:
+            out = out.filter(F.expr(f"({src}) RLIKE '{sql_lit}'"))
+        for g, (name, stype) in enumerate(cols, start=1):
+            ex = f"regexp_extract({src}, '{sql_lit}', {g})"
+            if stype != "string":
+                ex = f"try_cast({ex} AS {stype})"
+            out = out.withColumn(name, F.expr(ex))
+        return KqlFrame(out)
+
+    def _op_parse_where(self, frame, rest):
+        return self._op_parse(frame, rest, where=True)
+
+    def _op_search(self, frame, rest):
+        """``search 'term'`` — case-insensitive substring match across
+        ALL string columns (Kusto's unscoped search)."""
+        t = rest.strip()
+        if not (t.startswith(("'", '"')) and t.endswith(("'", '"'))):
+            raise KqlParseError("search needs a quoted term")
+        term = t[1:-1].lower().replace("'", "\\'")
+        from pyspark.sql.types import StringType as _Str
+
+        str_cols = [
+            f.name for f in frame.df.schema.fields
+            if isinstance(f.dataType, _Str)
+        ]
+        if not str_cols:
+            raise KqlParseError("search: no string columns in scope")
+        pred = " OR ".join(
+            f"contains(lower({c}), '{term}')" for c in str_cols
+        )
+        return KqlFrame(frame.df.filter(F.expr(pred)))
+
+    def _op_sample(self, frame, rest):
+        """``sample N`` — N pseudo-random rows.  Deterministic here
+        (ordered by xxhash64 of the whole row) so repeated runs and
+        tests agree; one TakeOrdered(N), no full sort materialization."""
+        n = int(rest.strip())
+        cols = [F.col(c) for c in frame.df.columns]
+        return KqlFrame(
+            frame.df.orderBy(F.xxhash64(F.struct(*cols))).limit(n)
+        )
+
+    def _op_sample_distinct(self, frame, rest):
+        """``sample-distinct N of Col`` — N distinct values of Col."""
+        m = re.match(r"(\d+)\s+of\s+(\w+)$", rest.strip(), re.IGNORECASE)
+        if not m:
+            raise KqlParseError("sample-distinct needs: N of Column")
+        n, col = int(m.group(1)), m.group(2)
+        return KqlFrame(
+            frame.df.select(col).distinct().orderBy(F.xxhash64(F.col(col))).limit(n)
+        )
+
+    def _op_top_hitters(self, frame, rest):
+        """``top-hitters N of Col [by SumExpr]`` — heavy hitters by
+        count (or by sum of an expression).  Exact here (groupBy +
+        TakeOrdered); Kusto's is approximate."""
+        m = re.match(
+            r"(\d+)\s+of\s+(\w+)(?:\s+by\s+(.+))?$",
+            rest.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError("top-hitters needs: N of Column [by expr]")
+        n, col, by = int(m.group(1)), m.group(2), m.group(3)
+        if by:
+            out_name = f"approximate_sum_{re.sub(r'[^A-Za-z0-9_]', '_', by.strip())}"
+            agg = F.sum(F.expr(translate_expr(by))).alias(out_name)
+        else:
+            out_name = f"approximate_count_{col}"
+            agg = F.count("*").alias(out_name)
+        return KqlFrame(
+            frame.df.groupBy(col)
+            .agg(agg)
+            .orderBy(F.desc(out_name), F.asc(col))
+            .limit(n)
+        )
 
     def _op_project(self, frame, rest):
         cols, renamed = [], {}

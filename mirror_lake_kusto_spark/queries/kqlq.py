@@ -446,3 +446,44 @@ def kql_bag_unpack(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_parse_extract",
+    """
+    SELECT s_name,
+           CAST(regexp_extract(s_name, '^Supplier#(.*)$', 1) AS BIGINT)
+               AS num
+    FROM supplier
+    WHERE regexp_matches(s_name, '^Supplier#(.*)$')
+    """,
+    doc="KQL string: parse-where pattern extraction (one compiled "
+    "regex, one JVM-side regexp_extract per typed output column)",
+)
+def kql_parse_extract(spark, sf_dir):
+    return kql(
+        spark,
+        "supplier | parse-where s_name with 'Supplier#' num:long "
+        "| project s_name, num",
+        tables=_tables(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "kql_top_hitters",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS approximate_count_source
+    FROM documents
+    GROUP BY source
+    ORDER BY approximate_count_source DESC, source ASC
+    LIMIT 5
+    """,
+    doc="KQL string: top-hitters heavy-hitter summary (exact groupBy "
+    "+ TakeOrdered here; deterministic tie-break on the key)",
+)
+def kql_top_hitters(spark, sf_dir):
+    return kql(
+        spark,
+        "documents | top-hitters 5 of source",
+        tables=_tables(spark, sf_dir, "documents"),
+    )

@@ -628,3 +628,136 @@ def test_parse_bag_unpack(spark):
             "t | evaluate bag_unpack(id2)",
             tables={"t": df.selectExpr("CAST(id AS STRING) AS id2")},
         )
+
+
+# -- parse / search / sample / top-hitters -----------------------------------
+
+
+def test_parse_simple_extracts_typed_columns(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("FTP: alice:42 done",), ("FTP: bob:7 done",), ("garbage",)],
+        "msg string",
+    )
+    out = kql(
+        spark,
+        "t | parse msg with 'FTP: ' user ':' n:long ' done'",
+        tables={"t": df},
+    ).collect()
+    got = {(r.user, r.n) for r in out}
+    assert ("alice", 42) in got and ("bob", 7) in got
+    # non-matching row survives parse with empty/null extractions
+    assert len(out) == 3
+    bad = [r for r in out if r.msg == "garbage"][0]
+    assert bad.user == "" and bad.n is None
+
+
+def test_parse_where_drops_nonmatching(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("x=1",), ("x=2",), ("nope",)], "line string"
+    )
+    out = kql(
+        spark, "t | parse-where line with 'x=' v:int", tables={"t": df}
+    ).collect()
+    assert sorted(r.v for r in out) == [1, 2]
+
+
+def test_parse_kind_regex(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([("id: 007 end",)], "s string")
+    out = kql(
+        spark,
+        r"t | parse kind=regex s with 'id:\s+' code:long ' end'",
+        tables={"t": df},
+    ).collect()
+    assert out[0].code == 7
+
+
+def test_search_across_string_columns(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "Alpha", "x"), (2, "beta", "ALPHA"), (3, "gamma", "y")],
+        "id long, a string, b string",
+    )
+    out = kql(spark, "t | search 'alpha'", tables={"t": df}).collect()
+    assert sorted(r.id for r in out) == [1, 2]
+
+
+def test_sample_and_sample_distinct_deterministic(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g long")
+    s1 = kql(spark, "t | sample 5", tables={"t": df}).collect()
+    s2 = kql(spark, "t | sample 5", tables={"t": df}).collect()
+    assert len(s1) == 5 and sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    sd = kql(spark, "t | sample-distinct 2 of g", tables={"t": df}).collect()
+    assert len(sd) == 2 and len({r.g for r in sd}) == 2
+
+
+def test_top_hitters_count_and_sum(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 10), ("b", 10), ("c", 100)],
+        "k string, v long",
+    )
+    byc = kql(spark, "t | top-hitters 2 of k", tables={"t": df}).collect()
+    assert [(r.k, r.approximate_count_k) for r in byc] == [("a", 3), ("b", 2)]
+    bys = kql(spark, "t | top-hitters 1 of k by v", tables={"t": df}).collect()
+    assert bys[0].k == "c" and bys[0].approximate_sum_v == 100
+
+
+def test_string_scalar_rewrites(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([("hello world", "l")], "s string, sub string")
+    out = kql(
+        spark,
+        "t | extend sub2 = substring(s, 0, 5), ix = indexof(s, 'world'), "
+        "n = countof(s, 'l'), nn = isnotnull(s), z = isnull(s), "
+        "h = hash(s, 100)",
+        tables={"t": df},
+    ).collect()[0]
+    assert out.sub2 == "hello"
+    assert out.ix == 6
+    assert out.n == 3
+    assert out.nn is True and out.z is False
+    assert 0 <= out.h < 100
+
+
+def test_in_ci_and_has_any_all(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "Widget PROMO pack"), (2, "plain box"), (3, "PROMO and BONUS")],
+        "id long, s string",
+    )
+    out = kql(
+        spark, "t | where s has_any ('promo', 'bonus')", tables={"t": df}
+    ).collect()
+    assert sorted(r.id for r in out) == [1, 3]
+    out = kql(
+        spark, "t | where s has_all ('promo', 'bonus')", tables={"t": df}
+    ).collect()
+    assert [r.id for r in out] == [3]
+    df2 = spark.createDataFrame([("Apple",), ("pear",)], "f string")
+    out = kql(spark, "t | where f in~ ('APPLE', 'plum')", tables={"t": df2})
+    assert [r.f for r in out.collect()] == ["Apple"]
+
+
+def test_array_index_of_zero_based(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = kql(
+        spark,
+        "t | extend a = array_index_of(split('x,y,z', ','), 'y'), "
+        "miss = array_index_of(split('x,y,z', ','), 'q')",
+        tables={"t": df},
+    ).collect()[0]
+    assert out.a == 1 and out.miss == -1
