@@ -664,6 +664,17 @@ def q17(spark, sf_dir):
 )
 def q2(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    # the per-part min is over supplier ELIGIBILITY only, so the part
+    # predicate commutes with it — semi-join lineitem down to the
+    # selective part set BEFORE the big (partkey, suppkey) shuffle
+    li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -680,9 +691,6 @@ def q2(spark, sf_dir):
     w = Window.partitionBy("ps_partkey")
     best = eligible.withColumn("_min_cost", F.min("ps_supplycost").over(w)).filter(
         F.col("ps_supplycost") == F.col("_min_cost")
-    )
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
     )
     return (
         best.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
@@ -909,10 +917,12 @@ def q21(spark, sf_dir):
         .select("s_suppkey", "s_name")
     )
     return (
+        # broadcast-restrict to the nation's suppliers BEFORE the
+        # join-back: only ~1/|nations| of late lines shuffle again
         flagged.filter(F.col("late"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(per_order, "l_orderkey")
         .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
