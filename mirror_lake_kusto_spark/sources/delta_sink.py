@@ -456,6 +456,7 @@ class DeltaSink:
         self,
         target_file_bytes: int = 128 << 20,
         zorder_by: Sequence[str] | None = None,
+        partition_predicate: str | None = None,
     ) -> int:
         """Compact each partition group toward ``target_file_bytes``-sized
         files; every action carries ``dataChange: false`` — the churn
@@ -474,10 +475,15 @@ class DeltaSink:
         selective on multi-column workloads.  Kusto's analogue is the
         extent row-order policy its planner exploits via the min/max
         index.  Z-ordering rewrites every group (the point is to move
-        rows), still as ``dataChange: false``."""
+        rows), still as ``dataChange: false``.
+
+        ``partition_predicate`` (SQL over partition columns) scopes the
+        maintenance to matching partitions — Delta's ``OPTIMIZE WHERE``:
+        at 100 TB you compact/cluster the partitions that churned, not
+        the whole table."""
         import math as _math
 
-        from .delta_log import snapshot_files
+        from .delta_log import _prune_partitions, latest_metadata, snapshot_files
 
         now = int(time.time() * 1000)
         _types, data_schema = self._data_schema()
@@ -492,8 +498,15 @@ class DeltaSink:
                     "(partition columns are already file-separated)"
                 )
             bounds = self._zorder_bounds(zcols, data_schema)
+        files = snapshot_files(self.spark, self.path)
+        if partition_predicate is not None and files:
+            meta = latest_metadata(self.spark, self.path)
+            if meta is not None:
+                files = _prune_partitions(
+                    self.spark, files, meta, partition_predicate
+                )
         groups: dict[tuple, list[dict]] = {}
-        for f in snapshot_files(self.spark, self.path):
+        for f in files:
             key = tuple(sorted((f["partitionValues"] or {}).items()))
             groups.setdefault(key, []).append(f)
         actions: list[dict] = []

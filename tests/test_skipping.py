@@ -265,3 +265,24 @@ def test_parse_conjuncts_drops_unknown_columns():
     schema = StructType([StructField("v", LongType())])
     cs = parse_conjuncts("nope = 1 AND v > 2", schema)
     assert len(cs) == 1 and cs[0].col == "v"
+
+
+def test_optimize_scoped_by_partition_predicate(spark, tmp_path):
+    """OPTIMIZE WHERE: only matching partitions are rewritten."""
+    sink = DeltaSink(spark, str(tmp_path / "ow"), partition_by=["g"])
+    for b in range(3):
+        sink.append(
+            spark.createDataFrame(
+                [(b * 10 + i, g) for i in range(10) for g in ("a", "b")],
+                "id long, g string",
+            ).repartition(2, "g")
+        )
+    before = {f["path"] for f in DL.snapshot_files(spark, sink.path)}
+    a_before = {p for p in before if p.startswith("g=a/")}
+    b_before = {p for p in before if p.startswith("g=b/")}
+    assert len(a_before) == 3 and len(b_before) == 3
+    sink.optimize(partition_predicate="g = 'a'")
+    after = {f["path"] for f in DL.snapshot_files(spark, sink.path)}
+    assert {p for p in after if p.startswith("g=b/")} == b_before  # untouched
+    assert len({p for p in after if p.startswith("g=a/")}) == 1    # compacted
+    assert sink.to_df().count() == 60
