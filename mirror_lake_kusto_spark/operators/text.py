@@ -355,6 +355,45 @@ def c4_clean(
     )
 
 
+#: Knuth's multiplicative-hash constant (2^32 / phi) — both engines
+#: compute ``(id * K) % 2^32`` exactly in 64-bit integer arithmetic,
+#: so the sample is reproducible in Spark AND the DuckDB oracle.
+_MIX_HASH_K = 2654435761
+_MIX_HASH_M = 1 << 32
+
+
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    quotas: dict[str, int],
+) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: keep the
+    ``quotas[stratum]`` rows with the smallest multiplicative hash of
+    ``id_col`` within each stratum — the "mix N docs of source A with
+    M of source B" step every training-data pipeline runs.
+
+    The hash order is a fixed pseudo-random permutation of ids, so the
+    sample is stable across runs, engines, and partitionings (unlike
+    ``sampleBy``, whose row picks depend on the RNG stream), and
+    growing a quota only ADDS rows (nested samples — the property you
+    want when scaling a mixture up).  One window per stratum key:
+    a single shuffle on ``stratum_col``; quotas broadcast in the plan.
+    """
+    from pyspark.sql import Window
+
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(_MIX_HASH_K), F.lit(_MIX_HASH_M))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    quota = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(stratum_col)]
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.coalesce(quota, F.lit(0)))
+        .drop("_rn")
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],

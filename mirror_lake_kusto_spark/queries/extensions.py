@@ -374,6 +374,33 @@ def pipeline_c4_clean(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_mix_sources",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked
+    WHERE (source = 'src1' AND rn <= 10)
+       OR (source = 'src2' AND rn <= 5)
+       OR (source = 'src3' AND rn <= 3)
+    """,
+    doc="dataset mixing: deterministic stratified sample (smallest "
+    "multiplicative id-hash per source, nested as quotas grow) — "
+    "stable across runs/engines/partitionings, one shuffle",
+)
+def pipeline_mix_sources(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return text.mix_sources(
+        docs, "doc_id", "source", {"src1": 10, "src2": 5, "src3": 3}
+    ).select("doc_id", "source", "lang")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -539,3 +539,27 @@ def test_repetition_profile_single_token_doc(spark):
     assert r.n_tokens == 1
     assert r.top_2gram_frac == 0.0 and r.top_3gram_frac == 0.0
     assert r.mean_word_len == 4.0
+
+
+def test_mix_sources_deterministic_and_nested(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    small = text.mix_sources(df, "doc_id", "source", {"a": 5, "b": 3})
+    again = text.mix_sources(
+        df.repartition(7), "doc_id", "source", {"a": 5, "b": 3}
+    )
+    s1 = sorted(map(tuple, small.collect()))
+    assert s1 == sorted(map(tuple, again.collect()))  # partitioning-stable
+    from collections import Counter
+
+    counts = Counter(r[1] for r in s1)
+    assert counts == {"a": 5, "b": 3}
+    # nested: growing a quota only adds rows
+    big = sorted(map(tuple, text.mix_sources(
+        df, "doc_id", "source", {"a": 8, "b": 3}).collect()))
+    assert set(s1) <= set(big)
+    # unlisted strata contribute nothing
+    none = text.mix_sources(df, "doc_id", "source", {"c": 5})
+    assert none.count() == 0
