@@ -131,3 +131,40 @@ def mirror_show_tables(spark, sf_dir):
     return orch.show_tables().select(
         "table_name", "high_water_tx", "n_pending", "live_records"
     )
+
+
+@query(
+    "mirror_change_feed",
+    f"""
+    WITH slice AS (
+      SELECT {", ".join(_COLS)} FROM lineitem WHERE l_orderkey <= 4000
+    )
+    SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+           {", ".join(_COLS)} FROM slice WHERE l_linenumber <= 3
+    UNION ALL
+    SELECT 'insert', CAST(1 AS BIGINT), {", ".join(_COLS)}
+    FROM slice WHERE l_linenumber > 3
+    UNION ALL
+    SELECT 'delete', CAST(2 AS BIGINT), {", ".join(_COLS)} FROM slice
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT), {", ".join(_COLS)}
+    FROM slice WHERE NOT (l_linestatus = 'F' AND l_quantity < 10)
+    """,
+    doc="batch change feed (Delta CDF analogue): 2 appends + a "
+    "copy-on-write delete -> versioned insert/delete rows.  Both data "
+    "files contain delete matches, so the v2 rewrite is exactly the "
+    "whole slice out + survivors back in — the logical oracle form "
+    "(file-level CDF is the remove⋈add stream the mirror consumes, "
+    "C1/C3)",
+)
+def mirror_change_feed(spark, sf_dir):
+    wd = _workdir("mirror_cdf", sf_dir)
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd)
+    li = load_table(spark, "lineitem", sf_dir).filter("l_orderkey <= 4000").cache()
+    src = DeltaSink(spark, os.path.join(wd, "src"))
+    src.append(li.filter("l_linenumber <= 3").select(*_COLS).coalesce(1))
+    src.append(li.filter("l_linenumber > 3").select(*_COLS).coalesce(1))
+    li.unpersist()
+    src.delete("l_linestatus = 'F' AND l_quantity < 10")
+    return src.changes(0).select("_change_type", "_commit_version", *_COLS)

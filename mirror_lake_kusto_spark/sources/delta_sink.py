@@ -619,3 +619,13 @@ class DeltaSink:
             partition_predicate=partition_predicate,
             predicate=predicate,
         )
+
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Batch change feed (Delta CDF analogue): data rows +
+        ``_change_type`` (insert/delete) + ``_commit_version`` for the
+        commit span — see ``delta_log.read_changes``."""
+        from .delta_log import read_changes
+
+        return read_changes(self.spark, self.path, from_version, to_version)
