@@ -575,6 +575,183 @@ def dequantize_int8(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 256,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector is split
+    into ``m`` subspaces and each subspace gets its own ``n_codes``-
+    entry k-means codebook, so a d-dim float32 vector stores as m bytes
+    (d=128, m=8: 64x smaller).  Like IVF training, only a deterministic
+    ``sample`` collects to the driver; Lloyd iterations run in numpy.
+    Returns (m, n_codes, d/m) — KBs, broadcast to encoders."""
+    rows = corpus.select(vec_col).orderBy(id_col).limit(sample).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(n_codes, len(mat)), dsub))
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        k_eff = min(n_codes, len(sub))
+        cent = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-byte PQ code (nearest codeword per subspace).
+    Codebooks broadcast (KBs); vectors stream through Arrow batches —
+    one narrow map over the corpus, the 100 TB encode shape."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = df.schema.simpleString()[7:-1] + f",{out_col} array<int>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m, _, dsub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2; argmin drops ||x||^2
+                dots = sub @ books[s].T
+                c2 = (books[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmin(c2[None, :] - 2 * dots, axis=1)
+            out = pdf.copy()
+            out[out_col] = list(codes)
+            yield out
+
+    return df.mapInPandas(encode, schema)
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    code_col: str = "pq_code",
+    out_col: str = "embedding_pq",
+) -> DataFrame:
+    """Reconstruct the quantized vector (codeword concatenation)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    schema = df.schema.simpleString()[7:-1] + f",{out_col} array<double>"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m = books.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf[code_col].to_numpy())
+            rec = np.concatenate(
+                [books[s][codes[:, s]] for s in range(m)], axis=1
+            )
+            out = pdf.copy()
+            out[out_col] = list(rec)
+            yield out
+
+    return df.mapInPandas(decode, schema)
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC): each query precomputes an (m x n_codes) table of subspace
+    dot products against the codebooks, and a candidate's score is m
+    table lookups summed — no float vectors are touched at query time,
+    so the scan reads m BYTES per vector instead of d floats.  The
+    exactness anchor is cosine_topk_bruteforce; tests pin recall@k.
+
+    Norms use the reconstructed codewords (||x~||), matching what a
+    PQ-only index can know.  Per-batch partial top-k like bruteforce."""
+    spark = corpus.sparkSession
+    books = train_pq_codebooks(
+        corpus, vec_col, id_col, m=m, n_codes=n_codes, seed=seed
+    )
+    encoded = pq_encode(corpus, books, vec_col).select(id_col, "pq_code")
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    dsub = books.shape[2]
+    # (n_queries, m, n_codes) dot tables + per-code squared norms
+    tables = np.stack(
+        [
+            qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T
+            for s in range(books.shape[0])
+        ],
+        axis=1,
+    )
+    code_sq = np.stack([(books[s] ** 2).sum(axis=1) for s in range(books.shape[0])])
+    bq = spark.sparkContext.broadcast((qids, qnorm, tables, code_sq))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, norm_q, tab, csq = bq.value
+        n_sub = tab.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy())
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            sub_idx = np.arange(n_sub)
+            # reconstructed norms: sum of codeword sq-norms per vector
+            rec_norm = np.sqrt(csq[sub_idx[None, :], codes].sum(axis=1))
+            rec_norm = np.where(rec_norm == 0, 1.0, rec_norm)
+            out = []
+            for j, qid in enumerate(ids_q):
+                dots = tab[j][sub_idx[None, :], codes].sum(axis=1)
+                qn = norm_q[j] if norm_q[j] != 0 else 1.0
+                col = np.round(dots / (rec_norm * qn), round_digits)
+                take = min(k, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "cand_id": cids[top], "cos_sim": col[top]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = encoded.mapInPandas(
+        score, "query_id bigint, cand_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
 def hybrid_search_rrf(
     docs: DataFrame,
     embeddings: DataFrame,

@@ -183,6 +183,22 @@ def similarity_topk_ivf(spark, sf_dir):
     )
 
 
+@query(
+    "similarity_topk_pq",
+    None,  # approximate by construction; anchor = similarity_topk_bruteforce
+    doc="product-quantization top-k via asymmetric distance computation "
+    "(Jégou et al. 2011): per-subspace codebooks trained on a driver "
+    "sample, corpus stored as m-byte codes, queries score by m table "
+    "lookups per candidate — the 64x-compressed scan path for 100 TB "
+    "vector corpora; recall floor pinned by pytest",
+)
+def similarity_topk_pq(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.cosine_topk_pq(corpus, queries_df, k=10, m=8)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -563,3 +563,44 @@ def test_mix_sources_deterministic_and_nested(spark):
     # unlisted strata contribute nothing
     none = text.mix_sources(df, "doc_id", "source", {"c": 5})
     assert none.count() == 0
+
+
+def test_pq_roundtrip_fidelity_and_determinism(spark, emb):
+    from mirror_lake_kusto_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    import numpy as np
+
+    books = train_pq_codebooks(emb, m=8, seed=42)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # 64-dim / 8
+    sample = emb.limit(100)
+    dec = pq_decode(pq_encode(sample, books), books).collect()
+    sims = []
+    for r in dec:
+        v = np.array(r["embedding"]); w = np.array(r["embedding_pq"])
+        nv, nw = np.linalg.norm(v), np.linalg.norm(w)
+        if nv and nw:
+            sims.append(float(v @ w / (nv * nw)))
+    assert sum(sims) / len(sims) >= 0.75  # codebook reconstruction tracks
+    again = train_pq_codebooks(emb, m=8, seed=42)
+    assert np.array_equal(books, again)
+
+
+def test_pq_topk_recall_floor(spark, emb):
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=10).collect()
+    pq = similarity.cosine_topk_pq(corpus, queries_df, k=10, m=8).collect()
+    ex, got = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+        assert r.cand_id >= 5
+    recalls = [len(ex[q] & got.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # deterministic under the fixed seed
+    again = similarity.cosine_topk_pq(corpus, queries_df, k=10, m=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, pq))
