@@ -286,3 +286,88 @@ def test_optimize_scoped_by_partition_predicate(spark, tmp_path):
     assert {p for p in after if p.startswith("g=b/")} == b_before  # untouched
     assert len({p for p in after if p.startswith("g=a/")}) == 1    # compacted
     assert sink.to_df().count() == 60
+
+
+# -- property: pruning never excludes a file holding a matching row ----------
+
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+
+
+def _eval_atom(row, kind, col_val, op, lits):
+    if kind == "isnull":
+        return col_val is None
+    if kind == "notnull":
+        return col_val is not None
+    if col_val is None:
+        return False  # SQL three-valued logic: comparisons with NULL fail
+    if kind == "in":
+        return col_val in lits
+    v = lits[0]
+    return {
+        "=": col_val == v, "!=": col_val != v,
+        "<": col_val < v, "<=": col_val <= v,
+        ">": col_val > v, ">=": col_val >= v,
+    }[op]
+
+
+_atom = st.one_of(
+    st.tuples(
+        st.just("cmp"),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.lists(st.integers(-5, 25), min_size=1, max_size=1),
+    ),
+    st.tuples(st.just("in"), st.none(), st.lists(st.integers(-5, 25), min_size=1, max_size=4)),
+    st.tuples(st.just("isnull"), st.none(), st.just([])),
+    st.tuples(st.just("notnull"), st.none(), st.just([])),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    files=st.lists(
+        st.lists(st.one_of(st.none(), st.integers(0, 20)), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    atoms=st.lists(_atom, min_size=1, max_size=3),
+)
+def test_pruning_never_drops_matching_rows(files, atoms):
+    """For ANY data layout and conjunctive predicate: every row that
+    satisfies the predicate lives in a file prune_files KEEPS."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("v", LongType())])
+    file_dicts = []
+    for i, rows in enumerate(files):
+        nonnull = [r for r in rows if r is not None]
+        stats = {"numRecords": len(rows),
+                 "nullCount": {"v": len(rows) - len(nonnull)}}
+        if nonnull:
+            stats["minValues"] = {"v": min(nonnull)}
+            stats["maxValues"] = {"v": max(nonnull)}
+        file_dicts.append(
+            {"path": f"f{i}", "partitionValues": {}, "stats": json.dumps(stats)}
+        )
+
+    parts = []
+    for kind, op, lits in atoms:
+        if kind == "cmp":
+            parts.append(f"v {op} {lits[0]}")
+        elif kind == "in":
+            parts.append(f"v IN ({', '.join(map(str, lits))})")
+        elif kind == "isnull":
+            parts.append("v IS NULL")
+        else:
+            parts.append("v IS NOT NULL")
+    predicate = " AND ".join(parts)
+
+    kept = {f["path"] for f in prune_files(file_dicts, predicate, schema)}
+    for i, rows in enumerate(files):
+        for val in rows:
+            if all(_eval_atom(None, k, val, op, lits) for k, op, lits in atoms):
+                assert f"f{i}" in kept, (
+                    f"file f{i} holds matching value {val!r} for "
+                    f"{predicate!r} but was pruned"
+                )
