@@ -71,9 +71,12 @@ EXTENSION_HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "dedup_embedding_cosine",
+    "similarity_topk_pq",
     "pipeline_dedup_corpus",
+    "pipeline_mix_sources",
     "kql_summarize_pipeline",
     "text_profile",
+    "text_repetition_profile",
     "s1_tumbling_window",
     "s5_asof_join",
     "s6_dedup_with_counts",

@@ -20,6 +20,10 @@ log tailer hand-rolls at DeltaTableGateway.cs:71-159):
 - a ``dataChange=true`` remove makes the source raise unless
   ``skipChangeCommits`` is set (Delta's option of the same name):
   streams cannot retract rows;
+- ``readChangeFeed`` streams versioned insert/delete ROWS instead
+  (``_change_type`` + ``_commit_version`` columns) — the continuous
+  twin of ``DeltaSink.changes``; mutually exclusive with
+  ``skipChangeCommits``;
 - partition-column values are injected typed from the add action's
   partitionValues (A7/O6) — they are not stored in the data files;
 - reads return Arrow RecordBatches (zero row-at-a-time Python cost).
@@ -125,6 +129,10 @@ class _FilePartition(InputPartition):
     file_path: str
     partition_values: dict
     schema_json: str
+    # change-feed annotations (readChangeFeed mode); inserts at -1 mean
+    # the plain-stream path where the columns are absent
+    change_type: str = "insert"
+    commit_version: int = -1
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
@@ -134,11 +142,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         schema: StructType,
         skip_change_commits: bool,
         max_commits_per_trigger: int | None = None,
+        read_change_feed: bool = False,
     ):
         self.path = table_path
         self._schema = schema
         self.skip_change_commits = skip_change_commits
         self.max_commits_per_trigger = max_commits_per_trigger
+        self.read_change_feed = read_change_feed
         # progress floor for admission control: learned from
         # initialOffset (fresh query) and each planned batch's END
         # offset in partitions().  The Python DataSource API calls
@@ -207,6 +217,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                             file_path=os.path.join(self.path, f["path"]),
                             partition_values=f.get("partitionValues") or {},
                             schema_json=schema_json,
+                            commit_version=ckpt,
                         )
                     )
                 skip_upto = ckpt  # commits <= ckpt are inside the snapshot
@@ -221,6 +232,30 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 )
             expect = v + 1
             acts = _commit_actions(self.path, v)
+            if self.read_change_feed:
+                # CDF mode: removes stream as delete rows instead of
+                # erroring — the continuous twin of DeltaSink.changes
+                for a in acts:
+                    for key, change in (("add", "insert"), ("remove", "delete")):
+                        act = a.get(key)
+                        if act is None or not act.get("dataChange", True):
+                            continue
+                        full = os.path.join(self.path, act["path"])
+                        if change == "delete" and not os.path.exists(full):
+                            raise ValueError(
+                                f"removed file {act['path']} (commit {v}) "
+                                "was vacuumed; its change rows are gone"
+                            )
+                        parts.append(
+                            _FilePartition(
+                                file_path=full,
+                                partition_values=act.get("partitionValues") or {},
+                                schema_json=schema_json,
+                                change_type=change,
+                                commit_version=v,
+                            )
+                        )
+                continue
             has_data_remove = any(
                 a["remove"].get("dataChange", True)
                 for a in acts
@@ -241,6 +276,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                             file_path=os.path.join(self.path, add["path"]),
                             partition_values=add.get("partitionValues") or {},
                             schema_json=schema_json,
+                            commit_version=v,
                         )
                     )
         return parts
@@ -261,6 +297,14 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         for field in arrow_schema:
             if field.name in table.column_names:
                 cols.append(table.column(field.name).cast(field.type))
+            elif field.name == "_change_type":
+                cols.append(
+                    pa.array([partition.change_type] * n, type=pa.string())
+                )
+            elif field.name == "_commit_version":
+                cols.append(
+                    pa.array([partition.commit_version] * n, type=pa.int64())
+                )
             elif field.name == LINEAGE_COL:
                 # source-level lineage (H5): the per-row blob path the
                 # reference injects via its SourceLocation mapping
@@ -276,29 +320,51 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
 class DeltaLogDataSource(DataSource):
     """format("mlk_delta") — options: path, skipChangeCommits,
-    maxCommitsPerTrigger."""
+    maxCommitsPerTrigger, readChangeFeed (stream versioned
+    insert/delete rows instead of erroring on removes — the continuous
+    twin of ``DeltaSink.changes``)."""
 
     @classmethod
     def name(cls) -> str:
         return "mlk_delta"
+
+    def _cdf(self) -> bool:
+        cdf = str(self.options.get("readchangefeed", "false")).lower() == "true"
+        skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"
+        if cdf and skip:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are mutually "
+                "exclusive: the feed's whole point is delivering removes"
+            )
+        return cdf
 
     def schema(self) -> StructType:
         meta = _latest_metadata(self.options["path"])
         if meta is None:
             raise ValueError(f"no Delta metaData under {self.options['path']}")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        if str(self.options.get("lineage", "false")).lower() == "true":
-            from pyspark.sql.types import StringType, StructField
+        from pyspark.sql.types import LongType, StringType, StructField
 
+        if str(self.options.get("lineage", "false")).lower() == "true":
             schema = StructType([*schema.fields, StructField(LINEAGE_COL, StringType())])
+        if self._cdf():
+            schema = StructType(
+                [
+                    *schema.fields,
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
         return schema
 
     def streamReader(self, schema: StructType) -> DeltaLogStreamReader:
         skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"
+        cdf = self._cdf()
         max_commits = self.options.get("maxcommitspertrigger")
         return DeltaLogStreamReader(
             self.options["path"],
             schema,
             skip,
             max_commits_per_trigger=int(max_commits) if max_commits else None,
+            read_change_feed=cdf,
         )

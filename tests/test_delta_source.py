@@ -217,3 +217,82 @@ def test_max_commits_per_trigger_caps_batches(spark, tmp_path):
     sizes = [len(b) for _, b in sorted(batches.items())[1:] if b]
     assert sizes and all(s <= 3 for s in sizes)  # steady-state cap
     assert len(sizes) >= 3  # backlog split across several batches
+
+
+# -- readChangeFeed: streaming CDF -------------------------------------------
+
+
+def _drain_cdf(spark, path, ckpt):
+    rows: list = []
+
+    def collect_batch(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    q = (
+        spark.readStream.format("mlk_delta")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_cdf_stream_delivers_versioned_inserts_and_deletes(spark, tmp_path):
+    path, ckpt = str(tmp_path / "cdf"), str(tmp_path / "cdf_ckpt")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(10).toDF("id").coalesce(1))        # v0
+    v = src.delete("id >= 7")                                 # v1
+    rows = _drain_cdf(spark, path, ckpt)
+    ins0 = sorted(r["id"] for r in rows
+                  if r["_change_type"] == "insert" and r["_commit_version"] == 0)
+    dels = sorted(r["id"] for r in rows if r["_change_type"] == "delete")
+    reins = sorted(r["id"] for r in rows
+                   if r["_change_type"] == "insert" and r["_commit_version"] == v)
+    assert ins0 == list(range(10))
+    assert dels == list(range(10))   # whole old file out
+    assert reins == list(range(7))   # survivors back in
+    # matches the batch feed exactly
+    batch = src.changes(0).collect()
+    assert sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in rows) \
+        == sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in batch)
+
+
+def test_cdf_stream_ignores_optimize(spark, tmp_path):
+    path, ckpt = str(tmp_path / "cdfo"), str(tmp_path / "cdfo_ckpt")
+    src = DeltaSink(spark, path)
+    for b in range(3):
+        src.append(spark.range(b * 5, b * 5 + 5).toDF("id").coalesce(1))
+    src.optimize()
+    rows = _drain_cdf(spark, path, ckpt)
+    assert sorted(r["id"] for r in rows) == list(range(15))
+    assert all(r["_change_type"] == "insert" for r in rows)
+
+
+def test_cdf_incremental_restart_resumes(spark, tmp_path):
+    path, ckpt = str(tmp_path / "cdfr"), str(tmp_path / "cdfr_ckpt")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(5).toDF("id").coalesce(1))
+    first = _drain_cdf(spark, path, ckpt)
+    assert len(first) == 5
+    src.delete("id = 0")
+    second = _drain_cdf(spark, path, ckpt)  # same checkpoint -> only v1
+    assert {r["_change_type"] for r in second} == {"insert", "delete"}
+    assert all(r["_commit_version"] == 1 for r in second)
+
+
+def test_cdf_excludes_skip_change_commits(spark, tmp_path):
+    path = str(tmp_path / "cdfx")
+    DeltaSink(spark, path).append(spark.range(3).toDF("id"))
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("mlk_delta")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("skipChangeCommits", "true")
+            .load()
+        )
