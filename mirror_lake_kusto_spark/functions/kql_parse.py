@@ -779,7 +779,7 @@ class KqlQuery:
         op = re.sub(r"\bhint\.[\w.]+\s*=\s*\S+\s*", "", op)
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
-            r"|order\s+by|sort\s+by|mv-expand|make-series|serialize"
+            r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
             r"|getschema|evaluate|top-nested|parse-where|parse|search"
             r"|sample-distinct|sample|top-hitters"
             r"|where|project|extend|summarize"
@@ -1038,6 +1038,110 @@ class KqlQuery:
             self_referential=True,  # replacement still contains row_number(
         )
         return e
+
+    _MV_APPLY_RE = re.compile(
+        r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:=\s*([A-Za-z_][A-Za-z0-9_]*)\s*)?"
+        r"(?:to\s+typeof\([^)]*\)\s*)?on\s*\((.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _op_mv_apply(self, frame, rest):
+        """``mv-apply x = arr on ( subquery )`` — expand the array and
+        run the parenthesized pipeline PER SOURCE ROW, then join the
+        per-row results back onto the outer columns.
+
+        Lowered without any per-row iteration: explode once, tag rows
+        with a monotonic id, and rewrite the inner verbs group-aware —
+        ``summarize`` groups by (row id + declared keys), ``top N by``
+        becomes a row-id-partitioned window; ``where``/``extend``/
+        ``project`` apply element-wise.  One explode + one aggregation
+        + one join, all shuffles keyed by the row id."""
+        m = self._MV_APPLY_RE.match(rest)
+        if not m:
+            raise KqlParseError("mv-apply needs: x [= arr] on ( pipeline )")
+        alias = m.group(1)
+        src_col = m.group(2) or alias
+        inner = m.group(3).strip()
+        if src_col not in frame.df.columns:
+            raise KqlParseError(f"mv-apply: no array column {src_col!r}")
+        rid = "__mlk_mv_row"
+        tagged = frame.df.withColumn(rid, F.monotonically_increasing_id())
+        work = tagged.withColumn(alias, F.explode(F.col(src_col)))
+        if alias != src_col:
+            work = work.drop(src_col)
+        for stage in _split_top(inner, "|"):
+            stage = stage.strip()
+            if not stage:
+                continue
+            vm = re.match(
+                r"(where|extend|project|summarize|top|count)\b(.*)",
+                stage,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not vm:
+                raise KqlParseError(
+                    f"mv-apply: unsupported inner verb in {stage.split()[0]!r} "
+                    "(where/extend/project/summarize/top/count)"
+                )
+            verb, vrest = vm.group(1).lower(), vm.group(2).strip()
+            if verb == "where":
+                work = work.filter(F.expr(translate_expr(vrest)))
+            elif verb == "extend":
+                for name, expr in _named_exprs(vrest):
+                    if name is None:
+                        raise KqlParseError("mv-apply extend needs name = expr")
+                    work = work.withColumn(name, F.expr(translate_expr(expr)))
+            elif verb == "project":
+                cols = [rid]
+                for name, expr in _named_exprs(vrest):
+                    if name is None:
+                        cols.append(expr)
+                    else:
+                        work = work.withColumn(name, F.expr(translate_expr(expr)))
+                        cols.append(name)
+                work = work.select(*cols)
+            elif verb == "summarize":
+                inner_frame = KqlFrame(work)
+                # group by the row id implicitly (per-source-row groups)
+                by_split = re.split(r"\bby\b", vrest, maxsplit=1, flags=re.IGNORECASE)
+                agg_part = by_split[0].strip()
+                by_extra = by_split[1].strip() if len(by_split) > 1 else ""
+                aggs = {}
+                for name, expr in _named_exprs(agg_part):
+                    if name is None:
+                        name = re.sub(r"\W+", "_", expr).strip("_") or "agg"
+                    aggs[name] = F.expr(translate_expr(expr))
+                by_cols = [rid] + (
+                    [c.strip() for c in by_extra.split(",")] if by_extra else []
+                )
+                work = inner_frame.summarize(by=by_cols, **aggs).df
+            elif verb == "top":
+                tm = re.match(
+                    r"(\d+)\s+by\s+(.+?)(\s+asc|\s+desc)?$",
+                    vrest,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not tm:
+                    raise KqlParseError("mv-apply top needs: N by expr [asc|desc]")
+                n = int(tm.group(1))
+                order = F.expr(translate_expr(tm.group(2)))
+                order = order.asc() if (tm.group(3) or "").strip().lower() == "asc" else order.desc()
+                w = Window.partitionBy(rid).orderBy(order)
+                work = (
+                    work.withColumn("__mlk_rn", F.row_number().over(w))
+                    .filter(F.col("__mlk_rn") <= n)
+                    .drop("__mlk_rn")
+                )
+            elif verb == "count":
+                work = work.groupBy(rid).agg(F.count("*").alias("count_"))
+        inner_cols = [c for c in work.columns if c != rid]
+        outer_cols = [c for c in tagged.columns if c != rid and c not in inner_cols]
+        out = (
+            tagged.select(rid, *outer_cols)
+            .join(work, rid, "inner")
+            .drop(rid)
+        )
+        return KqlFrame(out)
 
     def _op_summarize(self, frame, rest):
         by_split = re.split(r"\bby\b", rest, maxsplit=1, flags=re.IGNORECASE)

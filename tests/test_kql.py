@@ -761,3 +761,53 @@ def test_array_index_of_zero_based(spark):
         tables={"t": df},
     ).collect()[0]
     assert out.a == 1 and out.miss == -1
+
+
+def test_mv_apply_summarize_per_row(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2, 3]), (2, "b", [10, 20])],
+        "id long, k string, xs array<long>",
+    )
+    out = kql(
+        spark,
+        "t | mv-apply x = xs on ( where x > 1 | summarize s = sum(x), n = count() )"
+        " | project id, k, s, n | order by id asc",
+        tables={"t": df},
+    ).collect()
+    assert [(r.id, r.k, r.s, r.n) for r in out] == [(1, "a", 5, 2), (2, "b", 30, 2)]
+
+
+def test_mv_apply_top_per_row(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, [5, 9, 2]), (2, [7, 1])], "id long, xs array<long>"
+    )
+    out = kql(
+        spark,
+        "t | mv-apply x = xs on ( top 1 by x ) | project id, x | order by id asc",
+        tables={"t": df},
+    ).collect()
+    assert [(r.id, r.x) for r in out] == [(1, 9), (2, 7)]
+
+
+def test_mv_apply_same_name_and_extend(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+    out = kql(
+        spark,
+        "t | mv-apply xs on ( extend y = xs * 10 | summarize m = max(y) )",
+        tables={"t": df},
+    ).collect()
+    assert out[0].m == 20 and out[0].id == 1
+
+
+def test_mv_apply_rejects_unknown_inner_verb(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
+    with pytest.raises(KqlParseError, match="unsupported inner verb"):
+        kql(spark, "t | mv-apply x = xs on ( join y )", tables={"t": df})
