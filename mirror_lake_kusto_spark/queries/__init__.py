@@ -50,5 +50,34 @@ def all_queries() -> dict[str, Query]:
         tpch,
     )
 
-    ordered = sorted(registry, key=lambda n: n in _RECORDED_R01)
+    recorded = _RECORDED_R01 | _driver_recorded()
+    ordered = sorted(registry, key=lambda n: n in recorded)
     return {n: registry[n] for n in ordered}
+
+
+def _driver_recorded() -> set[str]:
+    """Names already green in ANY driver correctness report
+    (CORRECTNESS_r*.json at the repo root) — the per-round reports cap
+    at 50 entries, so never-yet-recorded queries must enumerate first
+    each round.  This scan makes the ordering self-adapting; failures
+    (err set and no row/hash verdict) are retried, not buried."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if isinstance(res, dict) and (
+                res.get("hash_match") or res.get("err") == "no_oracle"
+            ):
+                seen.add(name)
+    return seen
