@@ -184,6 +184,24 @@ def similarity_topk_ivf(spark, sf_dir):
 
 
 @query(
+    "similarity_topk_ivfpq",
+    None,  # approximate by construction; anchor = similarity_topk_bruteforce
+    doc="IVF-PQ composed index (the FAISS billion-vector serving "
+    "shape): coarse quantizer restricts candidates to n_probe "
+    "clusters, PQ codes score them by ADC lookups — candidate count "
+    "AND bytes-per-candidate both shrink; recall floor pinned by "
+    "pytest",
+)
+def similarity_topk_ivfpq(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.cosine_topk_ivfpq(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4, n_assign=3, m=8
+    )
+
+
+@query(
     "similarity_topk_pq",
     None,  # approximate by construction; anchor = similarity_topk_bruteforce
     doc="product-quantization top-k via asymmetric distance computation "

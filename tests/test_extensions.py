@@ -604,3 +604,24 @@ def test_pq_topk_recall_floor(spark, emb):
     # deterministic under the fixed seed
     again = similarity.cosine_topk_pq(corpus, queries_df, k=10, m=8).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, pq))
+
+
+def test_ivfpq_recall_floor_and_determinism(spark, emb):
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=10).collect()
+    got_rows = similarity.cosine_topk_ivfpq(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4, n_assign=3, m=8
+    ).collect()
+    ex, got = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+        assert r.cand_id >= 5 and -1.0 <= r.cos_sim <= 1.0
+    recalls = [len(ex[q] & got.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.4  # coarse+code double approx
+    again = similarity.cosine_topk_ivfpq(
+        corpus, queries_df, k=10, n_clusters=16, n_probe=4, n_assign=3, m=8
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got_rows))
