@@ -26,10 +26,18 @@ from __future__ import annotations
 
 import datetime
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["make_series", "series_moving_avg", "series_stats"]
+__all__ = [
+    "make_series",
+    "series_moving_avg",
+    "series_stats",
+    "series_fill_forward",
+    "series_fill_linear",
+    "series_outliers",
+]
 
 
 def _us(ts: datetime.datetime) -> int:
@@ -140,6 +148,125 @@ def series_moving_avg(arr: Column | str, window: int) -> Column:
             lambda acc, v: acc + v.cast("double"),
         )
         / F.least(i + 1, F.lit(window)),
+    )
+
+
+def _prev_next_idx(mask):
+    """Vectorized (prev, next) non-null index per position: -1 / n
+    sentinels where none exists."""
+    import numpy as np
+
+    n = len(mask)
+    idx = np.arange(n)
+    prev = np.where(~mask, idx, -1)
+    np.maximum.accumulate(prev, out=prev)
+    nxt = np.where(~mask[::-1], idx[::-1], n)
+    np.minimum.accumulate(nxt, out=nxt)
+    return prev, nxt[::-1]
+
+
+def series_fill_forward(arr: Column | str) -> Column:
+    """Kusto ``series_fill_forward``: nulls take the last preceding
+    non-null value; leading nulls stay null.
+
+    Arrow-vectorized pandas UDF: Catalyst's pure array expressions
+    cannot express an O(n) prefix scan (``aggregate`` + ``concat``
+    re-copies the accumulator array per element — measured quadratic,
+    ~3 s for ONE 1.5k-slot series), so this is the legitimate
+    drop-to-numpy case.  Linear per row, exact semantics."""
+
+    @F.pandas_udf("array<double>")
+    def _ff(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.array([np.nan if e is None else float(e) for e in v])
+            mask = np.isnan(x)
+            prev, _ = _prev_next_idx(mask)
+            filled = np.where(prev >= 0, x[np.maximum(prev, 0)], np.nan)
+            out.append([None if np.isnan(e) else float(e) for e in filled])
+        return pd.Series(out)
+
+    return _ff(F.col(arr) if isinstance(arr, str) else arr)
+
+
+def series_fill_linear(arr: Column | str) -> Column:
+    """Kusto ``series_fill_linear``: interior nulls interpolate
+    linearly between the nearest non-null neighbors; edge nulls take
+    the nearest non-null value (Kusto's default edge behavior).
+
+    Arrow-vectorized pandas UDF for the same reason as
+    ``series_fill_forward`` (no O(n) scan in pure Catalyst arrays).
+    The interpolation is grouped ``p + (n - p) * (di / dn)`` to match
+    the ANSI-SQL oracle's expression bit-for-bit."""
+
+    @F.pandas_udf("array<double>")
+    def _lin(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.array([np.nan if e is None else float(e) for e in v])
+            n = len(x)
+            mask = np.isnan(x)
+            if mask.all() or not mask.any():
+                out.append([None if np.isnan(e) else float(e) for e in x])
+                continue
+            prev, nxt = _prev_next_idx(mask)
+            pv = x[np.maximum(prev, 0)]
+            nv = x[np.minimum(nxt, n - 1)]
+            idx = np.arange(n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = (idx - prev) / np.maximum(nxt - prev, 1)
+                interp = pv + (nv - pv) * frac
+            res = np.where(
+                ~mask,
+                x,
+                np.where(
+                    prev < 0, nv, np.where(nxt >= n, pv, interp)
+                ),
+            )
+            out.append([None if np.isnan(e) else float(e) for e in res])
+        return pd.Series(out)
+
+    return _lin(F.col(arr) if isinstance(arr, str) else arr)
+
+
+def series_outliers(arr: Column | str) -> Column:
+    """Kusto ``series_outliers``-style anomaly score via Tukey fences:
+    score[i] = (x[i] - median) / IQR (0 where IQR = 0 or x null), with
+    quartiles by nearest-rank on the sorted non-null values — a
+    definition both Spark and an ANSI-SQL oracle compute identically
+    (raw IEEE doubles; callers wanting decimal display should
+    floor-scale, not ROUND — engines disagree on .5 ties).
+    |score| > 1.5 is the classic mild-outlier fence."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    nn = F.array_sort(
+        F.filter(
+            F.transform(a, lambda x: x.cast("double")), lambda x: x.isNotNull()
+        )
+    )
+    n = F.size(nn)
+
+    def q(p: float):
+        # nearest-rank: ceil(p * n), 1-based
+        rank = F.greatest(F.ceil(n * F.lit(p)).cast("int"), F.lit(1))
+        return F.element_at(nn, rank)
+
+    med, q1, q3 = q(0.5), q(0.25), q(0.75)
+    iqr = q3 - q1
+    return F.transform(
+        a,
+        lambda x: F.when(
+            x.isNull() | (iqr == 0), F.lit(0.0)
+        ).otherwise((x.cast("double") - med) / iqr),
     )
 
 

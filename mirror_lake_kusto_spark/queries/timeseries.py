@@ -131,3 +131,138 @@ def ts_series_moving_avg(spark, sf_dir):
             series_moving_avg(cents, 4), lambda x: F.round(x, 0) / 100
         ).alias("ma"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_series_fill",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(to_timestamp(
+               FLOOR((epoch(CAST(ts AS TIMESTAMP))
+                      - epoch(TIMESTAMP '2024-01-01')) / 900) * 900
+               + epoch(TIMESTAMP '2024-01-01')) AS TIMESTAMP) AS slot,
+             value
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+    ),
+    agg AS (
+      SELECT event_type, slot, SUM(value) AS total
+      FROM ev GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (
+      SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-14 23:45:00',
+                                    INTERVAL 15 MINUTE)) AS slot
+    ),
+    cents AS (
+      SELECT k.event_type, s.slot,
+             CAST(ROUND(a.total * 100, 0) AS BIGINT) AS c
+      FROM keys k CROSS JOIN slots s
+      LEFT JOIN agg a ON a.event_type = k.event_type AND a.slot = s.slot
+    ),
+    filled AS (
+      SELECT event_type, slot, c,
+             last_value(c IGNORE NULLS) OVER wp AS prev_c,
+             last_value(CASE WHEN c IS NOT NULL THEN slot END IGNORE NULLS)
+                 OVER wp AS prev_slot,
+             first_value(c IGNORE NULLS) OVER wn AS next_c,
+             first_value(CASE WHEN c IS NOT NULL THEN slot END IGNORE NULLS)
+                 OVER wn AS next_slot
+      FROM cents
+      WINDOW wp AS (PARTITION BY event_type ORDER BY slot
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY slot
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    lin AS (
+      SELECT event_type, slot,
+             ROUND(prev_c / 100.0, 4) AS ff,
+             -- FLOOR-scaling, not ROUND: interpolation lands on exact
+             -- .5 rounding ties, where Spark (decimal half-up) and
+             -- DuckDB (binary) disagree; FLOOR of the same IEEE double
+             -- is engine-independent
+             FLOOR((CASE
+               WHEN c IS NOT NULL THEN c * 1.0
+               WHEN prev_c IS NULL THEN next_c * 1.0
+               WHEN next_c IS NULL THEN prev_c * 1.0
+               -- index-based fraction (identical integer operands to
+               -- the engine's numpy (i - pi) / (ni - pi), so the
+               -- IEEE division result is bit-identical; epoch-seconds
+               -- ratios differ in the last ulp and flip ROUND at
+               -- .00005 boundaries)
+               ELSE prev_c + (next_c - prev_c)
+                    * (((epoch(slot) - epoch(prev_slot)) / 900)
+                       / ((epoch(next_slot) - epoch(prev_slot)) / 900))
+             END / 100.0) * 10000) / 10000 AS li
+      FROM filled
+    ),
+    qs AS (
+      SELECT event_type,
+             list_sort(list(c) FILTER (c IS NOT NULL)) AS nn
+      FROM cents GROUP BY 1
+    ),
+    scored AS (
+      SELECT c.event_type, c.slot,
+             CASE
+               WHEN c.c IS NULL OR iqr = 0 THEN 0.0
+               ELSE FLOOR(((c.c - med) * 1.0 / iqr) * 1000000) / 1000000
+             END AS sc
+      FROM cents c JOIN (
+        SELECT event_type,
+               nn[greatest(CAST(ceil(len(nn) * 0.5) AS INT), 1)] AS med,
+               nn[greatest(CAST(ceil(len(nn) * 0.75) AS INT), 1)]
+                 - nn[greatest(CAST(ceil(len(nn) * 0.25) AS INT), 1)] AS iqr
+        FROM qs
+      ) q ON q.event_type = c.event_type
+    )
+    SELECT l.event_type,
+           list(l.ff ORDER BY l.slot) AS fill_forward,
+           list(l.li ORDER BY l.slot) AS fill_linear,
+           list(s.sc ORDER BY l.slot) AS outlier_score
+    FROM lin l JOIN scored s
+      ON s.event_type = l.event_type AND s.slot = l.slot
+    GROUP BY l.event_type ORDER BY l.event_type
+    """,
+    doc="Kusto series_fill_forward / series_fill_linear / "
+    "series_outliers over a 15-min make-series grid with ~half the "
+    "slots empty: forward fill carries the last value, linear fill "
+    "interpolates interior gaps (edges take the nearest value), "
+    "outlier score = Tukey (x - median)/IQR by nearest-rank quartiles. "
+    "All JVM array expressions after the grid agg; computed in integer "
+    "cents so both engines' arithmetic is bit-identical",
+)
+def ts_series_fill(spark, sf_dir):
+    from ..operators.timeseries import (
+        series_fill_forward,
+        series_fill_linear,
+        series_outliers,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    out = make_series(
+        ev, "ts", {"total": F.sum("value")},
+        _START, _STOP, datetime.timedelta(minutes=15),
+        by=["event_type"],
+    )
+    cents = F.transform(
+        F.col("total"),
+        lambda x: F.when(
+            x.isNotNull(), F.round(x * 100, 0).cast("bigint")
+        ),
+    )
+    return out.select(
+        "event_type",
+        F.transform(
+            series_fill_forward(cents), lambda x: F.round(x / 100, 4)
+        ).alias("fill_forward"),
+        F.transform(
+            series_fill_linear(cents),
+            lambda x: F.floor(x / 100 * 10000) / 10000,
+        ).alias("fill_linear"),
+        F.transform(
+            series_outliers(cents), lambda x: F.floor(x * 1000000) / 1000000
+        ).alias("outlier_score"),
+    ).orderBy("event_type")

@@ -126,3 +126,47 @@ def test_kql_make_series_matches_operator(spark, small):
         ).collect()
     }
     assert got == {"a": [1, 0, 2, 0], "b": [0, 1, 0, 0]}
+
+
+def test_series_fill_forward_and_linear(spark):
+    from mirror_lake_kusto_spark.operators.timeseries import (
+        series_fill_forward,
+        series_fill_linear,
+    )
+
+    df = spark.createDataFrame(
+        [([None, 10.0, None, None, 40.0, None],), ([None, None],), (None,)],
+        "a array<double>",
+    )
+    rows = df.select(
+        series_fill_forward("a").alias("ff"), series_fill_linear("a").alias("lin")
+    ).collect()
+    assert rows[0].ff == [None, 10.0, 10.0, 10.0, 40.0, 40.0]
+    assert rows[0].lin == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
+    assert rows[1].ff == [None, None] and rows[1].lin == [None, None]
+    assert rows[2].ff is None and rows[2].lin is None
+
+
+def test_series_outliers_tukey(spark):
+    from mirror_lake_kusto_spark.operators.timeseries import series_outliers
+
+    # sorted non-null: [1..8]; med=4 (rank ceil(8*.5)=4), q1=2, q3=6, iqr=4
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0, None, 5.0, 6.0, 7.0, 8.0, 100.0],)],
+        "a array<double>",
+    )
+    # recompute med with 9 values 1..8+100: ceil(9*.5)=5 -> 5th = 5;
+    # q1 = ceil(9*.25)=3 -> 3; q3 = ceil(9*.75)=7 -> 7; iqr = 4
+    sc = df.select(series_outliers("a").alias("s")).collect()[0].s
+    assert sc[4] == 0.0  # null element scores 0
+    assert sc[-1] == (100.0 - 5.0) / 4.0  # the planted outlier
+    assert abs(sc[0] - (1.0 - 5.0) / 4.0) < 1e-12
+
+
+def test_series_fill_constant_iqr_zero(spark):
+    from mirror_lake_kusto_spark.operators.timeseries import series_outliers
+
+    df = spark.createDataFrame([([5.0, 5.0, None, 5.0],)], "a array<double>")
+    assert df.select(series_outliers("a").alias("s")).collect()[0].s == [
+        0.0, 0.0, 0.0, 0.0
+    ]
