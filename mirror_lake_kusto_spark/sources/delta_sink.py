@@ -250,13 +250,36 @@ class DeltaSink:
         does not re-append (I3 exactly-once).
         """
         self._pending_schema = df.schema.json()
+        adds = self._stage_adds(df, data_change)
+        if txn is not None:
+            adds.insert(
+                0,
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                },
+            )
+        return self._commit(adds)
+
+    def _stage_adds(
+        self, df: DataFrame, data_change: bool, skip_empty: bool = False
+    ) -> list[dict]:
+        """Distributed parquet write to a staging dir, then O(new files)
+        driver-side moves into place — returns the add actions (with
+        full stats) for the caller's commit.  Shared by append() (which
+        keeps zero-row parts: empty adds are a legitimate log shape the
+        mirror must handle, O4) and merge()'s not-matched-insert path
+        (which skips them)."""
         tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
 
-        adds = []
+        adds: list[dict] = []
         for dirpath, _dirs, files in os.walk(tmp):
             rel_dir = os.path.relpath(dirpath, tmp)
             part_values = {}
@@ -268,13 +291,15 @@ class DeltaSink:
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(dirpath, name)
+                meta = pq.read_metadata(src)
+                if skip_empty and meta.num_rows == 0:
+                    continue
                 new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
                 rel = (
                     os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
                 )
                 dst = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                meta = pq.read_metadata(src)
                 shutil.move(src, dst)
                 adds.append(
                     {
@@ -289,18 +314,7 @@ class DeltaSink:
                     }
                 )
         shutil.rmtree(tmp, ignore_errors=True)
-        if txn is not None:
-            adds.insert(
-                0,
-                {
-                    "txn": {
-                        "appId": txn[0],
-                        "version": txn[1],
-                        "lastUpdated": int(time.time() * 1000),
-                    }
-                },
-            )
-        return self._commit(adds)
+        return adds
 
     def _rewrite_group(
         self,
@@ -450,6 +464,118 @@ class DeltaSink:
                         read_schema=data_schema,
                     )
                 )
+        return self._commit(actions)
+
+    def merge(self, source: DataFrame, key_cols: Sequence[str]) -> int:
+        """Copy-on-write upsert (Delta's MERGE INTO with matched-update
+        + not-matched-insert, keyed on ``key_cols``): files containing
+        a matching key are rewritten with those rows replaced by the
+        source's, and source rows matching no file append as new files.
+        One atomic commit carries every remove/add.
+
+        Scale shape mirrors ``delete``: one probe scan finds affected
+        files (only the key columns of the source broadcast into the
+        probe), each affected file is rewritten once via an anti-join
+        against the source keys + a union of the matching source rows,
+        and unmatched source rows are computed with one anti-join
+        against the (small) affected-file row set's keys — at 100 TB
+        the rewrite cost is proportional to files TOUCHED, never table
+        size.  Duplicate keys in ``source`` raise (Delta's own
+        multiple-source-rows-matched error)."""
+        import pyspark.sql.functions as F
+
+        keys = list(key_cols)
+        if self.partition_by and not set(self.partition_by) <= set(keys):
+            raise ValueError(
+                f"partitioned merge requires the partition columns "
+                f"{self.partition_by} inside key_cols — otherwise an "
+                "update could silently move a row across partitions"
+            )
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.limit(1).count():
+            raise ValueError(
+                f"merge source has duplicate keys on {keys} — each target "
+                "row may match at most one source row"
+            )
+        now = int(time.time() * 1000)
+        types, data_schema = self._data_schema()
+        if data_schema is None:
+            # empty table: a merge is a plain first append
+            return self.append(source)
+        groups = self._partition_groups()
+
+        def inject(df, pv):
+            for c, raw in pv.items():
+                df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+            return df
+
+        import urllib.parse
+
+        src_keys = source.select(*keys).distinct()
+        probes = []
+        for key, paths in groups.items():
+            reader = self.spark.read.schema(data_schema)
+            probes.append(
+                inject(
+                    reader.parquet(*[os.path.join(self.path, p) for p in paths]),
+                    dict(key),
+                ).withColumn("_f", F.input_file_name())
+            )
+        actions: list[dict] = []
+        matched_keys = None
+        if probes:
+            probe = probes[0]
+            for p in probes[1:]:
+                probe = probe.unionByName(p)
+            hits = probe.join(F.broadcast(src_keys), keys, "inner")
+            root = os.path.abspath(self.path)
+            hit_rels = set()
+            for r in hits.select("_f").distinct().collect():
+                p = urllib.parse.unquote(r["_f"])
+                p = p[7:] if p.startswith("file://") else p.removeprefix("file:")
+                hit_rels.add(
+                    os.path.relpath(os.path.abspath(p), root).replace(os.sep, "/")
+                )
+            # keys present in ANY affected file = the matched set
+            matched_keys = hits.select(*keys).distinct()
+            src_cols = source.columns
+            for key, paths in groups.items():
+                part_values = dict(key)
+                hit = [p for p in paths if p in hit_rels]
+                if not hit:
+                    continue
+                pv = part_values
+
+                def rewrite(df, pv=pv):
+                    full = inject(df, pv)
+                    kept = full.join(
+                        F.broadcast(src_keys), keys, "left_anti"
+                    ).select(*src_cols)
+                    # one output per MATCHED TARGET ROW carrying the
+                    # source's values (Delta's matched-update multiplicity)
+                    updated = (
+                        full.select(*keys)
+                        .join(F.broadcast(source), keys, "inner")
+                        .select(*src_cols)
+                    )
+                    return kept.unionByName(updated).drop(*pv.keys())
+
+                actions.extend(
+                    self._rewrite_group(
+                        hit, part_values, rewrite,
+                        data_change=True, now=now, read_schema=data_schema,
+                    )
+                )
+        inserts = (
+            source.join(matched_keys, keys, "left_anti")
+            if matched_keys is not None
+            else source
+        )
+        # unmatched rows become fresh files inside the SAME commit
+        # (partition-aware via the shared staging path)
+        actions.extend(
+            self._stage_adds(inserts, data_change=True, skip_empty=True)
+        )
         return self._commit(actions)
 
     def optimize(

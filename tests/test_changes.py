@@ -80,3 +80,97 @@ def test_empty_span_keeps_schema(spark, tmp_path):
     ch = sink.changes(1)  # past the last commit
     assert ch.count() == 0
     assert ch.columns == ["id", "_change_type", "_commit_version"]
+
+
+# -- MERGE (copy-on-write upsert) --------------------------------------------
+
+
+def test_merge_updates_and_inserts(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "m1")
+    sink.append(
+        spark.createDataFrame(
+            [(i, f"old{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(7, "new7"), (9, "new9"), (42, "new42")], "id long, v string"
+    )
+    v = sink.merge(src, ["id"])
+    got = {r["id"]: r["v"] for r in sink.to_df().collect()}
+    assert got == {**{i: f"old{i}" for i in range(7)},
+                   7: "new7", 8: "old8", 9: "new9", 42: "new42"}
+    # change feed shows the rewrite + the fresh insert at one version
+    ch = sink.changes(v, v).collect()
+    assert {r["_change_type"] for r in ch} == {"insert", "delete"}
+
+
+def test_merge_only_rewrites_touched_files(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "m2")
+    for b in range(4):
+        sink.append(
+            spark.createDataFrame(
+                [(b * 10 + i, "x") for i in range(10)], "id long, v string"
+            ).coalesce(1)
+        )
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    before = {f["path"] for f in DL.snapshot_files(spark, sink.path)}
+    sink.merge(
+        spark.createDataFrame([(15, "upd")], "id long, v string"), ["id"]
+    )
+    after = {f["path"] for f in DL.snapshot_files(spark, sink.path)}
+    assert len(before & after) == 3  # three untouched files survive
+    assert sink.to_df().filter("id = 15").collect()[0]["v"] == "upd"
+    assert sink.to_df().count() == 40
+
+
+def test_merge_duplicate_target_rows_all_update(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "m3")
+    sink.append(
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "id long, v string"
+        ).coalesce(1)
+    )
+    sink.merge(spark.createDataFrame([(1, "upd")], "id long, v string"), ["id"])
+    rows = sorted((r["id"], r["v"]) for r in sink.to_df().collect())
+    # both copies of id=1 carry the update (Delta matched-update multiplicity)
+    assert rows == [(1, "upd"), (1, "upd"), (2, "c")]
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "m4")
+    sink.append(spark.range(3).toDF("id"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        sink.merge(
+            spark.createDataFrame([(1,), (1,)], "id long"), ["id"]
+        )
+
+
+def test_merge_partitioned_requires_partition_key(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "m5", partition_by=["g"])
+    sink.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition columns"):
+        sink.merge(
+            spark.createDataFrame([(1, "a")], "id long, g string"), ["id"]
+        )
+    v = sink.merge(
+        spark.createDataFrame(
+            [(1, "a", ), (3, "c")], "id long, g string"
+        ),
+        ["id", "g"],
+    )
+    assert v >= 0
+    rows = sorted((r["id"], r["g"]) for r in sink.to_df().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_into_empty_table_is_append(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "m6")
+    sink.merge(spark.createDataFrame([(1, "x")], "id long, v string"), ["id"])
+    assert sink.to_df().count() == 1
