@@ -242,32 +242,44 @@ def series_fill_linear(arr: Column | str) -> Column:
 def series_outliers(arr: Column | str) -> Column:
     """Kusto ``series_outliers``-style anomaly score via Tukey fences:
     score[i] = (x[i] - median) / IQR (0 where IQR = 0 or x null), with
-    quartiles by nearest-rank on the sorted non-null values — a
-    definition both Spark and an ANSI-SQL oracle compute identically
-    (raw IEEE doubles; callers wanting decimal display should
-    floor-scale, not ROUND — engines disagree on .5 ties).
-    |score| > 1.5 is the classic mild-outlier fence."""
-    a = F.col(arr) if isinstance(arr, str) else arr
-    nn = F.array_sort(
-        F.filter(
-            F.transform(a, lambda x: x.cast("double")), lambda x: x.isNotNull()
-        )
-    )
-    n = F.size(nn)
+    quartiles by nearest-rank on the sorted non-null values.
+    |score| > 1.5 is the classic mild-outlier fence.
 
-    def q(p: float):
-        # nearest-rank: ceil(p * n), 1-based
-        rank = F.greatest(F.ceil(n * F.lit(p)).cast("int"), F.lit(1))
-        return F.element_at(nn, rank)
+    Arrow-vectorized pandas UDF: the pure-expression form re-evaluates
+    the sorted-array quartiles INSIDE the per-element lambda (Catalyst
+    does not CSE across lambda boundaries — the codegen trap documented
+    in operators/dedup.py), turning O(n log n) into O(n^2 log n); numpy
+    computes the identical IEEE doubles once per row."""
 
-    med, q1, q3 = q(0.5), q(0.25), q(0.75)
-    iqr = q3 - q1
-    return F.transform(
-        a,
-        lambda x: F.when(
-            x.isNull() | (iqr == 0), F.lit(0.0)
-        ).otherwise((x.cast("double") - med) / iqr),
-    )
+    @F.pandas_udf("array<double>")
+    def _sc(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for v in col:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.array([np.nan if e is None else float(e) for e in v])
+            nn = np.sort(x[~np.isnan(x)])
+            n = len(nn)
+            if n == 0:
+                out.append([0.0] * len(x))
+                continue
+
+            def q(p: float) -> float:
+                return float(nn[max(int(np.ceil(n * p)), 1) - 1])
+
+            med, iqr = q(0.5), q(0.75) - q(0.25)
+            if iqr == 0:
+                out.append([0.0] * len(x))
+                continue
+            out.append(
+                [0.0 if np.isnan(e) else (e - med) / iqr for e in x]
+            )
+        return pd.Series(out)
+
+    return _sc(F.col(arr) if isinstance(arr, str) else arr)
 
 
 def series_stats(arr: Column | str) -> Column:
