@@ -62,6 +62,7 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -983,12 +984,42 @@ class KqlQuery:
         self._lets[name] = name  # mark resolvable
         return frame
 
+    #: Kusto series functions backed by engine operators; registered as
+    #: SQL UDFs on first use so they work inside KQL expression strings
+    #: (e.g. ``make-series ... | extend f = series_fill_forward(total)``)
+    _SERIES_FNS = ("series_fill_forward", "series_fill_linear", "series_outliers")
+
+    def _ensure_series_udfs(self, e: str, spark) -> None:
+        """Register the engine's series kernels as SQL functions (once
+        per session) when the expression mentions them, so Kusto series
+        calls pass straight through to Arrow-vectorized UDFs."""
+        if spark is None or not re.search(
+            r"\b(?:%s)\s*\(" % "|".join(self._SERIES_FNS), e, re.IGNORECASE
+        ):
+            return
+        if getattr(spark, "_mlk_series_udfs", False):
+            return
+        from ..operators.timeseries import SERIES_KERNELS
+
+        def _wrap(kernel):
+            @F.pandas_udf("array<double>")
+            def _u(c: pd.Series) -> pd.Series:
+                return kernel(c)
+
+            return _u
+
+        for fn in self._SERIES_FNS:
+            spark.udf.register(fn, _wrap(SERIES_KERNELS[fn]))
+        spark._mlk_series_udfs = True
+
     def _op_extend(self, frame, rest):
         exprs = {}
         for name, expr in _named_exprs(rest):
             if name is None:
                 raise KqlParseError(f"extend needs name = expr: {expr!r}")
-            exprs[name] = F.expr(self._serialized_fns(translate_expr(expr)))
+            translated = self._serialized_fns(translate_expr(expr))
+            self._ensure_series_udfs(translated, self._spark or frame.df.sparkSession)
+            exprs[name] = F.expr(translated)
         return frame.extend(**exprs)
 
     def _op_serialize(self, frame, rest):

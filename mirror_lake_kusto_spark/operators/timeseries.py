@@ -165,6 +165,86 @@ def _prev_next_idx(mask):
     return prev, nxt[::-1]
 
 
+def _kernel_fill_forward(col: "pd.Series") -> "pd.Series":
+    import numpy as np
+
+    out = []
+    for v in col:
+        if v is None:
+            out.append(None)
+            continue
+        x = np.array([np.nan if e is None else float(e) for e in v])
+        mask = np.isnan(x)
+        prev, _ = _prev_next_idx(mask)
+        filled = np.where(prev >= 0, x[np.maximum(prev, 0)], np.nan)
+        out.append([None if np.isnan(e) else float(e) for e in filled])
+    return pd.Series(out)
+
+
+def _kernel_fill_linear(col: "pd.Series") -> "pd.Series":
+    import numpy as np
+
+    out = []
+    for v in col:
+        if v is None:
+            out.append(None)
+            continue
+        x = np.array([np.nan if e is None else float(e) for e in v])
+        n = len(x)
+        mask = np.isnan(x)
+        if mask.all() or not mask.any():
+            out.append([None if np.isnan(e) else float(e) for e in x])
+            continue
+        prev, nxt = _prev_next_idx(mask)
+        pv = x[np.maximum(prev, 0)]
+        nv = x[np.minimum(nxt, n - 1)]
+        idx = np.arange(n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = (idx - prev) / np.maximum(nxt - prev, 1)
+            interp = pv + (nv - pv) * frac
+        res = np.where(
+            ~mask,
+            x,
+            np.where(prev < 0, nv, np.where(nxt >= n, pv, interp)),
+        )
+        out.append([None if np.isnan(e) else float(e) for e in res])
+    return pd.Series(out)
+
+
+def _kernel_outliers(col: "pd.Series") -> "pd.Series":
+    import numpy as np
+
+    out = []
+    for v in col:
+        if v is None:
+            out.append(None)
+            continue
+        x = np.array([np.nan if e is None else float(e) for e in v])
+        nn = np.sort(x[~np.isnan(x)])
+        n = len(nn)
+        if n == 0:
+            out.append([0.0] * len(x))
+            continue
+
+        def q(p: float) -> float:
+            return float(nn[max(int(np.ceil(n * p)), 1) - 1])
+
+        med, iqr = q(0.5), q(0.75) - q(0.25)
+        if iqr == 0:
+            out.append([0.0] * len(x))
+            continue
+        out.append([0.0 if np.isnan(e) else (e - med) / iqr for e in x])
+    return pd.Series(out)
+
+
+#: kernel registry for SQL-function registration (functions/kql_parse.py)
+SERIES_KERNELS = {
+    "series_fill_forward": _kernel_fill_forward,
+    "series_fill_linear": _kernel_fill_linear,
+    "series_outliers": _kernel_outliers,
+}
+
+
 def series_fill_forward(arr: Column | str) -> Column:
     """Kusto ``series_fill_forward``: nulls take the last preceding
     non-null value; leading nulls stay null.
@@ -176,22 +256,10 @@ def series_fill_forward(arr: Column | str) -> Column:
     drop-to-numpy case.  Linear per row, exact semantics."""
 
     @F.pandas_udf("array<double>")
-    def _ff(col: pd.Series) -> pd.Series:
-        import numpy as np
+    def _u(col: pd.Series) -> pd.Series:
+        return _kernel_fill_forward(col)
 
-        out = []
-        for v in col:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.array([np.nan if e is None else float(e) for e in v])
-            mask = np.isnan(x)
-            prev, _ = _prev_next_idx(mask)
-            filled = np.where(prev >= 0, x[np.maximum(prev, 0)], np.nan)
-            out.append([None if np.isnan(e) else float(e) for e in filled])
-        return pd.Series(out)
-
-    return _ff(F.col(arr) if isinstance(arr, str) else arr)
+    return _u(F.col(arr) if isinstance(arr, str) else arr)
 
 
 def series_fill_linear(arr: Column | str) -> Column:
@@ -205,38 +273,10 @@ def series_fill_linear(arr: Column | str) -> Column:
     the ANSI-SQL oracle's expression bit-for-bit."""
 
     @F.pandas_udf("array<double>")
-    def _lin(col: pd.Series) -> pd.Series:
-        import numpy as np
+    def _u(col: pd.Series) -> pd.Series:
+        return _kernel_fill_linear(col)
 
-        out = []
-        for v in col:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.array([np.nan if e is None else float(e) for e in v])
-            n = len(x)
-            mask = np.isnan(x)
-            if mask.all() or not mask.any():
-                out.append([None if np.isnan(e) else float(e) for e in x])
-                continue
-            prev, nxt = _prev_next_idx(mask)
-            pv = x[np.maximum(prev, 0)]
-            nv = x[np.minimum(nxt, n - 1)]
-            idx = np.arange(n)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                frac = (idx - prev) / np.maximum(nxt - prev, 1)
-                interp = pv + (nv - pv) * frac
-            res = np.where(
-                ~mask,
-                x,
-                np.where(
-                    prev < 0, nv, np.where(nxt >= n, pv, interp)
-                ),
-            )
-            out.append([None if np.isnan(e) else float(e) for e in res])
-        return pd.Series(out)
-
-    return _lin(F.col(arr) if isinstance(arr, str) else arr)
+    return _u(F.col(arr) if isinstance(arr, str) else arr)
 
 
 def series_outliers(arr: Column | str) -> Column:
@@ -252,34 +292,10 @@ def series_outliers(arr: Column | str) -> Column:
     computes the identical IEEE doubles once per row."""
 
     @F.pandas_udf("array<double>")
-    def _sc(col: pd.Series) -> pd.Series:
-        import numpy as np
+    def _u(col: pd.Series) -> pd.Series:
+        return _kernel_outliers(col)
 
-        out = []
-        for v in col:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.array([np.nan if e is None else float(e) for e in v])
-            nn = np.sort(x[~np.isnan(x)])
-            n = len(nn)
-            if n == 0:
-                out.append([0.0] * len(x))
-                continue
-
-            def q(p: float) -> float:
-                return float(nn[max(int(np.ceil(n * p)), 1) - 1])
-
-            med, iqr = q(0.5), q(0.75) - q(0.25)
-            if iqr == 0:
-                out.append([0.0] * len(x))
-                continue
-            out.append(
-                [0.0 if np.isnan(e) else (e - med) / iqr for e in x]
-            )
-        return pd.Series(out)
-
-    return _sc(F.col(arr) if isinstance(arr, str) else arr)
+    return _u(F.col(arr) if isinstance(arr, str) else arr)
 
 
 def series_stats(arr: Column | str) -> Column:

@@ -552,10 +552,13 @@ class DeltaSink:
                         F.broadcast(src_keys), keys, "left_anti"
                     ).select(*src_cols)
                     # one output per MATCHED TARGET ROW carrying the
-                    # source's values (Delta's matched-update multiplicity)
+                    # source's values (Delta's matched-update
+                    # multiplicity).  No forced broadcast: the source
+                    # can be arbitrarily large — AQE broadcasts it only
+                    # when it actually fits
                     updated = (
                         full.select(*keys)
-                        .join(F.broadcast(source), keys, "inner")
+                        .join(source, keys, "inner")
                         .select(*src_cols)
                     )
                     return kept.unionByName(updated).drop(*pv.keys())

@@ -811,3 +811,41 @@ def test_mv_apply_rejects_unknown_inner_verb(spark):
     df = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
     with pytest.raises(KqlParseError, match="unsupported inner verb"):
         kql(spark, "t | mv-apply x = xs on ( join y )", tables={"t": df})
+
+
+def test_series_functions_in_kql_strings(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, [None, 10.0, None, 40.0]), (2, [5.0, None, None, None])],
+        "id long, arr array<double>",
+    )
+    out = kql(
+        spark,
+        "t | extend ff = series_fill_forward(arr), "
+        "lin = series_fill_linear(arr) | project id, ff, lin | order by id asc",
+        tables={"t": df},
+    ).collect()
+    assert out[0].ff == [None, 10.0, 10.0, 40.0]
+    assert out[0].lin == [10.0, 10.0, 25.0, 40.0]
+    assert out[1].ff == [5.0, 5.0, 5.0, 5.0]
+
+
+def test_series_outliers_in_kql_make_series_chain(spark):
+    import datetime as dt
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(hours=i), float(v))
+            for i, v in enumerate([1, 2, 1, 2, 100, 2, 1, 2])]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = kql(
+        spark,
+        "t | make-series total = sum(v) default = 0 on ts "
+        "from datetime(2024-01-01) to datetime(2024-01-01 08:00:00) step 1h"
+        " | extend sc = series_outliers(total)",
+        tables={"t": df},
+    ).collect()[0]
+    peak = max(out.sc)
+    assert out.sc.index(peak) == 4  # the planted spike scores highest
