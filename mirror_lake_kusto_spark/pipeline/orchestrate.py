@@ -81,6 +81,7 @@ class MirrorPipeline:
         optimize_target_every: int | None = None,
         max_items_per_batch: int | None = 100_000,
         state_backend: str = "csv",
+        on_schema_change: str = "fail",
     ):
         self.spark = spark
         self.source = source_path
@@ -100,6 +101,16 @@ class MirrorPipeline:
             raise ValueError(f"unknown state_backend: {state_backend!r}")
         self.go_back_days = go_back_days
         self.creation_time_expr = creation_time_expr
+        if on_schema_change not in ("fail", "evolve-add"):
+            raise ValueError(
+                f"on_schema_change must be 'fail' or 'evolve-add', "
+                f"got {on_schema_change!r}"
+            )
+        # "fail" = reference parity (TransactionLog.cs:153-157 throws);
+        # "evolve-add" = Kusto `.create-merge` posture (K1): purely
+        # ADDITIVE column changes re-record the schema and continue —
+        # earlier mirror rows read null for the new columns
+        self.on_schema_change = on_schema_change
         self.now_fn = now_fn or _utcnow
         self.app_id = f"mlk-mirror:{table_name}"
         self.compact_every = compact_every
@@ -432,13 +443,49 @@ class MirrorPipeline:
                 "schema": meta["schemaString"],
                 "partition_columns": json.dumps(meta.get("partitionColumns") or []),
             }
-        if json.loads(recorded["schema"]) != json.loads(meta["schemaString"]) or json.loads(
-            recorded["partition_columns"]
-        ) != (meta.get("partitionColumns") or []):
-            raise SchemaChangedError(
-                "source schema or partition columns changed mid-stream"
+        same_parts = json.loads(recorded["partition_columns"]) == (
+            meta.get("partitionColumns") or []
+        )
+        if (
+            json.loads(recorded["schema"]) == json.loads(meta["schemaString"])
+            and same_parts
+        ):
+            return None
+        if (
+            self.on_schema_change == "evolve-add"
+            and same_parts
+            and self._is_additive(recorded["schema"], meta["schemaString"])
+        ):
+            # record the widened schema; loads already read old files
+            # under the latest schema (missing columns -> null)
+            return {
+                **self._item(
+                    hwm + 1, end_tx, "Schema", "Done", self.now_fn().isoformat()
+                ),
+                "schema": meta["schemaString"],
+                "partition_columns": json.dumps(
+                    meta.get("partitionColumns") or []
+                ),
+            }
+        raise SchemaChangedError(
+            "source schema or partition columns changed mid-stream"
+            + (
+                " (non-additive change; evolve-add only accepts "
+                "added columns)"
+                if self.on_schema_change == "evolve-add"
+                else ""
             )
-        return None
+        )
+
+    @staticmethod
+    def _is_additive(old_json: str, new_json: str) -> bool:
+        """True when every old field survives with an identical type and
+        the new schema only ADDS fields."""
+        old = {f["name"]: f for f in json.loads(old_json)["fields"]}
+        new = {f["name"]: f for f in json.loads(new_json)["fields"]}
+        return set(old) <= set(new) and all(
+            old[n]["type"] == new[n]["type"] for n in old
+        )
 
     def _recorded_schema(self) -> dict | None:
         rows = self.state.current_items(self.table, "Schema")

@@ -817,3 +817,34 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     )
     p.run_until_idle()
     assert _ids(p.mirror_df()) == list(range(12))
+
+
+def test_schema_evolve_add_column(spark, tmp_path):
+    """on_schema_change='evolve-add' (K1 `.create-merge` posture):
+    an added column re-records the schema and the sync continues;
+    pre-evolution rows read null for the new column.  The default
+    ('fail') still raises (reference parity)."""
+    p = _mk(spark, tmp_path, "evo", on_schema_change="evolve-add")
+    src = DeltaSink(spark, p.source)
+    src.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    p.run_once()
+    src.append(spark.createDataFrame([(3, "x")], "id long, tag string"))
+    p.run_once()
+    rows = {r["id"]: r["tag"] for r in p.mirror_df().select("id", "tag").collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+    # next batch is quiet (schema recorded; no re-raise)
+    assert p.run_once()["status"] == "up-to-date"
+
+    # non-additive change still raises even in evolve-add mode
+    src.append(spark.createDataFrame([("y",)], "tag string"))  # drops id
+    with pytest.raises(SchemaChangedError):
+        p.run_once()
+
+    # and the default mode fails on the additive change too
+    p2 = _mk(spark, tmp_path, "evo_fail")
+    s2 = DeltaSink(spark, p2.source)
+    s2.append(spark.createDataFrame([(1,)], "id long"))
+    p2.run_once()
+    s2.append(spark.createDataFrame([(2, "z")], "id long, tag string"))
+    with pytest.raises(SchemaChangedError):
+        p2.run_once()
