@@ -111,6 +111,14 @@ def build_parser() -> argparse.ArgumentParser:
         "view, driver holds at most one batch (large tables)",
     )
     ap.add_argument(
+        "--on-schema-change",
+        choices=("fail", "evolve-add"),
+        default="fail",
+        help="fail: reference parity (mid-stream schema change throws); "
+        "evolve-add: additive column changes re-record the schema and "
+        "the sync continues (Kusto .create-merge posture)",
+    )
+    ap.add_argument(
         "--cpus", type=int, default=None, help="local[N] parallelism"
     )
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -136,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         max_items_per_batch=args.max_items_per_batch,
         optimize_target_every=args.optimize_target_every,
         state_backend=args.state_backend,
+        on_schema_change=args.on_schema_change,
     )
     if args.continuous:
         pipeline.run_continuous(
