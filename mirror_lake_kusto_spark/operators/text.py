@@ -355,6 +355,41 @@ def c4_clean(
     )
 
 
+#: PII patterns (redaction order matters: URLs before bare domains
+#: would — emails first so URL user-info does not eat them).  Kept
+#: RE2-compatible so the DuckDB oracle runs the SAME regexes.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\b\d[\d\-\s]{7,}\d\b"),
+)
+
+
+def redact_pii(text_col: str, token: str = "[PII:{kind}]") -> "Column":
+    """Redact emails, URLs, IPv4 addresses, and phone-number-shaped
+    digit runs with typed placeholder tokens — the standard scrub stage
+    of a training-data pipeline.  A chain of JVM ``regexp_replace``
+    calls (whole-stage codegen, zero Python); patterns are
+    RE2-compatible so an ANSI-SQL oracle applies the identical
+    regexes."""
+    c = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token.format(kind=kind))
+    return c
+
+
+def pii_counts(text_col: str) -> "Column":
+    """Struct of per-kind match counts (pre-redaction) — the audit
+    metric a scrub stage reports."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(kind)
+            for kind, pat in PII_PATTERNS
+        ]
+    )
+
+
 #: Knuth's multiplicative-hash constant (2^32 / phi) — both engines
 #: compute ``(id * K) % 2^32`` exactly in 64-bit integer arithmetic,
 #: so the sample is reproducible in Spark AND the DuckDB oracle.

@@ -917,3 +917,61 @@ def dedup_cluster_minhash(spark, sf_dir):
     return comp.select(
         F.col("id").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_pii_redact",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'reach user' || doc_id || '@mail.example see https://site'
+               || doc_id || '.example/p?id=' || doc_id || ' from 10.0.'
+               || (doc_id % 200) || '.7 call 555-010' || (doc_id % 10)
+               || '-22 ' || substr(text, 1, 40) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+               '[PII:email]', 'g'),
+               'https?://[^\s]+', '[PII:url]', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII:ipv4]', 'g'),
+               '\+?\b\d[\d\-\s]{7,}\d\b', '[PII:phone]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT)
+               AS n_url,
+           CAST(len(regexp_extract_all(t,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t,
+               '\+?\b\d[\d\-\s]{7,}\d\b')) AS BIGINT) AS n_phone
+    FROM synth
+    """,
+    doc="PII scrubbing (emails / URLs / IPv4 / phone runs -> typed "
+    "placeholder tokens) with per-kind audit counts — chained JVM "
+    "regexp_replace, zero Python; RE2-compatible patterns so the "
+    "oracle applies the identical regexes.  The fixture corpus has no "
+    "PII, so each doc gets a deterministic synthesized preamble both "
+    "engines construct identically",
+)
+def pipeline_pii_redact(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.lit("reach user"), d, F.lit("@mail.example see https://site"),
+        d, F.lit(".example/p?id="), d, F.lit(" from 10.0."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".7 call 555-010"),
+        (F.col("doc_id") % 10).cast("string"), F.lit("-22 "),
+        F.substring("text", 1, 40),
+    )
+    base = docs.select("doc_id", synth.alias("t"))
+    counts = text.pii_counts("t")
+    return base.select(
+        "doc_id",
+        text.redact_pii("t").alias("redacted"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["url"].cast("long").alias("n_url"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+    )

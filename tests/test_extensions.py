@@ -625,3 +625,36 @@ def test_ivfpq_recall_floor_and_determinism(spark, emb):
         corpus, queries_df, k=10, n_clusters=16, n_probe=4, n_assign=3, m=8
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got_rows))
+
+
+def test_redact_pii_and_counts(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.io now"),
+        (2, "go to https://a.example/path?q=1 then stop"),
+        (3, "host 192.168.0.1 dialing +1 555-123-4567 ok"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            text.redact_pii("t").alias("red"),
+            text.pii_counts("t").alias("c"),
+        ).collect()
+    }
+    assert out[1].red == "mail [PII:email] now"
+    assert out[2].red == "go to [PII:url] then stop"
+    assert out[3].red == "host [PII:ipv4] dialing [PII:phone] ok"
+    assert out[4].red == "nothing sensitive here"
+    assert out[1].c.email == 1 and out[2].c.url == 1
+    assert out[3].c.ipv4 == 1 and out[3].c.phone == 1
+    assert all(v == 0 for v in out[4].c.asDict().values())
+
+
+def test_redact_pii_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "id long, t string")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df.select(text.redact_pii("t"))._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
