@@ -93,10 +93,23 @@ class DeltaSink:
         vs = _list_versions(self.path)
         return (vs[-1] + 1) if vs else 0
 
-    def _commit(self, actions: list[dict]) -> int:
+    def _commit(self, actions: list[dict], operation: str | None = None) -> int:
         """Atomically create the next numbered commit file.  ``open(x)``
         fails if a concurrent writer won the version — retry with the
-        next number (optimistic concurrency, Delta-style)."""
+        next number (optimistic concurrency, Delta-style).
+        ``operation`` records a Delta-style ``commitInfo`` action (the
+        audit row ``history()`` surfaces)."""
+        if operation is not None:
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": operation,
+                        "operationParameters": {},
+                    }
+                },
+                *actions,
+            ]
         attempted: int | None = None
         while True:
             v = self._next_version()
@@ -109,8 +122,9 @@ class DeltaSink:
                 self._check_conflicts(range(attempted, v), actions)
             target = os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
             body = []
+            real_actions = [a for a in actions if "commitInfo" not in a]
             if v == 0:
-                if not actions and self._pending_schema == "{}":
+                if not real_actions and self._pending_schema == "{}":
                     # first-ever operation wrote no data and no schema is
                     # known (OPTIMIZE/DELETE on an empty table): a v0
                     # bootstrap would record the "{}" placeholder and
@@ -123,10 +137,10 @@ class DeltaSink:
                 # readers (and the mirror's schema guard) see the change
                 body.append({"metaData": self._metadata_action()})
             body.extend(actions)
-            if not body:
+            if not [a for a in body if "commitInfo" not in a]:
                 # nothing to record (e.g. OPTIMIZE/DELETE that matched
-                # nothing): a commit with no actions is protocol noise —
-                # skip it and report the current version
+                # nothing): a commit carrying at most commitInfo is
+                # protocol noise — skip it and report the current version
                 return v - 1
             try:
                 with open(target, "x") as f:
@@ -251,6 +265,7 @@ class DeltaSink:
         """
         self._pending_schema = df.schema.json()
         adds = self._stage_adds(df, data_change)
+        op = "WRITE" if data_change else "WRITE (dataChange=false)"
         if txn is not None:
             adds.insert(
                 0,
@@ -262,7 +277,7 @@ class DeltaSink:
                     }
                 },
             )
-        return self._commit(adds)
+        return self._commit(adds, operation=op)
 
     def _stage_adds(
         self, df: DataFrame, data_change: bool, skip_empty: bool = False
@@ -464,7 +479,7 @@ class DeltaSink:
                         read_schema=data_schema,
                     )
                 )
-        return self._commit(actions)
+        return self._commit(actions, operation="DELETE")
 
     def merge(self, source: DataFrame, key_cols: Sequence[str]) -> int:
         """Copy-on-write upsert (Delta's MERGE INTO with matched-update
@@ -579,7 +594,7 @@ class DeltaSink:
         actions.extend(
             self._stage_adds(inserts, data_change=True, skip_empty=True)
         )
-        return self._commit(actions)
+        return self._commit(actions, operation="MERGE")
 
     def optimize(
         self,
@@ -668,7 +683,9 @@ class DeltaSink:
                     read_schema=data_schema,
                 )
             )
-        return self._commit(actions)
+        return self._commit(
+            actions, operation="OPTIMIZE ZORDER" if zcols else "OPTIMIZE"
+        )
 
     def _zorder_bounds(self, zcols, data_schema) -> dict[str, tuple[float, float]]:
         """Global [min, max] of each z-order column's numeric proxy —
@@ -748,6 +765,93 @@ class DeltaSink:
             partition_predicate=partition_predicate,
             predicate=predicate,
         )
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per retained commit — version,
+        commitInfo timestamp/operation (null for commits written before
+        operations were recorded), add/remove counts.  Pure driver-side
+        metadata over the log; O(commits)."""
+        rows = []
+        for v in _list_versions(self.path):
+            info = {"timestamp": None, "operation": None}
+            n_add = n_remove = 0
+            with open(
+                os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
+            ) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        info = act["commitInfo"]
+                    n_add += "add" in act
+                    n_remove += "remove" in act
+            rows.append(
+                (
+                    v,
+                    info.get("timestamp"),
+                    info.get("operation"),
+                    n_add,
+                    n_remove,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp long, operation string, "
+            "n_adds long, n_removes long",
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION: one commit whose adds/removes turn
+        the current snapshot back into the snapshot at ``version`` —
+        metadata-only when the old data files still exist (raises if
+        any was vacuumed).  The restore itself is a new commit, so
+        history moves forward (Delta's RESTORE semantics); the schema
+        recorded at ``version`` is re-recorded when it differs."""
+        from .delta_log import latest_metadata, snapshot_files
+
+        now = int(time.time() * 1000)
+        target = {f["path"]: f for f in snapshot_files(self.spark, self.path, upto=version)}
+        current = {f["path"]: f for f in snapshot_files(self.spark, self.path)}
+        actions: list[dict] = []
+        for p, f in target.items():
+            if p in current:
+                continue
+            full = os.path.join(self.path, p)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"cannot restore to {version}: file {p} was vacuumed"
+                )
+            actions.append(
+                {
+                    "add": {
+                        "path": p,
+                        "partitionValues": f["partitionValues"] or {},
+                        "size": f["size"],
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": f.get("stats"),
+                    }
+                }
+            )
+        for p, f in current.items():
+            if p in target:
+                continue
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": f["partitionValues"] or {},
+                    }
+                }
+            )
+        old_meta = latest_metadata(self.spark, self.path, upto=version)
+        if old_meta is not None:
+            # re-record the historical schema if it has since changed
+            self._pending_schema = old_meta["schemaString"]
+        return self._commit(actions, operation=f"RESTORE (version={version})")
 
     def changes(
         self, from_version: int, to_version: int | None = None

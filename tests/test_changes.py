@@ -174,3 +174,46 @@ def test_merge_into_empty_table_is_append(spark, tmp_path):
     sink = _sink(spark, tmp_path, "m6")
     sink.merge(spark.createDataFrame([(1, "x")], "id long, v string"), ["id"])
     assert sink.to_df().count() == 1
+
+
+# -- history / restore -------------------------------------------------------
+
+
+def test_history_records_operations(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "hist")
+    sink.append(spark.range(10).toDF("id").coalesce(1))
+    sink.delete("id >= 8")
+    sink.optimize(zorder_by=["id"])
+    ops = {r["version"]: r["operation"] for r in sink.history().collect()}
+    assert ops[0] == "WRITE" and ops[1] == "DELETE"
+    assert ops[2] == "OPTIMIZE ZORDER"
+    h = {r["version"]: r for r in sink.history().collect()}
+    assert h[0].n_adds >= 1 and h[0].n_removes == 0
+    assert h[1].n_removes >= 1
+
+
+def test_restore_to_earlier_version(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "rest")
+    sink.append(spark.range(10).toDF("id").coalesce(1))      # v0
+    sink.append(spark.range(10, 20).toDF("id").coalesce(1))  # v1
+    sink.delete("id < 5")                                    # v2
+    assert sink.to_df().count() == 15
+    v = sink.restore(1)
+    assert v == 3  # restore is a NEW commit
+    assert sorted(r["id"] for r in sink.to_df().collect()) == list(range(20))
+    assert "RESTORE" in {r["operation"] for r in sink.history().collect() if r["version"] == 3}.pop()
+    # restoring to v0 drops the second append too
+    sink.restore(0)
+    assert sorted(r["id"] for r in sink.to_df().collect()) == list(range(10))
+    # change feed sees the restore as delete+insert rows
+    ch = sink.changes(4, 4).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+
+
+def test_restore_after_vacuum_raises(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "restv")
+    sink.append(spark.range(5).toDF("id").coalesce(1))
+    sink.delete("id >= 0")  # all rows out; old file dead
+    sink.vacuum()
+    with pytest.raises(ValueError, match="vacuumed"):
+        sink.restore(0)

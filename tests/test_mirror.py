@@ -611,7 +611,7 @@ def test_crashed_append_leaves_no_visible_rows(spark, tmp_path):
     orig = DeltaSink._commit
     boom = RuntimeError("crash before commit")
     try:
-        def crash(self, actions):
+        def crash(self, actions, **kw):
             raise boom
 
         DeltaSink._commit = crash
