@@ -82,6 +82,7 @@ class MirrorPipeline:
         max_items_per_batch: int | None = 100_000,
         state_backend: str = "csv",
         on_schema_change: str = "fail",
+        optimize_target_zorder_by: list[str] | None = None,
     ):
         self.spark = spark
         self.source = source_path
@@ -118,6 +119,9 @@ class MirrorPipeline:
         # periodic dataChange=false compaction is the Delta analogue of
         # Kusto's extent merge (which the reference delegates, K2)
         self.optimize_target_every = optimize_target_every
+        # optional z-curve clustering during periodic target compaction:
+        # multi-column data skipping on the mirror's own read side
+        self.optimize_target_zorder_by = optimize_target_zorder_by
         # driver-metadata ceiling (SURVEY §7.4): one batch materializes
         # at most this many TransactionItems on the driver.  Larger
         # spans are processed in multiple batches — by commit boundary
@@ -172,7 +176,7 @@ class MirrorPipeline:
             self.optimize_target_every
             and self._batches_run % self.optimize_target_every == 0
         ):
-            self.sink.optimize()
+            self.sink.optimize(zorder_by=self.optimize_target_zorder_by)
         return {
             "status": "processed",
             "start_tx": start_tx,

@@ -487,3 +487,32 @@ def kql_top_hitters(spark, sf_dir):
         "documents | top-hitters 5 of source",
         tables=_tables(spark, sf_dir, "documents"),
     )
+
+
+@query(
+    "kql_mv_apply",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS d
+    FROM toks WHERE length(t) >= 4
+    GROUP BY doc_id
+    """,
+    doc="KQL string: mv-apply per-row subquery (explode once under a "
+    "row id, inner summarize grouped by it, join back) — token count "
+    "and distinct-count per document over the filtered elements",
+)
+def kql_mv_apply(spark, sf_dir):
+    return kql(
+        spark,
+        "documents"
+        " | extend toks = split(text, ' ')"
+        " | mv-apply t = toks on ("
+        "     where strlen(t) >= 4"
+        "     | summarize n = count(), d = dcount(t) )"
+        " | project doc_id, n, d",
+        tables=_tables(spark, sf_dir, "documents"),
+    )

@@ -848,3 +848,31 @@ def test_schema_evolve_add_column(spark, tmp_path):
     s2.append(spark.createDataFrame([(2, "z")], "id long, tag string"))
     with pytest.raises(SchemaChangedError):
         p2.run_once()
+
+
+def test_target_zorder_compaction(spark, tmp_path):
+    """optimize_target_zorder_by clusters the mirror during periodic
+    compaction, making predicate reads on the mirror prune files."""
+    p = _mk(
+        spark, tmp_path, "tz",
+        optimize_target_every=1, optimize_target_zorder_by=["id"],
+    )
+    src = DeltaSink(spark, p.source)
+    import random
+
+    rnd = random.Random(3)
+    ids = list(range(4000))
+    rnd.shuffle(ids)
+    for b in range(4):
+        src.append(
+            spark.createDataFrame(
+                [(i,) for i in ids[b * 1000 : (b + 1) * 1000]], "id long"
+            ).coalesce(1)
+        )
+    p.run_until_idle()
+    assert _ids(p.mirror_df()) == list(range(4000))
+    total = len(p.sink.to_df().inputFiles())
+    pruned = p.sink.to_df(predicate="id < 100")
+    if total > 1:  # compaction target may coalesce to one file
+        assert len(pruned.inputFiles()) < total
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(100))
