@@ -73,6 +73,25 @@ class KqlParseError(ValueError):
     pass
 
 
+def _sql_literal(val) -> str:
+    """Python value -> Spark SQL literal (for toscalar bindings)."""
+    import datetime as _dt2
+
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, (int, float)):
+        return repr(val)
+    if isinstance(val, _dt2.datetime):
+        return f"TIMESTAMP'{val.isoformat(sep=' ')}'"
+    if isinstance(val, _dt2.date):
+        return f"DATE'{val.isoformat()}'"
+    if isinstance(val, str):
+        return "'" + val.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise KqlParseError(f"toscalar: unsupported scalar type {type(val).__name__}")
+
+
 # -- lexical helpers ---------------------------------------------------------
 
 
@@ -587,6 +606,20 @@ class KqlQuery:
                     f"only the final statement may be a query: {stmt!r}"
                 )
             name, body = m.group(1), m.group(2).strip()
+            tom = re.fullmatch(
+                r"toscalar\s*\((.*)\)", body, re.IGNORECASE | re.DOTALL
+            )
+            if tom:
+                # Kusto toscalar: evaluate the subquery NOW, take the
+                # first row's first column, bind it as a literal — the
+                # eager-evaluation semantics the docs specify
+                rows = self._run_pipe(tom.group(1).strip()).limit(1).collect()
+                val = rows[0][0] if rows else None
+                sub = re.compile(r"\b" + re.escape(name) + r"\b")
+                repl = f"({_sql_literal(val)})"
+                for j in range(i + 1, len(statements)):
+                    statements[j] = sub.sub(repl, statements[j])
+                continue
             if "|" in body or re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", body):
                 self._lets[name] = body  # tabular: resolved lazily
             else:

@@ -849,3 +849,26 @@ def test_series_outliers_in_kql_make_series_chain(spark):
     ).collect()[0]
     peak = max(out.sc)
     assert out.sc.index(peak) == 4  # the planted spike scores highest
+
+
+def test_toscalar_let_binding(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0)], "id long, v double"
+    )
+    out = kql(
+        spark,
+        "let hi = toscalar(t | summarize max(v));"
+        "t | where v >= hi * 0.6 | project id | order by id asc",
+        tables={"t": df},
+    ).collect()
+    assert [r.id for r in out] == [2, 3]
+    # string scalar binds quoted
+    out2 = kql(
+        spark,
+        "let who = toscalar(t | where id == 2 | project s = tostring(id));"
+        "t | where tostring(id) == who | project v",
+        tables={"t": df},
+    ).collect()
+    assert out2[0].v == 30.0
