@@ -975,3 +975,128 @@ def pipeline_pii_redact(spark, sf_dir):
         counts["ipv4"].cast("long").alias("n_ipv4"),
         counts["phone"].cast("long").alias("n_phone"),
     )
+
+
+@query(
+    "dedup_chunk_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_ix,
+             array_to_string(list_slice(t, (i * 32) + 1, (i + 1) * 32), ' ')
+                 AS chunk
+      FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 32.0) AS INT))) AS u(i)
+    ), freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (f.nd > 1) AS BIGINT) AS n_shared_chunks,
+           ROUND(COUNT(*) FILTER (f.nd > 1) * 1.0 / COUNT(*), 4)
+               AS shared_frac
+    FROM chunks c JOIN freq f ON f.chunk = c.chunk
+    GROUP BY c.doc_id
+    """,
+    doc="chunk-level contamination: split every document into 32-token "
+    "chunks, count how many of a doc's chunks also appear verbatim in "
+    "ANOTHER doc — the sub-document dedup granularity training "
+    "pipelines use to catch partial copies.  explode -> chunk-hash "
+    "groupBy -> join back: all shuffles linear in corpus size",
+)
+def dedup_chunk_contamination(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / 32.0).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_ix",
+        F.concat_ws(
+            " ", F.slice("t", F.col("chunk_ix") * 32 + 1, 32)
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("nd") > 1).alias("n_shared_chunks"),
+            F.round(F.count_if(F.col("nd") > 1) / F.count("*"), 4).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "corpus_token_stats",
+    """
+    WITH n AS (
+      SELECT source, len(string_split(text, ' ')) AS nt FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(AVG(nt), 4) AS mean_tokens,
+           CAST(MIN(nt) AS BIGINT) AS min_tokens,
+           CAST(MAX(nt) AS BIGINT) AS max_tokens,
+           ROUND(quantile_cont(nt, 0.5), 1) AS median_tokens,
+           ROUND(quantile_cont(nt, 0.95), 1) AS p95_tokens
+    FROM n GROUP BY source
+    """,
+    doc="per-source corpus sizing: doc/token totals, mean/min/max and "
+    "exact interpolated median/p95 token counts — the dataset-card "
+    "numbers every corpus release reports; one groupBy, map-side "
+    "partials",
+)
+def corpus_token_stats(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    nt = F.size(F.split("text", " "))
+    return (
+        docs.select("source", nt.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("nt"), 4).alias("mean_tokens"),
+            F.min("nt").cast("long").alias("min_tokens"),
+            F.max("nt").cast("long").alias("max_tokens"),
+            F.round(F.expr("percentile(nt, 0.5)"), 1).alias("median_tokens"),
+            F.round(F.expr("percentile(nt, 0.95)"), 1).alias("p95_tokens"),
+        )
+    )
+
+
+#: ONE SQL string, two engines: runs verbatim through spark.sql over
+#: the registered views AND as the DuckDB oracle — the ANSI-SQL
+#: surface a reference user gets for free on this engine.
+_SQL_PASSTHROUGH = """
+    SELECT c_mktsegment,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+@query(
+    "sql_passthrough",
+    _SQL_PASSTHROUGH,
+    doc="dialect-common ANSI SQL executed VERBATIM by spark.sql over "
+    "the registered views; the oracle is the identical string — "
+    "proving the plain-SQL surface, not just the DataFrame one",
+)
+def sql_passthrough(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PASSTHROUGH)
