@@ -249,3 +249,35 @@ def test_q21_exists_decorrelated_single_fact_shuffle(spark):
     plan = _plan(spark, "q21_waiting_supplier")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_contamination_no_cartesian(spark):
+    plan = _plan(spark, "dedup_chunk_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_token_stats_single_shuffle(spark):
+    """One groupBy with map-side partials — exactly one Exchange."""
+    plan = _plan(spark, "corpus_token_stats")
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE coalesce read)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    plan = _plan(spark, "pipeline_pii_redact")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row projection, no shuffle
+
+
+def test_mix_sources_single_shuffle(spark):
+    plan = _plan(spark, "pipeline_mix_sources")
+    # one window shuffle on the stratum key; no Python
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_profile_no_cartesian_and_jvm_side(spark):
+    plan = _plan(spark, "text_repetition_profile")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
