@@ -8,6 +8,8 @@ C# source) and get hash-identical results from this engine.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from ..functions.kql_parse import kql
 from ..sources.tables import load_table
 from .base import query
@@ -181,18 +183,21 @@ def kql_datetime_bin(spark, sf_dir):
                                     INTERVAL 1 DAY)) AS slot
     )
     SELECT k.event_type,
-           list(s.slot ORDER BY s.slot) AS ts,
-           list(COALESCE(a.n, 0) ORDER BY s.slot) AS n
+           to_json(list(strftime(s.slot, '%Y-%m-%d %H:%M:%S')
+                        ORDER BY s.slot)) AS ts,
+           to_json(list(COALESCE(a.n, 0) ORDER BY s.slot)) AS n
     FROM keys k CROSS JOIN slots s
     LEFT JOIN agg a ON a.event_type = k.event_type AND a.slot = s.slot
     GROUP BY k.event_type ORDER BY k.event_type
     """,
     doc="KQL string: make-series daily counts by event_type — Kusto's "
     "time-chart idiom parsed from the emitted dialect and lowered onto "
-    "operators/timeseries.make_series",
+    "operators/timeseries.make_series.  Dynamic arrays serialized to "
+    "JSON strings (Kusto's own dynamic rendering; keeps the driver "
+    "harness's pandas row canonicalizer sortable)",
 )
 def kql_make_series(spark, sf_dir):
-    return kql(
+    out = kql(
         spark,
         """
         events
@@ -202,6 +207,13 @@ def kql_make_series(spark, sf_dir):
         | order by event_type asc
         """,
         tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "event_type",
+        F.to_json(
+            F.transform("ts", lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss"))
+        ).alias("ts"),
+        F.to_json("n").alias("n"),
     )
 
 

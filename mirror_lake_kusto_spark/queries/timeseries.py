@@ -55,19 +55,54 @@ _ORACLE_GRID = """
 """
 
 
+def _json_ts(col):
+    """Serialize an array<timestamp> column to a canonical JSON string.
+
+    Kusto's make-series emits dynamic (JSON) arrays; JSON strings are
+    the faithful public rendering AND keep the driver harness (which
+    canonicalizes rows via pandas sort, unhashable on list cells) able
+    to sort the result.  Timestamps are formatted explicitly so both
+    engines render identical element strings.
+    """
+    return F.to_json(
+        F.transform(col, lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss"))
+    )
+
+
+def _json_fixed(col, decimals):
+    """array<double> -> JSON string with %.Nf-formatted elements.
+
+    Elements are pre-rounded to `decimals` places by the caller, so
+    fixed-point formatting renders identically in Spark (Java
+    Formatter) and DuckDB (printf) — the binary double sits within an
+    ulp of the decimal value and both formatters agree away from exact
+    .5 ties.  NULL elements stay JSON null.
+    """
+    fmt = f"%.{decimals}f"
+    return F.to_json(
+        F.transform(
+            col,
+            lambda x: F.when(x.isNotNull(), F.format_string(fmt, x)),
+        )
+    )
+
+
 @query(
     "ts_make_series",
     _ORACLE_GRID
     + """
     SELECT event_type,
-           list(slot ORDER BY slot) AS ts_axis,
-           list(n ORDER BY slot) AS n,
-           list(ROUND(total, 2) ORDER BY slot) AS total
+           to_json(list(strftime(slot, '%Y-%m-%d %H:%M:%S')
+                        ORDER BY slot)) AS ts_axis,
+           to_json(list(n ORDER BY slot)) AS n,
+           to_json(list(printf('%.2f', ROUND(total, 2))
+                        ORDER BY slot)) AS total
     FROM grid GROUP BY event_type ORDER BY event_type
     """,
     doc="Kusto make-series: per-event-type count+sum onto a regular "
     "6h grid over [2024-01-01, 2024-01-15), zero-filled empty slots, "
-    "aligned arrays (operators/timeseries.py)",
+    "aligned arrays (operators/timeseries.py).  Arrays serialized to "
+    "JSON strings (Kusto dynamic rendering; driver-harness-sortable)",
 )
 def ts_make_series(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
@@ -83,9 +118,11 @@ def ts_make_series(spark, sf_dir):
     )
     return out.select(
         "event_type",
-        "ts_axis",
-        "n",
-        F.transform("total", lambda x: F.round(x, 2)).alias("total"),
+        _json_ts("ts_axis").alias("ts_axis"),
+        F.to_json("n").alias("n"),
+        _json_fixed(
+            F.transform("total", lambda x: F.round(x, 2)), 2
+        ).alias("total"),
     ).orderBy("event_type")
 
 
@@ -106,7 +143,8 @@ def ts_make_series(spark, sf_dir):
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type,
-           list(ROUND(avg_c, 0) / 100 ORDER BY slot) AS ma
+           to_json(list(printf('%.2f', ROUND(avg_c, 0) / 100)
+                        ORDER BY slot)) AS ma
     FROM ma GROUP BY event_type ORDER BY event_type
     """,
     doc="series moving average (trailing window 4) over the "
@@ -127,8 +165,11 @@ def ts_series_moving_avg(spark, sf_dir):
     )
     return out.select(
         "event_type",
-        F.transform(
-            series_moving_avg(cents, 4), lambda x: F.round(x, 0) / 100
+        _json_fixed(
+            F.transform(
+                series_moving_avg(cents, 4), lambda x: F.round(x, 0) / 100
+            ),
+            2,
         ).alias("ma"),
     ).orderBy("event_type")
 
@@ -219,9 +260,12 @@ def ts_series_moving_avg(spark, sf_dir):
       ) q ON q.event_type = c.event_type
     )
     SELECT l.event_type,
-           list(l.ff ORDER BY l.slot) AS fill_forward,
-           list(l.li ORDER BY l.slot) AS fill_linear,
-           list(s.sc ORDER BY l.slot) AS outlier_score
+           to_json(list(printf('%.4f', l.ff) ORDER BY l.slot))
+               AS fill_forward,
+           to_json(list(printf('%.4f', l.li) ORDER BY l.slot))
+               AS fill_linear,
+           to_json(list(printf('%.6f', s.sc) ORDER BY l.slot))
+               AS outlier_score
     FROM lin l JOIN scored s
       ON s.event_type = l.event_type AND s.slot = l.slot
     GROUP BY l.event_type ORDER BY l.event_type
@@ -255,14 +299,24 @@ def ts_series_fill(spark, sf_dir):
     )
     return out.select(
         "event_type",
-        F.transform(
-            series_fill_forward(cents), lambda x: F.round(x / 100, 4)
+        _json_fixed(
+            F.transform(
+                series_fill_forward(cents), lambda x: F.round(x / 100, 4)
+            ),
+            4,
         ).alias("fill_forward"),
-        F.transform(
-            series_fill_linear(cents),
-            lambda x: F.floor(x / 100 * 10000) / 10000,
+        _json_fixed(
+            F.transform(
+                series_fill_linear(cents),
+                lambda x: F.floor(x / 100 * 10000) / 10000,
+            ),
+            4,
         ).alias("fill_linear"),
-        F.transform(
-            series_outliers(cents), lambda x: F.floor(x * 1000000) / 1000000
+        _json_fixed(
+            F.transform(
+                series_outliers(cents),
+                lambda x: F.floor(x * 1000000) / 1000000,
+            ),
+            6,
         ).alias("outlier_score"),
     ).orderBy("event_type")
