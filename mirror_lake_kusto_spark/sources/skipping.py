@@ -219,14 +219,35 @@ _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "==",
 _CMP_REV_RE = re.compile(r"^\s*('[^']*'|[\w.\-:]+)\s*(<=|>=|!=|<>|==|=|<|>)\s*(\w+)\s*$")
 
 
+def _is_word_char(ch: str) -> bool:
+    return ch.isalnum() or ch == "_"
+
+
 def split_conjuncts(predicate: str) -> list[str]:
-    """Split on top-level AND (outside quotes and parens)."""
+    """Split on top-level AND (outside quotes and parens).
+
+    If a top-level OR is present anywhere, NOTHING is a required
+    conjunct — ``x AND a OR b`` parses as ``(x AND a) OR b``, so even
+    the AND-side atoms cannot prune on their own.  Returns [] (no
+    pruning; read_snapshot's row filter still applies the predicate).
+    """
     parts: list[str] = []
     depth = 0
     quote: str | None = None
     buf: list[str] = []
     i = 0
     up = predicate.upper()
+
+    def _kw_at(kw: str, i: int) -> bool:
+        return (
+            up.startswith(kw, i)
+            and (i == 0 or not _is_word_char(predicate[i - 1]))
+            and (
+                i + len(kw) >= len(predicate)
+                or not _is_word_char(predicate[i + len(kw)])
+            )
+        )
+
     while i < len(predicate):
         ch = predicate[i]
         if quote:
@@ -244,12 +265,9 @@ def split_conjuncts(predicate: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if (
-            depth == 0
-            and up.startswith("AND", i)
-            and (i == 0 or not predicate[i - 1].isalnum())
-            and (i + 3 >= len(predicate) or not predicate[i + 3].isalnum())
-        ):
+        if depth == 0 and _kw_at("OR", i):
+            return []  # disjunction at top level — no conjunct required
+        if depth == 0 and _kw_at("AND", i):
             parts.append("".join(buf))
             buf = []
             i += 3
@@ -279,16 +297,37 @@ def _strip_parens(e: str) -> str:
     return e
 
 
-def _parse_literal(text: str, dtype) -> Any:
+# a quoted literal must be EXACTLY one quoted token: interior quotes
+# only as doubled escapes.  A sloppy startswith/endswith check would
+# treat  'a' OR c = 'z'  as the single string  a' OR c = 'z  and prune
+# files that contain c='z' — silent data loss.
+_SQUOTED_RE = re.compile(r"^'(?:[^']|'')*'$")
+_DQUOTED_RE = re.compile(r'^"(?:[^"]|"")*"$')
+_BAREWORD_RE = re.compile(r"^-?[\w.\-:+]+$")
+
+
+def _parse_literal(text: str, dtype, columns: frozenset | set = frozenset()) -> Any:
     """SQL literal (or raw partition value) -> comparable Python value
-    in the stats domain (None = unparseable -> no pruning)."""
+    in the stats domain (None = unparseable -> no pruning).
+
+    ``columns`` is the schema's column-name set: a bareword RHS that
+    names a column is a column reference, never a literal (``a = b``
+    must not prune as if b were the string 'b').
+    """
     text = text.strip()
-    if (text.startswith("'") and text.endswith("'")) or (
-        text.startswith('"') and text.endswith('"')
-    ):
-        text = text[1:-1]
-    elif not re.match(r"^-?[\w.\-:+]+$", text):
+    quoted = False
+    if text.startswith("'"):
+        if not _SQUOTED_RE.match(text):
+            return None  # not a single well-formed string literal
+        text, quoted = text[1:-1].replace("''", "'"), True
+    elif text.startswith('"'):
+        if not _DQUOTED_RE.match(text):
+            return None
+        text, quoted = text[1:-1].replace('""', '"'), True
+    elif not _BAREWORD_RE.match(text):
         return None  # expression, not a literal
+    elif text in columns:
+        return None  # column-to-column comparison — not prunable
     if isinstance(dtype, (TimestampType, TimestampNTZType)):
         return _parse_ts(text)
     if isinstance(dtype, DateType):
@@ -309,7 +348,10 @@ def _parse_literal(text: str, dtype) -> Any:
             except ValueError:
                 return None
     if isinstance(dtype, StringType):
-        return text
+        # an unquoted bareword is a SQL identifier, not a string
+        # literal — even if it doesn't name a column we know about
+        # (qualified refs like t.c pass the bareword regex)
+        return text if quoted else None
     return None  # binary/array/map/struct — not prunable
 
 
@@ -390,6 +432,7 @@ def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
     """Parse the prunable top-level conjuncts of ``predicate``.
     Anything not understood is silently dropped (no pruning — safe)."""
     type_of = {f.name: f.dataType for f in schema.fields}
+    colset = frozenset(type_of)
     out: list[_Conjunct] = []
     for raw in split_conjuncts(predicate):
         c = _strip_parens(raw)
@@ -402,7 +445,7 @@ def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
         m = _IN_RE.match(c)
         if m and m.group(1) in type_of:
             vals = [
-                _parse_literal(v, type_of[m.group(1)])
+                _parse_literal(v, type_of[m.group(1)], colset)
                 for v in m.group(2).split(",")
             ]
             if all(v is not None for v in vals) and vals:
@@ -414,12 +457,12 @@ def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
             if m2 and m2.group(3) in type_of:
                 m = None
                 col, op, lit = m2.group(3), _FLIP[m2.group(2)], m2.group(1)
-                v = _parse_literal(lit, type_of[col])
+                v = _parse_literal(lit, type_of[col], colset)
                 if v is not None:
                     out.append(_Conjunct("cmp", col, op, [v]))
             continue
         col, op, lit = m.group(1), m.group(2), m.group(3)
-        v = _parse_literal(lit, type_of[col])
+        v = _parse_literal(lit, type_of[col], colset)
         if v is not None:
             out.append(_Conjunct("cmp", col, op, [v]))
     return out
@@ -454,7 +497,8 @@ def prune_files(
                 raw_pv = (f.get("partitionValues") or {}).get(c.col)
                 if raw_pv is None:
                     continue  # null partition — only IS NULL could prune; skip
-                pv = _parse_literal(f"'{raw_pv}'", type_of[c.col])
+                quoted_pv = "'" + str(raw_pv).replace("'", "''") + "'"
+                pv = _parse_literal(quoted_pv, type_of[c.col])
                 if pv is None:
                     continue
             if not c.keep(stats, pv):

@@ -371,3 +371,232 @@ def test_pruning_never_drops_matching_rows(files, atoms):
                     f"file f{i} holds matching value {val!r} for "
                     f"{predicate!r} but was pruned"
                 )
+
+
+# -- regression: predicate misparses that caused silent over-pruning ---------
+
+
+def _str_files():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("c", StringType()),
+            StructField("d", StringType()),
+            StructField("b", LongType()),
+        ]
+    )
+    files = [
+        {
+            "path": "f_az",
+            "partitionValues": {},
+            "stats": json.dumps(
+                {"numRecords": 5, "minValues": {"c": "a", "d": "a", "b": 1},
+                 "maxValues": {"c": "c", "d": "c", "b": 5},
+                 "nullCount": {"c": 0, "d": 0, "b": 0}}
+            ),
+        },
+        {
+            "path": "f_z",
+            "partitionValues": {},
+            "stats": json.dumps(
+                {"numRecords": 5, "minValues": {"c": "x", "d": "x", "b": 10},
+                 "maxValues": {"c": "z", "d": "z", "b": 20},
+                 "nullCount": {"c": 0, "d": 0, "b": 0}}
+            ),
+        },
+    ]
+    return schema, files
+
+
+def test_or_with_quoted_strings_never_prunes():
+    # "c = 'a' OR c = 'z'" once misparsed as the single string literal
+    # "a' OR c = 'z" and pruned the file that contains c='z'
+    schema, files = _str_files()
+    kept = prune_files(files, "c = 'a' OR c = 'z'", schema)
+    assert [f["path"] for f in kept] == ["f_az", "f_z"]
+
+
+def test_toplevel_or_beside_and_never_prunes():
+    # b = 1 OR c = 'x' AND b = 20  ==  b = 1 OR (c = 'x' AND b = 20):
+    # neither atom is a required conjunct, so nothing may prune
+    schema, files = _str_files()
+    kept = prune_files(files, "b = 1 OR c = 'x' AND b = 20", schema)
+    assert [f["path"] for f in kept] == ["f_az", "f_z"]
+
+
+def test_column_to_column_comparison_not_a_literal():
+    # c = d must not prune as if d were the string 'd'
+    schema, files = _str_files()
+    kept = prune_files(files, "c = d", schema)
+    assert [f["path"] for f in kept] == ["f_az", "f_z"]
+
+
+def test_unquoted_bareword_is_identifier_not_string_literal():
+    # c = zzz: zzz is an identifier (maybe a column we don't know), not 'zzz'
+    schema, files = _str_files()
+    kept = prune_files(files, "c = zzz", schema)
+    assert [f["path"] for f in kept] == ["f_az", "f_z"]
+
+
+def test_doubled_quote_escape_unescaped():
+    schema, files = _str_files()
+    # literal is  it's  -> between 'c' and 'x': both files prunable
+    kept = prune_files(files, "c = 'it''s'", schema)
+    assert kept == []
+    # conjunct-splitter must not treat quotes inside '' as openers
+    kept = prune_files(files, "c = 'it''s' AND b >= 1", schema)
+    assert kept == []
+
+
+def test_quoted_partition_value_with_quote_char(spark=None):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("p", StringType())])
+    files = [
+        {"path": "f0", "partitionValues": {"p": "it's"}, "stats": None},
+        {"path": "f1", "partitionValues": {"p": "zzz"}, "stats": None},
+    ]
+    kept = prune_files(files, "p = 'it''s'", schema, partition_columns=["p"])
+    assert [f["path"] for f in kept] == ["f0"]
+
+
+# -- property: OR / quoted strings / column refs never over-prune ------------
+
+_STR_VALS = ["x", "y", "z", "it's", "a' OR c = 'z"]
+
+
+def _sql_str(v):
+    return "'" + v.replace("'", "''") + "'"
+
+
+_satom = st.one_of(
+    st.tuples(
+        st.just("scmp"),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.sampled_from(_STR_VALS),
+    ),
+    st.tuples(
+        st.just("icmp"),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+        st.integers(-2, 12),
+    ),
+    st.tuples(st.just("colcmp"), st.none(), st.none()),
+    st.tuples(st.just("isnull"), st.none(), st.none()),
+)
+
+
+def _eval_satom(row, kind, op, lit):
+    a, c = row["a"], row["c"]
+    if kind == "isnull":
+        return a is None
+    if kind == "colcmp":
+        return a is not None and c is not None and a == c
+    if kind == "scmp":
+        if a is None:
+            return False
+        return {
+            "=": a == lit, "!=": a != lit, "<": a < lit,
+            "<=": a <= lit, ">": a > lit, ">=": a >= lit,
+        }[op]
+    b = row["b"]
+    if b is None:
+        return False
+    return {
+        "=": b == lit, "!=": b != lit, "<": b < lit,
+        "<=": b <= lit, ">": b > lit, ">=": b >= lit,
+    }[op]
+
+
+def _satom_sql(kind, op, lit):
+    if kind == "isnull":
+        return "a IS NULL"
+    if kind == "colcmp":
+        return "a = c"
+    if kind == "scmp":
+        return f"a {op} {_sql_str(lit)}"
+    return f"b {op} {lit}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    files=st.lists(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.sampled_from(_STR_VALS)),
+                st.one_of(st.none(), st.sampled_from(_STR_VALS)),
+                st.one_of(st.none(), st.integers(0, 10)),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    groups=st.lists(  # OR of AND-groups; each group: AND of clauses;
+        st.lists(     # each clause: one atom or a parenthesized OR pair
+            st.lists(_satom, min_size=1, max_size=2),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_pruning_never_drops_matching_rows_strings_and_or(files, groups):
+    """OR-of-AND predicates with quoted strings (incl. embedded quotes),
+    column-to-column atoms, and parenthesized inner ORs: every row that
+    satisfies the predicate lives in a kept file."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a", StringType()),
+            StructField("c", StringType()),
+            StructField("b", LongType()),
+        ]
+    )
+    file_dicts = []
+    for i, rows in enumerate(files):
+        stats = {"numRecords": len(rows), "minValues": {}, "maxValues": {},
+                 "nullCount": {}}
+        for col, idx in (("a", 0), ("c", 1), ("b", 2)):
+            vals = [r[idx] for r in rows if r[idx] is not None]
+            stats["nullCount"][col] = len(rows) - len(vals)
+            if vals:
+                stats["minValues"][col] = min(vals)
+                stats["maxValues"][col] = max(vals)
+        file_dicts.append(
+            {"path": f"f{i}", "partitionValues": {}, "stats": json.dumps(stats)}
+        )
+
+    group_sqls = []
+    for group in groups:
+        clause_sqls = []
+        for clause in group:
+            atom_sqls = [_satom_sql(*atom) for atom in clause]
+            clause_sqls.append(
+                atom_sqls[0] if len(atom_sqls) == 1
+                else "(" + " OR ".join(atom_sqls) + ")"
+            )
+        group_sqls.append(" AND ".join(clause_sqls))
+    predicate = " OR ".join(group_sqls)
+
+    def truth(row):
+        return any(
+            all(
+                any(_eval_satom(row, *atom) for atom in clause)
+                for clause in group
+            )
+            for group in groups
+        )
+
+    kept = {f["path"] for f in prune_files(file_dicts, predicate, schema)}
+    for i, rows in enumerate(files):
+        for tup in rows:
+            row = {"a": tup[0], "c": tup[1], "b": tup[2]}
+            if truth(row):
+                assert f"f{i}" in kept, (
+                    f"file f{i} holds matching row {row!r} for "
+                    f"{predicate!r} but was pruned"
+                )
