@@ -1111,15 +1111,24 @@ class KqlQuery:
 
     def _op_mv_apply(self, frame, rest):
         """``mv-apply x = arr on ( subquery )`` — expand the array and
-        run the parenthesized pipeline PER SOURCE ROW, then join the
-        per-row results back onto the outer columns.
+        run the parenthesized pipeline PER SOURCE ROW, with the outer
+        columns carried through every inner verb.
 
         Lowered without any per-row iteration: explode once, tag rows
         with a monotonic id, and rewrite the inner verbs group-aware —
-        ``summarize`` groups by (row id + declared keys), ``top N by``
-        becomes a row-id-partitioned window; ``where``/``extend``/
-        ``project`` apply element-wise.  One explode + one aggregation
-        + one join, all shuffles keyed by the row id."""
+        ``summarize`` groups by (row id + declared keys) and carries
+        outer columns as ``first()`` (exact: all rows in a row-id group
+        share the same outer values), ``top N by`` becomes a
+        row-id-partitioned window; ``where``/``extend``/``project``
+        apply element-wise.  One explode + at most one aggregation.
+
+        The row id comes from ``monotonically_increasing_id``, which is
+        nondeterministic across separate evaluations — so the plan must
+        evaluate it exactly ONCE.  Carrying outer columns through the
+        pipeline (instead of joining results back to the source on the
+        id) keeps it in a single lineage; a tag-then-self-join shape
+        would evaluate the id independently on both join sides and can
+        mis-correlate rows when a stage is recomputed."""
         m = self._MV_APPLY_RE.match(rest)
         if not m:
             raise KqlParseError("mv-apply needs: x [= arr] on ( pipeline )")
@@ -1129,10 +1138,12 @@ class KqlQuery:
         if src_col not in frame.df.columns:
             raise KqlParseError(f"mv-apply: no array column {src_col!r}")
         rid = "__mlk_mv_row"
-        tagged = frame.df.withColumn(rid, F.monotonically_increasing_id())
-        work = tagged.withColumn(alias, F.explode(F.col(src_col)))
-        if alias != src_col:
-            work = work.drop(src_col)
+        work = frame.df.withColumn(rid, F.monotonically_increasing_id())
+        # columns that belong to the source row, carried through the
+        # inner pipeline; an inner extend/summarize that re-declares a
+        # name takes it over
+        outer = [c for c in frame.df.columns if c != alias]
+        work = work.withColumn(alias, F.explode(F.col(src_col)))
         for stage in _split_top(inner, "|"):
             stage = stage.strip()
             if not stage:
@@ -1155,18 +1166,20 @@ class KqlQuery:
                     if name is None:
                         raise KqlParseError("mv-apply extend needs name = expr")
                     work = work.withColumn(name, F.expr(translate_expr(expr)))
+                    outer = [c for c in outer if c != name]
             elif verb == "project":
-                cols = [rid]
+                cols = [rid] + list(outer)
                 for name, expr in _named_exprs(vrest):
                     if name is None:
-                        cols.append(expr)
+                        if expr not in cols:
+                            cols.append(expr)
                     else:
                         work = work.withColumn(name, F.expr(translate_expr(expr)))
-                        cols.append(name)
+                        outer = [c for c in outer if c != name]
+                        if name not in cols:
+                            cols.append(name)
                 work = work.select(*cols)
             elif verb == "summarize":
-                inner_frame = KqlFrame(work)
-                # group by the row id implicitly (per-source-row groups)
                 by_split = re.split(r"\bby\b", vrest, maxsplit=1, flags=re.IGNORECASE)
                 agg_part = by_split[0].strip()
                 by_extra = by_split[1].strip() if len(by_split) > 1 else ""
@@ -1175,10 +1188,16 @@ class KqlQuery:
                     if name is None:
                         name = re.sub(r"\W+", "_", expr).strip("_") or "agg"
                     aggs[name] = F.expr(translate_expr(expr))
-                by_cols = [rid] + (
+                extra = (
                     [c.strip() for c in by_extra.split(",")] if by_extra else []
                 )
-                work = inner_frame.summarize(by=by_cols, **aggs).df
+                outer = [
+                    c for c in outer if c not in aggs and c not in extra
+                ]
+                agg_exprs = [
+                    F.first(c).alias(c) for c in outer
+                ] + [e.alias(n) for n, e in aggs.items()]
+                work = work.groupBy(rid, *extra).agg(*agg_exprs)
             elif verb == "top":
                 tm = re.match(
                     r"(\d+)\s+by\s+(.+?)(\s+asc|\s+desc)?$",
@@ -1197,15 +1216,15 @@ class KqlQuery:
                     .drop("__mlk_rn")
                 )
             elif verb == "count":
-                work = work.groupBy(rid).agg(F.count("*").alias("count_"))
-        inner_cols = [c for c in work.columns if c != rid]
-        outer_cols = [c for c in tagged.columns if c != rid and c not in inner_cols]
-        out = (
-            tagged.select(rid, *outer_cols)
-            .join(work, rid, "inner")
-            .drop(rid)
-        )
-        return KqlFrame(out)
+                outer = [c for c in outer if c != "count_"]
+                work = work.groupBy(rid).agg(
+                    *[F.first(c).alias(c) for c in outer],
+                    F.count("*").alias("count_"),
+                )
+        ordered = [c for c in outer if c in work.columns] + [
+            c for c in work.columns if c not in outer and c != rid
+        ]
+        return KqlFrame(work.select(*ordered))
 
     def _op_summarize(self, frame, rest):
         by_split = re.split(r"\bby\b", rest, maxsplit=1, flags=re.IGNORECASE)

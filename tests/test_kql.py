@@ -872,3 +872,29 @@ def test_toscalar_let_binding(spark):
         tables={"t": df},
     ).collect()
     assert out2[0].v == 30.0
+
+
+def test_mv_apply_single_rowid_evaluation_no_selfjoin(spark):
+    """mv-apply's row id (monotonically_increasing_id) is
+    nondeterministic across evaluations, so the plan must evaluate it
+    exactly once — outer columns carried through the inner pipeline,
+    never joined back to a second evaluation of the tagged frame."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, "x", [3.0, 1.0, 2.0]), (2, "y", [5.0, 4.0])],
+        "id long, tag string, arr array<double>",
+    )
+    out = kql(
+        spark,
+        "t | mv-apply v = arr on (summarize s = sum(v), n = count())",
+        tables={"t": df},
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("monotonically_increasing_id") <= 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"mv-apply plan self-joins via {join}"
+    rows = {r["id"]: (r["tag"], r["s"], r["n"]) for r in out.collect()}
+    assert rows == {1: ("x", 6.0, 3), 2: ("y", 9.0, 2)}
