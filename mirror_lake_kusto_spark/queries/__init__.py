@@ -60,12 +60,28 @@ def _driver_recorded() -> set[str]:
     (CORRECTNESS_r*.json at the repo root) — the per-round reports cap
     at 50 entries, so never-yet-recorded queries must enumerate first
     each round.  This scan makes the ordering self-adapting; failures
-    (err set and no row/hash verdict) are retried, not buried."""
+    (err set and no row/hash verdict) are retried, not buried.
+
+    "Recorded" requires an affirmative outcome: a hash-match verdict,
+    or — for oracle-less (approximate/stateful) queries, whose best
+    possible driver outcome is the rows-only check — a ``no_oracle``
+    row whose Spark side actually produced a row count.  A crashed or
+    mismatched entry is never counted, so it re-enumerates first.
+
+    Root discovery: ``SPARK_GRAFT_REPO_ROOT`` env var if set; else the
+    package's grandparent, used only when it actually looks like this
+    repo (contains ``__spark_entry__.py``) so an installed copy of the
+    library never scans site-packages' parent for stray artifacts.
+    """
     import glob
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    root = os.environ.get("SPARK_GRAFT_REPO_ROOT") or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if not os.path.isfile(os.path.join(root, "__spark_entry__.py")):
+        return set()
     seen: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
@@ -76,8 +92,11 @@ def _driver_recorded() -> set[str]:
         if not isinstance(data, dict):
             continue
         for name, res in data.items():
-            if isinstance(res, dict) and (
-                res.get("hash_match") or res.get("err") == "no_oracle"
+            if not isinstance(res, dict):
+                continue
+            if res.get("hash_match") or (
+                res.get("err") == "no_oracle"
+                and res.get("spark_rows") is not None
             ):
                 seen.add(name)
     return seen

@@ -281,3 +281,19 @@ def test_repetition_profile_no_cartesian_and_jvm_side(spark):
     plan = _plan(spark, "text_repetition_profile")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registry_orders_never_recorded_queries_first():
+    """The driver samples the first 50 registry entries per round —
+    queries without an affirmative driver verdict must enumerate before
+    already-recorded ones, and a crashed driver row must be retried."""
+    import mirror_lake_kusto_spark.queries as Q
+
+    names = list(all_queries())
+    recorded = Q._RECORDED_R01 | Q._driver_recorded()
+    unrecorded = [n for n in names if n not in recorded]
+    assert set(unrecorded) <= set(names[: max(50, len(unrecorded))])
+    # kql_make_series crashed in r02 (err=traceback) -> must be retried
+    assert "kql_make_series" not in Q._driver_recorded()
+    # a no_oracle row whose spark side ran IS terminal (rows-only check)
+    assert "similarity_topk_pq" in Q._driver_recorded()
