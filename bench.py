@@ -90,6 +90,21 @@ EXTENSION_HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # a contended machine (e.g. pytest hammering the same cores) makes
+    # timings look like regressions — stamp the starting load so a
+    # recorded artifact can't masquerade as a clean run (r02 lesson)
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    ncpu = os.cpu_count() or 1
+    contended = load1 is not None and load1 > 0.25 * ncpu
+    if contended:
+        print(
+            f"WARNING: loadavg {load1:.1f} on {ncpu} CPUs — machine busy, "
+            "timings unreliable; re-run idle",
+            file=sys.stderr,
+        )
     spark = build_session(app_name="mlk-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -125,6 +140,11 @@ def main() -> None:
         # that warm-index latency is the steady state an LSH/dedup
         # service actually runs at, and what round 1 measured.
         spark.catalog.clearCache()
+        # ...and actually release them: shuffle/broadcast cleanup is
+        # GC-driven, and without a driver GC the dead blocks of 40+
+        # prior queries tax the block manager (measured ~2x on late
+        # queries in a full sweep)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -136,6 +156,8 @@ def main() -> None:
                 "queries": timings,
                 "runs_per_query": RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": load1,
+                "load_warning": bool(contended),
             }
         )
     )

@@ -155,6 +155,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 32,
     max_bucket_width: int | None = None,
+    eager_index: bool = False,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact Jaccard verification.
 
@@ -217,11 +218,16 @@ def minhash_lsh_pairs(
             .withColumn("_head", F.min("id").over(w))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # materialize the index EAGERLY: its three consumers are
-        # independent stages the scheduler runs concurrently, and a
-        # cold cache makes each recompute the whole upstream (shingle
-        # -> minhash -> window) — measured 1.7x on the full pipeline
-        buckets.count()
+        # eager_index materializes the bucket index up front: in a
+        # multi-consumer composition (e.g. pipeline_dedup_corpus) its
+        # three consumers are independent stages the scheduler runs
+        # concurrently, and a cold cache makes each recompute the whole
+        # upstream (shingle -> minhash -> window) — measured 1.7x on
+        # the full pipeline.  A single-consumer caller doesn't reuse
+        # the index, so the default stays lazy (~0.4 s cheaper
+        # standalone at sf0.1).
+        if eager_index:
+            buckets.count()
         narrow = buckets.filter(F.col("_bw") <= max_bucket_width)
         a = narrow.alias("a")
         b = narrow.alias("b")

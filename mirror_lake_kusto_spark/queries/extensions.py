@@ -625,7 +625,8 @@ def pipeline_dedup_corpus(spark, sf_dir):
         .drop("_h")
     )
     pairs = dedup.minhash_lsh_pairs(
-        dd, "doc_id", "text", threshold=0.5, max_bucket_width=4096
+        dd, "doc_id", "text", threshold=0.5, max_bucket_width=4096,
+        eager_index=True,  # three concurrent consumers reuse the index
     )
     losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
     return (

@@ -61,6 +61,13 @@ def build_session(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "true")
+        # the ContextCleaner that releases shuffle files / broadcast
+        # blocks is GC-driven; on a large heap the driver may not GC
+        # for a long time, so a long-lived session (streaming service,
+        # benchmark sweep) accumulates dead blocks that tax the block
+        # manager and slow later queries.  Default is 30min — far too
+        # lazy for a session running hundreds of queries.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

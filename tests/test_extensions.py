@@ -658,3 +658,55 @@ def test_redact_pii_stays_jvm_side(spark):
         df.select(text.redact_pii("t"))._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skew_caps_bound_candidates_on_1k_near_constant_cluster(spark):
+    """Adversarial fixture from the round-2 review: a stopword-heavy
+    1000-doc near-constant cluster.  Uncapped LSH would enumerate
+    ~C(1000,2) ~ 5e5 candidate pairs in ONE bucket per band; the
+    bucket-width cap must keep output O(cluster) via the star pattern,
+    and the n-gram doc-frequency cap must exclude the hot shingles from
+    candidate generation entirely."""
+    stop = " ".join(f"the{i % 11}" for i in range(40))  # shared by all
+    rows = [(i, stop + f" tail{i} tok{i}") for i in range(1000)]
+    rows += [(2000 + j, " ".join(f"u{j}w{t}" for t in range(25)))
+             for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_width=16
+    ).collect()
+    cluster = [r for r in pairs if r.id1 < 1000 and r.id2 < 1000]
+    # over-wide buckets emit star pairs (member vs head); a few bands
+    # whose minima touch the unique tails split into narrow all-pairs
+    # buckets (<= cap wide).  Total must stay O(n · bands-worth), and
+    # specifically NOT the ~499500 pairs one uncapped bucket implies.
+    assert len(cluster) < 10_000
+    covered = {r.id1 for r in cluster} | {r.id2 for r in cluster}
+    assert covered >= set(range(1000))  # no member escapes dedup
+    assert len(pairs) - len(cluster) == 0  # distinct docs pair nowhere
+
+    # n-gram path: every shingle of the cluster docs is either hot
+    # (df=1000 > cap) or unique (df=1) — no candidate survives, so the
+    # inverted-index join stays O(rare-postings), not O(cluster^2)
+    npairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.1, max_doc_frequency=50
+    ).count()
+    assert npairs == 0
+
+
+def test_minhash_eager_index_same_results(spark, docs):
+    lazy = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 0.5, max_bucket_width=4096
+        ).collect()
+    }
+    eager = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 0.5, max_bucket_width=4096,
+            eager_index=True,
+        ).collect()
+    }
+    assert eager == lazy
