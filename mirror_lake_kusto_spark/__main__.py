@@ -105,10 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--state-backend",
         choices=("csv", "delta"),
-        default="csv",
-        help="csv: reference-faithful append-blob + driver map (low "
-        "latency); delta: state in a Delta table, Spark-side current "
-        "view, driver holds at most one batch (large tables)",
+        default="delta",
+        help="delta (default): state in a Delta table, Spark-side "
+        "current view, driver holds at most one batch (large tables); "
+        "csv: reference-faithful append-blob + driver map (low "
+        "latency, small tables).  A csv state dir migrates in place "
+        "when reopened with the delta backend",
     )
     ap.add_argument(
         "--on-schema-change",

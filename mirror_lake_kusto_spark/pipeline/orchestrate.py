@@ -80,7 +80,7 @@ class MirrorPipeline:
         compact_every: int = 8,
         optimize_target_every: int | None = None,
         max_items_per_batch: int | None = 100_000,
-        state_backend: str = "csv",
+        state_backend: str = "delta",
         on_schema_change: str = "fail",
         optimize_target_zorder_by: list[str] | None = None,
     ):
@@ -93,8 +93,10 @@ class MirrorPipeline:
             # lowest batch latency, driver holds O(total files) items
             self.state = StateStore(spark, state_dir)
         elif state_backend == "delta":
-            # 100 TB path: state rows in a Delta table, LWW computed by
-            # Spark, steering reads collect at most one batch
+            # default, the 100 TB path: state rows in a Delta table,
+            # LWW computed by Spark, steering reads collect at most one
+            # batch; a state dir written by the CSV backend migrates in
+            # place on open
             from .delta_state import DeltaStateStore
 
             self.state = DeltaStateStore(spark, state_dir)
@@ -642,7 +644,10 @@ class MirrorPipeline:
         ]
         if not removes:
             return 0
-        if hasattr(self.state, "adds_df"):
+        driver_side = getattr(
+            self.state, "steering_is_driver_side", lambda: True
+        )()
+        if hasattr(self.state, "adds_df") and not driver_side:
             # scale path: look up only THIS batch's remove paths (a
             # bounded broadcast probe), not the full historical add list
             probe = self.spark.createDataFrame(

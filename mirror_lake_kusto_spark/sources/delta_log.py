@@ -622,6 +622,23 @@ def read_changes(
             f"(first commit: {versions[0] if versions else 'none'}); "
             "read a snapshot instead"
         )
+    # An EXPLICIT span must be fully covered by committed versions —
+    # asking for [from, to] when `to` doesn't exist yet would silently
+    # return fewer change rows, the same undetectable under-reporting
+    # the predate check exists for.  (to_version=None means "up to
+    # head": an empty poll past head is a valid incremental read — the
+    # consumer missed nothing because nothing was committed.)
+    head = versions[-1]
+    if to_version is not None:
+        if to_version > head:
+            raise ValueError(
+                f"change feed to {to_version} is beyond the latest "
+                f"commit ({head}); the span is not fully committed yet"
+            )
+        if from_version > to_version:
+            raise ValueError(
+                f"empty change span: from {from_version} > to {to_version}"
+            )
     meta = latest_metadata(spark, table_path, upto=to_version)
     if meta is None:
         raise ValueError(f"no table metadata at {table_path}")

@@ -217,3 +217,20 @@ def test_restore_after_vacuum_raises(spark, tmp_path):
     sink.vacuum()
     with pytest.raises(ValueError, match="vacuumed"):
         sink.restore(0)
+
+
+def test_explicit_to_version_beyond_head_raises(spark, tmp_path):
+    """An explicit [from, to] span must be fully committed — a
+    to_version past head would silently under-report otherwise."""
+    sink = _sink(spark, tmp_path, "span_hi")
+    sink.append(spark.range(3).toDF("id"))  # head = 0
+    with pytest.raises(ValueError, match="beyond the latest commit"):
+        sink.changes(0, 5)
+
+
+def test_inverted_explicit_span_raises(spark, tmp_path):
+    sink = _sink(spark, tmp_path, "span_inv")
+    sink.append(spark.range(3).toDF("id"))
+    sink.append(spark.range(3, 6).toDF("id"))
+    with pytest.raises(ValueError, match="empty change span"):
+        sink.changes(1, 0)

@@ -139,3 +139,97 @@ def test_delta_state_store_semantics_match_csv(spark, tmp_path):
         (r["action"], r["blob_path"]): r["state"]
         for r in dlt.current_items("t")
     } == csv_view
+
+
+def test_delta_backend_is_the_default(spark, tmp_path):
+    """SURVEY §7.4 posture: a MirrorPipeline with no state_backend uses
+    the Delta state store."""
+    from mirror_lake_kusto_spark.pipeline.delta_state import DeltaStateStore
+
+    p = MirrorPipeline(
+        spark,
+        str(tmp_path / "def_src"),
+        str(tmp_path / "def_dst"),
+        str(tmp_path / "def_state"),
+        table_name="def",
+    )
+    assert isinstance(p.state, DeltaStateStore)
+
+
+def test_csv_state_migrates_in_place_to_delta(spark, tmp_path):
+    """A mirror previously run with state_backend='csv' reopened with
+    the (default) delta backend: the CSV state migrates in place, the
+    high-water mark survives, and the next sync resumes incrementally
+    (no re-ingest, no data loss)."""
+    import os
+
+    src_path = str(tmp_path / "mig_src")
+    dst_path = str(tmp_path / "mig_dst")
+    state_dir = str(tmp_path / "mig_state")
+    src = DeltaSink(spark, src_path)
+    src.append(spark.range(20).toDF("id"))
+
+    old = MirrorPipeline(
+        spark, src_path, dst_path, state_dir,
+        table_name="mig", state_backend="csv",
+    )
+    old.run_until_idle()
+    hwm = old.state.high_water("mig")
+    assert hwm >= 0
+    assert any(n.startswith("ix_") for n in os.listdir(state_dir))
+
+    # new commits land after the backend switch
+    src.append(spark.range(20, 30).toDF("id"))
+    new = MirrorPipeline(
+        spark, src_path, dst_path, state_dir, table_name="mig",
+    )  # default backend = delta; CSV files migrate on open
+    assert not any(n.startswith("ix_") for n in os.listdir(state_dir))
+    assert new.state.high_water("mig") == hwm
+    r = new.run_once()
+    assert r["status"] == "processed"
+    assert _ids(new.mirror_df()) == list(range(30))
+    # only the new commit's file was ingested (migration preserved Done states)
+    assert new.run_once()["status"] == "up-to-date"
+
+
+def test_driver_and_distributed_steering_paths_agree(spark, tmp_path):
+    """The driver LWW fast path (under DRIVER_STATE_MAX_BYTES) and the
+    distributed steering path (past it) must give identical answers for
+    every steering read."""
+    from mirror_lake_kusto_spark.pipeline.delta_state import DeltaStateStore
+
+    def item(start, end, action, state, path=None):
+        return {
+            "table_name": "t", "start_tx_id": start, "end_tx_id": end,
+            "action": action, "state": state, "mirror_timestamp": "x",
+            "delta_timestamp": None, "blob_path": path,
+            "partition_values": None, "size": 10, "record_count": 5,
+            "partition_columns": None, "schema": None, "internal_state": None,
+        }
+
+    batches = [
+        [item(0, 1, "Add", "Initial", "a"), item(0, 1, "Add", "Initial", "b")],
+        [item(0, 1, "Add", "Done", "a"), item(0, 1, "Add", "Done", "b")],
+        [item(2, 2, "Add", "Initial", "c"), item(2, 2, "Remove", "Initial", "a")],
+    ]
+    fast = DeltaStateStore(spark, str(tmp_path / "fast"))
+    slow = DeltaStateStore(spark, str(tmp_path / "slow"))
+    slow.DRIVER_STATE_MAX_BYTES = -1  # force the distributed path
+    for b in batches:
+        fast.persist([dict(i) for i in b])
+        slow.persist([dict(i) for i in b])
+    assert fast._lww_map() is not None
+    assert slow._lww_map() is None
+    assert fast.high_water("t") == slow.high_water("t") == 1
+    fi, si = fast.incomplete_batch("t"), slow.incomplete_batch("t")
+    assert [(i["action"], i["blob_path"], i["state"]) for i in fi] == [
+        (i["action"], i["blob_path"], i["state"]) for i in si
+    ]
+    assert fast.current_items("t") == slow.current_items("t")
+    fa = sorted(r["blob_path"] for r in fast.adds_df("t").collect())
+    sa = sorted(r["blob_path"] for r in slow.adds_df("t").collect())
+    assert fa == sa == ["a", "b", "c"]
+    assert fast.adds_df("t").columns == slow.adds_df("t").columns
+    # a rehydration from disk equals the write-through map
+    re = DeltaStateStore(spark, str(tmp_path / "fast"))
+    assert re._lww_map() == fast._lww_map()

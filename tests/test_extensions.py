@@ -710,3 +710,25 @@ def test_minhash_eager_index_same_results(spark, docs):
         ).collect()
     }
     assert eager == lazy
+
+
+def test_real_codec_hook_routes_and_raises(spark):
+    """VERDICT r2 #6: the real-decode hook stays honest — routing
+    decode_fn=_decode_image_real must surface its NotImplementedError
+    (with the install hint) through the Arrow batch path, so the stub
+    cannot silently rot into the fake."""
+    import pytest as _pytest
+
+    from mirror_lake_kusto_spark.operators import multimodal as MM
+
+    media = MM.attach_binary_payload(
+        spark.range(4).select(
+            F.col("id"), F.concat(F.lit("doc"), F.col("id")).alias("text")
+        ),
+        "id",
+        "text",
+    )
+    feats = MM.extract_features(media, decode_fn=MM._decode_image_real)
+    with _pytest.raises(Exception) as exc_info:
+        feats.collect()
+    assert "image codec not available" in str(exc_info.value)

@@ -250,7 +250,8 @@ def test_reference_status_view_kql_runs_verbatim(spark, tmp_path):
     src.append(spark.range(20).toDF("id"))
     src.append(spark.range(20, 30).toDF("id"))
     p = MirrorPipeline(
-        spark, src_path, str(tmp_path / "sv_dst"), state_dir, table_name="sv"
+        spark, src_path, str(tmp_path / "sv_dst"), state_dir,
+        table_name="sv", state_backend="csv",
     )
     p.run_until_idle()
     src.delete("id < 5")

@@ -22,6 +22,9 @@ from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
 
 
 def _mk(spark, tmp_path, name, **kw):
+    # scenario-replay tests pin the reference-faithful CSV state store
+    # (delta is the engine default; test_delta_state.py covers it)
+    kw.setdefault("state_backend", "csv")
     return MirrorPipeline(
         spark,
         str(tmp_path / f"{name}_src"),
@@ -316,6 +319,7 @@ def test_fresh_mirror_on_vacuumed_source(spark, tmp_path):
         str(tmp_path / "fresh_vac_dst"),
         str(tmp_path / "fresh_vac_state"),
         table_name="fresh_vac",
+        state_backend="csv",
     )
     p.run_until_idle()
     assert _ids(p.mirror_df()) == list(range(12))
@@ -508,7 +512,7 @@ def test_concurrent_writers_optimistic_commit(spark, tmp_path):
     # a mirror consuming the mixed-writer log sees everything
     p = MirrorPipeline(
         spark, path, str(tmp_path / "cc_dst"), str(tmp_path / "cc_state"),
-        table_name="cc",
+        table_name="cc", state_backend="csv",
     )
     p.run_until_idle()
     assert _ids(p.mirror_df()) == [1, 2, 3, 4]
@@ -673,7 +677,7 @@ def test_incremental_chunking_bounds_driver_items(spark, tmp_path):
     src = _author_metadata_only_source(tmp_path, "chunk_src", 80, 25)  # 2000 adds
     p = MirrorPipeline(
         spark, src, str(tmp_path / "chunk_dst"), str(tmp_path / "chunk_state"),
-        table_name="chunk", max_items_per_batch=500,
+        table_name="chunk", max_items_per_batch=500, state_backend="csv",
     )
     results = p.run_until_idle()
     assert len(results) >= 4  # 2000 adds / 500 cap
@@ -699,7 +703,7 @@ def test_snapshot_diff_chunking_bounds_driver_items(spark, tmp_path):
         _os.remove(_os.path.join(src, "_delta_log", f"{v:020d}.json"))
     p = MirrorPipeline(
         spark, src, str(tmp_path / "snapc_dst"), str(tmp_path / "snapc_state"),
-        table_name="snapc", max_items_per_batch=1000,
+        table_name="snapc", max_items_per_batch=1000, state_backend="csv",
     )
     results = p.run_until_idle()
     assert len(results) >= 5  # 5000 adds / 1000 cap
