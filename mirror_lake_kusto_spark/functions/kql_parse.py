@@ -21,7 +21,9 @@ arrays)  order by / sort by  top  take / limit  count
 distinct  mv-expand  union  join kind=...  serialize (+ prev/next/
 row_cumsum/row_number over the order-by sort)  project-keep
 project-reorder  getschema  as  lookup (broadcast dimension join)
-top-nested (hierarchical top-k)  evaluate pivot``, ``let`` statements (scalar
+top-nested (hierarchical top-k)  evaluate pivot  partition by
+(per-key subquery, 64-key legacy cap, raises past it)  facet by
+(stacked value-frequency rendering)``, ``let`` statements (scalar
 substitution + lazily-resolved tabular views), the ``range`` /
 ``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
 dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
@@ -44,7 +46,18 @@ format_datetime``, ``extract`` (regex group), ``extractjson`` /
 ``case(...)`` (-> CASE WHEN), ``array_length``; aggregate renames
 ``dcount -> count(distinct)``,
 ``make_list/make_set -> collect_list/collect_set``, ``countif ->
-count_if``.  Anything outside
+count_if``; plus the round-3 scalar batch: ``split`` (literal
+delimiter, optional 0-based element index), ``trim/trim_start/
+trim_end`` (regex), ``pack/bag_pack`` (-> to_json(named_struct)),
+``pack_array``, ``set_union/set_intersect/set_difference``,
+``array_slice/array_sort_asc/array_sort_desc/array_concat/
+array_reverse/strcat_array/bag_keys``, ``repeat`` (array) vs
+``strrep`` (string), ``max_of/min_of``, ``ceiling/pow``,
+``translate`` (arg order swapped), ``tohex``, ``base64_encode_
+tostring/base64_decode_tostring``, ``toreal/todecimal`` casts,
+``datetime_add/datetime_part``, ``monthofyear``,
+``unixtime_{seconds,milliseconds,microseconds}_todatetime``,
+``string_size``.  Anything outside
 the dialect raises ``KqlParseError`` naming the verb — no silent
 misreads.
 
@@ -287,14 +300,32 @@ _FN_RENAME = {
     "dayofmonth": "day",
     "hourofday": "hour",
     "format_datetime": "date_format",
+    # round-3 scalar batch (KQL name -> Spark SQL name, args align)
+    "ceiling": "ceil",
+    "pow": "power",
+    "monthofyear": "month",
+    "string_size": "octet_length",
+    "max_of": "greatest",
+    "min_of": "least",
+    "pack_array": "array",
+    "array_concat": "concat",
+    "array_reverse": "reverse",
+    "datetime_part": "date_part",
+    "bag_keys": "json_object_keys",
+    "strcat_array": "array_join",
+    "unixtime_seconds_todatetime": "timestamp_seconds",
+    "unixtime_milliseconds_todatetime": "timestamp_millis",
+    "unixtime_microseconds_todatetime": "timestamp_micros",
 }
 _CASTS = {
     "tostring": "STRING",
     "tolong": "BIGINT",
     "toint": "INT",
     "todouble": "DOUBLE",
+    "toreal": "DOUBLE",
     "tobool": "BOOLEAN",
     "todatetime": "TIMESTAMP",
+    "todecimal": "DECIMAL(38,18)",
 }
 
 
@@ -404,6 +435,10 @@ def translate_expr(e: str) -> str:
         e,
     )
     e = re.sub(r"\bcount\s*\(\s*\)", "count(*)", e, flags=re.IGNORECASE)
+    # KQL repeat(v, n) builds an array — rewrite BEFORE the rename pass
+    # turns strrep (string repetition) into Spark's repeat()
+    e = _rewrite_calls(e, "repeat", lambda a: f"array_repeat({a[0]}, {a[1]})")
+    e = re.sub(r"\bstrrep\s*\(", "repeat(", e, flags=re.IGNORECASE)
     for k, v in _FN_RENAME.items():
         e = re.sub(r"\b" + k + r"\s*\(", v + "(", e, flags=re.IGNORECASE)
     for k, t in _CASTS.items():
@@ -551,6 +586,93 @@ def translate_expr(e: str) -> str:
     )
     e = re.sub(r"\bstdev\s*\(", "stddev_samp(", e, flags=re.IGNORECASE)
     e = re.sub(r"\bvariance\s*\(", "var_samp(", e, flags=re.IGNORECASE)
+
+    # -- round-3 scalar batch (call-shape rewrites) --------------------------
+    def _lit_regex_literal(raw: str) -> str:
+        """Escape regex metacharacters in a raw string and render it as
+        a Spark SQL string literal (backslashes doubled: SQL literals
+        consume one level).  Only true metachars are escaped so common
+        delimiters (' ', ',') stay readable in the lowered SQL."""
+        esc = re.sub(r"([.*+?^$(){}\[\]|\\])", r"\\\1", raw)
+        return esc.replace("\\", "\\\\").replace("'", "\\'")
+
+    def _split(a: list[str]) -> str:
+        d = a[1].strip()
+        if d.startswith(("'", '"')) and d.endswith(("'", '"')) and len(d) >= 2:
+            d = f"'{_lit_regex_literal(d[1:-1])}'"  # KQL: literal; Spark: regex
+        base = f"split({a[0]}, {d})"
+        if len(a) > 2:  # requestedIndex (0-based); yields the element
+            return f"element_at({base}, ({a[2]}) + 1)"
+        return base
+
+    e = _rewrite_calls(e, "split", _split, self_referential=True)
+
+    def _trim(a: list[str], lead: bool, trail: bool) -> str:
+        p = a[0].strip()
+        if not (p.startswith(("'", '"')) and p.endswith(("'", '"'))):
+            raise KqlParseError("trim/trim_start/trim_end need a regex literal")
+        raw = p[1:-1]
+        pats = []
+        if lead:
+            pats.append(f"^(?:{raw})+")
+        if trail:
+            pats.append(f"(?:{raw})+$")
+        pat = "|".join(pats)
+        return f"regexp_replace({a[1]}, '{pat}', '')"
+
+    e = _rewrite_calls(e, "trim_start", lambda a: _trim(a, True, False))
+    e = _rewrite_calls(e, "trim_end", lambda a: _trim(a, False, True))
+    e = _rewrite_calls(e, "trim", lambda a: _trim(a, True, True))
+
+    def _pack(a: list[str]) -> str:
+        if len(a) < 2 or len(a) % 2:
+            raise KqlParseError("pack/bag_pack need key1, val1, ... pairs")
+        return f"to_json(named_struct({', '.join(a)}))"
+
+    e = _rewrite_calls(e, "bag_pack", _pack)
+    e = _rewrite_calls(e, "pack", _pack)
+
+    def _chain(fn: str, a: list[str]) -> str:
+        out = a[0]
+        for nxt in a[1:]:
+            out = f"{fn}({out}, {nxt})"
+        return out
+
+    # Spark's array_union/intersect/except already dedup — exactly the
+    # KQL set_* semantics
+    e = _rewrite_calls(e, "set_union", lambda a: _chain("array_union", a))
+    e = _rewrite_calls(e, "set_intersect", lambda a: _chain("array_intersect", a))
+    e = _rewrite_calls(e, "set_difference", lambda a: _chain("array_except", a))
+    # KQL array_slice is 0-based with INCLUSIVE end
+    e = _rewrite_calls(
+        e,
+        "array_slice",
+        lambda a: f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}) + 1)",
+    )
+    e = _rewrite_calls(e, "array_sort_asc", lambda a: f"sort_array({a[0]}, true)")
+    e = _rewrite_calls(e, "array_sort_desc", lambda a: f"sort_array({a[0]}, false)")
+    e = _rewrite_calls(
+        e, "base64_encode_tostring", lambda a: f"base64(encode({a[0]}, 'utf-8'))"
+    )
+    e = _rewrite_calls(
+        e, "base64_decode_tostring", lambda a: f"decode(unbase64({a[0]}), 'utf-8')"
+    )
+    e = _rewrite_calls(e, "tohex", lambda a: f"lower(hex({a[0]}))")
+    # KQL translate(searchList, replacementList, source) vs Spark
+    # translate(source, from, to): swap the argument order
+    e = _rewrite_calls(
+        e,
+        "translate",
+        lambda a: f"translate({a[2]}, {a[0]}, {a[1]})",
+        self_referential=True,
+    )
+    # datetime_add('year', n, d) -> timestampadd(year, n, d) (the same
+    # quoted-part lowering datetime_diff gets above)
+    e = _rewrite_calls(
+        e,
+        "datetime_add",
+        lambda a: f"timestampadd({a[0].strip()[1:-1]}, {a[1]}, {a[2]})",
+    )
     return e
 
 
@@ -814,7 +936,8 @@ class KqlQuery:
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
-            r"|getschema|evaluate|top-nested|parse-where|parse|search"
+            r"|getschema|evaluate|top-nested|partition|facet"
+            r"|parse-where|parse|search"
             r"|sample-distinct|sample|top-hitters"
             r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
@@ -1601,6 +1724,88 @@ class KqlQuery:
             frame = tag(frame, getattr(self, "_src_name", "source0"))
             others = [tag(kf, n) for kf, n in zip(others, srcs)]
         return frame.union(*others)
+
+    # Kusto's legacy partition strategy caps the partition count at 64;
+    # the engine keeps the cap but RAISES past it instead of silently
+    # truncating (Kusto processes only the first 64 keys).
+    _PARTITION_MAX = 64
+
+    def _op_partition(self, frame, rest):
+        """``partition by Col ( subquery )`` — evaluate the subquery
+        independently per partition of the source and union the results
+        (Kusto partition operator, legacy strategy).  Distinct key
+        values are collected (bounded by the 64-key cap), each key's
+        slice runs the inner pipeline, results union by name.
+
+        Scale note: every slice filters the same source frame — with a
+        columnar source the repeated scans prune on the partition
+        predicate, but inner shapes that are pure per-group idioms
+        (``top k by``, ``summarize``) should prefer the window/groupBy
+        form at 100 TB; this operator exists for inner pipelines that
+        genuinely cannot be expressed per-group (as in Kusto)."""
+        m = re.match(
+            r"by\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$", rest, re.DOTALL
+        )
+        if not m:
+            raise KqlParseError(
+                f"partition needs 'by Col ( subquery )': {rest!r}"
+            )
+        col, inner = m.group(1), m.group(2).strip()
+        vals = [
+            r[0]
+            for r in frame.df.select(col)
+            .distinct()
+            .limit(self._PARTITION_MAX + 1)
+            .collect()
+        ]
+        if len(vals) > self._PARTITION_MAX:
+            raise KqlParseError(
+                f"partition by {col}: more than {self._PARTITION_MAX} "
+                "distinct values (Kusto's legacy cap; use summarize/"
+                "window idioms for high-cardinality keys)"
+            )
+        if not vals:
+            return frame
+        stages = [s.strip() for s in _split_top(inner, "|") if s.strip()]
+        parts = []
+        for v in vals:
+            sub = KqlFrame(frame.df.where(F.col(col).eqNullSafe(F.lit(v))))
+            for st in stages:
+                sub = self._apply(sub, st)
+            parts.append(sub.df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return KqlFrame(out)
+
+    def _op_facet(self, frame, rest):
+        """``facet by c1, c2, ...`` — value-frequency table per column.
+        Kusto returns one table per facet column; the engine's
+        single-DataFrame contract renders them stacked as
+        ``(column, value, count_)`` rows.  The ``with (subquery)``
+        form (extra main table) is not supported — raises."""
+        if re.search(r"\bwith\s*\(", rest, re.IGNORECASE):
+            raise KqlParseError(
+                "facet ... with (subquery) is unsupported; run the "
+                "subquery as its own statement"
+            )
+        m = re.match(r"by\s+(.+)$", rest, re.DOTALL)
+        if not m:
+            raise KqlParseError(f"facet needs 'by c1, c2, ...': {rest!r}")
+        cols = [c.strip() for c in _split_top(m.group(1), ",") if c.strip()]
+        for c in cols:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise KqlParseError(f"facet by needs column names: {c!r}")
+        parts = [
+            frame.df.groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count("*").alias("count_"))
+            .select(F.lit(c).alias("column"), "value", "count_")
+            for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return KqlFrame(out)
 
     def _op_join(self, frame, rest):
         m = re.match(

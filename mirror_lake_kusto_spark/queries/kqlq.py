@@ -528,3 +528,136 @@ def kql_mv_apply(spark, sf_dir):
         " | project doc_id, n, d",
         tables=_tables(spark, sf_dir, "documents"),
     )
+
+
+@query(
+    "kql_partition_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="KQL string: partition by key ( per-partition subquery ) — the "
+    "Kusto partition operator (legacy strategy, 64-key cap, raises past "
+    "it); top-3 orders per priority class, deterministic tiebreak",
+)
+def kql_partition_topk(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        orders
+        | partition by o_orderpriority (
+            top 3 by o_totalprice desc, o_orderkey desc )
+        | project o_orderpriority, o_orderkey, o_totalprice
+        """,
+        tables=_tables(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "kql_facet_overview",
+    """
+    SELECT 'o_orderpriority' AS "column", o_orderpriority AS value,
+           CAST(COUNT(*) AS BIGINT) AS count_
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="KQL string: facet by c1, c2 — Kusto emits one value-frequency "
+    "table per column; the single-DataFrame rendering stacks them as "
+    "(column, value, count_) rows",
+)
+def kql_facet_overview(spark, sf_dir):
+    return kql(
+        spark,
+        "orders | facet by o_orderpriority, o_orderstatus",
+        tables=_tables(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "kql_scalar_toolkit",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 2) AS second_word,
+           regexp_replace(p_brand, '^(?:Brand#)+', '') AS brand_id,
+           lower(to_hex(p_size)) AS size_hex,
+           GREATEST(p_size, 25) AS size_floor25,
+           POW(2, p_size % 8) AS pow2,
+           to_json({brand: p_brand, size: p_size}) AS packed,
+           to_base64(encode(p_brand)) AS brand_b64,
+           repeat(p_type, 2) AS type_twice,
+           translate(p_brand, '#', '-') AS brand_dashed
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="KQL string: round-3 scalar batch — split (element index), "
+    "trim_start (regex), tohex, max_of, pow, pack -> JSON object, "
+    "base64_encode_tostring, strrep, translate (KQL arg order)",
+)
+def kql_scalar_toolkit(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        part
+        | where p_partkey <= 500
+        | project p_partkey,
+            second_word = split(p_name, ' ', 1),
+            brand_id = trim_start('Brand#', p_brand),
+            size_hex = tohex(p_size),
+            size_floor25 = max_of(p_size, 25),
+            pow2 = pow(2, p_size % 8),
+            packed = pack('brand', p_brand, 'size', p_size),
+            brand_b64 = base64_encode_tostring(p_brand),
+            type_twice = strrep(p_type, 2),
+            brand_dashed = translate('#', '-', p_brand)
+        """,
+        tables=_tables(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "kql_dynamic_toolkit",
+    """
+    WITH w AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words, p_brand
+      FROM part WHERE p_partkey <= 500
+    )
+    SELECT p_partkey,
+           to_json(words[1:2]) AS first_two,
+           to_json(list_sort(words, 'DESC')) AS words_desc,
+           to_json(list_sort(list_distinct(list_concat(words, [p_brand]))))
+             AS with_brand
+    FROM w
+    """,
+    doc="KQL string: dynamic-array batch — split to array, array_slice "
+    "(0-based inclusive), array_sort_desc, set_union + pack_array; "
+    "arrays serialized to JSON for the harness (sorted where the "
+    "dialects' internal orders differ)",
+)
+def kql_dynamic_toolkit(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        part
+        | where p_partkey <= 500
+        | extend words = split(p_name, ' ')
+        | project p_partkey,
+            first_two = array_slice(words, 0, 1),
+            words_desc = array_sort_desc(words),
+            with_brand = array_sort_asc(set_union(words, pack_array(p_brand)))
+        """,
+        tables=_tables(spark, sf_dir, "part"),
+    )
+    return out.select(
+        "p_partkey",
+        F.to_json("first_two").alias("first_two"),
+        F.to_json("words_desc").alias("words_desc"),
+        F.to_json("with_brand").alias("with_brand"),
+    )

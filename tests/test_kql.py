@@ -228,7 +228,7 @@ def test_parse_errors_are_loud(spark):
     with pytest.raises(KqlParseError, match="no JSON objects found"):
         kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
     with pytest.raises(KqlParseError, match="unsupported operator"):
-        kql(spark, "t | facet by x", tables={"t": df})
+        kql(spark, "t | scan with (step s1: x > 0;)", tables={"t": df})
     with pytest.raises(KqlParseError, match="top needs"):
         kql(spark, "t | top x", tables={"t": df})
     with pytest.raises(KqlParseError, match="source must be"):
@@ -899,3 +899,72 @@ def test_mv_apply_single_rowid_evaluation_no_selfjoin(spark):
         assert join not in plan, f"mv-apply plan self-joins via {join}"
     rows = {r["id"]: (r["tag"], r["s"], r["n"]) for r in out.collect()}
     assert rows == {1: ("x", 6.0, 3), 2: ("y", 9.0, 2)}
+
+
+# -- round-3 surface: partition / facet / scalar batch -----------------------
+
+
+def test_partition_by_cap_raises(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.range(200).selectExpr("id", "CAST(id AS STRING) AS g")
+    with pytest.raises(KqlParseError, match="more than 64"):
+        kql(spark, "t | partition by g (take 1)", tables={"t": df})
+
+
+def test_partition_by_runs_inner_pipeline_per_key(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2), ("b", 9), ("c", 4)], "g string, v int"
+    )
+    out = kql(
+        spark,
+        "t | partition by g (summarize mx = max(v) | extend tag = strcat('k', tostring(mx)))",
+        tables={"t": df},
+    ).collect()
+    assert sorted((r["mx"], r["tag"]) for r in out) == [
+        (4, "k4"), (5, "k5"), (9, "k9")
+    ]
+
+
+def test_facet_with_subquery_raises(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(KqlParseError, match="facet .* unsupported"):
+        kql(spark, "t | facet by g with (take 1)", tables={"t": df})
+
+
+def test_scalar_batch_values(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    got = kql(
+        spark,
+        """
+        print s = split('a.b.c', '.', 2),
+              t = trim('-', '--x--'),
+              p = pack('k', 1),
+              u = set_union(pack_array(1,2), pack_array(2,3)),
+              sl = array_slice(pack_array(10,20,30), 1, 2),
+              h = tohex(255),
+              b = base64_decode_tostring(base64_encode_tostring('ok')),
+              r = strrep('ab', 2),
+              ra = repeat(7, 2),
+              m = max_of(1, 9, 4),
+              tr = translate('ab', 'xy', 'aabb'),
+              da = datetime_add('day', 1, datetime(2024-02-28))
+        """,
+    ).collect()[0]
+    assert got["s"] == "c"
+    assert got["t"] == "x"
+    assert got["p"] == '{"k":1}'
+    assert got["u"] == [1, 2, 3]
+    assert got["sl"] == [20, 30]
+    assert got["h"] == "ff"
+    assert got["b"] == "ok"
+    assert got["r"] == "abab"
+    assert got["ra"] == [7, 7]
+    assert got["m"] == 9
+    assert got["tr"] == "xxyy"
+    assert str(got["da"]).startswith("2024-02-29")
