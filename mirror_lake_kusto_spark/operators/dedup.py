@@ -32,6 +32,10 @@ exactly once per row.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -146,6 +150,34 @@ def _sig_from_hashes(hashes: Column, k: int) -> Column:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _sig_udf(k: int):
+    """numpy twin of ``_sig_from_hashes`` — IDENTICAL math ((a*h+b) mod
+    p, min over shingles; all values < 2^62, no int64 overflow), Arrow-
+    batched.  Nested higher-order-function lambdas run interpreted in
+    Catalyst (no codegen across lambda boundaries), so the k x |sh|
+    affine sweep is ~5x cheaper as one vectorized matrix op per doc;
+    ``test_minhash_sig_udf_matches_expression`` pins the equivalence.
+    Empty shingle sets yield all-null lanes, exactly like array_min
+    over an empty array."""
+    A = np.asarray(_MINHASH_A[:k], dtype=np.int64)[:, None]
+    B = np.asarray(_MINHASH_B[:k], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def sig(hsh: pd.Series) -> pd.Series:
+        out = []
+        none_sig = [None] * k
+        for arr in hsh:
+            if arr is None or len(arr) == 0:
+                out.append(none_sig)
+                continue
+            h = np.asarray(arr, dtype=np.int64)[None, :]
+            out.append(((A * h + B) % _MERSENNE_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -155,7 +187,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 32,
     max_bucket_width: int | None = None,
-    eager_index: bool = False,
+    eager_index: bool = True,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact Jaccard verification.
 
@@ -192,9 +224,21 @@ def minhash_lsh_pairs(
                 )
             ).alias("hsh"),
         )
-        .select("id", "hsh", _sig_from_hashes(F.col("hsh"), k).alias("sig"))
+        .select("id", "hsh", _sig_udf(k)(F.col("hsh")).alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager_index (DEFAULT) materializes the signature frame up front.
+    # `sh` has three consumers (the bucket build and both sides of the
+    # verification join) — independent stages the scheduler runs
+    # CONCURRENTLY, and a cold persist gives no cross-stage locking:
+    # concurrent stages each recompute the uncached partitions
+    # (shingle -> minhash), measured as erratic 2-10x swings at sf0.1.
+    # One deterministic materialization costs ~0.3 s standalone and
+    # makes every composition stable; eager_index=False exists only
+    # for callers that consume the pair stream exactly once and
+    # tolerate the variance.
+    if eager_index:
+        sh.count()
     band_cols = [
         F.hash(F.slice("sig", i * rows + 1, rows), F.lit(i)).alias("band_hash")
         for i in range(bands)
@@ -205,59 +249,51 @@ def minhash_lsh_pairs(
             "band", "bh"
         ),
     ).select("id", "band", F.col("bh.h").alias("band_hash"))
+    # ONE aggregation per (band, bucket): collect the sorted member-id
+    # array, then generate candidate pairs as a JVM array expression —
+    # no window pass, no bucket self-join.  The shuffle is the same
+    # (band_hash, id) volume the join shape moved, but pairs within a
+    # bucket are emitted by a single task from an in-memory array,
+    # which is exactly the bucket-local quadratic the LSH cap bounds.
+    grouped = buckets.groupBy("band", "band_hash").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    # AQE coalesces the small bucket aggregate to 1-2 partitions, which
+    # then serializes the quadratic pair generation; spread the bucket
+    # arrays back out so each task expands a slice of buckets
+    grouped = grouped.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    ids = F.col("ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     if max_bucket_width is not None:
-        from pyspark.sql import Window as _W
-
-        w = _W.partitionBy("band", "band_hash")
-        # one window pass annotates width + head; persisted because the
-        # all-pairs join reads it twice and the star branch a third
-        # time (and the annotated bucket index is exactly what an LSH
-        # dedup service keeps materialized at scale)
-        buckets = (
-            buckets.withColumn("_bw", F.count("*").over(w))
-            .withColumn("_head", F.min("id").over(w))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # over-wide buckets (adversarial near-constant clusters) switch
+        # from all-pairs to a STAR on the minimum id: O(width), every
+        # member still verified against the cluster representative
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(
+                F.element_at(ids, 1).alias("id1"), y.alias("id2")
+            ),
         )
-        # eager_index materializes the bucket index up front: in a
-        # multi-consumer composition (e.g. pipeline_dedup_corpus) its
-        # three consumers are independent stages the scheduler runs
-        # concurrently, and a cold cache makes each recompute the whole
-        # upstream (shingle -> minhash -> window) — measured 1.7x on
-        # the full pipeline.  A single-consumer caller doesn't reuse
-        # the index, so the default stays lazy (~0.4 s cheaper
-        # standalone at sf0.1).
-        if eager_index:
-            buckets.count()
-        narrow = buckets.filter(F.col("_bw") <= max_bucket_width)
-        a = narrow.alias("a")
-        b = narrow.alias("b")
-        all_pairs = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        ).select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        star = (
-            buckets.filter(
-                (F.col("_bw") > max_bucket_width)
-                & (F.col("id") != F.col("_head"))
-            )
-            .select(F.col("_head").alias("id1"), F.col("id").alias("id2"))
-        )
-        cand = all_pairs.unionByName(star).distinct()
+        pair_expr = F.when(
+            F.size(ids) <= max_bucket_width, all_pairs
+        ).otherwise(star)
     else:
-        a = buckets.alias("a")
-        b = buckets.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-            .distinct()
-        )
+        pair_expr = all_pairs
+    cand = (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
     s1 = sh.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
     return (
@@ -491,6 +527,11 @@ def cluster_components(
         .distinct()
         .persist()
     )
+    # Eager: the union reads `pairs` twice and every round reads
+    # `edges`; a lazy persist lets the first round's stages recompute
+    # the whole upstream (LSH chain) concurrently — materialize ONCE,
+    # deterministically, before iterating.
+    edges.count()
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()

@@ -732,3 +732,28 @@ def test_real_codec_hook_routes_and_raises(spark):
     with _pytest.raises(Exception) as exc_info:
         feats.collect()
     assert "image codec not available" in str(exc_info.value)
+
+
+def test_minhash_sig_udf_matches_expression(spark):
+    """The numpy signature path must equal the pure-expression path
+    bit-for-bit (same affine perms, same empty-set null lanes)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a b"),  # shorter than the shingle width -> empty set
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    base = dedup._shingled(df, "doc_id", "text", 3).select(
+        "id",
+        F.array_sort(
+            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(dedup._MERSENNE_P)))
+        ).alias("hsh"),
+    )
+    expr = {r["id"]: r["sig"] for r in base.select(
+        "id", dedup._sig_from_hashes(F.col("hsh"), 64).alias("sig")).collect()}
+    udf = {r["id"]: r["sig"] for r in base.select(
+        "id", dedup._sig_udf(64)(F.col("hsh")).alias("sig")).collect()}
+    assert expr == udf
+    assert udf[2] == [None] * 64
