@@ -159,11 +159,15 @@ class KqlFrame:
     def join(
         self, other: "KqlFrame", on: Iterable[str], kind: str = "inner"
     ) -> "KqlFrame":
-        """KQL join kinds -> Spark: innerunique/inner, leftouter,
-        rightouter, fullouter, leftsemi, leftanti/anti."""
+        """KQL join kinds -> Spark.  ``innerunique`` (Kusto's default)
+        deduplicates the LEFT side to one row per key before the inner
+        join — Kusto keeps an arbitrary left row per key, mirrored here
+        by dropDuplicates.  ``rightsemi``/``rightanti`` (no native
+        Spark twin) swap sides and run the left_ variant; output
+        columns are the right table's, as in Kusto."""
+        on = list(on)
         kusto_to_spark = {
             "inner": "inner",
-            "innerunique": "inner",
             "leftouter": "left",
             "rightouter": "right",
             "fullouter": "full",
@@ -171,7 +175,17 @@ class KqlFrame:
             "leftanti": "left_anti",
             "anti": "left_anti",
         }
-        return KqlFrame(self.df.join(other.df, list(on), kusto_to_spark[kind]))
+        if kind == "innerunique":
+            return KqlFrame(
+                self.df.dropDuplicates(on).join(other.df, on, "inner")
+            )
+        if kind in ("rightsemi", "rightanti"):
+            return KqlFrame(
+                other.df.join(
+                    self.df, on, "left_semi" if kind == "rightsemi" else "left_anti"
+                )
+            )
+        return KqlFrame(self.df.join(other.df, on, kusto_to_spark[kind]))
 
     # -- terminal -----------------------------------------------------------
 

@@ -23,7 +23,10 @@ row_cumsum/row_number over the order-by sort)  project-keep
 project-reorder  getschema  as  lookup (broadcast dimension join)
 top-nested (hierarchical top-k)  evaluate pivot  partition by
 (per-key subquery, 64-key legacy cap, raises past it)  facet by
-(stacked value-frequency rendering)``, ``let`` statements (scalar
+(stacked value-frequency rendering)  scan (condition-only sequence
+state machine: greedy-sequential with restart, funnel semantics;
+predicates JVM-side, the serial automaton one Arrow pass)``,
+``let`` statements (scalar
 substitution + lazily-resolved tabular views), the ``range`` /
 ``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
 dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
@@ -936,7 +939,7 @@ class KqlQuery:
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
-            r"|getschema|evaluate|top-nested|partition|facet"
+            r"|getschema|evaluate|top-nested|partition|facet|scan"
             r"|parse-where|parse|search"
             r"|sample-distinct|sample|top-hitters"
             r"|where|project|extend|summarize"
@@ -1623,13 +1626,15 @@ class KqlQuery:
         if not m:
             raise KqlParseError(f"evaluate needs plugin(...): {rest!r}")
         plugin = m.group(1).lower()
-        if plugin not in ("pivot", "bag_unpack"):
+        if plugin not in ("pivot", "bag_unpack", "narrow"):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
         if rest[end:].strip():
             raise KqlParseError(f"trailing text after evaluate: {rest!r}")
         if plugin == "bag_unpack":
             return self._bag_unpack(frame, args)
+        if plugin == "narrow":
+            return self._narrow(frame)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -1640,6 +1645,34 @@ class KqlQuery:
             frame.df.groupBy(*group_cols)
             .pivot(pcol)
             .agg(F.expr(translate_expr(agg)))
+        )
+
+    def _narrow(self, frame) -> KqlFrame:
+        """``evaluate narrow()`` — unpivot every column into
+        (Row, Column, Value) with values stringified (dynamic-style
+        rendering).  Kusto's Row is the source row index, which Spark
+        has no natural order for — a preceding ``order by`` is
+        required (same contract as serialize/scan) and Row numbers
+        follow it.  Lowered onto row_number + stack (one projection,
+        no shuffle beyond the ordering)."""
+        if not self._order_sql:
+            raise KqlParseError(
+                "evaluate narrow() requires a preceding 'order by' "
+                "(Row numbers need a serialized order)"
+            )
+        from pyspark.sql import Window as _W
+
+        cols = frame.df.columns
+        w = _W.orderBy(*[F.expr(s) for s in self._order_sql])
+        stack_args = ", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in cols
+        )
+        return KqlFrame(
+            frame.df.withColumn("Row", F.row_number().over(w))
+            .selectExpr(
+                "Row",
+                f"stack({len(cols)}, {stack_args}) AS (Column, Value)",
+            )
         )
 
     _BAG_SAMPLE = 100
@@ -1724,6 +1757,121 @@ class KqlQuery:
             frame = tag(frame, getattr(self, "_src_name", "source0"))
             others = [tag(kf, n) for kf, n in zip(others, srcs)]
         return frame.union(*others)
+
+    _SCAN_RE = re.compile(
+        r"^(?:with_match_id\s*=\s*([A-Za-z_]\w*)\s+)?with\s*\((.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _op_scan(self, frame, rest):
+        """Kusto ``scan``: the sequence-matching state machine, in a
+        restricted condition-only profile (anything else raises):
+
+        - steps are ``step name: predicate;`` — ``declare(...)`` state
+          variables and ``=>`` output assignments are unsupported;
+        - rows stream in serialized order (requires a preceding
+          ``order by``, like prev/next);
+        - matching is greedy-sequential with restart: a row satisfying
+          the NEXT step's condition advances the active sequence; a row
+          satisfying step 1 while no sequence is active (or when it
+          cannot advance the current one) (re)starts the sequence
+          buffer; other rows pass through unmatched.  When the final
+          step matches, the match COMPLETES — its buffered rows emit
+          with ``_scan_step`` (+ the ``with_match_id`` column) and the
+          machine resets.  Rows of never-completed sequences emit
+          nothing (funnel semantics).
+
+        Execution shape: step predicates are evaluated JVM-side as
+        boolean columns (Catalyst expressions, pushdown-friendly); only
+        the inherently sequential automaton runs in ONE Arrow-batched
+        pass over the ordered rows.  Kusto's scan is the same serial
+        semantics — for per-key distributed scans compose under
+        ``partition by`` (entity keys) with the scan inside.
+        """
+        m = self._SCAN_RE.match(rest)
+        if not m:
+            raise KqlParseError(
+                f"scan needs '[with_match_id=m] with (step name: "
+                f"predicate; ...)': {rest!r}"
+            )
+        if re.search(r"\bdeclare\s*\(", rest, re.IGNORECASE):
+            raise KqlParseError(
+                "scan declare(...) state variables are unsupported "
+                "(condition-only steps)"
+            )
+        match_col = m.group(1)
+        steps: list[tuple[str, str]] = []
+        for part in m.group(2).split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            sm = re.match(
+                r"step\s+([A-Za-z_]\w*)\s*:\s*(.+)$", part, re.DOTALL
+            )
+            if not sm:
+                raise KqlParseError(f"scan step must be 'step name: predicate': {part!r}")
+            if "=>" in sm.group(2):
+                raise KqlParseError(
+                    "scan output assignments (=>) are unsupported"
+                )
+            steps.append((sm.group(1), translate_expr(sm.group(2).strip())))
+        if not steps:
+            raise KqlParseError("scan needs at least one step")
+        if not self._order_sql:
+            raise KqlParseError(
+                "scan requires a preceding 'order by' (serialized rows)"
+            )
+
+        df = frame.df
+        cond_cols = [f"__scan_c{i}" for i in range(len(steps))]
+        for c, (_, pred) in zip(cond_cols, steps):
+            df = df.withColumn(c, F.expr(pred))
+        # one partition sorted locally: the unambiguous serialized
+        # row stream (global orderBy + coalesce would also work, but
+        # repartition(1)+sortWithinPartitions can't be re-planned)
+        df = df.repartition(1).sortWithinPartitions(
+            *[F.expr(s) for s in self._order_sql]
+        )
+
+        schema = df.drop(*cond_cols).schema.add("_scan_step", "string")
+        if match_col:
+            schema = schema.add(match_col, "long")
+        names = [n for n, _ in steps]
+        n_steps = len(steps)
+
+        def machine(batches):
+            # closure state survives across Arrow batches: one Python
+            # worker owns the single ordered partition
+            state = {"at": -1, "buf": [], "mid": 0}
+
+            def finish(rows):
+                out = pd.DataFrame(rows)
+                return out
+
+            for pdf in batches:
+                rows = []
+                conds = [pdf[c].fillna(False).to_numpy() for c in cond_cols]
+                recs = pdf.drop(columns=cond_cols).to_dict("records")
+                for i, rec in enumerate(recs):
+                    nxt = state["at"] + 1
+                    if nxt < n_steps and conds[nxt][i]:
+                        rec["_scan_step"] = names[nxt]
+                        state["buf"].append(rec)
+                        state["at"] = nxt
+                        if nxt == n_steps - 1:  # final step: complete
+                            state["mid"] += 1
+                            for r in state["buf"]:
+                                if match_col:
+                                    r[match_col] = state["mid"]
+                                rows.append(r)
+                            state["at"], state["buf"] = -1, []
+                    elif conds[0][i]:  # restart on a fresh step-1 match
+                        rec["_scan_step"] = names[0]
+                        state["at"], state["buf"] = 0, [rec]
+                if rows:
+                    yield finish(rows)
+
+        return KqlFrame(df.mapInPandas(machine, schema))
 
     # Kusto's legacy partition strategy caps the partition count at 64;
     # the engine keeps the cap but RAISES past it instead of silently

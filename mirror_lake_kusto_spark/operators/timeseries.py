@@ -28,7 +28,7 @@ import datetime
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
     "make_series",
@@ -308,4 +308,102 @@ def series_stats(arr: Column | str) -> Column:
         F.array_max(a).alias("max"),
         total.alias("sum"),
         (total / F.size(a)).alias("avg"),
+    )
+
+
+def series_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+    val_col: str,
+    period: int,
+    trend: str = "linefit",
+) -> DataFrame:
+    """Seasonal/trend decomposition over REGULAR series rows (the
+    exploded twin of a make-series array) — Kusto's series_decompose
+    surface in a precisely documented profile:
+
+    - ``seasonal``: per-phase (idx mod period) MEDIAN of the value,
+      zero-centered by the key's row-mean of those medians (a robust
+      periodic profile; median resists outlier contamination);
+    - ``trend``: OLS linefit of the deseasoned series over the index
+      (``trend='linefit'``) or its constant mean (``'avg'`` — Kusto's
+      default argument), via regr_slope/regr_intercept/avg;
+    - ``baseline = seasonal + trend``; ``residual = value - baseline``.
+
+    Everything is JVM window aggregates over (key, phase) and (key) —
+    one shuffle by key; no Python, no collect.  Each component is
+    rounded to 4 places IN ORDER (seasonal, then trend over the
+    rounded-deseasoned series, then baseline/residual) so a SQL oracle
+    can reproduce the exact doubles.
+    """
+    if trend not in ("linefit", "avg"):
+        raise ValueError(f"trend must be 'linefit' or 'avg', got {trend!r}")
+    w_key = Window.partitionBy(*key_cols)
+    w_phase = Window.partitionBy(
+        *key_cols, F.pmod(F.col(idx_col), F.lit(period))
+    )
+    out = df.withColumn(
+        "_phase_med", F.expr(f"median({val_col})").over(w_phase)
+    )
+    out = out.withColumn(
+        "seasonal",
+        F.round(F.col("_phase_med") - F.avg("_phase_med").over(w_key), 4),
+    )
+    out = out.withColumn("_des", F.col(val_col) - F.col("seasonal"))
+    if trend == "linefit":
+        out = out.withColumn(
+            "trend",
+            F.round(
+                F.expr(f"regr_intercept(_des, {idx_col})").over(w_key)
+                + F.expr(f"regr_slope(_des, {idx_col})").over(w_key)
+                * F.col(idx_col),
+                4,
+            ),
+        )
+    else:
+        out = out.withColumn("trend", F.round(F.avg("_des").over(w_key), 4))
+    out = out.withColumn(
+        "baseline", F.round(F.col("seasonal") + F.col("trend"), 4)
+    )
+    out = out.withColumn(
+        "residual", F.round(F.col(val_col) - F.col("baseline"), 4)
+    )
+    return out.drop("_phase_med", "_des")
+
+
+def series_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+    val_col: str,
+    period: int,
+    k: float = 1.5,
+    trend: str = "linefit",
+) -> DataFrame:
+    """Kusto series_decompose_anomalies profile: decompose, then flag
+    residuals outside the per-key Tukey fences (exact interpolated
+    quartiles of the residual; ``k``=1.5 is the same fence
+    series_outliers uses).  Adds ``ad_flag`` (+1 high / -1 low / 0)
+    and ``ad_score`` (residual distance beyond the fence, 0 inside,
+    rounded to 4).  Window aggregates only — one shuffle by key."""
+    dec = series_decompose(df, key_cols, idx_col, val_col, period, trend)
+    w_key = Window.partitionBy(*key_cols)
+    q1 = F.expr("percentile(residual, 0.25)").over(w_key)
+    q3 = F.expr("percentile(residual, 0.75)").over(w_key)
+    lo = q1 - k * (q3 - q1)
+    hi = q3 + k * (q3 - q1)
+    r = F.col("residual")
+    return (
+        dec.withColumn(
+            "ad_flag",
+            F.when(r > hi, F.lit(1)).when(r < lo, F.lit(-1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "ad_score",
+            F.round(
+                F.when(r > hi, r - hi).when(r < lo, lo - r).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
     )

@@ -661,3 +661,143 @@ def kql_dynamic_toolkit(spark, sf_dir):
         F.to_json("words_desc").alias("words_desc"),
         F.to_json("with_brand").alias("with_brand"),
     )
+
+
+@query(
+    "kql_scan_funnel",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    p AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'signup' THEN rn END) OVER
+               (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_signup,
+             MAX(CASE WHEN event_type = 'purchase' THEN rn END) OVER
+               (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase
+      FROM e
+    ),
+    done AS (
+      SELECT rn, event_id, user_id, last_signup,
+             ROW_NUMBER() OVER (ORDER BY rn) AS mid
+      FROM p
+      WHERE event_type = 'purchase' AND last_signup IS NOT NULL
+        AND (last_purchase IS NULL OR last_signup > last_purchase)
+    )
+    SELECT d.mid, 'converted' AS step, d.event_id, d.user_id FROM done d
+    UNION ALL
+    SELECT d.mid, 'started', e.event_id, e.user_id
+    FROM done d JOIN e ON e.rn = d.last_signup
+    """,
+    doc="KQL string: scan operator (restricted condition-only profile) "
+    "— greedy-sequential signup->purchase funnel with restart over the "
+    "global ts order; the automaton is equivalently expressed in the "
+    "oracle via window functions (a completed purchase is one whose "
+    "latest preceding signup is later than the latest preceding "
+    "purchase; the emitted start row is that latest signup)",
+)
+def kql_scan_funnel(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | order by ts asc, event_id asc
+        | scan with_match_id=mid with (
+            step started: event_type == 'signup';
+            step converted: event_type == 'purchase'; )
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "mid", F.col("_scan_step").alias("step"), "event_id", "user_id"
+    )
+
+
+@query(
+    "kql_join_rightanti",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    doc="KQL string: join kind=rightanti (right side minus matched "
+    "keys; no native Spark twin — sides swap onto left_anti, output "
+    "columns are the right table's, as in Kusto) — customers with no "
+    "urgent order",
+)
+def kql_join_rightanti(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        orders
+        | where o_orderpriority == '1-URGENT'
+        | project c_custkey = o_custkey
+        | join kind=rightanti (customer) on c_custkey
+        | project c_custkey, c_name, c_nationkey
+        """,
+        tables=_tables(spark, sf_dir, "orders", "customer"),
+    )
+    return out
+
+
+@query(
+    "kql_join_innerunique",
+    """
+    WITH lk AS (SELECT DISTINCT l_orderkey FROM lineitem)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+    FROM lk JOIN orders o ON o.o_orderkey = lk.l_orderkey
+    """,
+    doc="KQL string: join kind=innerunique (Kusto's DEFAULT kind) — "
+    "the LEFT side deduplicates to one row per key before the inner "
+    "join.  Left side projected to the key alone so Kusto's "
+    "arbitrary-row pick is deterministic here",
+)
+def kql_join_innerunique(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        lineitem
+        | project o_orderkey = l_orderkey
+        | join kind=innerunique (orders) on o_orderkey
+        | project o_orderkey, o_orderpriority, o_totalprice
+        """,
+        tables=_tables(spark, sf_dir, "lineitem", "orders"),
+    )
+
+
+@query(
+    "kql_evaluate_narrow",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (ORDER BY event_id) AS "Row"
+      FROM events ORDER BY event_id LIMIT 100
+    )
+    SELECT "Row", 'event_id' AS "Column", CAST(event_id AS VARCHAR) AS "Value"
+      FROM b
+    UNION ALL
+    SELECT "Row", 'user_id', CAST(user_id AS VARCHAR) FROM b
+    UNION ALL
+    SELECT "Row", 'event_type', event_type FROM b
+    """,
+    doc="KQL string: evaluate narrow() — unpivot to (Row, Column, "
+    "Value) with stringified values; Row numbering requires a "
+    "preceding order by (the serialize contract)",
+)
+def kql_evaluate_narrow(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | project event_id, user_id, event_type
+        | order by event_id asc
+        | take 100
+        | evaluate narrow()
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -320,3 +320,119 @@ def ts_series_fill(spark, sf_dir):
             6,
         ).alias("outlier_score"),
     ).orderBy("event_type")
+
+
+_DECOMP_BASE = """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'
+      GROUP BY 1, 2
+    ), idxed AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', day) AS INT) AS idx,
+             CAST(n AS DOUBLE) AS v
+      FROM d
+    ), ph AS (
+      SELECT *, median(v) OVER (PARTITION BY event_type, idx % 7) AS pm
+      FROM idxed
+    ), se AS (
+      SELECT *, ROUND(pm - avg(pm) OVER (PARTITION BY event_type), 4)
+                  AS seasonal
+      FROM ph
+    ), tr AS (
+      SELECT *, ROUND(avg(v - seasonal) OVER (PARTITION BY event_type), 4)
+                  AS trend
+      FROM se
+    ), dec AS (
+      SELECT event_type, idx, CAST(v AS BIGINT) AS n, seasonal, trend,
+             ROUND(seasonal + trend, 4) AS baseline,
+             ROUND(v - ROUND(seasonal + trend, 4), 4) AS residual
+      FROM tr
+    )
+"""
+
+
+def _daily_counts(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-31").cast("timestamp"))
+        )
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("v", F.col("n").cast("double"))
+    )
+
+
+@query(
+    "ts_series_decompose",
+    _DECOMP_BASE + "SELECT * FROM dec",
+    doc="Kusto series_decompose profile over daily per-event-type "
+    "counts (period 7, trend='avg' — Kusto's default): seasonal = "
+    "zero-centered per-phase median, trend = mean of the deseasoned "
+    "series, baseline/residual derived — pure window aggregates, one "
+    "shuffle by key.  Integer daily counts keep every intermediate "
+    "double exactly representable, so both engines' windows agree "
+    "bit-for-bit before rounding",
+)
+def ts_series_decompose(spark, sf_dir):
+    from ..operators.timeseries import series_decompose
+
+    base = _daily_counts(spark, sf_dir)
+    return series_decompose(
+        base, ["event_type"], "idx", "v", period=7, trend="avg"
+    ).select(
+        "event_type", "idx", "n", "seasonal", "trend", "baseline", "residual"
+    )
+
+
+@query(
+    "ts_series_anomalies",
+    _DECOMP_BASE
+    + """
+    , fen AS (
+      SELECT *,
+             quantile_cont(residual, 0.25) OVER (PARTITION BY event_type)
+               AS q1,
+             quantile_cont(residual, 0.75) OVER (PARTITION BY event_type)
+               AS q3
+      FROM dec
+    )
+    SELECT event_type, idx, n, baseline, residual,
+           CASE WHEN residual > q3 + 1.5 * (q3 - q1) THEN 1
+                WHEN residual < q1 - 1.5 * (q3 - q1) THEN -1
+                ELSE 0 END AS ad_flag,
+           ROUND(CASE
+             WHEN residual > q3 + 1.5 * (q3 - q1)
+               THEN residual - (q3 + 1.5 * (q3 - q1))
+             WHEN residual < q1 - 1.5 * (q3 - q1)
+               THEN (q1 - 1.5 * (q3 - q1)) - residual
+             ELSE 0.0 END, 4) AS ad_score
+    FROM fen
+    """,
+    doc="Kusto series_decompose_anomalies profile: decompose (period "
+    "7, trend='avg'), then Tukey fences (k=1.5, exact interpolated "
+    "quartiles — the same fence series_outliers uses) on the per-key "
+    "residuals; ad_flag +1/-1/0 and ad_score = distance beyond the "
+    "fence.  Window aggregates only",
+)
+def ts_series_anomalies(spark, sf_dir):
+    from ..operators.timeseries import series_anomalies
+
+    base = _daily_counts(spark, sf_dir)
+    return series_anomalies(
+        base, ["event_type"], "idx", "v", period=7, k=1.5, trend="avg"
+    ).select(
+        "event_type", "idx", "n", "baseline", "residual",
+        "ad_flag", "ad_score",
+    )

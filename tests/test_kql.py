@@ -228,7 +228,7 @@ def test_parse_errors_are_loud(spark):
     with pytest.raises(KqlParseError, match="no JSON objects found"):
         kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
     with pytest.raises(KqlParseError, match="unsupported operator"):
-        kql(spark, "t | scan with (step s1: x > 0;)", tables={"t": df})
+        kql(spark, "t | fork (where x > 0) (where x < 0)", tables={"t": df})
     with pytest.raises(KqlParseError, match="top needs"):
         kql(spark, "t | top x", tables={"t": df})
     with pytest.raises(KqlParseError, match="source must be"):
@@ -968,3 +968,111 @@ def test_scalar_batch_values(spark):
     assert got["m"] == 9
     assert got["tr"] == "xxyy"
     assert str(got["da"]).startswith("2024-02-29")
+
+
+def test_scan_two_step_funnel_with_restart(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    rows = [
+        (1, "signup"), (2, "signup"), (3, "purchase"),  # match 1: 2,3
+        (4, "purchase"),                                # no active seq
+        (5, "noise"), (6, "signup"), (7, "purchase"),   # match 2: 6,7
+        (8, "signup"),                                  # never completes
+    ]
+    df = spark.createDataFrame(rows, "seq long, kind string")
+    out = kql(
+        spark,
+        """
+        t
+        | order by seq asc
+        | scan with_match_id=mid with (
+            step started: kind == 'signup';
+            step converted: kind == 'purchase'; )
+        """,
+        tables={"t": df},
+    ).collect()
+    got = sorted((r["seq"], r["_scan_step"], r["mid"]) for r in out)
+    assert got == [
+        (2, "started", 1), (3, "converted", 1),
+        (6, "started", 2), (7, "converted", 2),
+    ]
+
+
+def test_scan_three_step_restart_mid_sequence(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    rows = [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "c")]
+    df = spark.createDataFrame(rows, "seq long, kind string")
+    out = kql(
+        spark,
+        """
+        t
+        | order by seq asc
+        | scan with (
+            step s1: kind == 'a';
+            step s2: kind == 'b';
+            step s3: kind == 'c'; )
+        """,
+        tables={"t": df},
+    ).collect()
+    # the 'a' at seq=3 restarts the buffer mid-sequence
+    assert sorted((r["seq"], r["_scan_step"]) for r in out) == [
+        (3, "s1"), (4, "s2"), (5, "s3")
+    ]
+
+
+def test_scan_error_paths(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([(1, "a")], "seq long, kind string")
+    with pytest.raises(KqlParseError, match="declare"):
+        kql(
+            spark,
+            "t | order by seq asc | scan declare (n:long) with (step s: kind == 'a';)",
+            tables={"t": df},
+        )
+    with pytest.raises(KqlParseError, match="order by"):
+        kql(spark, "t | scan with (step s: kind == 'a';)", tables={"t": df})
+    with pytest.raises(KqlParseError, match="assignments"):
+        kql(
+            spark,
+            "t | order by seq asc | scan with (step s: kind == 'a' => n = 1;)",
+            tables={"t": df},
+        )
+
+
+def test_join_innerunique_dedups_left(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    left = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k long, v string")
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, r string")
+    out = kql(
+        spark, "l | join kind=innerunique (r) on k", tables={"l": left, "r": right}
+    ).collect()
+    assert sorted((row["k"], row["r"]) for row in out) == [(1, "r1"), (2, "r2")]
+
+
+def test_join_rightsemi_rightanti(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(2, "b"), (3, "c")], "k long, r string")
+    semi = kql(spark, "l | join kind=rightsemi (r) on k", tables={"l": left, "r": right})
+    assert [tuple(r) for r in semi.collect()] == [(2, "b")]
+    assert semi.columns == ["k", "r"]  # right table's columns
+    anti = kql(spark, "l | join kind=rightanti (r) on k", tables={"l": left, "r": right})
+    assert [tuple(r) for r in anti.collect()] == [(3, "c")]
+
+
+def test_evaluate_narrow_requires_order(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(KqlParseError, match="order by"):
+        kql(spark, "t | evaluate narrow()", tables={"t": df})
+    out = kql(
+        spark, "t | order by id asc | evaluate narrow()", tables={"t": df}
+    ).collect()
+    assert sorted((r["Row"], r["Column"], r["Value"]) for r in out) == [
+        (1, "id", "1"), (1, "s", "a")
+    ]

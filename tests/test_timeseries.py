@@ -170,3 +170,45 @@ def test_series_fill_constant_iqr_zero(spark):
     assert df.select(series_outliers("a").alias("s")).collect()[0].s == [
         0.0, 0.0, 0.0, 0.0
     ]
+
+
+def test_series_decompose_recovers_planted_seasonality(spark):
+    """A pure weekly pattern around a flat level decomposes exactly
+    (seasonal = planted profile, trend = level, residual = 0); a
+    planted spike is the only +1 anomaly.  (With a trend present the
+    phase-median seasonal absorbs within-phase trend bias — the same
+    naive-decomposition behavior Kusto's seasonal-first ordering has —
+    so exact recovery is asserted on the trendless series.)"""
+    from mirror_lake_kusto_spark.operators.timeseries import (
+        series_anomalies,
+        series_decompose,
+    )
+
+    season = [10.0, -5.0, 0.0, 5.0, -10.0, 3.0, -3.0]  # zero-mean, period 7
+    rows = [("k", i, 100.0 + season[i % 7]) for i in range(28)]
+    df = spark.createDataFrame(rows, "key string, idx int, v double")
+    out = {
+        r["idx"]: r
+        for r in series_decompose(
+            df, ["key"], "idx", "v", period=7, trend="avg"
+        ).collect()
+    }
+    for i in range(28):
+        assert abs(out[i]["seasonal"] - season[i % 7]) < 1e-6
+        assert abs(out[i]["trend"] - 100.0) < 1e-6
+        assert abs(out[i]["residual"]) < 1e-6
+    # plant a spike: the phase median is robust to one outlier, so the
+    # spike lands in the residual and is the only +1 flag
+    rows2 = [
+        ("k", i, 100.0 + season[i % 7] + (500.0 if i == 13 else 0.0))
+        for i in range(28)
+    ]
+    df2 = spark.createDataFrame(rows2, "key string, idx int, v double")
+    an = {
+        r["idx"]: r["ad_flag"]
+        for r in series_anomalies(
+            df2, ["key"], "idx", "v", period=7, trend="avg"
+        ).collect()
+    }
+    assert an[13] == 1
+    assert sum(1 for v in an.values() if v == 1) == 1
