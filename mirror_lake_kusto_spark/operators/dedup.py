@@ -178,6 +178,55 @@ def _sig_udf(k: int):
     return sig
 
 
+def _pairs_from_groups(
+    grouped: DataFrame,
+    star_over: int | None = None,
+    drop_over: int | None = None,
+) -> DataFrame:
+    """(id1 < id2) pairs from a frame holding a SORTED member-id array
+    column ``ids`` per group — the shared candidate-generation shape of
+    every inverted-index dedup here (LSH buckets, shingle posting
+    lists).  Pairs are emitted by a JVM array expression, no self-join,
+    no window:
+
+    - groups wider than ``star_over`` switch from all-pairs to a STAR
+      on the minimum id (adversarial near-dup clusters stay O(width));
+    - groups wider than ``drop_over`` are dropped entirely (stopword-
+      frequency posting lists excluded from candidate generation).
+
+    An explicit repartition spreads the group arrays first — AQE
+    otherwise coalesces the small aggregate to 1-2 partitions and
+    serializes the quadratic expansion."""
+    if drop_over is not None:
+        grouped = grouped.filter(F.size("ids") <= drop_over)
+    grouped = grouped.repartition(
+        grouped.sparkSession.sparkContext.defaultParallelism
+    )
+    ids = F.col("ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    if star_over is not None:
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(
+                F.element_at(ids, 1).alias("id1"), y.alias("id2")
+            ),
+        )
+        pair_expr = F.when(F.size(ids) <= star_over, all_pairs).otherwise(star)
+    else:
+        pair_expr = all_pairs
+    return grouped.select(F.explode(pair_expr).alias("p")).select(
+        "p.id1", "p.id2"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -258,42 +307,7 @@ def minhash_lsh_pairs(
     grouped = buckets.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
-    # AQE coalesces the small bucket aggregate to 1-2 partitions, which
-    # then serializes the quadratic pair generation; spread the bucket
-    # arrays back out so each task expands a slice of buckets
-    grouped = grouped.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    ids = F.col("ids")
-    all_pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-            ),
-        )
-    )
-    if max_bucket_width is not None:
-        # over-wide buckets (adversarial near-constant clusters) switch
-        # from all-pairs to a STAR on the minimum id: O(width), every
-        # member still verified against the cluster representative
-        star = F.transform(
-            F.slice(ids, 2, F.size(ids)),
-            lambda y: F.struct(
-                F.element_at(ids, 1).alias("id1"), y.alias("id2")
-            ),
-        )
-        pair_expr = F.when(
-            F.size(ids) <= max_bucket_width, all_pairs
-        ).otherwise(star)
-    else:
-        pair_expr = all_pairs
-    cand = (
-        grouped.select(F.explode(pair_expr).alias("p"))
-        .select("p.id1", "p.id2")
-        .distinct()
-    )
+    cand = _pairs_from_groups(grouped, star_over=max_bucket_width).distinct()
     s1 = sh.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
     return (
@@ -320,11 +334,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_doc_frequency: int | None = None,
 ) -> DataFrame:
-    """Jaccard-similar pairs via inverted-index self-join.
+    """Jaccard-similar pairs via an inverted index.
 
-    explode(shingles) -> self-join on shingle -> |intersection| per pair
-    -> join set sizes -> filter.  At scale the only quadratic term is
-    within a single shingle's posting list.
+    explode(shingles) -> ONE groupBy per shingle collecting the sorted
+    member-id array -> pairs emitted as a JVM array expression
+    (``_pairs_from_groups``; no posting-list self-join) -> per-pair
+    shared-shingle count -> join set sizes -> filter.  At scale the
+    only quadratic term is within a single shingle's posting list.
 
     ``max_doc_frequency`` caps that term: shingles appearing in more
     than the cap's documents (stopword-like / boilerplate shingles) are
@@ -332,17 +348,27 @@ def ngram_jaccard_pairs(
     are verified with their FULL shingle sets — so every returned
     jaccard value is exact.  A pair is only missed if every shingle it
     shares is hot; near-dups virtually always share rare shingles.
-    With the cap unset the classic fully-exact counting path runs.
+    With the cap unset the classic fully-exact counting path runs
+    (pair multiplicity per shared shingle IS the intersection size).
     """
-    sh = _shingled(df, id_col, text_col, n).withColumn("sh_size", F.size("sh"))
+    # sh feeds the posting index, both size sides, and both verify
+    # sides — persist + materialize ONCE (the deterministic-eager
+    # lesson from the LSH path)
+    sh = (
+        _shingled(df, id_col, text_col, n)
+        .withColumn("sh_size", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh.count()
+    posting = sh.select("id", F.explode("sh").alias("shingle"))
+    grouped = posting.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
     if max_doc_frequency is None:
         sizes = sh.select("id", "sh_size")
-        posting = sh.select("id", F.explode("sh").alias("shingle"))
-        a = posting.alias("a")
-        b = posting.alias("b")
         inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            _pairs_from_groups(grouped)
+            .groupBy("id1", "id2")
             .agg(F.count("*").alias("n_common"))
         )
         s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
@@ -361,36 +387,56 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id1", "id2", "jaccard")
         )
+    # Candidate generation over the RARE posting lists, with the pair
+    # MULTIPLICITY kept: m = exact count of shared rare shingles.  A
+    # pair's true intersection is at most m + min(h1, h2) where h_i is
+    # doc i's count of HOT (over-cap) shingles, so
+    #     jaccard <= (m + min(h)) / (s1 + s2 - m - min(h))
+    # and pairs whose upper bound misses the threshold are pruned
+    # WITHOUT touching their shingle arrays.  The expensive exact
+    # verification (array intersect/union over full shingle sets) then
+    # runs only on plausible pairs — on boilerplate-free corpora the
+    # bound is exact (h=0) and the verify set ~equals the answer.
+    m = (
+        _pairs_from_groups(grouped, drop_over=max_doc_frequency)
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("m"))
+    )
+    hot_per_doc = (
+        grouped.filter(F.size("ids") > max_doc_frequency)
+        .select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("h"))
+    )
+    sizes = sh.select("id", "sh_size")
+    side = lambda tag: (  # noqa: E731
+        sizes.join(hot_per_doc, "id", "left")
+        .select(
+            F.col("id").alias(f"id{tag}"),
+            F.col("sh_size").alias(f"size{tag}"),
+            F.coalesce("h", F.lit(0)).alias(f"h{tag}"),
+        )
+    )
+    bound = F.col("m") + F.least("h1", "h2")
+    cand = (
+        m.join(side(1), "id1")
+        .join(side(2), "id2")
+        .filter(
+            bound / (F.col("size1") + F.col("size2") - bound) >= threshold
+        )
+        .select("id1", "id2")
+    )
     hashed = sh.select(
         "id",
         F.array_sort(
             F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
         ).alias("hsh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    posting = sh.select("id", F.explode("sh").alias("shingle"))
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_doc_frequency)
-        .select("shingle")
     )
-    capped = posting.join(rare, "shingle")
-    a = capped.alias("a")
-    b = capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
-    h1 = hashed.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
-    h2 = hashed.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
+    v1 = hashed.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
+    v2 = hashed.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
     return (
-        cand.join(h1, "id1")
-        .join(h2, "id2")
+        cand.join(v1, "id1")
+        .join(v2, "id2")
         .withColumn(
             "jaccard",
             F.round(
