@@ -1101,3 +1101,82 @@ def sql_passthrough(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_PASSTHROUGH)
+
+
+@query(
+    "corpus_cluster_kmeans",
+    None,  # iterative numpy k-means: not SQL-expressible; pytest gates
+    doc="corpus clustering: spherical k-means (deterministic sample, "
+    "greedy k-means++ init, Lloyd in numpy) -> one narrow broadcast "
+    "assignment map over the corpus — (vec_id, cluster_id) per "
+    "embedding.  The data-mixing/curation building block: clusters "
+    "become partition keys for balanced sampling and semantic dedup. "
+    "Deterministic (fixed seed + ordered sample); planted-cluster "
+    "recovery pinned by pytest",
+)
+def corpus_cluster_kmeans(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = similarity.ivf_centroids(
+        emb, "embedding", "vec_id", n_clusters=16, seed=42
+    )
+    assigned = similarity.ivf_assign(emb, "embedding", cent, n_assign=1)
+    return (
+        assigned.select(
+            "vec_id", F.element_at("clusters", 1).alias("cluster_id")
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "pipeline_decontaminate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4])) AS s
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 100 = 0
+    ), tpost AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 100 <> 0
+    ), contaminated AS (
+      SELECT DISTINCT t.doc_id FROM tpost t JOIN bench b ON t.g = b.g
+    )
+    SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+    LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    """,
+    doc="benchmark decontamination: flag training documents sharing "
+    "any word 5-gram with the held-out eval slice (doc_id % 100 = 0). "
+    "The eval set's distinct shingles BROADCAST (eval suites are tiny "
+    "at any corpus scale) and the corpus is probed with one narrow "
+    "semi-join — the training corpus never shuffles",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    bsh = (
+        dedup._shingled(bench, "doc_id", "text", 5)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    tpost = dedup._shingled(train, "doc_id", "text", 5).select(
+        "id", F.explode("sh").alias("g")
+    )
+    contaminated = (
+        tpost.join(F.broadcast(bsh), "g")
+        .select(F.col("id").alias("c_id"))
+        .distinct()
+    )
+    return (
+        train.select("doc_id")
+        .join(contaminated, train.doc_id == F.col("c_id"), "left")
+        .select(
+            "doc_id", F.col("c_id").isNotNull().alias("contaminated")
+        )
+    )

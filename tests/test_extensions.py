@@ -757,3 +757,59 @@ def test_minhash_sig_udf_matches_expression(spark):
         "id", dedup._sig_udf(64)(F.col("hsh")).alias("sig")).collect()}
     assert expr == udf
     assert udf[2] == [None] * 64
+
+
+def test_kmeans_clusters_recover_planted_structure(spark):
+    """Three well-separated planted clusters: k-means with k=3 maps
+    each planted group to exactly one cluster id (up to relabeling),
+    and assignment is deterministic across invocations."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(3, 8) * 10.0  # 3 orthogonal centers in 8-dim
+    rows = []
+    for i in range(150):
+        g = i % 3
+        v = centers[g] + rng.normal(0, 0.1, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = similarity.ivf_centroids(df, "embedding", "vec_id", n_clusters=3)
+    out = {
+        r["vec_id"]: r["clusters"][0]
+        for r in similarity.ivf_assign(df, "embedding", cent).collect()
+    }
+    label_of_group = {}
+    for i, c in out.items():
+        g = i % 3
+        assert label_of_group.setdefault(g, c) == c  # group -> one cluster
+    assert len(set(label_of_group.values())) == 3  # clusters distinct
+    # determinism: same centroids, same assignment
+    cent2 = similarity.ivf_centroids(df, "embedding", "vec_id", n_clusters=3)
+    assert (cent == cent2).all()
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    """A training doc sharing a 5-gram with the eval slice is flagged;
+    disjoint docs are not."""
+    import pyspark.sql.functions as F2
+
+    rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),  # eval (id%100==0)
+        (1, "prefix words the quick brown fox jumps and more"),  # overlaps
+        (2, "completely different content with no shared phrases here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F2.col("doc_id") % 100 == 0)
+    train = docs.filter(F2.col("doc_id") % 100 != 0)
+    bsh = (
+        dedup._shingled(bench, "doc_id", "text", 5)
+        .select(F2.explode("sh").alias("g"))
+        .distinct()
+    )
+    tpost = dedup._shingled(train, "doc_id", "text", 5).select(
+        "id", F2.explode("sh").alias("g")
+    )
+    flagged = sorted(
+        r["id"] for r in tpost.join(bsh, "g").select("id").distinct().collect()
+    )
+    assert flagged == [1]
