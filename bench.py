@@ -67,6 +67,7 @@ HEADLINE = [
 
 EXTENSION_HEADLINE = [
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
@@ -74,7 +75,11 @@ EXTENSION_HEADLINE = [
     "similarity_topk_pq",
     "pipeline_dedup_corpus",
     "pipeline_mix_sources",
+    "pipeline_decontaminate",
+    "corpus_cluster_kmeans",
     "kql_summarize_pipeline",
+    "kql_scan_funnel",
+    "ts_series_decompose",
     "text_profile",
     "text_repetition_profile",
     "s1_tumbling_window",

@@ -75,14 +75,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _shingles_from_tokens(toks_col: str, n: int) -> Column:
     """Distinct word n-grams from a materialized token-array column.
     Texts shorter than n words yield an empty array (sequence(0, -1)
-    would count DOWN, so the short case is guarded explicitly)."""
+    would count DOWN, so the short case is guarded explicitly).
+
+    Gram construction is array_join(slice(toks, i+1, n)) — ONE slice
+    per gram.  The per-element shape (n element_at calls + concat_ws
+    inside the transform lambda) runs interpreted per reference and
+    measured 4.4x slower at n=5; slice+join does the same work in one
+    evaluator call (split() never yields nulls, and both forms skip
+    nulls identically anyway)."""
     toks = F.col(toks_col)
     cnt = F.size(toks) - (n - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-    )
     return F.when(
-        cnt > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), cnt - 1), gram))
+        cnt > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -92,11 +102,14 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     it stages tokenization into its own projection (see module note)."""
     toks = F.split(F.col(text_col), " ")
     cnt = F.size(toks) - (n - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-    )
     return F.when(
-        cnt > 0, F.array_distinct(F.transform(F.sequence(F.lit(0), cnt - 1), gram))
+        cnt > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -418,11 +431,15 @@ def ngram_jaccard_pairs(
         )
     )
     bound = F.col("m") + F.least("h1", "h2")
+    # relaxed by the final filter's round-to-4 half-width: a pair with
+    # true jaccard in [threshold - 5e-5, threshold) rounds INTO the
+    # threshold downstream, so the exact-bound prune must not drop it
     cand = (
         m.join(side(1), "id1")
         .join(side(2), "id2")
         .filter(
-            bound / (F.col("size1") + F.col("size2") - bound) >= threshold
+            bound / (F.col("size1") + F.col("size2") - bound)
+            >= threshold - 0.00005
         )
         .select("id1", "id2")
     )
