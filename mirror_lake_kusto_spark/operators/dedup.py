@@ -574,15 +574,19 @@ def cluster_components(
     fuzzy-dedup pipeline needs after pair generation (keep one doc per
     cluster, drop the rest).
 
-    Min-label propagation: each iteration joins the edge list with the
-    current labels and takes the per-node minimum of own and neighbor
-    labels; convergence in at most graph-diameter iterations.  Dedup
-    graphs are overwhelmingly tiny cliques and chains (diameter <= a
-    few hops), so the driver loop runs 2-4 rounds of pure joins over
-    the PAIRS (never the corpus); each round shuffles O(edges).  The
-    loop stops as soon as an iteration changes nothing and fails
-    loudly past ``max_iter`` rather than returning a half-converged
-    labeling.
+    Min-label propagation with ADAPTIVE pointer jumping: each round
+    takes the per-node minimum of own and neighbor labels over the
+    edge list; from round 3 on, a shortcut ``label <- label[label]``
+    (one self-join on the label id) is added, halving the remaining
+    distance to the component minimum per round.  Dedup graphs are
+    overwhelmingly tiny cliques (diameter 1-2, converge in 2 rounds —
+    measured: the unconditional jump doubled round cost for nothing),
+    but a long near-dup CHAIN (boilerplate drift across a crawl) still
+    converges in O(log diameter) rounds once jumping engages.  Every
+    round is pure joins over the PAIRS (never the corpus), shuffling
+    O(edges).  The loop stops as soon as an iteration changes nothing
+    and fails loudly past ``max_iter`` rather than returning a
+    half-converged labeling.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -602,22 +606,32 @@ def cluster_components(
         .persist()
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             nbr = (
                 edges.join(labels, edges.b == labels.id)
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                labels.join(nbr, labels.id == nbr.a, "left")
-                .select(
+            stepped = labels.join(nbr, labels.id == nbr.a, "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            if it >= 2:
+                # still unconverged after 2 rounds -> a deep component;
+                # engage pointer jumping (label <- label[label]; labels
+                # are node ids, so the lookup is one self-join)
+                jump = stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("_jump")
+                )
+                stepped = stepped.join(jump, "label", "left").select(
                     "id",
                     F.least(
-                        F.col("label"), F.coalesce("nbr_label", "label")
+                        F.col("label"), F.coalesce("_jump", "label")
                     ).alias("label"),
                 )
-                .persist()
-            )
+            new_labels = stepped.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")

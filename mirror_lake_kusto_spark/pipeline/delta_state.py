@@ -19,6 +19,12 @@ This class does exactly that, dogfooding this repo's own Delta writer:
   matching;
 - ``compact`` = OPTIMIZE + VACUUM on the state table itself.
 
+Steering assumes a SINGLE writer per state dir (the same assumption
+the reference's in-memory GlobalTableStatus map makes,
+GlobalTableStatus.cs:66-74): the driver LWW map is write-through for
+this process's persists and is not refreshed on foreign commits —
+concurrent mirrors of one table must share a pipeline instance.
+
 Latency: steering follows the same driver-fast-path / distributed-
 fallback split the log reader uses — while the state's parquet
 footprint is under ``DRIVER_STATE_MAX_BYTES`` the LWW map is held on
