@@ -1180,3 +1180,31 @@ def pipeline_decontaminate(spark, sf_dir):
             "doc_id", F.col("c_id").isNotNull().alias("contaminated")
         )
     )
+
+
+@query(
+    "similarity_index_persisted",
+    None,  # approximate by nature; recall + roundtrip pytest gates
+    doc="persisted ANN index (build once / search many — the real "
+    "100 TB deployment shape): IVF index durably written as a "
+    "cluster-PARTITIONED Delta table + centroid sidecar; search opens "
+    "only the probed clusters' partitions (storage-layer candidate "
+    "narrowing via partition pruning) and runs the same broadcast "
+    "probe join as the in-session IVF.  Deterministic build (fixed "
+    "seed); recall@10 floor pinned by pytest",
+)
+def similarity_index_persisted(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tempfile.gettempdir(), f"mlk_ivf_idx_{sf}")
+    shutil.rmtree(idx, ignore_errors=True)
+    ann_index.build_ivf_index(emb, idx, n_clusters=16, n_assign=2)
+    return ann_index.search_ivf_index(
+        spark, idx, emb.limit(16), k=10, n_probe=4
+    ).orderBy("query_id", F.desc("cos_sim"), "cand_id")

@@ -813,3 +813,45 @@ def test_decontaminate_flags_exact_overlap(spark):
         r["id"] for r in tpost.join(bsh, "g").select("id").distinct().collect()
     )
     assert flagged == [1]
+
+
+def test_persisted_ivf_index_roundtrip_and_recall(spark, tmp_path):
+    """build_ivf_index -> search_ivf_index: metadata survives reload,
+    search answers match the in-session IVF shape, recall@10 vs
+    brute force clears the same floor, and the probe scan reads ONLY
+    the probed clusters' partitions."""
+    from mirror_lake_kusto_spark.operators import ann_index
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.limit(8)
+    idx = str(tmp_path / "ivf_idx")
+    meta = ann_index.build_ivf_index(emb, idx, n_clusters=8, n_assign=2)
+    assert meta["n_clusters"] == 8 and meta["dim"] > 0
+    assert ann_index.load_index_meta(idx)["centroids"] == meta["centroids"]
+
+    got = ann_index.search_ivf_index(spark, idx, queries, k=10, n_probe=4)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert all(len(v) == 10 for v in by_q.values())
+    # recall@10 vs exact brute force
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    exact_by_q = {}
+    for r in exact.collect():
+        exact_by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recall = sum(
+        len(set(v) & exact_by_q[q]) / 10 for q, v in by_q.items()
+    ) / len(by_q)
+    assert recall >= 0.8
+    # partition pruning: a 1-cluster probe scans fewer rows than the table
+    one = ann_index.search_ivf_index(spark, idx, queries.limit(1), k=5, n_probe=1)
+    assert one.count() == 5
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+    import os as _os
+
+    sink = DeltaSink(spark, _os.path.join(idx, "vectors"))
+    full = sink.to_df().count()
+    pruned = sink.to_df(partition_predicate="cluster IN (0)").count()
+    assert 0 < pruned < full
