@@ -855,3 +855,34 @@ def test_persisted_ivf_index_roundtrip_and_recall(spark, tmp_path):
     full = sink.to_df().count()
     pruned = sink.to_df(partition_predicate="cluster IN (0)").count()
     assert 0 < pruned < full
+
+
+def test_persisted_ivfpq_index_stores_codes_and_recalls(spark, tmp_path):
+    """PQ layout: the stored payload is the m-byte code (no raw
+    vector), ADC search still clears the recall floor."""
+    from mirror_lake_kusto_spark.operators import ann_index
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+    from tests.conftest import SF_DIR
+    import os as _os
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.limit(8)
+    idx = str(tmp_path / "ivfpq_idx")
+    meta = ann_index.build_ivf_index(
+        emb, idx, n_clusters=8, n_assign=2, pq_m=8
+    )
+    assert "pq" in meta and meta["pq"]["m"] == 8
+    cols = DeltaSink(spark, _os.path.join(idx, "vectors")).to_df().columns
+    assert "code" in cols and "vec" not in cols  # codes only, 64x smaller
+    got = ann_index.search_ivf_index(spark, idx, queries, k=10, n_probe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    exact_by_q = {}
+    for r in exact.collect():
+        exact_by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recall = sum(
+        len(v & exact_by_q[q]) / 10 for q, v in by_q.items()
+    ) / len(by_q)
+    assert recall >= 0.6  # PQ-quantized scores: the IVF-PQ floor
