@@ -127,7 +127,83 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def build_kql_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m mirror_lake_kusto_spark kql",
+        description="Run a KQL pipe query against parquet or Delta "
+        "tables (the reference's emitted dialect, runnable verbatim).",
+    )
+    ap.add_argument(
+        "query",
+        help="KQL text, or @path to read the query from a file",
+    )
+    ap.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="bind a table name to a parquet file/dir or Delta table "
+        "path (repeatable); Delta is detected by _delta_log",
+    )
+    ap.add_argument(
+        "--format",
+        choices=("table", "csv", "json"),
+        default="table",
+        help="output rendering (default: table)",
+    )
+    ap.add_argument("--limit", type=int, default=1000,
+                    help="max rows shown in table format (default 1000)")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    return ap
+
+
+def kql_main(argv: list[str]) -> int:
+    import os
+
+    args = build_kql_parser().parse_args(argv)
+    from .functions.kql_parse import kql
+    from .session import build_session
+    from .sources.delta_sink import DeltaSink
+
+    spark = build_session(app_name="mlk-kql", cpus=args.cpus)
+    if not args.verbose:
+        spark.sparkContext.setLogLevel("ERROR")
+    tables = {}
+    for spec in args.table:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"--table needs NAME=PATH, got {spec!r}", file=sys.stderr)
+            return 2
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            tables[name] = DeltaSink(spark, path).to_df()
+        else:
+            tables[name] = spark.read.parquet(path)
+    text = args.query
+    if text.startswith("@"):
+        with open(text[1:]) as f:
+            text = f.read()
+    df = kql(spark, text, tables=tables or None)
+    if args.format == "table":
+        df.show(args.limit, truncate=False)
+    elif args.format == "csv":
+        import csv as _csv
+
+        wr = _csv.writer(sys.stdout)
+        wr.writerow(df.columns)
+        for row in df.toLocalIterator():
+            wr.writerow(list(row))
+    else:
+        for row in df.toJSON().toLocalIterator():
+            print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "kql":
+        return kql_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .pipeline.orchestrate import MirrorPipeline
     from .session import build_session

@@ -940,7 +940,7 @@ class KqlQuery:
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
             r"|getschema|evaluate|top-nested|partition|facet|scan"
-            r"|parse-where|parse|search"
+            r"|render|parse-where|parse|search"
             r"|sample-distinct|sample|top-hitters"
             r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
@@ -955,6 +955,13 @@ class KqlQuery:
         return method(frame, rest)
 
     # each _op_* lowers one verb onto the facade
+
+    def _op_render(self, frame, rest):
+        """``render timechart/barchart/... [with (...)]`` — a CLIENT
+        visualization hint in Kusto, carrying no relational semantics.
+        Accepted and dropped (like hint.* tokens) so real dashboards'
+        queries paste in unmodified."""
+        return frame
 
     def _op_where(self, frame, rest):
         return frame.where(translate_expr(rest))

@@ -45,3 +45,25 @@ def test_cli_continuous_bounded_polls(spark, tmp_path):
     assert rc == 0
     mirrored = DeltaSink(spark, str(tmp_path / "clic_dst")).to_df()
     assert mirrored.count() == 10
+
+
+def test_kql_subcommand_runs_query(spark, tmp_path, capsys):
+    """CLI kql mode: bind a Delta table, run the pipe text, render
+    csv; `render` visualization hints are accepted and dropped."""
+    src = str(tmp_path / "kqlcli_src")
+    DeltaSink(spark, src).append(
+        spark.createDataFrame(
+            [("a", 1), ("a", 5), ("b", 9)], "k string, v long"
+        )
+    )
+    rc = main([
+        "kql",
+        "t | where v > 1 | summarize n = count(), mx = max(v) by k"
+        " | order by k asc | render timechart",
+        "--table", f"t={src}",
+        "--format", "csv",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "k,n,mx"
+    assert out[1:] == ["a,1,5", "b,1,9"]
