@@ -25,8 +25,8 @@ top-nested (hierarchical top-k)  evaluate pivot  partition by
 (per-key subquery, 64-key legacy cap, raises past it)  facet by
 (stacked value-frequency rendering)  scan (condition-only sequence
 state machine: greedy-sequential with restart, funnel semantics;
-predicates JVM-side, the serial automaton one Arrow pass)``,
-``let`` statements (scalar
+predicates JVM-side, the serial automaton one Arrow pass)  render (client hint, accepted+dropped)``,
+``let`` statements (materialize() caches the subquery; scalar
 substitution + lazily-resolved tabular views), the ``range`` /
 ``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
 dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
@@ -744,6 +744,19 @@ class KqlQuery:
                 repl = f"({_sql_literal(val)})"
                 for j in range(i + 1, len(statements)):
                     statements[j] = sub.sub(repl, statements[j])
+                continue
+            mam = re.fullmatch(
+                r"materialize\s*\((.*)\)", body, re.IGNORECASE | re.DOTALL
+            )
+            if mam:
+                # Kusto materialize(): evaluate the tabular subquery
+                # ONCE and cache it for every later reference —
+                # persist + eager count (the deterministic-eager
+                # posture every multi-consumer frame here uses)
+                df = self._run_pipe(mam.group(1).strip()).persist()
+                df.count()
+                self._lets[name] = name  # sentinel; cache serves reads
+                self._let_cache[name] = df
                 continue
             if "|" in body or re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", body):
                 self._lets[name] = body  # tabular: resolved lazily

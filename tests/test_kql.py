@@ -1076,3 +1076,26 @@ def test_evaluate_narrow_requires_order(spark):
     assert sorted((r["Row"], r["Column"], r["Value"]) for r in out) == [
         (1, "id", "1"), (1, "s", "a")
     ]
+
+
+def test_let_materialize_caches_subquery(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+    out = kql(
+        spark,
+        """
+        let agg = materialize(t | summarize s = sum(v) by k);
+        agg | join kind=inner (agg | project k, s2 = s) on k | order by k asc
+        """,
+        tables={"t": df},
+    )
+    rows = [(r["k"], r["s"], r["s2"]) for r in out.collect()]
+    assert rows == [("a", 3, 3), ("b", 3, 3)]
+    # the cached frame backs both references: the plan reads InMemory
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "InMemory" in plan
