@@ -150,6 +150,10 @@ def search_ivf_index(
     meta = load_index_meta(path)
     cent = np.asarray(meta["centroids"], dtype=np.float64)
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos_sim double"
+        )
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     clusters = sorted({int(c) for row in order for c in row})
