@@ -233,3 +233,38 @@ def test_driver_and_distributed_steering_paths_agree(spark, tmp_path):
     # a rehydration from disk equals the write-through map
     re = DeltaStateStore(spark, str(tmp_path / "fast"))
     assert re._lww_map() == fast._lww_map()
+
+
+def test_lww_threshold_crossover_switches_to_distributed(spark, tmp_path):
+    """When the write-through map crosses the driver threshold, the
+    store drops to the distributed steering path mid-session and every
+    read still answers identically."""
+    from mirror_lake_kusto_spark.pipeline.delta_state import DeltaStateStore
+
+    store = DeltaStateStore(spark, str(tmp_path / "xo_state"))
+    # shrink the threshold so a handful of items crosses it (must sit
+    # above one 5-item parquet file's fixed overhead, ~5 KB, and below
+    # the in-memory estimate of 30 items x 200 B = 6 KB)
+    store.DRIVER_STATE_MAX_BYTES = 5500
+
+    def item(i, state):
+        return {
+            "table_name": "t", "start_tx_id": 0, "end_tx_id": 0,
+            "action": "Add", "state": state, "mirror_timestamp": "x",
+            "delta_timestamp": None, "blob_path": f"f{i:03d}",
+            "partition_values": None, "size": 1, "record_count": 1,
+            "partition_columns": None, "schema": None, "internal_state": None,
+        }
+
+    store.persist([item(i, "Initial") for i in range(5)])
+    assert store.steering_is_driver_side()
+    store.persist([item(i, "Initial") for i in range(5, 30)])  # crosses
+    assert not store.steering_is_driver_side()
+    # distributed path serves the same answers
+    assert store.high_water("t") == -1
+    ib = store.incomplete_batch("t")
+    assert len(ib) == 30
+    store.persist([item(i, "Done") for i in range(30)])
+    assert store.high_water("t") == 0
+    assert store.incomplete_batch("t") is None
+    assert len(store.current_items("t", "Add")) == 30

@@ -1099,3 +1099,68 @@ def test_let_materialize_caches_subquery(spark):
         out._jdf.queryExecution(), "simple"
     )
     assert "InMemory" in plan
+
+
+def test_scan_state_survives_arrow_batch_boundaries(spark):
+    """The scan automaton's closure state must carry across Arrow
+    batches within the single ordered partition: force tiny batches
+    and match a sequence that straddles them."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(i, "noise") for i in range(200)]
+        rows[3] = (3, "start")      # batch 1
+        rows[150] = (150, "finish") # many batches later
+        df = spark.createDataFrame(rows, "seq long, kind string")
+        out = kql(
+            spark,
+            """
+            t
+            | order by seq asc
+            | scan with_match_id=m with (
+                step a: kind == 'start';
+                step b: kind == 'finish'; )
+            """,
+            tables={"t": df},
+        ).collect()
+        assert sorted((r["seq"], r["_scan_step"]) for r in out) == [
+            (3, "a"), (150, "b")
+        ]
+        assert {r["m"] for r in out} == {1}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_scan_composes_under_partition_by(spark):
+    """The documented distributed-scan pattern: per-entity sequences
+    via partition by (entity) ( sort | scan ... )."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    rows = [
+        ("u1", 1, "signup"), ("u1", 2, "purchase"),
+        ("u2", 1, "purchase"),  # no signup first -> no match
+        ("u3", 1, "signup"), ("u3", 2, "noise"), ("u3", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user string, seq long, kind string")
+    out = kql(
+        spark,
+        """
+        t
+        | partition by user (
+            order by seq asc
+            | scan with (
+                step s: kind == 'signup';
+                step p: kind == 'purchase'; ) )
+        | project user, seq, _scan_step
+        """,
+        tables={"t": df},
+    ).collect()
+    got = sorted((r["user"], r["seq"], r["_scan_step"]) for r in out)
+    assert got == [
+        ("u1", 1, "s"), ("u1", 2, "p"), ("u3", 1, "s"), ("u3", 3, "p")
+    ]
