@@ -297,3 +297,33 @@ def test_registry_orders_never_recorded_queries_first():
     assert "kql_make_series" not in Q._driver_recorded()
     # a no_oracle row whose spark side ran IS terminal (rows-only check)
     assert "similarity_topk_pq" in Q._driver_recorded()
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval set's shingles broadcast; the training corpus never
+    participates in a shuffled or cartesian join."""
+    plan = _plan(spark, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_scan_predicates_stay_jvm_side(spark):
+    """scan's step predicates are Catalyst boolean columns computed
+    BEFORE the single Arrow pass — the Python stage receives evaluated
+    booleans, it never evaluates expressions."""
+    plan = _plan(spark, "kql_scan_funnel")
+    assert "MapInPandas" in plan
+    assert "__scan_c0" in plan and "__scan_c1" in plan  # JVM-projected
+    # exactly one Python stage (formatted explain prints each node
+    # twice: once in the tree, once as a detail-section header)
+    assert plan.count("MapInPandas") <= 2
+
+
+def test_series_decompose_single_key_shuffle_no_python(spark):
+    """Decomposition is pure window aggregates — no Python stages, no
+    cartesian; every window partitions by the series key."""
+    plan = _plan(spark, "ts_series_decompose")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
