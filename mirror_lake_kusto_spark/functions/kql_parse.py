@@ -27,7 +27,9 @@ top-nested (hierarchical top-k)  evaluate pivot  partition by
 state machine: greedy-sequential with restart, funnel semantics;
 predicates JVM-side, the serial automaton one Arrow pass)  render (client hint, accepted+dropped)``,
 ``let`` statements (materialize() caches the subquery; scalar
-substitution + lazily-resolved tabular views), the ``range`` /
+substitution + lazily-resolved tabular views; lambda functions
+``let f = (T:(*), n:long = 5) { ... }`` applied with ``| invoke
+f(...)`` — defaults fill omitted trailing args), the ``range`` /
 ``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
 dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
 source (typed CSV scan — the reference's status-view function,
@@ -712,6 +714,10 @@ class KqlQuery:
         self._spark = spark
         self._lets: dict[str, str] = {}  # tabular let bodies (lazy)
         self._let_cache: dict[str, DataFrame] = {}
+        #: lambda let-functions: name -> (params, body) where params is
+        #: [(pname, ptype, default_or_None)] and body is the tabular
+        #: expression inside the braces
+        self._funcs: dict[str, tuple[list, str]] = {}
         self._order_sql: list[str] | None = None  # serialized-row order
 
     _LET_RE = re.compile(
@@ -758,6 +764,24 @@ class KqlQuery:
                 self._lets[name] = name  # sentinel; cache serves reads
                 self._let_cache[name] = df
                 continue
+            if body.startswith("("):
+                # lambda let-function: (T:(*), n:long [= default]) { body }
+                lam = re.fullmatch(r"\((.*)\)\s*\{(.*)\}", body, re.DOTALL)
+                if lam:
+                    params = []
+                    for p in _split_top(lam.group(1), ","):
+                        p = p.strip()
+                        if not p:
+                            continue
+                        pname, _, rest_p = p.partition(":")
+                        ptype, _, default = rest_p.partition("=")
+                        params.append((
+                            pname.strip(),
+                            ptype.strip(),
+                            default.strip() or None,
+                        ))
+                    self._funcs[name] = (params, lam.group(2).strip())
+                    continue
             if "|" in body or re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", body):
                 self._lets[name] = body  # tabular: resolved lazily
             else:
@@ -953,7 +977,7 @@ class KqlQuery:
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
             r"|getschema|evaluate|top-nested|partition|facet|scan"
-            r"|render|parse-where|parse|search"
+            r"|render|parse-where|parse|search|invoke"
             r"|sample-distinct|sample|top-hitters"
             r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
@@ -1152,6 +1176,56 @@ class KqlQuery:
                 rows, "ColumnName string, ColumnOrdinal int, ColumnType string"
             )
         )
+
+    def _op_invoke(self, frame, rest):
+        """``| invoke f(args...)`` applies a lambda let-function whose
+        FIRST parameter is tabular (Kusto requires it): the piped frame
+        binds to that parameter, scalar arguments substitute into the
+        body word-boundary (declared defaults fill omitted trailing
+        arguments), and the body runs as a subquery.  The whole thing
+        stays one declarative plan — Catalyst sees straight through the
+        function boundary."""
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", rest)
+        if not m:
+            raise KqlParseError(f"invoke needs f(args...): {rest!r}")
+        fname = m.group(1)
+        if fname not in self._funcs:
+            raise KqlParseError(f"invoke: unknown function {fname!r}")
+        args, end = _find_args(rest, rest.index("(", m.end() - 1))
+        if rest[end:].strip():
+            raise KqlParseError(f"invoke: trailing text {rest[end:]!r}")
+        args = [a for a in (a.strip() for a in args) if a]
+        params, body = self._funcs[fname]
+        if not params or not params[0][1].startswith("("):
+            raise KqlParseError(
+                f"invoke: {fname!r} must declare a tabular first parameter"
+            )
+        tab_name = params[0][0]
+        scalars = params[1:]
+        if len(args) > len(scalars):
+            raise KqlParseError(
+                f"invoke: {fname} takes {len(scalars)} scalar args, "
+                f"got {len(args)}"
+            )
+        for i, (pname, _ptype, default) in enumerate(scalars):
+            val = args[i] if i < len(args) else default
+            if val is None:
+                raise KqlParseError(
+                    f"invoke: missing argument {pname!r} for {fname}"
+                )
+            body = re.sub(r"\b" + re.escape(pname) + r"\b", f"({val})", body)
+        saved = (self._lets.get(tab_name), self._let_cache.get(tab_name))
+        self._lets[tab_name] = tab_name
+        self._let_cache[tab_name] = frame.df
+        try:
+            out = self._run_pipe(body)
+        finally:
+            for store, prev in ((self._lets, saved[0]), (self._let_cache, saved[1])):
+                if prev is None:
+                    store.pop(tab_name, None)
+                else:
+                    store[tab_name] = prev
+        return KqlFrame(out)
 
     def _op_as(self, frame, rest):
         """``| as Name`` binds the current result for later statements

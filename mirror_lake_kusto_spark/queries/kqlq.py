@@ -801,3 +801,38 @@ def kql_evaluate_narrow(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_invoke_function",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP'1998-09-02'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC
+    """,
+    doc="KQL lambda let-function applied with `invoke`: the tabular "
+    "first parameter binds the piped frame, scalar args substitute "
+    "into the body (one declarative plan — Catalyst sees through the "
+    "function boundary).  Kusto user-function idiom, public docs.",
+)
+def kql_invoke_function(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        let revenue_by = (T:(*), maxd:datetime) {
+            T
+            | where l_shipdate <= maxd
+            | extend net = l_extendedprice * (1 - l_discount)
+            | summarize revenue = round(sum(net), 2), n = count()
+                by l_returnflag
+        };
+        lineitem
+        | invoke revenue_by(datetime(1998-09-02))
+        | order by l_returnflag asc
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )

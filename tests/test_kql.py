@@ -1164,3 +1164,76 @@ def test_scan_composes_under_partition_by(spark):
     assert got == [
         ("u1", 1, "s"), ("u1", 2, "p"), ("u3", 1, "s"), ("u3", 3, "p")
     ]
+
+
+def test_invoke_lambda_function(spark):
+    """let f = (T:(*), args...) { body }; T | invoke f(...) — the
+    Kusto user-function idiom.  Declared defaults fill omitted
+    trailing arguments; the call is one declarative plan."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("R", 5), ("R", 9), ("A", 50), ("R", 2)], "f string, qty long"
+    )
+    out = kql(
+        spark,
+        """
+        let big = (T:(*), lo:long, flag:string = 'R') {
+            T | where qty >= lo and f == flag
+              | summarize n = count(), s = sum(qty)
+        };
+        t | invoke big(5)
+        """,
+        tables={"t": df},
+    ).collect()
+    assert [(r["n"], r["s"]) for r in out] == [(2, 14)]
+    out2 = kql(
+        spark,
+        """
+        let big = (T:(*), lo:long, flag:string = 'R') {
+            T | where qty >= lo and f == flag | summarize n = count()
+        };
+        t | invoke big(1, 'A')
+        """,
+        tables={"t": df},
+    ).collect()
+    assert out2[0]["n"] == 1
+
+
+def test_invoke_errors_are_loud(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError, kql
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(KqlParseError, match="unknown function"):
+        kql(spark, "t | invoke nosuch()", tables={"t": df})
+    with pytest.raises(KqlParseError, match="tabular first parameter"):
+        kql(
+            spark,
+            "let f = (n:long) { t }; t | invoke f(1)",
+            tables={"t": df},
+        )
+    with pytest.raises(KqlParseError, match="missing argument"):
+        kql(
+            spark,
+            "let f = (T:(*), n:long) { T | where x > n }; t | invoke f()",
+            tables={"t": df},
+        )
+
+
+def test_invoke_binding_restored_after_call(spark):
+    """A tabular parameter shadowing an existing let binding must not
+    clobber it — later references see the original."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    out = kql(
+        spark,
+        """
+        let T = t | where x >= 2;
+        let f = (T:(*)) { T | summarize n = count() };
+        let ignored = t | invoke f();
+        T | summarize m = count()
+        """,
+        tables={"t": df},
+    ).collect()
+    assert out[0]["m"] == 2
