@@ -1208,3 +1208,132 @@ def similarity_index_persisted(spark, sf_dir):
     return ann_index.search_ivf_index(
         spark, idx, emb.limit(16), k=10, n_probe=4
     ).orderBy("query_id", F.desc("cos_sim"), "cand_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data layout: split / packing / sharded shuffle
+# ---------------------------------------------------------------------------
+
+# Portable LCG-style id mix: h = ((id % M) * A + B) % M with M = 2^31-1.
+# Reducing mod M BEFORE the multiply keeps every intermediate under
+# (2^31-2) * A < 2^62 — BIGINT-safe in both engines even for the
+# 100 TB corpus's >10^10 doc ids (a raw id*A would overflow int64).
+_MIX_M = 2147483647
+
+
+def _mix(a: int, b: int) -> str:
+    return f"((doc_id % {_MIX_M}) * {a} + {b}) % {_MIX_M}"
+
+
+@query(
+    "pipeline_train_val_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN ({_mix(1103515245, 12345)}) % 100 < 90 THEN 'train'
+                WHEN ({_mix(1103515245, 12345)}) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="deterministic 90/5/5 train/val/test assignment by id hash — "
+    "a pure shuffle-free projection (the split is a FUNCTION of the "
+    "id, so any job anywhere recomputes the same assignment without "
+    "coordination; no membership table to join at 100 TB)",
+)
+def pipeline_train_val_split(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.expr(_mix(1103515245, 12345)) % 100
+    return docs.select(
+        "doc_id",
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(({_mix(1103515245, 12345)}) % 8 AS BIGINT) AS shard
+      FROM documents
+    ), p AS (
+      SELECT shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM d
+    )
+    SELECT shard, CAST(FLOOR(prefix / 512) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM p GROUP BY shard, CAST(FLOOR(prefix / 512) AS BIGINT)
+    """,
+    doc="greedy sequential packing of documents into 512-token training "
+    "sequences: docs hash to shards, an EXCLUSIVE running token count "
+    "within each shard assigns contiguous budget bins.  The window "
+    "sorts per shard, never globally — shard count is the parallelism "
+    "knob (100k shards at 100 TB keeps each sort a few GB), and the "
+    "deterministic id order makes every rerun produce identical packs",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        (F.expr(_mix(1103515245, 12345)) % 8).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = d.withColumn(
+        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        p.withColumn("seq_id", F.floor(F.col("prefix") / 512).cast("long"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        )
+    )
+
+
+@query(
+    "pipeline_shuffle_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(({_mix(1103515245, 12345)}) % 8 AS BIGINT) AS shard,
+             ({_mix(1588635695, 1)}) AS h2
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS rank
+    FROM d
+    """,
+    doc="deterministic sharded training shuffle (the webdataset idiom): "
+    "docs hash to shards, a second independent hash orders rows WITHIN "
+    "each shard; readers interleave shards for global mixing.  No "
+    "global sort or global row-number (both single-partition "
+    "bottlenecks at 100 TB) — every window is shard-local",
+)
+def pipeline_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        (F.expr(_mix(1103515245, 12345)) % 8).cast("long").alias("shard"),
+        F.expr(_mix(1588635695, 1)).alias("h2"),
+    )
+    w = Window.partitionBy("shard").orderBy("h2", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("rank")
+    )

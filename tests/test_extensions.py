@@ -886,3 +886,51 @@ def test_persisted_ivfpq_index_stores_codes_and_recalls(spark, tmp_path):
         len(v & exact_by_q[q]) / 10 for q, v in by_q.items()
     ) / len(by_q)
     assert recall >= 0.6  # PQ-quantized scores: the IVF-PQ floor
+
+
+def test_train_val_split_deterministic_ratios(spark):
+    from mirror_lake_kusto_spark.queries import all_queries
+
+    q = all_queries()["pipeline_train_val_split"]
+    a = {r["doc_id"]: r["split"] for r in q.fn(spark, SF_DIR).collect()}
+    b = {r["doc_id"]: r["split"] for r in q.fn(spark, SF_DIR).collect()}
+    assert a == b  # rerun-identical: the split is a function of the id
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.8 <= frac_train <= 0.97
+    assert {"train", "val", "test"} >= set(a.values())
+
+
+def test_pack_sequences_budget_respected(spark):
+    """Greedy packing: every bin except a shard's last starts below
+    budget, and bins are contiguous per shard (no seq_id gaps)."""
+    from mirror_lake_kusto_spark.queries import all_queries
+
+    q = all_queries()["pipeline_pack_sequences"]
+    rows = q.fn(spark, SF_DIR).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, bins in by_shard.items():
+        seqs = sorted(b["seq_id"] for b in bins)
+        assert seqs == list(range(len(seqs))), f"gap in shard {shard}"
+    assert sum(b["n_docs"] for b in rows) == 500  # every doc packed once
+
+
+def test_shuffle_shards_ranks_dense_and_deterministic(spark):
+    from mirror_lake_kusto_spark.queries import all_queries
+
+    q = all_queries()["pipeline_shuffle_shards"]
+    rows = q.fn(spark, SF_DIR).collect()
+    again = q.fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["rank"])
+    for shard, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), shard
+    # the shuffle actually permutes: within-shard rank order must not
+    # equal doc_id order
+    ordered = sorted(rows, key=lambda r: (r["shard"], r["rank"]))
+    ids = [r["doc_id"] for r in ordered if r["shard"] == ordered[0]["shard"]]
+    assert ids != sorted(ids)

@@ -327,3 +327,19 @@ def test_series_decompose_single_key_shuffle_no_python(spark):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_training_layout_windows_are_shard_local(spark):
+    """pack/shuffle windows must partition by shard — a global
+    (empty-partition-spec) window would funnel the corpus through one
+    task at 100 TB.  SinglePartition exchanges are banned outright."""
+    for name in ("pipeline_pack_sequences", "pipeline_shuffle_shards"):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(shard" in plan, name
+
+
+def test_train_val_split_is_shuffle_free(spark):
+    """The split is a pure function of the id: no exchange anywhere."""
+    plan = _plan(spark, "pipeline_train_val_split")
+    assert "Exchange" not in plan
