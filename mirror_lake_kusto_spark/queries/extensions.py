@@ -1337,3 +1337,68 @@ def pipeline_shuffle_shards(spark, sf_dir):
     return d.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding dimensionality reduction: deterministic random projection
+# ---------------------------------------------------------------------------
+
+_RP_DIN, _RP_DOUT = 64, 16
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Achlioptas ±1 projection entry: parity of sha256(entry index).
+    Deterministic everywhere, and unlike an LCG-parity scheme its
+    columns are uncorrelated (an LCG's low bit has lattice structure
+    at the stride of the output dimension — measured |col corr| = 1.0
+    for some pairs, i.e. duplicated projection dims).  The 1024 signs
+    are baked into the generated expression, so nothing is stored or
+    broadcast at run time."""
+    import hashlib
+
+    k = i * _RP_DOUT + j
+    return 1 if hashlib.sha256(str(k).encode()).digest()[0] & 1 else -1
+
+
+def _rp_exprs(element: "callable") -> list[str]:
+    """One left-associated signed sum per output dim (identical term
+    order on both engines -> identical float64 arithmetic)."""
+    out = []
+    for j in range(_RP_DOUT):
+        terms = "".join(
+            (" + " if _rp_sign(i, j) > 0 else " - ") + element(i)
+            for i in range(_RP_DIN)
+        )
+        out.append(f"ROUND((0.0{terms}) * 0.25, 4)")
+    return out
+
+
+_RP_ORACLE = """
+SELECT vec_id, {cols}
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+""".format(
+    cols=", ".join(
+        f"{e} AS p{j}"
+        for j, e in enumerate(_rp_exprs(lambda i: f"e[{i + 1}]"))
+    )
+)
+
+
+@query(
+    "embedding_random_projection",
+    _RP_ORACLE,
+    doc="Johnson-Lindenstrauss dimensionality reduction 64 -> 16 via a "
+    "deterministic Achlioptas ±1 sign matrix derived from the portable "
+    "id mix: no matrix to broadcast or store, any worker regenerates "
+    "it.  Pure shuffle-free JVM projection (the cheap pre-filter stage "
+    "ahead of exact cosine at 100 TB); distance preservation pinned by "
+    "a pytest JL gate",
+)
+def embedding_random_projection(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.withColumn("e", F.col("embedding").cast("array<double>"))
+    cols = [
+        F.expr(x).alias(f"p{j}")
+        for j, x in enumerate(_rp_exprs(lambda i: f"element_at(e, {i + 1})"))
+    ]
+    return e.select("vec_id", *cols)

@@ -934,3 +934,38 @@ def test_shuffle_shards_ranks_dense_and_deterministic(spark):
     ordered = sorted(rows, key=lambda r: (r["shard"], r["rank"]))
     ids = [r["doc_id"] for r in ordered if r["shard"] == ordered[0]["shard"]]
     assert ids != sorted(ids)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL gate: relative pairwise-distance distortion of the 64->16
+    ±1 projection stays bounded on a corpus sample."""
+    import numpy as np
+
+    from mirror_lake_kusto_spark.queries import all_queries
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    q = all_queries()["embedding_random_projection"]
+    proj = {
+        r["vec_id"]: np.array([r[f"p{j}"] for j in range(16)])
+        for r in q.fn(spark, SF_DIR).limit(40).collect()
+    }
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("vec_id").isin(list(proj)))
+        .collect()
+    }
+    ids = sorted(proj)[:30]
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d0 = np.linalg.norm(orig[ids[a]] - orig[ids[b]])
+            d1 = np.linalg.norm(proj[ids[a]] - proj[ids[b]])
+            if d0 > 1e-9:
+                ratios.append(d1 / d0)
+    med = float(np.median(ratios))
+    # unbiased in expectation (scale 1/sqrt(16) embedded); median ratio
+    # near 1, individual distortion bounded
+    assert 0.8 <= med <= 1.2, med
+    assert float(np.quantile(ratios, 0.95)) <= 1.6
+    assert float(np.quantile(ratios, 0.05)) >= 0.5

@@ -343,3 +343,9 @@ def test_train_val_split_is_shuffle_free(spark):
     """The split is a pure function of the id: no exchange anywhere."""
     plan = _plan(spark, "pipeline_train_val_split")
     assert "Exchange" not in plan
+
+
+def test_random_projection_shuffle_free_jvm_side(spark):
+    plan = _plan(spark, "embedding_random_projection")
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan.lower()
