@@ -102,6 +102,15 @@ def main() -> None:
         load1 = os.getloadavg()[0]
     except OSError:
         load1 = None
+
+    def _cpu_jiffies():
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        except OSError:
+            return None
+
+    cpu0 = _cpu_jiffies()
     ncpu = os.cpu_count() or 1
     contended = load1 is not None and load1 > 0.25 * ncpu
     if contended:
@@ -126,7 +135,13 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    RUNS = 2
+    # min-of-3: the Python-UDF persist-heavy family (LSH/ngram/PQ) has
+    # heavy-tailed run times (worker-pool churn can poison a single
+    # run with a recompute storm); with 2 runs one bad draw poisons
+    # the min, with 3 the tail collapses.  Measured: steady state for
+    # dedup_minhash_lsh is 2.1-2.5 s, but min-of-2 recorded 4.6 s in
+    # one sweep because both runs drew the tail.
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -152,6 +167,15 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    # whole-sweep CPU accounting: hypervisor steal or unexpected busy
+    # time explains wobbly numbers better than any per-query retry
+    cpu1 = _cpu_jiffies()
+    steal_pct = busy_pct = None
+    if cpu0 and cpu1:
+        d = [b - a for a, b in zip(cpu0, cpu1)]
+        tot = sum(d) or 1
+        steal_pct = round(d[7] / tot * 100, 2) if len(d) > 7 else None
+        busy_pct = round((tot - d[3] - d[4]) / tot * 100, 2)
     print(
         json.dumps(
             {
@@ -163,6 +187,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": load1,
                 "load_warning": bool(contended),
+                "cpu_busy_pct": busy_pct,
+                "cpu_steal_pct": steal_pct,
             }
         )
     )
