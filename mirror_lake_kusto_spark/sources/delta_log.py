@@ -544,6 +544,7 @@ def read_snapshot(
     if partition_predicate is not None and files and meta is not None:
         files = _prune_partitions(spark, files, meta, partition_predicate)
     if predicate is not None and files and meta is not None:
+        from .bloom import prune_files_bloom
         from .skipping import prune_files
 
         files = prune_files(
@@ -551,6 +552,14 @@ def read_snapshot(
             predicate,
             StructType.fromJson(json.loads(meta["schemaString"])),
             list(meta.get("partitionColumns") or []),
+        )
+        # a Bloom sidecar (if built) additionally prunes equality/IN
+        # lookups on high-cardinality columns; advisory and stale-safe
+        files = prune_files_bloom(
+            table_path,
+            files,
+            predicate,
+            StructType.fromJson(json.loads(meta["schemaString"])),
         )
     if not files or meta is None:
         return spark.createDataFrame(

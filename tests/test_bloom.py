@@ -1,0 +1,144 @@
+"""Bloom-filter file skipping (sources/bloom.py): deterministic
+cross-engine hashing, pruning effectiveness, and the advisory-safety
+contract — read_snapshot(predicate=p) ≡ read_snapshot().filter(p)
+with the index present, stale, or absent."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from mirror_lake_kusto_spark.sources import bloom as B
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+from pyspark.sql.types import StructType
+
+
+def _sink_words(spark, tmp_path, name, n_batches=6, rows=50):
+    """One add-file per batch; word column unique per row."""
+    sink = DeltaSink(spark, str(tmp_path / name))
+    for b in range(n_batches):
+        df = (
+            spark.range(b * rows, (b + 1) * rows)
+            .toDF("id")
+            .withColumn("word", F.concat(F.lit("w"), F.col("id")))
+            .coalesce(1)
+        )
+        sink.append(df)
+    return sink
+
+
+def _schema(spark, sink):
+    meta = DL.latest_metadata(spark, sink.path)
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def test_bloom_positions_jvm_python_identical(spark):
+    """The JVM position expression and the Python read-side hash must
+    agree bit-for-bit — string and integral renderings."""
+    df = spark.createDataFrame(
+        [("hello",), ("w123",), ("",), ("it's",)], "v string"
+    ).union(spark.createDataFrame([(str(x),) for x in (0, -7, 12345)], "v string"))
+    rows = df.select(
+        "v", F.expr(B._positions_sql("v", 8192, 6)).alias("ps")
+    ).collect()
+    for r in rows:
+        assert list(r["ps"]) == B._positions_py(r["v"], 8192, 6), r["v"]
+
+
+def test_build_prune_point_lookup(spark, tmp_path):
+    sink = _sink_words(spark, tmp_path, "bl1")
+    B.build_bloom_index(spark, sink.path, ["word"], m=4096, k=5)
+    files = DL.snapshot_files(spark, sink.path)
+    schema = _schema(spark, sink)
+    kept = B.prune_files_bloom(sink.path, files, "word = 'w137'", schema)
+    # w137 lives in exactly one file; blooms should prune most others
+    assert len(kept) < len(files)
+    assert any(f for f in kept), "the containing file must survive"
+    got = DL.read_snapshot(spark, sink.path, predicate="word = 'w137'")
+    assert [r["id"] for r in got.collect()] == [137]
+
+
+def test_bloom_in_list_pruning(spark, tmp_path):
+    sink = _sink_words(spark, tmp_path, "bl2")
+    B.build_bloom_index(spark, sink.path, ["word", "id"], m=4096, k=5)
+    files = DL.snapshot_files(spark, sink.path)
+    schema = _schema(spark, sink)
+    kept = B.prune_files_bloom(
+        sink.path, files, "word IN ('w10', 'w260')", schema
+    )
+    assert len(kept) < len(files)
+    got = DL.read_snapshot(
+        spark, sink.path, predicate="word IN ('w10', 'w260')"
+    )
+    assert sorted(r["id"] for r in got.collect()) == [10, 260]
+    # integral column lookups prune too (canonical decimal rendering)
+    kept_id = B.prune_files_bloom(sink.path, files, "id = 42", schema)
+    assert len(kept_id) < len(files)
+
+
+def test_bloom_never_drops_matching_rows(spark, tmp_path):
+    """Safety sweep: every value present in the table must survive
+    pruning — no false negatives, ever."""
+    sink = _sink_words(spark, tmp_path, "bl3", n_batches=4, rows=40)
+    B.build_bloom_index(spark, sink.path, ["word"], m=2048, k=4)
+    rng = random.Random(7)
+    probes = [f"w{rng.randrange(160)}" for _ in range(25)]
+    for w in probes:
+        got = DL.read_snapshot(
+            spark, sink.path, predicate=f"word = '{w}'"
+        ).collect()
+        assert len(got) == 1 and got[0]["word"] == w
+
+
+def test_stale_index_is_safe(spark, tmp_path):
+    """Files appended AFTER the build have no sidecar entry and are
+    always kept — results stay exact without a rebuild."""
+    sink = _sink_words(spark, tmp_path, "bl4", n_batches=3)
+    B.build_bloom_index(spark, sink.path, ["word"])
+    sink.append(
+        spark.range(900, 950)
+        .toDF("id")
+        .withColumn("word", F.concat(F.lit("w"), F.col("id")))
+        .coalesce(1)
+    )
+    got = DL.read_snapshot(spark, sink.path, predicate="word = 'w930'")
+    assert [r["id"] for r in got.collect()] == [930]
+
+
+def test_absent_value_prunes_everything(spark, tmp_path):
+    sink = _sink_words(spark, tmp_path, "bl5")
+    B.build_bloom_index(spark, sink.path, ["word"], m=4096, k=5)
+    files = DL.snapshot_files(spark, sink.path)
+    schema = _schema(spark, sink)
+    kept = B.prune_files_bloom(
+        sink.path, files, "word = 'definitely-not-present'", schema
+    )
+    # FPR ~2% per file; with 6 files, typically 0 kept — never an error
+    assert len(kept) <= len(files)
+    got = DL.read_snapshot(
+        spark, sink.path, predicate="word = 'definitely-not-present'"
+    )
+    assert got.count() == 0
+
+
+def test_unsupported_column_types_raise(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "bl6"))
+    sink.append(
+        spark.range(5).toDF("id").withColumn("x", F.col("id") * 1.5)
+    )
+    with pytest.raises(ValueError, match="only string/integral"):
+        B.build_bloom_index(spark, sink.path, ["x"])
+    with pytest.raises(ValueError, match="not in schema"):
+        B.build_bloom_index(spark, sink.path, ["nope"])
+
+
+def test_bloom_stats_observability(spark, tmp_path):
+    sink = _sink_words(spark, tmp_path, "bl7", n_batches=2)
+    assert B.bloom_stats(sink.path) is None
+    B.build_bloom_index(spark, sink.path, ["word"])
+    st = B.bloom_stats(sink.path)
+    assert st["columns"] == ["word"] and st["indexed_files"] == 2
