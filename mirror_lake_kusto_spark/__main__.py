@@ -33,6 +33,7 @@ Flag mapping to the reference:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -199,11 +200,59 @@ def kql_main(argv: list[str]) -> int:
     return 0
 
 
+def bloom_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="mirror-lake-kusto-spark bloom",
+        description="Build or inspect the Bloom point-lookup sidecar "
+        "index of a Delta table written by this engine.",
+    )
+    ap.add_argument("table_path")
+    ap.add_argument(
+        "--columns",
+        help="comma-separated string/integral columns to index "
+        "(omit with --stats to inspect only)",
+    )
+    ap.add_argument("--m", type=int, default=None, help="bits per filter")
+    ap.add_argument("--k", type=int, default=None, help="hash count")
+    ap.add_argument("--stats", action="store_true",
+                    help="print index parameters + coverage and exit")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    from .sources import bloom as B
+
+    if args.stats:
+        st = B.bloom_stats(args.table_path)
+        print(json.dumps(st) if st else "no bloom index")
+        return 0
+    if not args.columns:
+        print("--columns required to build", file=sys.stderr)
+        return 2
+    from .session import build_session
+
+    spark = build_session(app_name="mlk-bloom", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    kw = {}
+    if args.m:
+        kw["m"] = args.m
+    if args.k:
+        kw["k"] = args.k
+    path = B.build_bloom_index(
+        spark, args.table_path, args.columns.split(","), **kw
+    )
+    print(json.dumps(B.bloom_stats(args.table_path)))
+    print(f"wrote {path}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "kql":
         return kql_main(argv[1:])
+    if argv and argv[0] == "bloom":
+        return bloom_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .pipeline.orchestrate import MirrorPipeline
     from .session import build_session

@@ -40,7 +40,9 @@ def test_bloom_positions_jvm_python_identical(spark):
     """The JVM position expression and the Python read-side hash must
     agree bit-for-bit — string and integral renderings."""
     df = spark.createDataFrame(
-        [("hello",), ("w123",), ("",), ("it's",)], "v string"
+        [("hello",), ("w123",), ("",), ("it's",), ("héllo",),
+         ("日本語テキスト",), ("emoji 🙂🚀",)],
+        "v string",
     ).union(spark.createDataFrame([(str(x),) for x in (0, -7, 12345)], "v string"))
     rows = df.select(
         "v", F.expr(B._positions_sql("v", 8192, 6)).alias("ps")
@@ -142,3 +144,55 @@ def test_bloom_stats_observability(spark, tmp_path):
     B.build_bloom_index(spark, sink.path, ["word"])
     st = B.bloom_stats(sink.path)
     assert st["columns"] == ["word"] and st["indexed_files"] == 2
+
+
+# -- property: bloom pruning never produces a false negative ---------------
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+
+_word = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="'"),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    file_values=st.lists(
+        st.lists(_word, min_size=0, max_size=12), min_size=1, max_size=4
+    ),
+    probes=st.lists(_word, min_size=1, max_size=4),
+    m=st.sampled_from([64, 512, 2048]),
+    k=st.integers(1, 8),
+)
+def test_bloom_membership_no_false_negatives(file_values, probes, m, k):
+    """Pure-hash level (JVM equivalence pinned separately): any value
+    written into a file's bitmap must be admitted by might-contain,
+    for arbitrary unicode, m, and k."""
+    from mirror_lake_kusto_spark.sources.bloom import (
+        _bit_set,
+        _bitmap_b64,
+        _positions_py,
+    )
+    import base64
+
+    for values in file_values:
+        all_pos = [p for v in values for p in _positions_py(v, m, k)]
+        bitmap = base64.b64decode(_bitmap_b64(sorted(set(all_pos)), m))
+        for v in values + [p for p in probes if p in values]:
+            assert all(_bit_set(bitmap, p) for p in _positions_py(v, m, k))
+
+
+def test_bloom_cli_build_and_stats(spark, tmp_path, capsys):
+    from mirror_lake_kusto_spark.__main__ import main
+
+    sink = _sink_words(spark, tmp_path, "blcli", n_batches=2)
+    rc = main(["bloom", sink.path, "--columns", "word", "--m", "1024"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"indexed_files": 2' in out
+    rc = main(["bloom", sink.path, "--stats"])
+    assert rc == 0
+    assert '"m": 1024' in capsys.readouterr().out
