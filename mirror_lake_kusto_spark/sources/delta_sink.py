@@ -481,7 +481,12 @@ class DeltaSink:
                 )
         return self._commit(actions, operation="DELETE")
 
-    def merge(self, source: DataFrame, key_cols: Sequence[str]) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: Sequence[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Copy-on-write upsert (Delta's MERGE INTO with matched-update
         + not-matched-insert, keyed on ``key_cols``): files containing
         a matching key are rewritten with those rows replaced by the
@@ -594,6 +599,20 @@ class DeltaSink:
         actions.extend(
             self._stage_adds(inserts, data_change=True, skip_empty=True)
         )
+        if txn is not None:
+            # same idempotence contract as append(): the txn action
+            # rides the MERGE commit, so a replayed micro-batch can
+            # consult last_txn_version and skip (I3 exactly-once)
+            actions.insert(
+                0,
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": now,
+                    }
+                },
+            )
         return self._commit(actions, operation="MERGE")
 
     def optimize(
