@@ -881,3 +881,91 @@ class DeltaSink:
         from .delta_log import read_changes
 
         return read_changes(self.spark, self.path, from_version, to_version)
+
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint_interval: int = 10,
+    ) -> "DeltaSink":
+        """CONVERT TO DELTA: author a Delta log IN PLACE over an
+        existing plain-parquet directory (flat or hive-partitioned
+        ``k=v`` layout) — the public Delta migration entry point.
+
+        Data files are NOT rewritten or moved: the commit lists every
+        existing parquet file as an add action with full footer stats
+        (so data skipping works immediately), and hive partition
+        directories become Delta partition columns.  O(files) driver
+        metadata, zero data movement — which is the entire point at
+        100 TB: conversion cost is a directory walk plus one commit.
+        After conversion the table is a first-class engine citizen:
+        append/delete/merge/optimize/time-travel, a mirrorable source,
+        and a change-feed producer.
+
+        Mixed layouts (some files under ``k=v`` dirs, some not) raise —
+        a silent guess would scatter rows across wrong partitions.
+        """
+        if _list_versions(table_path):
+            raise ValueError(f"{table_path} is already a Delta table")
+        now = int(time.time() * 1000)
+        entries: list[tuple[str, dict]] = []  # (relpath, partitionValues)
+        part_keys: list[str] | None = None
+        for dirpath, dirs, names in os.walk(table_path):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            rel_dir = os.path.relpath(dirpath, table_path)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pv: dict[str, str] = {}
+            hive = all("=" in s for s in segs)
+            for s in segs if hive else []:
+                k, _, v = s.partition("=")
+                pv[k] = v
+            for name in sorted(names):
+                if not name.endswith(".parquet") or name.startswith("_"):
+                    continue
+                if segs and not hive:
+                    raise ValueError(
+                        f"non-hive nested layout at {rel_dir!r} — cannot "
+                        "infer partition values"
+                    )
+                keys = list(pv)
+                if part_keys is None:
+                    part_keys = keys
+                elif keys != part_keys:
+                    raise ValueError(
+                        f"inconsistent partition depth: {keys} vs "
+                        f"{part_keys}"
+                    )
+                entries.append(
+                    (os.path.join(*segs, name) if segs else name, pv)
+                )
+        if not entries:
+            raise ValueError(f"no parquet files under {table_path}")
+        # schema inference: Spark's reader resolves hive partition
+        # columns + data columns in one pass (types from dir values)
+        schema = spark.read.parquet(table_path).schema
+        sink = cls(
+            spark,
+            table_path,
+            partition_by=part_keys or (),
+            checkpoint_interval=checkpoint_interval,
+        )
+        sink._pending_schema = schema.json()
+        adds = []
+        for rel, pv in entries:
+            full = os.path.join(table_path, rel)
+            meta = pq.read_metadata(full)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(full),
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": file_stats_json(meta),
+                    }
+                }
+            )
+        sink._commit(adds, operation="CONVERT")
+        return sink

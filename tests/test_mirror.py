@@ -880,3 +880,112 @@ def test_target_zorder_compaction(spark, tmp_path):
     if total > 1:  # compaction target may coalesce to one file
         assert len(pruned.inputFiles()) < total
     assert sorted(r["id"] for r in pruned.collect()) == list(range(100))
+
+
+# -- CONVERT TO DELTA -------------------------------------------------------
+
+
+def test_convert_flat_parquet_dir(spark, tmp_path):
+    """In-place conversion: no data movement, footer stats recorded,
+    table becomes a first-class sink afterward."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    src = str(tmp_path / "plain")
+    spark.range(100).toDF("id").withColumn(
+        "w", F.concat(F.lit("x"), F.col("id"))
+    ).repartition(3).write.parquet(src)
+    sink = DeltaSink.convert(spark, src)
+    got = DL.read_snapshot(spark, sink.path)
+    assert got.count() == 100
+    assert sorted(got.columns) == ["id", "w"]
+    files = DL.snapshot_files(spark, sink.path)
+    assert len(files) == 3
+    import json as _json
+
+    st = _json.loads(files[0]["stats"])
+    assert "minValues" in st and st["numRecords"] > 0
+    # data skipping works immediately on the converted table
+    pruned = DL.read_snapshot(spark, sink.path, predicate="id = 5")
+    assert [r["id"] for r in pruned.collect()] == [5]
+    # and the table accepts normal writes + deletes afterward
+    sink2 = DeltaSink(spark, src)
+    sink2._pending_schema = got.schema.json()
+    sink2.delete("id >= 90")
+    assert DL.read_snapshot(spark, src).count() == 90
+
+
+def test_convert_hive_partitioned_dir(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    src = str(tmp_path / "hive")
+    (
+        spark.range(60)
+        .toDF("id")
+        .withColumn("part", (F.col("id") % 3).cast("int"))
+        .write.partitionBy("part")
+        .parquet(src)
+    )
+    sink = DeltaSink.convert(spark, src)
+    assert sink.partition_by == ["part"]
+    got = DL.read_snapshot(spark, sink.path)
+    assert got.count() == 60
+    assert set(got.columns) == {"id", "part"}
+    # partition pruning consumes the log's partitionValues
+    only1 = DL.read_snapshot(
+        spark, sink.path, partition_predicate="part = 1"
+    )
+    assert only1.count() == 20
+    assert {r["part"] for r in only1.collect()} == {1}
+
+
+def test_convert_rejects_bad_layouts(spark, tmp_path):
+    import pytest as _pytest
+
+    # already a Delta table
+    sink = DeltaSink(spark, str(tmp_path / "already"))
+    sink.append(spark.range(3).toDF("id"))
+    with _pytest.raises(ValueError, match="already a Delta"):
+        DeltaSink.convert(spark, sink.path)
+    # empty dir
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no parquet files"):
+        DeltaSink.convert(spark, str(empty))
+    # nested non-hive layout
+    import shutil as _shutil
+
+    messy = tmp_path / "messy"
+    spark.range(5).toDF("id").coalesce(1).write.parquet(str(messy / "sub"))
+    with _pytest.raises(ValueError, match="non-hive nested"):
+        DeltaSink.convert(spark, str(messy))
+
+
+def test_convert_then_mirror_sync(spark, tmp_path):
+    """The conversion payoff: any parquet directory becomes a
+    mirrorable Delta source with one metadata commit."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    src = str(tmp_path / "conv_src")
+    spark.range(40).toDF("id").withColumn(
+        "v", F.col("id") * 2
+    ).repartition(2).write.parquet(src)
+    DeltaSink.convert(spark, src)
+    p = MirrorPipeline(
+        spark,
+        src,
+        str(tmp_path / "conv_dst"),
+        str(tmp_path / "conv_state"),
+        table_name="conv",
+    )
+    results = p.run_until_idle()
+    assert results and results[0]["adds_staged"] == 2
+    got = DL.read_snapshot(spark, str(tmp_path / "conv_dst"))
+    assert got.count() == 40
+    assert sorted(r["v"] for r in got.collect())[:3] == [0, 2, 4]
