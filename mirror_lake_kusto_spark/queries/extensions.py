@@ -1402,3 +1402,107 @@ def embedding_random_projection(spark, sf_dir):
         for j, x in enumerate(_rp_exprs(lambda i: f"element_at(e, {i + 1})"))
     ]
     return e.select("vec_id", *cols)
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), freqs AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freqs
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(f.cnt * 1.0 / tot.total)), 4) AS avg_logprob
+    FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc="corpus-unigram log-probability per document (the CCNet-style "
+    "perplexity-proxy quality filter): one shuffle builds the unigram "
+    "model, one token-keyed join scores every doc.  Skewed tokens "
+    "('the') are harmless — map-side combine absorbs them in the "
+    "count, and the scoring join amplifies nothing (one model row per "
+    "token).  The model side is O(vocabulary); at 100 TB it stays a "
+    "table, never a driver structure",
+)
+def text_unigram_logprob(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    tot = freqs.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = toks.join(freqs, "tok").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+@query(
+    "text_tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * LN(n.n * 1.0 / df.df), 4) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="top-3 TF-IDF keywords per document: per-doc term counts (one "
+    "shuffle), document frequencies over the TF table (second "
+    "shuffle, already deduped per doc), broadcast corpus size, "
+    "per-doc window for the top-3 (partitions are doc-sized — never "
+    "a global sort).  Deterministic tiebreak on the token",
+)
+def text_tfidf_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
