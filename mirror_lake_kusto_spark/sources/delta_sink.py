@@ -522,6 +522,19 @@ class DeltaSink:
         if data_schema is None:
             # empty table: a merge is a plain first append
             return self.append(source)
+        # column-set guard: a wider source would write columns the
+        # table metadata doesn't record (readers silently drop them),
+        # a narrower one would null-fill on rewrite — both are silent
+        # drift; Delta's MERGE without autoMerge raises too
+        target_cols = set(types) | {f.name for f in data_schema.fields}
+        if set(source.columns) != target_cols:
+            extra = sorted(set(source.columns) - target_cols)
+            missing = sorted(target_cols - set(source.columns))
+            raise ValueError(
+                f"merge source schema mismatch: extra={extra} "
+                f"missing={missing} — project the source to the "
+                "target's columns first"
+            )
         groups = self._partition_groups()
 
         def inject(df, pv):

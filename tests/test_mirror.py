@@ -989,3 +989,23 @@ def test_convert_then_mirror_sync(spark, tmp_path):
     got = DL.read_snapshot(spark, str(tmp_path / "conv_dst"))
     assert got.count() == 40
     assert sorted(r["v"] for r in got.collect())[:3] == [0, 2, 4]
+
+
+def test_merge_rejects_schema_mismatch(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    sink = DeltaSink(spark, str(tmp_path / "mg_schema"))
+    sink.append(
+        spark.range(5).toDF("k").withColumn("v", F.lit("a"))
+    )
+    wider = (
+        spark.range(2).toDF("k")
+        .withColumn("v", F.lit("b"))
+        .withColumn("extra", F.lit(1))
+    )
+    with _pytest.raises(ValueError, match="extra=\\['extra'\\]"):
+        sink.merge(wider, ["k"])
+    narrower = spark.range(2).toDF("k")
+    with _pytest.raises(ValueError, match="missing=\\['v'\\]"):
+        sink.merge(narrower, ["k"])

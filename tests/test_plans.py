@@ -349,3 +349,13 @@ def test_random_projection_shuffle_free_jvm_side(spark):
     plan = _plan(spark, "embedding_random_projection")
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan.lower()
+
+
+def test_scoring_queries_broadcast_scalars_no_cartesian(spark):
+    """unigram/tfidf: the corpus-size scalar rides a broadcast; the
+    token join is a real shuffle join (model side is O(vocab), not
+    broadcastable in general) — and nothing expands cartesian."""
+    for name in ("text_unigram_logprob", "text_tfidf_keywords"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
