@@ -1213,7 +1213,15 @@ class KqlQuery:
                 raise KqlParseError(
                     f"invoke: missing argument {pname!r} for {fname}"
                 )
-            body = re.sub(r"\b" + re.escape(pname) + r"\b", f"({val})", body)
+            # substitute OUTSIDE string literals only (a literal
+            # containing the parameter name must survive verbatim);
+            # a body column sharing the name is shadowed by the
+            # parameter — declared names win in the function scope
+            body = _sub_outside_quotes(
+                re.compile(r"\b" + re.escape(pname) + r"\b"),
+                lambda _m, v=val: f"({v})",
+                body,
+            )
         saved = (self._lets.get(tab_name), self._let_cache.get(tab_name))
         self._lets[tab_name] = tab_name
         self._let_cache[tab_name] = frame.df

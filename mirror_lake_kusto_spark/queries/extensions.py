@@ -1222,7 +1222,15 @@ _MIX_M = 2147483647
 
 
 def _mix(a: int, b: int) -> str:
-    return f"((doc_id % {_MIX_M}) * {a} + {b}) % {_MIX_M}"
+    # ((id % M + M) % M) forces a NON-NEGATIVE residue in both engines
+    # (Spark and DuckDB % keep the dividend's sign, so a negative
+    # doc_id would otherwise make h negative and `h % 100 < 90` route
+    # every negative id to 'train'); for non-negative ids the value is
+    # identical to a plain doc_id % M
+    return (
+        f"(((doc_id % {_MIX_M}) + {_MIX_M}) % {_MIX_M} * {a} + {b})"
+        f" % {_MIX_M}"
+    )
 
 
 @query(

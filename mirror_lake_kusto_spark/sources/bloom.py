@@ -44,6 +44,7 @@ import base64
 import hashlib
 import json
 import os
+import urllib.parse
 from typing import Any
 
 import pyspark.sql.functions as F
@@ -143,6 +144,8 @@ def build_bloom_index(
             .parquet(*paths)
             .withColumn("_mlk_file", F.input_file_name())
         )
+        root = os.path.abspath(table_path)
+        known = {f["path"] for f in files}
         for c in columns:
             grouped = (
                 df.select(
@@ -153,15 +156,18 @@ def build_bloom_index(
                 .agg(F.collect_set("_p").alias("_ps"))
             )
             # one file's bitmap at a time on the driver.
-            # input_file_name() returns a URI; map back to the log's
-            # relative path by suffix match (paths are unique leaves)
-            by_suffix = {f["path"]: f["path"] for f in files}
+            # input_file_name() returns a percent-encoded URI; unquote
+            # and relativize against the table root for an O(1) match
+            # per row (a suffix scan would be O(files) each)
             for row in grouped.toLocalIterator():
-                uri = row["_mlk_file"]
-                rel = next(
-                    (p for p in by_suffix if uri.endswith("/" + p)), None
+                p = urllib.parse.unquote(row["_mlk_file"])
+                p = p[7:] if p.startswith("file://") else p.removeprefix(
+                    "file:"
                 )
-                if rel is None:
+                rel = os.path.relpath(
+                    os.path.abspath(p), root
+                ).replace(os.sep, "/")
+                if rel not in known:
                     continue  # not a snapshot file — never index it
                 file_maps.setdefault(rel, {})[c] = _bitmap_b64(
                     row["_ps"], m

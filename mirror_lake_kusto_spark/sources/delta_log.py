@@ -547,20 +547,16 @@ def read_snapshot(
         from .bloom import prune_files_bloom
         from .skipping import prune_files
 
+        pred_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         files = prune_files(
             files,
             predicate,
-            StructType.fromJson(json.loads(meta["schemaString"])),
+            pred_schema,
             list(meta.get("partitionColumns") or []),
         )
         # a Bloom sidecar (if built) additionally prunes equality/IN
         # lookups on high-cardinality columns; advisory and stale-safe
-        files = prune_files_bloom(
-            table_path,
-            files,
-            predicate,
-            StructType.fromJson(json.loads(meta["schemaString"])),
-        )
+        files = prune_files_bloom(table_path, files, predicate, pred_schema)
     if not files or meta is None:
         return spark.createDataFrame(
             [],
@@ -713,7 +709,15 @@ def _prune_partitions(
     if not part_cols:
         return files
     type_of = {f.name: f.dataType for f in schema.fields}
-    tuples = sorted({tuple((f["partitionValues"] or {}).get(c) for c in part_cols) for f in files})
+    tuples = sorted(
+        {
+            tuple((f["partitionValues"] or {}).get(c) for c in part_cols)
+            for f in files
+        },
+        # null partition values (hive default partition) sort last —
+        # a bare sorted() raises on None vs str
+        key=lambda t: tuple((v is None, v or "") for v in t),
+    )
     # raw strings ride along untyped so the kept-set keys match the
     # add-action partitionValues exactly (no cast-then-format drift)
     raw_cols = [f"_raw_{i}" for i in range(len(part_cols))]

@@ -520,8 +520,9 @@ class DeltaSink:
         now = int(time.time() * 1000)
         types, data_schema = self._data_schema()
         if data_schema is None:
-            # empty table: a merge is a plain first append
-            return self.append(source)
+            # empty table: a merge is a plain first append — the txn
+            # ledger entry must still ride it (I3 exactly-once)
+            return self.append(source, txn=txn)
         # column-set guard: a wider source would write columns the
         # table metadata doesn't record (readers silently drop them),
         # a narrower one would null-fill on rewrite — both are silent
@@ -928,11 +929,20 @@ class DeltaSink:
             dirs[:] = [d for d in dirs if not d.startswith("_")]
             rel_dir = os.path.relpath(dirpath, table_path)
             segs = [] if rel_dir == "." else rel_dir.split(os.sep)
-            pv: dict[str, str] = {}
+            pv: dict[str, str | None] = {}
             hive = all("=" in s for s in segs)
             for s in segs if hive else []:
                 k, _, v = s.partition("=")
-                pv[k] = v
+                # Spark percent-encodes special chars in hive dir
+                # values and writes nulls as the hive sentinel — undo
+                # both so the log records the REAL values
+                import urllib.parse as _up
+
+                pv[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _up.unquote(v)
+                )
             for name in sorted(names):
                 if not name.endswith(".parquet") or name.startswith("_"):
                     continue

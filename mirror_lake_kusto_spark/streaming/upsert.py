@@ -65,17 +65,26 @@ def foreach_batch_upsert(
     app_id: str,
     version_col: str | None = None,
     delete_col: str | None = None,
+    target_cols: Sequence[str] | None = None,
 ):
     """Build the idempotent foreachBatch apply function.
 
     Per batch: (1) skip outright if this batch id is already in the
     sink's txn ledger (crash replay); (2) reduce the batch to its
-    latest row per key (``version_col`` order, deterministic tiebreak);
-    (3) apply tombstones as a row-level delete; (4) MERGE the
-    remainder, committing the batch id in the SAME commit.  A crash
-    between (3) and (4) replays the delete — deleting already-absent
-    keys is a no-op — and then completes the merge, so the sequence is
-    idempotent end-to-end without a two-phase protocol."""
+    latest row per key (``version_col`` order, deterministic tiebreak;
+    without a version column exact-duplicate rows collapse, but true
+    key conflicts raise — there is no defensible winner, and a wedged
+    stream beats a silently wrong table); (3) apply tombstones as a
+    row-level delete; (4) MERGE the remainder, committing the batch id
+    in the SAME commit.  A crash between (3) and (4) replays the
+    delete — deleting already-absent keys is a no-op — and then
+    completes the merge, so the sequence is idempotent end-to-end
+    without a two-phase protocol.
+
+    ``target_cols`` pins the table's column set explicitly — REQUIRED
+    knowledge when the target may be empty (nothing to introspect):
+    without it, the first batch's bookkeeping columns would be baked
+    into the new table's schema."""
     from ..sources.delta_log import last_txn_version
 
     keys = list(key_cols)
@@ -95,6 +104,18 @@ def foreach_batch_upsert(
                 .filter(F.col("_mlk_rn") == 1)
                 .drop("_mlk_rn")
             )
+        else:
+            # identical replayed rows are harmless; conflicting rows
+            # for one key have no defined winner without a version
+            df = df.dropDuplicates()
+            dup = (
+                df.groupBy(*keys).count().filter(F.col("count") > 1)
+            )
+            if dup.limit(1).count():
+                raise ValueError(
+                    "batch has multiple conflicting rows per key and "
+                    "no version_col to order them — pass version_col"
+                )
         if delete_col is not None:
             tombs = df.filter(F.col(delete_col))
             df = df.filter(
@@ -116,20 +137,23 @@ def foreach_batch_upsert(
         # projection is by name against the sink's CURRENT schema; a
         # target column missing from the batch fails loudly (a silent
         # null-fill would corrupt the table)
-        meta = _latest_meta(sink)
-        if meta is not None:
-            import json as _json
+        cols = list(target_cols) if target_cols is not None else None
+        if cols is None:
+            meta = _latest_meta(sink)
+            if meta is not None:
+                import json as _json
 
-            target_cols = [
-                f["name"]
-                for f in _json.loads(meta["schemaString"])["fields"]
-            ]
-            missing = [c for c in target_cols if c not in df.columns]
+                cols = [
+                    f["name"]
+                    for f in _json.loads(meta["schemaString"])["fields"]
+                ]
+        if cols is not None:
+            missing = [c for c in cols if c not in df.columns]
             if missing:
                 raise ValueError(
                     f"batch is missing target columns {missing}"
                 )
-            df = df.select(*target_cols)
+            df = df.select(*cols)
         sink.merge(df, keys, txn=(app_id, batch_id))
 
     return apply
@@ -143,6 +167,7 @@ def upsert_stream(
     checkpoint_dir: str | None = None,
     version_col: str | None = None,
     delete_col: str | None = None,
+    target_cols: Sequence[str] | None = None,
     trigger: dict | None = None,
 ):
     """Wire ``stream_df`` into ``sink`` as an exactly-once keyed upsert.
@@ -151,6 +176,7 @@ def upsert_stream(
         foreach_batch_upsert(
             sink, key_cols, app_id,
             version_col=version_col, delete_col=delete_col,
+            target_cols=target_cols,
         )
     )
     if checkpoint_dir:

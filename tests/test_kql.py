@@ -1237,3 +1237,21 @@ def test_invoke_binding_restored_after_call(spark):
         tables={"t": df},
     ).collect()
     assert out[0]["m"] == 2
+
+
+def test_invoke_string_literals_survive_substitution(spark):
+    """A literal containing a parameter's name must not be rewritten."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(5,)], "x long")
+    out = kql(
+        spark,
+        """
+        let f = (T:(*), n:long) {
+            T | extend lbl = strcat('n=', tostring(n)) | where x >= n
+        };
+        t | invoke f(5)
+        """,
+        tables={"t": df},
+    ).collect()
+    assert out[0]["lbl"] == "n=5"

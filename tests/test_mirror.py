@@ -1009,3 +1009,28 @@ def test_merge_rejects_schema_mismatch(spark, tmp_path):
     narrower = spark.range(2).toDF("k")
     with _pytest.raises(ValueError, match="missing=\\['v'\\]"):
         sink.merge(narrower, ["k"])
+
+
+def test_convert_unescapes_hive_partition_values(spark, tmp_path):
+    """Spark percent-encodes special chars in hive dir names and writes
+    nulls as __HIVE_DEFAULT_PARTITION__ — conversion must store the
+    REAL values (and null) in the log."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    src = str(tmp_path / "hive_esc")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x:y"), (3, None)], "id long, part string"
+    )
+    df.write.partitionBy("part").parquet(src)
+    DeltaSink.convert(spark, src)
+    files = DL.snapshot_files(spark, src)
+    vals = {f["partitionValues"]["part"] for f in files}
+    assert vals == {"a b", "x:y", None}
+    got = DL.read_snapshot(spark, src)
+    assert {r["part"] for r in got.collect()} == {"a b", "x:y", None}
+    pruned = DL.read_snapshot(
+        spark, src, partition_predicate="part = 'a b'"
+    )
+    assert [r["id"] for r in pruned.collect()] == [1]

@@ -120,3 +120,41 @@ def test_upsert_stream_end_to_end_change_feed(spark, tmp_path):
         r["k"]: r["v"] for r in DL.read_snapshot(spark, tgt.path).collect()
     }
     assert got == {1: "a2", 3: "c"}
+
+
+def test_upsert_empty_target_records_txn(spark, tmp_path):
+    """First batch into an EMPTY table goes through the append path —
+    the txn ledger entry must still ride it, or a crash replay would
+    double-apply batch 0."""
+    sink = DeltaSink(spark, str(tmp_path / "t5"))
+    apply = foreach_batch_upsert(
+        sink, ["k"], "app5", version_col="ts", delete_col="is_delete",
+        target_cols=["k", "v"],
+    )
+    apply(_df(spark, [(1, "a", 1, False)]), 0)
+    assert DL.last_txn_version(spark, sink.path, "app5") == 0
+    apply(_df(spark, [(1, "XX", 9, False)]), 0)  # replay — must skip
+    assert _state(spark, sink) == {1: "a"}
+    # and the empty-target path did NOT bake bookkeeping columns in
+    cols = set(DL.read_snapshot(spark, sink.path).columns)
+    assert cols == {"k", "v"}
+
+
+def test_upsert_no_version_col_conflicts_raise(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "t6"))
+    sink.append(_df(spark, [], "k long, v string").select("k", "v"))
+    apply = foreach_batch_upsert(sink, ["k"], "app6")
+    # exact duplicates collapse silently
+    apply(
+        spark.createDataFrame([(1, "a"), (1, "a")], "k long, v string"), 0
+    )
+    assert _state(spark, sink) == {1: "a"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version_col"):
+        apply(
+            spark.createDataFrame(
+                [(2, "x"), (2, "y")], "k long, v string"
+            ),
+            1,
+        )
