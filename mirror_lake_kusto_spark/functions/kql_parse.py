@@ -1656,7 +1656,9 @@ class KqlQuery:
         return KqlFrame(frame.df.join(dim, keys, how))
 
     _TOP_NESTED_RE = re.compile(
-        r"^(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)\s+by\s+"
+        r"^(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)"
+        r"(?:\s+with\s+others\s*=\s*(?:'([^']*)'|\"([^\"]*)\"))?"
+        r"\s+by\s+"
         r"(?:([A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1676,12 +1678,14 @@ class KqlQuery:
             m = self._TOP_NESTED_RE.match(part)
             if not m:
                 raise KqlParseError(
-                    f"top-nested needs 'N of col by [name =] agg': {part!r}"
+                    f"top-nested needs 'N of col [with others = \"L\"] "
+                    f"by [name =] agg': {part!r}"
                 )
-            n, key, alias, agg = m.groups()
+            n, key, oth1, oth2, alias, agg = m.groups()
+            others = oth1 if oth1 is not None else oth2
             clauses.append(
                 (int(n), key, alias or f"aggregated_{key}",
-                 translate_expr(agg))
+                 translate_expr(agg), others)
             )
         keys = [c[1] for c in clauses]
         base = frame.df.groupBy(*keys).agg(
@@ -1690,8 +1694,8 @@ class KqlQuery:
         # re-aggregation per level: sum/count roll up by sum, min/max
         # by themselves; anything non-decomposable fails loudly
         _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-        out = base
-        for lvl, (n, key, alias, agg_sql) in enumerate(clauses):
+        fns = []
+        for n, key, alias, agg_sql, others in clauses:
             fn_name = re.match(r"\s*(\w+)", agg_sql).group(1).lower()
             if re.search(r"\bDISTINCT\b", agg_sql, re.IGNORECASE):
                 fn_name = "distinct"  # count(DISTINCT x) does not roll up
@@ -1700,20 +1704,53 @@ class KqlQuery:
                     f"top-nested supports sum/count/min/max aggregates: "
                     f"{agg_sql!r}"
                 )
-            lvl_keys = keys[: lvl + 1]
-            w_val = Window.partitionBy(*lvl_keys)
-            out = out.withColumn(f"__v{lvl}", _REAGG[fn_name](alias).over(w_val))
+            fns.append(_REAGG[fn_name])
+        out = base
+        for lvl, (n, key, alias, _agg_sql, others) in enumerate(clauses):
+            w_val = Window.partitionBy(*keys[: lvl + 1])
+            out = out.withColumn(f"__v{lvl}", fns[lvl](alias).over(w_val))
             w_rank = Window.partitionBy(*keys[:lvl]).orderBy(
                 F.desc(f"__v{lvl}"), F.col(key)
             )
-            out = out.withColumn(f"__r{lvl}", F.dense_rank().over(w_rank)).filter(
-                F.col(f"__r{lvl}") <= n
-            )
+            out = out.withColumn(f"__r{lvl}", F.dense_rank().over(w_rank))
+            if others is None:
+                out = out.filter(F.col(f"__r{lvl}") <= n)
+            else:
+                # `with others = "L"`: beyond-top keys collapse into one
+                # labeled bucket PER PARENT (the bucket then behaves as
+                # a regular group for deeper levels, Kusto semantics).
+                # The key column becomes string to carry the label.
+                out = out.withColumn(
+                    key,
+                    F.when(
+                        F.col(f"__r{lvl}") <= n,
+                        F.col(key).cast("string"),
+                    ).otherwise(F.lit(others)),
+                )
+                # collapse the relabeled duplicates; leaf aggregates
+                # roll up with each clause's own re-agg function
+                out = out.groupBy(*keys).agg(
+                    *[
+                        fns[j](clauses[j][2]).alias(clauses[j][2])
+                        for j in range(len(clauses))
+                    ]
+                )
+                # earlier levels' __v/__r were consumed by their own
+                # filters/relabels; recompute THIS level's value for
+                # ranks already applied — deeper levels recompute their
+                # own windows next iteration
+                for past in range(lvl + 1):
+                    out = out.withColumn(
+                        f"__v{past}",
+                        fns[past](clauses[past][2]).over(
+                            Window.partitionBy(*keys[: past + 1])
+                        ),
+                    )
         return KqlFrame(
             out.select(
                 *[
                     c
-                    for lvl, (n, key, alias, _) in enumerate(clauses)
+                    for lvl, (n, key, alias, _a, _o) in enumerate(clauses)
                     for c in (key, F.col(f"__v{lvl}").alias(alias))
                 ]
             )

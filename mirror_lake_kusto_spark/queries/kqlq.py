@@ -836,3 +836,36 @@ def kql_invoke_function(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "lineitem"),
     )
+
+
+@query(
+    "kql_top_nested_others",
+    """
+    WITH per AS (
+      SELECT l_returnflag AS flag,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_returnflag
+    ), ranked AS (
+      SELECT *, DENSE_RANK() OVER (ORDER BY qty DESC, flag ASC) AS rnk
+      FROM per
+    )
+    SELECT CASE WHEN rnk <= 2 THEN flag ELSE 'Other' END AS l_returnflag,
+           CAST(SUM(qty) AS BIGINT) AS qty
+    FROM ranked
+    GROUP BY CASE WHEN rnk <= 2 THEN flag ELSE 'Other' END
+    """,
+    doc="top-nested `with others = ...`: beyond-top keys collapse into "
+    "one labeled bucket whose aggregate is the rolled-up remainder "
+    "(Kusto's share-of-the-rest idiom; the bucket then behaves as a "
+    "regular group for deeper levels)",
+)
+def kql_top_nested_others(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        lineitem
+        | extend q = tolong(l_quantity)
+        | top-nested 2 of l_returnflag with others = 'Other' by qty = sum(q)
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )

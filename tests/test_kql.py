@@ -1255,3 +1255,25 @@ def test_invoke_string_literals_survive_substitution(spark):
         tables={"t": df},
     ).collect()
     assert out[0]["lbl"] == "n=5"
+
+
+def test_top_nested_with_others_nested_bucket(spark):
+    """The others bucket is a real group: deeper levels run inside it."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    rows = [
+        ("x", "a", 5), ("x", "b", 3), ("x", "c", 1),
+        ("y", "a", 9), ("y", "d", 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, k string, v long")
+    out = kql(
+        spark,
+        """
+        t
+        | top-nested 1 of g by gs = sum(v),
+          top-nested 1 of k with others = 'rest' by s = sum(v)
+        """,
+        tables={"t": df},
+    ).collect()
+    got = sorted((r["g"], r["gs"], r["k"], r["s"]) for r in out)
+    assert got == [("y", 11, "a", 9), ("y", 11, "rest", 2)]
