@@ -21,7 +21,9 @@ arrays)  order by / sort by  top  take / limit  count
 distinct  mv-expand  union  join kind=...  serialize (+ prev/next/
 row_cumsum/row_number over the order-by sort)  project-keep
 project-reorder  getschema  as  lookup (broadcast dimension join)
-top-nested (hierarchical top-k)  evaluate pivot  partition by
+top-nested (hierarchical top-k, incl. ``with others = "L"``
+labeled remainder buckets)  fork (multi-output legs over one input —
+``kql_multi`` returns the dict)  evaluate pivot  partition by
 (per-key subquery, 64-key legacy cap, raises past it)  facet by
 (stacked value-frequency rendering)  scan (condition-only sequence
 state machine: greedy-sequential with restart, funnel semantics;
@@ -977,7 +979,7 @@ class KqlQuery:
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
             r"|getschema|evaluate|top-nested|partition|facet|scan"
-            r"|render|parse-where|parse|search|invoke"
+            r"|render|parse-where|parse|search|invoke|fork"
             r"|sample-distinct|sample|top-hitters"
             r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
@@ -1176,6 +1178,57 @@ class KqlQuery:
                 rows, "ColumnName string, ColumnOrdinal int, ColumnType string"
             )
         )
+
+    def _op_fork(self, frame, rest):
+        """``| fork (subpipe) (name = (subpipe)) ...`` — runs each
+        parenthesized operator chain against the SAME incoming frame
+        and produces one result table per leg (Kusto's multi-output
+        operator).  The single-result ``kql()`` API cannot carry
+        multiple tables, so fork is only legal through ``kql_multi``;
+        there the legs become the result dict.  Each leg is a plain
+        declarative subplan over the shared input — Catalyst dedups
+        the common scan when the legs run in one job."""
+        results: dict[str, DataFrame] = {}
+        i, n, idx = 0, len(rest), 0
+        while i < n:
+            while i < n and rest[i].isspace():
+                i += 1
+            if i >= n:
+                break
+            if rest[i] != "(":
+                raise KqlParseError(f"fork legs must be parenthesized: {rest[i:]!r}")
+            depth, j = 0, i
+            while j < n:
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise KqlParseError("unbalanced parentheses in fork")
+            leg = rest[i + 1 : j].strip()
+            i = j + 1
+            idx += 1
+            m = re.match(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", leg, re.DOTALL
+            )
+            name = f"fork_{idx}"
+            if m and "==" not in leg[: leg.index("=") + 2]:
+                name, leg = m.group(1), m.group(2).strip()
+            if leg.startswith("(") and leg.endswith(")"):
+                leg = leg[1:-1].strip()
+            sub = KqlFrame(frame.df)
+            for op in _split_top(leg, "|"):
+                op = op.strip()
+                if op:
+                    sub = self._apply(sub, op)
+            results[name] = sub.df
+        if not results:
+            raise KqlParseError("fork needs at least one leg")
+        self._fork_results = results
+        return KqlFrame(next(iter(results.values())))
 
     def _op_invoke(self, frame, rest):
         """``| invoke f(args...)`` applies a lambda let-function whose
@@ -2132,4 +2185,30 @@ def kql(
             return tables[name]
         return spark.table(name)
 
-    return KqlQuery(resolve, spark=spark).run(text)
+    q = KqlQuery(resolve, spark=spark)
+    out = q.run(text)
+    if getattr(q, "_fork_results", None) and len(q._fork_results) > 1:
+        raise KqlParseError(
+            "query produced multiple fork results — use kql_multi()"
+        )
+    return out
+
+
+def kql_multi(
+    spark: SparkSession,
+    text: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Run a KQL query that may end in ``fork``: returns one DataFrame
+    per fork leg (named ``name =`` legs keep their names, unnamed legs
+    are ``fork_<i>``).  A fork-less query returns ``{"result": df}``."""
+
+    def resolve(name: str) -> DataFrame:
+        if tables and name in tables:
+            return tables[name]
+        return spark.table(name)
+
+    q = KqlQuery(resolve, spark=spark)
+    out = q.run(text)
+    forks = getattr(q, "_fork_results", None)
+    return dict(forks) if forks else {"result": out}

@@ -227,8 +227,11 @@ def test_parse_errors_are_loud(spark):
     # bag_unpack IS supported, but stays loud when the column has no JSON
     with pytest.raises(KqlParseError, match="no JSON objects found"):
         kql(spark, "t | evaluate bag_unpack(x)", tables={"t": df})
-    with pytest.raises(KqlParseError, match="unsupported operator"):
+    # fork is now supported — but the single-result API stays loud
+    with pytest.raises(KqlParseError, match="kql_multi"):
         kql(spark, "t | fork (where x > 0) (where x < 0)", tables={"t": df})
+    with pytest.raises(KqlParseError, match="unsupported operator"):
+        kql(spark, "t | consume", tables={"t": df})
     with pytest.raises(KqlParseError, match="top needs"):
         kql(spark, "t | top x", tables={"t": df})
     with pytest.raises(KqlParseError, match="source must be"):
@@ -1277,3 +1280,36 @@ def test_top_nested_with_others_nested_bucket(spark):
     ).collect()
     got = sorted((r["g"], r["gs"], r["k"], r["s"]) for r in out)
     assert got == [("y", 11, "a", 9), ("y", 11, "rest", 2)]
+
+
+def test_fork_multi_results(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+        kql_multi,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 5), ("a", 3)], "k string, v long"
+    )
+    out = kql_multi(
+        spark,
+        """
+        t
+        | fork
+            (where k == 'a' | summarize n = count())
+            (big = (where v >= 3 | project k, v))
+        """,
+        tables={"t": df},
+    )
+    assert set(out) == {"fork_1", "big"}
+    assert out["fork_1"].collect()[0]["n"] == 2
+    assert sorted((r["k"], r["v"]) for r in out["big"].collect()) == [
+        ("a", 3), ("b", 5)
+    ]
+    # the single-result API refuses multi-output queries loudly
+    with pytest.raises(KqlParseError, match="kql_multi"):
+        kql(spark, "t | fork (count) (project k)", tables={"t": df})
+    # fork-less kql_multi wraps the single result
+    single = kql_multi(spark, "t | count", tables={"t": df})
+    assert list(single) == ["result"]
