@@ -246,6 +246,38 @@ def bloom_main(argv: list[str]) -> int:
     return 0
 
 
+def convert_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="mirror-lake-kusto-spark convert",
+        description="CONVERT TO DELTA: author a Delta log in place over "
+        "an existing plain-parquet directory (flat or hive-partitioned) "
+        "— zero data movement; the table becomes mirrorable.",
+    )
+    ap.add_argument("table_path")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    from .session import build_session
+    from .sources import delta_log as DL
+    from .sources.delta_sink import DeltaSink
+
+    spark = build_session(app_name="mlk-convert", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sink = DeltaSink.convert(spark, args.table_path)
+    files = DL.snapshot_files(spark, sink.path)
+    print(
+        json.dumps(
+            {
+                "files": len(files),
+                "partition_by": sink.partition_by,
+                "rows": sum(f.get("numRecords") or 0 for f in files),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -253,6 +285,8 @@ def main(argv: list[str] | None = None) -> int:
         return kql_main(argv[1:])
     if argv and argv[0] == "bloom":
         return bloom_main(argv[1:])
+    if argv and argv[0] == "convert":
+        return convert_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .pipeline.orchestrate import MirrorPipeline
     from .session import build_session

@@ -1514,3 +1514,62 @@ def text_tfidf_keywords(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", "rnk")
     )
+
+
+@query(
+    "pipeline_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, t, unnest(range(0,
+               greatest(1, CAST(ceil((len(t) - 16) / 48.0) AS BIGINT) + 1)
+             )) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text,
+           CAST(least(64, len(t) - chunk_id * 48) AS BIGINT) AS n_tokens
+    FROM spans
+    WHERE chunk_id = 0 OR chunk_id * 48 + 16 < len(t)
+    """,
+    doc="RAG-style document chunking: fixed 64-token windows with "
+    "16-token overlap (stride 48), emitted by a JVM sequence+slice "
+    "expression — one narrow explode, no shuffle, no Python.  Chunk "
+    "count scales with corpus tokens/stride; each output row carries "
+    "(doc_id, chunk_id) lineage for exact join-back",
+)
+def pipeline_chunk_documents(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    size, stride = 64, 48
+    t = docs.select("doc_id", text.tokens("text").alias("t"))
+    # chunk ids 0..ceil((len-size)/stride); always at least one chunk
+    spans = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil((F.size("t") - 16) / stride).cast("long") + 1,
+                ),
+            )
+        ).alias("chunk_id"),
+    ).filter(
+        # a window whose fresh span (beyond the 16-token overlap) is
+        # empty would be fully contained in its predecessor — skip it
+        (F.col("chunk_id") == 0)
+        | (F.col("chunk_id") * stride + 16 < F.size("t"))
+    )
+    return spans.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("chunk_id") * stride + 1, size), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(size), F.size("t") - F.col("chunk_id") * stride
+        ).cast("long").alias("n_tokens"),
+    )

@@ -196,3 +196,32 @@ def test_bloom_cli_build_and_stats(spark, tmp_path, capsys):
     rc = main(["bloom", sink.path, "--stats"])
     assert rc == 0
     assert '"m": 1024' in capsys.readouterr().out
+
+
+def test_bloom_composes_with_zorder_optimize(spark, tmp_path):
+    """The intended 100 TB layout pipeline: OPTIMIZE ZORDER clusters
+    min/max ranges, a bloom REBUILD indexes the compacted files, and a
+    point lookup prunes through BOTH mechanisms with exact results."""
+    sink = _sink_words(spark, tmp_path, "blz", n_batches=6, rows=50)
+    sink.optimize(zorder_by=["id"])
+    B.build_bloom_index(spark, sink.path, ["word"], m=4096, k=5)
+    got = DL.read_snapshot(spark, sink.path, predicate="word = 'w123'")
+    assert [r["id"] for r in got.collect()] == [123]
+    st = B.bloom_stats(sink.path)
+    live = {f["path"] for f in DL.snapshot_files(spark, sink.path)}
+    assert st["indexed_files"] == len(live)
+
+
+def test_convert_cli(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.__main__ import main
+
+    src = str(tmp_path / "cliconv")
+    spark.range(30).toDF("id").withColumn(
+        "w", F.concat(F.lit("c"), F.col("id"))
+    ).repartition(2).write.parquet(src)
+    rc = main(["convert", src])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"files": 2' in out and '"rows": 30' in out
