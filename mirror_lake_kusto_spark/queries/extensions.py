@@ -1544,32 +1544,37 @@ def pipeline_chunk_documents(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     size, stride = 64, 48
     t = docs.select("doc_id", text.tokens("text").alias("t"))
-    # chunk ids 0..ceil((len-size)/stride); always at least one chunk
-    spans = t.select(
-        "doc_id",
-        "t",
-        F.explode(
+    # build the struct array (chunk_id, text, n_tokens) BEFORE the
+    # explode: slicing first means each output row carries only its
+    # own 64 tokens, never the whole document array — the explode
+    # would otherwise duplicate the full token array per chunk
+    # (chunks x doc-length memory amplification at corpus scale).
+    # A window whose fresh span (beyond the 16-token overlap) is
+    # empty would be fully contained in its predecessor — filtered.
+    chunks = F.filter(
+        F.transform(
             F.sequence(
                 F.lit(0),
                 F.greatest(
                     F.lit(1),
                     F.ceil((F.size("t") - 16) / stride).cast("long") + 1,
                 ),
-            )
-        ).alias("chunk_id"),
-    ).filter(
-        # a window whose fresh span (beyond the 16-token overlap) is
-        # empty would be fully contained in its predecessor — skip it
-        (F.col("chunk_id") == 0)
-        | (F.col("chunk_id") * stride + 16 < F.size("t"))
+            ),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(F.col("t"), i * stride + 1, size), " "
+                ).alias("chunk_text"),
+                F.least(
+                    F.lit(size), F.size("t") - i * stride
+                ).cast("long").alias("n_tokens"),
+            ),
+        ),
+        lambda c: (c["chunk_id"] == 0)
+        | (c["chunk_id"] * stride + 16 < F.size("t")),
     )
-    return spans.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.array_join(
-            F.slice(F.col("t"), F.col("chunk_id") * stride + 1, size), " "
-        ).alias("chunk_text"),
-        F.least(
-            F.lit(size), F.size("t") - F.col("chunk_id") * stride
-        ).cast("long").alias("n_tokens"),
+    return t.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
     )

@@ -359,3 +359,11 @@ def test_scoring_queries_broadcast_scalars_no_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_chunk_documents_no_array_carry_through_explode(spark):
+    """Chunks are sliced BEFORE the explode: the generator output must
+    not reference the full token array column after generation."""
+    plan = _plan(spark, "pipeline_chunk_documents")
+    assert "Exchange" not in plan  # narrow op end-to-end
+    assert "Generate" in plan
