@@ -1578,3 +1578,58 @@ def pipeline_chunk_documents(spark, sf_dir):
     ).select(
         "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
     )
+
+
+@query(
+    "pipeline_decontaminate_semantic",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS eval_id, emb AS qemb FROM e WHERE vec_id < 20),
+    c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 20),
+    scored AS (
+      SELECT c.vec_id,
+             list_dot_product(c.emb, q.qemb) /
+               (sqrt(list_dot_product(c.emb, c.emb)) *
+                sqrt(list_dot_product(q.qemb, q.qemb))) AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(MAX(sim), 4) AS max_sim,
+           ROUND(MAX(sim), 4) >= 0.6 AS contaminated
+    FROM scored GROUP BY vec_id
+    """,
+    doc="semantic benchmark decontamination: flag training vectors "
+    "whose cosine against ANY held-out eval vector clears the "
+    "threshold.  The eval set broadcasts (it is small by nature); the "
+    "training corpus streams through one narrow scoring pass + a "
+    "per-vector max — corpus never shuffles, cost is linear in "
+    "train x eval",
+)
+def pipeline_decontaminate_semantic(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    evals = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eval_id"), F.col("emb").alias("qemb")
+    )
+    train = e.filter(F.col("vec_id") >= 20)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = F.col("dp") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    scored = (
+        train.crossJoin(F.broadcast(evals))
+        .withColumn("dp", dot(F.col("emb"), F.col("qemb")))
+        .withColumn("na", dot(F.col("emb"), F.col("emb")))
+        .withColumn("nb", dot(F.col("qemb"), F.col("qemb")))
+        .select("vec_id", sim.alias("sim"))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.round(F.max("sim"), 4).alias("max_sim"),
+        (F.round(F.max("sim"), 4) >= 0.6).alias("contaminated"),
+    )

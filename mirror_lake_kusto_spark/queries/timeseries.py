@@ -436,3 +436,54 @@ def ts_series_anomalies(spark, sf_dir):
         "event_type", "idx", "n", "baseline", "residual",
         "ad_flag", "ad_score",
     )
+
+
+@query(
+    "ts_series_fit_line",
+    _ORACLE_GRID
+    + """
+    , idx AS (
+      SELECT event_type, total,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slot) - 1 AS DOUBLE)
+               AS x
+      FROM grid
+    )
+    SELECT event_type,
+           ROUND(regr_slope(total, x), 4) AS slope,
+           ROUND(regr_intercept(total, x), 4) AS intercept
+    FROM idx GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Kusto series_fit_line: least-squares trend over the regular "
+    "make-series grid (slope+intercept per key, x = slot index).  The "
+    "fit is a decomposable aggregate (regr_slope/regr_intercept) — "
+    "partial-aggregated map-side, one shuffle of per-key moments, "
+    "never a per-key collect",
+)
+def ts_series_fit_line(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    grid = make_series(
+        ev,
+        "ts",
+        {"total": F.sum("value")},
+        _START,
+        _STOP,
+        _STEP,
+        by=["event_type"],
+        defaults={"total": 0},
+    )
+    pts = grid.select(
+        "event_type", F.posexplode("total").alias("x", "y")
+    )
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("regr_slope(y, CAST(x AS DOUBLE))"), 4
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(y, CAST(x AS DOUBLE))"), 4
+            ).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )

@@ -367,3 +367,10 @@ def test_chunk_documents_no_array_carry_through_explode(spark):
     plan = _plan(spark, "pipeline_chunk_documents")
     assert "Exchange" not in plan  # narrow op end-to-end
     assert "Generate" in plan
+
+
+def test_semantic_decontamination_broadcasts_eval(spark):
+    plan = _plan(spark, "pipeline_decontaminate_semantic")
+    assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
+    assert "CartesianProduct" not in plan
+    assert "pythonUDF" not in plan.lower()  # pure JVM scoring
