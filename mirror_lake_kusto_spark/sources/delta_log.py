@@ -403,6 +403,59 @@ def coalesced_segment_local(
     return live_adds, live_removes
 
 
+class UnsupportedTableFeature(RuntimeError):
+    """The table's Delta protocol requires reader features this engine
+    does not implement (deletion vectors, column mapping, ...).
+    Reading anyway would return WRONG rows — e.g. a deletion-vector
+    table's deleted rows would silently resurface — so the read must
+    fail loudly instead.  Mirrors the reference's own throw on
+    unsupported log shapes (TransactionLogEntry.cs:341-342)."""
+
+
+def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
+    """Raise UnsupportedTableFeature unless the table's LATEST protocol
+    action (at or before ``upto``) is readable with basic reader
+    version 1.  Scans JSON commits newest-first (protocol upgrades are
+    appended, so the first hit going backward is the latest), falling
+    back to the checkpoint's protocol column; a table with no protocol
+    action anywhere is treated as version 1."""
+    versions = [
+        v
+        for v in list_commit_versions(table_path)
+        if upto is None or v <= upto
+    ]
+    ckpt = read_last_checkpoint(table_path)
+    use_ckpt = ckpt is not None and (upto is None or ckpt <= upto)
+    proto = None
+    for v in reversed(versions):
+        if use_ckpt and v <= ckpt:
+            break
+        for act in _read_commit(table_path, v):
+            if "protocol" in act:
+                proto = act["protocol"]
+                break
+        if proto is not None:
+            break
+    if proto is None and use_ckpt:
+        try:
+            protos = _checkpoint_column(table_path, ckpt, "protocol")
+        except Exception:
+            protos = []
+        for p in protos:
+            if p is not None:
+                proto = p
+    if proto is None:
+        return
+    reader = proto.get("minReaderVersion") or 1
+    features = list(proto.get("readerFeatures") or [])
+    if reader > 1 or features:
+        raise UnsupportedTableFeature(
+            f"table {table_path} requires minReaderVersion={reader} "
+            f"readerFeatures={features}; this engine implements basic "
+            "reader version 1 — reading anyway would return wrong rows"
+        )
+
+
 def snapshot_files(
     spark: SparkSession, table_path: str, upto: int | None = None
 ) -> list[dict[str, Any]]:
@@ -413,6 +466,7 @@ def snapshot_files(
     Driver fast path (checkpoint via pyarrow + JSON commits via json)
     when the log is driver-scale; the Spark replay remains the fallback
     for logs past _DRIVER_JSON_BYTES."""
+    check_protocol_supported(table_path, upto)
     try:
         return _snapshot_files_driver(table_path, upto)
     except _LogTooBig:
@@ -615,6 +669,7 @@ def read_changes(
     if the span predates the retained log or a removed file was
     vacuumed — silent under-reporting is the one failure mode an
     incremental consumer cannot detect."""
+    check_protocol_supported(table_path, to_version)
     versions = list_commit_versions(table_path)
     span = [
         v

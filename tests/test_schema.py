@@ -75,3 +75,40 @@ def test_columns_list():
         ]
     )
     assert spark_schema_to_kusto_columns(st) == [("a", "string"), ("b", "long")]
+
+
+def test_unsupported_protocol_raises(spark, tmp_path):
+    """A table requiring reader features this engine lacks (deletion
+    vectors, column mapping) must fail LOUDLY — reading anyway would
+    silently resurface deleted rows."""
+    import json
+    import os
+
+    import pytest
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    sink = DeltaSink(spark, str(tmp_path / "dvtable"))
+    sink.append(spark.range(10).toDF("id"))
+    # simulate a writer upgrading the table to deletion vectors
+    log = os.path.join(sink.path, "_delta_log")
+    with open(os.path.join(log, "%020d.json" % 1), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DL.UnsupportedTableFeature, match="deletionVectors"):
+        DL.snapshot_files(spark, sink.path)
+    with pytest.raises(DL.UnsupportedTableFeature):
+        DL.read_changes(spark, sink.path, 0)
+    # time travel BEFORE the upgrade still works
+    assert len(DL.snapshot_files(spark, sink.path, upto=0)) > 0
