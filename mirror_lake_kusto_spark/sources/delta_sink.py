@@ -454,17 +454,21 @@ class DeltaSink:
             probe = probes[0]
             for p in probes[1:]:
                 probe = probe.unionByName(p)
-            root = os.path.abspath(self.path)
-            hit_rels = set()
+            hit_abs = set()
             for r in probe.filter(predicate).select("_f").distinct().collect():
                 p = urllib.parse.unquote(r["_f"])
                 p = p[7:] if p.startswith("file://") else p.removeprefix("file:")
-                hit_rels.add(
-                    os.path.relpath(os.path.abspath(p), root).replace(os.sep, "/")
-                )
+                hit_abs.add(os.path.abspath(p))
+            # match on ABSOLUTE paths: stored paths are table-relative
+            # normally but absolute for shallow-cloned files, and
+            # os.path.join passes an absolute second arg through
             for key, paths in groups.items():
                 part_values = dict(key)
-                hit = [p for p in paths if p in hit_rels]
+                hit = [
+                    p
+                    for p in paths
+                    if os.path.abspath(os.path.join(self.path, p)) in hit_abs
+                ]
                 if not hit:
                     continue
                 actions.extend(
@@ -562,20 +566,23 @@ class DeltaSink:
             for p in probes[1:]:
                 probe = probe.unionByName(p)
             hits = probe.join(F.broadcast(src_keys), keys, "inner")
-            root = os.path.abspath(self.path)
-            hit_rels = set()
+            hit_abs = set()
             for r in hits.select("_f").distinct().collect():
                 p = urllib.parse.unquote(r["_f"])
                 p = p[7:] if p.startswith("file://") else p.removeprefix("file:")
-                hit_rels.add(
-                    os.path.relpath(os.path.abspath(p), root).replace(os.sep, "/")
-                )
+                hit_abs.add(os.path.abspath(p))
             # keys present in ANY affected file = the matched set
             matched_keys = hits.select(*keys).distinct()
             src_cols = source.columns
+            # absolute-path matching (see delete): shallow-cloned files
+            # are stored absolute and must still rewrite copy-on-write
             for key, paths in groups.items():
                 part_values = dict(key)
-                hit = [p for p in paths if p in hit_rels]
+                hit = [
+                    p
+                    for p in paths
+                    if os.path.abspath(os.path.join(self.path, p)) in hit_abs
+                ]
                 if not hit:
                     continue
                 pv = part_values
@@ -991,4 +998,61 @@ class DeltaSink:
                 }
             )
         sink._commit(adds, operation="CONVERT")
+        return sink
+
+    @classmethod
+    def shallow_clone(
+        cls,
+        spark: SparkSession,
+        source_path: str,
+        target_path: str,
+        version: int | None = None,
+        checkpoint_interval: int = 10,
+    ) -> "DeltaSink":
+        """SHALLOW CLONE (Delta's zero-copy table copy): the target's
+        first commit references the source snapshot's data files by
+        ABSOLUTE path — no data moves, the clone is writable
+        immediately, and source and clone evolve independently from
+        that point (copy-on-write delete/merge on the clone rewrite
+        into the clone's own directory; the source never changes).
+
+        ``version`` clones a historical snapshot (time-travel clone).
+
+        At 100 TB this is the dev/test/experiment idiom: a full-table
+        sandbox for the cost of one metadata commit.  Safety: the
+        clone's ``vacuum`` walks only the clone's directory, so it can
+        never delete source files; conversely vacuuming the SOURCE can
+        break clones that still reference removed files — the same
+        documented caveat as Delta's own shallow clones."""
+        if _list_versions(target_path):
+            raise ValueError(f"{target_path} is already a Delta table")
+        from .delta_log import latest_metadata, snapshot_files
+
+        files = snapshot_files(spark, source_path, upto=version)
+        meta = latest_metadata(spark, source_path, upto=version)
+        if meta is None:
+            raise ValueError(f"no Delta table at {source_path}")
+        sink = cls(
+            spark,
+            target_path,
+            partition_by=list(meta.get("partitionColumns") or []),
+            checkpoint_interval=checkpoint_interval,
+        )
+        sink._pending_schema = meta["schemaString"]
+        now = int(time.time() * 1000)
+        src_abs = os.path.abspath(source_path)
+        adds = [
+            {
+                "add": {
+                    "path": os.path.join(src_abs, f["path"]),
+                    "partitionValues": f.get("partitionValues") or {},
+                    "size": f.get("size"),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": f.get("stats"),
+                }
+            }
+            for f in files
+        ]
+        sink._commit(adds, operation="CLONE (shallow)")
         return sink

@@ -1034,3 +1034,57 @@ def test_convert_unescapes_hive_partition_values(spark, tmp_path):
         spark, src, partition_predicate="part = 'a b'"
     )
     assert [r["id"] for r in pruned.collect()] == [1]
+
+
+# -- SHALLOW CLONE ----------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    src = DeltaSink(spark, str(tmp_path / "cl_src"))
+    src.append(
+        spark.range(50).toDF("id").withColumn("v", F.col("id") * 2)
+    )
+    clone = DeltaSink.shallow_clone(
+        spark, src.path, str(tmp_path / "cl_tgt")
+    )
+    # zero data files under the clone, same rows readable
+    data_files = [
+        n
+        for _d, _s, fs in os.walk(clone.path)
+        for n in fs
+        if n.endswith(".parquet") and "_delta_log" not in _d
+    ]
+    assert data_files == []
+    assert DL.read_snapshot(spark, clone.path).count() == 50
+    # copy-on-write delete on the CLONE: source unchanged
+    clone2 = DeltaSink(spark, clone.path)
+    clone2._pending_schema = DL.read_snapshot(
+        spark, clone.path
+    ).schema.json()
+    clone2.delete("id < 10")
+    assert DL.read_snapshot(spark, clone.path).count() == 40
+    assert DL.read_snapshot(spark, src.path).count() == 50
+    # ...and appends to the source do not leak into the clone
+    src.append(spark.range(100, 110).toDF("id").withColumn("v", F.lit(0)))
+    assert DL.read_snapshot(spark, clone.path).count() == 40
+    # clone vacuum never touches source files
+    clone2.vacuum()
+    assert DL.read_snapshot(spark, src.path).count() == 60
+
+
+def test_shallow_clone_time_travel(spark, tmp_path):
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    src = DeltaSink(spark, str(tmp_path / "cl_tt_src"))
+    src.append(spark.range(10).toDF("id"))
+    src.append(spark.range(10, 30).toDF("id"))
+    clone = DeltaSink.shallow_clone(
+        spark, src.path, str(tmp_path / "cl_tt"), version=0
+    )
+    assert DL.read_snapshot(spark, clone.path).count() == 10
