@@ -41,7 +41,8 @@ own state checkpoint).
 Expression translation is a bounded token rewrite into Spark SQL:
 ``has`` (word-boundary term match) / ``!has``, ``contains`` /
 ``!contains`` (case-insensitive substring), ``startswith`` /
-``endswith``, ``matches regex``, ``strcat/strlen/tolower/toupper/
+``endswith``, their case-SENSITIVE ``_cs`` variants, ``=~`` / ``!~``
+(case-insensitive string equality), ``matches regex``, ``strcat/strlen/tolower/toupper/
 iif/iff``, ``tostring/tolong/toint/todouble/tobool/todatetime`` (casts),
 ``datetime(...)`` literals, ``ago(Nd|Nh|Nm|Ns)``, numeric ``bin(x, w)``
 AND datetime ``bin(ts, 1h)`` (epoch-aligned, timespan width), timespan
@@ -225,6 +226,30 @@ _STARTS_RE = re.compile(
 _MATCHES_RE = re.compile(
     r"(\S+)\s+matches\s+regex\s+('(?:[^']*)'|\"(?:[^\"]*)\")", re.IGNORECASE
 )
+# case-SENSITIVE variants (Kusto's _cs suffix; the unsuffixed forms are
+# case-insensitive per the docs)
+_HAS_CS_RE = re.compile(
+    r"(\S+)\s+(!?)has_cs\s+('(?:[^']*)'|\"(?:[^\"]*)\")", re.IGNORECASE
+)
+_CONTAINS_CS_RE = re.compile(
+    r"(\S+)\s+(!?)contains_cs\s+('(?:[^']*)'|\"(?:[^\"]*)\")", re.IGNORECASE
+)
+_STARTS_CS_RE = re.compile(
+    r"(\S+)\s+(!?)(startswith_cs|endswith_cs)\s+('(?:[^']*)'|\"(?:[^\"]*)\")",
+    re.IGNORECASE,
+)
+# case-insensitive string equality =~ / inequality !~
+_CIEQ_RE = re.compile(
+    r"(\S+)\s*(=~|!~)\s*('(?:[^']*)'|\"(?:[^\"]*)\"|\S+)"
+)
+
+
+def _term_pattern_cs(term: str) -> str:
+    return (
+        "(^|[^" + _WORD_RE[1:-1] + "])"
+        + re.escape(term)
+        + "($|[^" + _WORD_RE[1:-1] + "])"
+    )
 _AGO_RE = re.compile(r"\bago\s*\(\s*(\d+)\s*([dhms])\s*\)", re.IGNORECASE)
 _DT_RE = re.compile(r"\bdatetime\s*\(\s*([^()]*?)\s*\)", re.IGNORECASE)
 
@@ -428,6 +453,34 @@ def translate_expr(e: str) -> str:
         term = m.group(4)[1:-1].lower()
         return f"{neg}{fn}(lower({m.group(1)}), '{term}')"
 
+    def _has_cs(m: re.Match) -> str:
+        neg = "NOT " if m.group(2) else ""
+        term = m.group(3)[1:-1]
+        return f"{neg}({m.group(1)} RLIKE '{_term_pattern_cs(term)}')"
+
+    def _contains_cs(m: re.Match) -> str:
+        neg = "NOT " if m.group(2) else ""
+        return f"{neg}contains({m.group(1)}, {m.group(3)})"
+
+    def _startsends_cs(m: re.Match) -> str:
+        neg = "NOT " if m.group(2) else ""
+        fn = (
+            "startswith"
+            if m.group(3).lower().startswith("startswith")
+            else "endswith"
+        )
+        return f"{neg}{fn}({m.group(1)}, {m.group(4)})"
+
+    def _cieq(m: re.Match) -> str:
+        op = "=" if m.group(2) == "=~" else "!="
+        return f"(lower({m.group(1)}) {op} lower({m.group(3)}))"
+
+    # _cs and =~ forms first (their unsuffixed cousins' regexes require
+    # whitespace after the keyword, so there is no overlap either way)
+    e = _HAS_CS_RE.sub(_has_cs, e)
+    e = _CONTAINS_CS_RE.sub(_contains_cs, e)
+    e = _STARTS_CS_RE.sub(_startsends_cs, e)
+    e = _CIEQ_RE.sub(_cieq, e)
     e = _HAS_RE.sub(_has, e)
     e = _CONTAINS_RE.sub(_contains, e)
     e = _STARTS_RE.sub(_startsends, e)

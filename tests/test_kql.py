@@ -1313,3 +1313,29 @@ def test_fork_multi_results(spark):
     # fork-less kql_multi wraps the single result
     single = kql_multi(spark, "t | count", tables={"t": df})
     assert list(single) == ["result"]
+
+
+def test_case_sensitivity_operator_family(spark):
+    """Kusto's case rules: unsuffixed has/contains/startswith are
+    case-INsensitive, the _cs variants sensitive, and =~/!~ compare
+    strings case-insensitively."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("Hello World",), ("hello world",), ("HELLO planet",)],
+        "s string",
+    )
+
+    def run(q):
+        return sorted(
+            r["s"] for r in kql(spark, q, tables={"t": df}).collect()
+        )
+
+    assert len(run("t | where s has 'hello'")) == 3
+    assert run("t | where s has_cs 'hello'") == ["hello world"]
+    assert run("t | where s contains_cs 'Hello'") == ["Hello World"]
+    assert run("t | where s startswith_cs 'Hello'") == ["Hello World"]
+    assert run("t | where s =~ 'hello world'") == [
+        "Hello World", "hello world"
+    ]
+    assert run("t | where s !~ 'hello world'") == ["HELLO planet"]
