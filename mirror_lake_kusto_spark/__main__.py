@@ -278,6 +278,28 @@ def convert_main(argv: list[str]) -> int:
     return 0
 
 
+def vacuum_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="mirror-lake-kusto-spark vacuum",
+        description="Delete data files no longer referenced by the "
+        "current snapshot and truncate pre-checkpoint commits.  "
+        "Time travel past the truncation point stops working — "
+        "same contract as Delta's VACUUM.",
+    )
+    ap.add_argument("table_path")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    from .session import build_session
+    from .sources.delta_sink import DeltaSink
+
+    spark = build_session(app_name="mlk-vacuum", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(DeltaSink(spark, args.table_path).vacuum()))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -287,6 +309,8 @@ def main(argv: list[str] | None = None) -> int:
         return bloom_main(argv[1:])
     if argv and argv[0] == "convert":
         return convert_main(argv[1:])
+    if argv and argv[0] == "vacuum":
+        return vacuum_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .pipeline.orchestrate import MirrorPipeline
     from .session import build_session

@@ -67,3 +67,19 @@ def test_kql_subcommand_runs_query(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "k,n,mx"
     assert out[1:] == ["a,1,5", "b,1,9"]
+
+
+def test_vacuum_cli(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.__main__ import main
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    sink = DeltaSink(spark, str(tmp_path / "vac"), checkpoint_interval=2)
+    sink.append(spark.range(10).toDF("id").coalesce(1))
+    sink.append(spark.range(10, 20).toDF("id").coalesce(1))
+    sink.delete("id < 5")  # leaves an orphaned pre-image file
+    rc = main(["vacuum", sink.path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"data_files": 1' in out
