@@ -144,8 +144,14 @@ def build_bloom_index(
             .parquet(*paths)
             .withColumn("_mlk_file", F.input_file_name())
         )
-        root = os.path.abspath(table_path)
-        known = {f["path"] for f in files}
+        # map each file's ABSOLUTE location back to its stored path —
+        # stored paths are table-relative normally but absolute for
+        # shallow-cloned files, and the index must key by the stored
+        # path either way (prune_files_bloom looks up f["path"])
+        stored_by_abs = {
+            os.path.abspath(os.path.join(table_path, f["path"])): f["path"]
+            for f in files
+        }
         for c in columns:
             grouped = (
                 df.select(
@@ -164,10 +170,8 @@ def build_bloom_index(
                 p = p[7:] if p.startswith("file://") else p.removeprefix(
                     "file:"
                 )
-                rel = os.path.relpath(
-                    os.path.abspath(p), root
-                ).replace(os.sep, "/")
-                if rel not in known:
+                rel = stored_by_abs.get(os.path.abspath(p))
+                if rel is None:
                     continue  # not a snapshot file — never index it
                 file_maps.setdefault(rel, {})[c] = _bitmap_b64(
                     row["_ps"], m

@@ -225,3 +225,21 @@ def test_convert_cli(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"files": 2' in out and '"rows": 30' in out
+
+
+def test_bloom_on_shallow_clone(spark, tmp_path):
+    """A clone's files are stored by ABSOLUTE path — the index must
+    key them correctly and point lookups must prune on the clone."""
+    src = _sink_words(spark, tmp_path, "blclone_src", n_batches=4)
+    clone = DeltaSink.shallow_clone(
+        spark, src.path, str(tmp_path / "blclone")
+    )
+    B.build_bloom_index(spark, clone.path, ["word"], m=4096, k=5)
+    st = B.bloom_stats(clone.path)
+    assert st["indexed_files"] == 4
+    files = DL.snapshot_files(spark, clone.path)
+    schema = _schema(spark, clone)
+    kept = B.prune_files_bloom(clone.path, files, "word = 'w137'", schema)
+    assert len(kept) < len(files)
+    got = DL.read_snapshot(spark, clone.path, predicate="word = 'w137'")
+    assert [r["id"] for r in got.collect()] == [137]
