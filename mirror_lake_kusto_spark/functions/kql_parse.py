@@ -65,7 +65,10 @@ array_reverse/strcat_array/bag_keys``, ``repeat`` (array) vs
 tostring/base64_decode_tostring``, ``toreal/todecimal`` casts,
 ``datetime_add/datetime_part``, ``monthofyear``,
 ``unixtime_{seconds,milliseconds,microseconds}_todatetime``,
-``string_size``.  Anything outside
+``string_size``; and the second round-3 batch: ``array_sum`` /
+``array_avg``, ``hash_sha256`` / ``hash_md5``, ``strcmp``, ``exp10`` /
+``exp2``, ``isinf`` / ``isfinite``, ``url_encode`` / ``url_decode``
+(pass-through), ``parse_url`` (-> JSON property bag).  Anything outside
 the dialect raises ``KqlParseError`` naming the verb — no silent
 misreads.
 
@@ -615,6 +618,66 @@ def translate_expr(e: str) -> str:
         lambda a: f"xxhash64({a[0]})"
         if len(a) == 1
         else f"pmod(xxhash64({a[0]}), {a[1]})",
+    )
+    # scalar batch: array math, crypto hashes, string compare, url bag
+    e = _rewrite_calls(
+        e,
+        "array_sum",
+        lambda a: f"aggregate({a[0]}, 0D, (acc, v) -> acc + v)",
+    )
+    e = _rewrite_calls(
+        e,
+        "array_avg",
+        lambda a: f"(aggregate({a[0]}, 0D, (acc, v) -> acc + v)"
+        f" / size({a[0]}))",
+    )
+    e = _rewrite_calls(
+        e, "hash_sha256", lambda a: f"sha2(CAST({a[0]} AS STRING), 256)"
+    )
+    e = _rewrite_calls(
+        e, "hash_md5", lambda a: f"md5(CAST({a[0]} AS STRING))"
+    )
+    e = _rewrite_calls(
+        e,
+        "strcmp",
+        lambda a: f"(CASE WHEN {a[0]} < {a[1]} THEN -1 "
+        f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END)",
+    )
+    e = _rewrite_calls(e, "exp10", lambda a: f"power(10, {a[0]})")
+    e = _rewrite_calls(e, "exp2", lambda a: f"power(2, {a[0]})")
+    e = _rewrite_calls(
+        e, "isinf", lambda a: f"(abs({a[0]}) = double('Infinity'))"
+    )
+    e = _rewrite_calls(
+        e,
+        "isfinite",
+        lambda a: f"(NOT isnan({a[0]}) "
+        f"AND abs({a[0]}) != double('Infinity'))",
+    )
+    # Kusto parse_url returns a property bag; rendered as the JSON the
+    # rest of the dynamic toolkit consumes (extractjson/bag access)
+    e = _rewrite_calls(
+        e,
+        "parse_url",
+        # 1-arg = Kusto's bag form; 2-arg = already Spark's component
+        # form, pass through.  The replacement contains parse_url( —
+        # self_referential scans past it (plain mode would loop)
+        lambda a: (
+            "to_json(named_struct("
+            f"'Scheme', parse_url({a[0]}, 'PROTOCOL'), "
+            f"'Host', parse_url({a[0]}, 'HOST'), "
+            # Spark parse_url has no PORT part — peel it off AUTHORITY
+            # (host:port); portless authorities nullif away
+            f"'Port', nullif(substring_index("
+            f"parse_url({a[0]}, 'AUTHORITY'), ':', -1), "
+            f"parse_url({a[0]}, 'HOST')), "
+            f"'Path', parse_url({a[0]}, 'PATH'), "
+            f"'Query', parse_url({a[0]}, 'QUERY'), "
+            f"'Fragment', parse_url({a[0]}, 'REF')))"
+        )
+        if len(a) == 1
+        else f"parse_url({', '.join(a)})",
+        self_referential=True,
     )
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
     # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)

@@ -1339,3 +1339,38 @@ def test_case_sensitivity_operator_family(spark):
         "Hello World", "hello world"
     ]
     assert run("t | where s !~ 'hello world'") == ["HELLO planet"]
+
+
+def test_scalar_batch_round3b(spark):
+    """array math, crypto hashes, strcmp, url bag, exp10, isfinite."""
+    import hashlib
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], "b", "https://h.example:8080/p/q?x=1#frag")],
+        "xs array<double>, s string, u string",
+    )
+    out = kql(
+        spark,
+        """
+        t
+        | extend total = array_sum(xs), mean = array_avg(xs),
+                 sha = hash_sha256(s), cmp1 = strcmp('a', s),
+                 cmp2 = strcmp(s, s), e10 = exp10(2.0),
+                 fin = isfinite(1.5), inf = isinf(1.5),
+                 enc = url_encode('a b'), dec = url_decode('a%20b'),
+                 bag = parse_url(u)
+        | project total, mean, sha, cmp1, cmp2, e10, fin, inf, enc, dec,
+                  host = extractjson('$.Host', bag),
+                  port = extractjson('$.Port', bag)
+        """,
+        tables={"t": df},
+    ).collect()[0]
+    assert out["total"] == 6.0 and out["mean"] == 2.0
+    assert out["sha"] == hashlib.sha256(b"b").hexdigest()
+    assert (out["cmp1"], out["cmp2"]) == (-1, 0)
+    assert out["e10"] == 100.0
+    assert out["fin"] is True and out["inf"] is False
+    assert out["enc"] == "a+b" and out["dec"] == "a b"
+    assert out["host"] == "h.example" and out["port"] == "8080"
