@@ -242,9 +242,54 @@ _STARTS_CS_RE = re.compile(
     re.IGNORECASE,
 )
 # case-insensitive string equality =~ / inequality !~
-_CIEQ_RE = re.compile(
-    r"(\S+)\s*(=~|!~)\s*('(?:[^']*)'|\"(?:[^\"]*)\"|\S+)"
-)
+_CIEQ_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+def _rewrite_cieq(e: str) -> str:
+    """Rewrite ``a =~ b`` / ``a !~ b`` -> lower() comparison with a
+    quote-aware scan: an operator inside a string literal survives, and
+    operands are strictly identifiers or quoted literals (a bare \\S+
+    would swallow surrounding punctuation — ``iif(name =~ 'x', ...)``
+    must capture ``name``, not ``iif(name``)."""
+    out: list[str] = []
+    i, n = 0, len(e)
+    while i < n:
+        ch = e[i]
+        if ch in "'\"":
+            j = e.find(ch, i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(e[i : j + 1])
+            i = j + 1
+            continue
+        if e.startswith(("=~", "!~"), i):
+            op = e[i : i + 2]
+            left = "".join(out)
+            lm = re.search(
+                r"(" + _CIEQ_IDENT + r"|'(?:[^']*)')\s*$", left
+            )
+            j = i + 2
+            while j < n and e[j].isspace():
+                j += 1
+            rhs = None
+            if e[j : j + 1] == "'":
+                k = e.find("'", j + 1)
+                if k >= 0:
+                    rhs, jend = e[j : k + 1], k + 1
+            else:
+                rm = re.match(_CIEQ_IDENT, e[j:])
+                if rm:
+                    rhs, jend = rm.group(0), j + rm.end()
+            if lm and rhs is not None:
+                cmp_op = "=" if op == "=~" else "!="
+                out = [
+                    left[: lm.start(1)],
+                    f"(lower({lm.group(1)}) {cmp_op} lower({rhs}))",
+                ]
+                i = jend
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _term_pattern_cs(term: str) -> str:
@@ -253,6 +298,15 @@ def _term_pattern_cs(term: str) -> str:
         + re.escape(term)
         + "($|[^" + _WORD_RE[1:-1] + "])"
     )
+
+
+def _sql_regex(pattern: str) -> str:
+    """Embed a regex in a Spark SQL single-quoted literal: the SQL
+    parser consumes one level of backslash escaping (default
+    ``escapedStringLiterals=false``), so every backslash must double —
+    otherwise ``re.escape``'s protection evaporates and term
+    metacharacters go live (``has 'a.b'`` matching 'aXb')."""
+    return pattern.replace("\\", "\\\\")
 _AGO_RE = re.compile(r"\bago\s*\(\s*(\d+)\s*([dhms])\s*\)", re.IGNORECASE)
 _DT_RE = re.compile(r"\bdatetime\s*\(\s*([^()]*?)\s*\)", re.IGNORECASE)
 
@@ -383,7 +437,7 @@ def _rewrite_has_any_all(e: str) -> str:
             if not (a.startswith(("'", '"')) and a.endswith(("'", '"'))):
                 raise KqlParseError(f"has_{m.group(2)} needs string literals")
             parts.append(
-                f"({m.group(1)} RLIKE '{_term_pattern(a[1:-1])}')"
+                f"({m.group(1)} RLIKE '{_sql_regex(_term_pattern(a[1:-1]))}')"
             )
         repl = "(" + joiner.join(parts) + ")"
         e = e[: m.start()] + repl + e[end:]
@@ -443,7 +497,7 @@ def translate_expr(e: str) -> str:
     def _has(m: re.Match) -> str:
         neg = "NOT " if m.group(2) else ""
         term = m.group(3)[1:-1]
-        return f"{neg}({m.group(1)} RLIKE '{_term_pattern(term)}')"
+        return f"{neg}({m.group(1)} RLIKE '{_sql_regex(_term_pattern(term))}')"
 
     def _contains(m: re.Match) -> str:
         neg = "NOT " if m.group(2) else ""
@@ -459,7 +513,7 @@ def translate_expr(e: str) -> str:
     def _has_cs(m: re.Match) -> str:
         neg = "NOT " if m.group(2) else ""
         term = m.group(3)[1:-1]
-        return f"{neg}({m.group(1)} RLIKE '{_term_pattern_cs(term)}')"
+        return f"{neg}({m.group(1)} RLIKE '{_sql_regex(_term_pattern_cs(term))}')"
 
     def _contains_cs(m: re.Match) -> str:
         neg = "NOT " if m.group(2) else ""
@@ -474,16 +528,12 @@ def translate_expr(e: str) -> str:
         )
         return f"{neg}{fn}({m.group(1)}, {m.group(4)})"
 
-    def _cieq(m: re.Match) -> str:
-        op = "=" if m.group(2) == "=~" else "!="
-        return f"(lower({m.group(1)}) {op} lower({m.group(3)}))"
-
     # _cs and =~ forms first (their unsuffixed cousins' regexes require
     # whitespace after the keyword, so there is no overlap either way)
     e = _HAS_CS_RE.sub(_has_cs, e)
     e = _CONTAINS_CS_RE.sub(_contains_cs, e)
     e = _STARTS_CS_RE.sub(_startsends_cs, e)
-    e = _CIEQ_RE.sub(_cieq, e)
+    e = _rewrite_cieq(e)
     e = _HAS_RE.sub(_has, e)
     e = _CONTAINS_RE.sub(_contains, e)
     e = _STARTS_RE.sub(_startsends, e)
@@ -640,7 +690,9 @@ def translate_expr(e: str) -> str:
     e = _rewrite_calls(
         e,
         "strcmp",
-        lambda a: f"(CASE WHEN {a[0]} < {a[1]} THEN -1 "
+        # null propagates (a bare ELSE would report null args as 1)
+        lambda a: f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL THEN "
+        f"CAST(NULL AS INT) WHEN {a[0]} < {a[1]} THEN -1 "
         f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END)",
     )
     e = _rewrite_calls(e, "exp10", lambda a: f"power(10, {a[0]})")
@@ -923,6 +975,14 @@ class KqlQuery:
         frame = KqlFrame(self._source(stages[0]))
         try:
             for op in stages[1:]:
+                if getattr(self, "_fork_results", None):
+                    # Kusto rejects operators after fork; silently
+                    # applying them to one leg would drop them from
+                    # the others
+                    raise KqlParseError(
+                        f"operators after fork are not supported: "
+                        f"{op.strip()!r}"
+                    )
                 frame = self._apply(frame, op.strip())
         finally:
             self._src_name = prev_name
@@ -1304,6 +1364,8 @@ class KqlQuery:
         there the legs become the result dict.  Each leg is a plain
         declarative subplan over the shared input — Catalyst dedups
         the common scan when the legs run in one job."""
+        if getattr(self, "_fork_results", None):
+            raise KqlParseError("nested fork is not supported")
         results: dict[str, DataFrame] = {}
         i, n, idx = 0, len(rest), 0
         while i < n:
@@ -1311,13 +1373,29 @@ class KqlQuery:
                 i += 1
             if i >= n:
                 break
+            # Kusto's documented named-leg form: name = (subquery)
+            name = None
+            nm = re.match(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*\(", rest[i:]
+            )
+            if nm:
+                name = nm.group(1)
+                i += nm.end() - 1  # position on the '('
             if rest[i] != "(":
-                raise KqlParseError(f"fork legs must be parenthesized: {rest[i:]!r}")
+                raise KqlParseError(
+                    f"fork legs must be parenthesized: {rest[i:]!r}"
+                )
+            # matching paren, skipping quoted literals (a ')' inside a
+            # string must not close the leg)
             depth, j = 0, i
             while j < n:
-                if rest[j] == "(":
+                c = rest[j]
+                if c in "'\"":
+                    k = rest.find(c, j + 1)
+                    j = (n - 1) if k < 0 else k
+                elif c == "(":
                     depth += 1
-                elif rest[j] == ")":
+                elif c == ")":
                     depth -= 1
                     if depth == 0:
                         break
@@ -1327,12 +1405,13 @@ class KqlQuery:
             leg = rest[i + 1 : j].strip()
             i = j + 1
             idx += 1
-            m = re.match(
-                r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", leg, re.DOTALL
-            )
-            name = f"fork_{idx}"
-            if m and "==" not in leg[: leg.index("=") + 2]:
-                name, leg = m.group(1), m.group(2).strip()
+            if name is None:
+                m = re.match(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", leg, re.DOTALL
+                )
+                name = f"fork_{idx}"
+                if m and "==" not in leg[: leg.index("=") + 2]:
+                    name, leg = m.group(1), m.group(2).strip()
             if leg.startswith("(") and leg.endswith(")"):
                 leg = leg[1:-1].strip()
             sub = KqlFrame(frame.df)
@@ -1875,10 +1954,23 @@ class KqlQuery:
                 )
             fns.append(_REAGG[fn_name])
         out = base
+        # per-level "is the others bucket" markers: a GENUINE key value
+        # that string-equals the label must stay a separate row (Kusto
+        # keeps both), so grouping and windows key on (value, marker)
+        markers: dict[int, str] = {}
+
+        def _part(upto: int) -> list:
+            cols: list = []
+            for p in range(upto):
+                cols.append(keys[p])
+                if p in markers:
+                    cols.append(markers[p])
+            return cols
+
         for lvl, (n, key, alias, _agg_sql, others) in enumerate(clauses):
-            w_val = Window.partitionBy(*keys[: lvl + 1])
+            w_val = Window.partitionBy(*_part(lvl + 1))
             out = out.withColumn(f"__v{lvl}", fns[lvl](alias).over(w_val))
-            w_rank = Window.partitionBy(*keys[:lvl]).orderBy(
+            w_rank = Window.partitionBy(*_part(lvl)).orderBy(
                 F.desc(f"__v{lvl}"), F.col(key)
             )
             out = out.withColumn(f"__r{lvl}", F.dense_rank().over(w_rank))
@@ -1889,7 +1981,10 @@ class KqlQuery:
                 # labeled bucket PER PARENT (the bucket then behaves as
                 # a regular group for deeper levels, Kusto semantics).
                 # The key column becomes string to carry the label.
+                markers[lvl] = f"__o{lvl}"
                 out = out.withColumn(
+                    markers[lvl], F.col(f"__r{lvl}") > n
+                ).withColumn(
                     key,
                     F.when(
                         F.col(f"__r{lvl}") <= n,
@@ -1898,7 +1993,7 @@ class KqlQuery:
                 )
                 # collapse the relabeled duplicates; leaf aggregates
                 # roll up with each clause's own re-agg function
-                out = out.groupBy(*keys).agg(
+                out = out.groupBy(*_part(len(keys))).agg(
                     *[
                         fns[j](clauses[j][2]).alias(clauses[j][2])
                         for j in range(len(clauses))
@@ -1912,7 +2007,7 @@ class KqlQuery:
                     out = out.withColumn(
                         f"__v{past}",
                         fns[past](clauses[past][2]).over(
-                            Window.partitionBy(*keys[: past + 1])
+                            Window.partitionBy(*_part(past + 1))
                         ),
                     )
         return KqlFrame(

@@ -412,6 +412,10 @@ class UnsupportedTableFeature(RuntimeError):
     unsupported log shapes (TransactionLogEntry.cs:341-342)."""
 
 
+#: (abs table path, head version, upto) triples already verified OK
+_PROTOCOL_OK: set[tuple] = set()
+
+
 def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
     """Raise UnsupportedTableFeature unless the table's LATEST protocol
     action (at or before ``upto``) is readable with basic reader
@@ -424,6 +428,10 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
         for v in list_commit_versions(table_path)
         if upto is None or v <= upto
     ]
+    head = versions[-1] if versions else -1
+    cache_key = (os.path.abspath(table_path), head, upto)
+    if cache_key in _PROTOCOL_OK:
+        return
     ckpt = read_last_checkpoint(table_path)
     use_ckpt = ckpt is not None and (upto is None or ckpt <= upto)
     proto = None
@@ -439,21 +447,34 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
     if proto is None and use_ckpt:
         try:
             protos = _checkpoint_column(table_path, ckpt, "protocol")
-        except Exception:
-            protos = []
+        except Exception as exc:
+            # fail CLOSED: an unreadable protocol column on a table
+            # whose JSON history no longer carries the protocol action
+            # is exactly the foreign-table shape this guard exists for
+            raise UnsupportedTableFeature(
+                f"table {table_path}: cannot determine the protocol "
+                f"(checkpoint protocol column unreadable: {exc}) — "
+                "refusing to read blind"
+            ) from exc
         for p in protos:
             if p is not None:
                 proto = p
-    if proto is None:
-        return
-    reader = proto.get("minReaderVersion") or 1
-    features = list(proto.get("readerFeatures") or [])
-    if reader > 1 or features:
-        raise UnsupportedTableFeature(
-            f"table {table_path} requires minReaderVersion={reader} "
-            f"readerFeatures={features}; this engine implements basic "
-            "reader version 1 — reading anyway would return wrong rows"
-        )
+    if proto is not None:
+        reader = proto.get("minReaderVersion") or 1
+        features = list(proto.get("readerFeatures") or [])
+        if reader > 1 or features:
+            raise UnsupportedTableFeature(
+                f"table {table_path} requires minReaderVersion={reader} "
+                f"readerFeatures={features}; this engine implements "
+                "basic reader version 1 — reading anyway would return "
+                "wrong rows"
+            )
+    # cache the OK verdict per (table, head) — the guard otherwise
+    # re-parses every post-checkpoint commit on each read; a new
+    # commit changes `head` and invalidates naturally
+    _PROTOCOL_OK.add(cache_key)
+    if len(_PROTOCOL_OK) > 4096:
+        _PROTOCOL_OK.clear()
 
 
 def snapshot_files(

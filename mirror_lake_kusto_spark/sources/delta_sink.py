@@ -1041,18 +1041,24 @@ class DeltaSink:
         sink._pending_schema = meta["schemaString"]
         now = int(time.time() * 1000)
         src_abs = os.path.abspath(source_path)
-        adds = [
-            {
-                "add": {
-                    "path": os.path.join(src_abs, f["path"]),
-                    "partitionValues": f.get("partitionValues") or {},
-                    "size": f.get("size"),
-                    "modificationTime": now,
-                    "dataChange": True,
-                    "stats": f.get("stats"),
+        adds = []
+        for f in files:
+            stats = f.get("stats")
+            if not stats and f.get("numRecords") is not None:
+                # legacy count-only files: keep the row count so the
+                # clone's skipping/observability paths see it
+                stats = json.dumps({"numRecords": f["numRecords"]})
+            adds.append(
+                {
+                    "add": {
+                        "path": os.path.join(src_abs, f["path"]),
+                        "partitionValues": f.get("partitionValues") or {},
+                        "size": f.get("size"),
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
                 }
-            }
-            for f in files
-        ]
+            )
         sink._commit(adds, operation="CLONE (shallow)")
         return sink

@@ -1374,3 +1374,87 @@ def test_scalar_batch_round3b(spark):
     assert out["fin"] is True and out["inf"] is False
     assert out["enc"] == "a+b" and out["dec"] == "a b"
     assert out["host"] == "h.example" and out["port"] == "8080"
+
+
+def test_has_metacharacters_are_literal(spark):
+    """Term operators must treat regex metacharacters as literal text
+    (the SQL literal layer eats one level of backslashes — pinned)."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("a.b",), ("aXb",), ("f(x) call",), ("fx call",)], "s string"
+    )
+    t = {"t": df}
+    assert [
+        r["s"] for r in kql(spark, "t | where s has 'a.b'", tables=t).collect()
+    ] == ["a.b"]
+    assert [
+        r["s"]
+        for r in kql(spark, "t | where s has_cs 'f(x)'", tables=t).collect()
+    ] == ["f(x) call"]
+
+
+def test_cieq_quote_aware_and_operand_strict(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("Hello", "A =~ B"), ("world", "x")], "s string, lit string"
+    )
+    t = {"t": df}
+    # =~ inside a function call captures the identifier, not 'iif(name'
+    out = kql(
+        spark, "t | extend f = iif(s =~ 'HELLO', 1, 0) | project f", tables=t
+    ).collect()
+    assert [r["f"] for r in out] == [1, 0]
+    # '=~' inside a string literal survives untouched
+    assert [
+        r["s"]
+        for r in kql(spark, "t | where lit == 'A =~ B'", tables=t).collect()
+    ] == ["Hello"]
+
+
+def test_fork_named_legs_and_guards(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql_multi,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    out = kql_multi(
+        spark,
+        "t | fork aaa = (where id > 0) "
+        "bbb = (extend p = strcat(s, ')') | count)",
+        tables={"t": df},
+    )
+    assert sorted(out) == ["aaa", "bbb"]
+    assert out["bbb"].collect()[0][0] == 1
+    with pytest.raises(KqlParseError, match="after fork"):
+        kql_multi(spark, "t | fork (count) | take 5", tables={"t": df})
+
+
+def test_top_nested_others_label_collision(spark):
+    """A genuine key equal to the others label stays its own row."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [("Other", 10), ("b", 7), ("c", 2), ("d", 1)], "k string, v long"
+    )
+    out = kql(
+        spark,
+        "t | top-nested 2 of k with others = 'Other' by s = sum(v)",
+        tables={"t": df},
+    ).collect()
+    assert sorted((r["k"], r["s"]) for r in out) == [
+        ("Other", 3), ("Other", 10), ("b", 7)
+    ]
+
+
+def test_strcmp_null_propagates(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(None,), ("a",)], "s string")
+    out = kql(
+        spark, "t | extend c = strcmp(s, 'a')", tables={"t": df}
+    ).collect()
+    got = {r["s"]: r["c"] for r in out}
+    assert got[None] is None and got["a"] == 0
