@@ -1633,3 +1633,57 @@ def pipeline_decontaminate_semantic(spark, sf_dir):
         F.round(F.max("sim"), 4).alias("max_sim"),
         (F.round(F.max("sim"), 4) >= 0.6).alias("contaminated"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), cb AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+      FROM bi GROUP BY a, b
+    ), ca AS (
+      SELECT a, CAST(SUM(cnt_ab) AS BIGINT) AS cnt_a FROM cb GROUP BY a
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(cb.cnt_ab * 1.0 / ca.cnt_a)), 4) AS avg_logprob
+    FROM bi
+    JOIN cb ON bi.a = cb.a AND bi.b = cb.b
+    JOIN ca ON bi.a = ca.a
+    GROUP BY bi.doc_id
+    """,
+    doc="corpus-bigram conditional log-probability per document — the "
+    "stronger perplexity proxy (p(b|a) from corpus bigram/prefix "
+    "counts).  Two aggregation shuffles build the model, one "
+    "bigram-keyed join scores; like the unigram variant the model is "
+    "a table, never a driver structure, and hot prefixes ('the', ...) "
+    "join 1-row model sides — no amplification",
+)
+def text_bigram_logprob(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", text.tokens("text").alias("t"))
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("a"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cb = bi.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("cnt_ab")
+    )
+    ca = cb.groupBy("a").agg(F.sum("cnt_ab").cast("long").alias("cnt_a"))
+    scored = bi.join(cb, ["a", "b"]).join(ca, "a")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.avg(F.log(F.col("cnt_ab") / F.col("cnt_a"))), 4
+        ).alias("avg_logprob"),
+    )
