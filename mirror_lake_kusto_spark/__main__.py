@@ -300,6 +300,36 @@ def vacuum_main(argv: list[str]) -> int:
     return 0
 
 
+def clone_main(argv: list[str]) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="mirror-lake-kusto-spark clone",
+        description="SHALLOW CLONE: zero-copy writable snapshot of a "
+        "Delta table (metadata-only; source files referenced by "
+        "absolute path).  Vacuuming the SOURCE can break clones.",
+    )
+    ap.add_argument("source_path")
+    ap.add_argument("target_path")
+    ap.add_argument("--version", type=int, default=None,
+                    help="clone a historical snapshot")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    from .session import build_session
+    from .sources import delta_log as DL
+    from .sources.delta_sink import DeltaSink
+
+    spark = build_session(app_name="mlk-clone", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sink = DeltaSink.shallow_clone(
+        spark, args.source_path, args.target_path, version=args.version
+    )
+    files = DL.snapshot_files(spark, sink.path)
+    print(json.dumps({"files": len(files),
+                      "rows": sum(f.get("numRecords") or 0 for f in files)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -311,6 +341,8 @@ def main(argv: list[str] | None = None) -> int:
         return convert_main(argv[1:])
     if argv and argv[0] == "vacuum":
         return vacuum_main(argv[1:])
+    if argv and argv[0] == "clone":
+        return clone_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .pipeline.orchestrate import MirrorPipeline
     from .session import build_session

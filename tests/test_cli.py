@@ -83,3 +83,15 @@ def test_vacuum_cli(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"data_files": 1' in out
+
+
+def test_clone_cli(spark, tmp_path, capsys):
+    from mirror_lake_kusto_spark.__main__ import main
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    src = DeltaSink(spark, str(tmp_path / "clsrc"))
+    src.append(spark.range(25).toDF("id").coalesce(1))
+    rc = main(["clone", src.path, str(tmp_path / "cltgt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"files": 1' in out and '"rows": 25' in out
