@@ -636,9 +636,44 @@ class DeltaSink:
             )
         return self._commit(actions, operation="MERGE")
 
+    def properties(self) -> dict[str, str]:
+        """Table properties from the latest metaData's configuration —
+        the engine's K2 table-policy store (Kusto merge/retention/
+        caching policies map onto Delta TBLPROPERTIES)."""
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        return dict((meta or {}).get("configuration") or {})
+
+    def set_properties(
+        self, props: dict[str, str], unset: Sequence[str] = ()
+    ) -> int:
+        """SET/UNSET TBLPROPERTIES — merge into the table's
+        configuration and commit new metaData (table id and schema are
+        preserved; only the configuration changes).  The K2 analogue:
+        the reference drives Kusto table policies (merge batching,
+        retention) at setup; here the same knobs live in the table
+        itself and the engine reads them (``mlk.optimize.
+        targetFileBytes`` steers OPTIMIZE's output sizing)."""
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(
+                f"{self.path}: no table metadata yet — write data first"
+            )
+        conf = dict(meta.get("configuration") or {})
+        conf.update({k: str(v) for k, v in props.items()})
+        for k in unset:
+            conf.pop(k, None)
+        md = {**meta, "configuration": conf}
+        return self._commit(
+            [{"metaData": md}], operation="SET TBLPROPERTIES"
+        )
+
     def optimize(
         self,
-        target_file_bytes: int = 128 << 20,
+        target_file_bytes: int | None = None,
         zorder_by: Sequence[str] | None = None,
         partition_predicate: str | None = None,
     ) -> int:
@@ -669,6 +704,15 @@ class DeltaSink:
 
         from .delta_log import _prune_partitions, latest_metadata, snapshot_files
 
+        if target_file_bytes is None:
+            # per-table policy wins over the 128 MB default (K2: the
+            # reference sets Kusto merge policies; here the knob lives
+            # in TBLPROPERTIES and the engine honors it)
+            target_file_bytes = int(
+                self.properties().get(
+                    "mlk.optimize.targetFileBytes", 128 << 20
+                )
+            )
         now = int(time.time() * 1000)
         _types, data_schema = self._data_schema()
         zcols = list(zorder_by or [])

@@ -1088,3 +1088,43 @@ def test_shallow_clone_time_travel(spark, tmp_path):
         spark, src.path, str(tmp_path / "cl_tt"), version=0
     )
     assert DL.read_snapshot(spark, clone.path).count() == 10
+
+
+# -- table properties (K2 policy analogue) ----------------------------------
+
+
+def test_table_properties_roundtrip_and_policy(spark, tmp_path):
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    sink = DeltaSink(spark, str(tmp_path / "props"))
+    sink.append(spark.range(2000).toDF("id").repartition(8))
+    assert sink.properties() == {}
+    sink.set_properties({"mlk.optimize.targetFileBytes": 10**9,
+                         "team": "data"})
+    assert sink.properties()["team"] == "data"
+    # schema and table id preserved across the properties commit
+    meta = DL.latest_metadata(spark, sink.path)
+    assert "id" in meta["schemaString"]
+    # a reopened handle sees the same properties (they live in the log)
+    again = DeltaSink(spark, sink.path)
+    assert again.properties()["mlk.optimize.targetFileBytes"] == "1000000000"
+    # OPTIMIZE honors the per-table policy: 1 GB target -> compacts
+    # the 8 small files into one
+    again.optimize()
+    assert len(DL.snapshot_files(spark, sink.path)) == 1
+    # unset removes
+    again.set_properties({}, unset=["team"])
+    assert "team" not in again.properties()
+
+
+def test_table_properties_survive_checkpoint(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "props_ckpt"),
+                     checkpoint_interval=3)
+    sink.append(spark.range(5).toDF("id"))
+    sink.set_properties({"k": "v"})
+    for i in range(4):
+        sink.append(spark.range(i * 10, i * 10 + 5).toDF("id"))
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    assert DL.read_last_checkpoint(sink.path) is not None
+    assert DeltaSink(spark, sink.path).properties()["k"] == "v"
