@@ -57,6 +57,25 @@ class MirrorOrchestration:
             }
             return {name: f.result() for name, f in futures.items()}
 
+    def run_continuous(
+        self, poll_seconds: float = 5.0, max_polls: int | None = None
+    ) -> int:
+        """Service loop: drain all tables, sleep, repeat — the
+        reference's continuous mode across its whole orchestration set
+        (MirrorOrchestration.cs:127-132 + the per-table probe delay).
+        Returns the number of polls executed.  ``max_polls`` bounds the
+        loop for tests/one-shot maintenance windows."""
+        import time as _time
+
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            self.run_until_idle()
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                break
+            _time.sleep(poll_seconds)
+        return polls
+
     def mirror_df(self, table: str):
         return self.pipelines[table].mirror_df()
 

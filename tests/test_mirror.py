@@ -1128,3 +1128,29 @@ def test_table_properties_survive_checkpoint(spark, tmp_path):
 
     assert DL.read_last_checkpoint(sink.path) is not None
     assert DeltaSink(spark, sink.path).properties()["k"] == "v"
+
+
+def test_multi_table_continuous_picks_up_new_commits(spark, tmp_path):
+    """Continuous fan-out: commits landing between polls are synced on
+    the next poll, every table independently (service-loop shape)."""
+    from mirror_lake_kusto_spark.pipeline.multi import MirrorOrchestration
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    srcs = {}
+    sinks = {}
+    for name in ("alpha", "beta"):
+        s = DeltaSink(spark, str(tmp_path / f"{name}_src"))
+        s.append(spark.range(10).toDF("id").coalesce(1))
+        sinks[name] = s
+        srcs[name] = {"source_path": s.path}
+    orch = MirrorOrchestration(spark, srcs, str(tmp_path / "cm"))
+    assert orch.run_continuous(poll_seconds=0.1, max_polls=1) == 1
+    # new data arrives on one table only
+    sinks["beta"].append(spark.range(10, 30).toDF("id").coalesce(1))
+    orch.run_continuous(poll_seconds=0.1, max_polls=1)
+    assert DL.read_snapshot(
+        spark, str(tmp_path / "cm" / "alpha" / "table")
+    ).count() == 10
+    assert DL.read_snapshot(
+        spark, str(tmp_path / "cm" / "beta" / "table")
+    ).count() == 30
