@@ -85,6 +85,19 @@ EXTENSION_HEADLINE = [
     "s1_tumbling_window",
     "s5_asof_join",
     "s6_dedup_with_counts",
+    # round-3 continuation additions
+    "embedding_random_projection",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_tfidf_keywords",
+    "pipeline_chunk_documents",
+    "pipeline_pack_sequences",
+    "pipeline_shuffle_shards",
+    "pipeline_train_val_split",
+    "pipeline_decontaminate_semantic",
+    "kql_invoke_function",
+    "kql_top_nested_others",
+    "ts_series_fit_line",
     # the flagship: full exactly-once mirror sync of a lineitem slice
     # (authors a Delta source, 2 commits + row-level delete, syncs) —
     # pipeline throughput, not just query throughput
