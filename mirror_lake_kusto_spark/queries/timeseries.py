@@ -487,3 +487,129 @@ def ts_series_fit_line(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_series_fit_2lines",
+    _ORACLE_GRID
+    + """
+    , pts AS (
+      SELECT event_type, total AS y,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slot) - 1 AS DOUBLE)
+               AS x
+      FROM grid
+    ), cand AS (
+      SELECT p.event_type, p.x, p.y, s.s,
+             CAST(p.x < s.s AS INT) AS is_left
+      FROM pts p CROSS JOIN (
+        SELECT CAST(unnest(range(2, 55)) AS DOUBLE) AS s) s
+    ), side AS (
+      SELECT event_type, s, is_left,
+             regr_syy(y, x) - regr_sxy(y, x) * regr_sxy(y, x)
+               / regr_sxx(y, x) AS rss,
+             regr_slope(y, x) AS slope,
+             regr_intercept(y, x) AS icpt
+      FROM cand GROUP BY event_type, s, is_left
+    ), tot AS (
+      SELECT event_type, s, ROUND(SUM(rss), 4) AS total_rss
+      FROM side GROUP BY event_type, s
+    ), best AS (
+      SELECT event_type, s, total_rss FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY total_rss, s) AS rn
+        FROM tot) WHERE rn = 1
+    )
+    SELECT b.event_type, CAST(b.s AS BIGINT) AS split_idx,
+           b.total_rss,
+           ROUND(MAX(CASE WHEN is_left = 1 THEN slope END), 4)
+             AS slope_left,
+           ROUND(MAX(CASE WHEN is_left = 1 THEN icpt END), 4)
+             AS icpt_left,
+           ROUND(MAX(CASE WHEN is_left = 0 THEN slope END), 4)
+             AS slope_right,
+           ROUND(MAX(CASE WHEN is_left = 0 THEN icpt END), 4)
+             AS icpt_right
+    FROM best b JOIN side USING (event_type, s)
+    GROUP BY b.event_type, b.s, b.total_rss
+    ORDER BY b.event_type
+    """,
+    doc="Kusto series_fit_2lines: best two-segment least-squares fit "
+    "over the regular grid — every candidate changepoint scored via "
+    "the decomposable regr_* moments (rss = syy - sxy^2/sxx), argmin "
+    "per key, both segments' params emitted.  Candidates x points is "
+    "a broadcast expansion of the GRID (slots x splits, ~3k rows per "
+    "key), never of the raw events — at 100 TB the heavy reduction "
+    "to the grid happens first and the changepoint search cost is "
+    "independent of input size",
+)
+def ts_series_fit_2lines(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    grid = make_series(
+        ev,
+        "ts",
+        {"total": F.sum("value")},
+        _START,
+        _STOP,
+        _STEP,
+        by=["event_type"],
+        defaults={"total": 0},
+    )
+    pts = grid.select(
+        "event_type", F.posexplode("total").alias("xi", "y")
+    ).select("event_type", F.col("xi").cast("double").alias("x"), "y")
+    n_slots = int((_STOP - _START) / _STEP)  # 56
+    splits = spark.range(2, n_slots - 1).select(
+        F.col("id").cast("double").alias("s")
+    )
+    cand = pts.crossJoin(F.broadcast(splits)).withColumn(
+        "is_left", (F.col("x") < F.col("s")).cast("int")
+    )
+    side = cand.groupBy("event_type", "s", "is_left").agg(
+        (
+            F.expr("regr_syy(y, x)")
+            - F.expr("regr_sxy(y, x)") * F.expr("regr_sxy(y, x)")
+            / F.expr("regr_sxx(y, x)")
+        ).alias("rss"),
+        F.expr("regr_slope(y, x)").alias("slope"),
+        F.expr("regr_intercept(y, x)").alias("icpt"),
+    )
+    tot = side.groupBy("event_type", "s").agg(
+        F.round(F.sum("rss"), 4).alias("total_rss")
+    )
+    w = Window.partitionBy("event_type").orderBy("total_rss", "s")
+    best = (
+        tot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = best.join(side, ["event_type", "s"])
+    return (
+        joined.groupBy("event_type", "s", "total_rss")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("is_left") == 1, F.col("slope"))), 4
+            ).alias("slope_left"),
+            F.round(
+                F.max(F.when(F.col("is_left") == 1, F.col("icpt"))), 4
+            ).alias("icpt_left"),
+            F.round(
+                F.max(F.when(F.col("is_left") == 0, F.col("slope"))), 4
+            ).alias("slope_right"),
+            F.round(
+                F.max(F.when(F.col("is_left") == 0, F.col("icpt"))), 4
+            ).alias("icpt_right"),
+        )
+        .select(
+            "event_type",
+            F.col("s").cast("long").alias("split_idx"),
+            "total_rss",
+            "slope_left",
+            "icpt_left",
+            "slope_right",
+            "icpt_right",
+        )
+        .orderBy("event_type")
+    )
