@@ -60,20 +60,24 @@ class MirrorOrchestration:
     def run_continuous(
         self, poll_seconds: float = 5.0, max_polls: int | None = None
     ) -> int:
-        """Service loop: drain all tables, sleep, repeat — the
-        reference's continuous mode across its whole orchestration set
-        (MirrorOrchestration.cs:127-132 + the per-table probe delay).
-        Returns the number of polls executed.  ``max_polls`` bounds the
-        loop for tests/one-shot maintenance windows."""
+        """Service loop: drain all tables, sleep while idle, repeat —
+        the reference's continuous mode across its whole orchestration
+        set (MirrorOrchestration.cs:127-132 + the per-table probe
+        delay).  ``max_polls`` counts IDLE polls (the same semantics as
+        ``MirrorPipeline.run_continuous`` and the CLI's
+        ``--max-polls``): a drain that found work does not consume a
+        poll, so the loop always finishes catching up before it stops.
+        Returns the number of idle polls."""
         import time as _time
 
         polls = 0
         while max_polls is None or polls < max_polls:
-            self.run_until_idle()
-            polls += 1
-            if max_polls is not None and polls >= max_polls:
-                break
-            _time.sleep(poll_seconds)
+            results = self.run_until_idle()
+            if not any(results.values()):  # every table up-to-date
+                polls += 1
+                if max_polls is not None and polls >= max_polls:
+                    break
+                _time.sleep(poll_seconds)
         return polls
 
     def mirror_df(self, table: str):

@@ -85,6 +85,9 @@ class DeltaSink:
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_parts = checkpoint_parts
         self._pending_schema = "{}"
+        #: configuration for the NEXT metaData action (clone copies the
+        #: source's properties through this); None = carry forward
+        self._pending_configuration: dict | None = None
         os.makedirs(_log_dir(table_path), exist_ok=True)
 
     # -- commit machinery ---------------------------------------------------
@@ -93,12 +96,21 @@ class DeltaSink:
         vs = _list_versions(self.path)
         return (vs[-1] + 1) if vs else 0
 
-    def _commit(self, actions: list[dict], operation: str | None = None) -> int:
+    def _commit(
+        self,
+        actions: list[dict],
+        operation: str | None = None,
+        expected_version: int | None = None,
+    ) -> int:
         """Atomically create the next numbered commit file.  ``open(x)``
         fails if a concurrent writer won the version — retry with the
         next number (optimistic concurrency, Delta-style).
         ``operation`` records a Delta-style ``commitInfo`` action (the
-        audit row ``history()`` surfaces)."""
+        audit row ``history()`` surfaces).  ``expected_version`` makes
+        the commit compare-and-swap: it must land at exactly that
+        version or raise ConcurrentCommitConflict — the read-modify-
+        write primitive set_properties needs (a version stolen between
+        its read and its write would otherwise be overwritten blind)."""
         if operation is not None:
             actions = [
                 {
@@ -113,6 +125,11 @@ class DeltaSink:
         attempted: int | None = None
         while True:
             v = self._next_version()
+            if expected_version is not None and v != expected_version:
+                raise ConcurrentCommitConflict(
+                    f"expected to commit version {expected_version} but "
+                    f"head moved to {v - 1}; re-read and retry"
+                )
             if attempted is not None and v > attempted:
                 # lost the race: another writer committed [attempted, v).
                 # Re-submitting blindly is only safe when the winners
@@ -154,11 +171,15 @@ class DeltaSink:
 
     def _check_conflicts(self, versions, actions: list[dict]) -> None:
         """Raise if any commit in ``versions`` (written by a concurrent
-        winner) touched a file this commit also adds or removes."""
+        winner) touched a file this commit also adds or removes — or
+        recorded metaData while this commit also carries metaData (a
+        blind metaData re-submit would overwrite the winner's schema or
+        properties with stale state)."""
         mine = {
             a[k]["path"] for a in actions for k in ("add", "remove") if k in a
         }
-        if not mine:
+        mine_meta = any("metaData" in a for a in actions)
+        if not mine and not mine_meta:
             return
         d = _log_dir(self.path)
         for v in versions:
@@ -170,6 +191,11 @@ class DeltaSink:
                     if not line.strip():
                         continue
                     act = json.loads(line)
+                    if mine_meta and "metaData" in act:
+                        raise ConcurrentCommitConflict(
+                            f"concurrent commit {v} changed table "
+                            "metadata; re-read and retry"
+                        )
                     for k in ("add", "remove"):
                         if k in act and act[k]["path"] in mine:
                             raise ConcurrentCommitConflict(
@@ -196,12 +222,28 @@ class DeltaSink:
 
     def _metadata_action(self, df: DataFrame | None = None) -> dict:
         schema_string = df.schema.json() if df is not None else self._pending_schema
+        # the table id is stable for the table's lifetime and the
+        # configuration (TBLPROPERTIES) must survive schema-evolving
+        # commits — both carry forward from the previous metaData
+        # instead of being regenerated/blanked
+        prev = None
+        try:
+            from .delta_log import latest_metadata
+
+            prev = latest_metadata(self.spark, self.path)
+        except Exception:
+            prev = None
+        conf = getattr(self, "_pending_configuration", None)
+        if conf is None:
+            conf = dict((prev or {}).get("configuration") or {})
+        else:
+            self._pending_configuration = None
         return {
-            "id": str(uuid.uuid4()),
+            "id": (prev or {}).get("id") or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": self.partition_by,
-            "configuration": {},
+            "configuration": conf,
             "createdTime": int(time.time() * 1000),
         }
 
@@ -657,18 +699,46 @@ class DeltaSink:
         targetFileBytes`` steers OPTIMIZE's output sizing)."""
         from .delta_log import latest_metadata
 
-        meta = latest_metadata(self.spark, self.path)
-        if meta is None:
-            raise ValueError(
-                f"{self.path}: no table metadata yet — write data first"
-            )
-        conf = dict(meta.get("configuration") or {})
-        conf.update({k: str(v) for k, v in props.items()})
-        for k in unset:
-            conf.pop(k, None)
-        md = {**meta, "configuration": conf}
-        return self._commit(
-            [{"metaData": md}], operation="SET TBLPROPERTIES"
+        for key in ("mlk.optimize.targetFileBytes",):
+            if key in props:
+                try:
+                    int(str(props[key]))
+                except ValueError:
+                    raise ValueError(
+                        f"property {key} must be an integer byte count, "
+                        f"got {props[key]!r}"
+                    ) from None
+        # read-modify-write under optimistic concurrency: a concurrent
+        # metaData commit (schema evolution, another property writer)
+        # makes _commit raise via the metaData conflict rule — re-read
+        # and retry so no winner's state is ever overwritten blind
+        for _attempt in range(5):
+            # compare-and-swap: pin the expected version BEFORE reading
+            # the metadata; any concurrent commit moves the head and
+            # fails ours, so no winner's schema/properties are ever
+            # overwritten with stale state
+            expected = self._next_version()
+            meta = latest_metadata(self.spark, self.path)
+            if meta is None:
+                raise ValueError(
+                    f"{self.path}: no table metadata yet — write data "
+                    "first"
+                )
+            conf = dict(meta.get("configuration") or {})
+            conf.update({k: str(v) for k, v in props.items()})
+            for k in unset:
+                conf.pop(k, None)
+            md = {**meta, "configuration": conf}
+            try:
+                return self._commit(
+                    [{"metaData": md}],
+                    operation="SET TBLPROPERTIES",
+                    expected_version=expected,
+                )
+            except ConcurrentCommitConflict:
+                continue
+        raise ConcurrentCommitConflict(
+            f"{self.path}: metadata kept changing under set_properties"
         )
 
     def optimize(
@@ -707,12 +777,19 @@ class DeltaSink:
         if target_file_bytes is None:
             # per-table policy wins over the 128 MB default (K2: the
             # reference sets Kusto merge policies; here the knob lives
-            # in TBLPROPERTIES and the engine honors it)
-            target_file_bytes = int(
-                self.properties().get(
-                    "mlk.optimize.targetFileBytes", 128 << 20
-                )
+            # in TBLPROPERTIES and the engine honors it).  One metadata
+            # scan, not a properties() + _data_schema() double-read.
+            meta0 = latest_metadata(self.spark, self.path)
+            raw = ((meta0 or {}).get("configuration") or {}).get(
+                "mlk.optimize.targetFileBytes"
             )
+            try:
+                target_file_bytes = int(raw) if raw else 128 << 20
+            except ValueError:
+                raise ValueError(
+                    "table property mlk.optimize.targetFileBytes is not "
+                    f"an integer: {raw!r} — fix it with set_properties"
+                ) from None
         now = int(time.time() * 1000)
         _types, data_schema = self._data_schema()
         zcols = list(zorder_by or [])
@@ -1083,6 +1160,8 @@ class DeltaSink:
             checkpoint_interval=checkpoint_interval,
         )
         sink._pending_schema = meta["schemaString"]
+        # real Delta shallow clones copy table properties — so do we
+        sink._pending_configuration = dict(meta.get("configuration") or {})
         now = int(time.time() * 1000)
         src_abs = os.path.abspath(source_path)
         adds = []

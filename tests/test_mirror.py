@@ -1154,3 +1154,93 @@ def test_multi_table_continuous_picks_up_new_commits(spark, tmp_path):
     assert DL.read_snapshot(
         spark, str(tmp_path / "cm" / "beta" / "table")
     ).count() == 30
+
+
+def test_properties_survive_schema_evolution_and_clone(spark, tmp_path):
+    """metaData rewrites (schema-evolving append, shallow clone) must
+    carry the configuration and table id forward, never blank them."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    sink = DeltaSink(spark, str(tmp_path / "pv"))
+    sink.append(spark.range(5).toDF("id"))
+    sink.set_properties({"team": "data"})
+    tid = DL.latest_metadata(spark, sink.path)["id"]
+    # schema-evolving append records new metaData — properties survive
+    sink.append(spark.range(5).toDF("id").withColumn("v", F.lit(1)))
+    meta = DL.latest_metadata(spark, sink.path)
+    assert meta["configuration"] == {"team": "data"}
+    assert meta["id"] == tid  # table id is stable for the table's life
+    # shallow clone copies the source's properties
+    clone = DeltaSink.shallow_clone(spark, sink.path, str(tmp_path / "pvc"))
+    assert clone.properties() == {"team": "data"}
+
+
+def test_set_properties_validates_and_detects_conflicts(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from mirror_lake_kusto_spark.sources.delta_sink import (
+        ConcurrentCommitConflict,
+    )
+
+    sink = DeltaSink(spark, str(tmp_path / "pc"))
+    sink.append(spark.range(3).toDF("id"))
+    with _pytest.raises(ValueError, match="integer byte count"):
+        sink.set_properties({"mlk.optimize.targetFileBytes": "128MB"})
+    # a concurrent metaData commit between read and write is detected
+    # (simulated: steal the next version with a metaData action)
+    sink.set_properties({"a": "1"})
+    meta_before = sink.properties()
+    log = _os.path.join(sink.path, "_delta_log")
+    import mirror_lake_kusto_spark.sources.delta_sink as DS
+
+    real_commit = DeltaSink._commit
+    stolen = {"done": False}
+
+    def racing_commit(self, actions, operation=None, **kw):
+        if not stolen["done"] and operation == "SET TBLPROPERTIES":
+            stolen["done"] = True
+            v = self._next_version()
+            with open(_os.path.join(log, DS.TX_FMT.format(v) + ".json"), "x") as f:
+                from mirror_lake_kusto_spark.sources import delta_log as DL
+
+                md = dict(DL.latest_metadata(self.spark, self.path))
+                md["configuration"] = {"winner": "yes", "a": "1"}
+                f.write(_json.dumps({"metaData": md}) + "\n")
+        return real_commit(self, actions, operation, **kw)
+
+    DS.DeltaSink._commit = racing_commit
+    try:
+        sink.set_properties({"b": "2"})
+    finally:
+        DS.DeltaSink._commit = real_commit
+    # the retry re-read the winner's configuration: nothing lost
+    got = sink.properties()
+    assert got.get("winner") == "yes" and got.get("b") == "2"
+    assert got.get("a") == "1" and meta_before.get("a") == "1"
+
+
+def test_optimize_rejects_corrupt_policy(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    sink = DeltaSink(spark, str(tmp_path / "badpol"))
+    sink.append(spark.range(3).toDF("id"))
+    # corrupt the property behind the API's back
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    md = dict(DL.latest_metadata(spark, sink.path))
+    md["configuration"] = {"mlk.optimize.targetFileBytes": "1e9"}
+    v = sink._next_version()
+    with open(
+        _os.path.join(sink.path, "_delta_log", "%020d.json" % v), "x"
+    ) as f:
+        f.write(_json.dumps({"metaData": md}) + "\n")
+    with _pytest.raises(ValueError, match="not an integer"):
+        sink.optimize()
