@@ -1135,16 +1135,28 @@ class KqlQuery:
                 k, _, v = kv.partition("=")
                 opts[k.strip().lower()] = v.strip().strip("'\"").lower()
         fmt = opts.get("format", "csv")
-        if fmt != "csv":
-            raise KqlParseError(f"externaldata: only format='csv' (got {fmt!r})")
         spark = self._spark
         if spark is None:
             raise KqlParseError("externaldata requires a SparkSession")
-        return spark.read.csv(
-            uris,
-            schema=", ".join(fields),
-            header=opts.get("ignorefirstrecord") == "true",
-            escape='"',
+        schema = ", ".join(fields)
+        if fmt == "csv":
+            return spark.read.csv(
+                uris,
+                schema=schema,
+                header=opts.get("ignorefirstrecord") == "true",
+                escape='"',
+            )
+        if fmt in ("json", "multijson"):
+            # Kusto json = newline-delimited records, multijson = one
+            # JSON value spanning lines; Spark's multiLine maps exactly
+            return spark.read.json(
+                uris, schema=schema, multiLine=(fmt == "multijson")
+            )
+        if fmt == "parquet":
+            return spark.read.schema(schema).parquet(*uris)
+        raise KqlParseError(
+            f"externaldata: unsupported format {fmt!r} "
+            "(csv/json/multijson/parquet)"
         )
 
     def _apply(self, frame: KqlFrame, op: str) -> KqlFrame:

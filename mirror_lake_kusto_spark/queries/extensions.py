@@ -1687,3 +1687,49 @@ def text_bigram_logprob(spark, sf_dir):
             F.avg(F.log(F.col("cnt_ab") / F.col("cnt_a"))), 4
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "mirror_bloom_point_lookup",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_returnflag
+    FROM lineitem
+    WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem
+                        WHERE l_orderkey >= 500)
+    """,
+    doc="end-to-end point lookup through the storage stack: authors a "
+    "Delta table from the lineitem slice (range-partitioned into 8 "
+    "files), builds the Bloom sidecar on l_orderkey, and reads one "
+    "key back through read_snapshot — min/max skipping + Bloom "
+    "pruning + row filter, oracle-checked against the raw parquet.  "
+    "The 100 TB shape: a needle query opens ~1 file, not the table",
+)
+def mirror_bloom_point_lookup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import bloom as B
+    from ..sources import delta_log as DL
+    from ..sources.delta_sink import DeltaSink
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+    )
+    key = (
+        li.filter(F.col("l_orderkey") >= 500)
+        .agg(F.min("l_orderkey"))
+        .collect()[0][0]
+    )
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"mlk_bloomtab_{sf}")
+    shutil.rmtree(path, ignore_errors=True)
+    sink = DeltaSink(spark, path)
+    sink.append(li.repartitionByRange(8, "l_orderkey"))
+    B.build_bloom_index(spark, path, ["l_orderkey"], m=8192, k=6)
+    return DL.read_snapshot(
+        spark, path, predicate=f"l_orderkey = {key}"
+    )

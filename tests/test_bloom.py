@@ -243,3 +243,34 @@ def test_bloom_on_shallow_clone(spark, tmp_path):
     assert len(kept) < len(files)
     got = DL.read_snapshot(spark, clone.path, predicate="word = 'w137'")
     assert [r["id"] for r in got.collect()] == [137]
+
+
+def test_point_lookup_query_actually_prunes(spark):
+    """The registry's mirror_bloom_point_lookup must open fewer files
+    than the table holds (min/max + bloom pruning live end-to-end)."""
+    import os
+    import tempfile
+
+    from mirror_lake_kusto_spark.queries import all_queries
+    from mirror_lake_kusto_spark.sources.skipping import parse_conjuncts
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["mirror_bloom_point_lookup"]
+    rows = q.fn(spark, SF_DIR).collect()
+    assert rows and all(r["l_orderkey"] == rows[0]["l_orderkey"] for r in rows)
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"mlk_bloomtab_{sf}")
+    files = DL.snapshot_files(spark, path)
+    assert len(files) == 8
+    key = rows[0]["l_orderkey"]
+    import json as _json
+
+    meta = DL.latest_metadata(spark, path)
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St.fromJson(_json.loads(meta["schemaString"]))
+    from mirror_lake_kusto_spark.sources.skipping import prune_files
+
+    kept = prune_files(files, f"l_orderkey = {key}", schema, [])
+    kept = B.prune_files_bloom(path, kept, f"l_orderkey = {key}", schema)
+    assert len(kept) < 8

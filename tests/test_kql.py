@@ -1458,3 +1458,26 @@ def test_strcmp_null_propagates(spark):
     ).collect()
     got = {r["s"]: r["c"] for r in out}
     assert got[None] is None and got["a"] == 0
+
+
+def test_externaldata_json_and_parquet(spark, tmp_path):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    jl = tmp_path / "rows.json"
+    jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    out = kql(
+        spark,
+        f"externaldata(a:long, b:string) ['{jl}'] with(format='json')"
+        " | order by a asc",
+        tables={},
+    ).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, "x"), (2, "y")]
+    pq_dir = str(tmp_path / "rows_pq")
+    spark.createDataFrame([(3, "z")], "a long, b string").write.parquet(pq_dir)
+    out2 = kql(
+        spark,
+        f"externaldata(a:long, b:string) ['{pq_dir}'] "
+        "with(format='parquet') | count",
+        tables={},
+    ).collect()
+    assert out2[0][0] == 1
