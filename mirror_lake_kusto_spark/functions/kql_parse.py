@@ -34,7 +34,8 @@ substitution + lazily-resolved tabular views; lambda functions
 f(...)`` — defaults fill omitted trailing args), the ``range`` /
 ``print`` / ``datatable`` sources, ``hint.*`` tokens accepted and
 dropped (Catalyst/AQE own the physical strategy), plus the ``externaldata``
-source (typed CSV scan — the reference's status-view function,
+source (typed csv/json/multijson/parquet scan — the reference's
+status-view function,
 DatabaseGateway.cs:85-95, runs verbatim; tested against the engine's
 own state checkpoint).
 
@@ -1108,8 +1109,8 @@ class KqlQuery:
         """``externaldata(col:type, ...) ['uri', ...] with(format='csv',
         ignoreFirstRecord=true)`` — the reference's status-view source
         (DatabaseGateway.cs:85-95): a typed CSV scan of checkpoint
-        blobs.  ``;impersonate`` auth suffixes are stripped; format csv
-        only."""
+        blobs.  ``;impersonate`` auth suffixes are stripped; formats:
+        csv (+ignoreFirstRecord), json (NDJSON), multijson, parquet."""
         args, end = _find_args(src, src.index("("))
         fields = []
         for a in args:
