@@ -732,6 +732,27 @@ def translate_expr(e: str) -> str:
         else f"parse_url({', '.join(a)})",
         self_referential=True,
     )
+    # series_stats_dynamic(x): the summary bag Kusto emits for a
+    # dynamic array — all JVM array expressions (0-based indexes)
+    def _series_stats(a: list[str]) -> str:
+        x = a[0]
+        avg = f"(aggregate({x}, 0D, (s, v) -> s + v) / size({x}))"
+        var = (
+            f"(aggregate({x}, 0D, (s, v) -> s + (v - {avg}) * (v - {avg}))"
+            f" / size({x}))"
+        )
+        return (
+            "to_json(named_struct("
+            f"'min', array_min({x}), "
+            f"'min_idx', CAST(array_position({x}, array_min({x})) - 1 AS BIGINT), "
+            f"'max', array_max({x}), "
+            f"'max_idx', CAST(array_position({x}, array_max({x})) - 1 AS BIGINT), "
+            f"'avg', {avg}, "
+            f"'stdev', sqrt({var}), "
+            f"'variance', {var}))"
+        )
+
+    e = _rewrite_calls(e, "series_stats_dynamic", _series_stats)
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
     # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)
     for kql_fn, sql_fn in (

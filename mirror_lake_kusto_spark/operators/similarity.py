@@ -913,3 +913,85 @@ def hybrid_search_rrf(
         )
         .orderBy(F.desc("rrf_score"), F.col(id_col))
     )
+
+
+def cosine_topk_mmr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lambda_: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k: Maximal Marginal Relevance re-ranking of the
+    exact cosine candidate pool (Carbonell & Goldstein 1998).
+
+    Stage 1 is the existing distributed brute-force top-``pool`` per
+    query (corpus streams through Arrow batches, never shuffles).
+    Stage 2 reattaches candidate vectors and runs the greedy MMR loop
+    — pick argmax of ``lambda*relevance - (1-lambda)*max_sim_to_
+    selected`` — per query inside one Arrow group: O(k * pool * dim)
+    numpy per query, driver-free, and the group holds ``pool`` rows,
+    not the corpus.  Deterministic: ties break on cand_id.
+
+    Output: (query_id, cand_id, cos_sim, mmr_rank) with mmr_rank in
+    1..k.
+    """
+    pool_df = cosine_topk_bruteforce(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    cand = pool_df.join(
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("_vec"),
+        ),
+        "cand_id",
+    )
+
+    out_schema = (
+        "query_id long, cand_id long, cos_sim double, mmr_rank long"
+    )
+
+    def mmr(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cos_sim", "cand_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cos_sim"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.full(n, -1.0)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            score = np.where(
+                np.array([not c for c in remaining]),
+                -np.inf,
+                lambda_ * rel - (1 - lambda_) * np.where(
+                    max_sim < 0, 0.0, max_sim
+                ),
+            )
+            # deterministic tie-break: numpy argmax takes the FIRST
+            # max, and rows are pre-sorted by (rel desc, cand_id asc)
+            pick = int(np.argmax(score))
+            chosen.append(pick)
+            remaining[pick] = False
+            sims = unit @ unit[pick]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
+                "cand_id": pdf["cand_id"].iloc[chosen].to_numpy(),
+                "cos_sim": rel[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1),
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(mmr, out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -1733,3 +1733,22 @@ def mirror_bloom_point_lookup(spark, sf_dir):
     return DL.read_snapshot(
         spark, path, predicate=f"l_orderkey = {key}"
     )
+
+
+@query(
+    "similarity_topk_mmr",
+    None,  # greedy-iterative by nature; diversity gate pinned by pytest
+    doc="MMR-diversified top-k retrieval (Carbonell-Goldstein): exact "
+    "cosine candidate pool per query (distributed, corpus never "
+    "shuffles) + greedy lambda*relevance - (1-lambda)*redundancy "
+    "selection inside one Arrow group per query — O(k*pool*dim) "
+    "numpy, no driver loop.  Diversity gate: selected sets must be "
+    "strictly less self-similar than plain top-k (pytest)",
+)
+def similarity_topk_mmr(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.cosine_topk_mmr(
+        corpus, queries_df, k=10, pool=50, lambda_=0.5
+    )

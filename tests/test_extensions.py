@@ -969,3 +969,55 @@ def test_random_projection_preserves_distances(spark):
     assert 0.8 <= med <= 1.2, med
     assert float(np.quantile(ratios, 0.95)) <= 1.6
     assert float(np.quantile(ratios, 0.05)) >= 0.5
+
+
+def test_mmr_reduces_redundancy_keeps_relevance(spark):
+    """MMR gate: for each query, the MMR-selected set's mean pairwise
+    similarity is <= plain top-k's, the top-1 item matches (rank-1 is
+    pure relevance), and ranks are dense 1..k."""
+    import numpy as np
+
+    from mirror_lake_kusto_spark.operators import similarity
+    from mirror_lake_kusto_spark.queries import all_queries
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    q = all_queries()["similarity_topk_mmr"]
+    rows = q.fn(spark, SF_DIR).collect()
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plain = similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10
+    ).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def mean_pairwise(ids):
+        u = [vecs[i] / np.linalg.norm(vecs[i]) for i in ids]
+        sims = [
+            float(u[a] @ u[b])
+            for a in range(len(u))
+            for b in range(a + 1, len(u))
+        ]
+        return sum(sims) / len(sims)
+
+    by_q_mmr: dict = {}
+    for r in rows:
+        by_q_mmr.setdefault(r["query_id"], []).append(r)
+    by_q_plain: dict = {}
+    for r in plain:
+        by_q_plain.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert len(by_q_mmr) == 5
+    improvements = 0
+    for qid, sel in by_q_mmr.items():
+        sel.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in sel] == list(range(1, 11))
+        # rank 1 = the most relevant candidate (lambda has no effect
+        # on the first pick)
+        assert sel[0]["cand_id"] == by_q_plain[qid][0]
+        m_mmr = mean_pairwise([r["cand_id"] for r in sel])
+        m_plain = mean_pairwise(by_q_plain[qid])
+        assert m_mmr <= m_plain + 1e-9
+        if m_mmr < m_plain - 1e-6:
+            improvements += 1
+    assert improvements >= 3  # diversification actually does something

@@ -1481,3 +1481,21 @@ def test_externaldata_json_and_parquet(spark, tmp_path):
         tables={},
     ).collect()
     assert out2[0][0] == 1
+
+
+def test_series_stats_dynamic(spark):
+    import json as _json
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([([4.0, 1.0, 7.0, 2.0],)], "xs array<double>")
+    out = kql(
+        spark,
+        "t | extend b = series_stats_dynamic(xs) | project b",
+        tables={"t": df},
+    ).collect()[0]["b"]
+    bag = _json.loads(out)
+    assert bag["min"] == 1.0 and bag["min_idx"] == 1
+    assert bag["max"] == 7.0 and bag["max_idx"] == 2
+    assert abs(bag["avg"] - 3.5) < 1e-9
+    assert abs(bag["variance"] - 5.25) < 1e-9
