@@ -753,6 +753,30 @@ def translate_expr(e: str) -> str:
         )
 
     e = _rewrite_calls(e, "series_stats_dynamic", _series_stats)
+    # pack_all(): the whole row as a property bag
+    e = re.sub(
+        r"\bpack_all\s*\(\s*\)", "to_json(struct(*))", e, flags=re.IGNORECASE
+    )
+    # array_iff(cond, when_true, when_false): element-wise select
+    e = _rewrite_calls(
+        e,
+        "array_iff",
+        lambda a: f"transform(sequence(1, size({a[0]})), "
+        f"__i -> IF(element_at({a[0]}, __i), "
+        f"element_at({a[1]}, __i), element_at({a[2]}, __i)))",
+    )
+    # bag_merge(b1, b2): later bags do NOT overwrite earlier keys
+    # (Kusto keeps the first occurrence) -> map_concat with the first
+    # map taking precedence via map_filter on the second
+    e = _rewrite_calls(
+        e,
+        "bag_merge",
+        lambda a: "to_json(map_concat("
+        f"from_json({a[0]}, 'map<string,string>'), "
+        f"map_filter(from_json({a[1]}, 'map<string,string>'), "
+        f"(__k, __v) -> NOT array_contains("
+        f"map_keys(from_json({a[0]}, 'map<string,string>')), __k))))",
+    )
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
     # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)
     for kql_fn, sql_fn in (

@@ -1499,3 +1499,38 @@ def test_series_stats_dynamic(spark):
     assert bag["max"] == 7.0 and bag["max_idx"] == 2
     assert abs(bag["avg"] - 3.5) < 1e-9
     assert abs(bag["variance"] - 5.25) < 1e-9
+
+
+def test_pack_all_array_iff_bag_merge(spark):
+    import json as _json
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    row = kql(
+        spark, "t | extend bag = pack_all() | project bag", tables={"t": df}
+    ).collect()[0]
+    assert _json.loads(row["bag"]) == {"a": 1, "b": "x"}
+
+    df2 = spark.createDataFrame(
+        [([True, False, True], [1, 2, 3], [9, 8, 7])],
+        "c array<boolean>, t array<long>, f array<long>",
+    )
+    out = kql(
+        spark,
+        "t | extend r = array_iff(c, t, f) | project r",
+        tables={"t": df2},
+    ).collect()[0]["r"]
+    assert list(out) == [1, 8, 3]
+
+    df3 = spark.createDataFrame(
+        [('{"a": "1", "b": "2"}', '{"b": "ZZ", "c": "3"}')],
+        "x string, y string",
+    )
+    merged = kql(
+        spark,
+        "t | extend m = bag_merge(x, y) | project m",
+        tables={"t": df3},
+    ).collect()[0]["m"]
+    # Kusto keeps the FIRST bag's value on key collision
+    assert _json.loads(merged) == {"a": "1", "b": "2", "c": "3"}
