@@ -69,7 +69,9 @@ tostring/base64_decode_tostring``, ``toreal/todecimal`` casts,
 ``string_size``; and the second round-3 batch: ``array_sum`` /
 ``array_avg``, ``hash_sha256`` / ``hash_md5``, ``strcmp``, ``exp10`` /
 ``exp2``, ``isinf`` / ``isfinite``, ``url_encode`` / ``url_decode``
-(pass-through), ``parse_url`` (-> JSON property bag).  Anything outside
+(pass-through), ``parse_url`` (-> JSON property bag), ``series_stats_dynamic``,
+``pack_all`` (whole row as a bag), ``array_iff`` (element-wise
+select), ``bag_merge`` (first-bag-wins key merge).  Anything outside
 the dialect raises ``KqlParseError`` naming the verb — no silent
 misreads.
 

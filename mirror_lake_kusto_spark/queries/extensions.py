@@ -1752,3 +1752,32 @@ def similarity_topk_mmr(spark, sf_dir):
     return similarity.cosine_topk_mmr(
         corpus, queries_df, k=10, pool=50, lambda_=0.5
     )
+
+
+@query(
+    "corpus_length_histogram",
+    """
+    SELECT CAST(FLOOR(len(string_split(text, ' ')) / 32) * 32 AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY 1
+    """,
+    doc="token-length histogram (32-token buckets): the one-shuffle "
+    "corpus-inspection staple that sizes packing budgets and length "
+    "filters.  Map-side combine absorbs any bucket skew",
+)
+def corpus_length_histogram(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    n = text.token_count("text")
+    return (
+        docs.select(
+            (F.floor(n / 32) * 32).cast("long").alias("bucket"),
+            n.alias("n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("tokens"),
+        )
+    )
