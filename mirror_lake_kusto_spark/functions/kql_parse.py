@@ -759,17 +759,22 @@ def translate_expr(e: str) -> str:
     e = re.sub(
         r"\bpack_all\s*\(\s*\)", "to_json(struct(*))", e, flags=re.IGNORECASE
     )
-    # array_iff(cond, when_true, when_false): element-wise select
+    # array_iff(cond, when_true, when_false): element-wise select;
+    # a NULL condition element yields NULL (Kusto), not the else value
     e = _rewrite_calls(
         e,
         "array_iff",
         lambda a: f"transform(sequence(1, size({a[0]})), "
-        f"__i -> IF(element_at({a[0]}, __i), "
-        f"element_at({a[1]}, __i), element_at({a[2]}, __i)))",
+        f"__i -> CASE WHEN element_at({a[0]}, __i) IS NULL THEN NULL "
+        f"WHEN element_at({a[0]}, __i) THEN element_at({a[1]}, __i) "
+        f"ELSE element_at({a[2]}, __i) END)",
     )
     # bag_merge(b1, b2): later bags do NOT overwrite earlier keys
     # (Kusto keeps the first occurrence) -> map_concat with the first
-    # map taking precedence via map_filter on the second
+    # map taking precedence via map_filter on the second.  Values pass
+    # through the string map type (scalar values re-render as strings
+    # — the documented dynamic-as-JSON-string approximation this
+    # dialect uses throughout)
     e = _rewrite_calls(
         e,
         "bag_merge",
