@@ -755,35 +755,74 @@ def translate_expr(e: str) -> str:
         )
 
     e = _rewrite_calls(e, "series_stats_dynamic", _series_stats)
-    # pack_all(): the whole row as a property bag
-    e = re.sub(
-        r"\bpack_all\s*\(\s*\)", "to_json(struct(*))", e, flags=re.IGNORECASE
-    )
-    # array_iff(cond, when_true, when_false): element-wise select;
-    # a NULL condition element yields NULL (Kusto), not the else value
-    e = _rewrite_calls(
-        e,
-        "array_iff",
-        lambda a: f"transform(sequence(1, size({a[0]})), "
-        f"__i -> CASE WHEN element_at({a[0]}, __i) IS NULL THEN NULL "
-        f"WHEN element_at({a[0]}, __i) THEN element_at({a[1]}, __i) "
-        f"ELSE element_at({a[2]}, __i) END)",
-    )
-    # bag_merge(b1, b2): later bags do NOT overwrite earlier keys
-    # (Kusto keeps the first occurrence) -> map_concat with the first
-    # map taking precedence via map_filter on the second.  Values pass
-    # through the string map type (scalar values re-render as strings
-    # — the documented dynamic-as-JSON-string approximation this
-    # dialect uses throughout)
-    e = _rewrite_calls(
-        e,
-        "bag_merge",
-        lambda a: "to_json(map_concat("
-        f"from_json({a[0]}, 'map<string,string>'), "
-        f"map_filter(from_json({a[1]}, 'map<string,string>'), "
-        f"(__k, __v) -> NOT array_contains("
-        f"map_keys(from_json({a[0]}, 'map<string,string>')), __k))))",
-    )
+    # pack_all(): the whole row as a property bag.  The optional
+    # ignore_null_empty argument is not implemented — loud, not a
+    # silent fall-through to an unresolved Spark function
+    def _pack_all(a: list[str]) -> str:
+        if a:
+            raise KqlParseError(
+                "pack_all(ignore_null_empty) is not supported — "
+                "use bare pack_all()"
+            )
+        return "to_json(struct(*))"
+
+    e = _rewrite_calls(e, "pack_all", _pack_all)
+
+    # array_iff(cond, when_true, when_false): element-wise select.
+    # The indexed transform lambda makes an empty condition array
+    # yield [] and try_element_at null-pads short value arrays (both
+    # Kusto semantics; a sequence(1, size) formulation crashes on
+    # empty/short arrays under ANSI element_at).  A NULL condition
+    # element yields NULL.  Literal scalar values apply element-wise.
+    def _array_iff(a: list[str]) -> str:
+        def val(arg: str) -> str:
+            arg = arg.strip()
+            if re.fullmatch(
+                r"-?\d+(?:\.\d+)?|'(?:[^']*)'|true|false|null",
+                arg,
+                re.IGNORECASE,
+            ):
+                return arg  # scalar literal: applied to every element
+            return f"try_element_at({arg}, __i + 1)"
+
+        return (
+            f"transform({a[0]}, (__x, __i) -> "
+            f"CASE WHEN __x IS NULL THEN NULL "
+            f"WHEN __x THEN {val(a[1])} ELSE {val(a[2])} END)"
+        )
+
+    e = _rewrite_calls(e, "array_iff", _array_iff)
+
+    # bag_merge(b1, b2, ...): variadic left fold; earlier bags keep
+    # their keys on collision (Kusto).  Values pass through the string
+    # map type (scalar values re-render as strings — the documented
+    # dynamic-as-JSON-string approximation this dialect uses
+    # throughout).  The merged expression repeats per fold step, so
+    # the arity is capped loudly instead of generating exploding SQL.
+    def _bag_merge(a: list[str]) -> str:
+        if len(a) < 2:
+            raise KqlParseError("bag_merge needs at least two bags")
+        if len(a) > 4:
+            raise KqlParseError(
+                "bag_merge supports at most 4 bags per call — nest "
+                "calls for more"
+            )
+
+        def merge2(x: str, y: str) -> str:
+            mx = f"from_json({x}, 'map<string,string>')"
+            my = f"from_json({y}, 'map<string,string>')"
+            return (
+                f"to_json(map_concat({mx}, map_filter({my}, "
+                f"(__k, __v) -> NOT array_contains(map_keys({mx}), "
+                "__k))))"
+            )
+
+        out = a[0]
+        for nxt in a[1:]:
+            out = merge2(out, nxt)
+        return out
+
+    e = _rewrite_calls(e, "bag_merge", _bag_merge)
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
     # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)
     for kql_fn, sql_fn in (

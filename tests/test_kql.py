@@ -1534,3 +1534,38 @@ def test_pack_all_array_iff_bag_merge(spark):
     ).collect()[0]["m"]
     # Kusto keeps the FIRST bag's value on key collision
     assert _json.loads(merged) == {"a": "1", "b": "2", "c": "3"}
+
+
+def test_array_iff_edge_cases_and_variadic_bag_merge(spark):
+    import json as _json
+
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    df = spark.createDataFrame(
+        [([], [1], [9]), ([True, True, False], [1], [9, 8, 7])],
+        "c array<boolean>, t array<long>, f array<long>",
+    )
+    out = kql(
+        spark, "t | extend r = array_iff(c, t, f) | project r", tables={"t": df}
+    ).collect()
+    # empty condition -> []; short value array null-pads (Kusto)
+    assert [list(r["r"]) for r in out] == [[], [1, None, 7]]
+    out2 = kql(
+        spark, "t | extend r = array_iff(c, 1, 0) | project r", tables={"t": df}
+    ).collect()
+    assert [list(r["r"]) for r in out2] == [[], [1, 1, 0]]
+    df3 = spark.createDataFrame(
+        [('{"a":"1"}', '{"b":"2"}', '{"a":"X","c":"3"}')],
+        "x string, y string, z string",
+    )
+    m = kql(
+        spark, "t | extend m = bag_merge(x, y, z) | project m", tables={"t": df3}
+    ).collect()[0]["m"]
+    assert _json.loads(m) == {"a": "1", "b": "2", "c": "3"}
+    with pytest.raises(KqlParseError, match="pack_all"):
+        kql(spark, "t | extend p = pack_all(true)", tables={"t": df3})
+    with pytest.raises(KqlParseError, match="at least two"):
+        kql(spark, "t | extend m = bag_merge(x)", tables={"t": df3})
