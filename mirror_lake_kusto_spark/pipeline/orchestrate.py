@@ -79,7 +79,7 @@ class MirrorPipeline:
         now_fn=None,
         compact_every: int = 8,
         optimize_target_every: int | None = None,
-        max_items_per_batch: int | None = 100_000,
+        max_items_per_batch: int = 100_000,
         state_backend: str = "delta",
         on_schema_change: str = "fail",
         optimize_target_zorder_by: list[str] | None = None,
@@ -128,7 +128,18 @@ class MirrorPipeline:
         # at most this many TransactionItems on the driver.  Larger
         # spans are processed in multiple batches — by commit boundary
         # on the incremental path, by path order on the snapshot-diff
-        # path.  None disables chunking.
+        # path.  None (uncapped) is a driver-OOM hatch at 100 TB —
+        # millions of snapshot adds would collect at once — so it is
+        # rejected outright; pass a large explicit cap if you really
+        # want near-unbounded batches on a small table.
+        if max_items_per_batch is None:
+            raise ValueError(
+                "max_items_per_batch=None would collect an unbounded "
+                "snapshot to the driver; pass an explicit item cap "
+                "(default 100_000)"
+            )
+        if max_items_per_batch < 1:
+            raise ValueError("max_items_per_batch must be >= 1")
         self.max_items_per_batch = max_items_per_batch
         self._batches_run = 0
 
@@ -259,25 +270,21 @@ class MirrorPipeline:
             schema_item = self._check_schema(hwm, end_tx)
             cap = self.max_items_per_batch
             adds, removes = self._snapshot_diff(end_tx)
-            if cap is None:
-                add_rows, remove_rows = adds.collect(), removes.collect()
-                snapshot_chunk = "snapshot-chunk-final"
+            # path-ordered chunking: at most `cap` items reach the
+            # driver per batch; the diff recomputes smaller each
+            # round because processed state grows
+            add_rows = adds.orderBy("path").limit(cap + 1).collect()
+            if len(add_rows) > cap:
+                add_rows = add_rows[:cap]
+                remove_rows = []
+                snapshot_chunk = "snapshot-chunk-partial"
             else:
-                # path-ordered chunking: at most `cap` items reach the
-                # driver per batch; the diff recomputes smaller each
-                # round because processed state grows
-                add_rows = adds.orderBy("path").limit(cap + 1).collect()
-                if len(add_rows) > cap:
-                    add_rows = add_rows[:cap]
-                    remove_rows = []
+                remove_rows = removes.orderBy("path").limit(cap + 1).collect()
+                if len(remove_rows) > cap:
+                    remove_rows = remove_rows[:cap]
                     snapshot_chunk = "snapshot-chunk-partial"
                 else:
-                    remove_rows = removes.orderBy("path").limit(cap + 1).collect()
-                    if len(remove_rows) > cap:
-                        remove_rows = remove_rows[:cap]
-                        snapshot_chunk = "snapshot-chunk-partial"
-                    else:
-                        snapshot_chunk = "snapshot-chunk-final"
+                    snapshot_chunk = "snapshot-chunk-final"
         else:
             end_tx = self._cap_span(hwm, end_tx)
             schema_item = self._check_schema(hwm, end_tx)
@@ -326,8 +333,6 @@ class MirrorPipeline:
         line counts of the commit JSONs — a cheap streaming read, and a
         safe overestimate (metaData/protocol/txn lines count too)."""
         cap = self.max_items_per_batch
-        if cap is None:
-            return end_tx
         pending = [
             v
             for v in DL.list_commit_versions(self.source)

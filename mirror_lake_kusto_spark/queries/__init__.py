@@ -79,8 +79,17 @@ def all_queries() -> dict[str, Query]:
     )
 
     recorded = _RECORDED_R01 | _driver_recorded()
+    # Oracle-less queries sort after everything else: the driver's
+    # 50-entry sample can only ever log them as ``no_oracle`` rows-only
+    # checks (they are validated by pytest gates instead), so they must
+    # not displace hash-checkable queries from the sample window.
     ordered = sorted(
-        registry, key=lambda n: (n in recorded, n not in _PENDING_R03)
+        registry,
+        key=lambda n: (
+            registry[n].oracle is None,
+            n in recorded,
+            n not in _PENDING_R03,
+        ),
     )
     return {n: registry[n] for n in ordered}
 

@@ -532,6 +532,7 @@ class DeltaSink:
         source: DataFrame,
         key_cols: Sequence[str],
         txn: tuple[str, int] | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> int:
         """Copy-on-write upsert (Delta's MERGE INTO with matched-update
         + not-matched-insert, keyed on ``key_cols``): files containing
@@ -547,7 +548,16 @@ class DeltaSink:
         against the (small) affected-file row set's keys — at 100 TB
         the rewrite cost is proportional to files TOUCHED, never table
         size.  Duplicate keys in ``source`` raise (Delta's own
-        multiple-source-rows-matched error)."""
+        multiple-source-rows-matched error).
+
+        ``delete_keys`` adds whenMatchedDelete semantics: a DataFrame
+        of key tuples whose matching target rows are removed in the
+        SAME commit.  The keys stay executor-side end-to-end — they
+        ride the probe broadcast and the per-file anti-join; nothing
+        collects to the driver (vs the reference's driver-built delete
+        predicates, ``Storage/TransactionLog.cs``).  A key present in
+        both ``source`` and ``delete_keys`` raises: upsert-then-delete
+        has no defined order inside one atomic commit."""
         import pyspark.sql.functions as F
 
         keys = list(key_cols)
@@ -563,11 +573,27 @@ class DeltaSink:
                 f"merge source has duplicate keys on {keys} — each target "
                 "row may match at most one source row"
             )
+        del_keys = None
+        if delete_keys is not None:
+            missing_k = [k for k in keys if k not in delete_keys.columns]
+            if missing_k:
+                raise ValueError(
+                    f"delete_keys is missing key columns {missing_k}"
+                )
+            del_keys = delete_keys.select(*keys).distinct()
+            overlap = source.select(*keys).join(del_keys, keys, "inner")
+            if overlap.limit(1).count():
+                raise ValueError(
+                    "a key appears in both source and delete_keys — "
+                    "upsert-then-delete has no defined order inside one "
+                    "atomic commit; split them across batches"
+                )
         now = int(time.time() * 1000)
         types, data_schema = self._data_schema()
         if data_schema is None:
-            # empty table: a merge is a plain first append — the txn
-            # ledger entry must still ride it (I3 exactly-once)
+            # empty table: a merge is a plain first append, deletes are
+            # no-ops — the txn ledger entry must still ride it (I3
+            # exactly-once)
             return self.append(source, txn=txn)
         # column-set guard: a wider source would write columns the
         # table metadata doesn't record (readers silently drop them),
@@ -592,6 +618,13 @@ class DeltaSink:
         import urllib.parse
 
         src_keys = source.select(*keys).distinct()
+        # probe (and anti-join) on the union of upsert + delete keys:
+        # a file holding ONLY deleted rows must still rewrite
+        all_keys = (
+            src_keys.unionByName(del_keys).distinct()
+            if del_keys is not None
+            else src_keys
+        )
         probes = []
         for key, paths in groups.items():
             reader = self.spark.read.schema(data_schema)
@@ -607,7 +640,7 @@ class DeltaSink:
             probe = probes[0]
             for p in probes[1:]:
                 probe = probe.unionByName(p)
-            hits = probe.join(F.broadcast(src_keys), keys, "inner")
+            hits = probe.join(F.broadcast(all_keys), keys, "inner")
             hit_abs = set()
             for r in hits.select("_f").distinct().collect():
                 p = urllib.parse.unquote(r["_f"])
@@ -632,7 +665,7 @@ class DeltaSink:
                 def rewrite(df, pv=pv):
                     full = inject(df, pv)
                     kept = full.join(
-                        F.broadcast(src_keys), keys, "left_anti"
+                        F.broadcast(all_keys), keys, "left_anti"
                     ).select(*src_cols)
                     # one output per MATCHED TARGET ROW carrying the
                     # source's values (Delta's matched-update

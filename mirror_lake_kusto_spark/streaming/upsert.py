@@ -29,9 +29,10 @@ Scale posture: the per-batch work is one MERGE — probe + rewrite of
 only the files containing matched keys (see ``DeltaSink.merge``), so
 cost tracks the CHANGE volume, never table size.  The within-batch
 latest-per-key window partitions by key (no global window).  Delete
-tombstones collect their keys to the driver to build the delete
-predicate — bounded by tombstones-per-batch, which admission control
-(maxCommitsPerTrigger / maxFilesPerTrigger on the source) already caps.
+tombstones ride the SAME merge commit as ``delete_keys`` — the key
+frame stays executor-side (probe broadcast + per-file anti-join);
+nothing collects to the driver, so a CDC batch with millions of
+tombstones is just a wider broadcast, never a driver-built predicate.
 """
 
 from __future__ import annotations
@@ -51,14 +52,6 @@ def _latest_meta(sink):
         return None  # empty/new table: first merge defines the schema
 
 
-def _sql_lit(v) -> str:
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
-
-
 def foreach_batch_upsert(
     sink,
     key_cols: Sequence[str],
@@ -74,12 +67,10 @@ def foreach_batch_upsert(
     latest row per key (``version_col`` order, deterministic tiebreak;
     without a version column exact-duplicate rows collapse, but true
     key conflicts raise — there is no defensible winner, and a wedged
-    stream beats a silently wrong table); (3) apply tombstones as a
-    row-level delete; (4) MERGE the remainder, committing the batch id
-    in the SAME commit.  A crash between (3) and (4) replays the
-    delete — deleting already-absent keys is a no-op — and then
-    completes the merge, so the sequence is idempotent end-to-end
-    without a two-phase protocol.
+    stream beats a silently wrong table); (3) one MERGE applies the
+    upserts AND the tombstone deletes (``delete_keys``) in a single
+    atomic commit that also carries the batch-id txn action — so the
+    batch is all-or-nothing and replays are no-ops by construction.
 
     ``target_cols`` pins the table's column set explicitly — REQUIRED
     knowledge when the target may be empty (nothing to introspect):
@@ -116,22 +107,12 @@ def foreach_batch_upsert(
                     "batch has multiple conflicting rows per key and "
                     "no version_col to order them — pass version_col"
                 )
+        del_keys = None
         if delete_col is not None:
-            tombs = df.filter(F.col(delete_col))
+            del_keys = df.filter(F.col(delete_col)).select(*keys)
             df = df.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
-            rows = tombs.select(*keys).collect()
-            if rows:
-                disjuncts = [
-                    "("
-                    + " AND ".join(
-                        f"`{k}` = {_sql_lit(r[k])}" for k in keys
-                    )
-                    + ")"
-                    for r in rows
-                ]
-                sink.delete(" OR ".join(disjuncts))
         # align to the target's schema: CDC streams carry bookkeeping
         # columns (_commit_version etc.) the table doesn't store.  The
         # projection is by name against the sink's CURRENT schema; a
@@ -154,7 +135,7 @@ def foreach_batch_upsert(
                     f"batch is missing target columns {missing}"
                 )
             df = df.select(*cols)
-        sink.merge(df, keys, txn=(app_id, batch_id))
+        sink.merge(df, keys, txn=(app_id, batch_id), delete_keys=del_keys)
 
     return apply
 

@@ -1244,3 +1244,24 @@ def test_optimize_rejects_corrupt_policy(spark, tmp_path):
         f.write(_json.dumps({"metaData": md}) + "\n")
     with _pytest.raises(ValueError, match="not an integer"):
         sink.optimize()
+
+
+def test_max_items_per_batch_none_rejected(spark, tmp_path):
+    """The uncapped escape hatch is closed: None would collect an
+    unbounded snapshot to the driver (millions of files at 100 TB)."""
+    with pytest.raises(ValueError, match="max_items_per_batch"):
+        MirrorPipeline(
+            spark,
+            source_path=str(tmp_path / "src"),
+            target_path=str(tmp_path / "dst"),
+            state_dir=str(tmp_path / "state"),
+            max_items_per_batch=None,
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        MirrorPipeline(
+            spark,
+            source_path=str(tmp_path / "src2"),
+            target_path=str(tmp_path / "dst2"),
+            state_dir=str(tmp_path / "state2"),
+            max_items_per_batch=0,
+        )

@@ -285,18 +285,24 @@ def test_repetition_profile_no_cartesian_and_jvm_side(spark):
 
 def test_registry_orders_never_recorded_queries_first():
     """The driver samples the first 50 registry entries per round —
-    queries without an affirmative driver verdict must enumerate before
-    already-recorded ones, and a crashed driver row must be retried."""
+    hash-checkable queries without an affirmative driver verdict must
+    enumerate before already-recorded ones, and oracle-less queries
+    (whose best driver outcome is a `no_oracle` rows-only row) must
+    sort after every hash-checkable one so they never burn a sample
+    slot — they are validated by pytest gates instead."""
     import mirror_lake_kusto_spark.queries as Q
 
-    names = list(all_queries())
+    qs = all_queries()
+    names = list(qs)
     recorded = Q._RECORDED_R01 | Q._driver_recorded()
-    unrecorded = [n for n in names if n not in recorded]
+    unrecorded = [
+        n for n in names if n not in recorded and qs[n].oracle is not None
+    ]
     assert set(unrecorded) <= set(names[: max(50, len(unrecorded))])
-    # kql_make_series crashed in r02 (err=traceback) -> must be retried
-    assert "kql_make_series" not in Q._driver_recorded()
-    # a no_oracle row whose spark side ran IS terminal (rows-only check)
-    assert "similarity_topk_pq" in Q._driver_recorded()
+    first_oracleless = next(
+        (i for i, n in enumerate(names) if qs[n].oracle is None), len(names)
+    )
+    assert all(qs[n].oracle is None for n in names[first_oracleless:])
 
 
 def test_decontaminate_broadcasts_eval_shingles(spark):

@@ -158,3 +158,45 @@ def test_upsert_no_version_col_conflicts_raise(spark, tmp_path):
             ),
             1,
         )
+
+
+def test_upsert_tombstones_single_atomic_commit(spark, tmp_path):
+    """Tombstone deletes ride the SAME merge commit as the upserts —
+    one commit per batch (not delete+merge), and the delete-key frame
+    is never collected to the driver (no driver-built predicate)."""
+    sink = DeltaSink(spark, str(tmp_path / "atomic"))
+    sink.append(
+        _df(spark, [(1, "a", 1, False), (2, "b", 1, False)]).select("k", "v")
+    )
+    v0 = max(DL.list_commit_versions(sink.path))
+    apply = foreach_batch_upsert(
+        sink, ["k"], "app-atomic", version_col="ts", delete_col="is_delete",
+        target_cols=["k", "v"],
+    )
+    apply(_df(spark, [(1, None, 2, True), (3, "c", 2, False)]), 0)
+    v1 = max(DL.list_commit_versions(sink.path))
+    assert v1 == v0 + 1  # exactly ONE commit applied both ops
+    assert _state(spark, sink) == {2: "b", 3: "c"}
+
+
+def test_merge_delete_keys_only(spark, tmp_path):
+    """merge() with only delete_keys removes matching rows and still
+    commits the txn action (idempotence for delete-only batches)."""
+    sink = DeltaSink(spark, str(tmp_path / "delonly"))
+    sink.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    empty = spark.createDataFrame([], "k long, v string")
+    dels = spark.createDataFrame([(1,)], "k long")
+    sink.merge(empty, ["k"], txn=("app-d", 5), delete_keys=dels)
+    assert _state(spark, sink) == {2: "b"}
+    assert DL.last_txn_version(spark, sink.path, "app-d") == 5
+
+
+def test_merge_delete_keys_overlap_raises(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "overlap"))
+    sink.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    src = spark.createDataFrame([(1, "x")], "k long, v string")
+    dels = spark.createDataFrame([(1,)], "k long")
+    import pytest
+
+    with pytest.raises(ValueError, match="both source and delete_keys"):
+        sink.merge(src, ["k"], delete_keys=dels)
