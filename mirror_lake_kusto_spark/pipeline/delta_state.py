@@ -151,11 +151,10 @@ class DeltaStateStore:
         removed.  Crash-safe: if the process dies between persist and
         remove, re-running re-persists the same items, and LWW by a
         later ``_seq`` yields the identical current view."""
-        import os
+        from ..sources import fs as _fsmod
 
-        if not os.path.isdir(self.dir):
-            return
-        csvs = [n for n in os.listdir(self.dir) if n.startswith("ix_")]
+        fs = _fsmod.get_fs(self.dir)
+        csvs = [n for n in fs.listdir(self.dir) if n.startswith("ix_")]
         if not csvs:
             return
         from .state import StateStore
@@ -163,7 +162,7 @@ class DeltaStateStore:
         legacy = StateStore(self.spark, self.dir)
         self.persist(legacy.current_items())
         for n in csvs:
-            os.remove(os.path.join(self.dir, n))
+            fs.remove(_fsmod.join(self.dir, n))
 
     # -- writes -------------------------------------------------------------
 
@@ -188,10 +187,20 @@ class DeltaStateStore:
             {c: [_cell(it, c) for it in items] for c in _ALL_COLS},
             schema=_ARROW,
         )
+        from ..sources import fs as _fsmod
+
+        fs = _fsmod.get_fs(self.dir)
         name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-        dst = os.path.join(self.dir, name)
-        papq.write_table(table, dst, compression="snappy")
-        meta = papq.read_metadata(dst)
+        dst = _fsmod.join(self.dir, name)
+        if _fsmod.scheme_of(self.dir):
+            import io as _io
+
+            buf = _io.BytesIO()
+            papq.write_table(table, buf, compression="snappy")
+            fs.write_bytes(dst, buf.getvalue())
+        else:
+            papq.write_table(table, dst, compression="snappy")
+        meta = _fsmod.parquet_metadata(dst)
         self.sink._pending_schema = _STRUCT.json()
         self.sink._commit(
             [
@@ -199,7 +208,7 @@ class DeltaStateStore:
                     "add": {
                         "path": name,
                         "partitionValues": {},
-                        "size": os.path.getsize(dst),
+                        "size": fs.getsize(dst),
                         "modificationTime": int(time.time() * 1000),
                         "dataChange": True,
                         "stats": file_stats_json(meta),

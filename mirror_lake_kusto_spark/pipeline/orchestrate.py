@@ -340,9 +340,12 @@ class MirrorPipeline:
         ]
         total = 0
         chosen = pending[0]
+        from ..sources import fs as _fsmod
+
+        src_fs = _fsmod.get_fs(self.source)
         for v in pending:
-            with open(DL._commit_file(self.source, v), "rb") as f:
-                n = sum(1 for line in f if line.strip())
+            text = src_fs.read_text(DL._commit_file(self.source, v))
+            n = sum(1 for line in text.splitlines() if line.strip())
             if total + n > cap and v != pending[0]:
                 break
             total += n
@@ -638,6 +641,25 @@ class MirrorPipeline:
             it["state"] = "Staged"
         return len(todo)
 
+    def _lineage_path(self, rel: str) -> str:
+        """The MLK_BlobPath spelling for a source-relative blob path —
+        must match the ingestion column byte-for-byte: full path with a
+        ``file:`` scheme stripped (other schemes kept) and percent-
+        encoding undone, exactly what
+        ``url_decode(regexp_replace(input_file_name(), '^file:(//)?', ''))``
+        records at scan time."""
+        import re as _re
+        import urllib.parse as _up
+
+        from ..sources import fs as _fsmod
+
+        full = _fsmod.join(self.source, rel)
+        if not _fsmod.scheme_of(full):
+            full = os.path.abspath(full)
+        elif full.startswith("file:"):
+            full = _re.sub(r"^file:/*", "/", full)
+        return _up.unquote(full)
+
     def _apply_removes(self, items: list[dict]) -> int:
         """C3 + K6: match removes to their historical adds; a skipped
         add skips its remove (BlobLoadingOrchestration.cs:88-153); the
@@ -691,9 +713,7 @@ class MirrorPipeline:
                 to_delete.append(it["blob_path"])
                 it["state"] = "Staged"
         if to_delete:
-            abs_paths = [
-                os.path.abspath(os.path.join(self.source, p)) for p in to_delete
-            ]
+            abs_paths = [self._lineage_path(p) for p in to_delete]
             quoted = ", ".join("'" + p.replace("'", "\\'") + "'" for p in abs_paths)
             self.sink.delete(f"MLK_BlobPath IN ({quoted})")
         return len(to_delete)

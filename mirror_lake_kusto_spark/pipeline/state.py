@@ -28,9 +28,12 @@ cell) columns stay JSON strings, parsed with ``from_json`` on demand
 from __future__ import annotations
 
 import csv
+import io
 import os
 import uuid
 from typing import Any
+
+from ..sources import fs as _fs
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -88,13 +91,18 @@ class StateStore:
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
+        self.fs = _fs.get_fs(state_dir)
+        self.fs.makedirs(state_dir)
         self._cache: dict[tuple, dict[str, Any]] | None = None
 
     # -- writes -------------------------------------------------------------
 
     def _next_seq(self) -> int:
-        seqs = [int(n[3:13]) for n in os.listdir(self.dir) if n.startswith("ix_")]
+        seqs = [
+            int(n[3:13])
+            for n in self.fs.listdir(self.dir)
+            if n.startswith("ix_")
+        ]
         return (max(seqs) + 1) if seqs else 0
 
     def persist(self, items: list[dict[str, Any]]) -> None:
@@ -103,12 +111,13 @@ class StateStore:
         if not items:
             return
         seq = self._next_seq()
-        path = os.path.join(self.dir, f"ix_{seq:010d}_{uuid.uuid4().hex}.csv")
-        with open(path, "x", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=COLUMNS)
-            w.writeheader()
-            for it in items:
-                w.writerow({c: it.get(c) for c in COLUMNS})
+        path = _fs.join(self.dir, f"ix_{seq:010d}_{uuid.uuid4().hex}.csv")
+        buf = io.StringIO(newline="")
+        w = csv.DictWriter(buf, fieldnames=COLUMNS)
+        w.writeheader()
+        for it in items:
+            w.writerow({c: it.get(c) for c in COLUMNS})
+        self.fs.create_exclusive(path, buf.getvalue())
         cache = self._items()
         for it in items:
             cache[_item_key(it)] = {c: it.get(c) for c in COLUMNS}
@@ -116,17 +125,18 @@ class StateStore:
     def compact(self) -> None:
         """Rewrite the LWW view as a single file, drop history (A12)."""
         rows = self.current_items()
-        old = [n for n in os.listdir(self.dir) if n.startswith("ix_")]
-        tmp = os.path.join(self.dir, f"_tmp_{uuid.uuid4().hex}.csv")
-        with open(tmp, "x", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=COLUMNS)
-            w.writeheader()
-            for r in rows:
-                w.writerow({c: r.get(c) for c in COLUMNS})
-        final = os.path.join(self.dir, f"ix_{0:010d}_{uuid.uuid4().hex}.csv")
-        os.rename(tmp, final)
+        old = [n for n in self.fs.listdir(self.dir) if n.startswith("ix_")]
+        tmp = _fs.join(self.dir, f"_tmp_{uuid.uuid4().hex}.csv")
+        buf = io.StringIO(newline="")
+        w = csv.DictWriter(buf, fieldnames=COLUMNS)
+        w.writeheader()
+        for r in rows:
+            w.writerow({c: r.get(c) for c in COLUMNS})
+        self.fs.create_exclusive(tmp, buf.getvalue())
+        final = _fs.join(self.dir, f"ix_{0:010d}_{uuid.uuid4().hex}.csv")
+        self.fs.rename(tmp, final)
         for n in old:
-            os.remove(os.path.join(self.dir, n))
+            self.fs.remove(_fs.join(self.dir, n))
 
     # -- driver-side LWW view -----------------------------------------------
 
@@ -135,10 +145,11 @@ class StateStore:
             cache: dict[tuple, dict[str, Any]] = {}
             # ascending file order = append order; later rows win (D4)
             for name in sorted(
-                n for n in os.listdir(self.dir) if n.startswith("ix_")
+                n for n in self.fs.listdir(self.dir) if n.startswith("ix_")
             ):
-                with open(os.path.join(self.dir, name), newline="") as f:
-                    for row in csv.DictReader(f):
+                text = self.fs.read_text(_fs.join(self.dir, name))
+                if True:
+                    for row in csv.DictReader(io.StringIO(text)):
                         it: dict[str, Any] = {
                             c: (row.get(c) or None) for c in COLUMNS
                         }
@@ -173,11 +184,29 @@ class StateStore:
     # -- reads --------------------------------------------------------------
 
     def _raw_df(self) -> DataFrame:
-        files = [n for n in os.listdir(self.dir) if n.startswith("ix_")]
+        files = [n for n in self.fs.listdir(self.dir) if n.startswith("ix_")]
         if not files:
             return self.spark.createDataFrame([], _CSV_SCHEMA + ", _seq LONG")
+        if not self.fs.spark_readable:
+            # backend Spark executors cannot reach (memory://): the
+            # state is driver-scale metadata by contract, so
+            # parallelize the driver-parsed rows instead of file-scan
+            rows = []
+            for name in files:
+                seq = int(name[3:13])
+                text = self.fs.read_text(_fs.join(self.dir, name))
+                for row in csv.DictReader(io.StringIO(text)):
+                    it = {c: (row.get(c) or None) for c in COLUMNS}
+                    for c in _INT_COLS:
+                        if it[c] is not None:
+                            it[c] = int(it[c])
+                    it["_seq"] = seq
+                    rows.append(it)
+            return self.spark.createDataFrame(
+                rows, _CSV_SCHEMA + ", _seq LONG"
+            )
         df = self.spark.read.csv(
-            [os.path.join(self.dir, n) for n in files],
+            [_fs.join(self.dir, n) for n in files],
             header=True,
             schema=_CSV_SCHEMA,
             escape='"',  # python csv doubles quotes (RFC 4180); match it

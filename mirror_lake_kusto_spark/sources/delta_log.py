@@ -32,6 +32,8 @@ from typing import Any
 
 import pyarrow.parquet as _pq
 import pyspark.sql.functions as F
+
+from . import fs as _fs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
@@ -111,17 +113,17 @@ _DRIVER_JSON_BYTES = 64 << 20
 
 
 def log_dir(table_path: str) -> str:
-    return os.path.join(table_path, "_delta_log")
+    return _fs.join(table_path, "_delta_log")
 
 
 def _commit_file(table_path: str, version: int) -> str:
-    return os.path.join(log_dir(table_path), f"{version:020d}.json")
+    return _fs.join(log_dir(table_path), f"{version:020d}.json")
 
 
 def _read_commit(table_path: str, version: int) -> list[dict]:
     """One commit's newline-delimited JSON actions, driver-side (A1)."""
-    with open(_commit_file(table_path, version)) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    text = _fs.get_fs(table_path).read_text(_commit_file(table_path, version))
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
 def _conform(value: Any, dtype) -> Any:
@@ -156,10 +158,8 @@ def _driver_commit_rows(table_path: str, versions: list[int]) -> list[dict]:
 def list_commit_versions(table_path: str) -> list[int]:
     """A4/A5: enumerate JSON commit txIds from blob names."""
     d = log_dir(table_path)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for name in os.listdir(d):
+    for name in _fs.get_fs(table_path).listdir(d):
         if name.endswith(".json") and len(name) == 25 and name[:20].isdigit():
             out.append(int(name[:20]))
     return sorted(out)
@@ -167,11 +167,11 @@ def list_commit_versions(table_path: str) -> list[int]:
 
 def read_last_checkpoint(table_path: str) -> int | None:
     """A3: the ``_last_checkpoint`` JSON pointer -> checkpoint txId."""
-    p = os.path.join(log_dir(table_path), "_last_checkpoint")
-    if not os.path.isfile(p):
+    fs = _fs.get_fs(table_path)
+    p = _fs.join(log_dir(table_path), "_last_checkpoint")
+    if not fs.isfile(p):
         return None
-    with open(p) as f:
-        return int(json.load(f)["version"])
+    return int(json.loads(fs.read_text(p))["version"])
 
 
 def checkpoint_files(table_path: str, version: int) -> list[str]:
@@ -180,14 +180,15 @@ def checkpoint_files(table_path: str, version: int) -> list[str]:
     ``v.checkpoint.<part>.<parts>.parquet`` layout (a 10M-file table's
     checkpoint is GBs; Delta shards it so writers parallelize and
     readers scan it distributed)."""
+    fs = _fs.get_fs(table_path)
     d = log_dir(table_path)
-    single = os.path.join(d, f"{version:020d}.checkpoint.parquet")
-    if os.path.isfile(single):
+    single = _fs.join(d, f"{version:020d}.checkpoint.parquet")
+    if fs.isfile(single):
         return [single]
     prefix = f"{version:020d}.checkpoint."
     parts = sorted(
-        os.path.join(d, n)
-        for n in os.listdir(d)
+        _fs.join(d, n)
+        for n in fs.listdir(d)
         if n.startswith(prefix) and n.endswith(".parquet")
     )
     if not parts:
@@ -228,11 +229,14 @@ def read_actions(
         )
         versions = [v for v in versions if v > ckpt_version]
     if versions:
-        paths = [os.path.join(d, f"{v:020d}.json") for v in versions]
+        paths = [_fs.join(d, f"{v:020d}.json") for v in versions]
         row_schema = StructType(
             [*ACTIONS_SCHEMA.fields, StructField("tx_id", LongType())]
         )
-        if sum(os.path.getsize(p) for p in paths) <= _DRIVER_JSON_BYTES:
+        if (
+            sum(_fs.get_fs(table_path).getsize(p) for p in paths)
+            <= _DRIVER_JSON_BYTES
+        ):
             # local relation: no file-scan job, no schema pass over the
             # cluster — commit JSONs are driver-scale metadata
             srcs.append(
@@ -375,7 +379,10 @@ def coalesced_segment_local(
         if v > after and (upto is None or v <= upto)
     ]
     if (
-        sum(os.path.getsize(_commit_file(table_path, v)) for v in versions)
+        sum(
+            _fs.get_fs(table_path).getsize(_commit_file(table_path, v))
+            for v in versions
+        )
         > _DRIVER_JSON_BYTES
     ):
         return None
@@ -429,7 +436,13 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
         if upto is None or v <= upto
     ]
     head = versions[-1] if versions else -1
-    cache_key = (os.path.abspath(table_path), head, upto)
+    cache_key = (
+        table_path
+        if _fs.scheme_of(table_path)
+        else os.path.abspath(table_path),
+        head,
+        upto,
+    )
     if cache_key in _PROTOCOL_OK:
         return
     ckpt = read_last_checkpoint(table_path)
@@ -534,7 +547,8 @@ def _snapshot_files_driver(
     ckpt = read_last_checkpoint(table_path)
     use_ckpt = ckpt is not None and (upto is None or ckpt <= upto)
     json_versions = [v for v in versions if not use_ckpt or v > ckpt]
-    total = sum(os.path.getsize(_commit_file(table_path, v)) for v in json_versions)
+    _tfs = _fs.get_fs(table_path)
+    total = sum(_tfs.getsize(_commit_file(table_path, v)) for v in json_versions)
     if total > _DRIVER_JSON_BYTES:
         raise _LogTooBig
     state: dict[str, tuple[tuple[int, int], dict | None]] = {}
@@ -650,7 +664,7 @@ def read_snapshot(
     for f in files:
         key = tuple(sorted((f["partitionValues"] or {}).items()))
         groups.setdefault(key, []).append(
-            os.path.join(table_path, f["path"])
+            _fs.join(table_path, f["path"])
         )
     parts: list[DataFrame] = []
     for key, paths in groups.items():
@@ -736,8 +750,8 @@ def read_changes(
                 a = act.get(key)
                 if a is None or not a.get("dataChange", True):
                     continue
-                full = os.path.join(table_path, a["path"])
-                if change == "delete" and not os.path.exists(full):
+                full = _fs.join(table_path, a["path"])
+                if change == "delete" and not _fs.get_fs(table_path).exists(full):
                     raise ValueError(
                         f"removed file {a['path']} (commit {v}) was "
                         "vacuumed; the change feed for this span is gone"

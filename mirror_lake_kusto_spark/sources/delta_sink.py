@@ -38,6 +38,7 @@ from collections.abc import Sequence
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fs as _fs
 from .skipping import file_stats_json
 
 TX_FMT = "{:020d}"
@@ -51,15 +52,13 @@ class ConcurrentCommitConflict(RuntimeError):
 
 
 def _log_dir(table_path: str) -> str:
-    return os.path.join(table_path, "_delta_log")
+    return _fs.join(table_path, "_delta_log")
 
 
 def _list_versions(table_path: str) -> list[int]:
     d = _log_dir(table_path)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for name in os.listdir(d):
+    for name in _fs.get_fs(table_path).listdir(d):
         if name.endswith(".json") and len(name) == 25:
             try:
                 out.append(int(name[:20]))
@@ -88,7 +87,8 @@ class DeltaSink:
         #: configuration for the NEXT metaData action (clone copies the
         #: source's properties through this); None = carry forward
         self._pending_configuration: dict | None = None
-        os.makedirs(_log_dir(table_path), exist_ok=True)
+        self.fs = _fs.get_fs(table_path)
+        self.fs.makedirs(_log_dir(table_path))
 
     # -- commit machinery ---------------------------------------------------
 
@@ -137,7 +137,7 @@ class DeltaSink:
                 # otherwise both remove the same path) — Delta's
                 # conflict-detection rule, simplified to fail-on-overlap.
                 self._check_conflicts(range(attempted, v), actions)
-            target = os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
+            target = _fs.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
             body = []
             real_actions = [a for a in actions if "commitInfo" not in a]
             if v == 0:
@@ -160,8 +160,9 @@ class DeltaSink:
                 # protocol noise — skip it and report the current version
                 return v - 1
             try:
-                with open(target, "x") as f:
-                    f.write("\n".join(json.dumps(a) for a in body) + "\n")
+                self.fs.create_exclusive(
+                    target, "\n".join(json.dumps(a) for a in body) + "\n"
+                )
             except FileExistsError:
                 attempted = v
                 continue
@@ -183,11 +184,11 @@ class DeltaSink:
             return
         d = _log_dir(self.path)
         for v in versions:
-            p = os.path.join(d, TX_FMT.format(v) + ".json")
-            if not os.path.isfile(p):
+            p = _fs.join(d, TX_FMT.format(v) + ".json")
+            if not self.fs.isfile(p):
                 continue
-            with open(p) as f:
-                for line in f:
+            if True:
+                for line in self.fs.read_text(p).splitlines():
                     if not line.strip():
                         continue
                     act = json.loads(line)
@@ -211,8 +212,9 @@ class DeltaSink:
             return False
         d = _log_dir(self.path)
         for v in reversed(_list_versions(self.path)):
-            with open(os.path.join(d, TX_FMT.format(v) + ".json")) as f:
-                for line in f:
+            text = self.fs.read_text(_fs.join(d, TX_FMT.format(v) + ".json"))
+            if True:
+                for line in text.splitlines():
                     if not line.strip():
                         continue
                     act = json.loads(line)
@@ -256,34 +258,38 @@ class DeltaSink:
         from .delta_log import reconciled_actions
 
         acts = reconciled_actions(self.spark, self.path, upto=version)
-        tmp = os.path.join(_log_dir(self.path), f"_tmp_ckpt_{uuid.uuid4().hex}")
+        tmp = _fs.join(_log_dir(self.path), f"_tmp_ckpt_{uuid.uuid4().hex}")
         n_parts = self.checkpoint_parts or 1
         acts.coalesce(n_parts).write.parquet(tmp)
         written = sorted(
-            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+            _fs.join(tmp, f)
+            for f in self.fs.listdir(tmp)
+            if f.endswith(".parquet")
         )
         pointer: dict = {"version": version, "size": acts.count()}
         if len(written) == 1:
-            shutil.move(
+            self.fs.move(
                 written[0],
-                os.path.join(
+                _fs.join(
                     _log_dir(self.path), TX_FMT.format(version) + ".checkpoint.parquet"
                 ),
             )
         else:
             for i, src in enumerate(written, start=1):
-                shutil.move(
+                self.fs.move(
                     src,
-                    os.path.join(
+                    _fs.join(
                         _log_dir(self.path),
                         TX_FMT.format(version)
                         + f".checkpoint.{i:010d}.{len(written):010d}.parquet",
                     ),
                 )
             pointer["parts"] = len(written)
-        shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(_log_dir(self.path), "_last_checkpoint"), "w") as f:
-            json.dump(pointer, f)
+        self.fs.rmtree(tmp)
+        self.fs.write_text(
+            _fs.join(_log_dir(self.path), "_last_checkpoint"),
+            json.dumps(pointer),
+        )
 
     # -- data operations ----------------------------------------------------
 
@@ -330,47 +336,45 @@ class DeltaSink:
         keeps zero-row parts: empty adds are a legitimate log shape the
         mirror must handle, O4) and merge()'s not-matched-insert path
         (which skips them)."""
-        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
 
         adds: list[dict] = []
-        for dirpath, _dirs, files in os.walk(tmp):
-            rel_dir = os.path.relpath(dirpath, tmp)
+        for dirpath, _dirs, files in self.fs.walk(tmp):
+            rel_dir = dirpath[len(tmp):].strip("/") or "."
             part_values = {}
             if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
+                for seg in rel_dir.split("/"):
                     k, _, val = seg.partition("=")
                     part_values[k] = val
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
-                src = os.path.join(dirpath, name)
-                meta = pq.read_metadata(src)
+                src = _fs.join(dirpath, name)
+                meta = _fs.parquet_metadata(src)
                 if skip_empty and meta.num_rows == 0:
                     continue
                 new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                rel = (
-                    os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
-                )
-                dst = os.path.join(self.path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
+                rel = f"{rel_dir}/{new_name}" if rel_dir != "." else new_name
+                dst = _fs.join(self.path, rel)
+                self.fs.makedirs(dst.rsplit("/", 1)[0])
+                self.fs.move(src, dst)
                 adds.append(
                     {
                         "add": {
-                            "path": rel.replace(os.sep, "/"),
+                            "path": rel,
                             "partitionValues": part_values,
-                            "size": os.path.getsize(dst),
+                            "size": self.fs.getsize(dst),
                             "modificationTime": int(time.time() * 1000),
                             "dataChange": data_change,
                             "stats": file_stats_json(meta),
                         }
                     }
                 )
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.rmtree(tmp)
         return adds
 
     def _rewrite_group(
@@ -391,9 +395,9 @@ class DeltaSink:
         reader = self.spark.read
         if read_schema is not None:
             reader = reader.schema(read_schema)
-        df = reader.parquet(*[os.path.join(self.path, p) for p in paths])
+        df = reader.parquet(*[_fs.join(self.path, p) for p in paths])
         out = transform(df)
-        tmp = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         out.write.parquet(tmp)
         actions: list[dict] = [
             {
@@ -407,31 +411,31 @@ class DeltaSink:
             for rel in paths
         ]
         subdir = partition_subdir(part_values)
-        for name in os.listdir(tmp):
+        for name in self.fs.listdir(tmp):
             if not name.endswith(".parquet"):
                 continue
-            src = os.path.join(tmp, name)
-            meta = pq.read_metadata(src)
+            src = _fs.join(tmp, name)
+            meta = _fs.parquet_metadata(src)
             if meta.num_rows == 0:
                 continue
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = f"{subdir}/{new_name}" if subdir else new_name
-            dst = os.path.join(self.path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(src, dst)
+            dst = _fs.join(self.path, rel)
+            self.fs.makedirs(dst.rsplit("/", 1)[0])
+            self.fs.move(src, dst)
             actions.append(
                 {
                     "add": {
                         "path": rel,
                         "partitionValues": part_values,
-                        "size": os.path.getsize(dst),
+                        "size": self.fs.getsize(dst),
                         "modificationTime": now,
                         "dataChange": data_change,
                         "stats": file_stats_json(meta),
                     }
                 }
             )
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.rmtree(tmp)
         return actions
 
     def _partition_groups(self) -> dict[tuple, list[str]]:
@@ -487,7 +491,7 @@ class DeltaSink:
                 reader = reader.schema(data_schema)
             probes.append(
                 inject(
-                    reader.parquet(*[os.path.join(self.path, p) for p in paths]),
+                    reader.parquet(*[_fs.join(self.path, p) for p in paths]),
                     dict(key),
                 ).withColumn("_f", F.input_file_name())
             )
@@ -498,18 +502,16 @@ class DeltaSink:
                 probe = probe.unionByName(p)
             hit_abs = set()
             for r in probe.filter(predicate).select("_f").distinct().collect():
-                p = urllib.parse.unquote(r["_f"])
-                p = p[7:] if p.startswith("file://") else p.removeprefix("file:")
-                hit_abs.add(os.path.abspath(p))
-            # match on ABSOLUTE paths: stored paths are table-relative
-            # normally but absolute for shallow-cloned files, and
-            # os.path.join passes an absolute second arg through
+                hit_abs.add(self.fs.normalize(r["_f"]))
+            # match on NORMALIZED full paths: stored paths are table-
+            # relative normally but absolute for shallow-cloned files,
+            # and join passes an absolute second arg through on local FS
             for key, paths in groups.items():
                 part_values = dict(key)
                 hit = [
                     p
                     for p in paths
-                    if os.path.abspath(os.path.join(self.path, p)) in hit_abs
+                    if self.fs.normalize(_fs.join(self.path, p)) in hit_abs
                 ]
                 if not hit:
                     continue
@@ -630,7 +632,7 @@ class DeltaSink:
             reader = self.spark.read.schema(data_schema)
             probes.append(
                 inject(
-                    reader.parquet(*[os.path.join(self.path, p) for p in paths]),
+                    reader.parquet(*[_fs.join(self.path, p) for p in paths]),
                     dict(key),
                 ).withColumn("_f", F.input_file_name())
             )
@@ -643,9 +645,7 @@ class DeltaSink:
             hits = probe.join(F.broadcast(all_keys), keys, "inner")
             hit_abs = set()
             for r in hits.select("_f").distinct().collect():
-                p = urllib.parse.unquote(r["_f"])
-                p = p[7:] if p.startswith("file://") else p.removeprefix("file:")
-                hit_abs.add(os.path.abspath(p))
+                hit_abs.add(self.fs.normalize(r["_f"]))
             # keys present in ANY affected file = the matched set
             matched_keys = hits.select(*keys).distinct()
             src_cols = source.columns
@@ -656,7 +656,7 @@ class DeltaSink:
                 hit = [
                     p
                     for p in paths
-                    if os.path.abspath(os.path.join(self.path, p)) in hit_abs
+                    if self.fs.normalize(_fs.join(self.path, p)) in hit_abs
                 ]
                 if not hit:
                     continue
@@ -917,21 +917,22 @@ class DeltaSink:
         ckpt = read_last_checkpoint(self.path)
         live = {f["path"] for f in snapshot_files(self.spark, self.path)}
         removed_data = 0
-        for dirpath, _dirs, files in os.walk(self.path):
+        root = self.path.rstrip("/")
+        for dirpath, _dirs, files in self.fs.walk(self.path):
             if "_delta_log" in dirpath or "_staging_" in dirpath:
                 continue
             for name in files:
-                full = os.path.join(dirpath, name)
-                rel = os.path.relpath(full, self.path).replace(os.sep, "/")
+                full = _fs.join(dirpath, name)
+                rel = full[len(root):].lstrip("/")
                 if name.endswith(".parquet") and rel not in live:
-                    os.remove(full)
+                    self.fs.remove(full)
                     removed_data += 1
         removed_commits = 0
         if ckpt is not None:
             for v in _list_versions(self.path):
                 if v <= ckpt:
-                    os.remove(
-                        os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
+                    self.fs.remove(
+                        _fs.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
                     )
                     removed_commits += 1
         return {"data_files": removed_data, "log_files": removed_commits}
@@ -969,10 +970,11 @@ class DeltaSink:
         for v in _list_versions(self.path):
             info = {"timestamp": None, "operation": None}
             n_add = n_remove = 0
-            with open(
-                os.path.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
-            ) as f:
-                for line in f:
+            text = self.fs.read_text(
+                _fs.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
+            )
+            if True:
+                for line in text.splitlines():
                     if not line.strip():
                         continue
                     act = json.loads(line)
@@ -1011,8 +1013,8 @@ class DeltaSink:
         for p, f in target.items():
             if p in current:
                 continue
-            full = os.path.join(self.path, p)
-            if not os.path.exists(full):
+            full = _fs.join(self.path, p)
+            if not self.fs.exists(full):
                 raise ValueError(
                     f"cannot restore to {version}: file {p} was vacuumed"
                 )
@@ -1086,10 +1088,12 @@ class DeltaSink:
         now = int(time.time() * 1000)
         entries: list[tuple[str, dict]] = []  # (relpath, partitionValues)
         part_keys: list[str] | None = None
-        for dirpath, dirs, names in os.walk(table_path):
+        cfs = _fs.get_fs(table_path)
+        croot = table_path.rstrip("/")
+        for dirpath, dirs, names in cfs.walk(table_path):
             dirs[:] = [d for d in dirs if not d.startswith("_")]
-            rel_dir = os.path.relpath(dirpath, table_path)
-            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            rel_dir = dirpath[len(croot):].strip("/") or "."
+            segs = [] if rel_dir == "." else rel_dir.split("/")
             pv: dict[str, str | None] = {}
             hive = all("=" in s for s in segs)
             for s in segs if hive else []:
@@ -1121,7 +1125,7 @@ class DeltaSink:
                         f"{part_keys}"
                     )
                 entries.append(
-                    (os.path.join(*segs, name) if segs else name, pv)
+                    ("/".join([*segs, name]) if segs else name, pv)
                 )
         if not entries:
             raise ValueError(f"no parquet files under {table_path}")
@@ -1137,14 +1141,14 @@ class DeltaSink:
         sink._pending_schema = schema.json()
         adds = []
         for rel, pv in entries:
-            full = os.path.join(table_path, rel)
-            meta = pq.read_metadata(full)
+            full = _fs.join(table_path, rel)
+            meta = _fs.parquet_metadata(full)
             adds.append(
                 {
                     "add": {
-                        "path": rel.replace(os.sep, "/"),
+                        "path": rel,
                         "partitionValues": pv,
-                        "size": os.path.getsize(full),
+                        "size": cfs.getsize(full),
                         "modificationTime": now,
                         "dataChange": True,
                         "stats": file_stats_json(meta),
@@ -1196,7 +1200,11 @@ class DeltaSink:
         # real Delta shallow clones copy table properties — so do we
         sink._pending_configuration = dict(meta.get("configuration") or {})
         now = int(time.time() * 1000)
-        src_abs = os.path.abspath(source_path)
+        src_abs = (
+            source_path.rstrip("/")
+            if _fs.scheme_of(source_path)
+            else os.path.abspath(source_path)
+        )
         adds = []
         for f in files:
             stats = f.get("stats")
@@ -1207,7 +1215,7 @@ class DeltaSink:
             adds.append(
                 {
                     "add": {
-                        "path": os.path.join(src_abs, f["path"]),
+                        "path": _fs.join(src_abs, f["path"]),
                         "partitionValues": f.get("partitionValues") or {},
                         "size": f.get("size"),
                         "modificationTime": now,
