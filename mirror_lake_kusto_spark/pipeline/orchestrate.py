@@ -298,6 +298,7 @@ class MirrorPipeline:
                     self.spark, self.source, after=hwm, upto=end_tx
                 )
                 add_rows, remove_rows = adds.collect(), removes.collect()
+        self._check_no_deletion_vectors(add_rows)
         now = self.now_fn().isoformat()
         staging = self._item(start_tx, end_tx, "StagingTable", "Initial", now)
         if snapshot_chunk is not None:
@@ -370,7 +371,7 @@ class MirrorPipeline:
                 F2.max_by(
                     F2.struct(
                         "is_add", "partitionValues", "size", "numRecords",
-                        "modificationTime",
+                        "modificationTime", "deletionVector",
                     ),
                     F2.struct("tx_id", F2.col("is_add").cast("int")),
                 ).alias("last")
@@ -382,6 +383,7 @@ class MirrorPipeline:
                 F2.col("last.size").alias("size"),
                 F2.col("last.numRecords").alias("numRecords"),
                 F2.col("last.modificationTime").alias("modificationTime"),
+                F2.col("last.deletionVector").alias("deletionVector"),
             )
         )
         if hasattr(self.state, "adds_df"):
@@ -641,6 +643,31 @@ class MirrorPipeline:
             it["state"] = "Staged"
         return len(todo)
 
+    @staticmethod
+    def _check_no_deletion_vectors(add_rows) -> None:
+        """The mirror ingests FILES; an add carrying a deletion vector
+        means some of that file's rows are logically deleted, and
+        copying the file as-is would resurrect them.  The QUERY side
+        reads DV tables fine (delta_log.read_snapshot applies the
+        bitmaps); the mirror refuses loudly — reference parity with
+        its own unsupported-log-shape throw
+        (TransactionLogEntry.cs:341-342)."""
+        from ..sources.delta_log import UnsupportedTableFeature
+
+        for r in add_rows:
+            try:
+                d = r["deletionVector"]
+            except (KeyError, ValueError, TypeError):
+                continue
+            card = (d["cardinality"] if d is not None else None) or 0
+            if card > 0:
+                raise UnsupportedTableFeature(
+                    f"source file {r['path']} carries a deletion vector "
+                    f"({card} deleted rows); mirroring merge-on-read "
+                    "tables is not supported — OPTIMIZE/REORG the "
+                    "source to materialize deletes first"
+                )
+
     def _lineage_path(self, rel: str) -> str:
         """The MLK_BlobPath spelling for a source-relative blob path —
         must match the ingestion column byte-for-byte: full path with a
@@ -648,17 +675,9 @@ class MirrorPipeline:
         encoding undone, exactly what
         ``url_decode(regexp_replace(input_file_name(), '^file:(//)?', ''))``
         records at scan time."""
-        import re as _re
-        import urllib.parse as _up
-
         from ..sources import fs as _fsmod
 
-        full = _fsmod.join(self.source, rel)
-        if not _fsmod.scheme_of(full):
-            full = os.path.abspath(full)
-        elif full.startswith("file:"):
-            full = _re.sub(r"^file:/*", "/", full)
-        return _up.unquote(full)
+        return _fsmod.data_path_spelling(self.source, rel)
 
     def _apply_removes(self, items: list[dict]) -> int:
         """C3 + K6: match removes to their historical adds; a skipped

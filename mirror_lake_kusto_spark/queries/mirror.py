@@ -168,3 +168,67 @@ def mirror_change_feed(spark, sf_dir):
     li.unpersist()
     src.delete("l_linestatus = 'F' AND l_quantity < 10")
     return src.changes(0).select("_change_type", "_commit_version", *_COLS)
+
+
+@query(
+    "mirror_dv_read",
+    """
+    SELECT r_regionkey, r_name FROM region
+    WHERE r_regionkey NOT IN (1, 3)
+    """,
+    doc="deletion-vector read (Delta PROTOCOL.md merge-on-read): a "
+    "reader-v3 table whose add action carries an inline roaring-bitmap "
+    "deletion vector over physical rows 1 and 3 returns exactly the "
+    "surviving rows — the feature the reference era predated "
+    "(TransactionLogEntry.cs parses classic actions only) and current "
+    "Delta writers emit by default",
+)
+def mirror_dv_read(spark, sf_dir):
+    import json
+
+    from ..sources import delta_log as DL
+    from ..sources import dv as dvm
+
+    workdir = _workdir("mirror_dv", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    region = (
+        load_table(spark, "region", sf_dir)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .coalesce(1)
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(region)
+    f = DL.snapshot_files(spark, path)[0]
+    # physical row order = r_regionkey order (single sorted file), so
+    # deleting row indices {1, 3} deletes region keys 1 and 3
+    acts = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "add": {
+                "path": f["path"],
+                "partitionValues": {},
+                "size": f["size"],
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": f["stats"],
+                "deletionVector": dvm.inline_descriptor([1, 3]),
+            }
+        },
+    ]
+    from ..sources import fs as FS
+
+    FS.get_fs(path).write_text(
+        DL._commit_file(path, 1),
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    return DL.read_snapshot(spark, path)

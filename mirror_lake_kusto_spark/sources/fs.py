@@ -497,3 +497,21 @@ def parquet_metadata(path: str):
 
 _LOCAL = LocalFS()
 _MEMORY = MemoryFS()
+
+
+def data_path_spelling(base: str, rel: str) -> str:
+    """Canonical spelling of data file ``rel`` under table ``base`` for
+    equality against Spark's scan-time file identity
+    (``input_file_name()`` / ``_metadata.file_path``) AFTER both sides
+    are passed through ``url_decode`` + ``regexp_replace('^file:(//)?',
+    '')``: local paths become absolute, ``file:`` schemes drop, other
+    schemes (s3a, abfss, ...) stay."""
+    import re as _re
+    import urllib.parse as _up
+
+    full = join(base, rel)
+    if not scheme_of(full):
+        full = os.path.abspath(full)
+    elif full.startswith("file:"):
+        full = _re.sub(r"^file:/*", "/", full)
+    return _up.unquote(full)

@@ -1,0 +1,187 @@
+"""Deletion vectors (sources/dv.py + delta_log merge-on-read): codec
+roundtrips against the public Delta PROTOCOL.md / RoaringFormatSpec
+layouts, snapshot reads excluding DV'd rows for inline and UUID-file
+storage, protocol-guard acceptance of reader v3 + deletionVectors (and
+continued loud rejection of anything else), and the mirror/change-feed
+guards that refuse to ingest merge-on-read files."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources import dv as dvm
+from mirror_lake_kusto_spark.sources import fs as FS
+from mirror_lake_kusto_spark.sources.delta_log import UnsupportedTableFeature
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+
+# -- codec ----------------------------------------------------------------
+
+
+def test_roaring_roundtrip_container_shapes():
+    cases = [
+        [],
+        [0],
+        [1, 3],
+        list(range(5000)),  # spans two keys, array containers
+        list(range(0, 65536, 3)),  # >4096 in one key -> bitset container
+        [7, 65536 * 3 + 2, (1 << 32) + 5, (3 << 32) + 1],  # multi-bitmap
+    ]
+    rng = random.Random(42)
+    cases.append(sorted(rng.sample(range(1 << 20), 9000)))
+    for idx in cases:
+        assert dvm.deserialize(dvm.serialize(list(idx))) == sorted(set(idx))
+
+
+def test_roaring_reads_run_containers():
+    """Foreign writers may emit run containers — hand-build one and
+    read it (our writer never produces runs, readers must accept)."""
+    import struct
+
+    # one bitmap, one run container [10, 14] ∪ [100, 100]
+    cookie = (1 - 1) << 16 | 12347
+    run_bits = b"\x01"
+    desc = struct.pack("<HH", 0, 6 - 1)
+    runs = struct.pack("<HHHHH", 2, 10, 4, 100, 0)
+    bm = struct.pack("<I", cookie) + run_bits + desc + runs
+    payload = struct.pack("<iq", dvm.MAGIC, 1) + bm
+    assert dvm.deserialize(payload) == [10, 11, 12, 13, 14, 100]
+
+
+def test_z85_roundtrip():
+    import os
+
+    for n in (4, 16, 40, 120):
+        b = os.urandom(n)
+        assert dvm.z85_decode(dvm.z85_encode(b)) == b
+
+
+def test_dv_payload_crc_check(tmp_path):
+    desc = dvm.write_dv_file(str(tmp_path), [1, 2, 3], prefix="ab")
+    # corrupt one payload byte -> CRC must catch it
+    rel = FS.get_fs(str(tmp_path)).listdir(str(tmp_path / "ab"))[0]
+    full = str(tmp_path / "ab" / rel)
+    blob = bytearray(FS.get_fs(full).read_bytes(full))
+    blob[10] ^= 0xFF
+    FS.get_fs(full).write_bytes(full, bytes(blob))
+    with pytest.raises(ValueError, match="CRC"):
+        dvm.dv_payload(str(tmp_path), desc)
+
+
+# -- snapshot reads ---------------------------------------------------------
+
+
+def _author_dv_table(spark, path, deleted, storage="i"):
+    sink = DeltaSink(spark, path)
+    df = (
+        spark.range(10)
+        .toDF("n")
+        .selectExpr("n", "concat('v', n) as v")
+        .orderBy("n")
+        .coalesce(1)
+    )
+    sink.append(df)
+    f = DL.snapshot_files(spark, path)[0]
+    desc = (
+        dvm.inline_descriptor(deleted)
+        if storage == "i"
+        else dvm.write_dv_file(path, deleted, prefix="xy")
+    )
+    acts = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "add": {
+                "path": f["path"],
+                "partitionValues": {},
+                "size": f["size"],
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": f["stats"],
+                "deletionVector": desc,
+            }
+        },
+    ]
+    FS.get_fs(path).write_text(
+        DL._commit_file(path, 1),
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    return sink
+
+
+def test_read_snapshot_applies_inline_dv(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _author_dv_table(spark, path, [1, 3], storage="i")
+    got = sorted(r["n"] for r in DL.read_snapshot(spark, path).collect())
+    assert got == [0, 2, 4, 5, 6, 7, 8, 9]
+    # helper columns never leak into the result schema
+    assert DL.read_snapshot(spark, path).columns == ["n", "v"]
+
+
+def test_read_snapshot_applies_uuid_file_dv(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _author_dv_table(spark, path, [0, 9], storage="u")
+    got = sorted(r["n"] for r in DL.read_snapshot(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_dv_read_with_predicate_still_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _author_dv_table(spark, path, [1, 3])
+    got = sorted(
+        r["n"]
+        for r in DL.read_snapshot(spark, path, predicate="n >= 2").collect()
+    )
+    assert got == [2, 4, 5, 6, 7, 8, 9]
+
+
+def test_protocol_guard_still_rejects_unknown_features(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path)
+    sink.append(spark.createDataFrame([(1,)], "n long"))
+    acts = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "columnMapping"],
+            }
+        }
+    ]
+    FS.get_fs(path).write_text(
+        DL._commit_file(path, 1), json.dumps(acts[0]) + "\n"
+    )
+    with pytest.raises(UnsupportedTableFeature, match="columnMapping"):
+        DL.read_snapshot(spark, path).collect()
+
+
+def test_mirror_refuses_dv_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _author_dv_table(spark, src, [1])
+    pipe = MirrorPipeline(
+        spark,
+        source_path=src,
+        target_path=str(tmp_path / "dst"),
+        state_dir=str(tmp_path / "state"),
+        table_name="dv_guard",
+    )
+    with pytest.raises(UnsupportedTableFeature, match="deletion vector"):
+        pipe.run_once()
+
+
+def test_change_feed_refuses_dv_span(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _author_dv_table(spark, path, [1])
+    with pytest.raises(UnsupportedTableFeature, match="change feed"):
+        DL.read_changes(spark, path, 0).collect()
