@@ -299,6 +299,7 @@ class MirrorPipeline:
                 )
                 add_rows, remove_rows = adds.collect(), removes.collect()
         self._check_no_deletion_vectors(add_rows)
+        self._check_no_column_mapping(end_tx)
         now = self.now_fn().isoformat()
         staging = self._item(start_tx, end_tx, "StagingTable", "Initial", now)
         if snapshot_chunk is not None:
@@ -642,6 +643,26 @@ class MirrorPipeline:
         for it in todo:
             it["state"] = "Staged"
         return len(todo)
+
+    def _check_no_column_mapping(self, end_tx: int) -> None:
+        """A column-mapped source stores PHYSICAL names in its data
+        files; staging them under the logical schema would silently
+        null every column.  The query side reads such tables
+        (delta_log.read_snapshot renames physical->logical); the
+        mirror refuses loudly until a rename-on-ingest path exists."""
+        from ..sources.delta_log import (
+            UnsupportedTableFeature,
+            column_mapping_of,
+            latest_metadata,
+        )
+
+        meta = latest_metadata(self.spark, self.source, upto=end_tx)
+        if column_mapping_of(meta) is not None:
+            raise UnsupportedTableFeature(
+                f"source {self.source} uses Delta column mapping; "
+                "mirroring physical-named data files is not supported "
+                "— query it via read_snapshot instead"
+            )
 
     @staticmethod
     def _check_no_deletion_vectors(add_rows) -> None:

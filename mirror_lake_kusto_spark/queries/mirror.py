@@ -232,3 +232,121 @@ def mirror_dv_read(spark, sf_dir):
         "\n".join(json.dumps(a) for a in acts) + "\n",
     )
     return DL.read_snapshot(spark, path)
+
+
+@query(
+    "mirror_colmap_read",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey <= 2
+    """,
+    doc="column-mapping read (Delta PROTOCOL.md 'Column Mapping', name "
+    "mode): data files store physical names (col-xxxx), the metaData "
+    "schema records logical->physical via "
+    "delta.columnMapping.physicalName, add.partitionValues are keyed "
+    "physically — read_snapshot renames to logical names and prunes "
+    "partitions with logical predicates",
+)
+def mirror_colmap_read(spark, sf_dir):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_colmap", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    path = os.path.join(workdir, "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    nation = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    # physical layout: one file per n_regionkey partition, data files
+    # store physical names only
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "n_nationkey",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-1a",
+                },
+            },
+            {
+                "name": "n_name",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-2b",
+                },
+            },
+            {
+                "name": "n_regionkey",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-3c",
+                },
+            },
+        ],
+    }
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "colmap-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["col-3c"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    by_region: dict[int, list] = {}
+    for r in nation:
+        by_region.setdefault(r["n_regionkey"], []).append(r)
+    for rk, rows in sorted(by_region.items()):
+        rel = f"r{rk}/part-0.parquet"
+        os.makedirs(os.path.join(path, f"r{rk}"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "col-1a": pa.array(
+                        [int(r["n_nationkey"]) for r in rows], pa.int64()
+                    ),
+                    "col-2b": [r["n_name"] for r in rows],
+                }
+            ),
+            os.path.join(path, rel),
+        )
+        acts.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {"col-3c": str(rk)},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": len(rows)}),
+                }
+            }
+        )
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    # logical-name partition predicate prunes physical-keyed groups
+    return DL.read_snapshot(
+        spark, path, partition_predicate="n_regionkey <= 2"
+    ).select("n_nationkey", "n_name", "n_regionkey")

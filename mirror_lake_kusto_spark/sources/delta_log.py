@@ -514,19 +514,23 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
     if proto is not None:
         reader = proto.get("minReaderVersion") or 1
         features = set(proto.get("readerFeatures") or [])
-        # reader v3 tables advertise table features explicitly; we read
-        # deletionVectors (merge-on-read row filters applied in
-        # read_snapshot).  Anything else — columnMapping, v2Checkpoint,
-        # timestampNtz, ... — still fails loudly: reading blind returns
-        # wrong rows.
-        supported = {"deletionVectors"}
-        if (reader > 1 and reader != 3) or (features - supported) or (
-            reader > 1 and not features
-        ):
+        # reader v2 = column mapping (legacy form); reader v3 tables
+        # advertise table features explicitly — we read deletionVectors
+        # (merge-on-read row filter) and columnMapping (physical->
+        # logical rename), both applied in read_snapshot.  Anything
+        # else — v2Checkpoint, timestampNtz, ... — still fails loudly:
+        # reading blind returns wrong rows.
+        supported = {"deletionVectors", "columnMapping"}
+        ok = (
+            reader == 1
+            or reader == 2
+            or (reader == 3 and features and not (features - supported))
+        )
+        if not ok:
             raise UnsupportedTableFeature(
                 f"table {table_path} requires minReaderVersion={reader} "
                 f"readerFeatures={sorted(features)}; this engine "
-                f"implements basic reader version 1 plus "
+                f"implements reader versions 1-2 plus "
                 f"{sorted(supported)} — reading anyway would return "
                 "wrong rows"
             )
@@ -661,6 +665,37 @@ def _snapshot_files_driver(
     )
 
 
+def column_mapping_of(meta: dict | None) -> dict[str, str] | None:
+    """Logical -> physical column names when the table uses Delta
+    column mapping (PROTOCOL.md "Column Mapping"): the metaData
+    configuration carries ``delta.columnMapping.mode`` and every
+    schema field records its ``delta.columnMapping.physicalName``
+    (both ``name`` and ``id`` modes do — matching by physical name
+    covers both for tables whose files were written under this
+    mapping).  None when mapping is off."""
+    if meta is None:
+        return None
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", None, ""):
+        return None
+    fields = json.loads(meta["schemaString"])["fields"]
+    out = {}
+    for f in fields:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if phys is None:
+            raise UnsupportedTableFeature(
+                f"column mapping mode {mode!r} is active but field "
+                f"{f['name']!r} records no physicalName — refusing to "
+                "guess"
+            )
+        out[f["name"]] = phys
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -688,9 +723,35 @@ def read_snapshot(
     opening only the few whose [min, max] range can match."""
     files = snapshot_files(spark, table_path, upto=upto)
     meta = latest_metadata(spark, table_path, upto=upto)
+    mapping = column_mapping_of(meta)  # logical -> physical, or None
+    if mapping is not None:
+        # normalize to LOGICAL names up front: add.partitionValues (and
+        # metaData.partitionColumns in some writers) are keyed by
+        # physical name under column mapping
+        log_of = {v: k for k, v in mapping.items()}
+        files = [
+            {
+                **f,
+                "partitionValues": {
+                    log_of.get(k, k): v
+                    for k, v in (f["partitionValues"] or {}).items()
+                },
+            }
+            for f in files
+        ]
+        meta = {
+            **meta,
+            "partitionColumns": [
+                log_of.get(c, c)
+                for c in (meta.get("partitionColumns") or [])
+            ],
+        }
     if partition_predicate is not None and files and meta is not None:
         files = _prune_partitions(spark, files, meta, partition_predicate)
-    if predicate is not None and files and meta is not None:
+    if predicate is not None and files and meta is not None and mapping is None:
+        # stats/bloom pruning is skipped under column mapping (stats
+        # JSON is keyed by physical names); the row filter below keeps
+        # the result exact either way — pruning is only ever advisory
         from .bloom import prune_files_bloom
         from .skipping import prune_files
 
@@ -717,6 +778,18 @@ def read_snapshot(
     # files hold only the data columns (partition values live in the
     # log); passing the schema skips a footer-inference job per group
     data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    # under column mapping the FILES store physical names: read with
+    # the physical schema, rename to logical right after the scan
+    read_schema = (
+        data_schema
+        if mapping is None
+        else StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in data_schema.fields
+            ]
+        )
+    )
 
     dv_files = [
         f
@@ -731,10 +804,11 @@ def read_snapshot(
         )
     parts: list[DataFrame] = []
     for key, paths in groups.items():
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = spark.read.schema(read_schema).parquet(*paths)
         if dv_files:
             # merge-on-read: carry the file identity + physical row
-            # index so deletion vectors can filter below
+            # index so deletion vectors can filter below (must come
+            # straight off the scan — _metadata resolves only there)
             df = df.withColumns(
                 {
                     "__mlk_file": F.url_decode(
@@ -744,6 +818,15 @@ def read_snapshot(
                     ),
                     "__mlk_ridx": F.col("_metadata.row_index"),
                 }
+            )
+        if mapping is not None:
+            keep_extra = ["__mlk_file", "__mlk_ridx"] if dv_files else []
+            df = df.select(
+                *[
+                    F.col(mapping[f.name]).alias(f.name)
+                    for f in data_schema.fields
+                ],
+                *keep_extra,
             )
         for col_name, raw in key:
             df = df.withColumn(

@@ -449,7 +449,22 @@ class DeltaSink:
 
     def _data_schema(self):
         """(partition-col types, data-col StructType) from the table
-        metadata — both driver-side reads."""
+        metadata — both driver-side reads.  Raises on column-mapped
+        tables: this writer's rewrite paths (delete/merge/optimize)
+        address files by LOGICAL name and would null every column of a
+        physical-named file."""
+        from .delta_log import (
+            UnsupportedTableFeature,
+            column_mapping_of,
+            latest_metadata as _lm,
+        )
+
+        if column_mapping_of(_lm(self.spark, self.path)) is not None:
+            raise UnsupportedTableFeature(
+                f"table {self.path} uses Delta column mapping; "
+                "DeltaSink rewrite operations are not supported on it "
+                "(reads work via delta_log.read_snapshot)"
+            )
         from pyspark.sql.types import StructType as _St
 
         from .delta_log import latest_metadata

@@ -78,9 +78,11 @@ def test_columns_list():
 
 
 def test_unsupported_protocol_raises(spark, tmp_path):
-    """A table requiring reader features this engine lacks (deletion
-    vectors, column mapping) must fail LOUDLY — reading anyway would
-    silently resurface deleted rows."""
+    """A table requiring reader features this engine lacks must fail
+    LOUDLY — reading anyway would return wrong rows.  (deletionVectors
+    and columnMapping are SUPPORTED since round 4 — see test_dv.py /
+    test_colmap.py — a bare feature upgrade no longer blocks reads,
+    but unknown features still do.)"""
     import json
     import os
 
@@ -91,8 +93,8 @@ def test_unsupported_protocol_raises(spark, tmp_path):
 
     sink = DeltaSink(spark, str(tmp_path / "dvtable"))
     sink.append(spark.range(10).toDF("id"))
-    # simulate a writer upgrading the table to deletion vectors
     log = os.path.join(sink.path, "_delta_log")
+    # a DV-feature upgrade alone is readable now (no DV'd adds yet)
     with open(os.path.join(log, "%020d.json" % 1), "w") as f:
         f.write(
             json.dumps(
@@ -106,7 +108,22 @@ def test_unsupported_protocol_raises(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(DL.UnsupportedTableFeature, match="deletionVectors"):
+    assert len(DL.snapshot_files(spark, sink.path)) > 0
+    # an UNKNOWN reader feature still fails closed
+    with open(os.path.join(log, "%020d.json" % 2), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DL.UnsupportedTableFeature, match="v2Checkpoint"):
         DL.snapshot_files(spark, sink.path)
     with pytest.raises(DL.UnsupportedTableFeature):
         DL.read_changes(spark, sink.path, 0)
