@@ -56,12 +56,29 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def _decode_image_real(payload: bytes, meta) -> "object":
-    """Real decode path — requires an image codec not present in this
-    container.  The Spark plumbing around it is identical either way."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "install pillow/opencv and route decode_fn=_decode_image_real"
-    )
+    """Real decode path, gated on an optional pillow dependency: when
+    importable, payloads decode to grayscale pixel statistics in the
+    same feature shape as the deterministic stub; without it the call
+    raises NotImplementedError (the Spark plumbing — schema,
+    partitioning, Arrow batch shape — is identical either way)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "install pillow/opencv and route decode_fn=_decode_image_real"
+        ) from None
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+    arr = np.asarray(img, dtype=np.float64)
+    return {
+        "digest": hashlib.sha256(bytes(payload)).hexdigest(),
+        "mean": float(arr.mean()) if arr.size else 0.0,
+        "dim": int(img.width * img.height),
+    }
 
 
 def _decode_fake(payload: bytes, meta) -> dict:

@@ -11,6 +11,7 @@ keeps its own checkpoint span.
 
 from __future__ import annotations
 
+import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
@@ -18,6 +19,8 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from .orchestrate import MirrorPipeline
+
+_LOG = logging.getLogger(__name__)
 
 
 class MirrorOrchestration:
@@ -45,17 +48,50 @@ class MirrorOrchestration:
                 **cfg,
             )
         self.max_parallel = max_parallel
+        #: table -> exception from the most recent run_until_idle cycle
+        self.last_errors: dict[str, BaseException] = {}
 
-    def run_until_idle(self) -> dict[str, list[dict[str, Any]]]:
+    def run_until_idle(
+        self, raise_on_error: bool = False
+    ) -> dict[str, list[dict[str, Any]]]:
         """Drain every table's pending commits in parallel; returns
-        per-table batch summaries (Task.WhenAll shape)."""
+        per-table batch summaries (Task.WhenAll shape).
+
+        Per-table failure isolation (MirrorOrchestration.cs:127-132
+        runs tables as independent tasks): one table's schema error or
+        unsupported-feature throw must not halt its siblings — the
+        failed table's exception is recorded in ``self.last_errors``
+        (and logged), the healthy tables complete their drains, and the
+        next cycle retries the failed table from its own durable state.
+        ``raise_on_error=True`` restores fail-fast for callers that
+        want a hard stop after the cycle completes."""
         width = min(self.max_parallel, max(len(self.pipelines), 1))
+        results: dict[str, list[dict[str, Any]]] = {}
+        errors: dict[str, BaseException] = {}
         with ThreadPoolExecutor(max_workers=width) as ex:
             futures = {
                 name: ex.submit(p.run_until_idle)
                 for name, p in self.pipelines.items()
             }
-            return {name: f.result() for name, f in futures.items()}
+            for name, f in futures.items():
+                try:
+                    results[name] = f.result()
+                except Exception as exc:  # noqa: BLE001 - isolated per table
+                    errors[name] = exc
+                    results[name] = []
+                    _LOG.warning(
+                        "mirror table %s failed this cycle (siblings "
+                        "unaffected): %s",
+                        name,
+                        exc,
+                    )
+        self.last_errors = errors
+        if errors and raise_on_error:
+            raise RuntimeError(
+                f"{len(errors)} mirror table(s) failed: "
+                f"{sorted(errors)}"
+            ) from next(iter(errors.values()))
+        return results
 
     def run_continuous(
         self, poll_seconds: float = 5.0, max_polls: int | None = None

@@ -256,6 +256,11 @@ class MirrorPipeline:
         if not versions or versions[-1] <= hwm:
             return None
         end_tx = versions[-1]
+        # the incremental path must not outrun the reader's protocol
+        # support: a v2Checkpoint/unknown-feature upgrade makes future
+        # log shapes unreadable — stop BEFORE ingesting past it
+        # (reference throw: TransactionLogEntry.cs:341-342)
+        DL.check_protocol_supported(self.source, end_tx)
         start_tx = hwm + 1
         snapshot_chunk = None  # set on the snapshot-diff path
         if versions[0] > hwm + 1:

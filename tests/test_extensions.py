@@ -1021,3 +1021,21 @@ def test_mmr_reduces_redundancy_keeps_relevance(spark):
         if m_mmr < m_plain - 1e-6:
             improvements += 1
     assert improvements >= 3  # diversification actually does something
+
+
+def test_decode_image_real_with_pillow(spark):
+    """When pillow IS installed the real decode path produces pixel
+    statistics for a tiny PNG through the same Arrow plumbing; skipped
+    where the codec is absent (the NotImplementedError contract is
+    pinned separately above)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io as _io
+
+    from PIL import Image
+
+    from mirror_lake_kusto_spark.operators import multimodal as MM
+
+    buf = _io.BytesIO()
+    Image.new("L", (2, 2), color=128).save(buf, format="PNG")
+    feat = MM._decode_image_real(buf.getvalue(), None)
+    assert feat["dim"] == 4 and abs(feat["mean"] - 128.0) < 1e-9

@@ -1265,3 +1265,54 @@ def test_max_items_per_batch_none_rejected(spark, tmp_path):
             state_dir=str(tmp_path / "state2"),
             max_items_per_batch=0,
         )
+
+
+def test_multi_table_failure_isolation(spark, tmp_path):
+    """One poisoned table (unsupported source feature) must not halt
+    its siblings: the healthy table drains, the failure is recorded,
+    and fixing the source lets the next cycle recover
+    (MirrorOrchestration.cs:127-132 independent-task semantics)."""
+    import json as _json
+
+    from mirror_lake_kusto_spark.pipeline.multi import MirrorOrchestration
+
+    good_src = str(tmp_path / "good_src")
+    DeltaSink(spark, good_src).append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    bad_src = str(tmp_path / "bad_src")
+    DeltaSink(spark, bad_src).append(
+        spark.createDataFrame([(9, "z")], "k long, v string")
+    )
+    # poison: protocol upgrade to a feature the engine rejects
+    with open(
+        f"{bad_src}/_delta_log/{1:020d}.json", "w"
+    ) as f:
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    orch = MirrorOrchestration(
+        spark,
+        {
+            "good": {"source_path": good_src},
+            "bad": {"source_path": bad_src},
+        },
+        root_dir=str(tmp_path / "mirrors"),
+    )
+    results = orch.run_until_idle()
+    assert [r["status"] for r in results["good"]] == ["processed"]
+    assert results["bad"] == [] and "bad" in orch.last_errors
+    got = sorted(r["k"] for r in orch.mirror_df("good").collect())
+    assert got == [1, 2]
+    # fail-fast variant still raises, AFTER the cycle completes
+    with pytest.raises(RuntimeError, match="mirror table"):
+        orch.run_until_idle(raise_on_error=True)
