@@ -58,6 +58,7 @@ def build_ivf_index(
     pq_m: int | None = None,
     pq_codes: int = 256,
     seed: int = 42,
+    centroids=None,
 ) -> dict:
     """Train centroids, assign the corpus, and persist the index.
 
@@ -69,9 +70,17 @@ def build_ivf_index(
     IVF-PQ layout: for d=64 float64, m=8 stores 64x less), and search
     scores candidates by ADC table lookups.  Returns the metadata
     dict (also written to ``meta.json``)."""
-    cent = ivf_centroids(
-        corpus, vec_col, id_col, n_clusters=n_clusters, seed=seed
-    )
+    if centroids is not None:
+        # pre-trained quantizer seeding (the FAISS idiom: train once,
+        # reuse across index builds — also the hook that makes the
+        # index build SQL-oracle-checkable with data-derived seeds)
+        cent = np.asarray(centroids, dtype=np.float64)
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        cent = cent / np.where(norms == 0, 1.0, norms)
+    else:
+        cent = ivf_centroids(
+            corpus, vec_col, id_col, n_clusters=n_clusters, seed=seed
+        )
     assigned = ivf_assign(corpus, vec_col, cent, n_assign=n_assign)
     books = None
     if pq_m is not None:

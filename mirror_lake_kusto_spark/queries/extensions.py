@@ -1781,3 +1781,139 @@ def corpus_length_histogram(spark, sf_dir):
             F.sum("n").cast("long").alias("tokens"),
         )
     )
+
+
+# shared CTE prologue for the Voronoi-seeded ANN oracles: double-cast
+# embeddings + the 16 lowest-vec_id rows as unit-free seed centroids
+# (cluster id = seed rank).  Cosine ranking makes centroid norms moot,
+# so the SQL needs no explicit normalization.
+_VORONOI_CTES = """
+    emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM emb ORDER BY vec_id LIMIT 16
+    )
+"""
+
+
+def _seed_centroids(emb, n=16):
+    """The n lowest-vec_id embeddings, L2-normalized — deterministic,
+    data-derived centroids that a SQL oracle can reconstruct at any
+    scale factor (unlike trained k-means centroids, which depend on
+    the full iterative optimization)."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(n).select("embedding").collect()
+    cent = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent / np.where(norms == 0, 1.0, norms)
+
+
+@query(
+    "corpus_assign_voronoi",
+    f"""
+    WITH {_VORONOI_CTES},
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid
+             ) AS rn
+      FROM emb e CROSS JOIN cents c
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id
+    FROM scored WHERE rn = 1
+    """,
+    doc="hash-checkable twin of corpus_cluster_kmeans covering the "
+    "ASSIGNMENT machinery (ivf_assign: broadcast centroid matrix, one "
+    "narrow Arrow map over the corpus — the part that runs at 100 TB): "
+    "centroids are the 16 lowest-vec_id embeddings (data-derived, so "
+    "a SQL oracle reconstructs them at any SF); the Lloyd trainer "
+    "itself stays pinned by the planted-cluster pytest",
+)
+def corpus_assign_voronoi(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = _seed_centroids(emb)
+    assigned = similarity.ivf_assign(emb, "embedding", cent, n_assign=1)
+    return assigned.select(
+        "vec_id", F.element_at("clusters", 1).alias("cluster_id")
+    )
+
+
+@query(
+    "similarity_index_voronoi",
+    f"""
+    WITH {_VORONOI_CTES},
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY vec_id LIMIT 16
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.c) DESC, c.cid
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.cand_id,
+             list_cosine_similarity(q.qv, e.v) AS s
+      FROM cands cd
+      JOIN q ON q.query_id = cd.query_id
+      JOIN emb e ON e.vec_id = cd.cand_id
+    )
+    SELECT query_id, cand_id, ROUND(s, 6) AS cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY s DESC, cand_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="hash-checkable twin of similarity_index_persisted covering the "
+    "FULL persisted-index machinery — build (redundant n_assign=2, "
+    "cluster-PARTITIONED Delta layout), probe (top-4 centroids per "
+    "query), storage-layer partition pruning, broadcast probe join, "
+    "per-query top-10 — with data-derived Voronoi seeds so a DuckDB "
+    "oracle replays the exact pruned search in SQL; the trained-"
+    "centroid variant keeps its recall/roundtrip pytest gates",
+)
+def similarity_index_voronoi(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = _seed_centroids(emb)
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(tempfile.gettempdir(), f"mlk_ivf_vor_{sf}")
+    shutil.rmtree(idx, ignore_errors=True)
+    ann_index.build_ivf_index(
+        emb, idx, n_clusters=16, n_assign=2, centroids=cent
+    )
+    res = ann_index.search_ivf_index(
+        spark, idx, emb.orderBy("vec_id").limit(16), k=10, n_probe=4
+    )
+    return res.select(
+        "query_id", "cand_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
