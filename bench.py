@@ -102,6 +102,13 @@ EXTENSION_HEADLINE = [
     # (authors a Delta source, 2 commits + row-level delete, syncs) —
     # pipeline throughput, not just query throughput
     "mirror_e2e_roundtrip",
+    # round-4 additions: merge-on-read + column-mapping readers and the
+    # oracle-twin ANN machinery
+    "mirror_dv_read",
+    "mirror_colmap_read",
+    "corpus_assign_voronoi",
+    "similarity_index_voronoi",
+    "mirror_dv_delete",
 ]
 
 
@@ -123,13 +130,31 @@ def main() -> None:
         except OSError:
             return None
 
-    cpu0 = _cpu_jiffies()
     ncpu = os.cpu_count() or 1
-    contended = load1 is not None and load1 > 0.25 * ncpu
+    # a loadavg of even 1-2 on the starting machine poisons the
+    # Python-UDF persist-heavy family (r03 lesson: the official
+    # artifact was recorded at loadavg 3.5 and graded three queries
+    # perf-weak on contention alone) — so the threshold is absolute,
+    # and by default the harness WAITS (bounded) for idle instead of
+    # recording a poisoned artifact
+    IDLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_IDLE_SEC", "90"))
+    waited = 0.0
+    while load1 is not None and load1 > IDLE_LOAD and waited < wait_s:
+        print(
+            f"waiting for idle: loadavg {load1:.1f} > {IDLE_LOAD} "
+            f"({waited:.0f}/{wait_s:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+        load1 = os.getloadavg()[0]
+    cpu0 = _cpu_jiffies()
+    contended = load1 is not None and load1 > IDLE_LOAD
     if contended:
         print(
-            f"WARNING: loadavg {load1:.1f} on {ncpu} CPUs — machine busy, "
-            "timings unreliable; re-run idle",
+            f"WARNING: loadavg {load1:.1f} (threshold {IDLE_LOAD}) — "
+            "machine busy, timings unreliable; re-run idle",
             file=sys.stderr,
         )
     spark = build_session(app_name="mlk-spark-bench")
@@ -156,14 +181,36 @@ def main() -> None:
     # one sweep because both runs drew the tail.
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    retried: list[str] = []
     for name in names:
         best = float("inf")
+        q0 = _cpu_jiffies()
         for _ in range(RUNS):
             t0 = time.time()
             registry[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             best = min(best, time.time() - t0)
+        # per-query steal audit: hypervisor steal during THIS query's
+        # runs means even the min may be poisoned — grant up to 2
+        # extra runs while the steal persists (keeps the artifact
+        # honest without rerunning the whole sweep)
+        q1 = _cpu_jiffies()
+        extra = 0
+        while q0 and q1 and len(q1) > 7 and extra < 2:
+            d = [b - a for a, b in zip(q0, q1)]
+            steal = d[7] / (sum(d) or 1) * 100
+            if steal <= 0.5:
+                break
+            retried.append(name)
+            q0 = _cpu_jiffies()
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+            q1 = _cpu_jiffies()
+            extra += 1
         timings[name] = round(best, 3)
         # drop the persist()s operators leave behind (LSH signature /
         # bucket frames etc.) so later queries aren't taxed by dead
@@ -202,6 +249,7 @@ def main() -> None:
                 "load_warning": bool(contended),
                 "cpu_busy_pct": busy_pct,
                 "cpu_steal_pct": steal_pct,
+                "steal_retried": sorted(set(retried)),
             }
         )
     )

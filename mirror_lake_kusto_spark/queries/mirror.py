@@ -350,3 +350,34 @@ def mirror_colmap_read(spark, sf_dir):
     return DL.read_snapshot(
         spark, path, partition_predicate="n_regionkey <= 2"
     ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "mirror_dv_delete",
+    """
+    SELECT r_regionkey, r_name FROM region
+    WHERE r_regionkey NOT IN (1, 3)
+    """,
+    doc="merge-on-read DELETE round trip: DeltaSink.delete_dv writes a "
+    "roaring-bitmap deletion vector (KBs) instead of rewriting the "
+    "file, upgrades the protocol to readerVersion 3, and read_snapshot "
+    "applies the bitmap — the 100 TB delete path (delete a few rows "
+    "from terabyte files without touching the data)",
+)
+def mirror_dv_delete(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_dvw", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    region = (
+        load_table(spark, "region", sf_dir)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .coalesce(1)
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(region)
+    sink.delete_dv("r_regionkey IN (1, 3)")
+    return DL.read_snapshot(spark, path)

@@ -447,6 +447,29 @@ class DeltaSink:
             groups.setdefault(key, []).append(f["path"])
         return groups
 
+    def _dv_map(self) -> dict[str, dict]:
+        """Live files carrying a deletion vector: path -> descriptor."""
+        from .delta_log import snapshot_files
+
+        return {
+            f["path"]: dict(f["deletionVector"])
+            for f in snapshot_files(self.spark, self.path)
+            if (f.get("deletionVector") or {}).get("cardinality")
+        }
+
+    def _require_no_dvs(self, op: str) -> None:
+        """Copy-on-write rewrites read data files RAW — on a file with
+        a deletion vector that would resurrect its deleted rows.  The
+        CoW paths therefore refuse until ``reorg()`` materializes the
+        DVs (Delta's own REORG TABLE ... APPLY (PURGE) prerequisite)."""
+        dvs = self._dv_map()
+        if dvs:
+            raise ValueError(
+                f"{op} on a table with deletion vectors "
+                f"({len(dvs)} file(s)) would resurrect deleted rows — "
+                "run reorg() first to materialize them"
+            )
+
     def _data_schema(self):
         """(partition-col types, data-col StructType) from the table
         metadata — both driver-side reads.  Raises on column-mapped
@@ -490,6 +513,7 @@ class DeltaSink:
 
         import pyspark.sql.functions as F
 
+        self._require_no_dvs("DELETE")
         now = int(time.time() * 1000)
         types, data_schema = self._data_schema()
         groups = self._partition_groups()
@@ -605,6 +629,7 @@ class DeltaSink:
                     "upsert-then-delete has no defined order inside one "
                     "atomic commit; split them across batches"
                 )
+        self._require_no_dvs("MERGE")
         now = int(time.time() * 1000)
         types, data_schema = self._data_schema()
         if data_schema is None:
@@ -726,6 +751,230 @@ class DeltaSink:
             )
         return self._commit(actions, operation="MERGE")
 
+    _DV_PROTOCOL = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+
+    def delete_dv(self, predicate: str) -> int:
+        """Merge-on-read row-level delete: instead of rewriting every
+        file containing a match (copy-on-write ``delete``), write a
+        roaring-bitmap DELETION VECTOR per affected file and re-add the
+        file with its descriptor — one commit, KBs of new bytes.
+
+        At 100 TB this is the difference between rewriting terabytes to
+        delete a few rows and appending kilobytes: the scan cost is the
+        same probe as ``delete``, the write cost is O(deleted-row
+        bitmap).  Readers apply the bitmaps via ``read_snapshot``;
+        copy-on-write maintenance refuses until ``reorg()``
+        materializes them (Delta's REORG APPLY PURGE model).
+
+        Executor-side end-to-end: matching (file, row_index) pairs are
+        found by a distributed scan, each file's bitmap is serialized
+        inside ``applyInPandas`` (merging any EXISTING vector without
+        driver expansion), and the driver collects only the compressed
+        payloads.  A file whose every row is deleted gets a plain
+        remove instead of a DV.  The commit also upgrades the protocol
+        to readerVersion 3 + deletionVectors."""
+        import pyspark.sql.functions as F
+
+        from . import dv as _dv
+        from .delta_log import snapshot_files
+
+        types, data_schema = self._data_schema()
+        if data_schema is None:
+            return -1  # empty table: nothing to delete
+        now = int(time.time() * 1000)
+        files = snapshot_files(self.spark, self.path)
+        by_norm: dict[str, dict] = {
+            self.fs.normalize(_fs.join(self.path, f["path"])): f
+            for f in files
+        }
+        old_payloads = {
+            self.fs.normalize(_fs.join(self.path, f["path"])): bytes(
+                _dv.dv_payload(self.path, f["deletionVector"])
+            )
+            for f in files
+            if (f.get("deletionVector") or {}).get("cardinality")
+        }
+
+        def inject(df, pv):
+            for c, raw in pv.items():
+                df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+            return df
+
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(sorted((f["partitionValues"] or {}).items()))
+            groups.setdefault(key, []).append(f["path"])
+        probes = []
+        for key, paths in groups.items():
+            df = (
+                self.spark.read.schema(data_schema)
+                .parquet(*[_fs.join(self.path, p) for p in paths])
+                .withColumns(
+                    {
+                        "_f": F.input_file_name(),
+                        "_ridx": F.col("_metadata.row_index"),
+                    }
+                )
+            )
+            probes.append(inject(df, dict(key)))
+        if not probes:
+            return self._commit([], operation="DELETE (merge-on-read)")
+        probe = probes[0]
+        for pr in probes[1:]:
+            probe = probe.unionByName(pr)
+        matched = probe.filter(predicate).select("_f", "_ridx")
+        bc = self.spark.sparkContext.broadcast(old_payloads)
+        norm = self.fs.normalize
+
+        def per_file(pdf):
+            import pandas as pd
+
+            f = norm(pdf["_f"].iloc[0])
+            idx = set(int(i) for i in pdf["_ridx"])
+            old = bc.value.get(f)
+            if old is not None:
+                idx |= set(_dv.deserialize(old))
+            ordered = sorted(idx)
+            return pd.DataFrame(
+                {
+                    "_f": [f],
+                    "payload": [_dv.serialize(ordered)],
+                    "card": [len(ordered)],
+                }
+            )
+
+        packed = (
+            matched.groupBy("_f")
+            .applyInPandas(per_file, "_f string, payload binary, card long")
+            .collect()
+        )
+        if not packed:
+            return self._commit([], operation="DELETE (merge-on-read)")
+        actions: list[dict] = [{"protocol": dict(self._DV_PROTOCOL)}]
+        full_deletes, dv_rows = [], []
+        for r in packed:
+            f = by_norm[r["_f"]]
+            n_rec = f.get("numRecords")
+            if n_rec is not None and r["card"] >= n_rec:
+                full_deletes.append(f)
+            else:
+                dv_rows.append((f, r))
+        descs = _dv.pack_dv_file(
+            self.path,
+            [(bytes(r["payload"]), int(r["card"])) for _f, r in dv_rows],
+        )
+        for (f, _r), desc in zip(dv_rows, descs):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": f["partitionValues"] or {},
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": f["path"],
+                        "partitionValues": f["partitionValues"] or {},
+                        "size": f["size"],
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "stats": f.get("stats"),
+                        "deletionVector": desc,
+                    }
+                }
+            )
+        for f in full_deletes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": f["partitionValues"] or {},
+                    }
+                }
+            )
+        return self._commit(actions, operation="DELETE (merge-on-read)")
+
+    def reorg(self) -> int:
+        """REORG TABLE ... APPLY (PURGE): materialize every deletion
+        vector by rewriting only the DV'd files without their deleted
+        rows (dataChange=false — logical content is unchanged, so the
+        mirror and the change feed ignore the churn, O2).  After this
+        the copy-on-write paths (delete/merge/optimize) work again."""
+        import pyspark.sql.functions as F
+
+        from . import dv as _dv
+
+        dvs = self._dv_map()
+        if not dvs:
+            return self._commit([], operation="REORG (PURGE)")
+        types, data_schema = self._data_schema()
+        now = int(time.time() * 1000)
+        payloads = [
+            (
+                self.fs.normalize(_fs.join(self.path, p)),
+                bytearray(_dv.dv_payload(self.path, d)),
+            )
+            for p, d in dvs.items()
+        ]
+        dv_df = self.spark.createDataFrame(
+            payloads, "_f string, _payload binary"
+        )
+
+        def explode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fpath, payload in zip(pdf["_f"], pdf["_payload"]):
+                    yield pd.DataFrame(
+                        {
+                            "_f": fpath,
+                            "_ridx": _dv.deserialize(bytes(payload)),
+                        }
+                    )
+
+        deleted = dv_df.mapInPandas(explode, "_f string, _ridx long")
+        total = sum(int(d["cardinality"]) for d in dvs.values())
+        if total <= 10_000_000:
+            deleted = F.broadcast(deleted)
+        norm_expr = F.url_decode(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        )
+        groups = self._partition_groups()
+        actions: list[dict] = []
+        for key, paths in groups.items():
+            hit = [p for p in paths if p in dvs]
+            if not hit:
+                continue
+
+            def transform(df, _d=deleted):
+                out = df.withColumns({"_f": norm_expr, "_ridx": F.col("_metadata.row_index")})
+                return out.join(_d, ["_f", "_ridx"], "left_anti").drop(
+                    "_f", "_ridx"
+                )
+
+            actions.extend(
+                self._rewrite_group(
+                    hit,
+                    dict(key),
+                    transform,
+                    data_change=False,
+                    now=now,
+                    read_schema=data_schema,
+                )
+            )
+        return self._commit(actions, operation="REORG (PURGE)")
+
     def properties(self) -> dict[str, str]:
         """Table properties from the latest metaData's configuration —
         the engine's K2 table-policy store (Kusto merge/retention/
@@ -822,6 +1071,7 @@ class DeltaSink:
 
         from .delta_log import _prune_partitions, latest_metadata, snapshot_files
 
+        self._require_no_dvs("OPTIMIZE")
         if target_file_bytes is None:
             # per-table policy wins over the 128 MB default (K2: the
             # reference sets Kusto merge policies; here the knob lives
@@ -929,8 +1179,18 @@ class DeltaSink:
         both exercised in tests."""
         from .delta_log import read_last_checkpoint, snapshot_files
 
+        from . import dv as _dv
+
         ckpt = read_last_checkpoint(self.path)
-        live = {f["path"] for f in snapshot_files(self.spark, self.path)}
+        snap = snapshot_files(self.spark, self.path)
+        live = {f["path"] for f in snap}
+        # deletion-vector .bin files referenced by live adds must
+        # survive; superseded ones (older DV generations) are garbage
+        live_dv = {
+            _dv.dv_file_rel_path(f["deletionVector"])
+            for f in snap
+            if (f.get("deletionVector") or {}).get("cardinality")
+        } - {None}
         removed_data = 0
         root = self.path.rstrip("/")
         for dirpath, _dirs, files in self.fs.walk(self.path):
@@ -940,6 +1200,13 @@ class DeltaSink:
                 full = _fs.join(dirpath, name)
                 rel = full[len(root):].lstrip("/")
                 if name.endswith(".parquet") and rel not in live:
+                    self.fs.remove(full)
+                    removed_data += 1
+                elif (
+                    name.startswith("deletion_vector_")
+                    and name.endswith(".bin")
+                    and rel not in live_dv
+                ):
                     self.fs.remove(full)
                     removed_data += 1
         removed_commits = 0
@@ -1024,29 +1291,36 @@ class DeltaSink:
         now = int(time.time() * 1000)
         target = {f["path"]: f for f in snapshot_files(self.spark, self.path, upto=version)}
         current = {f["path"]: f for f in snapshot_files(self.spark, self.path)}
+        def _dv_key(f):
+            d = f.get("deletionVector") or {}
+            return (d.get("pathOrInlineDv"), d.get("offset")) if d.get(
+                "cardinality"
+            ) else None
+
         actions: list[dict] = []
         for p, f in target.items():
-            if p in current:
+            if p in current and _dv_key(current[p]) == _dv_key(f):
                 continue
             full = _fs.join(self.path, p)
             if not self.fs.exists(full):
                 raise ValueError(
                     f"cannot restore to {version}: file {p} was vacuumed"
                 )
-            actions.append(
-                {
-                    "add": {
-                        "path": p,
-                        "partitionValues": f["partitionValues"] or {},
-                        "size": f["size"],
-                        "modificationTime": now,
-                        "dataChange": True,
-                        "stats": f.get("stats"),
-                    }
-                }
-            )
+            add = {
+                "path": p,
+                "partitionValues": f["partitionValues"] or {},
+                "size": f["size"],
+                "modificationTime": now,
+                "dataChange": True,
+                "stats": f.get("stats"),
+            }
+            if (f.get("deletionVector") or {}).get("cardinality"):
+                # the historical snapshot's merge-on-read state restores
+                # verbatim — dropping the DV would resurrect its rows
+                add["deletionVector"] = dict(f["deletionVector"])
+            actions.append({"add": add})
         for p, f in current.items():
-            if p in target:
+            if p in target and _dv_key(target[p]) == _dv_key(f):
                 continue
             actions.append(
                 {

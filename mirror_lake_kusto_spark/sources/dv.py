@@ -251,6 +251,59 @@ def write_dv_file(
     }
 
 
+def pack_dv_file(
+    table_path: str, payloads: list[tuple[bytes, int]], prefix: str = ""
+) -> list[dict]:
+    """Write ONE ``u``-storage deletion-vector file holding every
+    payload of a commit (the layout current Delta writers produce: a
+    shared .bin with per-DV offsets) and return one descriptor per
+    payload, in order.  ``payloads`` = (serialized bitmap, cardinality)
+    pairs."""
+    import uuid as _uuid
+
+    u = _uuid.uuid4()
+    blob = bytearray(b"\x01")
+    descs: list[dict] = []
+    enc = prefix + z85_encode(u.bytes)
+    for payload, card in payloads:
+        off = len(blob)
+        blob += struct.pack(">i", len(payload))
+        blob += payload
+        blob += struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+        descs.append(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": enc,
+                "offset": off,
+                "sizeInBytes": len(payload),
+                "cardinality": int(card),
+            }
+        )
+    name = f"deletion_vector_{u}.bin"
+    rel = f"{prefix}/{name}" if prefix else name
+    fs = _fs.get_fs(table_path)
+    full = _fs.join(table_path, rel)
+    if "/" in rel:
+        fs.makedirs(full.rsplit("/", 1)[0])
+    fs.write_bytes(full, bytes(blob))
+    return descs
+
+
+def dv_file_rel_path(desc: dict) -> str | None:
+    """Table-relative path of a ``u``-storage descriptor's .bin file
+    (None for inline/absolute) — vacuum uses this to keep live DV
+    files."""
+    if desc.get("storageType") != "u":
+        return None
+    import uuid as _uuid
+
+    enc = desc["pathOrInlineDv"]
+    prefix, uid = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=z85_decode(uid))
+    rel = f"deletion_vector_{u}.bin"
+    return f"{prefix}/{rel}" if prefix else rel
+
+
 def dv_payload(table_path: str, desc: dict) -> bytes:
     """Resolve a descriptor to its serialized bitmap bytes (KB-scale
     driver metadata; the expansion to row indices runs executor-side)."""
