@@ -109,6 +109,11 @@ EXTENSION_HEADLINE = [
     "corpus_assign_voronoi",
     "similarity_index_voronoi",
     "mirror_dv_delete",
+    "kql_activity_counts_metrics",
+    "kql_sliding_window_counts",
+    "kql_activity_engagement",
+    "ts_series_fir",
+    "ts_series_pearson_corr",
 ]
 
 

@@ -2133,7 +2133,14 @@ class KqlQuery:
         if not m:
             raise KqlParseError(f"evaluate needs plugin(...): {rest!r}")
         plugin = m.group(1).lower()
-        if plugin not in ("pivot", "bag_unpack", "narrow"):
+        if plugin not in (
+            "pivot",
+            "bag_unpack",
+            "narrow",
+            "activity_counts_metrics",
+            "sliding_window_counts",
+            "activity_engagement",
+        ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
         if rest[end:].strip():
@@ -2142,6 +2149,12 @@ class KqlQuery:
             return self._bag_unpack(frame, args)
         if plugin == "narrow":
             return self._narrow(frame)
+        if plugin == "activity_counts_metrics":
+            return self._activity_counts_metrics(frame, args)
+        if plugin == "sliding_window_counts":
+            return self._sliding_window_counts(frame, args)
+        if plugin == "activity_engagement":
+            return self._activity_engagement(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -2239,6 +2252,175 @@ class KqlQuery:
             for k, t in sorted(key_types.items())
         ]
         return KqlFrame(frame.df.select(*keep, *unpacked))
+
+    @staticmethod
+    def _win_us(arg: str, what: str) -> int:
+        us = _timespan_us(arg.strip())
+        if us is None or us <= 0:
+            raise KqlParseError(
+                f"{what} must be a positive timespan literal, got {arg!r}"
+            )
+        return us
+
+    @staticmethod
+    def _span_args(args, n_windows):
+        """(IdColumn, TimelineColumn, Start, End, windows...) common to
+        the activity-analytics plugins."""
+        if len(args) < 4 + n_windows:
+            raise KqlParseError(
+                f"plugin needs (IdColumn, TimelineColumn, Start, End, "
+                f"{n_windows} window arg(s)); got {len(args)}"
+            )
+        idc = args[0].strip()
+        tc = args[1].strip()
+        start_sql = translate_expr(args[2])
+        end_sql = translate_expr(args[3])
+        return idc, tc, start_sql, end_sql
+
+    def _activity_counts_metrics(self, frame, args):
+        """``evaluate activity_counts_metrics(Id, Timeline, Start, End,
+        Step)`` — per Step bin (anchored at Start, bins with activity):
+        ``count`` rows, ``dcount`` ids, ``new_dcount`` ids first seen
+        in that bin, ``aggregated_dcount`` distinct ids Start..bin
+        (= running sum of new_dcount).
+
+        Scale shape: two hash aggregations over the events (per-bin and
+        first-bin-per-id) and one window over the BIN axis — bins are
+        O(period/step), driver-scale, so the global running-sum window
+        is fine; the id-cardinality work stays distributed."""
+        idc, tc, start_sql, end_sql = self._span_args(args, 1)
+        step_us = self._win_us(args[4], "Step")
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        bin_expr = F.expr(
+            f"timestamp_micros(((unix_micros({tc}) - "
+            f"unix_micros({start_sql})) DIV {step_us}) * "
+            f"{step_us} + unix_micros({start_sql}))"
+        )
+        df = df.withColumn("Timeline", bin_expr)
+        per = df.groupBy("Timeline").agg(
+            F.count("*").alias("count"),
+            F.countDistinct(idc).alias("dcount"),
+        )
+        firsts = df.groupBy(idc).agg(F.min("Timeline").alias("Timeline"))
+        new = firsts.groupBy("Timeline").agg(
+            F.count("*").alias("new_dcount")
+        )
+        out = per.join(new, "Timeline", "left").fillna({"new_dcount": 0})
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy("Timeline").rowsBetween(_W.unboundedPreceding, 0)
+        return KqlFrame(
+            out.withColumn("aggregated_dcount", F.sum("new_dcount").over(w))
+        )
+
+    def _covered_bins(self, df, tc, start_sql, end_sql, win_us, bin_us):
+        """Attach ``_k``: the Start-anchored grid indices b = Start +
+        k*Bin with event ts in the lookback window (b-win, b], clipped
+        to [Start, End] — the per-event EXPLODE dual of a bins-to-
+        events range join (bounded ×win/bin expansion, no join, stays
+        co-partitioned for the following aggregation)."""
+        t_us = f"unix_micros({tc})"
+        s_us = f"unix_micros({start_sql})"
+        e_us = f"unix_micros({end_sql})"
+        # integer µs arithmetic only: a double FLOOR/CEIL could flip
+        # at exact grid boundaries (ts landing on a bin edge)
+        k0 = (
+            f"GREATEST(((({t_us}) - ({s_us})) + {bin_us} - 1) DIV "
+            f"{bin_us}, 0L)"
+        )
+        k1 = (
+            f"LEAST((({t_us}) + {win_us} - ({s_us}) - 1) DIV {bin_us}, "
+            f"(({e_us}) - ({s_us})) DIV {bin_us})"
+        )
+        return df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) <= {end_sql}")
+        ).withColumn(
+            "_k",
+            F.explode(F.expr(f"sequence({k0}, {k1})")),
+        )
+
+    def _sliding_window_counts(self, frame, args):
+        """``evaluate sliding_window_counts(Id, Timeline, Start, End,
+        LookbackWindow, Bin)`` — per Bin grid point b in [Start, End]:
+        ``Count`` events and ``Dcount`` ids with ts in (b-Lookback, b].
+        Bins with no activity emit zeros (full grid)."""
+        idc, tc, start_sql, end_sql = self._span_args(args, 2)
+        win_us = self._win_us(args[4], "LookbackWindow")
+        bin_us = self._win_us(args[5], "Bin")
+        spark = self._spark or frame.df.sparkSession
+        s_us = f"unix_micros({start_sql})"
+        e_us = f"unix_micros({end_sql})"
+        covered = self._covered_bins(
+            frame.df, tc, start_sql, end_sql, win_us, bin_us
+        )
+        per = covered.groupBy("_k").agg(
+            F.count("*").alias("Count"),
+            F.countDistinct(idc).alias("Dcount"),
+        )
+        grid = spark.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(0L, (({e_us}) - ({s_us})) DIV {bin_us})"
+                )
+            ).alias("_k")
+        )
+        out = (
+            grid.join(per, "_k", "left")
+            .fillna({"Count": 0, "Dcount": 0})
+            .select(
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _k * {bin_us})"
+                ).alias("Timeline"),
+                "Count",
+                "Dcount",
+            )
+        )
+        return KqlFrame(out)
+
+    def _activity_engagement(self, frame, args):
+        """``evaluate activity_engagement(Id, Timeline, Start, End,
+        InnerActivityWindow, OuterActivityWindow)`` — the DAU/MAU
+        idiom: per InnerWindow grid point b, distinct ids active in
+        (b-Inner, b] and in (b-Outer, b] plus their ratio."""
+        idc, tc, start_sql, end_sql = self._span_args(args, 2)
+        inner_us = self._win_us(args[4], "InnerActivityWindow")
+        outer_us = self._win_us(args[5], "OuterActivityWindow")
+        if outer_us % inner_us:
+            raise KqlParseError(
+                "OuterActivityWindow must be a multiple of "
+                "InnerActivityWindow"
+            )
+        s_us = f"unix_micros({start_sql})"
+        covered = self._covered_bins(
+            frame.df, tc, start_sql, end_sql, outer_us, inner_us
+        )
+        t_us = f"unix_micros({tc})"
+        b_us = f"(({s_us}) + _k * {inner_us})"
+        inner_flag = F.expr(
+            f"({b_us}) >= ({t_us}) AND ({b_us}) < ({t_us}) + {inner_us}"
+        )
+        out = (
+            covered.withColumn("_inner", inner_flag)
+            .groupBy("_k")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("_inner"), F.col(idc))
+                ).alias("dcount_activities_inner"),
+                F.countDistinct(idc).alias("dcount_activities_outer"),
+            )
+            .select(
+                F.expr(f"timestamp_micros({b_us})").alias("Timeline"),
+                "dcount_activities_inner",
+                "dcount_activities_outer",
+                (
+                    F.col("dcount_activities_inner")
+                    / F.col("dcount_activities_outer")
+                ).alias("activity_ratio"),
+            )
+        )
+        return KqlFrame(out)
 
     def _op_union(self, frame, rest):
         others, srcs, with_source = [], [], None

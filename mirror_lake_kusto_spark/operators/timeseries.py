@@ -407,3 +407,70 @@ def series_anomalies(
             ),
         )
     )
+
+
+def series_fir(
+    arr: Column | str,
+    coefs: list[float],
+    normalize: bool = False,
+    center: bool = False,
+) -> Column:
+    """Finite-impulse-response filter over a series array (Kusto
+    ``series_fir`` surface): ``out[i] = sum_j coefs[j] * x[i - j]``
+    (``coefs[0]`` applies to the current sample), zero-padded at the
+    boundary; ``center=True`` shifts the window so it is centered on
+    the sample; ``normalize=True`` divides the coefficients by their
+    sum (Kusto's default when all coefficients are positive).
+
+    Pure JVM higher-order expression (transform + aggregate + get):
+    no shuffle, no Python, O(n_points * n_coefs) per row."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    cs = [float(c) for c in coefs]
+    if normalize:
+        t = sum(cs)
+        if t == 0:
+            raise ValueError("cannot normalize zero-sum coefficients")
+        cs = [c / t for c in cs]
+    shift = (len(cs) - 1) // 2 if center else 0
+    coef_arr = F.array(*[F.lit(c) for c in cs])
+    n_f = len(cs)
+
+    def one(v, i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_f - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(coef_arr, (j + 1).cast("int"))
+            * F.coalesce(
+                F.get(a, (i - j + shift).cast("int")).cast("double"),
+                F.lit(0.0),
+            ),
+        )
+
+    return F.transform(a, one)
+
+
+def series_pearson_correlation(
+    a: Column | str, b: Column | str
+) -> Column:
+    """Pearson correlation of two equal-length series arrays (Kusto
+    ``series_pearson_correlation``): computed from the five running
+    sums as one JVM expression — no explode, no shuffle.  NULL when
+    either series has zero variance."""
+    x = F.col(a) if isinstance(a, str) else a
+    y = F.col(b) if isinstance(b, str) else b
+    n = F.size(x).cast("double")
+
+    def s(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+
+    sx, sy = s(x), s(y)
+    sxx = F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    syy = F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    sxy = F.aggregate(
+        F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(den > 0, (n * sxy - sx * sy) / den)

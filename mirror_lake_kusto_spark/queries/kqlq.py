@@ -869,3 +869,158 @@ def kql_top_nested_others(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "lineitem"),
     )
+
+
+_DAY = 86400
+
+
+def _bin_sql(ts_expr: str, anchor: str, step_s: int) -> str:
+    """DuckDB bin anchored at ``anchor`` (the kql_make_series idiom:
+    to_timestamp is TIMESTAMPTZ, so cast back to naive TIMESTAMP)."""
+    return (
+        f"CAST(to_timestamp(FLOOR((epoch({ts_expr}) - "
+        f"epoch(TIMESTAMP '{anchor}')) / {step_s}) * {step_s} "
+        f"+ epoch(TIMESTAMP '{anchor}')) AS TIMESTAMP)"
+    )
+
+
+@query(
+    "kql_activity_counts_metrics",
+    f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-19'
+    ), binned AS (
+      SELECT user_id, {_bin_sql('t', '2024-01-05', _DAY)} AS Timeline
+      FROM ev
+    ), per AS (
+      SELECT Timeline, COUNT(*) AS count,
+             COUNT(DISTINCT user_id) AS dcount
+      FROM binned GROUP BY Timeline
+    ), firsts AS (
+      SELECT user_id, MIN(Timeline) AS Timeline FROM binned
+      GROUP BY user_id
+    ), nw AS (
+      SELECT Timeline, COUNT(*) AS new_dcount FROM firsts
+      GROUP BY Timeline
+    )
+    SELECT p.Timeline, p.count, p.dcount,
+           COALESCE(n.new_dcount, 0) AS new_dcount,
+           SUM(COALESCE(n.new_dcount, 0)) OVER (
+             ORDER BY p.Timeline
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS aggregated_dcount
+    FROM per p LEFT JOIN nw n ON n.Timeline = p.Timeline
+    """,
+    doc="KQL activity_counts_metrics plugin (user-analytics surface): "
+    "per daily bin — row count, distinct users, NEW distinct users "
+    "(first activity in that bin), and cumulative distinct users; "
+    "two distributed hash aggs + one window over the driver-scale "
+    "bin axis",
+)
+def kql_activity_counts_metrics(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | evaluate activity_counts_metrics(user_id, ts,
+            datetime(2024-01-05), datetime(2024-01-19), 1d)
+        | order by Timeline asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "kql_sliding_window_counts",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+      WHERE event_type = 'click'
+        AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03'
+        AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-17'
+    ), grid AS (
+      SELECT CAST(g AS BIGINT) AS k,
+             TIMESTAMP '2024-01-03' + CAST(g AS BIGINT) * INTERVAL 1 DAY
+               AS Timeline
+      FROM generate_series(0, 14) s(g)
+    )
+    SELECT g.Timeline,
+           COUNT(e.user_id) AS Count,
+           COUNT(DISTINCT e.user_id) AS Dcount
+    FROM grid g
+    LEFT JOIN ev e
+      ON e.t <= g.Timeline
+     AND e.t > g.Timeline - INTERVAL 7 DAY
+    GROUP BY g.Timeline
+    """,
+    doc="KQL sliding_window_counts plugin: per daily grid point, "
+    "events and distinct users in the trailing 7-day window — "
+    "implemented as a per-event bin EXPLODE (bounded x window/bin "
+    "expansion, no range join, co-partitioned aggregation), the shape "
+    "that scales to 100 TB where a bins-to-events nested-loop join "
+    "would not",
+)
+def kql_sliding_window_counts(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | where event_type == 'click'
+        | evaluate sliding_window_counts(user_id, ts,
+            datetime(2024-01-03), datetime(2024-01-17), 7d, 1d)
+        | order by Timeline asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "kql_activity_engagement",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+        AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-24'
+    ), grid AS (
+      SELECT TIMESTAMP '2024-01-08' + CAST(g AS BIGINT) * INTERVAL 1 DAY
+               AS Timeline
+      FROM generate_series(0, 16) s(g)
+    ), agg AS (
+      SELECT g.Timeline,
+             COUNT(DISTINCT CASE
+               WHEN e.t > g.Timeline - INTERVAL 1 DAY THEN e.user_id
+             END) AS dcount_activities_inner,
+             COUNT(DISTINCT e.user_id) AS dcount_activities_outer
+      FROM grid g
+      LEFT JOIN ev e
+        ON e.t <= g.Timeline
+       AND e.t > g.Timeline - INTERVAL 7 DAY
+      GROUP BY g.Timeline
+    )
+    SELECT Timeline, dcount_activities_inner, dcount_activities_outer,
+           ROUND(CAST(dcount_activities_inner AS DOUBLE)
+                 / dcount_activities_outer, 4) AS activity_ratio
+    FROM agg WHERE dcount_activities_outer > 0
+    """,
+    doc="KQL activity_engagement plugin — the DAU/MAU engagement "
+    "idiom: distinct users in the trailing 1-day vs 7-day window per "
+    "daily grid point, plus their ratio",
+)
+def kql_activity_engagement(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | evaluate activity_engagement(user_id, ts,
+            datetime(2024-01-08), datetime(2024-01-24), 1d, 7d)
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "Timeline",
+        "dcount_activities_inner",
+        "dcount_activities_outer",
+        F.round("activity_ratio", 4).alias("activity_ratio"),
+    )

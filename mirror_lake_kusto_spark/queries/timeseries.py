@@ -613,3 +613,119 @@ def ts_series_fit_2lines(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_series_fir",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-01') / 86400) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'
+      GROUP BY event_type, idx
+    ), fir AS (
+      SELECT event_type, idx,
+             1.0 * v
+             + 2.0 * COALESCE(LAG(v, 1) OVER w, 0)
+             + 3.0 * COALESCE(LAG(v, 2) OVER w, 0)
+             + 4.0 * COALESCE(LAG(v, 3) OVER w, 0) AS f
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY idx)
+    )
+    SELECT event_type,
+           to_json(list(printf('%.1f', f) ORDER BY idx)) AS fir
+    FROM fir GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Kusto series_fir: weighted trailing filter [1,2,3,4] over "
+    "daily per-event-type counts, zero-padded at the series start — "
+    "one JVM transform/aggregate expression over the assembled array, "
+    "no re-shuffle; integer counts keep every product/sum exactly "
+    "representable so both engines agree bit-for-bit",
+)
+def ts_series_fir(spark, sf_dir):
+    from ..operators.timeseries import series_fir
+
+    base = _daily_counts(spark, sf_dir)
+    series = (
+        base.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "v"))
+            ).alias("pairs")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("pairs"), lambda p: p["v"]).alias("vs"),
+        )
+    )
+    return series.select(
+        "event_type",
+        _json_fixed(series_fir("vs", [1.0, 2.0, 3.0, 4.0]), 1).alias("fir"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_series_pearson_corr",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-01') / 86400) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS u
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'
+      GROUP BY event_type, idx
+    )
+    SELECT event_type, ROUND(corr(n, u), 6) AS r
+    FROM base GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Kusto series_pearson_correlation between two per-key series "
+    "(daily event count vs daily distinct users) — five running sums "
+    "in one JVM array expression, no explode/shuffle after the series "
+    "assembles; rounded to 6 dp (Spark computes the closed form, "
+    "DuckDB corr() uses a streaming estimator; they agree well past "
+    "6 dp on integer-valued series)",
+)
+def ts_series_pearson_corr(spark, sf_dir):
+    from ..operators.timeseries import series_pearson_correlation
+
+    ev = load_table(spark, "events", sf_dir)
+    base = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-31").cast("timestamp"))
+        )
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")
+            ).alias("idx"),
+        )
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.countDistinct("user_id").cast("double").alias("u"),
+        )
+    )
+    series = (
+        base.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "n", "u"))
+            ).alias("pairs")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("pairs"), lambda p: p["n"]).alias("ns"),
+            F.transform(F.col("pairs"), lambda p: p["u"]).alias("us"),
+        )
+    )
+    return series.select(
+        "event_type",
+        F.round(series_pearson_correlation("ns", "us"), 6).alias("r"),
+    ).orderBy("event_type")

@@ -212,3 +212,47 @@ def test_series_decompose_recovers_planted_seasonality(spark):
     }
     assert an[13] == 1
     assert sum(1 for v in an.values() if v == 1) == 1
+
+
+def test_series_fir_shapes(spark):
+    from mirror_lake_kusto_spark.operators.timeseries import series_fir
+
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)], "xs array<double>")
+    # causal [1,2]: out[i] = 1*x[i] + 2*x[i-1], zero-padded
+    got = df.select(series_fir("xs", [1.0, 2.0]).alias("f")).first()["f"]
+    assert got == [1.0, 4.0, 7.0, 10.0]
+    # normalize: coefficients sum to 1
+    got = df.select(
+        series_fir("xs", [1.0, 1.0], normalize=True).alias("f")
+    ).first()["f"]
+    assert got == [0.5, 1.5, 2.5, 3.5]
+    # centered window of 3: out[i] = x[i-1] + x[i] + x[i+1] (shift 1)
+    got = df.select(
+        series_fir("xs", [1.0, 1.0, 1.0], center=True).alias("f")
+    ).first()["f"]
+    assert got == [3.0, 6.0, 9.0, 7.0]
+
+
+def test_series_pearson_correlation(spark):
+    import math
+
+    from mirror_lake_kusto_spark.operators.timeseries import (
+        series_pearson_correlation,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 2.0, 3.0], [2.0, 4.0, 6.0]),   # perfect +
+            ([1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),   # perfect -
+            ([1.0, 1.0, 1.0], [1.0, 2.0, 3.0]),   # zero variance -> NULL
+        ],
+        "xs array<double>, ys array<double>",
+    )
+    got = [
+        r["r"]
+        for r in df.select(
+            series_pearson_correlation("xs", "ys").alias("r")
+        ).collect()
+    ]
+    assert math.isclose(got[0], 1.0) and math.isclose(got[1], -1.0)
+    assert got[2] is None
