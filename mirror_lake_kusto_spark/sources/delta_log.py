@@ -95,6 +95,8 @@ PROTOCOL_SCHEMA = StructType(
     [
         StructField("minReaderVersion", LongType()),
         StructField("minWriterVersion", LongType()),
+        StructField("readerFeatures", ArrayType(StringType())),
+        StructField("writerFeatures", ArrayType(StringType())),
     ]
 )
 TXN_SCHEMA = StructType(
@@ -209,6 +211,86 @@ def checkpoint_files(table_path: str, version: int) -> list[str]:
     return parts
 
 
+def _conform_field(expr, have_type, want_type):
+    """Recursively reshape ``expr`` of ``have_type`` into
+    ``want_type``: missing struct fields null-fill, extra fields drop,
+    leaves cast — tolerant of every writer generation's struct shape."""
+    if isinstance(want_type, StructType):
+        if not isinstance(have_type, StructType):
+            return F.lit(None).cast(want_type)
+        have = {f.name: f.dataType for f in have_type.fields}
+        return F.when(
+            expr.isNotNull(),
+            F.struct(
+                *[
+                    (
+                        _conform_field(
+                            expr[f.name], have[f.name], f.dataType
+                        ).alias(f.name)
+                        if f.name in have
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for f in want_type.fields
+                ]
+            ),
+        )
+    if have_type == want_type:
+        return expr
+    return expr.cast(want_type)
+
+
+def _conform_action_structs(df: DataFrame) -> DataFrame:
+    """Conform every action column a checkpoint/sidecar frame carries
+    to the canonical ACTIONS_SCHEMA shape: null-fill missing struct
+    fields (older writers lack add.deletionVector; sidecars carry only
+    file actions; newer writers' extra fields drop) so unions and
+    downstream column references resolve uniformly."""
+    for col in ("metaData", "add", "remove", "protocol", "txn"):
+        want = ACTIONS_SCHEMA[col].dataType
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(want))
+            continue
+        have = df.schema[col].dataType
+        if have == want:
+            continue
+        df = df.withColumn(
+            col, _conform_field(F.col(col), have, want)
+        )
+    return df
+
+
+def _conform_add_struct(df: DataFrame) -> DataFrame:
+    return _conform_action_structs(df)
+
+
+def sidecar_files(table_path: str, version: int) -> list[str]:
+    """V2-checkpoint sidecars (PROTOCOL.md "V2 Spec"): the manifest
+    checkpoint stores file actions in separate parquet files under
+    ``_delta_log/_sidecars/``, referenced by ``sidecar`` actions in
+    the manifest.  Returns [] for classic checkpoints.  Driver-side
+    column-projected read — the manifest is KB-scale metadata."""
+    out: list[str] = []
+    for path in checkpoint_files(table_path, version):
+        if not path.endswith(".parquet"):
+            raise UnsupportedTableFeature(
+                f"non-parquet checkpoint {path}: JSON v2 checkpoints "
+                "are not supported yet"
+            )
+        try:
+            tbl = _pq.read_table(path, columns=["sidecar"])
+        except Exception:
+            continue  # classic checkpoint: no sidecar column
+        for sc in tbl.column(0).to_pylist():
+            if sc is None or not sc.get("path"):
+                continue
+            sp = sc["path"]
+            if _fs.scheme_of(sp) or sp.startswith("/"):
+                out.append(sp)
+            else:
+                out.append(_fs.join(log_dir(table_path), "_sidecars", sp))
+    return out
+
+
 def read_actions(
     spark: SparkSession,
     table_path: str,
@@ -230,30 +312,16 @@ def read_actions(
         and (upto is None or ckpt_version <= upto)
     ):
         ckpt = spark.read.parquet(*checkpoint_files(table_path, ckpt_version))
-        for col in ("metaData", "add", "remove", "protocol", "txn"):
-            if col not in ckpt.columns:
-                ckpt = ckpt.withColumn(col, F.lit(None).cast(ACTIONS_SCHEMA[col].dataType))
-        # checkpoints written before (or without) deletion-vector
-        # support lack add.deletionVector — conform the struct so the
-        # downstream column references resolve uniformly
-        add_fields = {
-            f.name for f in ckpt.schema["add"].dataType.fields
-        } if not isinstance(ckpt.schema["add"].dataType, StringType) else set()
-        if "deletionVector" not in add_fields:
-            ckpt = ckpt.withColumn(
-                "add",
-                F.when(
-                    F.col("add").isNotNull(),
-                    F.struct(
-                        *[
-                            F.col(f"add.{f.name}").alias(f.name)
-                            for f in ADD_SCHEMA.fields
-                            if f.name in add_fields
-                        ],
-                        F.lit(None).cast(DV_SCHEMA).alias("deletionVector"),
-                    ),
-                ),
-            )
+        side = sidecar_files(table_path, ckpt_version)
+        keep = ["metaData", "add", "remove", "protocol", "txn"]
+        ckpt = _conform_action_structs(ckpt).select(*keep)
+        if side:
+            # v2 checkpoint: the manifest holds protocol/metaData (and
+            # possibly no file actions); adds/removes live in sidecars
+            sdf = _conform_action_structs(
+                spark.read.parquet(*side)
+            ).select(*keep)
+            ckpt = ckpt.unionByName(sdf)
         srcs.append(
             ckpt.select("metaData", "add", "remove", "protocol", "txn").withColumn(
                 "tx_id", F.lit(ckpt_version)
@@ -296,11 +364,19 @@ def read_actions(
 
 
 def _checkpoint_column(table_path: str, version: int, column: str) -> list:
-    """Non-null values of one action column from a checkpoint (single
-    or multi-part), read driver-side with column projection (pyarrow)."""
+    """Non-null values of one action column from a checkpoint (single,
+    multi-part, or v2 manifest + sidecars), read driver-side with
+    column projection (pyarrow)."""
     out: list = []
-    for path in checkpoint_files(table_path, version):
-        tbl = _pq.read_table(path, columns=[column])
+    paths = list(checkpoint_files(table_path, version))
+    if column in ("add", "remove"):
+        # v2 checkpoints keep file actions in sidecars
+        paths.extend(sidecar_files(table_path, version))
+    for path in paths:
+        try:
+            tbl = _pq.read_table(path, columns=[column])
+        except Exception:
+            continue  # column absent in this part (v2 manifest/sidecar)
         out.extend(v for v in tbl.column(0).to_pylist() if v is not None)
     return out
 
@@ -520,7 +596,13 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
         # logical rename), both applied in read_snapshot.  Anything
         # else — v2Checkpoint, timestampNtz, ... — still fails loudly:
         # reading blind returns wrong rows.
-        supported = {"deletionVectors", "columnMapping"}
+        supported = {
+            "deletionVectors",
+            "columnMapping",
+            "timestampNtz",       # Spark reads TIMESTAMP_NTZ natively
+            "vacuumProtocolCheck",  # read-side no-op by definition
+            "v2Checkpoint",       # manifest+sidecar checkpoints (below)
+        }
         ok = (
             reader == 1
             or reader == 2

@@ -93,8 +93,17 @@ class DeltaSink:
     # -- commit machinery ---------------------------------------------------
 
     def _next_version(self) -> int:
+        """Head+1 over BOTH the JSON commits and the checkpoint: after
+        log truncation (vacuum at head, v2-checkpoint conversion) no
+        JSON may survive, and a writer that fell back to version 0
+        would commit BEHIND the checkpoint — invisible to every
+        reader."""
+        from .delta_log import read_last_checkpoint
+
         vs = _list_versions(self.path)
-        return (vs[-1] + 1) if vs else 0
+        ckpt = read_last_checkpoint(self.path)
+        cands = vs[-1:] + ([ckpt] if ckpt is not None else [])
+        return (max(cands) + 1) if cands else 0
 
     def _commit(
         self,

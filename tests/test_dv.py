@@ -155,14 +155,14 @@ def test_protocol_guard_still_rejects_unknown_features(spark, tmp_path):
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "readerFeatures": ["deletionVectors", "catalogOwned"],
             }
         }
     ]
     FS.get_fs(path).write_text(
         DL._commit_file(path, 1), json.dumps(acts[0]) + "\n"
     )
-    with pytest.raises(UnsupportedTableFeature, match="v2Checkpoint"):
+    with pytest.raises(UnsupportedTableFeature, match="catalogOwned"):
         DL.read_snapshot(spark, path).collect()
 
 

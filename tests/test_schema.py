@@ -117,13 +117,13 @@ def test_unsupported_protocol_raises(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["catalogOwned"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DL.UnsupportedTableFeature, match="v2Checkpoint"):
+    with pytest.raises(DL.UnsupportedTableFeature, match="catalogOwned"):
         DL.snapshot_files(spark, sink.path)
     with pytest.raises(DL.UnsupportedTableFeature):
         DL.read_changes(spark, sink.path, 0)
