@@ -380,3 +380,30 @@ def test_semantic_decontamination_broadcasts_eval(spark):
     assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
     assert "CartesianProduct" not in plan
     assert "pythonUDF" not in plan.lower()  # pure JVM scoring
+
+
+def test_activity_plugins_no_cartesian_no_python(spark):
+    """The analytics plugins are per-event bin EXPLODES + hash aggs —
+    never a bins-to-events nested-loop join, never a Python stage."""
+    for name in (
+        "kql_activity_counts_metrics",
+        "kql_sliding_window_counts",
+        "kql_activity_engagement",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_series_fir_pearson_jvm_side(spark):
+    """series_fir / series_pearson_correlation are higher-order array
+    expressions: one shuffle to assemble the series, then pure JVM."""
+    for name in ("ts_series_fir", "ts_series_pearson_corr"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
