@@ -114,6 +114,7 @@ EXTENSION_HEADLINE = [
     "kql_activity_engagement",
     "ts_series_fir",
     "ts_series_pearson_corr",
+    "kql_activity_metrics",
 ]
 
 

@@ -2140,6 +2140,7 @@ class KqlQuery:
             "activity_counts_metrics",
             "sliding_window_counts",
             "activity_engagement",
+            "activity_metrics",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -2155,6 +2156,8 @@ class KqlQuery:
             return self._sliding_window_counts(frame, args)
         if plugin == "activity_engagement":
             return self._activity_engagement(frame, args)
+        if plugin == "activity_metrics":
+            return self._activity_metrics(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -2314,6 +2317,70 @@ class KqlQuery:
         return KqlFrame(
             out.withColumn("aggregated_dcount", F.sum("new_dcount").over(w))
         )
+
+    def _activity_metrics(self, frame, args):
+        """``evaluate activity_metrics(Id, Timeline, Start, End,
+        Window)`` — per Window bin: ``dcount_values`` active ids,
+        ``dcount_newvalues`` ids first seen in that bin, and
+        ``retention_rate`` / ``churn_rate`` vs the PREVIOUS bin
+        (retained = ids active in both b-1 and b, over the previous
+        bin's actives; churn = 1 - retention; 0 when there is no
+        previous bin).
+
+        Scale shape: distinct (id, bin) pairs once, then a self-join
+        shifted by one bin keyed on id — both sides hash-partition on
+        the id, the bin axis stays driver-scale."""
+        idc, tc, start_sql, end_sql = self._span_args(args, 1)
+        step_us = self._win_us(args[4], "Window")
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        s_us = f"unix_micros({start_sql})"
+        kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {step_us}")
+        pairs = df.select(
+            F.col(idc).alias("_id"), kcol.alias("_k")
+        ).distinct()
+        per = pairs.groupBy("_k").agg(F.count("*").alias("dcount_values"))
+        firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_k"))
+        new = firsts.groupBy("_k").agg(
+            F.count("*").alias("dcount_newvalues")
+        )
+        nxt = pairs.select("_id", (F.col("_k") + 1).alias("_k"))
+        retained = (
+            pairs.join(nxt, ["_id", "_k"], "inner")
+            .groupBy("_k")
+            .agg(F.count("*").alias("_retained"))
+        )
+        prev = per.select(
+            (F.col("_k") + 1).alias("_k"),
+            F.col("dcount_values").alias("_prev_dcount"),
+        )
+        out = (
+            per.join(new, "_k", "left")
+            .join(retained, "_k", "left")
+            .join(prev, "_k", "left")
+            .fillna({"dcount_newvalues": 0, "_retained": 0})
+            .select(
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _k * {step_us})"
+                ).alias("Timeline"),
+                "dcount_values",
+                "dcount_newvalues",
+                F.when(
+                    F.col("_prev_dcount") > 0,
+                    F.col("_retained") / F.col("_prev_dcount"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("retention_rate"),
+                F.when(
+                    F.col("_prev_dcount") > 0,
+                    1.0 - F.col("_retained") / F.col("_prev_dcount"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("churn_rate"),
+            )
+        )
+        return KqlFrame(out)
 
     def _covered_bins(self, df, tc, start_sql, end_sql, win_us, bin_us):
         """Attach ``_k``: the Start-anchored grid indices b = Start +

@@ -605,12 +605,16 @@ def train_pq_codebooks(
         k_eff = min(n_codes, len(sub))
         cent = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(k_eff):
-                members = sub[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            # (BLAS matmul instead of an (n, k, dsub) broadcast temp —
+            # ~10x less driver time and allocation per Lloyd step)
+            c2 = (cent**2).sum(axis=1)
+            assign = np.argmin(c2[None, :] - 2.0 * (sub @ cent.T), axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k_eff)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
         books[s] = cent
     return books
 

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import csv
 import io
-import os
 import uuid
 from typing import Any
 

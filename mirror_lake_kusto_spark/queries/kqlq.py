@@ -1024,3 +1024,64 @@ def kql_activity_engagement(spark, sf_dir):
         "dcount_activities_outer",
         F.round("activity_ratio", 4).alias("activity_ratio"),
     )
+
+
+@query(
+    "kql_activity_metrics",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-02') / 604800) AS BIGINT) AS k
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-30'
+    ), per AS (
+      SELECT k, COUNT(*) AS dcount_values FROM ev GROUP BY k
+    ), firsts AS (
+      SELECT user_id, MIN(k) AS k FROM ev GROUP BY user_id
+    ), nw AS (
+      SELECT k, COUNT(*) AS dcount_newvalues FROM firsts GROUP BY k
+    ), ret AS (
+      SELECT a.k, COUNT(*) AS retained
+      FROM ev a JOIN ev b ON b.user_id = a.user_id AND b.k = a.k - 1
+      GROUP BY a.k
+    )
+    SELECT TIMESTAMP '2024-01-02' + p.k * INTERVAL 7 DAY AS Timeline,
+           p.dcount_values,
+           COALESCE(n.dcount_newvalues, 0) AS dcount_newvalues,
+           ROUND(CASE WHEN pv.dcount_values > 0
+             THEN CAST(COALESCE(r.retained, 0) AS DOUBLE) / pv.dcount_values
+             ELSE 0 END, 6) AS retention_rate,
+           ROUND(CASE WHEN pv.dcount_values > 0
+             THEN 1 - CAST(COALESCE(r.retained, 0) AS DOUBLE)
+                      / pv.dcount_values
+             ELSE 0 END, 6) AS churn_rate
+    FROM per p
+    LEFT JOIN nw n ON n.k = p.k
+    LEFT JOIN ret r ON r.k = p.k
+    LEFT JOIN per pv ON pv.k = p.k - 1
+    """,
+    doc="KQL activity_metrics plugin — weekly retention/churn: distinct "
+    "users per week, first-seen users, and retained-vs-previous-week "
+    "ratio; distinct (id, bin) pairs once, then a bin-shifted self-join "
+    "hash-partitioned on the id (the bin axis stays driver-scale)",
+)
+def kql_activity_metrics(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | evaluate activity_metrics(user_id, ts,
+            datetime(2024-01-02), datetime(2024-01-30), 7d)
+        | order by Timeline asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "Timeline",
+        "dcount_values",
+        "dcount_newvalues",
+        F.round("retention_rate", 6).alias("retention_rate"),
+        F.round("churn_rate", 6).alias("churn_rate"),
+    )

@@ -30,12 +30,10 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from collections.abc import Sequence
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from . import fs as _fs
@@ -518,8 +516,6 @@ class DeltaSink:
         affected files; each is then rewritten without its matching rows.
         All rewrites land in ONE atomic commit.  At scale this is two
         jobs total — probe + rewrite — not one probe per partition."""
-        import urllib.parse
-
         import pyspark.sql.functions as F
 
         self._require_no_dvs("DELETE")

@@ -407,3 +407,10 @@ def test_series_fir_pearson_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_activity_metrics_no_cartesian_no_python(spark):
+    plan = _plan(spark, "kql_activity_metrics")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
