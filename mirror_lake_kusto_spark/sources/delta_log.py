@@ -1156,7 +1156,16 @@ def reconciled_actions(
     files = snapshot_files(spark, table_path, upto=upto)
     blank = {"metaData": None, "add": None, "remove": None, "protocol": None, "txn": None}
     acts: list[dict] = [{**blank, "metaData": meta}]
-    acts.append({**blank, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    # carry the table's ACTUAL protocol: hardcoding the basic one would
+    # silently downgrade a DV/feature table once the JSON history is
+    # truncated past the checkpoint
+    acts.append(
+        {
+            **blank,
+            "protocol": latest_protocol(table_path, upto)
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+        }
+    )
     # carry forward the latest txn version per appId (Delta checkpoints
     # retain txn actions so idempotent-writer recovery survives log
     # truncation) — driver-side scan, same as last_txn_version
@@ -1195,10 +1204,45 @@ def reconciled_actions(
                         if f["numRecords"] is not None
                         else None
                     ),
+                    # a DV'd add MUST checkpoint with its vector: a
+                    # checkpoint that drops it resurrects the deleted
+                    # rows once the JSON history is truncated
+                    "deletionVector": _conform(
+                        f.get("deletionVector"), DV_SCHEMA
+                    ),
                 },
             }
         )
     return spark.createDataFrame(acts, ACTIONS_SCHEMA)
+
+
+def latest_protocol(
+    table_path: str, upto: int | None = None
+) -> dict | None:
+    """Latest protocol action at-or-before ``upto`` (driver-side:
+    reverse JSON scan, checkpoint fallback) — None if none recorded."""
+    versions = [
+        v
+        for v in list_commit_versions(table_path)
+        if upto is None or v <= upto
+    ]
+    ckpt = read_last_checkpoint(table_path)
+    use_ckpt = ckpt is not None and (upto is None or ckpt <= upto)
+    for v in reversed(versions):
+        if use_ckpt and v <= ckpt:
+            break
+        for act in _read_commit(table_path, v):
+            if "protocol" in act:
+                return _conform(act["protocol"], PROTOCOL_SCHEMA)
+    if use_ckpt:
+        try:
+            protos = _checkpoint_column(table_path, ckpt, "protocol")
+        except Exception:
+            protos = []
+        for pr in reversed(protos):
+            if pr is not None:
+                return _conform(pr, PROTOCOL_SCHEMA)
+    return None
 
 
 def last_txn_version(spark: SparkSession, table_path: str, app_id: str) -> int | None:

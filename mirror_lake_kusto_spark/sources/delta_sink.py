@@ -75,12 +75,19 @@ class DeltaSink:
         partition_by: Sequence[str] = (),
         checkpoint_interval: int = 10,
         checkpoint_parts: int | None = None,
+        checkpoint_format: str = "classic",
     ):
         self.spark = spark
         self.path = table_path
         self.partition_by = list(partition_by)
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_parts = checkpoint_parts
+        if checkpoint_format not in ("classic", "v2"):
+            raise ValueError(
+                f"checkpoint_format must be 'classic' or 'v2', "
+                f"got {checkpoint_format!r}"
+            )
+        self.checkpoint_format = checkpoint_format
         self._pending_schema = "{}"
         #: configuration for the NEXT metaData action (clone copies the
         #: source's properties through this); None = carry forward
@@ -261,7 +268,11 @@ class DeltaSink:
         protocol's multi-part ``<v>.checkpoint.<i>.<n>.parquet`` when
         ``checkpoint_parts`` > 1 — the shape a 10M-file table needs so
         the checkpoint itself writes and reads distributed) +
-        ``_last_checkpoint`` (read path: DeltaTableGateway.cs:285-300)."""
+        ``_last_checkpoint`` (read path: DeltaTableGateway.cs:285-300).
+        ``checkpoint_format='v2'`` writes the manifest+sidecar layout
+        instead (see _write_checkpoint_v2)."""
+        if self.checkpoint_format == "v2":
+            return self._write_checkpoint_v2(version)
         from .delta_log import reconciled_actions
 
         acts = reconciled_actions(self.spark, self.path, upto=version)
@@ -298,6 +309,122 @@ class DeltaSink:
             json.dumps(pointer),
         )
 
+    def _write_checkpoint_v2(self, version: int) -> None:
+        """V2 (manifest + sidecar) checkpoint (PROTOCOL.md "V2 Spec"):
+        file actions land in ``_delta_log/_sidecars/*.parquet`` written
+        DISTRIBUTED by Spark (``checkpoint_parts`` shards them — the
+        shape that parallelizes a 10M-file table's checkpoint), and a
+        small uuid-named manifest carries protocol/metaData/txn plus
+        the sidecar references.  The manifest's protocol row merges in
+        the ``v2Checkpoint`` table feature, as the format requires."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from .delta_log import ACTIONS_SCHEMA, reconciled_actions
+
+        acts = reconciled_actions(self.spark, self.path, upto=version)
+        log = _log_dir(self.path)
+        side_dir = _fs.join(log, "_sidecars")
+        self.fs.makedirs(side_dir)
+        tmp = _fs.join(log, f"_tmp_ckpt_{uuid.uuid4().hex}")
+        n_parts = self.checkpoint_parts or 1
+        files_df = acts.filter(
+            "add IS NOT NULL OR remove IS NOT NULL"
+        ).select("add", "remove")
+        files_df.coalesce(n_parts).write.parquet(tmp)
+        sidecars: list[dict] = []
+        now = int(time.time() * 1000)
+        for f in sorted(self.fs.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4()}.parquet"
+            dst = _fs.join(side_dir, name)
+            self.fs.move(_fs.join(tmp, f), dst)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": self.fs.getsize(dst),
+                    "modificationTime": now,
+                }
+            )
+        self.fs.rmtree(tmp)
+        non_file = [
+            r.asDict(recursive=True)
+            for r in acts.filter(
+                "metaData IS NOT NULL OR protocol IS NOT NULL "
+                "OR txn IS NOT NULL"
+            ).collect()
+        ]
+        for r in non_file:
+            pr = r.get("protocol")
+            if pr is not None:
+                feats = set(pr.get("readerFeatures") or [])
+                wfeats = set(pr.get("writerFeatures") or [])
+                feats.add("v2Checkpoint")
+                wfeats.add("v2Checkpoint")
+                r["protocol"] = {
+                    "minReaderVersion": max(pr.get("minReaderVersion") or 1, 3),
+                    "minWriterVersion": max(pr.get("minWriterVersion") or 2, 7),
+                    "readerFeatures": sorted(feats),
+                    "writerFeatures": sorted(wfeats),
+                }
+        sidecar_schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("sizeInBytes", LongType()),
+                StructField("modificationTime", LongType()),
+            ]
+        )
+        manifest_schema = StructType(
+            [
+                ACTIONS_SCHEMA["metaData"],
+                ACTIONS_SCHEMA["protocol"],
+                ACTIONS_SCHEMA["txn"],
+                StructField("sidecar", sidecar_schema),
+                StructField(
+                    "checkpointMetadata",
+                    StructType([StructField("version", LongType())]),
+                ),
+            ]
+        )
+        blank = {
+            "metaData": None,
+            "protocol": None,
+            "txn": None,
+            "sidecar": None,
+            "checkpointMetadata": None,
+        }
+        rows = [
+            {**blank, "checkpointMetadata": {"version": version}},
+        ]
+        for r in non_file:
+            rows.append(
+                {
+                    **blank,
+                    "metaData": r.get("metaData"),
+                    "protocol": r.get("protocol"),
+                    "txn": r.get("txn"),
+                }
+            )
+        rows.extend({**blank, "sidecar": sc} for sc in sidecars)
+        tmp2 = _fs.join(log, f"_tmp_ckptm_{uuid.uuid4().hex}")
+        self.spark.createDataFrame(rows, manifest_schema).coalesce(
+            1
+        ).write.parquet(tmp2)
+        manifest_name = f"{TX_FMT.format(version)}.checkpoint.{uuid.uuid4()}.parquet"
+        written = [
+            f for f in self.fs.listdir(tmp2) if f.endswith(".parquet")
+        ]
+        self.fs.move(_fs.join(tmp2, written[0]), _fs.join(log, manifest_name))
+        self.fs.rmtree(tmp2)
+        self.fs.write_text(
+            _fs.join(log, "_last_checkpoint"),
+            json.dumps({"version": version, "size": len(rows)}),
+        )
     # -- data operations ----------------------------------------------------
 
     def append(

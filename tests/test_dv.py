@@ -318,3 +318,27 @@ def test_delete_dv_partitioned(spark, tmp_path):
         ).collect()
     )
     assert got_b == [5, 6, 8, 9]
+
+
+def test_dv_survives_checkpoint_and_vacuum(spark, tmp_path):
+    """A checkpoint written on a DV table must carry the vectors and
+    the upgraded protocol — after vacuum truncates the JSON history,
+    deleted rows must stay deleted and the feature must stay declared."""
+    sink = DeltaSink(spark, str(tmp_path / "t"), checkpoint_interval=100)
+    df = (
+        spark.range(8)
+        .toDF("n")
+        .selectExpr("n", "concat('v', n) as v")
+        .orderBy("n")
+        .coalesce(1)
+    )
+    sink.append(df)
+    sink.delete_dv("n IN (2, 5)")
+    sink._write_checkpoint(max(DL.list_commit_versions(sink.path)))
+    sink.vacuum()  # truncates JSON commits <= checkpoint
+    assert DL.list_commit_versions(sink.path) == []
+    got = sorted(r["n"] for r in DL.read_snapshot(spark, sink.path).collect())
+    assert got == [0, 1, 3, 4, 6, 7]
+    proto = DL.latest_protocol(sink.path)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in (proto["readerFeatures"] or [])

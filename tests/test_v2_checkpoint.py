@@ -263,3 +263,58 @@ def test_unknown_feature_still_rejected(spark, tmp_path):
         )
     with pytest.raises(DL.UnsupportedTableFeature, match="catalogOwned"):
         DL.read_snapshot(spark, path).collect()
+
+
+def test_sink_writes_v2_checkpoints(spark, tmp_path):
+    """checkpoint_format='v2': the sink's periodic checkpoint is a
+    manifest + distributed sidecars; reads work through both replay
+    paths, the protocol row carries v2Checkpoint, txn ledger entries
+    survive truncation, and further commits land on top."""
+    path = str(tmp_path / "t")
+    sink = DeltaSink(
+        spark, path, checkpoint_interval=3, checkpoint_format="v2"
+    )
+    for i in range(3):
+        sink.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            txn=("writer-app", i),
+        )
+    # interval crossed at v2 -> v2 checkpoint written
+    assert DL.read_last_checkpoint(path) == 2
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    assert any(".checkpoint." in n and n.endswith(".parquet") for n in names)
+    assert os.path.isdir(os.path.join(path, "_delta_log", "_sidecars"))
+    # truncate the JSON history: readers must survive on the checkpoint
+    for v in DL.list_commit_versions(path):
+        if v <= 2:
+            os.remove(
+                os.path.join(path, "_delta_log", f"{v:020d}.json")
+            )
+    got = sorted(r["k"] for r in DL.read_snapshot(spark, path).collect())
+    assert got == [0, 1, 2]
+    proto = DL.latest_protocol(path)
+    assert "v2Checkpoint" in (proto["readerFeatures"] or [])
+    # exactly-once ledger survives the truncation (I3)
+    assert DL.last_txn_version(spark, path, "writer-app") == 2
+    # and the table keeps working
+    sink2 = DeltaSink(spark, path, checkpoint_format="v2")
+    sink2.append(spark.createDataFrame([(9, "v9")], "k long, v string"))
+    got = sorted(r["k"] for r in DL.read_snapshot(spark, path).collect())
+    assert got == [0, 1, 2, 9]
+
+
+def test_sink_v2_checkpoint_multipart_sidecars(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sink = DeltaSink(
+        spark,
+        path,
+        checkpoint_interval=100,
+        checkpoint_parts=3,
+        checkpoint_format="v2",
+    )
+    sink.append(spark.range(50).toDF("n").repartition(4))
+    sink._write_checkpoint(0)
+    side = os.listdir(os.path.join(path, "_delta_log", "_sidecars"))
+    assert len(side) == 3  # sharded file actions
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    assert DL.read_snapshot(spark, path).count() == 50
