@@ -318,3 +318,31 @@ def test_sink_v2_checkpoint_multipart_sidecars(spark, tmp_path):
     assert len(side) == 3  # sharded file actions
     os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
     assert DL.read_snapshot(spark, path).count() == 50
+
+
+def test_mirror_from_v2_checkpoint_only_source(spark, tmp_path):
+    """Fresh mirror of a source whose JSON history is fully truncated
+    behind a v2 checkpoint: discovery must take the snapshot-diff path
+    through the manifest + sidecars."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+
+    src = str(tmp_path / "src")
+    sink = DeltaSink(
+        spark, src, checkpoint_interval=2, checkpoint_format="v2"
+    )
+    sink.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    sink.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert DL.read_last_checkpoint(src) == 1
+    sink.vacuum()  # truncate JSON commits <= checkpoint
+    sink.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    pipe = MirrorPipeline(
+        spark,
+        source_path=src,
+        target_path=str(tmp_path / "dst"),
+        state_dir=str(tmp_path / "state"),
+        table_name="v2src",
+    )
+    pipe.run_until_idle()
+    got = sorted(r["k"] for r in pipe.mirror_df().collect())
+    assert got == [1, 2, 3]
+    assert pipe.run_once()["status"] == "up-to-date"
