@@ -115,6 +115,7 @@ EXTENSION_HEADLINE = [
     "ts_series_fir",
     "ts_series_pearson_corr",
     "kql_activity_metrics",
+    "kql_scalar_toolkit3",
 ]
 
 

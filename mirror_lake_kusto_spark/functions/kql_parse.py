@@ -96,6 +96,38 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .kql import KqlFrame
 
 
+def _strip_comments(text: str) -> str:
+    """Strip KQL ``//`` line comments OUTSIDE string literals — a bare
+    regex would eat the tail of every URL literal (``'https://...'``)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    quote: str | None = None
+    while i < n:
+        c = text[i]
+        if quote is not None:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "/":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class KqlParseError(ValueError):
     pass
 
@@ -637,6 +669,52 @@ def translate_expr(e: str) -> str:
 
     e = _rewrite_calls(e, "case", _case)
     e = _rewrite_calls(e, "array_length", lambda a: f"size({a[0]})")
+    def _dynamic_lit(a: list[str]) -> str:
+        """``dynamic([...])`` array literals -> Spark array(...) (with
+        nested brackets recursed); ``dynamic({...})`` property bags ->
+        the JSON text as a string literal (the engine's dynamic-bag
+        representation); scalars pass through."""
+        # the generic arg-splitter breaks [1, 2] on commas — rejoin
+        body = ", ".join(a).strip()
+        if body.startswith("["):
+
+            def arr(t: str) -> str:
+                t = t.strip()
+                if t.startswith("[") and t.endswith("]"):
+                    inner = t[1:-1]
+                    parts, depth, cur, q = [], 0, [], None
+                    for ch in inner:
+                        if q:
+                            cur.append(ch)
+                            if ch == q:
+                                q = None
+                            continue
+                        if ch in ("'", '"'):
+                            q = ch
+                            cur.append(ch)
+                        elif ch in "[({":
+                            depth += 1
+                            cur.append(ch)
+                        elif ch in "])}":
+                            depth -= 1
+                            cur.append(ch)
+                        elif ch == "," and depth == 0:
+                            parts.append("".join(cur))
+                            cur = []
+                        else:
+                            cur.append(ch)
+                    if cur:
+                        parts.append("".join(cur))
+                    items = [arr(x) for x in parts if x.strip()]
+                    return "array(" + ", ".join(items) + ")"
+                return t
+
+            return arr(body)
+        if body.startswith("{"):
+            return "'" + body.replace("'", "\\'") + "'"
+        return f"({body})"
+
+    e = _rewrite_calls(e, "dynamic", _dynamic_lit)
     e = _rewrite_calls(e, "isempty", lambda a: f"(coalesce({a[0]}, '') = '')")
     e = _rewrite_calls(
         e, "isnotempty", lambda a: f"(coalesce({a[0]}, '') != '')"
@@ -907,6 +985,166 @@ def translate_expr(e: str) -> str:
 
     # Spark's array_union/intersect/except already dedup — exactly the
     # KQL set_* semantics
+    # round-4 scalar batch: rotation/shift/split, set/bag extras,
+    # ip/version parsing, regex counting — each a pure Catalyst
+    # expression (no UDFs)
+    e = _rewrite_calls(
+        e,
+        "countof_regex",
+        lambda a: f"CAST(size(regexp_extract_all({a[0]}, {a[1]}, 0)) AS BIGINT)",
+    )
+
+    def _rot(a: list[str], right: bool) -> str:
+        arr, n = a[0], a[1]
+        if right:
+            n = f"(-({n}))"
+        k = f"pmod({n}, size({arr}))"
+        return (
+            f"(CASE WHEN size({arr}) <= 1 THEN {arr} ELSE "
+            f"concat(slice({arr}, {k} + 1, size({arr})), "
+            f"slice({arr}, 1, {k})) END)"
+        )
+
+    e = _rewrite_calls(e, "array_rotate_left", lambda a: _rot(a, False))
+    e = _rewrite_calls(e, "array_rotate_right", lambda a: _rot(a, True))
+
+    def _shift(a: list[str], left: bool) -> str:
+        arr, n = a[0], a[1]
+        if not left:
+            n = f"(-({n}))"
+        fill = (
+            f"transform(slice({arr}, 1, least(abs({n}), size({arr}))), "
+            + (f"x -> {a[2]})" if len(a) > 2 else "x -> NULL)")
+        )
+        return (
+            f"(CASE WHEN ({n}) >= 0 THEN "
+            f"concat(slice({arr}, ({n}) + 1, "
+            f"greatest(size({arr}) - ({n}), 0)), {fill}) "
+            f"ELSE concat({fill}, "
+            f"slice({arr}, 1, greatest(size({arr}) + ({n}), 0))) END)"
+        )
+
+    e = _rewrite_calls(e, "array_shift_left", lambda a: _shift(a, True))
+    e = _rewrite_calls(e, "array_shift_right", lambda a: _shift(a, False))
+    e = _rewrite_calls(
+        e,
+        "array_split",
+        # 0-based split index (single-index form)
+        lambda a: f"array(slice({a[0]}, 1, {a[1]}), "
+        f"slice({a[0]}, ({a[1]}) + 1, size({a[0]})))",
+    )
+    e = _rewrite_calls(
+        e, "set_has_element", lambda a: f"array_contains({a[0]}, {a[1]})"
+    )
+    e = _rewrite_calls(
+        e,
+        "jaccard_index",
+        lambda a: (
+            f"(CASE WHEN size(array_union({a[0]}, {a[1]})) = 0 THEN 1.0D "
+            f"ELSE CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
+            f"/ size(array_union({a[0]}, {a[1]})) END)"
+        ),
+    )
+    e = _rewrite_calls(e, "week_of_year", lambda a: f"weekofyear({a[0]})")
+    e = _rewrite_calls(
+        e,
+        "endofday",
+        lambda a: f"timestamp_micros(unix_micros(date_trunc('DAY', {a[0]})) "
+        "+ 86399999999)",
+    )
+    e = _rewrite_calls(
+        e,
+        "endofmonth",
+        lambda a: "timestamp_micros(unix_micros("
+        f"date_trunc('MONTH', {a[0]}) + INTERVAL 1 MONTH) - 1)",
+    )
+    e = _rewrite_calls(
+        e,
+        "endofyear",
+        lambda a: "timestamp_micros(unix_micros("
+        f"date_trunc('YEAR', {a[0]}) + INTERVAL 1 YEAR) - 1)",
+    )
+    e = _rewrite_calls(
+        e,
+        "isascii",
+        lambda a: f"(coalesce({a[0]} RLIKE '^[\\\\x00-\\\\x7F]*$', false))",
+    )
+    # Spark strings are UTF-8 by construction: non-null => valid
+    e = _rewrite_calls(e, "isutf8", lambda a: f"(({a[0]}) IS NOT NULL)")
+
+    def _pv(a: list[str]) -> str:
+        parts = f"split({a[0]}, '[.]')"
+        padded = ", ".join(
+            f"lpad(coalesce(try_element_at({parts}, {i}), '0'), 8, '0')"
+            for i in (1, 2, 3, 4)
+        )
+        return f"CAST(concat({padded}) AS DECIMAL(38, 0))"
+
+    e = _rewrite_calls(e, "parse_version", _pv)
+
+    def _ip4(x: str) -> str:
+        return (
+            f"aggregate(transform(split({x}, '[./]'), "
+            "v -> CAST(v AS BIGINT)), CAST(NULL AS BIGINT), "
+            "(acc, v) -> CASE WHEN acc IS NULL THEN v "
+            "WHEN acc < 4294967296 THEN acc * 256 + v ELSE acc END)"
+        )
+
+    # parse_ipv4('a.b.c.d') -> 32-bit int as BIGINT (mask suffix kept
+    # out of the fold by the 2^32 cap)
+    e = _rewrite_calls(e, "parse_ipv4", lambda a: _ip4(a[0]))
+    e = _rewrite_calls(
+        e,
+        "ipv4_is_private",
+        lambda a: (
+            f"(({_ip4(a[0])} BETWEEN 167772160 AND 184549375) OR "
+            f"({_ip4(a[0])} BETWEEN 2886729728 AND 2887778303) OR "
+            f"({_ip4(a[0])} BETWEEN 3232235520 AND 3232301055))"
+        ),
+    )
+
+    def _ip_range(a: list[str]) -> str:
+        ip = _ip4(a[0])
+        cidr = a[1]
+        pref = _ip4(f"substring_index({cidr}, '/', 1)")
+        bits = (
+            f"(CASE WHEN instr({cidr}, '/') > 0 THEN "
+            f"CAST(substring_index({cidr}, '/', -1) AS INT) ELSE 32 END)"
+        )
+        return (
+            f"(shiftright({ip}, 32 - {bits}) = "
+            f"shiftright({pref}, 32 - {bits}))"
+        )
+
+    e = _rewrite_calls(e, "ipv4_is_in_range", _ip_range)
+    e = _rewrite_calls(
+        e,
+        "extract_all",
+        # extract_all(regex, text): array of the first capture group
+        lambda a: f"regexp_extract_all({a[-1]}, {a[0]}, 1)",
+    )
+    e = _rewrite_calls(
+        e,
+        "hash_xxhash64",
+        lambda a: f"xxhash64({a[0]})"
+        if len(a) == 1
+        else f"pmod(xxhash64({a[0]}), {a[1]})",
+    )
+    e = _rewrite_calls(
+        e, "zip", lambda a: f"zip_with({a[0]}, {a[1]}, (l, r) -> array(l, r))"
+    )
+    e = _rewrite_calls(e, "repeat_string", lambda a: f"repeat({a[0]}, {a[1]})")
+    e = re.sub(r"\bnew_guid\s*\(\s*\)", "uuid()", e, flags=re.IGNORECASE)
+    e = _rewrite_calls(
+        e,
+        "bag_remove_keys",
+        # JSON-bag representation: drop entries whose key is in the
+        # removal array, rebuild the bag (values stay JSON-typed)
+        lambda a: (
+            f"to_json(map_filter(from_json({a[0]}, 'map<string,string>'), "
+            f"(k, v) -> NOT array_contains(CAST({a[1]} AS ARRAY<STRING>), k)))"
+        ),
+    )
     e = _rewrite_calls(e, "set_union", lambda a: _chain("array_union", a))
     e = _rewrite_calls(e, "set_intersect", lambda a: _chain("array_intersect", a))
     e = _rewrite_calls(e, "set_difference", lambda a: _chain("array_except", a))
@@ -987,7 +1225,7 @@ class KqlQuery:
     )
 
     def run(self, text: str) -> DataFrame:
-        text = re.sub(r"//[^\n]*", "", text)  # strip KQL line comments
+        text = _strip_comments(text)
         statements = [s for s in (t.strip() for t in _split_top(text, ";")) if s]
         if not statements:
             raise KqlParseError("empty query")

@@ -1085,3 +1085,60 @@ def kql_activity_metrics(spark, sf_dir):
         F.round("retention_rate", 6).alias("retention_rate"),
         F.round("churn_rate", 6).alias("churn_rate"),
     )
+
+
+@query(
+    "kql_scalar_toolkit3",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 256 AS VARCHAR) || '.99.1.'
+               || CAST(doc_id % 100 AS VARCHAR) AS ip,
+             TIMESTAMP '2024-01-01' + CAST(doc_id % 200 AS BIGINT)
+               * INTERVAL 1 DAY AS d
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'e+')) AS BIGINT) AS ecount,
+           (CAST(doc_id % 256 AS BIGINT) * 16777216
+            + 99 * 65536 + 256 + doc_id % 100) AS ipnum,
+           (doc_id % 256 = 10
+            OR doc_id % 256 = 192) AND FALSE
+             OR (doc_id % 256 = 10)
+             AS priv,
+           (doc_id % 256 = 10) AS inr,
+           CAST(weekofyear(d) AS BIGINT) AS wk,
+           date_trunc('day', d) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND
+             AS eod,
+           CAST(CAST(lpad(CAST(doc_id % 5 AS VARCHAR), 8, '0')
+                || '000000020000000100000000' AS DECIMAL(38, 0))
+                AS VARCHAR) AS ver
+    FROM base
+    """,
+    doc="round-4 KQL scalar batch over documents: countof_regex, "
+    "parse_ipv4 / ipv4_is_private / ipv4_is_in_range on synthesized "
+    "addresses, week_of_year / endofday on synthesized dates, "
+    "parse_version — all pure Catalyst expressions, oracle-matched "
+    "against DuckDB equivalents",
+)
+def kql_scalar_toolkit3(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        documents
+        | extend ip = strcat(tostring(doc_id % 256), '.99.1.',
+                             tostring(doc_id % 100))
+        | extend d = datetime_add('day', toint(doc_id % 200),
+                                  datetime(2024-01-01))
+        | extend ecount = countof_regex(text, 'e+'),
+                 ipnum = parse_ipv4(ip),
+                 priv = ipv4_is_private(ip),
+                 inr = ipv4_is_in_range(ip, '10.99.0.0/16'),
+                 wk = tolong(week_of_year(d)),
+                 eod = endofday(d),
+                 ver = tostring(parse_version(strcat(
+                     tostring(doc_id % 5), '.2.1')))
+        | project doc_id, ecount, ipnum, priv, inr, wk, eod, ver
+        """,
+        tables=_tables(spark, sf_dir, "documents"),
+    )

@@ -1569,3 +1569,82 @@ def test_array_iff_edge_cases_and_variadic_bag_merge(spark):
         kql(spark, "t | extend p = pack_all(true)", tables={"t": df3})
     with pytest.raises(KqlParseError, match="at least two"):
         kql(spark, "t | extend m = bag_merge(x)", tables={"t": df3})
+
+
+def test_comments_stripped_outside_strings_only(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1,)], "id long")
+    out = kql(
+        spark,
+        "T // trailing comment\n"
+        "| extend u = 'https://x.com/p' // another\n"
+        "| project u",
+        tables={"T": t},
+    ).first()
+    assert out["u"] == "https://x.com/p"
+
+
+def test_dynamic_literals(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1,)], "id long")
+
+    def one(e):
+        return kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+
+    assert one("dynamic([1, 2, 3])") == [1, 2, 3]
+    assert one("dynamic([[1,2],[3]])") == [[1, 2], [3]]
+    assert one("dynamic(['a', 'b'])") == ["a", "b"]
+    assert one('dynamic({"a": 1})') == '{"a": 1}'
+
+
+def test_round4_scalar_batch(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1, "hello world")], "id long, s string")
+    cases = {
+        "countof_regex(s, 'l+')": 2,
+        "array_rotate_left(dynamic([1,2,3]), 1)": [2, 3, 1],
+        "array_rotate_right(dynamic([1,2,3]), 1)": [3, 1, 2],
+        "array_rotate_left(dynamic([1,2,3]), -1)": [3, 1, 2],
+        "array_shift_left(dynamic([1,2,3]), 1)": [2, 3, None],
+        "array_shift_left(dynamic([1,2,3]), -1)": [None, 1, 2],
+        "array_shift_right(dynamic([1,2,3]), 1, 0)": [0, 1, 2],
+        "array_split(dynamic([1,2,3,4]), 2)": [[1, 2], [3, 4]],
+        "set_has_element(dynamic([1,2]), 2)": True,
+        "week_of_year(todatetime('2024-01-04'))": 1,
+        "tostring(endofday(todatetime('2024-01-02 05:00:00')))":
+            "2024-01-02 23:59:59.999999",
+        "tostring(endofmonth(todatetime('2024-02-02')))":
+            "2024-02-29 23:59:59.999999",
+        "isascii('abc')": True,
+        "isutf8('x')": True,
+        "tostring(parse_version('1.2.3.4'))":
+            "1000000020000000300000004",
+        "parse_ipv4('192.168.1.1')": 3232235777,
+        "ipv4_is_private('10.0.0.1')": True,
+        "ipv4_is_private('8.8.8.8')": False,
+        "ipv4_is_in_range('192.168.1.5', '192.168.1.0/24')": True,
+        "ipv4_is_in_range('192.168.2.5', '192.168.1.0/24')": False,
+        "extract_all('(l+)', s)": ["ll", "l"],
+        "zip(dynamic([1,2]), dynamic([3,4]))": [[1, 3], [2, 4]],
+        "repeat_string('ab', 2)": "abab",
+        "strlen(new_guid()) = 36": True,
+        'bag_remove_keys(dynamic({"a": 1, "b": 2}), dynamic([\'a\']))':
+            '{"b":"2"}',
+    }
+    for e, want in cases.items():
+        got = kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+        assert got == want, f"{e}: got {got!r} want {want!r}"
+    jac = kql(
+        spark,
+        "T | extend r = jaccard_index(dynamic([1,2]), dynamic([2,3])) "
+        "| project r",
+        tables={"T": t},
+    ).first()["r"]
+    assert abs(jac - 1 / 3) < 1e-12
