@@ -116,6 +116,7 @@ EXTENSION_HEADLINE = [
     "ts_series_pearson_corr",
     "kql_activity_metrics",
     "kql_scalar_toolkit3",
+    "kql_agg_toolkit",
 ]
 
 

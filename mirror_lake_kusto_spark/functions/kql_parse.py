@@ -410,7 +410,6 @@ _FN_RENAME = {
     "toupper": "upper",
     "iif": "if",
     "iff": "if",
-    "make_list": "collect_list",
     "make_set": "collect_set",
     "countif": "count_if",
     "strcat_delim": "concat_ws",
@@ -488,6 +487,21 @@ def _rewrite_in_ci(e: str) -> str:
         neg = "NOT " if m.group(2) else ""
         items = ", ".join(f"lower({a})" for a in args)
         repl = f"{neg}(lower({m.group(1)}) IN ({items}))"
+        e = e[: m.start()] + repl + e[end:]
+
+
+_NOT_IN_RE = re.compile(r"(\S+)\s+!in\s*\(", re.IGNORECASE)
+
+
+def _rewrite_not_in(e: str) -> str:
+    """Case-sensitive ``x !in (...)`` -> NOT (x IN (...)); plain ``in``
+    passes straight through as SQL."""
+    while True:
+        m = _NOT_IN_RE.search(e)
+        if not m:
+            return e
+        args, end = _find_args(e, e.index("(", m.end() - 1))
+        repl = f"NOT ({m.group(1)} IN ({', '.join(args)}))"
         e = e[: m.start()] + repl + e[end:]
 
 
@@ -575,6 +589,7 @@ def translate_expr(e: str) -> str:
     e = _MATCHES_RE.sub(lambda m: f"({m.group(1)} RLIKE {m.group(2)})", e)
     e = _rewrite_has_any_all(e)
     e = _rewrite_in_ci(e)
+    e = _rewrite_not_in(e)
     e = _rewrite_between(e)
     e = _DT_RE.sub(lambda m: f"TIMESTAMP'{m.group(1)}'", e)
     e = _AGO_RE.sub(
@@ -921,6 +936,45 @@ def translate_expr(e: str) -> str:
         e, "make_list_if",
         lambda a: f"collect_list({a[0]}) FILTER (WHERE {a[1]})",
     )
+    e = _rewrite_calls(
+        e, "make_set_if",
+        lambda a: f"collect_set({a[0]}) FILTER (WHERE {a[1]})",
+    )
+    e = _rewrite_calls(
+        e, "take_anyif",
+        lambda a: f"any_value({a[0]}) FILTER (WHERE {a[1]})",
+    )
+    e = _rewrite_calls(
+        e, "count_distinctif",
+        lambda a: f"count(DISTINCT {a[0]}) FILTER (WHERE {a[1]})",
+    )
+    # bitwise fold aggregates
+    e = _rewrite_calls(e, "binary_all_or", lambda a: f"bit_or({a[0]})")
+    e = _rewrite_calls(e, "binary_all_and", lambda a: f"bit_and({a[0]})")
+    e = _rewrite_calls(e, "binary_all_xor", lambda a: f"bit_xor({a[0]})")
+    # HyperLogLog sketches (Spark 3.5+ Apache DataSketches surface):
+    # hll() builds the binary sketch, hll_merge unions, dcount_hll
+    # reads the estimate — the reusable-intermediate dcount idiom
+    e = _rewrite_calls(e, "hll_merge", lambda a: f"hll_union_agg({a[0]})")
+    e = _rewrite_calls(e, "hll", lambda a: f"hll_sketch_agg({a[0]})")
+    e = _rewrite_calls(
+        e, "dcount_hll", lambda a: f"hll_sketch_estimate({a[0]})"
+    )
+    # make_bag: fold row bags into one (later rows win duplicate keys,
+    # matching bag_merge's documented first-bag-wins seen from the
+    # reversed fold).  Values stay strings (the dynamic-as-JSON rep).
+    e = _rewrite_calls(
+        e,
+        "make_bag",
+        lambda a: (
+            "to_json(map_from_entries(aggregate("
+            f"collect_list(map_entries(from_json({a[0]}, "
+            "'map<string,string>'))), "
+            "CAST(array() AS ARRAY<STRUCT<key: STRING, value: STRING>>), "
+            "(acc, x) -> concat(filter(acc, e -> NOT array_contains("
+            "transform(x, y -> y.key), e.key)), x))))"
+        ),
+    )
     # Kusto percentile(x, P) takes a 0-100 percent; Spark's exact
     # percentile takes a 0-1 fraction
     e = _rewrite_calls(
@@ -929,6 +983,27 @@ def translate_expr(e: str) -> str:
         lambda a: f"percentile({a[0]}, ({a[1]}) / 100.0)",
         self_referential=True,
     )
+    e = _rewrite_calls(
+        e,
+        "percentiles",
+        # multi-percentile -> ONE array-valued exact percentile pass
+        lambda a: (
+            f"percentile({a[0]}, array("
+            + ", ".join(f"CAST({p} AS DOUBLE) / 100.0" for p in a[1:])
+            + "))"
+        ),
+        self_referential=True,
+    )
+    e = _rewrite_calls(
+        e,
+        "make_list",
+        # optional max-size cap (Kusto's 2-arg form)
+        lambda a: f"collect_list({a[0]})"
+        if len(a) == 1
+        else f"slice(collect_list({a[0]}), 1, {a[1]})",
+    )
+    e = re.sub(r"\bstdevp\s*\(", "stddev_pop(", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bvariancep\s*\(", "var_pop(", e, flags=re.IGNORECASE)
     e = re.sub(r"\bstdev\s*\(", "stddev_samp(", e, flags=re.IGNORECASE)
     e = re.sub(r"\bvariance\s*\(", "var_samp(", e, flags=re.IGNORECASE)
 
@@ -1219,6 +1294,32 @@ class KqlQuery:
         #: expression inside the braces
         self._funcs: dict[str, tuple[list, str]] = {}
         self._order_sql: list[str] | None = None  # serialized-row order
+
+    def _order_columns(self):
+        """The serialized order as Column objects (F.expr cannot parse
+        the 'EXPR DIR NULLS X' fragments _order_sql keeps for window
+        clauses)."""
+        out = []
+        for frag in self._order_sql or []:
+            m = re.match(
+                r"^(.*)\s+(ASC|DESC)\s+NULLS\s+(FIRST|LAST)$",
+                frag,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                out.append(F.expr(frag))
+                continue
+            col = F.expr(m.group(1))
+            asc = m.group(2).upper() == "ASC"
+            first = m.group(3).upper() == "FIRST"
+            out.append(
+                (col.asc_nulls_first() if first else col.asc_nulls_last())
+                if asc
+                else (
+                    col.desc_nulls_first() if first else col.desc_nulls_last()
+                )
+            )
+        return out
 
     _LET_RE = re.compile(
         r"^let\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
@@ -1892,7 +1993,12 @@ class KqlQuery:
         Kusto's serialized-row semantics mean — fine for ordered result
         tails, not a scale path (use summarize/window queries for
         that)."""
-        if not re.search(r"\b(prev|next|row_cumsum|row_number)\s*\(", e, re.IGNORECASE):
+        if not re.search(
+            r"\b(prev|next|row_cumsum|row_number|row_rank_dense|"
+            r"row_rank_min)\s*\(",
+            e,
+            re.IGNORECASE,
+        ):
             return e
         if not self._order_sql:
             raise KqlParseError(
@@ -1913,6 +2019,18 @@ class KqlQuery:
             lambda a: f"lead({a[0]}, {a[1] if len(a) > 1 else 1}) {over}",
         )
         e = _rewrite_calls(e, "row_cumsum", lambda a: f"sum({a[0]}) {cum}")
+        # rank by the TERM itself: Kusto's row_rank_* require the
+        # serialized set sorted by the term (the canonical usage);
+        # equal terms share a rank regardless of later tiebreakers in
+        # the order-by clause
+        e = _rewrite_calls(
+            e,
+            "row_rank_dense",
+            lambda a: f"dense_rank() OVER (ORDER BY {a[0]})",
+        )
+        e = _rewrite_calls(
+            e, "row_rank_min", lambda a: f"rank() OVER (ORDER BY {a[0]})"
+        )
         e = _rewrite_calls(
             e,
             "row_number",
@@ -2095,17 +2213,24 @@ class KqlQuery:
         cols, frags = [], []
         for part in _split_top(rest, ","):
             part = part.strip()
-            m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", part, re.IGNORECASE | re.DOTALL)
+            m = re.match(
+                r"^(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
             sql = translate_expr(m.group(1))
             expr = F.expr(sql)
-            # KQL default sort order is DESCENDING (nulls last here)
+            # KQL default sort order is DESCENDING; default null
+            # placement follows Kusto (desc -> nulls last, asc ->
+            # nulls first) unless an explicit modifier overrides it
             direction = (m.group(2) or "desc").lower()
-            cols.append(
-                expr.desc_nulls_last()
-                if direction == "desc"
-                else expr.asc_nulls_first()
-            )
-            frags.append(f"{sql} {direction.upper()}")
+            nulls = (m.group(3) or ("last" if direction == "desc" else "first")).lower()
+            if direction == "desc":
+                col = expr.desc_nulls_first() if nulls == "first" else expr.desc_nulls_last()
+            else:
+                col = expr.asc_nulls_first() if nulls == "first" else expr.asc_nulls_last()
+            cols.append(col)
+            frags.append(f"{sql} {direction.upper()} NULLS {nulls.upper()}")
         self._order_sql = frags  # the row set is now serialized
         return KqlFrame(frame.df.orderBy(*cols))
 
@@ -2424,7 +2549,7 @@ class KqlQuery:
         from pyspark.sql import Window as _W
 
         cols = frame.df.columns
-        w = _W.orderBy(*[F.expr(s) for s in self._order_sql])
+        w = _W.orderBy(*self._order_columns())
         stack_args = ", ".join(
             f"'{c}', CAST({c} AS STRING)" for c in cols
         )
@@ -2824,7 +2949,7 @@ class KqlQuery:
         # row stream (global orderBy + coalesce would also work, but
         # repartition(1)+sortWithinPartitions can't be re-planned)
         df = df.repartition(1).sortWithinPartitions(
-            *[F.expr(s) for s in self._order_sql]
+            *self._order_columns()
         )
 
         schema = df.drop(*cond_cols).schema.add("_scan_step", "string")

@@ -1142,3 +1142,53 @@ def kql_scalar_toolkit3(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "documents"),
     )
+
+
+@query(
+    "kql_agg_toolkit",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           ROUND(stddev_pop(l_quantity), 4) AS sdp,
+           ROUND(var_pop(l_quantity), 4) AS vp,
+           bit_or(l_linenumber) AS ball_or,
+           bit_and(l_linenumber) AS ball_and,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS ball_xor,
+           COUNT(DISTINCT l_suppkey)
+             FILTER (WHERE l_quantity > 25) AS dsupp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="round-4 KQL aggregate batch over lineitem: exact interpolated "
+    "percentiles (element-wise, matching DuckDB quantile_cont), "
+    "population stdev/variance, binary_all_or/and/xor bit folds, and "
+    "count_distinctif — all single-pass hash aggregates",
+)
+def kql_agg_toolkit(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        lineitem
+        | summarize p = percentiles(l_quantity, 25, 75),
+                    sdp = round(stdevp(l_quantity), 4),
+                    vp = round(variancep(l_quantity), 4),
+                    ball_or = binary_all_or(l_linenumber),
+                    ball_and = binary_all_and(l_linenumber),
+                    ball_xor = binary_all_xor(tolong(l_orderkey)),
+                    dsupp = count_distinctif(l_suppkey, l_quantity > 25)
+            by l_returnflag
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.element_at("p", 1), 4).alias("q25"),
+        F.round(F.element_at("p", 2), 4).alias("q75"),
+        "sdp",
+        "vp",
+        "ball_or",
+        "ball_and",
+        "ball_xor",
+        "dsupp",
+    )

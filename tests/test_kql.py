@@ -1648,3 +1648,82 @@ def test_round4_scalar_batch(spark):
         tables={"T": t},
     ).first()["r"]
     assert abs(jac - 1 / 3) < 1e-12
+
+
+def test_round4_aggregate_batch(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 3.0), (3, "b", 5.0)],
+        "id long, g string, v double",
+    )
+
+    def one(agg):
+        return {
+            r["g"]: r["r"]
+            for r in kql(
+                spark, f"T | summarize r = {agg} by g", tables={"T": t}
+            ).collect()
+        }
+
+    assert one("percentiles(v, 0, 100)") == {"a": [2.0, 3.0], "b": [5.0, 5.0]}
+    assert one("stdevp(v)") == {"a": 0.5, "b": 0.0}
+    assert one("variancep(v)") == {"a": 0.25, "b": 0.0}
+    assert one("make_list(v, 1)") == {"a": [2.0], "b": [5.0]}
+    assert one("make_set_if(g, v > 2)") == {"a": ["a"], "b": ["b"]}
+    assert one("take_anyif(id, v > 2)") == {"a": 2, "b": 3}
+    assert one("binary_all_or(id)") == {"a": 3, "b": 3}
+    assert one("binary_all_and(id)") == {"a": 0, "b": 3}
+    assert one("binary_all_xor(id)") == {"a": 3, "b": 3}
+    assert one("count_distinctif(g, v > 2)") == {"a": 1, "b": 1}
+    assert one("make_bag(pack('k', g))") == {
+        "a": '{"k":"a"}',
+        "b": '{"k":"b"}',
+    }
+    # HLL sketch round trip: build -> merge -> estimate
+    d = kql(
+        spark,
+        "T | summarize h = hll(g) by g "
+        "| summarize m = hll_merge(h) | project d = dcount_hll(m)",
+        tables={"T": t},
+    ).first()["d"]
+    assert d == 2
+
+
+def test_not_in_and_nulls_modifier(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, g string"
+    )
+    assert (
+        kql(spark, "T | where g !in ('a') | count", tables={"T": t}).first()[
+            "Count"
+        ]
+        == 1  # NULL never matches a NOT IN, SQL three-valued logic
+    )
+    rows = kql(
+        spark, "T | order by g desc nulls first | project id", tables={"T": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [3, 2, 1]
+    rows = kql(
+        spark, "T | top 3 by g asc nulls last | project id", tables={"T": t}
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+
+
+def test_row_rank_functions(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 20.0)], "id long, v double"
+    )
+    rows = kql(
+        spark,
+        "T | order by v asc, id asc "
+        "| extend d = row_rank_dense(v), m = row_rank_min(v) "
+        "| project id, d, m",
+        tables={"T": t},
+    ).collect()
+    got = {r["id"]: (r["d"], r["m"]) for r in rows}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (2, 3)}
