@@ -96,6 +96,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .kql import KqlFrame
 
 
+def _resolve_column_ifexists(text: str, columns) -> str:
+    """``column_ifexists('name', default)`` resolves at PARSE time
+    against the current pipe stage's column set (the defensive-
+    dashboard idiom: reference a column that may not exist yet)."""
+    pat = re.compile(r"\bcolumn_ifexists\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(text)
+        if not m:
+            return text
+        args, end = _find_args(text, text.index("(", m.end() - 1))
+        if len(args) != 2:
+            raise KqlParseError(
+                "column_ifexists needs (column_name, default_value)"
+            )
+        name = args[0].strip().strip("'\"")
+        repl = name if name in columns else f"({args[1]})"
+        text = text[: m.start()] + repl + text[end:]
+
+
 def _strip_comments(text: str) -> str:
     """Strip KQL ``//`` line comments OUTSIDE string literals — a bare
     regex would eat the tail of every URL literal (``'https://...'``)."""
@@ -1609,6 +1628,7 @@ class KqlQuery:
             raise KqlParseError(f"unsupported operator: {op.split()[0]!r}")
         verb = re.sub(r"\s+", " ", verb_m.group(1).lower())
         rest = verb_m.group(2).strip()
+        rest = _resolve_column_ifexists(rest, frame.df.columns)
         method = getattr(self, "_op_" + verb.replace(" ", "_").replace("-", "_"))
         return method(frame, rest)
 

@@ -1727,3 +1727,30 @@ def test_row_rank_functions(spark):
     ).collect()
     got = {r["id"]: (r["d"], r["m"]) for r in rows}
     assert got == {1: (1, 1), 2: (1, 1), 3: (2, 3)}
+
+
+def test_column_ifexists(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    got = kql(
+        spark,
+        "T | extend c = column_ifexists('v', 0.0) | project c",
+        tables={"T": t},
+    ).first()["c"]
+    assert got == 5.0
+    got = kql(
+        spark,
+        "T | extend c = todouble(column_ifexists('nope', 42.0)) | project c",
+        tables={"T": t},
+    ).first()["c"]
+    assert got == 42.0
+    # resolves against the CURRENT stage: a projected-away column
+    # falls back to the default
+    got = kql(
+        spark,
+        "T | project id "
+        "| extend c = todouble(column_ifexists('v', -1.0)) | project c",
+        tables={"T": t},
+    ).first()["c"]
+    assert got == -1.0
