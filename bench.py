@@ -117,6 +117,7 @@ EXTENSION_HEADLINE = [
     "kql_activity_metrics",
     "kql_scalar_toolkit3",
     "kql_agg_toolkit",
+    "kql_sequence_detect",
 ]
 
 

@@ -2524,6 +2524,7 @@ class KqlQuery:
             "sliding_window_counts",
             "activity_engagement",
             "activity_metrics",
+            "sequence_detect",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -2541,6 +2542,8 @@ class KqlQuery:
             return self._activity_engagement(frame, args)
         if plugin == "activity_metrics":
             return self._activity_metrics(frame, args)
+        if plugin == "sequence_detect":
+            return self._sequence_detect(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -2762,6 +2765,70 @@ class KqlQuery:
                 .otherwise(F.lit(0.0))
                 .alias("churn_rate"),
             )
+        )
+        return KqlFrame(out)
+
+    def _sequence_detect(self, frame, args):
+        """``evaluate sequence_detect(Timeline, MaxStepWindow, MaxSpan,
+        Step1, Step2, ..., IdColumn)`` — ordered-event sequences per
+        id: StepN are BOOLEAN COLUMN NAMES (extend them first); the
+        output has one row per id whose earliest greedy completion
+        satisfies every step within MaxStepWindow of the previous step
+        and MaxSpan overall, with columns ``<step>_<timeline>`` per
+        step (earliest-completion semantics, one row per id).
+
+        Scale shape: one aggregation + one join per step, ALL keyed on
+        the id column — k steps cost k hash-partitioned passes over
+        the (filtered) events, never a window over the whole corpus."""
+        if len(args) < 5:
+            raise KqlParseError(
+                "sequence_detect needs (Timeline, MaxStepWindow, "
+                "MaxSpan, Step1, Step2, ..., IdColumn)"
+            )
+        tc = args[0].strip()
+        step_us = self._win_us(args[1], "MaxSequenceStepWindow")
+        span_us = self._win_us(args[2], "MaxSequenceSpan")
+        steps = [a.strip() for a in args[3:-1]]
+        idc = args[-1].strip()
+        df = frame.df
+        for c in steps:
+            if c not in df.columns:
+                raise KqlParseError(
+                    f"sequence_detect step {c!r} must be an existing "
+                    "boolean column (extend it first)"
+                )
+        t_us = f"unix_micros({tc})"
+        ev = df.select(
+            F.col(idc).alias("_id"), F.expr(t_us).alias("_t"), *steps
+        )
+        cur = (
+            ev.filter(F.col(steps[0]))
+            .groupBy("_id")
+            .agg(F.min("_t").alias("_t0"))
+        )
+        prev_col = "_t0"
+        for i, c in enumerate(steps[1:], start=1):
+            nxt = (
+                ev.filter(F.col(c))
+                .join(cur, "_id")
+                .filter(
+                    (F.col("_t") > F.col(prev_col))
+                    & (F.col("_t") <= F.col(prev_col) + step_us)
+                    & (F.col("_t") <= F.col("_t0") + span_us)
+                )
+                .groupBy("_id", *[f"_t{j}" for j in range(i)])
+                .agg(F.min("_t").alias(f"_t{i}"))
+            )
+            cur = nxt
+            prev_col = f"_t{i}"
+        out = cur.select(
+            F.col("_id").alias(idc),
+            *[
+                F.expr(f"timestamp_micros(_t{j})").alias(
+                    f"{steps[j]}_{tc}"
+                )
+                for j in range(len(steps))
+            ],
         )
         return KqlFrame(out)
 

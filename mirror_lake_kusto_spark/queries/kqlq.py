@@ -1192,3 +1192,50 @@ def kql_agg_toolkit(spark, sf_dir):
         "ball_xor",
         "dsupp",
     )
+
+
+@query(
+    "kql_sequence_detect",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(t) AS t0 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t0, MIN(e.t) AS t1
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.t > s1.t0 AND e.t <= s1.t0 + INTERVAL 1 DAY
+        AND e.t <= s1.t0 + INTERVAL 7 DAY
+      GROUP BY e.user_id, s1.t0
+    ), s3 AS (
+      SELECT e.user_id, s2.t0, s2.t1, MIN(e.t) AS t2
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.t > s2.t1 AND e.t <= s2.t1 + INTERVAL 1 DAY
+        AND e.t <= s2.t0 + INTERVAL 7 DAY
+      GROUP BY e.user_id, s2.t0, s2.t1
+    )
+    SELECT user_id, t0 AS s_view_ts, t1 AS s_click_ts, t2 AS s_purchase_ts
+    FROM s3
+    """,
+    doc="KQL sequence_detect plugin: earliest greedy view -> click -> "
+    "purchase completion per user (1d max step gap, 7d max span) — "
+    "one aggregation + one join per step, all keyed on the id (k "
+    "steps = k hash-partitioned passes, no corpus-wide window)",
+)
+def kql_sequence_detect(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | extend s_view = event_type == 'view',
+                 s_click = event_type == 'click',
+                 s_purchase = event_type == 'purchase'
+        | evaluate sequence_detect(ts, 1d, 7d,
+            s_view, s_click, s_purchase, user_id)
+        | order by user_id asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -1754,3 +1754,31 @@ def test_column_ifexists(spark):
         tables={"T": t},
     ).first()["c"]
     assert got == -1.0
+
+
+def test_sequence_detect_semantics(spark):
+    import datetime as dt
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), "view"),
+        (1, dt.datetime(2024, 1, 1, 0, 30), "click"),
+        (2, dt.datetime(2024, 1, 1, 0, 0), "view"),
+        (2, dt.datetime(2024, 1, 1, 5, 0), "click"),  # > 1h step gap
+        (3, dt.datetime(2024, 1, 1, 1, 0), "click"),  # click BEFORE view
+        (3, dt.datetime(2024, 1, 1, 2, 0), "view"),
+    ]
+    t = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = kql(
+        spark,
+        """
+        T
+        | extend a = et == 'view', b = et == 'click'
+        | evaluate sequence_detect(ts, 1h, 1d, a, b, user_id)
+        """,
+        tables={"T": t},
+    ).collect()
+    assert len(out) == 1 and out[0]["user_id"] == 1
+    assert out[0]["a_ts"] == dt.datetime(2024, 1, 1, 0, 0)
+    assert out[0]["b_ts"] == dt.datetime(2024, 1, 1, 0, 30)
