@@ -17,13 +17,17 @@ directly:
 Supported verbs (the reference's surface + Kusto basics):
 ``where  project  project-away  project-rename  extend  summarize
 (incl. arg_max/arg_min)  make-series (regular time grid -> aligned
-arrays)  order by / sort by  top  take / limit  count
+arrays)  order by / sort by (nulls first/last)  top  take / limit  count
 distinct  mv-expand  union  join kind=...  serialize (+ prev/next/
-row_cumsum/row_number over the order-by sort)  project-keep
+row_cumsum/row_number/row_rank_dense/row_rank_min over the order-by
+sort)  project-keep
 project-reorder  getschema  as  lookup (broadcast dimension join)
 top-nested (hierarchical top-k, incl. ``with others = "L"``
 labeled remainder buckets)  fork (multi-output legs over one input —
-``kql_multi`` returns the dict)  evaluate pivot  partition by
+``kql_multi`` returns the dict)  evaluate pivot /
+activity_counts_metrics / sliding_window_counts / activity_engagement
+/ activity_metrics / sequence_detect (user-analytics plugins — bin
+explodes + id-keyed joins, no corpus windows)  partition by
 (per-key subquery, 64-key legacy cap, raises past it)  facet by
 (stacked value-frequency rendering)  scan (condition-only sequence
 state machine: greedy-sequential with restart, funnel semantics;
