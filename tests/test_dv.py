@@ -342,3 +342,26 @@ def test_dv_survives_checkpoint_and_vacuum(spark, tmp_path):
     proto = DL.latest_protocol(sink.path)
     assert proto["minReaderVersion"] == 3
     assert "deletionVectors" in (proto["readerFeatures"] or [])
+
+
+def test_delete_dv_on_shallow_clone(spark, tmp_path):
+    """Merge-on-read delete on a SHALLOW CLONE: the clone's add actions
+    reference the source's files by absolute path, the DV .bin lands in
+    the clone's own directory, deleted rows vanish from the clone only
+    — the source never changes (the zero-copy-sandbox contract)."""
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    DeltaSink(spark, src).append(spark.range(6).toDF("n"))
+    clone = DeltaSink.shallow_clone(spark, src, tgt)
+    clone.delete_dv("n IN (1, 4)")
+    got = sorted(r["n"] for r in DL.read_snapshot(spark, tgt).collect())
+    assert got == [0, 2, 3, 5]
+    assert sorted(
+        r["n"] for r in DL.read_snapshot(spark, src).collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    # and reorg materializes into the CLONE's directory (copy-on-write)
+    clone.reorg()
+    got = sorted(r["n"] for r in DL.read_snapshot(spark, tgt).collect())
+    assert got == [0, 2, 3, 5]
+    assert sorted(
+        r["n"] for r in DL.read_snapshot(spark, src).collect()
+    ) == [0, 1, 2, 3, 4, 5]
