@@ -1181,15 +1181,15 @@ def translate_expr(e: str) -> str:
     e = _rewrite_calls(e, "parse_version", _pv)
 
     def _ip4(x: str) -> str:
+        # only the first FOUR dot-separated octets fold (slice keeps a
+        # '/mask' suffix out deterministically)
         return (
-            f"aggregate(transform(split({x}, '[./]'), "
-            "v -> CAST(v AS BIGINT)), CAST(NULL AS BIGINT), "
-            "(acc, v) -> CASE WHEN acc IS NULL THEN v "
-            "WHEN acc < 4294967296 THEN acc * 256 + v ELSE acc END)"
+            f"aggregate(transform(slice(split({x}, '[./]'), 1, 4), "
+            "v -> CAST(v AS BIGINT)), 0L, "
+            "(acc, v) -> acc * 256 + v)"
         )
 
-    # parse_ipv4('a.b.c.d') -> 32-bit int as BIGINT (mask suffix kept
-    # out of the fold by the 2^32 cap)
+    # parse_ipv4('a.b.c.d[/m]') -> 32-bit int as BIGINT
     e = _rewrite_calls(e, "parse_ipv4", lambda a: _ip4(a[0]))
     e = _rewrite_calls(
         e,
@@ -2043,17 +2043,31 @@ class KqlQuery:
             lambda a: f"lead({a[0]}, {a[1] if len(a) > 1 else 1}) {over}",
         )
         e = _rewrite_calls(e, "row_cumsum", lambda a: f"sum({a[0]}) {cum}")
-        # rank by the TERM itself: Kusto's row_rank_* require the
-        # serialized set sorted by the term (the canonical usage);
-        # equal terms share a rank regardless of later tiebreakers in
-        # the order-by clause
+        # rank by the TERM itself, FOLLOWING the serialized direction
+        # when the term is one of the order-by keys (Kusto row_rank_*
+        # assign rank 1 to the FIRST serialized row): equal terms share
+        # a rank regardless of later tiebreakers
+        def _term_dir(term: str) -> str:
+            t = translate_expr(term).strip()
+            for frag in self._order_sql or []:
+                m2 = re.match(
+                    r"^(.*)\s+(ASC|DESC)\s+NULLS\s+(FIRST|LAST)$",
+                    frag,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if m2 and m2.group(1).strip() == t:
+                    return m2.group(2).upper()
+            return "ASC"
+
         e = _rewrite_calls(
             e,
             "row_rank_dense",
-            lambda a: f"dense_rank() OVER (ORDER BY {a[0]})",
+            lambda a: f"dense_rank() OVER (ORDER BY {a[0]} {_term_dir(a[0])})",
         )
         e = _rewrite_calls(
-            e, "row_rank_min", lambda a: f"rank() OVER (ORDER BY {a[0]})"
+            e,
+            "row_rank_min",
+            lambda a: f"rank() OVER (ORDER BY {a[0]} {_term_dir(a[0])})",
         )
         e = _rewrite_calls(
             e,

@@ -304,6 +304,11 @@ class MirrorPipeline:
                 )
                 add_rows, remove_rows = adds.collect(), removes.collect()
         self._check_no_deletion_vectors(add_rows)
+        # the coalesced/cancelled view above can HIDE a delete_dv
+        # commit (remove(P) + add(P, DV) on one path cancels to
+        # nothing) — scan the RAW span too, else the mirror silently
+        # diverges from the source
+        self._check_span_has_no_dvs(hwm, end_tx)
         self._check_no_column_mapping(end_tx)
         now = self.now_fn().isoformat()
         staging = self._item(start_tx, end_tx, "StagingTable", "Initial", now)
@@ -668,6 +673,28 @@ class MirrorPipeline:
                 "mirroring physical-named data files is not supported "
                 "— query it via read_snapshot instead"
             )
+
+    def _check_span_has_no_dvs(self, hwm: int, end_tx: int) -> None:
+        """Raw-commit scan of (hwm, end_tx] for deletion-vector adds:
+        a merge-on-read DELETE writes remove(P)+add(P,DV) on the SAME
+        path, which the coalesced segment cancels away entirely — the
+        guard must look at the uncancelled actions (driver-side JSON,
+        the same data _cap_span already line-counts)."""
+        from ..sources.delta_log import UnsupportedTableFeature
+
+        for v in DL.list_commit_versions(self.source):
+            if not (hwm < v <= end_tx):
+                continue
+            for act in DL._read_commit(self.source, v):
+                dv = (act.get("add") or {}).get("deletionVector") or {}
+                if dv.get("cardinality"):
+                    raise UnsupportedTableFeature(
+                        f"source commit {v} rewrites "
+                        f"{act['add']['path']} with a deletion vector "
+                        f"({dv['cardinality']} deleted rows); mirroring "
+                        "merge-on-read tables is not supported — REORG "
+                        "the source to materialize deletes first"
+                    )
 
     @staticmethod
     def _check_no_deletion_vectors(add_rows) -> None:

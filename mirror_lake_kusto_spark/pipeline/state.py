@@ -147,15 +147,14 @@ class StateStore:
                 n for n in self.fs.listdir(self.dir) if n.startswith("ix_")
             ):
                 text = self.fs.read_text(_fs.join(self.dir, name))
-                if True:
-                    for row in csv.DictReader(io.StringIO(text)):
-                        it: dict[str, Any] = {
-                            c: (row.get(c) or None) for c in COLUMNS
-                        }
-                        for c in _INT_COLS:
-                            if it[c] is not None:
-                                it[c] = int(it[c])
-                        cache[_item_key(it)] = it
+                for row in csv.DictReader(io.StringIO(text)):
+                    it: dict[str, Any] = {
+                        c: (row.get(c) or None) for c in COLUMNS
+                    }
+                    for c in _INT_COLS:
+                        if it[c] is not None:
+                            it[c] = int(it[c])
+                    cache[_item_key(it)] = it
             self._cache = cache
         return self._cache
 

@@ -259,10 +259,6 @@ def _conform_action_structs(df: DataFrame) -> DataFrame:
     return df
 
 
-def _conform_add_struct(df: DataFrame) -> DataFrame:
-    return _conform_action_structs(df)
-
-
 def sidecar_files(table_path: str, version: int) -> list[str]:
     """V2-checkpoint sidecars (PROTOCOL.md "V2 Spec"): the manifest
     checkpoint stores file actions in separate parquet files under

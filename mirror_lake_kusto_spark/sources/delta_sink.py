@@ -201,23 +201,22 @@ class DeltaSink:
             p = _fs.join(d, TX_FMT.format(v) + ".json")
             if not self.fs.isfile(p):
                 continue
-            if True:
-                for line in self.fs.read_text(p).splitlines():
-                    if not line.strip():
-                        continue
-                    act = json.loads(line)
-                    if mine_meta and "metaData" in act:
+            for line in self.fs.read_text(p).splitlines():
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if mine_meta and "metaData" in act:
+                    raise ConcurrentCommitConflict(
+                        f"concurrent commit {v} changed table "
+                        "metadata; re-read and retry"
+                    )
+                for k in ("add", "remove"):
+                    if k in act and act[k]["path"] in mine:
                         raise ConcurrentCommitConflict(
-                            f"concurrent commit {v} changed table "
-                            "metadata; re-read and retry"
+                            f"concurrent commit {v} touched "
+                            f"{act[k]['path']}; retry the operation "
+                            f"from the new snapshot"
                         )
-                    for k in ("add", "remove"):
-                        if k in act and act[k]["path"] in mine:
-                            raise ConcurrentCommitConflict(
-                                f"concurrent commit {v} touched "
-                                f"{act[k]['path']}; retry the operation "
-                                f"from the new snapshot"
-                            )
 
     def _schema_changed(self) -> bool:
         """Driver-side scan of the newest commits for the last recorded
@@ -227,13 +226,12 @@ class DeltaSink:
         d = _log_dir(self.path)
         for v in reversed(_list_versions(self.path)):
             text = self.fs.read_text(_fs.join(d, TX_FMT.format(v) + ".json"))
-            if True:
-                for line in text.splitlines():
-                    if not line.strip():
-                        continue
-                    act = json.loads(line)
-                    if "metaData" in act:
-                        return act["metaData"]["schemaString"] != self._pending_schema
+            for line in text.splitlines():
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "metaData" in act:
+                    return act["metaData"]["schemaString"] != self._pending_schema
         return False
 
     def _metadata_action(self, df: DataFrame | None = None) -> dict:
@@ -920,12 +918,15 @@ class DeltaSink:
             return -1  # empty table: nothing to delete
         now = int(time.time() * 1000)
         files = snapshot_files(self.spark, self.path)
+        # file identity key = the same JVM-side spelling the scan
+        # emits (url_decode + file:-scheme strip) — NOT fs.normalize,
+        # whose Hadoop qualification would never match; plain strings
+        # also keep the Arrow closure free of py4j handles
         by_norm: dict[str, dict] = {
-            self.fs.normalize(_fs.join(self.path, f["path"])): f
-            for f in files
+            _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
         old_payloads = {
-            self.fs.normalize(_fs.join(self.path, f["path"])): bytes(
+            _fs.data_path_spelling(self.path, f["path"]): bytes(
                 _dv.dv_payload(self.path, f["deletionVector"])
             )
             for f in files
@@ -948,7 +949,11 @@ class DeltaSink:
                 .parquet(*[_fs.join(self.path, p) for p in paths])
                 .withColumns(
                     {
-                        "_f": F.input_file_name(),
+                        "_f": F.url_decode(
+                            F.regexp_replace(
+                                F.input_file_name(), "^file:(//)?", ""
+                            )
+                        ),
                         "_ridx": F.col("_metadata.row_index"),
                     }
                 )
@@ -961,12 +966,11 @@ class DeltaSink:
             probe = probe.unionByName(pr)
         matched = probe.filter(predicate).select("_f", "_ridx")
         bc = self.spark.sparkContext.broadcast(old_payloads)
-        norm = self.fs.normalize
 
         def per_file(pdf):
             import pandas as pd
 
-            f = norm(pdf["_f"].iloc[0])
+            f = pdf["_f"].iloc[0]
             idx = set(int(i) for i in pdf["_ridx"])
             old = bc.value.get(f)
             if old is not None:
@@ -987,7 +991,32 @@ class DeltaSink:
         )
         if not packed:
             return self._commit([], operation="DELETE (merge-on-read)")
-        actions: list[dict] = [{"protocol": dict(self._DV_PROTOCOL)}]
+        # protocol upgrade MERGES with whatever the table already
+        # declares — overwriting would drop features like timestampNtz
+        # or v2Checkpoint an external writer recorded
+        from .delta_log import latest_protocol
+
+        cur = latest_protocol(self.path) or {}
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": max(
+                        cur.get("minReaderVersion") or 1, 3
+                    ),
+                    "minWriterVersion": max(
+                        cur.get("minWriterVersion") or 2, 7
+                    ),
+                    "readerFeatures": sorted(
+                        set(cur.get("readerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(cur.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                }
+            }
+        ]
         full_deletes, dv_rows = [], []
         for r in packed:
             f = by_norm[r["_f"]]
@@ -1054,7 +1083,7 @@ class DeltaSink:
         now = int(time.time() * 1000)
         payloads = [
             (
-                self.fs.normalize(_fs.join(self.path, p)),
+                _fs.data_path_spelling(self.path, p),
                 bytearray(_dv.dv_payload(self.path, d)),
             )
             for p, d in dvs.items()
@@ -1387,15 +1416,14 @@ class DeltaSink:
             text = self.fs.read_text(
                 _fs.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
             )
-            if True:
-                for line in text.splitlines():
-                    if not line.strip():
-                        continue
-                    act = json.loads(line)
-                    if "commitInfo" in act:
-                        info = act["commitInfo"]
-                    n_add += "add" in act
-                    n_remove += "remove" in act
+            for line in text.splitlines():
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    info = act["commitInfo"]
+                n_add += "add" in act
+                n_remove += "remove" in act
             rows.append(
                 (
                     v,

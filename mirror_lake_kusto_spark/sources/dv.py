@@ -312,15 +312,7 @@ def dv_payload(table_path: str, desc: dict) -> bytes:
     if st == "i":
         return z85_decode(desc["pathOrInlineDv"])[:size]
     if st == "u":
-        enc = desc["pathOrInlineDv"]
-        prefix, uid = enc[:-20], enc[-20:]
-        import uuid as _uuid
-
-        u = _uuid.UUID(bytes=z85_decode(uid))
-        rel = f"deletion_vector_{u}.bin"
-        if prefix:
-            rel = f"{prefix}/{rel}"
-        full = _fs.join(table_path, rel)
+        full = _fs.join(table_path, dv_file_rel_path(desc))
     elif st == "p":
         full = desc["pathOrInlineDv"]
     else:

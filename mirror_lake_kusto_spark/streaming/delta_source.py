@@ -81,11 +81,18 @@ def _last_checkpoint_version(path: str) -> int | None:
 def _checkpoint_column(path: str, version: int, column: str) -> list:
     import pyarrow.parquet as _pq
 
-    from ..sources.delta_log import checkpoint_files
+    from ..sources.delta_log import checkpoint_files, sidecar_files
 
+    paths = list(checkpoint_files(path, version))
+    if column in ("add", "remove"):
+        # v2 checkpoints keep file actions in sidecars
+        paths.extend(sidecar_files(path, version))
     out: list = []
-    for f in checkpoint_files(path, version):
-        tbl = _pq.read_table(f, columns=[column])
+    for f in paths:
+        try:
+            tbl = _pq.read_table(f, columns=[column])
+        except Exception:
+            continue  # column absent in this part (v2 manifest/sidecar)
         out.extend(v for v in tbl.column(0).to_pylist() if v is not None)
     return out
 
@@ -95,12 +102,16 @@ def _checkpoint_snapshot_files(path: str, version: int) -> list[dict]:
     tombstones (a reconciled checkpoint's adds ARE the snapshot; the
     subtraction guards against writers that keep tombstones)."""
     adds = _checkpoint_column(path, version, "add")
-    try:
-        removed = {
-            r["path"] for r in _checkpoint_column(path, version, "remove")
-        }
-    except Exception:
-        removed = set()
+    removed = {
+        r["path"] for r in _checkpoint_column(path, version, "remove")
+    }
+    for a in adds:
+        if (a.get("deletionVector") or {}).get("cardinality"):
+            raise ValueError(
+                f"checkpoint file {a['path']} carries a deletion "
+                "vector; streaming it raw would resurrect deleted "
+                "rows — REORG the table or use the batch reader"
+            )
     return [a for a in adds if a["path"] not in removed]
 
 
@@ -240,6 +251,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                         act = a.get(key)
                         if act is None or not act.get("dataChange", True):
                             continue
+                        if (act.get("deletionVector") or {}).get("cardinality"):
+                            raise ValueError(
+                                f"commit {v} rewrites {act['path']} with "
+                                "a deletion vector; the change feed "
+                                "cannot stream merge-on-read rewrites"
+                            )
                         full = os.path.join(self.path, act["path"])
                         if change == "delete" and not os.path.exists(full):
                             raise ValueError(
@@ -271,6 +288,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             for a in acts:
                 add = a.get("add")
                 if add and add.get("dataChange", True):
+                    if (add.get("deletionVector") or {}).get("cardinality"):
+                        raise ValueError(
+                            f"commit {v} adds {add['path']} with a "
+                            "deletion vector; streaming it raw would "
+                            "resurrect deleted rows"
+                        )
                     parts.append(
                         _FilePartition(
                             file_path=os.path.join(self.path, add["path"]),

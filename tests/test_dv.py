@@ -365,3 +365,84 @@ def test_delete_dv_on_shallow_clone(spark, tmp_path):
     assert sorted(
         r["n"] for r in DL.read_snapshot(spark, src).collect()
     ) == [0, 1, 2, 3, 4, 5]
+
+
+def test_mirror_refuses_delete_dv_commit(spark, tmp_path):
+    """A delete_dv commit writes remove(P)+add(P, DV) on ONE path — the
+    coalesced segment cancels the pair away, so the guard must scan the
+    RAW span; otherwise the mirror silently keeps the deleted rows."""
+    src = str(tmp_path / "src")
+    sink = DeltaSink(spark, src)
+    sink.append(spark.range(6).toDF("n").coalesce(1))
+    pipe = MirrorPipeline(
+        spark,
+        source_path=src,
+        target_path=str(tmp_path / "dst"),
+        state_dir=str(tmp_path / "state"),
+        table_name="dv_mor",
+    )
+    pipe.run_until_idle()  # mirror the clean table first
+    sink.delete_dv("n = 2")
+    with pytest.raises(UnsupportedTableFeature, match="deletion vector"):
+        pipe.run_once()
+    # mirror state unchanged (still the pre-delete snapshot, no silent
+    # divergence marker advanced)
+    assert sorted(r["n"] for r in pipe.mirror_df().collect()) == list(range(6))
+
+
+def test_stream_source_refuses_dv_add(spark, tmp_path):
+    from mirror_lake_kusto_spark.streaming.delta_source import (
+        DeltaLogDataSource,
+    )
+
+    src = str(tmp_path / "src")
+    sink = DeltaSink(spark, src)
+    sink.append(spark.range(4).toDF("n").coalesce(1))
+    sink.delete_dv("n = 1")
+    try:
+        spark.dataSource.register(DeltaLogDataSource)
+    except Exception:
+        pass  # already registered by an earlier test
+    q = (
+        spark.readStream.format("mlk_delta")
+        .option("path", src)
+        .load()
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    # delete_dv commits carry a remove, so either loud guard is
+    # acceptable — what matters is the stream REFUSES
+    with pytest.raises(Exception, match="deletion vector|removes data"):
+        q.awaitTermination()
+
+
+def test_stream_source_refuses_pure_dv_add(spark, tmp_path):
+    """An append-with-DV commit (no remove — the foreign-writer shape)
+    must hit the dedicated DV guard, not slip through as a plain add."""
+    import json as _json
+
+    from mirror_lake_kusto_spark.streaming.delta_source import (
+        DeltaLogDataSource,
+    )
+
+    src = str(tmp_path / "src")
+    _author_dv_table(spark, src, [1], storage="i")  # add WITH DV, no remove
+    try:
+        spark.dataSource.register(DeltaLogDataSource)
+    except Exception:
+        pass
+    q = (
+        spark.readStream.format("mlk_delta")
+        .option("path", src)
+        .load()
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion vector"):
+        q.awaitTermination()

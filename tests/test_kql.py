@@ -1782,3 +1782,35 @@ def test_sequence_detect_semantics(spark):
     assert len(out) == 1 and out[0]["user_id"] == 1
     assert out[0]["a_ts"] == dt.datetime(2024, 1, 1, 0, 0)
     assert out[0]["b_ts"] == dt.datetime(2024, 1, 1, 0, 30)
+
+
+def test_row_rank_follows_serialized_direction(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0)], "id long, v double"
+    )
+    rows = kql(
+        spark,
+        "T | order by v desc "
+        "| extend d = row_rank_dense(v) | project id, d",
+        tables={"T": t},
+    ).collect()
+    got = {r["id"]: r["d"] for r in rows}
+    # rank 1 belongs to the FIRST serialized rows (largest v)
+    assert got == {2: 1, 3: 1, 1: 2}
+
+
+def test_parse_ipv4_ignores_mask_suffix(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1,)], "id long")
+
+    def one(e):
+        return kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+
+    assert one("parse_ipv4('10.99.0.0/16')") == 174_260_224
+    assert one("parse_ipv4('10.99.0.0')") == 174_260_224
+    assert one("ipv4_is_private('10.1.2.3/8')") is True
