@@ -118,6 +118,7 @@ EXTENSION_HEADLINE = [
     "kql_scalar_toolkit3",
     "kql_agg_toolkit",
     "kql_sequence_detect",
+    "kql_geo_toolkit",
 ]
 
 

@@ -1243,6 +1243,26 @@ def translate_expr(e: str) -> str:
             f"(k, v) -> NOT array_contains(CAST({a[1]} AS ARRAY<STRING>), k)))"
         ),
     )
+    # geo toolkit: spherical approximations (haversine, IUGG mean
+    # radius 6371.0088 km) as pure trig expressions — Kusto's geo_*
+    # surface for the distance/containment cases dashboards use
+    def _hav(lon1, lat1, lon2, lat2):
+        return (
+            "(2.0 * 6371008.8 * asin(least(1.0D, sqrt("
+            f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))))"
+        )
+
+    e = _rewrite_calls(
+        e, "geo_distance_2points", lambda a: _hav(a[0], a[1], a[2], a[3])
+    )
+    e = _rewrite_calls(
+        e,
+        "geo_point_in_circle",
+        # (p_lon, p_lat, c_lon, c_lat, radius_m)
+        lambda a: f"({_hav(a[0], a[1], a[2], a[3])} <= ({a[4]}))",
+    )
     e = _rewrite_calls(e, "set_union", lambda a: _chain("array_union", a))
     e = _rewrite_calls(e, "set_intersect", lambda a: _chain("array_intersect", a))
     e = _rewrite_calls(e, "set_difference", lambda a: _chain("array_except", a))

@@ -1239,3 +1239,47 @@ def kql_sequence_detect(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_geo_toolkit",
+    """
+    WITH pts AS (
+      SELECT doc_id,
+             -180.0 + (doc_id % 360) AS lon,
+             -80.0 + (doc_id % 160) AS lat
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+             pow(sin((radians(48.8566) - radians(lat)) / 2), 2)
+             + cos(radians(lat)) * cos(radians(48.8566))
+               * pow(sin((radians(2.3522) - radians(lon)) / 2), 2)
+           ))) / 1000, 3) AS km_to_paris,
+           (2.0 * 6371008.8 * asin(least(1.0, sqrt(
+             pow(sin((radians(48.8566) - radians(lat)) / 2), 2)
+             + cos(radians(lat)) * cos(radians(48.8566))
+               * pow(sin((radians(2.3522) - radians(lon)) / 2), 2)
+           ))) <= 2000000.0) AS near_paris
+    FROM pts
+    """,
+    doc="Kusto geo toolkit over synthesized coordinates: "
+    "geo_distance_2points (spherical haversine, IUGG mean radius) and "
+    "geo_point_in_circle — pure trig expressions, no UDFs, matched "
+    "against the identical DuckDB formula",
+)
+def kql_geo_toolkit(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        documents
+        | extend lon = -180.0 + todouble(doc_id % 360),
+                 lat = -80.0 + todouble(doc_id % 160)
+        | extend km_to_paris = round(
+              geo_distance_2points(lon, lat, 2.3522, 48.8566) / 1000, 3),
+            near_paris = geo_point_in_circle(
+              lon, lat, 2.3522, 48.8566, 2000000.0)
+        | project doc_id, km_to_paris, near_paris
+        """,
+        tables=_tables(spark, sf_dir, "documents"),
+    )

@@ -1814,3 +1814,25 @@ def test_parse_ipv4_ignores_mask_suffix(spark):
     assert one("parse_ipv4('10.99.0.0/16')") == 174_260_224
     assert one("parse_ipv4('10.99.0.0')") == 174_260_224
     assert one("ipv4_is_private('10.1.2.3/8')") is True
+
+
+def test_geo_functions(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1,)], "id long")
+
+    def one(e):
+        return kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+
+    # Paris -> London great-circle ~ 343.5 km (spherical haversine)
+    d = one("geo_distance_2points(2.3522, 48.8566, -0.1276, 51.5072)")
+    assert 342_000 < d < 345_000
+    assert one("geo_distance_2points(10.0, 20.0, 10.0, 20.0)") == 0.0
+    assert one(
+        "geo_point_in_circle(2.36, 48.86, 2.3522, 48.8566, 1000.0)"
+    ) is True
+    assert one(
+        "geo_point_in_circle(3.0, 48.86, 2.3522, 48.8566, 1000.0)"
+    ) is False
