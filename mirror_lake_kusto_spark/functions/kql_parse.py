@@ -1263,6 +1263,141 @@ def translate_expr(e: str) -> str:
         # (p_lon, p_lat, c_lon, c_lat, radius_m)
         lambda a: f"({_hav(a[0], a[1], a[2], a[3])} <= ({a[4]}))",
     )
+    # bit/conversion/datetime batch
+    e = _rewrite_calls(e, "binary_and", lambda a: f"(({a[0]}) & ({a[1]}))")
+    e = _rewrite_calls(e, "binary_or", lambda a: f"(({a[0]}) | ({a[1]}))")
+    e = _rewrite_calls(e, "binary_xor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
+    e = _rewrite_calls(e, "binary_not", lambda a: f"(~({a[0]}))")
+    e = _rewrite_calls(
+        e, "binary_shift_left", lambda a: f"shiftleft({a[0]}, {a[1]})"
+    )
+    e = _rewrite_calls(
+        e, "binary_shift_right", lambda a: f"shiftright({a[0]}, {a[1]})"
+    )
+    e = _rewrite_calls(e, "bitset_count_ones", lambda a: f"bit_count({a[0]})")
+    e = _rewrite_calls(
+        e,
+        "around",
+        lambda a: (
+            f"(({a[0]}) >= ({a[1]}) - ({a[2]}) "
+            f"AND ({a[0]}) <= ({a[1]}) + ({a[2]}))"
+        ),
+    )
+    # Kusto floor(x, size) IS bin(x, size); 1-arg floor stays SQL floor
+    e = _rewrite_calls(
+        e,
+        "floor",
+        lambda a: f"FLOOR({a[0]})"
+        if len(a) == 1
+        else f"(FLOOR(({a[0]}) / ({a[1]})) * ({a[1]}))",
+        self_referential=True,
+    )
+    e = _rewrite_calls(
+        e,
+        "make_datetime",
+        lambda a: "make_timestamp("
+        + ", ".join((a + ["0", "0", "0"])[:5] + [(a + ["0"] * 6)[5]])
+        + ")",
+    )
+    e = _rewrite_calls(
+        e,
+        "make_timespan",
+        # (h, m, s) or (d, h, m, s)
+        lambda a: (
+            "make_interval(0, 0, 0, "
+            + (
+                f"0, {a[0]}, {a[1]}, CAST({a[2]} AS DOUBLE))"
+                if len(a) == 3
+                else f"{a[0]}, {a[1]}, {a[2]}, CAST({a[3]} AS DOUBLE))"
+            )
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "datetime_local_to_utc",
+        lambda a: f"to_utc_timestamp({a[0]}, {a[1]})",
+    )
+    e = _rewrite_calls(
+        e,
+        "datetime_utc_to_local",
+        lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    )
+    e = _rewrite_calls(
+        e,
+        "estimate_data_size",
+        # rough serialized-bytes estimate: octet length of the string
+        # rendering of each column (Kusto's is also an estimate)
+        lambda a: "("
+        + " + ".join(
+            f"coalesce(octet_length(CAST({x} AS STRING)), 0)" for x in a
+        )
+        + ")",
+    )
+    e = _rewrite_calls(
+        e,
+        "toguid",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) RLIKE "
+            "'^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$' "
+            f"THEN lower({a[0]}) END)"
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "totimespan",
+        # 'hh:mm:ss[.fff]' literal form (the common emitted shape)
+        lambda a: (
+            f"make_interval(0, 0, 0, 0, "
+            f"CAST(split({a[0]}, ':')[0] AS INT), "
+            f"CAST(split({a[0]}, ':')[1] AS INT), "
+            f"CAST(split({a[0]}, ':')[2] AS DOUBLE))"
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "has_any_index",
+        # 0-based index of the first array term CONTAINED in the
+        # string; -1 when none (substring semantics)
+        lambda a: (
+            f"(CAST(array_position(transform({a[1]}, "
+            f"__t -> instr({a[0]}, __t) > 0), true) AS INT) - 1)"
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "unicode_codepoints_from_string",
+        lambda a: (
+            f"transform(sequence(1, length({a[0]})), "
+            f"__i -> ascii(substr({a[0]}, __i, 1)))"
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "indexof_regex",
+        lambda a: f"(regexp_instr({a[0]}, {a[1]}) - 1)",
+    )
+    e = _rewrite_calls(
+        e,
+        "regex_quote",
+        lambda a: (
+            f"regexp_replace({a[0]}, "
+            "'([.*+?^$(){}\\\\[\\\\]|\\\\\\\\])', '\\\\\\\\$1')"
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "gettype",
+        lambda a: (
+            f"(CASE typeof({a[0]}) "
+            "WHEN 'double' THEN 'real' WHEN 'float' THEN 'real' "
+            "WHEN 'bigint' THEN 'long' WHEN 'int' THEN 'int' "
+            "WHEN 'smallint' THEN 'int' WHEN 'boolean' THEN 'bool' "
+            "WHEN 'timestamp' THEN 'datetime' "
+            "WHEN 'timestamp_ntz' THEN 'datetime' "
+            "WHEN 'string' THEN 'string' "
+            f"ELSE typeof({a[0]}) END)"
+        ),
+    )
     e = _rewrite_calls(e, "set_union", lambda a: _chain("array_union", a))
     e = _rewrite_calls(e, "set_intersect", lambda a: _chain("array_intersect", a))
     e = _rewrite_calls(e, "set_difference", lambda a: _chain("array_except", a))

@@ -1836,3 +1836,51 @@ def test_geo_functions(spark):
     assert one(
         "geo_point_in_circle(3.0, 48.86, 2.3522, 48.8566, 1000.0)"
     ) is False
+
+
+def test_conversion_bit_datetime_batch(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(5, "ab", 3.7)], "id long, s string, v double")
+
+    def one(e):
+        return kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+
+    assert one("gettype(v)") == "real"
+    assert one("gettype(s)") == "string"
+    assert one("binary_and(12, 10)") == 8
+    assert one("binary_or(12, 10)") == 14
+    assert one("binary_xor(12, 10)") == 6
+    assert one("binary_shift_left(1, 4)") == 16
+    assert one("binary_shift_right(16, 2)") == 4
+    assert one("bitset_count_ones(255)") == 8
+    assert one("around(v, 3.5, 0.5)") is True
+    assert one("around(v, 3.0, 0.5)") is False
+    assert one("floor(v, 0.5)") == 3.5
+    assert one("tostring(make_datetime(2024, 1, 2))") == "2024-01-02 00:00:00"
+    assert (
+        one("tostring(make_datetime(2024, 1, 2, 3, 4, 5.5))")
+        == "2024-01-02 03:04:05.5"
+    )
+    assert (
+        one("tostring(todatetime('2024-01-01') + make_timespan(1, 2, 3))")
+        == "2024-01-01 01:02:03"
+    )
+    assert (
+        one("tostring(todatetime('2024-01-01') + totimespan('01:02:03'))")
+        == "2024-01-01 01:02:03"
+    )
+    assert one("estimate_data_size(id, s)") == 3
+    assert (
+        one("toguid('10000000-0000-0000-0000-00000000ABCD')")
+        == "10000000-0000-0000-0000-00000000abcd"
+    )
+    assert one("toguid('nope')") is None
+    assert one("has_any_index(s, dynamic(['z', 'b']))") == 1
+    assert one("has_any_index(s, dynamic(['z']))") == -1
+    assert one("unicode_codepoints_from_string('ab')") == [97, 98]
+    assert one("indexof_regex(s, 'b')") == 1
+    assert one("indexof_regex(s, 'zz')") == -1
+    assert one("regex_quote('a.[b]')") == "a\\.\\[b\\]"
