@@ -271,22 +271,40 @@ def minhash_lsh_pairs(
     it feeds the bucket join AND both sides of the verification join,
     and signatures are exactly the thing LSH precomputes once at scale.
     """
+    if bands <= 0 or k % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide k ({k}) — otherwise band "
+            "hashes are built from empty/truncated signature slices "
+            "and every document collides in every band"
+        )
     rows = k // bands
-    # verification runs on the hashed shingle sets, not the strings:
-    # |A∩B| and |A∪B| are identical under a collision-free hash, and
-    # int64 arrays are ~4x cheaper to persist and shuffle than the
-    # string shingles (xxhash64 collisions at corpus scale: ~n²/2⁶⁴)
+    # verification runs on the RAW xxhash64 shingle sets, not the
+    # strings: |A∩B| and |A∪B| are identical under a collision-free
+    # hash, and int64 arrays are ~4x cheaper to persist and shuffle
+    # than the string shingles (collisions at corpus scale: ~n²/2⁶⁴ —
+    # the mod-p reduction is applied ONLY inside the signature math,
+    # where the 2³¹ space would otherwise inflate intersections).
+    # Documents with no shingles (shorter than n words) are dropped:
+    # they have no content to near-dup against, and their all-null
+    # signatures would otherwise collide in every band.
     sh = (
         _shingled(df, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
         .select(
             "id",
             F.array_sort(
-                F.transform(
-                    "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-                )
+                F.transform("sh", lambda s: F.xxhash64(s))
             ).alias("hsh"),
         )
-        .select("id", "hsh", _sig_udf(k)(F.col("hsh")).alias("sig"))
+        .select(
+            "id",
+            "hsh",
+            _sig_udf(k)(
+                F.transform(
+                    "hsh", lambda h: F.pmod(h, F.lit(_MERSENNE_P))
+                )
+            ).alias("sig"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # eager_index (DEFAULT) materializes the signature frame up front.
@@ -445,9 +463,12 @@ def ngram_jaccard_pairs(
     )
     hashed = sh.select(
         "id",
-        F.array_sort(
-            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-        ).alias("hsh"),
+        # RAW 64-bit hashes: the mod-p space (2³¹) would produce ~|A||B|/2³¹
+        # spurious intersections on large shingle sets, breaking the
+        # "exact jaccard" contract near the threshold
+        F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias(
+            "hsh"
+        ),
     )
     v1 = hashed.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
     v2 = hashed.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
@@ -641,9 +662,17 @@ def cluster_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select("id", F.col("label").alias("cluster_id"))
+                # localCheckpoint materializes the result and cuts the
+                # iterative lineage, so the working persist can be
+                # RELEASED here — otherwise every call leaks one cached
+                # frame into executor storage for the session lifetime
+                out = labels.select(
+                    "id", F.col("label").alias("cluster_id")
+                ).localCheckpoint(eager=True)
+                return out
         raise RuntimeError(
             f"cluster_components did not converge in {max_iter} iterations"
         )
     finally:
         edges.unpersist()
+        labels.unpersist()

