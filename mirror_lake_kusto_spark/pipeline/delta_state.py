@@ -116,10 +116,13 @@ class DeltaStateStore:
             files = []
         if sum(f.get("size") or 0 for f in files) > self.DRIVER_STATE_MAX_BYTES:
             return None
+        from ..sources import fs as _fsmod
+
         rows: list[dict[str, Any]] = []
         for f in files:
-            t = papq.read_table(os.path.join(self.dir, f["path"]))
-            rows.extend(t.to_pylist())
+            p = _fsmod.join(self.dir, f["path"])
+            with _fsmod.get_fs(p).open_input(p) as h:
+                rows.extend(papq.read_table(h).to_pylist())
         rows.sort(key=lambda r: r["_seq"] if r["_seq"] is not None else -1)
         cache: dict[tuple, dict[str, Any]] = {}
         for r in rows:

@@ -50,7 +50,7 @@ from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from ..sources import delta_log as DL
 from ..sources.delta_sink import DeltaSink
@@ -104,15 +104,19 @@ class MirrorPipeline:
             raise ValueError(f"unknown state_backend: {state_backend!r}")
         self.go_back_days = go_back_days
         self.creation_time_expr = creation_time_expr
-        if on_schema_change not in ("fail", "evolve-add"):
+        if on_schema_change not in ("fail", "evolve-add", "evolve-rename"):
             raise ValueError(
-                f"on_schema_change must be 'fail' or 'evolve-add', "
-                f"got {on_schema_change!r}"
+                f"on_schema_change must be 'fail', 'evolve-add' or "
+                f"'evolve-rename', got {on_schema_change!r}"
             )
         # "fail" = reference parity (TransactionLog.cs:153-157 throws);
         # "evolve-add" = Kusto `.create-merge` posture (K1): purely
         # ADDITIVE column changes re-record the schema and continue —
-        # earlier mirror rows read null for the new columns
+        # earlier mirror rows read null for the new columns;
+        # "evolve-rename" = evolve-add PLUS column-mapping renames:
+        # a source RENAME (same physical identity, new logical name)
+        # re-records the schema and renames the target metadata-only
+        # via DeltaSink.evolve_rename — drop/retype still fail loudly
         self.on_schema_change = on_schema_change
         self.now_fn = now_fn or _utcnow
         self.app_id = f"mlk-mirror:{table_name}"
@@ -309,7 +313,6 @@ class MirrorPipeline:
         # nothing) — scan the RAW span too, else the mirror silently
         # diverges from the source
         self._check_span_has_no_dvs(hwm, end_tx)
-        self._check_no_column_mapping(end_tx)
         now = self.now_fn().isoformat()
         staging = self._item(start_tx, end_tx, "StagingTable", "Initial", now)
         if snapshot_chunk is not None:
@@ -479,7 +482,7 @@ class MirrorPipeline:
         ):
             return None
         if (
-            self.on_schema_change == "evolve-add"
+            self.on_schema_change in ("evolve-add", "evolve-rename")
             and same_parts
             and self._is_additive(recorded["schema"], meta["schemaString"])
         ):
@@ -494,15 +497,97 @@ class MirrorPipeline:
                     meta.get("partitionColumns") or []
                 ),
             }
+        if self.on_schema_change == "evolve-rename":
+            renames = self._rename_delta(recorded, meta)
+            if renames is not None:
+                # metadata-only rename: relabel the TARGET first, then
+                # re-record.  Filtered against the target's CURRENT
+                # columns so a crash-replay (rename applied, state not
+                # yet persisted) computes an empty delta and skips —
+                # and a never-appended target simply gets the new
+                # names on its first append
+                tgt_meta = DL.latest_metadata(self.spark, self.sink.path)
+                tgt_names = (
+                    {
+                        f["name"]
+                        for f in json.loads(tgt_meta["schemaString"])[
+                            "fields"
+                        ]
+                    }
+                    if tgt_meta is not None
+                    else set()
+                )
+                target_renames = {
+                    o: n
+                    for o, n in renames.items()
+                    if o != n and o in tgt_names
+                }
+                if target_renames:
+                    self.sink.evolve_rename(target_renames)
+                return {
+                    **self._item(
+                        hwm + 1,
+                        end_tx,
+                        "Schema",
+                        "Done",
+                        self.now_fn().isoformat(),
+                    ),
+                    "schema": meta["schemaString"],
+                    "partition_columns": json.dumps(
+                        meta.get("partitionColumns") or []
+                    ),
+                }
         raise SchemaChangedError(
             "source schema or partition columns changed mid-stream"
             + (
                 " (non-additive change; evolve-add only accepts "
                 "added columns)"
                 if self.on_schema_change == "evolve-add"
+                else " (not a pure rename/add; evolve-rename accepts "
+                "added columns and column-mapping renames, never "
+                "drop/retype)"
+                if self.on_schema_change == "evolve-rename"
                 else ""
             )
         )
+
+    def _rename_delta(self, recorded, meta) -> dict[str, str] | None:
+        """Old-logical -> new-logical name map when the schema change
+        is a pure column-mapping RENAME (plus optionally added fields):
+        every recorded field must survive in the new schema with the
+        same PHYSICAL identity (``delta.columnMapping.physicalName``,
+        which a rename never changes — a field that lacked one gets
+        its then-logical name as physical identity at mapping
+        enablement) and an identical type.  Returns None when any old
+        field is dropped or retyped (not a rename)."""
+
+        def phys(f):
+            return (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+
+        old_fields = json.loads(recorded["schema"])["fields"]
+        new_fields = json.loads(meta["schemaString"])["fields"]
+        new_by_phys = {phys(f): f for f in new_fields}
+        renames: dict[str, str] = {}
+        for f in old_fields:
+            nf = new_by_phys.get(phys(f))
+            if nf is None or nf["type"] != f["type"]:
+                return None  # dropped or retyped: not a rename
+            renames[f["name"]] = nf["name"]
+        # partition columns must map through the same rename (keys in
+        # the new metaData may be physical under column mapping)
+        from ..sources.delta_log import column_mapping_of
+
+        mapping = column_mapping_of(meta)
+        log_of = {v: k for k, v in (mapping or {}).items()}
+        new_parts = [
+            log_of.get(c, c) for c in (meta.get("partitionColumns") or [])
+        ]
+        old_parts = json.loads(recorded["partition_columns"] or "[]")
+        if [renames.get(c, c) for c in old_parts] != new_parts:
+            return None
+        return renames
 
     @staticmethod
     def _is_additive(old_json: str, new_json: str) -> bool:
@@ -594,6 +679,8 @@ class MirrorPipeline:
         todo = [i for i in items if i["action"] == "Add" and i["state"] == "Analyzed"]
         if not todo:
             return 0
+        from ..sources import fs as _fsmod
+
         app_id = self.app_id
         staging = next(
             (i for i in items if i["action"] == "StagingTable"), None
@@ -620,27 +707,58 @@ class MirrorPipeline:
         meta = DL.latest_metadata(self.spark, self.source, upto=end_tx)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         type_of = {f.name: f.dataType for f in schema.fields}
-        part_cols = set(meta.get("partitionColumns") or [])
+        # column-mapped source: files store PHYSICAL names; partition
+        # values recorded from add actions are keyed physical too —
+        # read physical, relabel logical right after the scan (the
+        # same normalization read_snapshot performs)
+        mapping = DL.column_mapping_of(meta)  # logical -> physical
+        log_of = {v: k for k, v in (mapping or {}).items()}
+        part_cols = {
+            log_of.get(c, c) for c in (meta.get("partitionColumns") or [])
+        }
         # source files hold only data columns; explicit schema skips a
         # footer-inference job per partition group
-        data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = StructType(data_fields)
+        read_schema = (
+            data_schema
+            if mapping is None
+            else StructType(
+                [
+                    StructField(mapping[f.name], f.dataType, f.nullable)
+                    for f in data_fields
+                ]
+            )
         )
         groups: dict[tuple, list[str]] = {}
         for it in todo:
-            pv = tuple(sorted(json.loads(it["partition_values"] or "{}").items()))
+            pv = tuple(
+                sorted(
+                    (log_of.get(k, k), v)
+                    for k, v in json.loads(
+                        it["partition_values"] or "{}"
+                    ).items()
+                )
+            )
             groups.setdefault(pv, []).append(it["blob_path"])
         parts: list[DataFrame] = []
         for pv, rel_paths in groups.items():
-            df = self.spark.read.schema(data_schema).parquet(
+            df = self.spark.read.schema(read_schema).parquet(
                 *[os.path.join(self.source, p) for p in rel_paths]
             )
+            if mapping is not None:
+                df = df.select(
+                    *[
+                        F.col(mapping[f.name]).alias(f.name)
+                        for f in data_fields
+                    ]
+                )
             for col_name, raw in pv:
                 df = df.withColumn(col_name, F.lit(raw).cast(type_of[col_name]))
             df = df.select(*[f.name for f in schema.fields]).withColumns(
                 {
-                    "MLK_BlobPath": F.url_decode(
-                        F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+                    "MLK_BlobPath": _fsmod.spark_scan_path(
+                        F.input_file_name()
                     ),
                     "MLK_BatchTxId": F.lit(end_tx).cast("long"),
                 }
@@ -653,26 +771,6 @@ class MirrorPipeline:
         for it in todo:
             it["state"] = "Staged"
         return len(todo)
-
-    def _check_no_column_mapping(self, end_tx: int) -> None:
-        """A column-mapped source stores PHYSICAL names in its data
-        files; staging them under the logical schema would silently
-        null every column.  The query side reads such tables
-        (delta_log.read_snapshot renames physical->logical); the
-        mirror refuses loudly until a rename-on-ingest path exists."""
-        from ..sources.delta_log import (
-            UnsupportedTableFeature,
-            column_mapping_of,
-            latest_metadata,
-        )
-
-        meta = latest_metadata(self.spark, self.source, upto=end_tx)
-        if column_mapping_of(meta) is not None:
-            raise UnsupportedTableFeature(
-                f"source {self.source} uses Delta column mapping; "
-                "mirroring physical-named data files is not supported "
-                "— query it via read_snapshot instead"
-            )
 
     def _check_span_has_no_dvs(self, hwm: int, end_tx: int) -> None:
         """Raw-commit scan of (hwm, end_tx] for deletion-vector adds:

@@ -353,6 +353,52 @@ def mirror_colmap_read(spark, sf_dir):
 
 
 @query(
+    "mirror_colmap_evolve",
+    """
+    SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
+    """,
+    doc="mapping-aware schema evolution end-to-end (beyond reference "
+    "parity — Storage/TransactionLog.cs:153-157 hard-stops on any "
+    "rename): mirror batch 1 under the original name, the source "
+    "RENAMEs n_name->nation_name metadata-only (DeltaSink."
+    "evolve_rename: column-mapping 'name' mode, physicalName = old "
+    "spelling, no data rewrite), batch 2 appends under the new "
+    "logical name; on_schema_change='evolve-rename' relabels the "
+    "target the same way and keeps mirroring — the final mirror "
+    "hash-equals the renamed full table",
+)
+def mirror_colmap_evolve(spark, sf_dir):
+    workdir = _workdir("mirror_cm_evolve", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src = DeltaSink(spark, src_path)
+    src.append(nation.filter("n_nationkey <= 12"))
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        os.path.join(workdir, "dst"),
+        os.path.join(workdir, "state"),
+        table_name="nation_evolve",
+        on_schema_change="evolve-rename",
+    )
+    pipe.run_until_idle()
+    src.evolve_rename({"n_name": "nation_name"})
+    src.append(
+        nation.filter("n_nationkey > 12").withColumnRenamed(
+            "n_name", "nation_name"
+        )
+    )
+    pipe.run_until_idle()
+    return pipe.mirror_df().select(
+        "n_nationkey", "nation_name", "n_regionkey"
+    )
+
+
+@query(
     "mirror_dv_delete",
     """
     SELECT r_regionkey, r_name FROM region

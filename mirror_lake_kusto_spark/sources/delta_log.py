@@ -259,6 +259,22 @@ def _conform_action_structs(df: DataFrame) -> DataFrame:
     return df
 
 
+def _checkpoint_part_column(path: str, column: str) -> list | None:
+    """One top-level column of a checkpoint part/sidecar, read through
+    the scheme-dispatched fs backend (so abfss://, s3a://, memory://
+    tables work — pyarrow alone cannot open those paths).  Returns
+    ``None`` when the column is genuinely absent from this part's
+    SCHEMA (a classic checkpoint has no ``sidecar`` column; a v2
+    manifest may carry no ``add``); any other failure — corruption,
+    permissions, network — raises, because silently skipping a
+    checkpoint part yields a silently wrong snapshot."""
+    with _fs.get_fs(path).open_input(path) as h:
+        pf = _pq.ParquetFile(h)
+        if column not in pf.schema_arrow.names:
+            return None
+        return pf.read(columns=[column]).column(0).to_pylist()
+
+
 def sidecar_files(table_path: str, version: int) -> list[str]:
     """V2-checkpoint sidecars (PROTOCOL.md "V2 Spec"): the manifest
     checkpoint stores file actions in separate parquet files under
@@ -272,11 +288,10 @@ def sidecar_files(table_path: str, version: int) -> list[str]:
                 f"non-parquet checkpoint {path}: JSON v2 checkpoints "
                 "are not supported yet"
             )
-        try:
-            tbl = _pq.read_table(path, columns=["sidecar"])
-        except Exception:
+        vals = _checkpoint_part_column(path, "sidecar")
+        if vals is None:
             continue  # classic checkpoint: no sidecar column
-        for sc in tbl.column(0).to_pylist():
+        for sc in vals:
             if sc is None or not sc.get("path"):
                 continue
             sp = sc["path"]
@@ -369,11 +384,10 @@ def _checkpoint_column(table_path: str, version: int, column: str) -> list:
         # v2 checkpoints keep file actions in sidecars
         paths.extend(sidecar_files(table_path, version))
     for path in paths:
-        try:
-            tbl = _pq.read_table(path, columns=[column])
-        except Exception:
+        vals = _checkpoint_part_column(path, column)
+        if vals is None:
             continue  # column absent in this part (v2 manifest/sidecar)
-        out.extend(v for v in tbl.column(0).to_pylist() if v is not None)
+        out.extend(v for v in vals if v is not None)
     return out
 
 
@@ -889,10 +903,8 @@ def read_snapshot(
             # straight off the scan — _metadata resolves only there)
             df = df.withColumns(
                 {
-                    "__mlk_file": F.url_decode(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:(//)?", ""
-                        )
+                    "__mlk_file": _fs.spark_scan_path(
+                        F.col("_metadata.file_path")
                     ),
                     "__mlk_ridx": F.col("_metadata.row_index"),
                 }

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from collections.abc import Sequence
@@ -53,6 +54,54 @@ def _log_dir(table_path: str) -> str:
     return _fs.join(table_path, "_delta_log")
 
 
+# Legacy features implied by pre-table-features protocol versions
+# (PROTOCOL.md "Table Features" upgrade rules): bumping a table to
+# minWriterVersion 7 / minReaderVersion 3 must ENUMERATE everything the
+# old version numbers implicitly enabled, or external writers stop
+# enforcing them (appendOnly, invariants, ...).
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def upgraded_protocol(
+    cur: dict | None,
+    reader_features: Sequence[str] = (),
+    writer_features: Sequence[str] = (),
+) -> dict:
+    """Feature-upgrade merge per PROTOCOL.md: take the table's current
+    protocol, add the requested table features, and — when crossing
+    from a legacy version into table-features versions — enumerate the
+    legacy features the previous minReader/WriterVersion implied.
+    Reader features are mirrored into writerFeatures (the spec requires
+    reader-writer features listed in both)."""
+    cur = cur or {}
+    old_r = cur.get("minReaderVersion") or 1
+    old_w = cur.get("minWriterVersion") or 2
+    rf = set(cur.get("readerFeatures") or []) | set(reader_features)
+    wf = set(cur.get("writerFeatures") or []) | set(writer_features)
+    if old_w < 7:
+        for ver, feats in _LEGACY_WRITER_FEATURES.items():
+            if ver <= old_w:
+                wf.update(feats)
+    if old_r < 3:
+        for ver, feats in _LEGACY_READER_FEATURES.items():
+            if ver <= old_r:
+                rf.update(feats)
+    wf |= rf
+    return {
+        "minReaderVersion": max(old_r, 3),
+        "minWriterVersion": max(old_w, 7),
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
 def _list_versions(table_path: str) -> list[int]:
     d = _log_dir(table_path)
     out = []
@@ -63,6 +112,61 @@ def _list_versions(table_path: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+class CommitCoordinator:
+    """The commit-point seam: atomically create commit file ``path``
+    with ``data`` IF ABSENT, else raise FileExistsError.  Every Delta
+    implementation needs this primitive; where the filesystem provides
+    it (POSIX open(x), HDFS/ABFS/GCS create-no-overwrite, MemoryFS
+    setdefault) the default FsCommitCoordinator suffices.  Raw
+    S3-family stores CANNOT (delta-io documents the same gap — its
+    answer is the LogStore/commit-coordinator plugin); there, plug a
+    coordinator backed by a conditional-put service (DynamoDB-style)
+    or a shared lock."""
+
+    def create_commit(self, fs, path: str, data: str) -> None:
+        raise NotImplementedError
+
+
+class FsCommitCoordinator(CommitCoordinator):
+    """Default: delegate to the backend's atomic create-if-absent."""
+
+    def create_commit(self, fs, path: str, data: str) -> None:
+        fs.create_exclusive(path, data)
+
+
+class LockCommitCoordinator(CommitCoordinator):
+    """Exclusive-create via a shared lock + exists-check + write: the
+    correct shape for stores whose create is NOT conditional (raw S3),
+    as long as every writer routes commits through the same lock —
+    this in-process registry covers multi-threaded writers and is the
+    test double for an external lock/lease service (the reference's
+    analogue is the checkpoint temp-blob/rename dance,
+    CheckpointGateway.cs:96-104)."""
+
+    _locks: dict = {}
+    _registry_lock = threading.Lock()
+
+    @classmethod
+    def _lock_for(cls, table_path: str):
+        with cls._registry_lock:
+            return cls._locks.setdefault(table_path, threading.Lock())
+
+    def __init__(self, table_path: str):
+        self._lock = self._lock_for(table_path)
+
+    def create_commit(self, fs, path: str, data: str) -> None:
+        with self._lock:
+            if fs.exists(path):
+                raise FileExistsError(path)
+            fs.write_text(path, data)
+
+
+#: schemes whose plain create cannot be made conditional — commits
+#: there MUST go through an explicit coordinator or they can tear
+#: under concurrent writers (delta-io's S3 single-cluster caveat)
+_UNSAFE_EXCLUSIVE_SCHEMES = {"s3", "s3a", "s3n"}
 
 
 class DeltaSink:
@@ -76,6 +180,7 @@ class DeltaSink:
         checkpoint_interval: int = 10,
         checkpoint_parts: int | None = None,
         checkpoint_format: str = "classic",
+        commit_coordinator: CommitCoordinator | None = None,
     ):
         self.spark = spark
         self.path = table_path
@@ -88,6 +193,17 @@ class DeltaSink:
                 f"got {checkpoint_format!r}"
             )
         self.checkpoint_format = checkpoint_format
+        if commit_coordinator is None:
+            if _fs.scheme_of(table_path) in _UNSAFE_EXCLUSIVE_SCHEMES:
+                raise ValueError(
+                    f"{table_path}: raw S3 cannot do atomic "
+                    "create-if-absent, so concurrent writers could tear "
+                    "a commit — pass commit_coordinator= (a conditional"
+                    "-put service adapter, or LockCommitCoordinator if "
+                    "all writers share this process / an external lock)"
+                )
+            commit_coordinator = FsCommitCoordinator()
+        self.coordinator = commit_coordinator
         self._pending_schema = "{}"
         #: configuration for the NEXT metaData action (clone copies the
         #: source's properties through this); None = carry forward
@@ -163,9 +279,20 @@ class DeltaSink:
                     return -1
                 body.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
                 body.append({"metaData": self._metadata_action()})
-            elif self._schema_changed():
+            elif self._schema_changed() and not any(
+                "metaData" in a for a in actions
+            ):
                 # appending a different schema records new metaData, so
                 # readers (and the mirror's schema guard) see the change
+                # (skipped when the caller supplies metaData explicitly,
+                # e.g. evolve_rename)
+                if self._current_mapping():
+                    raise ValueError(
+                        "schema-changing append on a column-mapped "
+                        "table would clobber the logical->physical "
+                        "mapping; rename via evolve_rename() and "
+                        "append under the current logical schema"
+                    )
                 body.append({"metaData": self._metadata_action()})
             body.extend(actions)
             if not [a for a in body if "commitInfo" not in a]:
@@ -174,13 +301,17 @@ class DeltaSink:
                 # protocol noise — skip it and report the current version
                 return v - 1
             try:
-                self.fs.create_exclusive(
-                    target, "\n".join(json.dumps(a) for a in body) + "\n"
+                self.coordinator.create_commit(
+                    self.fs,
+                    target,
+                    "\n".join(json.dumps(a) for a in body) + "\n",
                 )
             except FileExistsError:
                 attempted = v
                 continue
-            if (v + 1) % self.checkpoint_interval == 0:
+            if (v + 1) % self.checkpoint_interval == 0 and not getattr(
+                self, "_ckpt_suspended", False
+            ):
                 self._write_checkpoint(v)
             return v
 
@@ -218,6 +349,23 @@ class DeltaSink:
                             f"from the new snapshot"
                         )
 
+    @staticmethod
+    def _strip_field_metadata(node):
+        """Schema-JSON comparison key: drop per-field ``metadata``
+        recursively.  A column-mapped table's recorded schema carries
+        ``delta.columnMapping.*`` field metadata the incoming frame's
+        ``df.schema.json()`` never has — names/types/nullability are
+        the actual schema identity."""
+        if isinstance(node, dict):
+            return {
+                k: DeltaSink._strip_field_metadata(v)
+                for k, v in node.items()
+                if k != "metadata"
+            }
+        if isinstance(node, list):
+            return [DeltaSink._strip_field_metadata(x) for x in node]
+        return node
+
     def _schema_changed(self) -> bool:
         """Driver-side scan of the newest commits for the last recorded
         schemaString (metadata-only; no Spark job)."""
@@ -231,7 +379,11 @@ class DeltaSink:
                     continue
                 act = json.loads(line)
                 if "metaData" in act:
-                    return act["metaData"]["schemaString"] != self._pending_schema
+                    return self._strip_field_metadata(
+                        json.loads(act["metaData"]["schemaString"])
+                    ) != self._strip_field_metadata(
+                        json.loads(self._pending_schema)
+                    )
         return False
 
     def _metadata_action(self, df: DataFrame | None = None) -> dict:
@@ -307,14 +459,41 @@ class DeltaSink:
             json.dumps(pointer),
         )
 
+    def _commit_protocol_upgrade(
+        self,
+        reader_features: tuple[str, ...] = (),
+        writer_features: tuple[str, ...] = (),
+    ) -> int:
+        """Commit a feature-upgrade protocol action to the LOG (so JSON
+        replay and checkpoint replay agree on the table protocol —
+        PROTOCOL.md requires the feature to be enabled in the table
+        protocol before any behavior depending on it).  Checkpointing
+        is suspended for this inner commit to avoid recursion when
+        ``checkpoint_interval`` is small."""
+        from .delta_log import latest_protocol
+
+        pr = upgraded_protocol(
+            latest_protocol(self.path), reader_features, writer_features
+        )
+        self._ckpt_suspended = True
+        try:
+            return self._commit(
+                [{"protocol": pr}], operation="UPGRADE PROTOCOL"
+            )
+        finally:
+            self._ckpt_suspended = False
+
     def _write_checkpoint_v2(self, version: int) -> None:
         """V2 (manifest + sidecar) checkpoint (PROTOCOL.md "V2 Spec"):
         file actions land in ``_delta_log/_sidecars/*.parquet`` written
         DISTRIBUTED by Spark (``checkpoint_parts`` shards them — the
         shape that parallelizes a 10M-file table's checkpoint), and a
         small uuid-named manifest carries protocol/metaData/txn plus
-        the sidecar references.  The manifest's protocol row merges in
-        the ``v2Checkpoint`` table feature, as the format requires."""
+        the sidecar references.  The ``v2Checkpoint`` table feature is
+        COMMITTED to the log first (never invented inside the manifest:
+        checkpoint replay and JSON replay must agree on the protocol),
+        and the manifest carries the table's actual committed
+        protocol."""
         from pyspark.sql.types import (
             LongType,
             StringType,
@@ -322,8 +501,20 @@ class DeltaSink:
             StructType,
         )
 
-        from .delta_log import ACTIONS_SCHEMA, reconciled_actions
+        from .delta_log import (
+            ACTIONS_SCHEMA,
+            latest_protocol,
+            reconciled_actions,
+        )
 
+        cur = latest_protocol(self.path) or {}
+        if "v2Checkpoint" not in set(
+            cur.get("readerFeatures") or []
+        ) or "v2Checkpoint" not in set(cur.get("writerFeatures") or []):
+            version = self._commit_protocol_upgrade(
+                reader_features=("v2Checkpoint",),
+                writer_features=("v2Checkpoint",),
+            )
         acts = reconciled_actions(self.spark, self.path, upto=version)
         log = _log_dir(self.path)
         side_dir = _fs.join(log, "_sidecars")
@@ -357,19 +548,6 @@ class DeltaSink:
                 "OR txn IS NOT NULL"
             ).collect()
         ]
-        for r in non_file:
-            pr = r.get("protocol")
-            if pr is not None:
-                feats = set(pr.get("readerFeatures") or [])
-                wfeats = set(pr.get("writerFeatures") or [])
-                feats.add("v2Checkpoint")
-                wfeats.add("v2Checkpoint")
-                r["protocol"] = {
-                    "minReaderVersion": max(pr.get("minReaderVersion") or 1, 3),
-                    "minWriterVersion": max(pr.get("minWriterVersion") or 2, 7),
-                    "readerFeatures": sorted(feats),
-                    "writerFeatures": sorted(wfeats),
-                }
         sidecar_schema = StructType(
             [
                 StructField("path", StringType()),
@@ -459,6 +637,16 @@ class DeltaSink:
             )
         return self._commit(adds, operation=op)
 
+    def _current_mapping(self) -> dict | None:
+        """Logical -> physical names when THIS table uses column
+        mapping (after evolve_rename), else None."""
+        from .delta_log import column_mapping_of, latest_metadata
+
+        try:
+            return column_mapping_of(latest_metadata(self.spark, self.path))
+        except FileNotFoundError:
+            return None
+
     def _stage_adds(
         self, df: DataFrame, data_change: bool, skip_empty: bool = False
     ) -> list[dict]:
@@ -467,11 +655,27 @@ class DeltaSink:
         full stats) for the caller's commit.  Shared by append() (which
         keeps zero-row parts: empty adds are a legitimate log shape the
         mirror must handle, O4) and merge()'s not-matched-insert path
-        (which skips them)."""
+        (which skips them).
+
+        On a column-mapped table (post-``evolve_rename``) the data
+        files must carry PHYSICAL column names (PROTOCOL.md "Column
+        Mapping": add.partitionValues keys, directory names, and file
+        stats are all physical) — the logical frame is renamed right
+        before the write, so partition dirs and stats come out physical
+        for free."""
+        import pyspark.sql.functions as F
+
+        mapping = self._current_mapping()
+        part_by = self.partition_by
+        if mapping:
+            df = df.select(
+                *[df[c].alias(mapping.get(c, c)) for c in df.columns]
+            )
+            part_by = [mapping.get(c, c) for c in self.partition_by]
         tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+        if part_by:
+            writer = writer.partitionBy(*part_by)
         writer.parquet(tmp)
 
         adds: list[dict] = []
@@ -881,13 +1085,6 @@ class DeltaSink:
             )
         return self._commit(actions, operation="MERGE")
 
-    _DV_PROTOCOL = {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
-    }
-
     def delete_dv(self, predicate: str) -> int:
         """Merge-on-read row-level delete: instead of rewriting every
         file containing a match (copy-on-write ``delete``), write a
@@ -949,11 +1146,7 @@ class DeltaSink:
                 .parquet(*[_fs.join(self.path, p) for p in paths])
                 .withColumns(
                     {
-                        "_f": F.url_decode(
-                            F.regexp_replace(
-                                F.input_file_name(), "^file:(//)?", ""
-                            )
-                        ),
+                        "_f": _fs.spark_scan_path(F.input_file_name()),
                         "_ridx": F.col("_metadata.row_index"),
                     }
                 )
@@ -992,31 +1185,16 @@ class DeltaSink:
         if not packed:
             return self._commit([], operation="DELETE (merge-on-read)")
         # protocol upgrade MERGES with whatever the table already
-        # declares — overwriting would drop features like timestampNtz
-        # or v2Checkpoint an external writer recorded
+        # declares (overwriting would drop features like timestampNtz
+        # or v2Checkpoint an external writer recorded) AND enumerates
+        # the legacy features the old version numbers implied
         from .delta_log import latest_protocol
 
-        cur = latest_protocol(self.path) or {}
-        actions: list[dict] = [
-            {
-                "protocol": {
-                    "minReaderVersion": max(
-                        cur.get("minReaderVersion") or 1, 3
-                    ),
-                    "minWriterVersion": max(
-                        cur.get("minWriterVersion") or 2, 7
-                    ),
-                    "readerFeatures": sorted(
-                        set(cur.get("readerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
-                    "writerFeatures": sorted(
-                        set(cur.get("writerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
-                }
-            }
-        ]
+        cur = latest_protocol(self.path)
+        pr = upgraded_protocol(
+            cur, ("deletionVectors",), ("deletionVectors",)
+        )
+        actions: list[dict] = [] if pr == cur else [{"protocol": pr}]
         full_deletes, dv_rows = [], []
         for r in packed:
             f = by_norm[r["_f"]]
@@ -1108,9 +1286,7 @@ class DeltaSink:
         total = sum(int(d["cardinality"]) for d in dvs.values())
         if total <= 10_000_000:
             deleted = F.broadcast(deleted)
-        norm_expr = F.url_decode(
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-        )
+        norm_expr = _fs.spark_scan_path(F.input_file_name())
         groups = self._partition_groups()
         actions: list[dict] = []
         for key, paths in groups.items():
@@ -1198,6 +1374,88 @@ class DeltaSink:
         raise ConcurrentCommitConflict(
             f"{self.path}: metadata kept changing under set_properties"
         )
+
+    def evolve_rename(self, renames: dict[str, str]) -> int:
+        """Metadata-only column RENAME via Delta column mapping
+        ('name' mode, PROTOCOL.md "Column Mapping"): no data file is
+        touched.  First use assigns every field its physical identity
+        — ``physicalName`` = the spelling the EXISTING parquet files
+        carry (its current logical name) plus a stable
+        ``columnMapping.id`` — flips ``delta.columnMapping.mode`` to
+        ``name``, and commits the columnMapping protocol feature with
+        the new metaData in one atomic commit.  Later appends write
+        physical names (see _stage_adds); reads stay logical via
+        read_snapshot.  The reference hard-stops on any rename
+        (Storage/TransactionLog.cs:153-157) — this is the
+        mapping-aware evolution beyond that parity point.
+
+        Drop/retype still raise loudly elsewhere; this method only
+        relabels existing fields."""
+        from .delta_log import latest_metadata, latest_protocol
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"{self.path}: no metaData to rename")
+        parsed = json.loads(meta["schemaString"])
+        known = {f["name"] for f in parsed["fields"]}
+        missing = set(renames) - known
+        if missing:
+            raise ValueError(
+                f"rename of unknown column(s): {sorted(missing)}"
+            )
+        new_names = [
+            renames.get(f["name"], f["name"]) for f in parsed["fields"]
+        ]
+        if len(set(new_names)) != len(new_names):
+            raise ValueError(
+                f"rename would produce duplicate column names: {new_names}"
+            )
+        conf = dict(meta.get("configuration") or {})
+        max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+        new_fields = []
+        for f in parsed["fields"]:
+            md = dict(f.get("metadata") or {})
+            if "delta.columnMapping.physicalName" not in md:
+                md["delta.columnMapping.physicalName"] = f["name"]
+            if "delta.columnMapping.id" not in md:
+                max_id += 1
+                md["delta.columnMapping.id"] = max_id
+            new_fields.append(
+                {
+                    **f,
+                    "name": renames.get(f["name"], f["name"]),
+                    "metadata": md,
+                }
+            )
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        new_schema = json.dumps({**parsed, "fields": new_fields})
+        new_meta = {
+            **meta,
+            "schemaString": new_schema,
+            "configuration": conf,
+            "partitionColumns": [
+                renames.get(c, c)
+                for c in (meta.get("partitionColumns") or [])
+            ],
+        }
+        actions: list[dict] = []
+        cur_pr = latest_protocol(self.path)
+        if "columnMapping" not in set(
+            (cur_pr or {}).get("readerFeatures") or []
+        ):
+            pr = upgraded_protocol(
+                cur_pr, ("columnMapping",), ("columnMapping",)
+            )
+            if pr != cur_pr:
+                actions.append({"protocol": pr})
+        actions.append({"metaData": new_meta})
+        # keep this writer's own view consistent with the new metadata
+        self.partition_by = [
+            renames.get(c, c) for c in self.partition_by
+        ]
+        self._pending_schema = new_schema
+        return self._commit(actions, operation="RENAME COLUMN")
 
     def optimize(
         self,

@@ -133,7 +133,11 @@ class LocalFS:
         return os.path.getsize(p)
 
     def walk(self, d: str):
-        yield from os.walk(d)
+        # normalize to '/' separators: callers split walk-relative
+        # paths on '/' to derive partition directories, which would
+        # mis-parse os.sep paths on Windows
+        for dirpath, dirs, files in os.walk(d):
+            yield dirpath.replace(os.sep, "/"), dirs, files
 
     def normalize(self, p: str) -> str:
         """Canonical form for equality tests against Spark's
@@ -497,6 +501,25 @@ def parquet_metadata(path: str):
 
 _LOCAL = LocalFS()
 _MEMORY = MemoryFS()
+
+
+def spark_scan_path(col):
+    """Spark-side twin of :func:`data_path_spelling`: canonicalize a
+    scan-time file identity (``input_file_name()`` /
+    ``_metadata.file_path``) for equality joins against the
+    Python-side spelling.  ``url_decode`` alone is
+    application/x-www-form-urlencoded — it turns a literal ``+`` into
+    a space, which ``urllib.parse.unquote`` (the Python side) does
+    not, so a path containing ``+`` (e.g. partition value
+    ``tz=UTC+8``) would silently miss every identity join.  Escaping
+    ``+`` to ``%2B`` first makes both engines preserve it."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, "^file:(//)?", ""), r"\+", "%2B"
+        )
+    )
 
 
 def data_path_spelling(base: str, rel: str) -> str:

@@ -79,22 +79,12 @@ def _last_checkpoint_version(path: str) -> int | None:
 
 
 def _checkpoint_column(path: str, version: int, column: str) -> list:
-    import pyarrow.parquet as _pq
+    # delegate to the batch reader's fs-routed, schema-aware part
+    # reader (works on abfss/s3a/memory paths; raises on real I/O
+    # errors instead of silently dropping checkpoint parts)
+    from ..sources.delta_log import _checkpoint_column as _impl
 
-    from ..sources.delta_log import checkpoint_files, sidecar_files
-
-    paths = list(checkpoint_files(path, version))
-    if column in ("add", "remove"):
-        # v2 checkpoints keep file actions in sidecars
-        paths.extend(sidecar_files(path, version))
-    out: list = []
-    for f in paths:
-        try:
-            tbl = _pq.read_table(f, columns=[column])
-        except Exception:
-            continue  # column absent in this part (v2 manifest/sidecar)
-        out.extend(v for v in tbl.column(0).to_pylist() if v is not None)
-    return out
+    return _impl(path, version, column)
 
 
 def _checkpoint_snapshot_files(path: str, version: int) -> list[dict]:

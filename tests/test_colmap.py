@@ -161,17 +161,24 @@ def test_colmap_missing_physical_name_raises(spark, tmp_path):
         DL.read_snapshot(spark, path)
 
 
-def test_mirror_refuses_colmap_source(spark, tmp_path):
+def test_mirror_stages_colmap_source(spark, tmp_path):
+    """Rename-on-ingest: physical-named source files stage under the
+    LOGICAL schema (read physical, relabel after the scan), partition
+    values map physical->logical keys."""
     src = _author(tmp_path)
     pipe = MirrorPipeline(
         spark,
         source_path=src,
         target_path=str(tmp_path / "dst"),
         state_dir=str(tmp_path / "state"),
-        table_name="cm_guard",
+        table_name="cm_stage",
     )
-    with pytest.raises(UnsupportedTableFeature, match="column mapping"):
-        pipe.run_once()
+    pipe.run_until_idle()
+    df = pipe.mirror_df()
+    assert {"k", "v", "part"} <= set(df.columns)
+    rows = sorted((r["k"], r["v"], r["part"]) for r in df.collect())
+    assert rows == [(1, "v1", "A"), (2, "v2", "A"), (3, "v3", "B")]
+    assert pipe.run_once()["status"] == "up-to-date"
 
 
 def test_sink_rewrites_refuse_colmap_table(spark, tmp_path):

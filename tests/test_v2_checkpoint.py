@@ -279,14 +279,25 @@ def test_sink_writes_v2_checkpoints(spark, tmp_path):
             spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
             txn=("writer-app", i),
         )
-    # interval crossed at v2 -> v2 checkpoint written
-    assert DL.read_last_checkpoint(path) == 2
+    # interval crossed at v2 -> the sink first COMMITS the v2Checkpoint
+    # protocol upgrade (v3) so JSON replay and checkpoint replay agree,
+    # then checkpoints at the upgrade version
+    assert DL.read_last_checkpoint(path) == 3
+    # the upgrade is a real LOG action (not invented in the manifest)
+    # and enumerates the legacy features writer version 2 implied
+    with open(os.path.join(path, "_delta_log", f"{3:020d}.json")) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    pr = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "v2Checkpoint" in pr["readerFeatures"]
+    assert {"appendOnly", "invariants", "v2Checkpoint"} <= set(
+        pr["writerFeatures"]
+    )
     names = os.listdir(os.path.join(path, "_delta_log"))
     assert any(".checkpoint." in n and n.endswith(".parquet") for n in names)
     assert os.path.isdir(os.path.join(path, "_delta_log", "_sidecars"))
     # truncate the JSON history: readers must survive on the checkpoint
     for v in DL.list_commit_versions(path):
-        if v <= 2:
+        if v <= 3:
             os.remove(
                 os.path.join(path, "_delta_log", f"{v:020d}.json")
             )
@@ -332,7 +343,8 @@ def test_mirror_from_v2_checkpoint_only_source(spark, tmp_path):
     )
     sink.append(spark.createDataFrame([(1, "a")], "k long, v string"))
     sink.append(spark.createDataFrame([(2, "b")], "k long, v string"))
-    assert DL.read_last_checkpoint(src) == 1
+    # checkpoint lands at v2: the committed v2Checkpoint protocol upgrade
+    assert DL.read_last_checkpoint(src) == 2
     sink.vacuum()  # truncate JSON commits <= checkpoint
     sink.append(spark.createDataFrame([(3, "c")], "k long, v string"))
     pipe = MirrorPipeline(
