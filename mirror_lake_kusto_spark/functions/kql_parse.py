@@ -2698,6 +2698,9 @@ class KqlQuery:
             "activity_engagement",
             "activity_metrics",
             "sequence_detect",
+            "new_activity_metrics",
+            "dcount_intersect",
+            "funnel_sequence",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -2717,6 +2720,12 @@ class KqlQuery:
             return self._activity_metrics(frame, args)
         if plugin == "sequence_detect":
             return self._sequence_detect(frame, args)
+        if plugin == "new_activity_metrics":
+            return self._new_activity_metrics(frame, args)
+        if plugin == "dcount_intersect":
+            return self._dcount_intersect(frame, args)
+        if plugin == "funnel_sequence":
+            return self._funnel_sequence(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -2764,9 +2773,12 @@ class KqlQuery:
         becomes real columns.  The key set and types come from a
         BOUNDED driver-side sample (first {_BAG_SAMPLE} non-null bags —
         schema inference is metadata work, O(sample), never O(rows));
-        the unpacking itself is get_json_object projections, JVM-side
-        over all rows.  Keys absent from the sample are missed — that
-        is the documented contract of sampling-based inference."""
+        the unpacking is a PARSE-ONCE ``from_json`` to a typed struct
+        (Catalyst's subexpression elimination evaluates the shared
+        JsonToStructs once per row — N ``get_json_object`` projections
+        would re-parse the bag N times).  Keys absent from the sample
+        are missed — that is the documented contract of sampling-based
+        inference."""
         import json
 
         col = args[0].strip()
@@ -2807,11 +2819,15 @@ class KqlQuery:
                 f"bag_unpack: no JSON objects found in sample of {col!r}"
             )
         keep = [c for c in frame.df.columns if c != col]
+        bag = F.from_json(
+            F.col(col),
+            ", ".join(
+                f"`{k}` {t}" for k, t in sorted(key_types.items())
+            ),
+        )
         unpacked = [
-            F.get_json_object(F.col(col), f"$.{k}")
-            .cast(t)
-            .alias(prefix + k)
-            for k, t in sorted(key_types.items())
+            bag.getField(k).alias(prefix + k)
+            for k in sorted(key_types)
         ]
         return KqlFrame(frame.df.select(*keep, *unpacked))
 
@@ -3109,6 +3125,206 @@ class KqlQuery:
                     / F.col("dcount_activities_outer")
                 ).alias("activity_ratio"),
             )
+        )
+        return KqlFrame(out)
+
+    def _new_activity_metrics(self, frame, args):
+        """``evaluate new_activity_metrics(Id, Timeline, Start, End,
+        Window)`` — cohort retention: ids are grouped by the window of
+        their FIRST activity (the cohort ``from``); for every later
+        window ``to`` >= from the cohort reports how many of its ids
+        were active (``dcount_retained_values``), how many were not
+        (``dcount_churn_values``), and the corresponding
+        retention/churn rates.  dcount_new_values is the cohort size.
+        Restricted profile: the optional Cohort/dim arguments of the
+        Kusto plugin are not supported (raise by arity).
+
+        Scale shape: distinct (id, bin) pairs once, one id-keyed join
+        against the per-id first bin, then a per-(cohort, bin) count —
+        the output grid is O(bins^2), driver-scale; all id-cardinality
+        work stays hash-distributed."""
+        if len(args) != 5:
+            raise KqlParseError(
+                "new_activity_metrics supports exactly (IdColumn, "
+                "TimelineColumn, Start, End, Window) — the Cohort/dim "
+                "variants are not implemented"
+            )
+        idc, tc, start_sql, end_sql = self._span_args(args, 1)
+        win_us = self._win_us(args[4], "Window")
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        s_us = f"unix_micros({start_sql})"
+        e_us = f"unix_micros({end_sql})"
+        kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {win_us}")
+        pairs = df.select(
+            F.col(idc).alias("_id"), kcol.alias("_k")
+        ).distinct()
+        firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_from"))
+        new = firsts.groupBy("_from").agg(
+            F.count("*").alias("dcount_new_values")
+        )
+        act = (
+            pairs.join(firsts, "_id")
+            .groupBy("_from", F.col("_k").alias("_to"))
+            .agg(F.count("*").alias("_retained"))
+        )
+        # full to-grid per cohort: from..last bin of the period
+        grid = new.withColumn(
+            "_to",
+            F.explode(
+                F.expr(
+                    f"sequence(_from, ((({e_us}) - ({s_us})) - 1) "
+                    f"DIV {win_us})"
+                )
+            ),
+        )
+        out = (
+            grid.join(act, ["_from", "_to"], "left")
+            .fillna({"_retained": 0})
+            .select(
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _from * {win_us})"
+                ).alias(f"from_{tc}"),
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _to * {win_us})"
+                ).alias(f"to_{tc}"),
+                "dcount_new_values",
+                F.col("_retained").alias("dcount_retained_values"),
+                (
+                    F.col("dcount_new_values") - F.col("_retained")
+                ).alias("dcount_churn_values"),
+                (
+                    F.col("_retained") / F.col("dcount_new_values")
+                ).alias("retention_rate"),
+                (
+                    (F.col("dcount_new_values") - F.col("_retained"))
+                    / F.col("dcount_new_values")
+                ).alias("churn_rate"),
+            )
+        )
+        return KqlFrame(out)
+
+    def _dcount_intersect(self, frame, args):
+        """``evaluate dcount_intersect(hll_1, ..., hll_N)`` — given N
+        hll-sketch columns (from ``hll()`` / ``hll_merge()``), emit
+        ``s0..s{N-1}`` where ``s_i`` estimates the distinct count of
+        the INTERSECTION of sets 0..i, via inclusion-exclusion over
+        HLL unions — exactly Kusto's documented method (HLL cannot
+        intersect directly).  The sketch columns are replaced by the
+        counts; other columns pass through.
+
+        Scale shape: pure per-row expressions over pre-aggregated
+        sketches (2^N union/estimate terms, N <= 6) — no shuffle, no
+        Python.  For small true cardinalities the DataSketches HLL is
+        in exact (coupon) mode, so the result is exact."""
+        import itertools
+
+        cols = [a.strip() for a in args]
+        if not 2 <= len(cols) <= 6:
+            raise KqlParseError(
+                "dcount_intersect takes 2..6 hll columns, got "
+                f"{len(cols)}"
+            )
+        for c in cols:
+            if c not in frame.df.columns:
+                raise KqlParseError(
+                    f"dcount_intersect: unknown column {c!r}"
+                )
+        keep = [c for c in frame.df.columns if c not in cols]
+        outs = []
+        for i in range(len(cols)):
+            terms = []
+            for r in range(1, i + 2):
+                for sub in itertools.combinations(cols[: i + 1], r):
+                    u = sub[0]
+                    for c in sub[1:]:
+                        u = f"hll_union({u}, {c})"
+                    sign = "+" if r % 2 == 1 else "-"
+                    terms.append(f" {sign} hll_sketch_estimate({u})")
+            outs.append(
+                F.expr("0" + "".join(terms)).cast("long").alias(f"s{i}")
+            )
+        return KqlFrame(frame.df.select(*keep, *outs))
+
+    def _funnel_sequence(self, frame, args):
+        """``evaluate funnel_sequence(Id, Timeline, Start, End,
+        MaxStepWindow, Step, StateColumn, Sequence)`` — the
+        prev/next-distribution view of Kusto's funnel: for each id
+        whose CONSECUTIVE event states contain ``Sequence`` (adjacent
+        events, each within MaxStepWindow of the previous; first
+        occurrence per id; events ordered by (Timeline, State) for
+        determinism), report the state immediately before and after,
+        grouped: (prev, next, dcount distinct ids).  Restricted
+        single-table profile of the three-table Kusto plugin (the
+        prev/next tables, combined); the Step argument is validated
+        but only drives Kusto's first output table, which this
+        profile omits.
+
+        Scale shape: one per-id window pass (lag/lead chains, hash-
+        partitioned on the id) + one small groupBy — no global
+        window, no Python."""
+        import json as _json
+
+        from pyspark.sql import Window as _W
+
+        if len(args) != 8:
+            raise KqlParseError(
+                "funnel_sequence needs (IdColumn, TimelineColumn, "
+                "Start, End, MaxSequenceStepWindow, Step, StateColumn, "
+                "Sequence)"
+            )
+        idc, tc, start_sql, end_sql = self._span_args(args, 2)
+        max_us = self._win_us(args[4], "MaxSequenceStepWindow")
+        self._win_us(args[5], "Step")  # validated; unused in this view
+        state = args[6].strip()
+        seq_raw = args[7].strip()
+        m = re.match(r"^dynamic\s*\((.*)\)$", seq_raw, re.DOTALL)
+        if m:
+            seq_raw = m.group(1).strip()
+        try:
+            seq = _json.loads(seq_raw.replace("'", '"'))
+        except Exception:
+            raise KqlParseError(
+                f"funnel_sequence: Sequence must be a dynamic array "
+                f"literal, got {args[7]!r}"
+            ) from None
+        if not isinstance(seq, list) or not seq:
+            raise KqlParseError(
+                "funnel_sequence: Sequence must be a non-empty array"
+            )
+        L = len(seq)
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        ev = df.select(
+            F.col(idc).alias("_id"),
+            F.expr(f"unix_micros({tc})").alias("_t"),
+            F.col(state).cast("string").alias("_s"),
+        )
+        w = _W.partitionBy("_id").orderBy("_t", "_s")
+        ev = ev.withColumn("_prev", F.lag("_s").over(w)).withColumn(
+            "_next", F.lead("_s", L).over(w)
+        )
+        cond = F.col("_s") == seq[0]
+        for j in range(1, L):
+            cond = (
+                cond
+                & (F.lead("_s", j).over(w) == seq[j])
+                & (
+                    F.lead("_t", j).over(w) - F.lead("_t", j - 1).over(w)
+                    <= max_us
+                )
+            )
+        matches = ev.withColumn("_hit", cond).filter("_hit")
+        first = matches.withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("_id").orderBy("_t", "_s"))
+        ).filter("_rn = 1")
+        out = (
+            first.groupBy(
+                F.col("_prev").alias("prev"), F.col("_next").alias("next")
+            )
+            .agg(F.countDistinct("_id").alias("dcount"))
         )
         return KqlFrame(out)
 

@@ -907,10 +907,10 @@ def _bin_sql(ts_expr: str, anchor: str, step_s: int) -> str:
     )
     SELECT p.Timeline, p.count, p.dcount,
            COALESCE(n.new_dcount, 0) AS new_dcount,
-           SUM(COALESCE(n.new_dcount, 0)) OVER (
+           CAST(SUM(COALESCE(n.new_dcount, 0)) OVER (
              ORDER BY p.Timeline
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS aggregated_dcount
+           ) AS BIGINT) AS aggregated_dcount
     FROM per p LEFT JOIN nw n ON n.Timeline = p.Timeline
     """,
     doc="KQL activity_counts_metrics plugin (user-analytics surface): "
@@ -1084,6 +1084,173 @@ def kql_activity_metrics(spark, sf_dir):
         "dcount_newvalues",
         F.round("retention_rate", 6).alias("retention_rate"),
         F.round("churn_rate", 6).alias("churn_rate"),
+    )
+
+
+@query(
+    "kql_new_activity_metrics",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-02') / 604800) AS BIGINT) AS k
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-30'
+    ), firsts AS (
+      SELECT user_id, MIN(k) AS kf FROM ev GROUP BY user_id
+    ), coh AS (
+      SELECT kf, CAST(COUNT(*) AS BIGINT) AS dcount_new_values
+      FROM firsts GROUP BY kf
+    ), grid AS (
+      SELECT c.kf, c.dcount_new_values, CAST(s.g AS BIGINT) AS kt
+      FROM coh c, generate_series(0, 3) s(g)
+      WHERE s.g >= c.kf
+    ), ret AS (
+      SELECT f.kf, e.k AS kt, CAST(COUNT(*) AS BIGINT) AS retained
+      FROM firsts f JOIN ev e ON e.user_id = f.user_id
+      GROUP BY f.kf, e.k
+    )
+    SELECT TIMESTAMP '2024-01-02' + g.kf * INTERVAL 7 DAY AS from_ts,
+           TIMESTAMP '2024-01-02' + g.kt * INTERVAL 7 DAY AS to_ts,
+           g.dcount_new_values,
+           COALESCE(r.retained, 0) AS dcount_retained_values,
+           g.dcount_new_values - COALESCE(r.retained, 0)
+             AS dcount_churn_values,
+           ROUND(CAST(COALESCE(r.retained, 0) AS DOUBLE)
+                 / g.dcount_new_values, 6) AS retention_rate,
+           ROUND(CAST(g.dcount_new_values - COALESCE(r.retained, 0)
+                      AS DOUBLE) / g.dcount_new_values, 6) AS churn_rate
+    FROM grid g
+    LEFT JOIN ret r ON r.kf = g.kf AND r.kt = g.kt
+    """,
+    doc="KQL new_activity_metrics plugin — weekly COHORT retention: "
+    "users grouped by first-activity week, each cohort's active / "
+    "churned share tracked over every later week; distinct (id, bin) "
+    "pairs once + one id-keyed join, cohort x week grid stays "
+    "driver-scale",
+)
+def kql_new_activity_metrics(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | evaluate new_activity_metrics(user_id, ts,
+            datetime(2024-01-02), datetime(2024-01-30), 7d)
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "from_ts",
+        "to_ts",
+        "dcount_new_values",
+        "dcount_retained_values",
+        "dcount_churn_values",
+        F.round("retention_rate", 6).alias("retention_rate"),
+        F.round("churn_rate", 6).alias("churn_rate"),
+    )
+
+
+@query(
+    "kql_dcount_intersect",
+    """
+    WITH e AS (
+      SELECT user_id % 5 AS grp, user_id, event_type FROM events
+    ), ck AS (
+      SELECT DISTINCT grp, user_id FROM e WHERE event_type = 'click'
+    ), pu AS (
+      SELECT DISTINCT grp, user_id FROM e WHERE event_type = 'purchase'
+    ), er AS (
+      SELECT DISTINCT grp, user_id FROM e WHERE event_type = 'error'
+    )
+    SELECT g.grp,
+           (SELECT COUNT(*) FROM ck WHERE ck.grp = g.grp) AS s0,
+           (SELECT COUNT(*) FROM ck JOIN pu
+              ON pu.grp = ck.grp AND pu.user_id = ck.user_id
+            WHERE ck.grp = g.grp) AS s1,
+           (SELECT COUNT(*) FROM ck
+              JOIN pu ON pu.grp = ck.grp AND pu.user_id = ck.user_id
+              JOIN er ON er.grp = ck.grp AND er.user_id = ck.user_id
+            WHERE ck.grp = g.grp) AS s2
+    FROM (SELECT DISTINCT grp FROM e) g
+    """,
+    doc="KQL dcount_intersect plugin: HLL sketches per user cohort "
+    "(click / purchase / error actors), intersected via inclusion-"
+    "exclusion over hll_union + hll_sketch_estimate — Kusto's own "
+    "documented method; per-row JVM expressions over pre-aggregated "
+    "sketches, no extra shuffle.  Cohort cardinalities sit in the "
+    "DataSketches exact (coupon) range, so the counts hash-match the "
+    "exact COUNT(DISTINCT) oracle",
+)
+def kql_dcount_intersect(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | extend grp = user_id % 5
+        | summarize
+            h_click = hll(iff(event_type == 'click', user_id,
+                              tolong(null))),
+            h_purchase = hll(iff(event_type == 'purchase', user_id,
+                                 tolong(null))),
+            h_error = hll(iff(event_type == 'error', user_id,
+                              tolong(null)))
+            by grp
+        | evaluate dcount_intersect(h_click, h_purchase, h_error)
+        | order by grp asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "kql_funnel_sequence",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS s
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-30'
+    ), w AS (
+      SELECT user_id, t, s,
+             LAG(s) OVER win AS prev,
+             LEAD(s, 1) OVER win AS s1,
+             LEAD(s, 2) OVER win AS s2,
+             LEAD(s, 3) OVER win AS next,
+             LEAD(t, 1) OVER win AS t1,
+             LEAD(t, 2) OVER win AS t2
+      FROM ev
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, s)
+    ), hits AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY t, s
+             ) AS rn
+      FROM w
+      WHERE s = 'view' AND s1 = 'click' AND s2 = 'purchase'
+        AND t1 <= t + INTERVAL 1 DAY
+        AND t2 <= t1 + INTERVAL 1 DAY
+    )
+    SELECT prev, next, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+    FROM hits WHERE rn = 1
+    GROUP BY prev, next
+    """,
+    doc="KQL funnel_sequence plugin (prev/next-distribution profile): "
+    "users whose consecutive events contain view->click->purchase "
+    "with each hop within 1d, grouped by the states immediately "
+    "around the first completion; one per-id window pass (lag/lead "
+    "chains hash-partitioned on user_id), no global window",
+)
+def kql_funnel_sequence(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | evaluate funnel_sequence(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-30), 1d, 1d,
+            event_type, dynamic(['view', 'click', 'purchase']))
+        """,
+        tables=_tables(spark, sf_dir, "events"),
     )
 
 

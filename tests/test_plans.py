@@ -414,3 +414,40 @@ def test_activity_metrics_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bag_unpack_parses_once_no_get_json_object(spark):
+    """bag_unpack lowers to ONE from_json struct parse (shared
+    JsonToStructs, eliminated per row by Catalyst subexpression
+    elimination) — never N get_json_object re-parses of the bag."""
+    plan = _plan(spark, "kql_bag_unpack")
+    assert "get_json_object" not in plan
+    assert "from_json" in plan
+
+
+def test_new_plugins_no_cartesian_no_python(spark):
+    for name in (
+        "kql_new_activity_metrics",
+        "kql_dcount_intersect",
+        "kql_funnel_sequence",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_funnel_sequence_window_is_id_partitioned(spark):
+    """The funnel's lag/lead windows must partition by the id — a
+    global (unpartitioned) window would serialize 100 TB through one
+    task."""
+    plan = _plan(spark, "kql_funnel_sequence")
+    import re as _re
+
+    specs = list(_re.finditer(r"windowspecdefinition\(", plan))
+    assert specs, "expected window specs in the funnel plan"
+    for m in specs:
+        seg = plan[m.end():m.end() + 60]
+        # every window spec's first term is the id partition key
+        assert seg.startswith("_id"), seg
