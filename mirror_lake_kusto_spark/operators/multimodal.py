@@ -55,27 +55,129 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode_gray(w: int, h: int, pix: bytes) -> bytes:
+    """Minimal PNG writer (grayscale 8-bit, filter 0, stdlib zlib) —
+    lets tests and oracle fixtures synthesize REAL image payloads with
+    no codec dependency.  Spec: the public PNG format (RFC 2083)."""
+    import struct
+    import zlib
+
+    if len(pix) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(pix)}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pix[y * w:(y + 1) * w] for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Minimal PNG reader: 8-bit grayscale, non-interlaced, all five
+    standard scanline filters (RFC 2083 §6).  Pure stdlib — the
+    fallback codec when pillow is absent.  Raises NotImplementedError
+    for shapes outside that envelope (color, 16-bit, interlaced)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "fallback PNG decoder handles 8-bit grayscale "
+                    f"non-interlaced only (depth={depth} color={ctype})"
+                )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise NotImplementedError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    out = bytearray()
+    prev = bytearray(w)
+    for y in range(h):
+        f = raw[y * stride]
+        row = bytearray(raw[y * stride + 1:(y + 1) * stride])
+        if f == 1:  # Sub
+            for x in range(1, w):
+                row[x] = (row[x] + row[x - 1]) & 255
+        elif f == 2:  # Up
+            for x in range(w):
+                row[x] = (row[x] + prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 255
+        elif f == 4:  # Paeth
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                row[x] = (row[x] + pred) & 255
+        elif f != 0:
+            raise NotImplementedError(f"PNG filter {f}")
+        out += row
+        prev = row
+    return w, h, bytes(out)
+
+
 def _decode_image_real(payload: bytes, meta) -> "object":
-    """Real decode path, gated on an optional pillow dependency: when
-    importable, payloads decode to grayscale pixel statistics in the
-    same feature shape as the deterministic stub; without it the call
-    raises NotImplementedError (the Spark plumbing — schema,
-    partitioning, Arrow batch shape — is identical either way)."""
+    """Real decode path: pillow when importable, else the vendored
+    pure-Python PNG reader above (grayscale 8-bit) — so the REAL
+    bytes-to-pixels path runs even in codec-less CI.  Non-PNG payloads
+    without pillow raise NotImplementedError (the Spark plumbing —
+    schema, partitioning, Arrow batch shape — is identical either
+    way)."""
+    payload = bytes(payload)
     try:
         from PIL import Image
     except ImportError:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "install pillow/opencv and route decode_fn=_decode_image_real"
-        ) from None
+        w, h, pix = png_decode_gray(payload)  # NotImplementedError if not PNG
+        n = w * h
+        return {
+            "digest": hashlib.sha256(payload).hexdigest(),
+            "mean": (sum(pix) / n) if n else 0.0,
+            "dim": n,
+        }
     import io
 
     import numpy as np
 
-    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+    img = Image.open(io.BytesIO(payload)).convert("L")
     arr = np.asarray(img, dtype=np.float64)
     return {
-        "digest": hashlib.sha256(bytes(payload)).hexdigest(),
+        "digest": hashlib.sha256(payload).hexdigest(),
         "mean": float(arr.mean()) if arr.size else 0.0,
         "dim": int(img.width * img.height),
     }

@@ -518,6 +518,72 @@ def multimodal_resize_plan(spark, sf_dir):
 
 
 @query(
+    "multimodal_real_decode",
+    # the synthesized pixels are pure doc_id arithmetic, so the DECODED
+    # statistics are SQL-expressible even though the payload is a real
+    # zlib-compressed PNG: pixel i of doc d = (d*31 + i) % 256 over a
+    # (d%4+1) x (d%3+1) canvas
+    # closed form for AVG((a0+i) % 256, i<n): n <= 12 so the byte
+    # sequence wraps at most once — subtract 256 per wrapped element
+    """
+    WITH m AS (
+      SELECT doc_id,
+             (doc_id % 4 + 1) * (doc_id % 3 + 1) AS n,
+             (doc_id * 31) % 256 AS a0
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS feat_dim,
+           ROUND(
+             (n * a0 + n * (n - 1) / 2
+              - 256 * GREATEST(0, a0 + n - 256)) * 1.0 / n,
+             4
+           ) AS feat_mean
+    FROM m
+    """,
+    doc="REAL image decode end-to-end: deterministic grayscale PNGs "
+    "are synthesized per document (pure-stdlib encoder), shipped as "
+    "binary payloads through the Arrow mapInPandas plumbing, and "
+    "decoded back to pixels by _decode_image_real (pillow when "
+    "present, the vendored RFC-2083 PNG reader otherwise) — the "
+    "decoded pixel statistics hash-match the closed-form oracle, "
+    "proving actual bytes-to-pixels decode, not metadata echo",
+)
+def multimodal_real_decode(spark, sf_dir):
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 4 + 1, d % 3 + 1
+                pix = bytes((d * 31 + i) % 256 for i in range(w * h))
+                payloads.append(multimodal.png_encode_gray(w, h, pix))
+                metas.append(
+                    {"width": w, "height": h, "sample_rate": 0, "n_frames": 0}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    media = docs.mapInPandas(synth, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(
+        media, decode_fn=multimodal._decode_image_real
+    )
+    return feats.select("doc_id", "feat_dim", "feat_mean")
+
+
+@query(
     "pipeline_clean_corpus",
     f"""
     WITH base AS (
@@ -1377,7 +1443,10 @@ def _rp_exprs(element: "callable") -> list[str]:
             (" + " if _rp_sign(i, j) > 0 else " - ") + element(i)
             for i in range(_RP_DIN)
         )
-        out.append(f"ROUND((0.0{terms}) * 0.25, 4)")
+        # `+ 0.0` after the round: IEEE -0.0 + 0.0 = +0.0, so a rounded
+        # -0.0 cell stringifies identically on Spark and DuckDB (the r04
+        # driver hash-false was a single -0.0 oracle cell).
+        out.append(f"(ROUND((0.0{terms}) * 0.25, 4) + 0.0)")
     return out
 
 

@@ -1,0 +1,200 @@
+"""Scale probe: sf0.1 vs a synthetic ~sf1 corpus (10x documents +
+embeddings, deterministic replication with id remapping and per-replica
+text/vector perturbation so the near-duplicate structure stays
+realistic instead of becoming 10 exact copies of everything).
+
+Measures, for the dedup / ANN / decontaminate / text family:
+
+- wall time at each scale (median-free single shot — run on an idle
+  box; loadavg is recorded next to the numbers)
+- peak driver RSS (ru_maxrss) after each query — the 100 TB claim is
+  "driver memory stays flat"; a driver that scales with corpus size
+  fails here first
+
+and writes BENCH_SCALE.md with the 10x ratios.  A ratio well above 10
+(super-linear) or a driver-RSS jump that tracks the data size flags
+the query for a plan diff.
+
+Usage: python tools/bench_scale.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/mlk_scale_sf1"
+REPLICAS = 10
+# deterministic id offset: far above any real doc_id/vec_id
+OFF = 10_000_000
+
+FAMILY = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "pipeline_decontaminate",
+    "text_profile",
+    "text_unigram_logprob",
+    "embedding_random_projection",
+]
+
+
+def build_sf1(spark) -> None:
+    """10x documents + embeddings via deterministic replication."""
+    import pyspark.sql.functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    big_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_rep") * OFF).alias("doc_id"),
+            # per-replica perturbation: appended token keeps replicas
+            # NEAR-duplicates (shared shingles) instead of exact copies
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" rep"),
+                    F.col("_rep").cast("string"),
+                    F.lit("tok"),
+                    (F.col("doc_id") % 97).cast("string"),
+                )
+            )
+            .alias("text"),
+            *[
+                c
+                for c in docs.columns
+                if c not in ("doc_id", "text")
+            ],
+        )
+    )
+    big_docs.coalesce(8).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    big_emb = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("_rep") * OFF).alias("vec_id"),
+            # nudge one dimension per replica: cosine neighbors stay
+            # near, exact duplicates don't explode
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + "
+                "IF(i = _rep % size(embedding), 0.003 * _rep, 0.0) "
+                "AS FLOAT))"
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    big_emb.coalesce(8).write.mode("overwrite").parquet(
+        f"{DST}/embeddings.parquet"
+    )
+    # the rest of the tables are not used by this family; link them so
+    # load_table resolves if a query touches one
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        dst = f"{DST}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def run_family(spark, sf_dir: str) -> dict:
+    from mirror_lake_kusto_spark.queries import all_queries
+
+    registry = all_queries()
+    out = {}
+    for name in FAMILY:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        n = registry[name].fn(spark, sf_dir).count()
+        out[name] = {
+            "sec": round(time.time() - t0, 2),
+            "rows": n,
+            "peak_driver_rss_mb": round(rss_mb(), 1),
+        }
+        print(f"  {name}: {out[name]}", flush=True)
+    return out
+
+
+def main() -> None:
+    from mirror_lake_kusto_spark.session import build_session
+
+    spark = build_session(app_name="bench-scale")
+    if "--rebuild" in sys.argv or not os.path.exists(
+        f"{DST}/documents.parquet"
+    ):
+        print("building sf1 corpus ...", flush=True)
+        build_sf1(spark)
+    n_docs = spark.read.parquet(f"{DST}/documents.parquet").count()
+    print(f"sf1 corpus: {n_docs} documents", flush=True)
+
+    print("== sf0.1 ==", flush=True)
+    small = run_family(spark, SRC)
+    print("== sf1 (10x) ==", flush=True)
+    big = run_family(spark, DST)
+
+    load1 = os.getloadavg()[0]
+    lines = [
+        "# BENCH_SCALE — sf0.1 vs synthetic sf1 (10x documents/embeddings)",
+        "",
+        f"Generated by tools/bench_scale.py on local[32]; loadavg at end "
+        f"= {load1:.2f}.  Corpus: {n_docs} documents / 10x embeddings, "
+        "deterministic replication with per-replica perturbation "
+        "(near-duplicates, not exact copies).  `ratio` = sf1 sec / "
+        "sf0.1 sec; linear scaling at 10x data is ratio <= ~10 (often "
+        "far less: fixed per-query overheads amortize).  Driver RSS is "
+        "ru_maxrss (monotone peak), so the DELTA along the run matters, "
+        "not the absolute value.",
+        "",
+        "| query | sf0.1 s | sf1 s | ratio | sf0.1 rows | sf1 rows | "
+        "peak RSS after (MB) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    flags = []
+    for name in FAMILY:
+        s, b = small[name], big[name]
+        ratio = b["sec"] / max(s["sec"], 0.01)
+        if ratio > 15:
+            flags.append(f"{name}: {ratio:.1f}x")
+        lines.append(
+            f"| {name} | {s['sec']} | {b['sec']} | {ratio:.1f}x | "
+            f"{s['rows']} | {b['rows']} | {b['peak_driver_rss_mb']} |"
+        )
+    lines += [
+        "",
+        (
+            "Super-linear flags (>15x): " + ", ".join(flags)
+            if flags
+            else "No super-linear queries: every ratio <= 15x at 10x "
+            "data (most are well under 10x — per-query fixed costs "
+            "amortize with scale)."
+        ),
+        "",
+    ]
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SCALE.md"),
+        "w",
+    ) as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"flags": flags, "docs": n_docs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ Usage: python tools/verify_local.py [sf_dir] [name_filter]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -30,19 +31,25 @@ TABLES = (
 
 
 def _norm_cell(v):
+    # Strict normalization (r04 lesson): the driver's hasher is
+    # type/sign-sensitive, so this one must be too — a lenient local
+    # hasher let a -0.0 cell and a HUGEINT window-SUM burn a driver
+    # round.  Floats keep repr (preserves -0.0 and 2.0 vs int 2);
+    # Decimals keep a type tag so an oracle that returns DECIMAL where
+    # Spark returns DOUBLE/BIGINT fails HERE, not at the driver.
     if v is None:
         return "\0"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 
