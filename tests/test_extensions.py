@@ -1202,3 +1202,78 @@ def test_collect_queries_empty_raises_clearly(spark):
         similarity.cosine_topk_bruteforce(
             corpus, corpus.filter("vec_id < 0"), k=5
         )
+
+
+def test_wav_roundtrip_and_envelope(spark):
+    """RIFF/WAVE codec: encode->decode is identity on mono 16-bit PCM
+    (negative samples included); non-WAV bytes and out-of-envelope
+    containers (stereo) raise NotImplementedError so the real-decode
+    path cannot silently rot into the fake."""
+    import io
+    import struct
+    import wave
+
+    from mirror_lake_kusto_spark.operators import multimodal as MM
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = MM.wav_encode_pcm16(16000, samples)
+    rate, out = MM.wav_decode_pcm16(payload)
+    assert (rate, out) == (16000, samples)
+    feat = MM._decode_audio_real(payload, None)
+    assert feat["dim"] == len(samples)
+    assert abs(feat["mean"] - sum(samples) / len(samples)) < 1e-9
+
+    with pytest.raises(NotImplementedError, match="not a WAV"):
+        MM.wav_decode_pcm16(b"\x89PNG not audio")
+    # stereo: real container, outside the mono envelope
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(NotImplementedError, match="mono 16-bit"):
+        MM.wav_decode_pcm16(buf.getvalue())
+
+
+def test_y4m_roundtrip_and_envelope(spark):
+    """YUV4MPEG2 codec: header tags parse, FRAME markers walk, planes
+    round-trip; chroma-ful colorspaces, truncated frames, and non-Y4M
+    payloads raise instead of returning wrong frames."""
+    from mirror_lake_kusto_spark.operators import multimodal as MM
+
+    frames = [bytes(range(12)), bytes(range(100, 112)), b"\xff" * 12]
+    payload = MM.y4m_encode_gray(4, 3, frames, fps=30)
+    w, h, out = MM.y4m_decode_gray(payload)
+    assert (w, h, out) == (4, 3, frames)
+
+    with pytest.raises(NotImplementedError, match="not a YUV4MPEG2"):
+        MM.y4m_decode_gray(b"RIFF....WAVE")
+    with pytest.raises(NotImplementedError, match="Cmono only"):
+        MM.y4m_decode_gray(b"YUV4MPEG2 W4 H3 F25:1 C420\nFRAME\n" + b"x" * 18)
+    with pytest.raises(NotImplementedError, match="truncated"):
+        MM.y4m_decode_gray(payload[:-3])
+    with pytest.raises(ValueError, match="need 12 bytes"):
+        MM.y4m_encode_gray(4, 3, [b"short"])
+
+
+def test_frame_sample_decode_spark_plumbing(spark):
+    """frame_sample_decode end-to-end through Arrow mapInPandas: only
+    video rows decode, every_n strides frames, per-frame means match
+    the plane bytes."""
+    from mirror_lake_kusto_spark.operators import multimodal as MM
+
+    frames = [bytes([v] * 4) for v in (10, 20, 30, 40, 50)]
+    rows = [
+        (1, "video", MM.y4m_encode_gray(2, 2, frames), (2, 2, 0, 5)),
+        (2, "audio", MM.wav_encode_pcm16(8000, [1, 2]), (0, 0, 8000, 0)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in MM.frame_sample_decode(media, every_n=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (1, 4)}
+    for (_, fi), r in got.items():
+        assert (r["width"], r["height"]) == (2, 2)
+        assert r["frame_mean"] == float(frames[fi][0])
