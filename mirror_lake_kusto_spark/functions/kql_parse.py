@@ -1775,6 +1775,7 @@ class KqlQuery:
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
+            r"|make-graph|graph-match"
             r"|getschema|evaluate|top-nested|partition|facet|scan"
             r"|render|parse-where|parse|search|invoke|fork"
             r"|sample-distinct|sample|top-hitters"
@@ -2464,6 +2465,175 @@ class KqlQuery:
         r"\s+step\s+(\S+)(?:\s+by\s+(.+))?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _op_make_graph(self, frame, rest):
+        """``make-graph SrcCol --> DstCol [with NodesTable on IdCol]``
+        — stage the current frame as a property graph's EDGE table
+        (every frame column is an edge property; SrcCol/DstCol are the
+        endpoints).  Nodes come from the optional ``with`` table, else
+        are derived as the distinct endpoint set with a single ``id``
+        property.  Graphs are not tabular, so the only operator that
+        may follow is ``graph-match`` (Kusto's contract too — its
+        graph operators pipe make-graph straight into a match).
+
+        Restricted profile: directed ``-->`` only (Kusto's undirected
+        ``--`` edges and partitioned-graph options are not supported).
+        """
+        m = re.match(
+            r"^(\w+)\s*-->\s*(\w+)(?:\s+with\s+(\w+)\s+on\s+(\w+))?\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise KqlParseError(
+                f"make-graph needs 'Src --> Dst [with Table on IdCol]', "
+                f"got {rest!r}"
+            )
+        src, dst, ntab, idcol = m.groups()
+        for c in (src, dst):
+            if c not in frame.df.columns:
+                raise KqlParseError(f"make-graph: unknown column {c!r}")
+        if ntab is not None:
+            nodes = self._source(ntab)
+            if idcol not in nodes.columns:
+                raise KqlParseError(
+                    f"make-graph: {ntab!r} has no column {idcol!r}"
+                )
+        else:
+            idcol = "id"
+            nodes = (
+                frame.df.select(F.col(src).alias("id"))
+                .union(frame.df.select(F.col(dst).alias("id")))
+                .distinct()
+            )
+        out = KqlFrame(frame.df)
+        out._graph = (src, dst, nodes, idcol)
+        return out
+
+    _GM_HOP = re.compile(r"-\[\s*(\w*)\s*\]->\s*\(\s*(\w*)\s*\)")
+
+    def _op_graph_match(self, frame, rest):
+        """``graph-match (a)-[e1]->(b)-[e2]->(c) [where pred] project
+        name = expr, ...`` — fixed-length LINEAR path patterns over the
+        staged graph, lowered to a chain of hash equi-joins (one edge
+        scan per hop, node tables attached only for pattern variables
+        whose PROPERTIES the query references — unreferenced nodes cost
+        nothing).  A node variable repeated in the pattern adds an
+        endpoint-equality filter, so cycles ((a)-..->(a), triangles)
+        express naturally.  Variable-length ``*1..3`` edges and
+        non-linear patterns are outside this profile and raise.
+
+        Scale shape: every hop is an equi-join on edge endpoints —
+        hash-distributed, no cartesian; the pattern length bounds the
+        join chain statically."""
+        graph = getattr(frame, "_graph", None)
+        if graph is None:
+            raise KqlParseError(
+                "graph-match must immediately follow make-graph"
+            )
+        src, dst, nodes, idcol = graph
+        # split off where/project at top level
+        mproj = re.search(r"\bproject\b", rest, re.IGNORECASE)
+        if not mproj:
+            raise KqlParseError("graph-match needs a project clause")
+        head, proj = rest[: mproj.start()], rest[mproj.end():]
+        mwhere = re.search(r"\bwhere\b", head, re.IGNORECASE)
+        pattern = head[: mwhere.start()] if mwhere else head
+        pred = head[mwhere.end():].strip() if mwhere else None
+        pattern = re.sub(r"\s+", "", pattern)
+        m0 = re.match(r"^\((\w*)\)", pattern)
+        if not m0:
+            raise KqlParseError(f"graph-match: bad pattern {pattern!r}")
+        if "*" in pattern:
+            raise KqlParseError(
+                "graph-match: variable-length edges are not supported "
+                "in this profile"
+            )
+        node_vars = [m0.group(1) or "_n0"]
+        edge_vars: list[str] = []
+        pos = m0.end()
+        for i, hop in enumerate(self._GM_HOP.finditer(pattern)):
+            if hop.start() != pos:
+                raise KqlParseError(
+                    f"graph-match: non-linear pattern near "
+                    f"{pattern[pos:hop.start()]!r}"
+                )
+            edge_vars.append(hop.group(1) or f"_e{i}")
+            node_vars.append(hop.group(2) or f"_n{i + 1}")
+            pos = hop.end()
+        if pos != len(pattern) or not edge_vars:
+            raise KqlParseError(
+                f"graph-match: bad pattern tail {pattern[pos:]!r}"
+            )
+        if len(set(edge_vars)) != len(edge_vars):
+            raise KqlParseError("graph-match: duplicate edge variable")
+        edges = frame.df
+        # endpoint column for each pattern POSITION
+        pos_id = [f"{edge_vars[0]}__{src}"] + [
+            f"{e}__{dst}" for e in edge_vars
+        ]
+        cur = None
+        for i, e in enumerate(edge_vars):
+            edf = edges.select(
+                *[F.col(c).alias(f"{e}__{c}") for c in edges.columns]
+            )
+            if cur is None:
+                cur = edf
+            else:
+                cur = cur.join(
+                    edf,
+                    F.col(f"{edge_vars[i - 1]}__{dst}")
+                    == F.col(f"{e}__{src}"),
+                )
+        # repeated node variables: endpoint equality (cycles)
+        first_pos: dict[str, int] = {}
+        for i, nv in enumerate(node_vars):
+            if nv in first_pos:
+                cur = cur.filter(
+                    F.col(pos_id[first_pos[nv]]) == F.col(pos_id[i])
+                )
+            else:
+                first_pos[nv] = i
+        # rewrite var.prop references; attach node tables only when a
+        # node variable's properties are actually used
+        used_nodes: set[str] = set()
+
+        def rewrite(expr: str) -> str:
+            def sub(m: re.Match) -> str:
+                var, prop = m.group(1), m.group(2)
+                if var in edge_vars:
+                    return f"{var}__{prop}"
+                if var in first_pos:
+                    used_nodes.add(var)
+                    return f"__n_{var}__{prop}"
+                return m.group(0)
+
+            return re.sub(r"\b(\w+)\.(\w+)", sub, expr)
+
+        pred_sql = rewrite(pred) if pred else None
+        proj_items = [
+            (name or None, rewrite(e))
+            for name, e in _named_exprs(proj.strip())
+        ]
+        for nv in sorted(used_nodes):
+            ndf = nodes.select(
+                *[F.col(c).alias(f"__n_{nv}__{c}") for c in nodes.columns]
+            )
+            cur = cur.join(
+                ndf,
+                F.col(pos_id[first_pos[nv]])
+                == F.col(f"__n_{nv}__{idcol}"),
+            )
+        if pred_sql:
+            cur = cur.filter(F.expr(translate_expr(pred_sql)))
+        cols = []
+        for i, (name, e) in enumerate(proj_items):
+            cols.append(
+                F.expr(translate_expr(e)).alias(
+                    name or re.sub(r"\W+", "_", e) or f"c{i}"
+                )
+            )
+        return KqlFrame(cur.select(*cols))
 
     def _op_make_series(self, frame, rest):
         """``make-series name = agg() [default = lit], ... on ts

@@ -1255,6 +1255,121 @@ def kql_funnel_sequence(spark, sf_dir):
 
 
 @query(
+    "kql_graph_match_2hop",
+    """
+    SELECT CAST(l_suppkey AS BIGINT) AS supp,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="KQL graph operators (make-graph + graph-match, restricted "
+    "linear profile): customer -placed-> order -supplied-> supplier "
+    "money-flow paths over a heterogeneous edge table; the pattern "
+    "lowers to a chain of hash equi-joins on edge endpoints — no "
+    "cartesian — and the node table attaches only for the pattern "
+    "variable whose property the query touches",
+)
+def kql_graph_match_2hop(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        orders
+        | project src = tolong(o_custkey), dst = 1000000 + o_orderkey,
+                  kind = 'placed', wt = o_totalprice
+        | union (lineitem
+                 | project src = 1000000 + l_orderkey,
+                           dst = 2000000 + l_suppkey,
+                           kind = 'supplied', wt = l_extendedprice)
+        | make-graph src --> dst
+        | graph-match (c)-[e1]->(o)-[e2]->(s)
+          where e1.kind == 'placed' and e2.kind == 'supplied'
+          project supp = s.id - 2000000, price = e2.wt
+        | summarize n_paths = count(), total = round(sum(price), 2)
+            by supp
+        | order by supp asc
+        """,
+        tables=_tables(spark, sf_dir, "orders", "lineitem"),
+    )
+
+
+# deterministic 10-node circulant graph: i -> i+2, i+3, i+5 (mod 10);
+# the only directed triangles are the step permutations of 2+3+5 = 10
+_GRAPH_EDGES = [
+    (i, (i + s) % 10, 10 * i + (i + s) % 10)
+    for i in range(10)
+    for s in (2, 3, 5)
+]
+_GRAPH_DT = ", ".join(f"{a}, {b}, {w}" for a, b, w in _GRAPH_EDGES)
+_GRAPH_VALUES = ", ".join(f"({a}, {b}, {w})" for a, b, w in _GRAPH_EDGES)
+
+
+@query(
+    "kql_graph_match_cycle",
+    f"""
+    WITH e(src, dst, w) AS (VALUES {_GRAPH_VALUES})
+    SELECT CAST(e1.src AS BIGINT) AS a0,
+           CAST(e1.dst AS BIGINT) AS b0,
+           CAST(e2.dst AS BIGINT) AS c0,
+           CAST(e1.w + e2.w + e3.w AS BIGINT) AS wsum
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    ORDER BY a0, b0, c0
+    """,
+    doc="KQL graph-match with a REPEATED node variable — directed "
+    "triangles (a)->(b)->(c)->(a) on a deterministic circulant "
+    "graph; the repeat lowers to an endpoint-equality filter on the "
+    "join chain (cycles need no special machinery)",
+)
+def kql_graph_match_cycle(spark, sf_dir):
+    return kql(
+        spark,
+        f"""
+        datatable(src:long, dst:long, w:long) [ {_GRAPH_DT} ]
+        | make-graph src --> dst
+        | graph-match (a)-[e1]->(b)-[e2]->(c)-[e3]->(a)
+          project a0 = a.id, b0 = b.id, c0 = c.id,
+                  wsum = e1.w + e2.w + e3.w
+        | order by a0 asc, b0 asc, c0 asc
+        """,
+        tables={},
+    )
+
+
+@query(
+    "kql_graph_match_nodes",
+    """
+    SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="KQL make-graph 'with Nodes on IdCol' — node PROPERTIES from "
+    "an explicit node table drive the match predicate (customers "
+    "filtered by their nation node's name); unreferenced pattern "
+    "variables attach no node join at all",
+)
+def kql_graph_match_nodes(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        customer
+        | project src = c_custkey, dst = c_nationkey, bal = c_acctbal
+        | make-graph src --> dst with nation on n_nationkey
+        | graph-match (c)-[e]->(n)
+          where n.n_name in ('NATION_3', 'NATION_7', 'NATION_11')
+          project nation = n.n_name, bal = e.bal
+        | summarize n_cust = count(), avg_bal = round(avg(bal), 2)
+            by nation
+        | order by nation asc
+        """,
+        tables=_tables(spark, sf_dir, "customer", "nation"),
+    )
+
+
+@query(
     "kql_scalar_toolkit3",
     """
     WITH base AS (

@@ -1884,3 +1884,94 @@ def test_conversion_bit_datetime_batch(spark):
     assert one("indexof_regex(s, 'b')") == 1
     assert one("indexof_regex(s, 'zz')") == -1
     assert one("regex_quote('a.[b]')") == "a\\.\\[b\\]"
+
+
+def test_graph_match_linear_and_cycle(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 20), (3, 1, 30), (2, 4, 40), (4, 5, 50)],
+        "src long, dst long, w long",
+    )
+    # linear 2-hop with edge-property predicate and derived nodes
+    rows = kql(
+        spark,
+        """
+        E
+        | make-graph src --> dst
+        | graph-match (a)-[e1]->(b)-[e2]->(c)
+          where e1.w < e2.w
+          project a0 = a.id, c0 = c.id, tot = e1.w + e2.w
+        | order by a0 asc, c0 asc
+        """,
+        tables={"E": edges},
+    ).collect()
+    assert [(r.a0, r.c0, r.tot) for r in rows] == [
+        (1, 3, 30),
+        (1, 4, 50),
+        (2, 1, 50),
+        (2, 5, 90),
+    ]
+    # repeated node variable = cycle (1->2->3->1)
+    rows = kql(
+        spark,
+        """
+        E
+        | make-graph src --> dst
+        | graph-match (a)-[e1]->(b)-[e2]->(c)-[e3]->(a)
+          project a0 = a.id
+        """,
+        tables={"E": edges},
+    ).collect()
+    assert sorted(r.a0 for r in rows) == [1, 2, 3]
+
+
+def test_graph_match_nodes_table_and_errors(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "s long, d long")
+    nodes = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "nid long, kind string"
+    )
+    rows = kql(
+        spark,
+        """
+        E
+        | make-graph s --> d with N on nid
+        | graph-match (a)-[e]->(b)
+          where b.kind == 'z'
+          project pa = a.nid, pb = b.nid
+        """,
+        tables={"E": edges, "N": nodes},
+    ).collect()
+    assert [(r.pa, r.pb) for r in rows] == [(2, 3)]
+
+    with pytest.raises(KqlParseError, match="must immediately follow"):
+        kql(
+            spark,
+            "E | graph-match (a)-[e]->(b) project x = a.id",
+            tables={"E": edges},
+        )
+    with pytest.raises(KqlParseError, match="variable-length"):
+        kql(
+            spark,
+            "E | make-graph s --> d | graph-match (a)-[e*1..3]->(b) "
+            "project x = a.id",
+            tables={"E": edges},
+        )
+    with pytest.raises(KqlParseError, match="project clause"):
+        kql(
+            spark,
+            "E | make-graph s --> d | graph-match (a)-[e]->(b)",
+            tables={"E": edges},
+        )
+    with pytest.raises(KqlParseError, match="unknown column"):
+        kql(
+            spark,
+            "E | make-graph nope --> d | graph-match (a)-[e]->(b) "
+            "project x = a.id",
+            tables={"E": edges},
+        )
