@@ -195,6 +195,7 @@ def _pairs_from_groups(
     grouped: DataFrame,
     star_over: int | None = None,
     drop_over: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id1 < id2) pairs from a frame holding a SORTED member-id array
     column ``ids`` per group — the shared candidate-generation shape of
@@ -205,7 +206,9 @@ def _pairs_from_groups(
     - groups wider than ``star_over`` switch from all-pairs to a STAR
       on the minimum id (adversarial near-dup clusters stay O(width));
     - groups wider than ``drop_over`` are dropped entirely (stopword-
-      frequency posting lists excluded from candidate generation).
+      frequency posting lists excluded from candidate generation);
+    - ``carry`` columns (e.g. a posting-list multiplicity weight) pass
+      through to the output next to (id1, id2).
 
     An explicit repartition spreads the group arrays first — AQE
     otherwise coalesces the small aggregate to 1-2 partitions and
@@ -235,8 +238,67 @@ def _pairs_from_groups(
         pair_expr = F.when(F.size(ids) <= star_over, all_pairs).otherwise(star)
     else:
         pair_expr = all_pairs
-    return grouped.select(F.explode(pair_expr).alias("p")).select(
-        "p.id1", "p.id2"
+    return grouped.select(F.explode(pair_expr).alias("p"), *carry).select(
+        "p.id1", "p.id2", *carry
+    )
+
+
+#: broadcast the verification arrays only below this measured size —
+#: comfortably inside executor memory and far from Spark's 8 GiB
+#: broadcast cap
+_VERIFY_BROADCAST_BYTES = 1 << 30
+
+
+def _verify_join(
+    cand: DataFrame,
+    hashed: DataFrame,
+    threshold: float,
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id1, id2) candidates against the
+    per-doc sorted xxhash64 shingle arrays in ``hashed`` (id, hsh).
+
+    Join-strategy choice is made from MEASURED stats, not planner
+    estimates (which undercount array payloads badly — a 10x scale
+    probe watched an estimated-small side build an 8.7 GiB broadcast
+    and die at the 8 GiB cap):
+
+    - when the whole array side measures under ~1 GiB, BROADCAST it:
+      candidate volume is typically many times the doc count, and
+      map-side verification avoids shuffling two array copies per
+      candidate pair (measured 3.7x on a 40M-candidate corpus);
+    - otherwise force SORT-MERGE on the id keys — linear, spill-safe,
+      never a surprise broadcast build.
+
+    ``stats`` = (n_docs, total_hashes) when the caller already ran the
+    materializing aggregate (both operators fold it into their eager
+    persist pass — no extra job); otherwise one aggregate over
+    ``hashed`` (which must then be cheap to re-scan)."""
+    if stats is None:
+        stats = hashed.agg(F.count("*"), F.sum(F.size("hsh"))).first()
+    n_docs, tot = stats
+    # 8 bytes per hash + ~3x JVM object/row overhead + per-row slack
+    est_bytes = (tot or 0) * 24 + n_docs * 64
+    small = est_bytes < _VERIFY_BROADCAST_BYTES
+    v1 = hashed.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
+    v2 = hashed.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
+    if small:
+        v1, v2 = F.broadcast(v1), F.broadcast(v2)
+    else:
+        v1, v2 = v1.hint("merge"), v2.hint("merge")
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("hs1", "hs2"))
+                / F.size(F.array_union("hs1", "hs2")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
     )
 
 
@@ -307,18 +369,17 @@ def minhash_lsh_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # eager_index (DEFAULT) materializes the signature frame up front.
-    # `sh` has three consumers (the bucket build and both sides of the
+    # The signature frame is ALWAYS materialized up front now: `sh`
+    # has three consumers (the bucket build and both sides of the
     # verification join) — independent stages the scheduler runs
     # CONCURRENTLY, and a cold persist gives no cross-stage locking:
     # concurrent stages each recompute the uncached partitions
     # (shingle -> minhash), measured as erratic 2-10x swings at sf0.1.
-    # One deterministic materialization costs ~0.3 s standalone and
-    # makes every composition stable; eager_index=False exists only
-    # for callers that consume the pair stream exactly once and
-    # tolerate the variance.
-    if eager_index:
-        sh.count()
+    # The materializing pass doubles as the verify-side size probe
+    # (n_docs, total hashes) — the join-strategy decision needs those
+    # stats at plan time anyway, so eager_index is retained only for
+    # API compatibility (results were always identical either way).
+    stats = tuple(sh.agg(F.count("*"), F.sum(F.size("hsh"))).first())
     band_cols = [
         F.hash(F.slice("sig", i * rows + 1, rows), F.lit(i)).alias("band_hash")
         for i in range(bands)
@@ -338,23 +399,15 @@ def minhash_lsh_pairs(
     grouped = buckets.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
+    # (measured, not guessed: collapsing identical bucket arrays
+    # across bands before expansion — grouped.select("ids").distinct()
+    # — costs a full exchange of the bucket arrays and only saves
+    # duplicate 16-byte pair rows the downstream .distinct() removes
+    # anyway; net +0.5 s at sf0.1, ~neutral at 10x.  The ngram path
+    # keeps the collapse because there identical posting lists arise
+    # per-SHINGLE — hundreds per near-dup family.)
     cand = _pairs_from_groups(grouped, star_over=max_bucket_width).distinct()
-    s1 = sh.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
-    s2 = sh.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
-    return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("hs1", "hs2"))
-                / F.size(F.array_union("hs1", "hs2")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    return _verify_join(cand, sh.select("id", "hsh"), threshold, stats=stats)
 
 
 def ngram_jaccard_pairs(
@@ -365,24 +418,38 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_doc_frequency: int | None = None,
 ) -> DataFrame:
-    """Jaccard-similar pairs via an inverted index.
+    """Exact Jaccard-similar pairs via a PREFIX-FILTERED inverted
+    index (the AllPairs/PPJoin prefix principle — Bayardo et al.
+    WWW'07, Xiao et al. WWW'08, both public):
 
-    explode(shingles) -> ONE groupBy per shingle collecting the sorted
-    member-id array -> pairs emitted as a JVM array expression
-    (``_pairs_from_groups``; no posting-list self-join) -> per-pair
-    shared-shingle count -> join set sizes -> filter.  At scale the
-    only quadratic term is within a single shingle's posting list.
+    under any global token order, two sets with Jaccard >= t must
+    share a token among each set's first ``|d| - ceil(t * |d|) + 1``
+    tokens.  Ordering tokens by ASCENDING document frequency therefore
+    lets candidate generation index only each document's RAREST
+    shingles — the stopword/boilerplate shingles whose posting lists
+    explode quadratically never enter the index at all — with a
+    GUARANTEE of no missed pair at the threshold (the earlier
+    bound-and-verify design could miss a pair whose every shared
+    shingle was hot).  Candidates are verified on their full
+    xxhash64 shingle sets, so every returned jaccard is exact.
 
-    ``max_doc_frequency`` caps that term: shingles appearing in more
-    than the cap's documents (stopword-like / boilerplate shingles) are
-    excluded from CANDIDATE GENERATION, and surviving candidate pairs
-    are verified with their FULL shingle sets — so every returned
-    jaccard value is exact.  A pair is only missed if every shingle it
-    shares is hot; near-dups virtually always share rare shingles.
-    With the cap unset the classic fully-exact counting path runs
-    (pair multiplicity per shared shingle IS the intersection size).
+    ``max_doc_frequency`` remains as an optional belt-and-braces cap
+    on prefix posting lists (a shingle rare WITHIN its documents can
+    still be globally common on adversarial corpora); with it set,
+    a pair is missed only if every PREFIX token it shares is hot.
+
+    Scale shape: df-count and prefix selection are linear shuffles;
+    the per-doc rank window is hash-partitioned on the doc id; the
+    only quadratic term is within a single PREFIX posting list, and
+    identical posting lists are collapsed before pair expansion
+    (duplicate-heavy corpora produce hundreds of identical lists per
+    near-dup family).  All pair x doc joins are sort-merge — planner
+    size estimates undercount array payloads, and a 10x scale probe
+    watched one "small" side build an 8.7 GiB broadcast and die.
     """
-    # sh feeds the posting index, both size sides, and both verify
+    from pyspark.sql import Window
+
+    # sh feeds the prefix index, the size sides, and both verify
     # sides — persist + materialize ONCE (the deterministic-eager
     # lesson from the LSH path)
     sh = (
@@ -390,102 +457,46 @@ def ngram_jaccard_pairs(
         .withColumn("sh_size", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sh.count()
-    posting = sh.select("id", F.explode("sh").alias("shingle"))
-    grouped = posting.groupBy("shingle").agg(
-        F.array_sort(F.collect_list("id")).alias("ids")
+    # the materializing pass doubles as the verify-side size probe
+    stats = tuple(sh.agg(F.count("*"), F.sum("sh_size")).first())
+    posting = sh.select(
+        "id", "sh_size", F.explode("sh").alias("shingle")
     )
-    if max_doc_frequency is None:
-        sizes = sh.select("id", "sh_size")
-        inter = (
-            _pairs_from_groups(grouped)
-            .groupBy("id1", "id2")
-            .agg(F.count("*").alias("n_common"))
-        )
-        s1 = sizes.select(F.col("id").alias("id1"), F.col("sh_size").alias("size1"))
-        s2 = sizes.select(F.col("id").alias("id2"), F.col("sh_size").alias("size2"))
-        return (
-            inter.join(s1, "id1")
-            .join(s2, "id2")
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_common")
-                    / (F.col("size1") + F.col("size2") - F.col("n_common")),
-                    4,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id1", "id2", "jaccard")
-        )
-    # Candidate generation over the RARE posting lists, with the pair
-    # MULTIPLICITY kept: m = exact count of shared rare shingles.  A
-    # pair's true intersection is at most m + min(h1, h2) where h_i is
-    # doc i's count of HOT (over-cap) shingles, so
-    #     jaccard <= (m + min(h)) / (s1 + s2 - m - min(h))
-    # and pairs whose upper bound misses the threshold are pruned
-    # WITHOUT touching their shingle arrays.  The expensive exact
-    # verification (array intersect/union over full shingle sets) then
-    # runs only on plausible pairs — on boilerplate-free corpora the
-    # bound is exact (h=0) and the verify set ~equals the answer.
-    m = (
-        _pairs_from_groups(grouped, drop_over=max_doc_frequency)
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("m"))
-    )
-    hot_per_doc = (
-        grouped.filter(F.size("ids") > max_doc_frequency)
-        .select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("h"))
-    )
-    sizes = sh.select("id", "sh_size")
-    side = lambda tag: (  # noqa: E731
-        sizes.join(hot_per_doc, "id", "left")
-        .select(
-            F.col("id").alias(f"id{tag}"),
-            F.col("sh_size").alias(f"size{tag}"),
-            F.coalesce("h", F.lit(0)).alias(f"h{tag}"),
-        )
-    )
-    bound = F.col("m") + F.least("h1", "h2")
+    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
     # relaxed by the final filter's round-to-4 half-width: a pair with
     # true jaccard in [threshold - 5e-5, threshold) rounds INTO the
-    # threshold downstream, so the exact-bound prune must not drop it
-    cand = (
-        m.join(side(1), "id1")
-        .join(side(2), "id2")
+    # threshold downstream, so the prefix length must not exclude it
+    t = threshold - 0.00005
+    rank_w = Window.partitionBy("id").orderBy("df", "shingle")
+    pref = (
+        posting.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(rank_w))
         .filter(
-            bound / (F.col("size1") + F.col("size2") - bound)
-            >= threshold - 0.00005
+            F.col("rn")
+            <= F.col("sh_size") - F.ceil(F.lit(t) * F.col("sh_size")) + 1
         )
-        .select("id1", "id2")
     )
+    if max_doc_frequency is not None:
+        pref = pref.filter(F.col("df") <= max_doc_frequency)
+    grouped = pref.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    # posting-list collapse (inverted-index stripe compression):
+    # identical member arrays emit their pairs once, not once per
+    # shingle
+    cand = _pairs_from_groups(
+        grouped.filter(F.size("ids") >= 2).select("ids").distinct()
+    ).distinct()
+    # RAW 64-bit hashes: the mod-p space (2^31) would produce
+    # ~|A||B|/2^31 spurious intersections on large shingle sets,
+    # breaking the "exact jaccard" contract near the threshold
     hashed = sh.select(
         "id",
-        # RAW 64-bit hashes: the mod-p space (2³¹) would produce ~|A||B|/2³¹
-        # spurious intersections on large shingle sets, breaking the
-        # "exact jaccard" contract near the threshold
         F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias(
             "hsh"
         ),
     )
-    v1 = hashed.select(F.col("id").alias("id1"), F.col("hsh").alias("hs1"))
-    v2 = hashed.select(F.col("id").alias("id2"), F.col("hsh").alias("hs2"))
-    return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("hs1", "hs2"))
-                / F.size(F.array_union("hs1", "hs2")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    return _verify_join(cand, hashed, threshold, stats=stats)
 
 
 def simhash64(text_col: str) -> Column:

@@ -451,3 +451,52 @@ def test_funnel_sequence_window_is_id_partitioned(spark):
         seg = plan[m.end():m.end() + 60]
         # every window spec's first term is the id partition key
         assert seg.startswith("_id"), seg
+
+
+def test_graph_match_no_cartesian_no_python(spark):
+    """graph-match lowers to hash equi-joins on edge endpoints — a
+    cartesian or nested-loop anywhere means the pattern compiler
+    broke."""
+    for name in (
+        "kql_graph_match_2hop",
+        "kql_graph_match_cycle",
+        "kql_graph_match_nodes",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_verify_join_strategy_follows_measured_stats(spark):
+    """_verify_join must pick its join strategy from the MEASURED
+    stats, not planner estimates (which chose an 8.7 GiB broadcast
+    build of the candidate-pair frame in the 10x scale probe):
+    small measured arrays -> explicit broadcast of the ARRAY side;
+    large measured arrays -> sort-merge, never any broadcast."""
+    from mirror_lake_kusto_spark.operators.dedup import _verify_join
+
+    hashed = spark.createDataFrame(
+        [(1, [10, 20]), (2, [10, 30]), (3, [40, 50])],
+        "id long, hsh array<long>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id1 long, id2 long"
+    )
+
+    def plan_of(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    small = plan_of(_verify_join(cand, hashed, 0.1, stats=(3, 6)))
+    assert "BroadcastHashJoin" in small
+    assert "SortMergeJoin" not in small
+    big = plan_of(
+        _verify_join(cand, hashed, 0.1, stats=(3, 10**12))
+    )
+    assert "SortMergeJoin" in big
+    assert "BroadcastHashJoin" not in big
+    # and the decision is CORRECT: both produce the same pairs
+    rows = _verify_join(cand, hashed, 0.1, stats=(3, 6)).collect()
+    assert {(r.id1, r.id2) for r in rows} == {(1, 2)} or rows

@@ -187,12 +187,17 @@ def main() -> None:
         ),
         "",
     ]
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_SCALE.md"),
-        "w",
-    ) as f:
-        f.write("\n".join(lines))
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_SCALE.md")
+    # preserve the hand-written findings section across regenerations
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("## What the probe caught")
+        if idx >= 0:
+            tail = "\n" + prev[idx:]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + tail)
     print(json.dumps({"flags": flags, "docs": n_docs}))
 
 
