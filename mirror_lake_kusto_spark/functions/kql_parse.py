@@ -685,10 +685,19 @@ def translate_expr(e: str) -> str:
     e = _rewrite_calls(
         e, "extractjson", lambda a: f"get_json_object({a[1]}, {a[0]})"
     )
-    # dynamic field access: parse_json(x).a.b -> get_json_object(x,'$.a.b')
+    # dynamic field access: parse_json(x).a.b lowers onto Spark 4's
+    # VARIANT type — try_parse_json(x) parses the bag ONCE (identical
+    # deterministic subexpressions are eliminated in codegen, so N
+    # accesses of one bag share a single parse; get_json_object would
+    # re-parse per path), then variant_get is O(binary) path access.
+    # The string cast matches get_json_object's contract: scalars
+    # unquoted, objects/arrays as JSON text, missing paths NULL.
     e = re.sub(
         r"\b(?:parse_json|todynamic)\s*\(([^()]*)\)((?:\.[A-Za-z_][A-Za-z0-9_]*)+)",
-        lambda m: f"get_json_object({m.group(1)}, '${m.group(2)}')",
+        lambda m: (
+            f"cast(try_variant_get(try_parse_json({m.group(1)}), "
+            f"'${m.group(2)}') as string)"
+        ),
         e,
         flags=re.IGNORECASE,
     )

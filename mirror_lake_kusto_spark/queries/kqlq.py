@@ -265,8 +265,8 @@ def kql_let_serialize_cumsum(spark, sf_dir):
     GROUP BY k ORDER BY k
     """,
     doc="KQL string: dynamic JSON property access "
-    "(todynamic(props).k -> get_json_object) with a case-insensitive "
-    "predicate and aggregation over the extracted key",
+    "(todynamic(props).k -> one try_parse_json + variant_get) with a "
+    "case-insensitive predicate and aggregation over the extracted key",
 )
 def kql_json_props(spark, sf_dir):
     return kql(

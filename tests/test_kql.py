@@ -434,11 +434,16 @@ def test_translate_json_and_case_forms():
     assert (
         T("extractjson('$.k', props)") == "get_json_object(props, '$.k')"
     )
-    assert (
-        T("tolong(todynamic(props).k)")
-        == "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    # dynamic access lowers onto VARIANT: one try_parse_json per bag
+    # (shared via codegen subexpression elimination), O(binary) path
+    # access — not a get_json_object re-parse per path
+    assert T("tolong(todynamic(props).k)") == (
+        "CAST(cast(try_variant_get(try_parse_json(props), '$.k') "
+        "as string) AS BIGINT)"
     )
-    assert T("parse_json(props).a.b") == "get_json_object(props, '$.a.b')"
+    assert T("parse_json(props).a.b") == (
+        "cast(try_variant_get(try_parse_json(props), '$.a.b') as string)"
+    )
     assert (
         T("case(x > 1, 'big', 'small')")
         == "(CASE WHEN x > 1 THEN 'big' ELSE 'small' END)"

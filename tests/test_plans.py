@@ -500,3 +500,12 @@ def test_verify_join_strategy_follows_measured_stats(spark):
     # and the decision is CORRECT: both produce the same pairs
     rows = _verify_join(cand, hashed, 0.1, stats=(3, 6)).collect()
     assert {(r.id1, r.id2) for r in rows} == {(1, 2)} or rows
+
+
+def test_dynamic_access_uses_variant_not_reparse(spark):
+    """todynamic(x).k access lowers onto VARIANT (one try_parse_json,
+    shared by codegen subexpression elimination; variant_get path
+    access) — never per-path get_json_object re-parses."""
+    plan = _plan(spark, "kql_json_props")
+    assert "get_json_object" not in plan
+    assert "variant_get" in plan
