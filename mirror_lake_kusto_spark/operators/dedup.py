@@ -195,7 +195,6 @@ def _pairs_from_groups(
     grouped: DataFrame,
     star_over: int | None = None,
     drop_over: int | None = None,
-    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id1 < id2) pairs from a frame holding a SORTED member-id array
     column ``ids`` per group — the shared candidate-generation shape of
@@ -206,9 +205,7 @@ def _pairs_from_groups(
     - groups wider than ``star_over`` switch from all-pairs to a STAR
       on the minimum id (adversarial near-dup clusters stay O(width));
     - groups wider than ``drop_over`` are dropped entirely (stopword-
-      frequency posting lists excluded from candidate generation);
-    - ``carry`` columns (e.g. a posting-list multiplicity weight) pass
-      through to the output next to (id1, id2).
+      frequency posting lists excluded from candidate generation).
 
     An explicit repartition spreads the group arrays first — AQE
     otherwise coalesces the small aggregate to 1-2 partitions and
@@ -238,8 +235,8 @@ def _pairs_from_groups(
         pair_expr = F.when(F.size(ids) <= star_over, all_pairs).otherwise(star)
     else:
         pair_expr = all_pairs
-    return grouped.select(F.explode(pair_expr).alias("p"), *carry).select(
-        "p.id1", "p.id2", *carry
+    return grouped.select(F.explode(pair_expr).alias("p")).select(
+        "p.id1", "p.id2"
     )
 
 
@@ -332,6 +329,13 @@ def minhash_lsh_pairs(
     The (id, shingles, signature) frame is persisted (memory-and-disk):
     it feeds the bucket join AND both sides of the verification join,
     and signatures are exactly the thing LSH precomputes once at scale.
+
+    ``eager_index`` is retained for API compatibility but has NO
+    effect since the verification join started choosing its strategy
+    from measured stats: the stats aggregate materializes the
+    persisted frame up front in every case (results were always
+    identical either way; only the old lazy-first-consumer timing
+    behavior is gone).
     """
     if bands <= 0 or k % bands:
         raise ValueError(
@@ -427,16 +431,26 @@ def ngram_jaccard_pairs(
     tokens.  Ordering tokens by ASCENDING document frequency therefore
     lets candidate generation index only each document's RAREST
     shingles — the stopword/boilerplate shingles whose posting lists
-    explode quadratically never enter the index at all — with a
-    GUARANTEE of no missed pair at the threshold (the earlier
-    bound-and-verify design could miss a pair whose every shared
-    shingle was hot).  Candidates are verified on their full
-    xxhash64 shingle sets, so every returned jaccard is exact.
+    explode quadratically never enter the index at all.  Candidates
+    are verified on their full xxhash64 shingle sets, so every
+    returned jaccard is exact (no false positives, ever).
 
-    ``max_doc_frequency`` remains as an optional belt-and-braces cap
-    on prefix posting lists (a shingle rare WITHIN its documents can
-    still be globally common on adversarial corpora); with it set,
-    a pair is missed only if every PREFIX token it shares is hot.
+    Recall contract, by mode:
+
+    - ``max_doc_frequency=None`` (default): GUARANTEED complete — the
+      prefix theorem ensures every pair at the threshold is a
+      candidate.  (The earlier bound-and-verify design could miss a
+      pair whose every shared shingle was hot.)
+    - ``max_doc_frequency=N``: prefix posting lists wider than N are
+      additionally dropped, trading a bounded quadratic term for a
+      WEAKER recall contract: a pair is missed iff every prefix token
+      it shares is hot.  NOTE this is incomparable to (not stronger
+      than) the old cap contract ("missed iff every shared token
+      anywhere is hot") — a pair whose shared rare tokens all rank
+      outside its prefixes is found by the old rule but not this one.
+      In practice near-dups share rare shingles, rare shingles rank
+      FIRST in prefixes, and the exactness oracle stays green; use
+      None when completeness is contractual.
 
     Scale shape: df-count and prefix selection are linear shuffles;
     the per-doc rank window is hash-partitioned on the doc id; the

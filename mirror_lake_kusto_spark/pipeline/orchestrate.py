@@ -83,11 +83,17 @@ class MirrorPipeline:
         state_backend: str = "delta",
         on_schema_change: str = "fail",
         optimize_target_zorder_by: list[str] | None = None,
+        commit_coordinator=None,
     ):
         self.spark = spark
         self.source = source_path
         self.table = table_name
-        self.sink = DeltaSink(spark, target_path)
+        # commit_coordinator passes through to the sink — REQUIRED for
+        # raw-S3 targets, where plain create is not conditional and
+        # DeltaSink refuses to run without one
+        self.sink = DeltaSink(
+            spark, target_path, commit_coordinator=commit_coordinator
+        )
         if state_backend == "csv":
             # reference-faithful: append-only CSV + driver LWW map —
             # lowest batch latency, driver holds O(total files) items
@@ -487,7 +493,17 @@ class MirrorPipeline:
             and self._is_additive(recorded["schema"], meta["schemaString"])
         ):
             # record the widened schema; loads already read old files
-            # under the latest schema (missing columns -> null)
+            # under the latest schema (missing columns -> null).
+            # A column-mapped TARGET (possible after a prior rename in
+            # evolve-rename mode) cannot take the widened schema via
+            # append's implicit metaData — _commit refuses schema-
+            # changing appends on mapped tables — so evolve it
+            # explicitly (idempotent no-op on crash replay)
+            if (
+                self.on_schema_change == "evolve-rename"
+                and self.sink._current_mapping()
+            ):
+                self.sink.evolve_add(meta["schemaString"])
             return {
                 **self._item(
                     hwm + 1, end_tx, "Schema", "Done", self.now_fn().isoformat()

@@ -290,8 +290,9 @@ class DeltaSink:
                     raise ValueError(
                         "schema-changing append on a column-mapped "
                         "table would clobber the logical->physical "
-                        "mapping; rename via evolve_rename() and "
-                        "append under the current logical schema"
+                        "mapping; rename via evolve_rename(), add "
+                        "columns via evolve_add(), then append under "
+                        "the current logical schema"
                     )
                 body.append({"metaData": self._metadata_action()})
             body.extend(actions)
@@ -307,6 +308,10 @@ class DeltaSink:
                     "\n".join(json.dumps(a) for a in body) + "\n",
                 )
             except FileExistsError:
+                # lost the race: another writer committed — its commit
+                # may carry new metadata (e.g. a rename), so the memo
+                # must be re-derived before we retry
+                self._mapping_cache = False
                 attempted = v
                 continue
             if (v + 1) % self.checkpoint_interval == 0 and not getattr(
@@ -366,6 +371,23 @@ class DeltaSink:
             return [DeltaSink._strip_field_metadata(x) for x in node]
         return node
 
+    @classmethod
+    def _schema_key(cls, schema_json: str):
+        """Schema identity for the append guard: per-field metadata
+        stripped (column-mapping annotations are not schema identity)
+        and TOP-LEVEL fields sorted by name — parquet/Delta access is
+        by name throughout this engine, so a frame whose columns
+        arrive in a different order (e.g. the mirror appending
+        [src..., lineage...] after evolve_add put the new column last)
+        is the same schema.  Nested struct field order is kept: there
+        it IS part of the type."""
+        parsed = cls._strip_field_metadata(json.loads(schema_json))
+        if isinstance(parsed.get("fields"), list):
+            parsed["fields"] = sorted(
+                parsed["fields"], key=lambda f: f.get("name", "")
+            )
+        return parsed
+
     def _schema_changed(self) -> bool:
         """Driver-side scan of the newest commits for the last recorded
         schemaString (metadata-only; no Spark job)."""
@@ -379,10 +401,9 @@ class DeltaSink:
                     continue
                 act = json.loads(line)
                 if "metaData" in act:
-                    return self._strip_field_metadata(
-                        json.loads(act["metaData"]["schemaString"])
-                    ) != self._strip_field_metadata(
-                        json.loads(self._pending_schema)
+                    return self._schema_key(
+                        act["metaData"]["schemaString"]
+                    ) != self._schema_key(self._pending_schema
                     )
         return False
 
@@ -637,15 +658,28 @@ class DeltaSink:
             )
         return self._commit(adds, operation=op)
 
+    #: memoized _current_mapping result; False = not yet computed.
+    #: Invalidated by evolve_rename (the only in-process mutation) and
+    #: by a lost commit race (an external writer may have changed the
+    #: table's metadata)
+    _mapping_cache: "dict | None | bool" = False
+
     def _current_mapping(self) -> dict | None:
         """Logical -> physical names when THIS table uses column
-        mapping (after evolve_rename), else None."""
-        from .delta_log import column_mapping_of, latest_metadata
+        mapping (after evolve_rename), else None.  Memoized: the
+        metadata scan is driver-side remote I/O and sat on the append
+        hot path — a table that never used mapping paid a reverse log
+        walk per write."""
+        if self._mapping_cache is False:
+            from .delta_log import column_mapping_of, latest_metadata
 
-        try:
-            return column_mapping_of(latest_metadata(self.spark, self.path))
-        except FileNotFoundError:
-            return None
+            try:
+                self._mapping_cache = column_mapping_of(
+                    latest_metadata(self.spark, self.path)
+                )
+            except FileNotFoundError:
+                self._mapping_cache = None
+        return self._mapping_cache
 
     def _stage_adds(
         self, df: DataFrame, data_change: bool, skip_empty: bool = False
@@ -1455,7 +1489,71 @@ class DeltaSink:
             renames.get(c, c) for c in self.partition_by
         ]
         self._pending_schema = new_schema
+        self._mapping_cache = False  # re-derive after the rename commits
         return self._commit(actions, operation="RENAME COLUMN")
+
+    def evolve_add(self, new_schema_json: str) -> int:
+        """ADDITIVE schema evolution on a column-mapped table: every
+        existing logical field must survive with an identical type;
+        new fields are appended with fresh mapping identities
+        (physicalName = their logical name — no data file carries them
+        yet — and the next columnMapping.id).  Idempotent: when the
+        recorded schema already covers every incoming field, no commit
+        is written.  This is the path the mirror's evolve-rename mode
+        uses when the SOURCE adds a column after a rename — a plain
+        schema-changing append would clobber the mapping metadata
+        (_commit refuses exactly that)."""
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"{self.path}: no metaData to evolve")
+        parsed = json.loads(meta["schemaString"])
+        have = {f["name"]: f for f in parsed["fields"]}
+        incoming = json.loads(new_schema_json)["fields"]
+        for f in incoming:
+            old = have.get(f["name"])
+            if old is not None and old["type"] != f["type"]:
+                raise ValueError(
+                    f"evolve_add: field {f['name']!r} changes type "
+                    f"{old['type']!r} -> {f['type']!r} (not additive)"
+                )
+        new_fields = [f for f in incoming if f["name"] not in have]
+        if not new_fields:
+            return -1  # nothing to add — replay-safe no-op
+        conf = dict(meta.get("configuration") or {})
+        max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+        added = []
+        for f in new_fields:
+            max_id += 1
+            added.append(
+                {
+                    **f,
+                    "metadata": {
+                        **(f.get("metadata") or {}),
+                        "delta.columnMapping.physicalName": f["name"],
+                        "delta.columnMapping.id": max_id,
+                    },
+                }
+            )
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        new_schema = json.dumps(
+            {**parsed, "fields": parsed["fields"] + added}
+        )
+        self._pending_schema = new_schema
+        self._mapping_cache = False
+        return self._commit(
+            [
+                {
+                    "metaData": {
+                        **meta,
+                        "schemaString": new_schema,
+                        "configuration": conf,
+                    }
+                }
+            ],
+            operation="ADD COLUMNS",
+        )
 
     def optimize(
         self,

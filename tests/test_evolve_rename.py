@@ -215,3 +215,68 @@ def test_mirror_rename_mode_accepts_adds_too(spark, tmp_path):
     assert sorted(
         (r["k"], r["extra"]) for r in df.collect()
     ) == [(1, None), (2, None), (3, 9)]
+
+
+def test_mirror_add_column_after_rename(spark, tmp_path):
+    """Round-5 review finding: an ADD after a RENAME must not wedge.
+    The rename makes the target column-mapped; the later additive
+    change then evolves the mapped target via evolve_add (explicit
+    metaData with fresh mapping identities) instead of the implicit
+    schema-changing append _commit refuses."""
+    src = _mk_source(spark, tmp_path)
+    pipe = MirrorPipeline(
+        spark,
+        source_path=src.path,
+        target_path=str(tmp_path / "dst"),
+        state_dir=str(tmp_path / "state"),
+        table_name="ren_then_add",
+        on_schema_change="evolve-rename",
+    )
+    pipe.run_until_idle()
+    # 1) rename v -> val on the source, mirror follows
+    src.evolve_rename({"v": "val"})
+    src.append(spark.createDataFrame([(3, "c")], "k long, val string"))
+    pipe.run_until_idle()
+    # 2) source ADDS a column — previously raised ValueError forever
+    src.evolve_add(
+        spark.createDataFrame([], "k long, val string, extra long")
+        .schema.json()
+    )
+    src.append(
+        spark.createDataFrame([(4, "d", 9)], "k long, val string, extra long")
+    )
+    pipe.run_until_idle()
+    df = pipe.mirror_df()
+    assert {"k", "val", "extra"} <= set(df.columns)
+    assert sorted((r["k"], r["val"], r["extra"]) for r in df.collect()) == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", None),
+        (4, "d", 9),
+    ]
+    # steady state: nothing further to do, and a replayed run is a no-op
+    assert pipe.run_once()["status"] == "up-to-date"
+    # target metadata carries mapping identities for ALL columns
+    meta = DL.latest_metadata(spark, pipe.sink.path)
+    fields = json.loads(meta["schemaString"])["fields"]
+    by_name = {f["name"]: f["metadata"] for f in fields}
+    assert by_name["val"]["delta.columnMapping.physicalName"] == "v"
+    assert by_name["extra"]["delta.columnMapping.physicalName"] == "extra"
+
+
+def test_evolve_add_idempotent_and_rejects_retype(spark, tmp_path):
+    sink = DeltaSink(spark, str(tmp_path / "t"))
+    sink.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    sink.evolve_rename({"v": "val"})
+    widened = (
+        spark.createDataFrame([], "k long, val string, extra long")
+        .schema.json()
+    )
+    v1 = sink.evolve_add(widened)
+    assert v1 >= 0
+    # replay: no new fields -> no commit
+    assert sink.evolve_add(widened) == -1
+    with pytest.raises(ValueError, match="not additive"):
+        sink.evolve_add(
+            spark.createDataFrame([], "k string, val string").schema.json()
+        )
