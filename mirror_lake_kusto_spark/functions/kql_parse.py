@@ -1796,6 +1796,13 @@ class KqlQuery:
         if not verb_m:
             raise KqlParseError(f"unsupported operator: {op.split()[0]!r}")
         verb = re.sub(r"\s+", " ", verb_m.group(1).lower())
+        if getattr(frame, "_graph", None) is not None and verb != "graph-match":
+            # Kusto's contract: a staged graph is not tabular — don't
+            # silently degrade it to its edge table
+            raise KqlParseError(
+                f"graphs are not tabular: only graph-match may follow "
+                f"make-graph (got {verb!r})"
+            )
         rest = verb_m.group(2).strip()
         rest = _resolve_column_ifexists(rest, frame.df.columns)
         method = getattr(self, "_op_" + verb.replace(" ", "_").replace("-", "_"))
@@ -2880,6 +2887,9 @@ class KqlQuery:
             "new_activity_metrics",
             "dcount_intersect",
             "funnel_sequence",
+            "session_count",
+            "rolling_percentile",
+            "rows_near",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -2905,6 +2915,12 @@ class KqlQuery:
             return self._dcount_intersect(frame, args)
         if plugin == "funnel_sequence":
             return self._funnel_sequence(frame, args)
+        if plugin == "session_count":
+            return self._session_count(frame, args)
+        if plugin == "rolling_percentile":
+            return self._rolling_percentile(frame, args)
+        if plugin == "rows_near":
+            return self._rows_near(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -3396,7 +3412,14 @@ class KqlQuery:
         Scale shape: pure per-row expressions over pre-aggregated
         sketches (2^N union/estimate terms, N <= 6) — no shuffle, no
         Python.  For small true cardinalities the DataSketches HLL is
-        in exact (coupon) mode, so the result is exact."""
+        in exact (coupon) mode, so the result is exact.
+
+        NULL sketches are EMPTY SETS, exactly like Kusto: ``hll()``
+        over a group with no non-null inputs aggregates to NULL, and a
+        bare ``hll_union(x, NULL)`` would poison every inclusion-
+        exclusion term to NULL — so each term unions only its non-null
+        members (null-skipping CASE fold) and an all-null term
+        estimates 0."""
         import itertools
 
         cols = [a.strip() for a in args]
@@ -3411,16 +3434,29 @@ class KqlQuery:
                     f"dcount_intersect: unknown column {c!r}"
                 )
         keep = [c for c in frame.df.columns if c not in cols]
+
+        def union_expr(sub: tuple[str, ...]) -> str:
+            # null-skipping union fold: NULL members drop out; all-NULL
+            # folds to NULL (coalesced to 0 at the estimate)
+            u = sub[0]
+            for c in sub[1:]:
+                u = (
+                    f"CASE WHEN ({u}) IS NULL THEN {c} "
+                    f"WHEN {c} IS NULL THEN ({u}) "
+                    f"ELSE hll_union({u}, {c}) END"
+                )
+            return u
+
         outs = []
         for i in range(len(cols)):
             terms = []
             for r in range(1, i + 2):
                 for sub in itertools.combinations(cols[: i + 1], r):
-                    u = sub[0]
-                    for c in sub[1:]:
-                        u = f"hll_union({u}, {c})"
                     sign = "+" if r % 2 == 1 else "-"
-                    terms.append(f" {sign} hll_sketch_estimate({u})")
+                    terms.append(
+                        f" {sign} coalesce(hll_sketch_estimate("
+                        f"{union_expr(sub)}), 0)"
+                    )
             outs.append(
                 F.expr("0" + "".join(terms)).cast("long").alias(f"s{i}")
             )
@@ -3504,6 +3540,189 @@ class KqlQuery:
                 F.col("_prev").alias("prev"), F.col("_next").alias("next")
             )
             .agg(F.countDistinct("_id").alias("dcount"))
+        )
+        return KqlFrame(out)
+
+    def _session_count(self, frame, args):
+        """``evaluate session_count(Id, Timeline, Start, End, Bin,
+        LookBackWindow)`` — for every Bin-sized timeline point, the
+        count of ids active at least once within LookBackWindow ending
+        at that point (Kusto's session definition).  LookBackWindow
+        must be a multiple of Bin.  Restricted profile: the optional
+        dim columns are not supported.
+
+        Scale shape: distinct (id, bin) once, then each activity
+        fans out to its LookBack/Bin covered bins (a SMALL constant),
+        one distinct + one count aggregation — all id-cardinality work
+        hash-distributed; the output grid is O(bins), driver-scale."""
+        if len(args) != 6:
+            raise KqlParseError(
+                "session_count supports exactly (IdColumn, "
+                "TimelineColumn, Start, End, Bin, LookBackWindow) — "
+                "dim columns are not implemented"
+            )
+        idc, tc, start_sql, end_sql = self._span_args(args, 2)
+        bin_us = self._win_us(args[4], "Bin")
+        look_us = self._win_us(args[5], "LookBackWindow")
+        if look_us % bin_us:
+            raise KqlParseError(
+                "session_count: LookBackWindow must be a multiple of Bin"
+            )
+        lb = look_us // bin_us
+        s_us = f"unix_micros({start_sql})"
+        e_us = f"unix_micros({end_sql})"
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {bin_us}")
+        pairs = df.select(
+            F.col(idc).alias("_id"), kcol.alias("_k")
+        ).distinct()
+        kmax = F.expr(f"((({e_us}) - ({s_us})) - 1) DIV {bin_us}")
+        active = (
+            pairs.select(
+                "_id",
+                F.explode(
+                    F.sequence(
+                        F.col("_k"),
+                        F.least(F.col("_k") + (lb - 1), kmax),
+                    )
+                ).alias("_b"),
+            )
+            .distinct()
+            .groupBy("_b")
+            .agg(F.count("*").alias("count"))
+        )
+        # full grid incl. zero bins, like Kusto's timeline output
+        spark = frame.df.sparkSession
+        grid = spark.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(0, ((({e_us}) - ({s_us})) - 1) DIV {bin_us})"
+                )
+            ).alias("_b")
+        )
+        out = (
+            grid.join(active, "_b", "left")
+            .select(
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _b * {bin_us})"
+                ).alias(tc),
+                F.coalesce("count", F.lit(0)).alias("count"),
+            )
+        )
+        return KqlFrame(out)
+
+    def _rolling_percentile(self, frame, args):
+        """``evaluate rolling_percentile(ValueColumn, Percentile,
+        TimelineColumn, Start, End, BinSize, BinsPerWindow)`` — for
+        each BinSize point, the exact interpolated percentile of the
+        values from the last BinsPerWindow bins (inclusive).
+        Restricted profile: no dim columns.
+
+        Scale shape: values fan out to their BinsPerWindow covered
+        bins (small constant) and one hash aggregation computes the
+        exact percentile per output bin — no global window."""
+        if len(args) != 7:
+            raise KqlParseError(
+                "rolling_percentile supports exactly (ValueColumn, "
+                "Percentile, TimelineColumn, Start, End, BinSize, "
+                "BinsPerWindow) — dim columns are not implemented"
+            )
+        vcol = args[0].strip()
+        try:
+            pct = float(args[1])
+        except ValueError:
+            raise KqlParseError(
+                f"rolling_percentile: bad percentile {args[1]!r}"
+            ) from None
+        if not 0 <= pct <= 100:
+            raise KqlParseError("percentile must be in [0, 100]")
+        tc = args[2].strip()
+        start_sql = translate_expr(args[3])
+        end_sql = translate_expr(args[4])
+        bin_us = self._win_us(args[5], "BinSize")
+        try:
+            wbins = int(args[6])
+        except ValueError:
+            raise KqlParseError(
+                f"rolling_percentile: BinsPerWindow must be an int, "
+                f"got {args[6]!r}"
+            ) from None
+        if wbins <= 0:
+            raise KqlParseError("BinsPerWindow must be positive")
+        s_us = f"unix_micros({start_sql})"
+        e_us = f"unix_micros({end_sql})"
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {bin_us}")
+        kmax = f"((({e_us}) - ({s_us})) - 1) DIV {bin_us}"
+        out = (
+            df.select(F.col(vcol).alias("_v"), kcol.alias("_k"))
+            .select(
+                "_v",
+                F.explode(
+                    F.sequence(
+                        F.col("_k"),
+                        F.least(F.col("_k") + (wbins - 1), F.expr(kmax)),
+                    )
+                ).alias("_b"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.expr(f"percentile(_v, {pct / 100.0!r})").alias(
+                    f"rolling_{int(pct)}_percentile_{vcol}"
+                )
+            )
+            .select(
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _b * {bin_us})"
+                ).alias(tc),
+                f"rolling_{int(pct)}_percentile_{vcol}",
+            )
+        )
+        return KqlFrame(out)
+
+    def _rows_near(self, frame, args):
+        """``evaluate rows_near(Condition, NumRows [, RowsAfter])`` —
+        rows within NumRows before (and RowsAfter after, default
+        NumRows) of any row satisfying Condition, in the SERIALIZED
+        row order (requires a preceding ``order by``, same contract as
+        ``serialize``/``prev``).
+
+        Scale note: inherently a global ordered pass (Kusto's
+        semantics); compose under ``partition by`` for per-key
+        distributed use."""
+        from pyspark.sql import Window as _W
+
+        if not 2 <= len(args) <= 3:
+            raise KqlParseError(
+                "rows_near needs (Condition, NumRows [, RowsAfter])"
+            )
+        if not self._order_sql:
+            raise KqlParseError(
+                "rows_near requires a preceding 'order by' (Spark has "
+                "no natural row order)"
+            )
+        cond = translate_expr(args[0])
+        try:
+            before = int(args[1])
+            after = int(args[2]) if len(args) == 3 else before
+        except ValueError:
+            raise KqlParseError(
+                "rows_near: NumRows/RowsAfter must be integers"
+            ) from None
+        if before < 0 or after < 0:
+            raise KqlParseError("rows_near: row counts must be >= 0")
+        w = _W.orderBy(*self._order_columns()).rowsBetween(-after, before)
+        out = (
+            frame.df.withColumn(
+                "__near",
+                F.max(F.expr(cond).cast("int")).over(w),
+            )
+            .filter(F.col("__near") == 1)
+            .drop("__near")
         )
         return KqlFrame(out)
 

@@ -1370,6 +1370,128 @@ def kql_graph_match_nodes(spark, sf_dir):
 
 
 @query(
+    "kql_session_count",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-02') / 86400) AS BIGINT) AS k
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-23'
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(s.g AS BIGINT) AS b
+      FROM ev, generate_series(0, 20) s(g)
+      WHERE s.g BETWEEN ev.k AND ev.k + 2
+    ), grid AS (
+      SELECT CAST(g.g AS BIGINT) AS b FROM generate_series(0, 20) g(g)
+    )
+    SELECT TIMESTAMP '2024-01-02' + grid.b * INTERVAL 1 DAY AS ts,
+           CAST(COALESCE(n, 0) AS BIGINT) AS count
+    FROM grid LEFT JOIN (
+      SELECT b, COUNT(*) AS n FROM act GROUP BY b
+    ) c USING (b)
+    ORDER BY ts
+    """,
+    doc="KQL session_count plugin: per daily timeline point, ids "
+    "active within a 3d look-back window; distinct (id, bin) pairs "
+    "fan out to a bounded bin range, all id-cardinality work stays "
+    "hash-distributed, output grid is O(bins)",
+)
+def kql_session_count(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | evaluate session_count(user_id, ts,
+            datetime(2024-01-02), datetime(2024-01-23), 1d, 3d)
+        | order by ts asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out
+
+
+@query(
+    "kql_rolling_percentile",
+    """
+    WITH ev AS (
+      SELECT value,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-02') / 86400) AS BIGINT) AS k
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        AND event_type = 'purchase'
+    ), fan AS (
+      SELECT value, CAST(s.g AS BIGINT) AS b
+      FROM ev, generate_series(0, 13) s(g)
+      WHERE s.g BETWEEN ev.k AND ev.k + 2
+    )
+    SELECT TIMESTAMP '2024-01-02' + b * INTERVAL 1 DAY AS ts,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50
+    FROM fan GROUP BY b ORDER BY ts
+    """,
+    doc="KQL rolling_percentile plugin: exact interpolated median of "
+    "the last 3 daily bins per timeline point; values fan out to a "
+    "bounded bin range and one hash aggregation computes each bin's "
+    "percentile — no global window",
+)
+def kql_rolling_percentile(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | where event_type == 'purchase'
+        | evaluate rolling_percentile(value, 50, ts,
+            datetime(2024-01-02), datetime(2024-01-16), 1d, 3)
+        | order by ts asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "ts", F.round("rolling_50_percentile_value", 4).alias("p50")
+    )
+
+
+@query(
+    "kql_rows_near",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+      FROM events WHERE user_id % 97 = 0
+    ), m AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (ORDER BY t, event_id
+                     ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS near
+      FROM ev
+    )
+    SELECT event_id, event_type FROM m WHERE near = 1
+    ORDER BY event_id
+    """,
+    doc="KQL rows_near plugin: context rows around error events (2 "
+    "before, 1 after) in the serialized order — the inherently "
+    "sequential Kusto semantics, one ordered window pass",
+)
+def kql_rows_near(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | where user_id % 97 == 0
+        | project event_id, event_type, ts
+        | order by ts asc, event_id asc
+        | evaluate rows_near(event_type == 'error', 2, 1)
+        | project event_id, event_type
+        | order by event_id asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out
+
+
+@query(
     "kql_scalar_toolkit3",
     """
     WITH base AS (

@@ -1980,3 +1980,103 @@ def test_graph_match_nodes_table_and_errors(spark):
             "project x = a.id",
             tables={"E": edges},
         )
+
+
+def test_dcount_intersect_null_sketch_is_empty_set(spark):
+    """Round-5 review finding: a group where one cohort has NO members
+    aggregates that hll() to NULL; the intersection counts must read 0
+    (empty set), never NULL."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 11), (1, "b", 10), (2, "a", 20)],
+        "grp long, kind string, uid long",
+    )
+    rows = kql(
+        spark,
+        """
+        T
+        | summarize ha = hll(iff(kind == 'a', uid, tolong(null))),
+                    hb = hll(iff(kind == 'b', uid, tolong(null)))
+            by grp
+        | evaluate dcount_intersect(ha, hb)
+        | order by grp asc
+        """,
+        tables={"T": t},
+    ).collect()
+    # grp 1: A={10,11}, B={10} -> s0=2, s1=1; grp 2: A={20}, B={} ->
+    # s0=1, s1=0 (previously NULL)
+    assert [(r.grp, r.s0, r.s1) for r in rows] == [(1, 2, 1), (2, 1, 0)]
+
+
+def test_session_count_and_rolling_percentile_semantics(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 10.0),
+            (2, "2024-01-01 11:00:00", 20.0),
+            (1, "2024-01-03 10:00:00", 30.0),
+            (3, "2024-01-04 10:00:00", 40.0),
+        ],
+        "uid long, ts string, v double",
+    ).selectExpr("uid", "CAST(ts AS TIMESTAMP) ts", "v")
+    rows = kql(
+        spark,
+        """
+        T
+        | evaluate session_count(uid, ts,
+            datetime(2024-01-01), datetime(2024-01-06), 1d, 2d)
+        | order by ts asc
+        """,
+        tables={"T": t},
+    ).collect()
+    # day0: {1,2}; day1: lookback covers day0 -> {1,2}; day2: {1};
+    # day3: {1 (day2), 3}; day4: {3}
+    assert [r["count"] for r in rows] == [2, 2, 1, 2, 1]
+
+    rows = kql(
+        spark,
+        """
+        T
+        | evaluate rolling_percentile(v, 50, ts,
+            datetime(2024-01-01), datetime(2024-01-06), 1d, 2)
+        | order by ts asc
+        """,
+        tables={"T": t},
+    ).collect()
+    # bin0 values {10,20}; bin1 window {10,20}; bin2 {30};
+    # bin3 {30,40}; bin4 {40}
+    assert [r["rolling_50_percentile_v"] for r in rows] == [
+        15.0, 15.0, 30.0, 35.0, 40.0,
+    ]
+
+
+def test_rows_near_requires_order_and_windows_correctly(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    t = spark.createDataFrame(
+        [(i, "error" if i == 5 else "ok") for i in range(10)],
+        "i long, s string",
+    )
+    rows = kql(
+        spark,
+        """
+        T
+        | order by i asc
+        | evaluate rows_near(s == 'error', 2, 1)
+        | order by i asc
+        """,
+        tables={"T": t},
+    ).collect()
+    assert [r.i for r in rows] == [3, 4, 5, 6]
+
+    with pytest.raises(KqlParseError, match="order by"):
+        kql(
+            spark,
+            "T | evaluate rows_near(s == 'error', 2)",
+            tables={"T": t},
+        )
