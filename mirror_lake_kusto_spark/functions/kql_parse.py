@@ -2526,22 +2526,29 @@ class KqlQuery:
         out._graph = (src, dst, nodes, idcol)
         return out
 
-    _GM_HOP = re.compile(r"-\[\s*(\w*)\s*\]->\s*\(\s*(\w*)\s*\)")
+    _GM_HOP = re.compile(
+        r"-\[\s*(\w*)\s*(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]->"
+        r"\s*\(\s*(\w*)\s*\)"
+    )
 
     def _op_graph_match(self, frame, rest):
-        """``graph-match (a)-[e1]->(b)-[e2]->(c) [where pred] project
-        name = expr, ...`` — fixed-length LINEAR path patterns over the
-        staged graph, lowered to a chain of hash equi-joins (one edge
+        """``graph-match (a)-[e1]->(b)-[e2*1..3]->(c) [where pred]
+        project name = expr, ...`` — LINEAR path patterns over the
+        staged graph, lowered to chains of hash equi-joins (one edge
         scan per hop, node tables attached only for pattern variables
-        whose PROPERTIES the query references — unreferenced nodes cost
-        nothing).  A node variable repeated in the pattern adds an
-        endpoint-equality filter, so cycles ((a)-..->(a), triangles)
-        express naturally.  Variable-length ``*1..3`` edges and
-        non-linear patterns are outside this profile and raise.
+        whose PROPERTIES the query references — unreferenced nodes
+        cost nothing).  A node variable repeated in the pattern adds
+        an endpoint-equality filter, so cycles ((a)-..->(a),
+        triangles) express naturally.  A ``*lo..hi`` edge expands to
+        the UNION of the fixed-length chains (every path length is a
+        separate match, Kusto semantics); the total expansion count is
+        capped, and a starred edge variable's properties are not
+        accessible (it names a path, not one edge).  Non-linear
+        patterns raise.
 
         Scale shape: every hop is an equi-join on edge endpoints —
-        hash-distributed, no cartesian; the pattern length bounds the
-        join chain statically."""
+        hash-distributed, no cartesian; pattern length and the
+        expansion cap bound the join chains statically."""
         graph = getattr(frame, "_graph", None)
         if graph is None:
             raise KqlParseError(
@@ -2560,13 +2567,8 @@ class KqlQuery:
         m0 = re.match(r"^\((\w*)\)", pattern)
         if not m0:
             raise KqlParseError(f"graph-match: bad pattern {pattern!r}")
-        if "*" in pattern:
-            raise KqlParseError(
-                "graph-match: variable-length edges are not supported "
-                "in this profile"
-            )
-        node_vars = [m0.group(1) or "_n0"]
-        edge_vars: list[str] = []
+        node_names = [m0.group(1) or "_n0"]
+        segs: list[tuple[str, int, int, bool]] = []
         pos = m0.end()
         for i, hop in enumerate(self._GM_HOP.finditer(pattern)):
             if hop.start() != pos:
@@ -2574,52 +2576,55 @@ class KqlQuery:
                     f"graph-match: non-linear pattern near "
                     f"{pattern[pos:hop.start()]!r}"
                 )
-            edge_vars.append(hop.group(1) or f"_e{i}")
-            node_vars.append(hop.group(2) or f"_n{i + 1}")
+            ev = hop.group(1) or f"_e{i}"
+            starred = hop.group(2) is not None
+            lo = int(hop.group(2)) if starred else 1
+            hi = int(hop.group(3)) if starred else 1
+            if starred and not 1 <= lo <= hi:
+                raise KqlParseError(
+                    f"graph-match: bad length range *{lo}..{hi} "
+                    f"(need 1 <= lo <= hi)"
+                )
+            segs.append((ev, lo, hi, starred))
+            node_names.append(hop.group(4) or f"_n{i + 1}")
             pos = hop.end()
-        if pos != len(pattern) or not edge_vars:
+        if pos != len(pattern) or not segs:
             raise KqlParseError(
                 f"graph-match: bad pattern tail {pattern[pos:]!r}"
             )
-        if len(set(edge_vars)) != len(edge_vars):
+        evs = [s[0] for s in segs]
+        if len(set(evs)) != len(evs):
             raise KqlParseError("graph-match: duplicate edge variable")
-        edges = frame.df
-        # endpoint column for each pattern POSITION
-        pos_id = [f"{edge_vars[0]}__{src}"] + [
-            f"{e}__{dst}" for e in edge_vars
-        ]
-        cur = None
-        for i, e in enumerate(edge_vars):
-            edf = edges.select(
-                *[F.col(c).alias(f"{e}__{c}") for c in edges.columns]
+        import itertools as _it
+
+        length_axes = [range(lo, hi + 1) for _, lo, hi, _ in segs]
+        expansions = list(_it.product(*length_axes))
+        if len(expansions) > 16:
+            raise KqlParseError(
+                f"graph-match: {len(expansions)} length combinations "
+                "exceed the expansion cap (16) — narrow the *lo..hi "
+                "ranges"
             )
-            if cur is None:
-                cur = edf
-            else:
-                cur = cur.join(
-                    edf,
-                    F.col(f"{edge_vars[i - 1]}__{dst}")
-                    == F.col(f"{e}__{src}"),
-                )
-        # repeated node variables: endpoint equality (cycles)
-        first_pos: dict[str, int] = {}
-        for i, nv in enumerate(node_vars):
-            if nv in first_pos:
-                cur = cur.filter(
-                    F.col(pos_id[first_pos[nv]]) == F.col(pos_id[i])
-                )
-            else:
-                first_pos[nv] = i
-        # rewrite var.prop references; attach node tables only when a
-        # node variable's properties are actually used
+        starred_vars = {ev for ev, _, _, st in segs if st}
+        plain_edges = {ev for ev, _, _, st in segs if not st}
+        named_nodes = set(node_names)
+        # rewrite var.prop references once (expressions are identical
+        # for every expansion: boundary node names and plain edge
+        # names are shared; starred edges name a PATH and raise)
         used_nodes: set[str] = set()
 
         def rewrite(expr: str) -> str:
             def sub(m: re.Match) -> str:
                 var, prop = m.group(1), m.group(2)
-                if var in edge_vars:
+                if var in starred_vars:
+                    raise KqlParseError(
+                        f"graph-match: {var!r} is a variable-length "
+                        "edge — its per-edge properties are not "
+                        "accessible in this profile"
+                    )
+                if var in plain_edges:
                     return f"{var}__{prop}"
-                if var in first_pos:
+                if var in named_nodes:
                     used_nodes.add(var)
                     return f"__n_{var}__{prop}"
                 return m.group(0)
@@ -2631,25 +2636,78 @@ class KqlQuery:
             (name or None, rewrite(e))
             for name, e in _named_exprs(proj.strip())
         ]
-        for nv in sorted(used_nodes):
-            ndf = nodes.select(
-                *[F.col(c).alias(f"__n_{nv}__{c}") for c in nodes.columns]
-            )
-            cur = cur.join(
-                ndf,
-                F.col(pos_id[first_pos[nv]])
-                == F.col(f"__n_{nv}__{idcol}"),
-            )
-        if pred_sql:
-            cur = cur.filter(F.expr(translate_expr(pred_sql)))
-        cols = []
-        for i, (name, e) in enumerate(proj_items):
-            cols.append(
-                F.expr(translate_expr(e)).alias(
-                    name or re.sub(r"\W+", "_", e) or f"c{i}"
+        edges = frame.df
+        out = None
+        for exp_i, hops_per_seg in enumerate(expansions):
+            # concrete per-hop edge vars and node list for this length
+            # combination (intermediates of a starred segment get
+            # unique anonymous names)
+            edge_vars: list[str] = []
+            node_vars: list[str] = [node_names[0]]
+            for si, ((ev, _lo, _hi, st), nh) in enumerate(
+                zip(segs, hops_per_seg)
+            ):
+                for j in range(nh):
+                    edge_vars.append(
+                        ev if (nh == 1 and not st) else f"{ev}__h{j}"
+                    )
+                    node_vars.append(
+                        node_names[si + 1]
+                        if j == nh - 1
+                        else f"__i{si}_{j}"
+                    )
+            pos_id = [f"{edge_vars[0]}__{src}"] + [
+                f"{e}__{dst}" for e in edge_vars
+            ]
+            cur = None
+            for i, e in enumerate(edge_vars):
+                edf = edges.select(
+                    *[F.col(c).alias(f"{e}__{c}") for c in edges.columns]
                 )
-            )
-        return KqlFrame(cur.select(*cols))
+                if cur is None:
+                    cur = edf
+                else:
+                    cur = cur.join(
+                        edf,
+                        F.col(f"{edge_vars[i - 1]}__{dst}")
+                        == F.col(f"{e}__{src}"),
+                    )
+            # a single-hop expansion of a starred edge still uses the
+            # hashed name ev__h0; expose the plain name too so shared
+            # expressions would resolve — not needed (starred refs
+            # raise), kept implicit.
+            first_pos: dict[str, int] = {}
+            for i, nv in enumerate(node_vars):
+                if nv in first_pos:
+                    cur = cur.filter(
+                        F.col(pos_id[first_pos[nv]]) == F.col(pos_id[i])
+                    )
+                else:
+                    first_pos[nv] = i
+            for nv in sorted(used_nodes):
+                ndf = nodes.select(
+                    *[
+                        F.col(c).alias(f"__n_{nv}__{c}")
+                        for c in nodes.columns
+                    ]
+                )
+                cur = cur.join(
+                    ndf,
+                    F.col(pos_id[first_pos[nv]])
+                    == F.col(f"__n_{nv}__{idcol}"),
+                )
+            if pred_sql:
+                cur = cur.filter(F.expr(translate_expr(pred_sql)))
+            cols = []
+            for i, (name, e) in enumerate(proj_items):
+                cols.append(
+                    F.expr(translate_expr(e)).alias(
+                        name or re.sub(r"\W+", "_", e) or f"c{i}"
+                    )
+                )
+            projected = cur.select(*cols)
+            out = projected if out is None else out.union(projected)
+        return KqlFrame(out)
 
     def _op_make_series(self, frame, rest):
         """``make-series name = agg() [default = lit], ... on ts
@@ -2890,6 +2948,7 @@ class KqlQuery:
             "session_count",
             "rolling_percentile",
             "rows_near",
+            "ipv4_lookup",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -2921,6 +2980,8 @@ class KqlQuery:
             return self._rolling_percentile(frame, args)
         if plugin == "rows_near":
             return self._rows_near(frame, args)
+        if plugin == "ipv4_lookup":
+            return self._ipv4_lookup(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -3723,6 +3784,94 @@ class KqlQuery:
             )
             .filter(F.col("__near") == 1)
             .drop("__near")
+        )
+        return KqlFrame(out)
+
+    def _ipv4_lookup(self, frame, args):
+        """``evaluate ipv4_lookup(LookupTable, SourceIPColumn,
+        IPNetworkColumn [, return_unmatched])`` — join each row to
+        every lookup row whose CIDR network contains the source IP.
+        Restricted profile: no extra join keys; networks narrower than
+        /8 raise (the bucket fan-out below would explode).
+
+        Scale shape: CIDR containment is NOT an equi-join, and a naive
+        lowering is a broadcast nested loop.  Instead each network
+        fans out to its covered /16 buckets (one row for /16-or-
+        narrower, up to 256 for /8) and the join is a hash EQUI-join
+        on the bucket with the range check as a residual filter — so
+        arbitrarily large source tables stream through a shuffle/
+        broadcast hash join, never a nested loop."""
+        if not 3 <= len(args) <= 4:
+            raise KqlParseError(
+                "ipv4_lookup needs (LookupTable, SourceIPColumn, "
+                "IPNetworkColumn [, return_unmatched])"
+            )
+        lookup = self._source(args[0].strip())
+        ipc = args[1].strip()
+        netc = args[2].strip()
+        unmatched = False
+        if len(args) == 4:
+            flag = args[3].strip().lower()
+            if flag not in ("true", "false"):
+                raise KqlParseError(
+                    f"ipv4_lookup: return_unmatched must be a bool "
+                    f"literal, got {args[3]!r}"
+                )
+            unmatched = flag == "true"
+        if netc not in lookup.columns:
+            raise KqlParseError(
+                f"ipv4_lookup: {args[0].strip()!r} has no column {netc!r}"
+            )
+        overlap = set(frame.df.columns) & set(lookup.columns)
+        if overlap:
+            raise KqlParseError(
+                f"ipv4_lookup: overlapping column names {sorted(overlap)}"
+            )
+        ip_num = translate_expr(f"parse_ipv4({ipc})")
+        pref = translate_expr(f"parse_ipv4(substring_index({netc}, '/', 1))")
+        bits = (
+            f"(CASE WHEN instr({netc}, '/') > 0 THEN "
+            f"CAST(substring_index({netc}, '/', -1) AS INT) ELSE 32 END)"
+        )
+        look = (
+            lookup.withColumn("__bits", F.expr(bits))
+            .withColumn(
+                "__lo",
+                F.expr(
+                    f"shiftleft(shiftright({pref}, 32 - __bits), "
+                    "32 - __bits)"
+                ),
+            )
+            .withColumn(
+                "__hi",
+                F.expr("__lo + shiftleft(1L, 32 - __bits) - 1"),
+            )
+        )
+        # profile guard: a /7 network would fan out to 512 buckets
+        narrow = look.filter("__bits < 8").limit(1).count()
+        if narrow:
+            raise KqlParseError(
+                "ipv4_lookup: networks wider than /8 are outside this "
+                "profile (bucket fan-out)"
+            )
+        look = look.withColumn(
+            "__bucket",
+            F.explode(F.expr("sequence(__lo DIV 65536, __hi DIV 65536)")),
+        )
+        src_df = frame.df.withColumn("__ip", F.expr(ip_num)).withColumn(
+            "__bucket", F.expr("__ip DIV 65536")
+        )
+        cond = (
+            (src_df["__bucket"] == look["__bucket"])
+            & (src_df["__ip"] >= look["__lo"])
+            & (src_df["__ip"] <= look["__hi"])
+        )
+        joined = src_df.join(
+            look, cond, "left" if unmatched else "inner"
+        )
+        out = joined.select(
+            *[src_df[c] for c in frame.df.columns],
+            *[look[c] for c in lookup.columns],
         )
         return KqlFrame(out)
 

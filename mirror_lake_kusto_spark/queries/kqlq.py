@@ -1338,6 +1338,40 @@ def kql_graph_match_cycle(spark, sf_dir):
 
 
 @query(
+    "kql_graph_match_varlen",
+    f"""
+    WITH e(src, dst, w) AS (VALUES {_GRAPH_VALUES}),
+    p AS (
+      SELECT src AS a0, dst AS b0 FROM e
+      UNION ALL
+      SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+    )
+    SELECT CAST(a0 AS BIGINT) AS a0, CAST(b0 AS BIGINT) AS b0,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="KQL graph-match with a VARIABLE-LENGTH edge (*1..2): the "
+    "starred segment expands to a bounded union of fixed-length join "
+    "chains, one row per path (Kusto match semantics) — here counting "
+    "distinct 1-or-2-hop paths per endpoint pair on the circulant "
+    "graph",
+)
+def kql_graph_match_varlen(spark, sf_dir):
+    return kql(
+        spark,
+        f"""
+        datatable(src:long, dst:long, w:long) [ {_GRAPH_DT} ]
+        | make-graph src --> dst
+        | graph-match (a)-[e*1..2]->(b)
+          project a0 = a.id, b0 = b.id
+        | summarize n_paths = count() by a0, b0
+        | order by a0 asc, b0 asc
+        """,
+        tables={},
+    )
+
+
+@query(
     "kql_graph_match_nodes",
     """
     SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
@@ -1366,6 +1400,50 @@ def kql_graph_match_nodes(spark, sf_dir):
         | order by nation asc
         """,
         tables=_tables(spark, sf_dir, "customer", "nation"),
+    )
+
+
+@query(
+    "kql_ipv4_lookup",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 4 AS o2, doc_id % 250 AS o3
+      FROM documents
+    )
+    SELECT doc_id, label FROM (
+      SELECT doc_id, 'corpA' AS label FROM m
+      UNION ALL
+      SELECT doc_id, 'netB' FROM m WHERE o2 = 2
+      UNION ALL
+      SELECT doc_id, 'subC' FROM m WHERE o2 = 3 AND o3 = 5
+    ) ORDER BY doc_id, label
+    """,
+    doc="KQL ipv4_lookup plugin: CIDR containment joined as a hash "
+    "EQUI-join — each network fans out to its covered /16 buckets "
+    "and the range check is a residual filter, so the source table "
+    "streams through a hash join instead of a broadcast nested loop; "
+    "overlapping networks (a /8 containing a /16 containing a /24) "
+    "each produce their match row, Kusto's all-matches semantics",
+)
+def kql_ipv4_lookup(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        let nets = datatable(network:string, label:string) [
+            '10.0.0.0/8', 'corpA',
+            '10.2.0.0/16', 'netB',
+            '10.3.5.0/24', 'subC'
+        ];
+        documents
+        | project doc_id,
+            ip = strcat('10.', tostring(doc_id % 4), '.',
+                        tostring(doc_id % 250), '.',
+                        tostring(doc_id % 256))
+        | evaluate ipv4_lookup(nets, ip, network)
+        | project doc_id, label
+        | order by doc_id asc, label asc
+        """,
+        tables=_tables(spark, sf_dir, "documents"),
     )
 
 

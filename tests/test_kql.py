@@ -1960,11 +1960,27 @@ def test_graph_match_nodes_table_and_errors(spark):
             "E | graph-match (a)-[e]->(b) project x = a.id",
             tables={"E": edges},
         )
+    # variable-length edges expand to a bounded union of chains
+    rows = kql(
+        spark,
+        "E | make-graph s --> d | graph-match (a)-[e*1..3]->(b) "
+        "project pa = a.id, pb = b.id",
+        tables={"E": edges},
+    ).collect()
+    assert sorted((r.pa, r.pb) for r in rows) == [(1, 2), (1, 3), (2, 3)]
+    # ...but a starred edge names a PATH: its properties must raise
     with pytest.raises(KqlParseError, match="variable-length"):
         kql(
             spark,
             "E | make-graph s --> d | graph-match (a)-[e*1..3]->(b) "
-            "project x = a.id",
+            "project x = e.s",
+            tables={"E": edges},
+        )
+    with pytest.raises(KqlParseError, match="expansion cap"):
+        kql(
+            spark,
+            "E | make-graph s --> d | graph-match "
+            "(a)-[e*1..5]->(b)-[f*1..5]->(c) project x = a.id",
             tables={"E": edges},
         )
     with pytest.raises(KqlParseError, match="project clause"):
@@ -2079,4 +2095,49 @@ def test_rows_near_requires_order_and_windows_correctly(spark):
             spark,
             "T | evaluate rows_near(s == 'error', 2)",
             tables={"T": t},
+        )
+
+
+def test_ipv4_lookup_matches_and_unmatched(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    nets = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("192.168.1.0/24", "lan"),
+         ("8.8.8.8", "dns")],
+        "network string, label string",
+    )
+    ips = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "192.168.1.77"), (3, "192.168.2.1"),
+         (4, "8.8.8.8")],
+        "rid long, ip string",
+    )
+    inner = kql(
+        spark,
+        "T | evaluate ipv4_lookup(N, ip, network) "
+        "| project rid, label | order by rid asc",
+        tables={"T": ips, "N": nets},
+    ).collect()
+    assert [(r.rid, r.label) for r in inner] == [
+        (1, "corp"), (2, "lan"), (4, "dns"),
+    ]
+    left = kql(
+        spark,
+        "T | evaluate ipv4_lookup(N, ip, network, true) "
+        "| project rid, label | order by rid asc",
+        tables={"T": ips, "N": nets},
+    ).collect()
+    assert [(r.rid, r.label) for r in left] == [
+        (1, "corp"), (2, "lan"), (3, None), (4, "dns"),
+    ]
+    wide = spark.createDataFrame(
+        [("1.0.0.0/4", "x")], "network string, label string"
+    )
+    with pytest.raises(KqlParseError, match="wider than /8"):
+        kql(
+            spark,
+            "T | evaluate ipv4_lookup(N, ip, network)",
+            tables={"T": ips, "N": wide},
         )
