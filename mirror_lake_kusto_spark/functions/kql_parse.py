@@ -2949,6 +2949,8 @@ class KqlQuery:
             "rolling_percentile",
             "rows_near",
             "ipv4_lookup",
+            "diffpatterns",
+            "autocluster",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -2982,6 +2984,10 @@ class KqlQuery:
             return self._rows_near(frame, args)
         if plugin == "ipv4_lookup":
             return self._ipv4_lookup(frame, args)
+        if plugin == "diffpatterns":
+            return self._diffpatterns(frame, args)
+        if plugin == "autocluster":
+            return self._autocluster(frame, args)
         pcol = args[0].strip()
         agg = args[1].strip() if len(args) > 1 else "count()"
         # any column the aggregate consumes cannot also group
@@ -3872,6 +3878,192 @@ class KqlQuery:
         out = joined.select(
             *[src_df[c] for c in frame.df.columns],
             *[look[c] for c in lookup.columns],
+        )
+        return KqlFrame(out)
+
+    def _diffpatterns(self, frame, args):
+        """``evaluate diffpatterns(SplitColumn, ValueA, ValueB)`` —
+        attribute patterns whose frequency differs most between the A
+        and B row sets.  DETERMINISTIC restricted profile (Kusto's own
+        implementation is a heuristic search; this one is exact over a
+        bounded pattern space): attributes are every STRING column
+        except the split column; patterns are conjunctions of one or
+        two attribute=value terms; output columns are SegmentId,
+        CountA/CountB, PercentA/PercentB, PercentDiffAB and the
+        attribute columns (null = wildcard), ranked by |PercentDiffAB|
+        descending with a full deterministic tiebreak, top 32.
+
+        Scale shape: ONE hash-aggregation pass — the single and pair
+        pattern space is a GROUPING SETS aggregate (singles + pairs of
+        the attribute columns, C(A,2)+A sets), per-side counts as
+        conditional sums; the pattern table is tiny, so the ranking
+        window runs on driver-scale data."""
+        if len(args) != 3:
+            raise KqlParseError(
+                "diffpatterns supports exactly (SplitColumn, ValueA, "
+                "ValueB) in this profile"
+            )
+        split = args[0].strip()
+        va = translate_expr(args[1])
+        vb = translate_expr(args[2])
+        df = frame.df
+        if split not in df.columns:
+            raise KqlParseError(f"diffpatterns: unknown column {split!r}")
+        attrs = [
+            f.name
+            for f in df.schema.fields
+            if f.name != split and f.dataType.simpleString() == "string"
+        ]
+        if not attrs:
+            raise KqlParseError(
+                "diffpatterns: no string attribute columns besides the "
+                "split column"
+            )
+        if len(attrs) > 8:
+            raise KqlParseError(
+                f"diffpatterns: {len(attrs)} attribute columns exceed "
+                "the profile cap (8)"
+            )
+        import itertools as _it
+
+        sets = [f"(`{a}`)" for a in attrs] + [
+            f"(`{a}`, `{b}`)" for a, b in _it.combinations(attrs, 2)
+        ]
+        quoted = ", ".join(f"`{a}`" for a in attrs)
+        spark = df.sparkSession
+        agg = spark.sql(
+            f"""
+            SELECT {quoted},
+                   sum(CASE WHEN `{split}` = {va} THEN 1 ELSE 0 END)
+                     AS CountA,
+                   sum(CASE WHEN `{split}` = {vb} THEN 1 ELSE 0 END)
+                     AS CountB
+            FROM {{src}}
+            GROUP BY GROUPING SETS ({", ".join(sets)})
+            """,
+            src=df,
+        )
+        totals = df.select(
+            F.sum(F.expr(f"CASE WHEN `{split}` = {va} THEN 1 ELSE 0 END"))
+            .alias("_ta"),
+            F.sum(F.expr(f"CASE WHEN `{split}` = {vb} THEN 1 ELSE 0 END"))
+            .alias("_tb"),
+        ).first()
+        ta, tb = totals["_ta"] or 0, totals["_tb"] or 0
+        if ta == 0 or tb == 0:
+            raise KqlParseError(
+                "diffpatterns: one split side matched no rows"
+            )
+        from pyspark.sql import Window as _W
+
+        # grouping-set rows where an attribute did not participate have
+        # null there — that IS the wildcard spelling; but a null
+        # ATTRIBUTE VALUE in the data is indistinguishable, so rows
+        # whose pattern terms include a null data value are dropped
+        # (documented profile restriction)
+        scored = (
+            agg.withColumn(
+                "PercentA", F.round(F.col("CountA") * 100.0 / ta, 2)
+            )
+            .withColumn(
+                "PercentB", F.round(F.col("CountB") * 100.0 / tb, 2)
+            )
+            .withColumn(
+                "PercentDiffAB",
+                F.round(F.col("PercentA") - F.col("PercentB"), 2),
+            )
+            .filter(F.col("CountA") + F.col("CountB") > 0)
+        )
+        order = [F.abs(F.col("PercentDiffAB")).desc(), F.col("CountA").desc()] + [
+            F.col(a).asc_nulls_last() for a in attrs
+        ]
+        ranked = (
+            scored.withColumn(
+                "SegmentId",
+                F.row_number().over(_W.orderBy(*order)) - 1,
+            )
+            .filter(F.col("SegmentId") < 32)
+            .select(
+                "SegmentId", "CountA", "CountB", "PercentA",
+                "PercentB", "PercentDiffAB", *attrs,
+            )
+        )
+        return KqlFrame(ranked)
+
+    def _autocluster(self, frame, args):
+        """``evaluate autocluster([SizeWeight])`` — the most COMMON
+        attribute patterns in the row set.  DETERMINISTIC restricted
+        profile (Kusto's is a heuristic): attributes are every string
+        column; patterns are conjunctions of one or two
+        attribute=value terms; ranked by Count descending (SizeWeight,
+        Kusto's coverage/complexity dial, is accepted and validated
+        but does not change this profile's exact ranking), full
+        deterministic tiebreak, top 32.  Output: SegmentId, Count,
+        Percent, attribute columns (null = wildcard).
+
+        Scale shape: one GROUPING SETS hash aggregation; ranking runs
+        on the tiny pattern table."""
+        if len(args) > 1:
+            raise KqlParseError(
+                "autocluster supports at most (SizeWeight) in this "
+                "profile"
+            )
+        if args and args[0].strip():
+            try:
+                w = float(args[0])
+            except ValueError:
+                raise KqlParseError(
+                    f"autocluster: bad SizeWeight {args[0]!r}"
+                ) from None
+            if not 0 < w < 1:
+                raise KqlParseError(
+                    "autocluster: SizeWeight must be in (0, 1)"
+                )
+        df = frame.df
+        attrs = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        if not attrs:
+            raise KqlParseError("autocluster: no string attribute columns")
+        if len(attrs) > 8:
+            raise KqlParseError(
+                f"autocluster: {len(attrs)} attribute columns exceed "
+                "the profile cap (8)"
+            )
+        import itertools as _it
+
+        from pyspark.sql import Window as _W
+
+        sets = [f"(`{a}`)" for a in attrs] + [
+            f"(`{a}`, `{b}`)" for a, b in _it.combinations(attrs, 2)
+        ]
+        quoted = ", ".join(f"`{a}`" for a in attrs)
+        spark = df.sparkSession
+        total = df.count()
+        if total == 0:
+            raise KqlParseError("autocluster: empty input")
+        agg = spark.sql(
+            f"""
+            SELECT {quoted}, CAST(count(*) AS BIGINT) AS Count
+            FROM {{src}}
+            GROUP BY GROUPING SETS ({", ".join(sets)})
+            """,
+            src=df,
+        )
+        order = [F.col("Count").desc()] + [
+            F.col(a).asc_nulls_last() for a in attrs
+        ]
+        out = (
+            agg.withColumn(
+                "Percent", F.round(F.col("Count") * 100.0 / total, 2)
+            )
+            .withColumn(
+                "SegmentId", F.row_number().over(_W.orderBy(*order)) - 1
+            )
+            .filter(F.col("SegmentId") < 32)
+            .select("SegmentId", "Count", "Percent", *attrs)
         )
         return KqlFrame(out)
 

@@ -1404,6 +1404,120 @@ def kql_graph_match_nodes(spark, sf_dir):
 
 
 @query(
+    "kql_autocluster",
+    """
+    WITH src AS (
+      SELECT event_type,
+             'd' || CAST(user_id % 3 AS VARCHAR) AS device
+      FROM events
+    ), pat AS (
+      SELECT event_type, device, CAST(COUNT(*) AS BIGINT) AS Count
+      FROM src
+      GROUP BY GROUPING SETS ((event_type), (device),
+                              (event_type, device))
+    ), ranked AS (
+      SELECT *,
+             ROUND(Count * 100.0 / (SELECT COUNT(*) FROM src), 2)
+               AS Percent,
+             ROW_NUMBER() OVER (
+               ORDER BY Count DESC,
+                        event_type ASC NULLS LAST,
+                        device ASC NULLS LAST
+             ) - 1 AS SegmentId
+      FROM pat
+    )
+    SELECT CAST(SegmentId AS INT) AS SegmentId, Count, Percent,
+           event_type, device
+    FROM ranked WHERE SegmentId < 32 ORDER BY SegmentId
+    """,
+    doc="KQL autocluster plugin (deterministic restricted profile): "
+    "most common single/pair attribute conjunctions over the event "
+    "stream, one grouping-sets hash aggregation + a driver-scale "
+    "ranking window",
+)
+def kql_autocluster(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | project event_type,
+            device = strcat('d', tostring(user_id % 3))
+        | evaluate autocluster()
+        | order by SegmentId asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.withColumn("SegmentId", F.col("SegmentId").cast("int"))
+
+
+@query(
+    "kql_diffpatterns",
+    """
+    WITH src AS (
+      SELECT event_type,
+             'd' || CAST(user_id % 3 AS VARCHAR) AS device,
+             'r' || CAST(user_id % 5 AS VARCHAR) AS region
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), tot AS (
+      SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS ta,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS tb
+      FROM src
+    ), pat AS (
+      SELECT device, region,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS CountA,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                      END) AS BIGINT) AS CountB
+      FROM src
+      GROUP BY GROUPING SETS ((device), (region), (device, region))
+    ), scored AS (
+      SELECT *,
+             ROUND(CountA * 100.0 / (SELECT ta FROM tot), 2)
+               AS PercentA,
+             ROUND(CountB * 100.0 / (SELECT tb FROM tot), 2)
+               AS PercentB
+      FROM pat WHERE CountA + CountB > 0
+    ), ranked AS (
+      SELECT *,
+             ROUND(PercentA - PercentB, 2) AS PercentDiffAB,
+             ROW_NUMBER() OVER (
+               ORDER BY ABS(ROUND(PercentA - PercentB, 2)) DESC,
+                        CountA DESC,
+                        device ASC NULLS LAST,
+                        region ASC NULLS LAST
+             ) - 1 AS SegmentId
+      FROM scored
+    )
+    SELECT CAST(SegmentId AS INT) AS SegmentId, CountA, CountB,
+           PercentA, PercentB, PercentDiffAB, device, region
+    FROM ranked WHERE SegmentId < 32 ORDER BY SegmentId
+    """,
+    doc="KQL diffpatterns plugin (deterministic restricted profile — "
+    "Kusto's own is a heuristic search): single and pair attribute "
+    "conjunctions whose frequency differs most between purchase and "
+    "view events, computed in ONE grouping-sets hash aggregation "
+    "with per-side conditional counts; the pattern table is tiny so "
+    "the ranking window is driver-scale",
+)
+def kql_diffpatterns(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | where event_type in ('purchase', 'view')
+        | project event_type,
+            device = strcat('d', tostring(user_id % 3)),
+            region = strcat('r', tostring(user_id % 5))
+        | evaluate diffpatterns(event_type, 'purchase', 'view')
+        | order by SegmentId asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.withColumn("SegmentId", F.col("SegmentId").cast("int"))
+
+
+@query(
     "kql_ipv4_lookup",
     """
     WITH m AS (

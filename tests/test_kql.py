@@ -2141,3 +2141,40 @@ def test_ipv4_lookup_matches_and_unmatched(spark):
             "T | evaluate ipv4_lookup(N, ip, network)",
             tables={"T": ips, "N": wide},
         )
+
+
+def test_diffpatterns_and_autocluster_profile(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    rows = [
+        ("case", "chrome", "US"), ("case", "chrome", "US"),
+        ("case", "safari", "EU"), ("ctrl", "chrome", "EU"),
+        ("ctrl", "firefox", "EU"), ("ctrl", "firefox", "US"),
+    ]
+    t = spark.createDataFrame(rows, "grp string, b string, r string")
+    top = kql(
+        spark,
+        "T | evaluate diffpatterns(grp, 'case', 'ctrl') | take 1",
+        tables={"T": t},
+    ).collect()[0]
+    # (chrome, US): 2/3 of case vs 0/3 of ctrl — the widest diff
+    assert (top.b, top.r, top.CountA, top.CountB) == ("chrome", "US", 2, 0)
+    assert top.PercentDiffAB == 66.67
+
+    ac = kql(
+        spark, "T | evaluate autocluster() | take 2", tables={"T": t}
+    ).collect()
+    # singles rank first by count: chrome (3) and firefox/EU (... EU=3)
+    assert ac[0].Count == 3 and ac[0].SegmentId == 0
+
+    with pytest.raises(KqlParseError, match="no string attribute"):
+        kql(
+            spark,
+            "N | evaluate diffpatterns(k, 1, 2)",
+            tables={"N": spark.createDataFrame([(1,)], "k long")},
+        )
+    with pytest.raises(KqlParseError, match="SizeWeight"):
+        kql(spark, "T | evaluate autocluster(2.5)", tables={"T": t})
