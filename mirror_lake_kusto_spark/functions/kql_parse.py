@@ -2612,6 +2612,7 @@ class KqlQuery:
         # for every expansion: boundary node names and plain edge
         # names are shared; starred edges name a PATH and raise)
         used_nodes: set[str] = set()
+        id_vars: set[str] = set()
 
         def rewrite(expr: str) -> str:
             def sub(m: re.Match) -> str:
@@ -2625,6 +2626,11 @@ class KqlQuery:
                 if var in plain_edges:
                     return f"{var}__{prop}"
                 if var in named_nodes:
+                    if prop == idcol:
+                        # the node id IS an edge endpoint — read it off
+                        # the join chain, no node-table join needed
+                        id_vars.add(var)
+                        return f"__nid_{var}"
                     used_nodes.add(var)
                     return f"__n_{var}__{prop}"
                 return m.group(0)
@@ -2684,6 +2690,10 @@ class KqlQuery:
                     )
                 else:
                     first_pos[nv] = i
+            for nv in sorted(id_vars):
+                cur = cur.withColumn(
+                    f"__nid_{nv}", F.col(pos_id[first_pos[nv]])
+                )
             for nv in sorted(used_nodes):
                 ndf = nodes.select(
                     *[

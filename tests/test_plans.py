@@ -509,3 +509,13 @@ def test_dynamic_access_uses_variant_not_reparse(spark):
     plan = _plan(spark, "kql_json_props")
     assert "get_json_object" not in plan
     assert "variant_get" in plan
+
+
+def test_graph_match_id_access_skips_node_join(spark):
+    """A node variable whose only accessed property is the node id
+    must read it off the edge endpoint — the derived-nodes
+    distinct+join would be pure overhead (caught by plan shape: the
+    cycle query accesses only ids, so NO Deduplicate/union of
+    endpoints may appear)."""
+    plan = _plan(spark, "kql_graph_match_cycle")
+    assert "Deduplicate" not in plan
