@@ -223,6 +223,9 @@ def test_parse_errors_are_loud(spark):
 
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(KqlParseError, match="unsupported evaluate plugin"):
+        kql(spark, "t | evaluate basket()", tables={"t": df})
+    # autocluster IS supported now, but stays loud without attributes
+    with pytest.raises(KqlParseError, match="no string attribute"):
         kql(spark, "t | evaluate autocluster()", tables={"t": df})
     # bag_unpack IS supported, but stays loud when the column has no JSON
     with pytest.raises(KqlParseError, match="no JSON objects found"):
