@@ -1604,6 +1604,14 @@ class KqlQuery:
                 frame = self._apply(frame, op.strip())
         finally:
             self._src_name = prev_name
+        if getattr(frame, "_graph", None) is not None:
+            # same contract as mid-pipe: a staged graph is not tabular,
+            # so a query ENDING at make-graph must not silently return
+            # the edge table either
+            raise KqlParseError(
+                "graphs are not tabular: a query may not end at "
+                "make-graph — follow it with graph-match"
+            )
         return frame.df
 
     def _source(self, src: str) -> DataFrame:
@@ -2701,10 +2709,17 @@ class KqlQuery:
                         for c in nodes.columns
                     ]
                 )
+                # LEFT join: Kusto treats edge endpoints absent from
+                # the node table as nodes with null properties, so
+                # property access must not restrict the match set —
+                # this keeps id-only access (no join at all) and
+                # property access semantically identical.  Node ids
+                # are assumed unique (duplicate ids would fan out).
                 cur = cur.join(
                     ndf,
                     F.col(pos_id[first_pos[nv]])
                     == F.col(f"__n_{nv}__{idcol}"),
+                    "left",
                 )
             if pred_sql:
                 cur = cur.filter(F.expr(translate_expr(pred_sql)))
@@ -3511,33 +3526,60 @@ class KqlQuery:
                     f"dcount_intersect: unknown column {c!r}"
                 )
         keep = [c for c in frame.df.columns if c not in cols]
-
-        def union_expr(sub: tuple[str, ...]) -> str:
-            # null-skipping union fold: NULL members drop out; all-NULL
-            # folds to NULL (coalesced to 0 at the estimate)
-            u = sub[0]
-            for c in sub[1:]:
-                u = (
-                    f"CASE WHEN ({u}) IS NULL THEN {c} "
-                    f"WHEN {c} IS NULL THEN ({u}) "
-                    f"ELSE hll_union({u}, {c}) END"
+        n = len(cols)
+        # subset unions built BOTTOM-UP as intermediate columns: each
+        # size-k subset unions the size-(k-1) prefix COLUMN with one
+        # more member (null-skipping: NULL members drop out, all-NULL
+        # folds to NULL → estimate 0).  Staged projections keep every
+        # union a small O(1) expression over a named column —
+        # inlining the fold into one string would triple the text per
+        # member (3^(N-1) copies) and re-evaluate nested unions per
+        # row.  CollapseProject won't re-inline: the reused aliases
+        # are non-cheap expressions.
+        by_size: dict[int, dict[frozenset, str]] = {
+            1: {frozenset([i]): cols[i] for i in range(n)}
+        }
+        df = frame.df
+        for k in range(2, n + 1):
+            level: dict[frozenset, str] = {}
+            adds = []
+            for sub in itertools.combinations(range(n), k):
+                prev = by_size[k - 1][frozenset(sub[:-1])]
+                c = cols[sub[-1]]
+                name = "__u_" + "_".join(map(str, sub))
+                adds.append(
+                    F.expr(
+                        f"CASE WHEN ({prev}) IS NULL THEN {c} "
+                        f"WHEN {c} IS NULL THEN ({prev}) "
+                        f"ELSE hll_union({prev}, {c}) END"
+                    ).alias(name)
                 )
-            return u
-
+                level[frozenset(sub)] = name
+            df = df.select("*", *adds)
+            by_size[k] = level
+        est: dict[frozenset, str] = {}
+        adds = []
+        for level in by_size.values():
+            for fs, nm in level.items():
+                ename = "__e_" + "_".join(map(str, sorted(fs)))
+                adds.append(
+                    F.expr(
+                        f"coalesce(hll_sketch_estimate({nm}), 0)"
+                    ).alias(ename)
+                )
+                est[fs] = ename
+        df = df.select("*", *adds)
         outs = []
-        for i in range(len(cols)):
+        for i in range(n):
             terms = []
             for r in range(1, i + 2):
-                for sub in itertools.combinations(cols[: i + 1], r):
+                for sub in itertools.combinations(range(i + 1), r):
                     sign = "+" if r % 2 == 1 else "-"
-                    terms.append(
-                        f" {sign} coalesce(hll_sketch_estimate("
-                        f"{union_expr(sub)}), 0)"
-                    )
+                    terms.append(f" {sign} {est[frozenset(sub)]}")
             outs.append(
                 F.expr("0" + "".join(terms)).cast("long").alias(f"s{i}")
             )
-        return KqlFrame(frame.df.select(*keep, *outs))
+        return KqlFrame(df.select(*keep, *outs))
 
     def _funnel_sequence(self, frame, args):
         """``evaluate funnel_sequence(Id, Timeline, Start, End,
@@ -3735,7 +3777,8 @@ class KqlQuery:
         )
         kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {bin_us}")
         kmax = f"((({e_us}) - ({s_us})) - 1) DIV {bin_us}"
-        out = (
+        pcol = f"rolling_{int(pct)}_percentile_{vcol}"
+        binned = (
             df.select(F.col(vcol).alias("_v"), kcol.alias("_k"))
             .select(
                 "_v",
@@ -3747,17 +3790,21 @@ class KqlQuery:
                 ).alias("_b"),
             )
             .groupBy("_b")
-            .agg(
-                F.expr(f"percentile(_v, {pct / 100.0!r})").alias(
-                    f"rolling_{int(pct)}_percentile_{vcol}"
-                )
-            )
-            .select(
-                F.expr(
-                    f"timestamp_micros(({s_us}) + _b * {bin_us})"
-                ).alias(tc),
-                f"rolling_{int(pct)}_percentile_{vcol}",
-            )
+            .agg(F.expr(f"percentile(_v, {pct / 100.0!r})").alias(pcol))
+        )
+        # Kusto emits the FULL [Start, End) timeline (like the sibling
+        # session_count grid): bins whose window holds no values show
+        # a null percentile rather than disappearing from the output
+        grid = frame.df.sparkSession.range(1).select(
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.expr(kmax))
+            ).alias("_b")
+        )
+        out = grid.join(F.broadcast(binned), "_b", "left").select(
+            F.expr(f"timestamp_micros(({s_us}) + _b * {bin_us})").alias(
+                tc
+            ),
+            pcol,
         )
         return KqlFrame(out)
 
@@ -3847,7 +3894,8 @@ class KqlQuery:
         pref = translate_expr(f"parse_ipv4(substring_index({netc}, '/', 1))")
         bits = (
             f"(CASE WHEN instr({netc}, '/') > 0 THEN "
-            f"CAST(substring_index({netc}, '/', -1) AS INT) ELSE 32 END)"
+            f"TRY_CAST(substring_index({netc}, '/', -1) AS INT) "
+            f"ELSE 32 END)"
         )
         look = (
             lookup.withColumn("__bits", F.expr(bits))
@@ -3863,12 +3911,22 @@ class KqlQuery:
                 F.expr("__lo + shiftleft(1L, 32 - __bits) - 1"),
             )
         )
-        # profile guard: a /7 network would fan out to 512 buckets
-        narrow = look.filter("__bits < 8").limit(1).count()
-        if narrow:
+        # loud validation in one pass over the (small) lookup table:
+        # a /7 network would fan out to 512 buckets (profile guard), a
+        # mask > 32 would shift by a NEGATIVE count (Spark masks shift
+        # counts mod 64 → garbage ranges), and an unparsable mask
+        # CASTs to NULL → the network silently never matches
+        bad = (
+            look.filter("__bits IS NULL OR __bits < 8 OR __bits > 32")
+            .select(netc)
+            .limit(1)
+            .collect()
+        )
+        if bad:
             raise KqlParseError(
-                "ipv4_lookup: networks wider than /8 are outside this "
-                "profile (bucket fan-out)"
+                f"ipv4_lookup: network {bad[0][0]!r} has a mask that "
+                "is unparsable, > 32, or wider than /8 (bucket "
+                "fan-out profile guard)"
             )
         look = look.withColumn(
             "__bucket",
@@ -3936,10 +3994,20 @@ class KqlQuery:
             )
         import itertools as _it
 
+        # one pass: the global () grouping set carries the A/B totals,
+        # separated from pattern rows by grouping_id(); the HAVING
+        # grouping() guard drops rows whose pattern TERM is a null
+        # data value (indistinguishable from the wildcard-null spelling
+        # otherwise — documented profile restriction), while wildcard
+        # positions (grouping = 1) pass untouched
         sets = [f"(`{a}`)" for a in attrs] + [
             f"(`{a}`, `{b}`)" for a, b in _it.combinations(attrs, 2)
-        ]
+        ] + ["()"]
         quoted = ", ".join(f"`{a}`" for a in attrs)
+        gid_all = (1 << len(attrs)) - 1
+        null_guard = " AND ".join(
+            f"(grouping(`{a}`) = 1 OR `{a}` IS NOT NULL)" for a in attrs
+        )
         spark = df.sparkSession
         agg = spark.sql(
             f"""
@@ -3947,41 +4015,52 @@ class KqlQuery:
                    sum(CASE WHEN `{split}` = {va} THEN 1 ELSE 0 END)
                      AS CountA,
                    sum(CASE WHEN `{split}` = {vb} THEN 1 ELSE 0 END)
-                     AS CountB
+                     AS CountB,
+                   grouping_id({quoted}) AS __gid
             FROM {{src}}
             GROUP BY GROUPING SETS ({", ".join(sets)})
+            HAVING {null_guard}
             """,
             src=df,
         )
-        totals = df.select(
-            F.sum(F.expr(f"CASE WHEN `{split}` = {va} THEN 1 ELSE 0 END"))
-            .alias("_ta"),
-            F.sum(F.expr(f"CASE WHEN `{split}` = {vb} THEN 1 ELSE 0 END"))
-            .alias("_tb"),
-        ).first()
-        ta, tb = totals["_ta"] or 0, totals["_tb"] or 0
-        if ta == 0 or tb == 0:
-            raise KqlParseError(
-                "diffpatterns: one split side matched no rows"
+        totals = (
+            agg.filter(F.col("__gid") == gid_all)
+            .select(
+                F.col("CountA").alias("_ta"), F.col("CountB").alias("_tb")
             )
+        )
         from pyspark.sql import Window as _W
 
-        # grouping-set rows where an attribute did not participate have
-        # null there — that IS the wildcard spelling; but a null
-        # ATTRIBUTE VALUE in the data is indistinguishable, so rows
-        # whose pattern terms include a null data value are dropped
-        # (documented profile restriction)
         scored = (
-            agg.withColumn(
-                "PercentA", F.round(F.col("CountA") * 100.0 / ta, 2)
+            agg.filter(F.col("__gid") != gid_all)
+            .drop("__gid")
+            .join(F.broadcast(totals))
+            # the empty-side guard lives INSIDE the Percent expression
+            # (a standalone dropped assert column would be pruned by
+            # the optimizer); raise_error keeps the loud-failure
+            # contract at execution time without an extra scan
+            .withColumn(
+                "PercentA",
+                F.when(
+                    (F.col("_ta") > 0) & (F.col("_tb") > 0),
+                    F.round(F.col("CountA") * 100.0 / F.col("_ta"), 2),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "diffpatterns: one split side matched no rows"
+                        )
+                    ).cast("double")
+                ),
             )
             .withColumn(
-                "PercentB", F.round(F.col("CountB") * 100.0 / tb, 2)
+                "PercentB",
+                F.round(F.col("CountB") * 100.0 / F.col("_tb"), 2),
             )
             .withColumn(
                 "PercentDiffAB",
                 F.round(F.col("PercentA") - F.col("PercentB"), 2),
             )
+            .drop("_ta", "_tb")
             .filter(F.col("CountA") + F.col("CountB") > 0)
         )
         order = [F.abs(F.col("PercentDiffAB")).desc(), F.col("CountA").desc()] + [
@@ -4046,28 +4125,50 @@ class KqlQuery:
 
         from pyspark.sql import Window as _W
 
+        # one pass: the global () grouping set carries the total,
+        # separated by grouping_id(); the HAVING grouping() guard
+        # drops rows whose pattern term is a null DATA value (they
+        # would be indistinguishable from the wildcard-null spelling)
         sets = [f"(`{a}`)" for a in attrs] + [
             f"(`{a}`, `{b}`)" for a, b in _it.combinations(attrs, 2)
-        ]
+        ] + ["()"]
         quoted = ", ".join(f"`{a}`" for a in attrs)
+        gid_all = (1 << len(attrs)) - 1
+        null_guard = " AND ".join(
+            f"(grouping(`{a}`) = 1 OR `{a}` IS NOT NULL)" for a in attrs
+        )
         spark = df.sparkSession
-        total = df.count()
-        if total == 0:
-            raise KqlParseError("autocluster: empty input")
         agg = spark.sql(
             f"""
-            SELECT {quoted}, CAST(count(*) AS BIGINT) AS Count
+            SELECT {quoted}, CAST(count(*) AS BIGINT) AS Count,
+                   grouping_id({quoted}) AS __gid
             FROM {{src}}
             GROUP BY GROUPING SETS ({", ".join(sets)})
+            HAVING {null_guard}
             """,
             src=df,
+        )
+        totals = (
+            agg.filter(F.col("__gid") == gid_all)
+            .select(F.col("Count").alias("_t"))
         )
         order = [F.col("Count").desc()] + [
             F.col(a).asc_nulls_last() for a in attrs
         ]
         out = (
-            agg.withColumn(
-                "Percent", F.round(F.col("Count") * 100.0 / total, 2)
+            agg.filter(F.col("__gid") != gid_all)
+            .drop("__gid")
+            .join(F.broadcast(totals))
+            .withColumn(
+                "Percent",
+                F.when(
+                    F.col("_t") > 0,
+                    F.round(F.col("Count") * 100.0 / F.col("_t"), 2),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit("autocluster: empty input")
+                    ).cast("double")
+                ),
             )
             .withColumn(
                 "SegmentId", F.row_number().over(_W.orderBy(*order)) - 1

@@ -1615,19 +1615,22 @@ def kql_session_count(spark, sf_dir):
       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02'
         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
         AND event_type = 'purchase'
+    ), bins AS (
+      SELECT CAST(s.g AS BIGINT) AS b FROM generate_series(0, 13) s(g)
     ), fan AS (
-      SELECT value, CAST(s.g AS BIGINT) AS b
-      FROM ev, generate_series(0, 13) s(g)
-      WHERE s.g BETWEEN ev.k AND ev.k + 2
+      SELECT value, bins.b
+      FROM ev JOIN bins ON bins.b BETWEEN ev.k AND ev.k + 2
     )
-    SELECT TIMESTAMP '2024-01-02' + b * INTERVAL 1 DAY AS ts,
-           ROUND(quantile_cont(value, 0.5), 4) AS p50
-    FROM fan GROUP BY b ORDER BY ts
+    SELECT TIMESTAMP '2024-01-02' + bins.b * INTERVAL 1 DAY AS ts,
+           ROUND(quantile_cont(fan.value, 0.5), 4) AS p50
+    FROM bins LEFT JOIN fan ON fan.b = bins.b
+    GROUP BY bins.b ORDER BY ts
     """,
     doc="KQL rolling_percentile plugin: exact interpolated median of "
-    "the last 3 daily bins per timeline point; values fan out to a "
-    "bounded bin range and one hash aggregation computes each bin's "
-    "percentile — no global window",
+    "the last 3 daily bins per timeline point over the FULL timeline "
+    "grid (empty windows emit null); values fan out to a bounded bin "
+    "range and one hash aggregation computes each bin's percentile — "
+    "no global window",
 )
 def kql_rolling_percentile(spark, sf_dir):
     out = kql(

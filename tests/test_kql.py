@@ -2181,3 +2181,115 @@ def test_diffpatterns_and_autocluster_profile(spark):
         )
     with pytest.raises(KqlParseError, match="SizeWeight"):
         kql(spark, "T | evaluate autocluster(2.5)", tables={"T": t})
+
+
+def test_graph_match_node_property_access_is_left_join(spark):
+    # An edge endpoint ABSENT from the explicit node table is still a
+    # node (Kusto: it just has no properties) — reading a property off
+    # it must not shrink the match set relative to reading only its id.
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1, "root")], "nid long, kind string")
+    ids_only = kql(
+        spark,
+        """
+        E
+        | make-graph src --> dst with N on nid
+        | graph-match (a)-[e]->(b) project pa = a.nid, pb = b.nid
+        """,
+        tables={"E": edges, "N": nodes},
+    ).collect()
+    with_prop = kql(
+        spark,
+        """
+        E
+        | make-graph src --> dst with N on nid
+        | graph-match (a)-[e]->(b)
+          project pa = a.nid, pb = b.nid, k = b.kind
+        """,
+        tables={"E": edges, "N": nodes},
+    ).collect()
+    assert [(r.pa, r.pb) for r in ids_only] == [(1, 2)]
+    assert [(r.pa, r.pb, r.k) for r in with_prop] == [(1, 2, None)]
+
+
+def test_make_graph_terminal_raises(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(KqlParseError, match="not tabular"):
+        kql(spark, "E | make-graph src --> dst", tables={"E": edges})
+
+
+def test_ipv4_lookup_bad_masks_are_loud(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    src = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    for bad in ("10.0.0.0/40", "10.0.0.0/x"):
+        look = spark.createDataFrame([(bad, "z")], "net string, zone string")
+        with pytest.raises(KqlParseError, match="mask"):
+            kql(
+                spark,
+                "S | evaluate ipv4_lookup(L, ip, net)",
+                tables={"S": src, "L": look},
+            )
+
+
+def test_diffpatterns_null_data_value_is_not_a_wildcard(spark):
+    # A null DATA value would be indistinguishable from the
+    # wildcard-null grouping spelling — those pattern rows are dropped,
+    # never surfaced as phantom all-wildcard segments.
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    rows = [("case", None, "US")] * 5 + [
+        ("case", "chrome", "US"), ("ctrl", "firefox", "EU"),
+    ]
+    t = spark.createDataFrame(rows, "grp string, b string, r string")
+    out = kql(
+        spark,
+        "T | evaluate diffpatterns(grp, 'case', 'ctrl')",
+        tables={"T": t},
+    ).collect()
+    # no row may have EVERY attribute null (the all-wildcard shape the
+    # plugin never legitimately emits)
+    assert all(r.b is not None or r.r is not None for r in out)
+    # autocluster's attributes include grp (no split column) — the
+    # all-wildcard shape there is all THREE attrs null
+    ac = kql(spark, "T | evaluate autocluster()", tables={"T": t}).collect()
+    assert all(
+        r.grp is not None or r.b is not None or r.r is not None for r in ac
+    )
+    # the (b=null-data) pattern is gone but (r='US') survives with the
+    # null-b rows still COUNTED in it
+    us = [r for r in out if r.r == "US" and r.b is None]
+    assert us and us[0].CountA == 6
+
+
+def test_rolling_percentile_emits_full_timeline_grid(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+    import datetime as dt
+
+    t = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5), 10.0)], "ts timestamp, v double"
+    )
+    out = kql(
+        spark,
+        """
+        T
+        | evaluate rolling_percentile(v, 50, ts,
+            datetime(2024-01-01), datetime(2024-01-06), 1d, 2)
+        | order by ts asc
+        """,
+        tables={"T": t},
+    ).collect()
+    # full 5-day grid; the single value covers days 0-1, the rest null
+    assert len(out) == 5
+    vals = [r["rolling_50_percentile_v"] for r in out]
+    assert vals == [10.0, 10.0, None, None, None]
