@@ -75,9 +75,15 @@ tostring/base64_decode_tostring``, ``toreal/todecimal`` casts,
 ``exp2``, ``isinf`` / ``isfinite``, ``url_encode`` / ``url_decode``
 (pass-through), ``parse_url`` (-> JSON property bag), ``series_stats_dynamic``,
 ``pack_all`` (whole row as a bag), ``array_iff`` (element-wise
-select), ``bag_merge`` (first-bag-wins key merge).  Anything outside
-the dialect raises ``KqlParseError`` naming the verb — no silent
-misreads.
+select), ``bag_merge`` (first-bag-wins key merge); and the round-5
+series family: elementwise ``series_{add,subtract,multiply,divide,
+pow,greater,less,greater_equals,less_equals,equals,not_equals}``
+(scalar second operands broadcast), maps ``series_{abs,sign,exp,log,
+sin,cos,tan,asin,acos,atan,floor,ceiling}``, reductions
+``series_{sum,product,dot_product,magnitude,cosine_similarity}``,
+and the recursive ``series_iir`` filter — all pure JVM array
+lambdas.  Anything outside the dialect raises ``KqlParseError``
+naming the verb — no silent misreads.
 
 Citations: project B1 (BlobStagingOrchestration.cs:331), extend B2
 (BlobAnalysisOrchestration.cs:215), where B3-B6
@@ -880,6 +886,128 @@ def translate_expr(e: str) -> str:
         )
 
     e = _rewrite_calls(e, "series_stats_dynamic", _series_stats)
+
+    # ---- elementwise series arithmetic (Kusto's series_* family) ----
+    # two-series forms zip elementwise; a bare NUMERIC LITERAL second
+    # operand broadcasts over the series (Kusto allows scalar
+    # operands).  All pure JVM array lambdas — no explode, no Python.
+    def _series_bin(tmpl: str):
+        def fn(a: list[str]) -> str:
+            if len(a) != 2:
+                raise KqlParseError(
+                    "series arithmetic takes exactly 2 arguments"
+                )
+            x, y = a[0].strip(), a[1].strip()
+            if re.fullmatch(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", y):
+                body = tmpl.format(l="CAST(__v AS DOUBLE)", r=f"({y})")
+                return f"transform({x}, __v -> {body})"
+            body = tmpl.format(l="CAST(__l AS DOUBLE)", r="__r")
+            return f"zip_with({x}, {y}, (__l, __r) -> {body})"
+
+        return fn
+
+    for _nm, _tmpl in (
+        ("series_add", "({l} + {r})"),
+        ("series_subtract", "({l} - {r})"),
+        ("series_multiply", "({l} * {r})"),
+        ("series_divide", "({l} / {r})"),
+        ("series_pow", "power({l}, {r})"),
+        ("series_greater_equals", "({l} >= {r})"),
+        ("series_less_equals", "({l} <= {r})"),
+        ("series_not_equals", "({l} != {r})"),
+        ("series_greater", "({l} > {r})"),
+        ("series_less", "({l} < {r})"),
+        ("series_equals", "({l} = {r})"),
+    ):
+        e = _rewrite_calls(e, _nm, _series_bin(_tmpl))
+
+    def _series_map(fn_sql: str):
+        return lambda a: (
+            f"transform({a[0]}, __v -> "
+            f"CAST({fn_sql}(CAST(__v AS DOUBLE)) AS DOUBLE))"
+        )
+
+    for _nm, _sql in (
+        ("series_abs", "abs"),
+        ("series_sign", "sign"),
+        ("series_exp", "exp"),
+        ("series_log", "ln"),
+        ("series_sin", "sin"),
+        ("series_cos", "cos"),
+        ("series_tan", "tan"),
+        ("series_asin", "asin"),
+        ("series_acos", "acos"),
+        ("series_atan", "atan"),
+        ("series_floor", "floor"),
+        ("series_ceiling", "ceil"),
+    ):
+        e = _rewrite_calls(e, _nm, _series_map(_sql))
+
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, "
+            "(__l, __r) -> CAST(__l AS DOUBLE) * __r), 0D, "
+            "(__s, __v) -> __s + __v)"
+        )
+
+    e = _rewrite_calls(
+        e,
+        "series_sum",
+        lambda a: f"aggregate({a[0]}, 0D, (__s, __v) -> __s + __v)",
+    )
+    e = _rewrite_calls(
+        e,
+        "series_product",
+        lambda a: f"aggregate({a[0]}, 1D, (__s, __v) -> __s * __v)",
+    )
+    e = _rewrite_calls(
+        e, "series_dot_product", lambda a: _dot(a[0], a[1])
+    )
+    e = _rewrite_calls(
+        e, "series_magnitude", lambda a: f"sqrt({_dot(a[0], a[0])})"
+    )
+    e = _rewrite_calls(
+        e,
+        "series_cosine_similarity",
+        lambda a: (
+            f"({_dot(a[0], a[1])} / "
+            f"(sqrt({_dot(a[0], a[0])}) * sqrt({_dot(a[1], a[1])})))"
+        ),
+    )
+
+    # series_iir(x, b, a): recursive (infinite-impulse-response)
+    # filter, y[n] = (Σ_k b[k]·x[n-k] − Σ_{k≥1} a[k]·y[n-k]) / a[0] —
+    # Kusto's exact semantics.  Inherently sequential per SERIES, so
+    # the fold builds the output array left-to-right; rows stay
+    # independent (parallel across the frame).  O(N·(|b|+|a|)) JVM
+    # work per row, no Python.
+    def _series_iir(a: list[str]) -> str:
+        if len(a) != 3:
+            raise KqlParseError("series_iir takes (series, b, a)")
+        x, b, aa = a[0], a[1], a[2]
+        bsum = (
+            f"aggregate(sequence(0, size({b}) - 1), 0D, (__s, __k) -> "
+            f"__s + CASE WHEN __n - __k >= 0 THEN "
+            f"CAST(element_at({b}, __k + 1) AS DOUBLE) * "
+            f"element_at({x}, __n - __k + 1) ELSE 0D END)"
+        )
+        # guard: sequence(1, 0) would DESCEND ([1, 0]) when a is a
+        # single coefficient — skip the feedback sum entirely then
+        asum = (
+            f"CASE WHEN size({aa}) > 1 THEN "
+            f"aggregate(sequence(1, size({aa}) - 1), 0D, (__s, __k) -> "
+            f"__s + CASE WHEN __n - __k >= 0 THEN "
+            f"CAST(element_at({aa}, __k + 1) AS DOUBLE) * "
+            f"element_at(__y, __n - __k + 1) ELSE 0D END) ELSE 0D END"
+        )
+        return (
+            f"aggregate(sequence(0, size({x}) - 1), "
+            "CAST(array() AS ARRAY<DOUBLE>), (__y, __n) -> __y || "
+            f"array((({bsum}) - ({asum})) / "
+            f"CAST(element_at({aa}, 1) AS DOUBLE)))"
+        )
+
+    e = _rewrite_calls(e, "series_iir", _series_iir)
     # pack_all(): the whole row as a property bag.  The optional
     # ignore_null_empty argument is not implemented — loud, not a
     # silent fall-through to an unresolved Spark function

@@ -1882,3 +1882,83 @@ def kql_geo_toolkit(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "documents"),
     )
+
+
+@query(
+    "kql_series_elementwise",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)
+                   - TIMESTAMP '2024-01-01') / 86400) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'
+      GROUP BY 1, 2
+    ), keys AS (SELECT DISTINCT event_type FROM base),
+    grid AS (
+      SELECT k.event_type, CAST(s.g AS BIGINT) AS idx,
+             COALESCE(b.v, 0) AS v
+      FROM keys k CROSS JOIN generate_series(0, 29) s(g)
+      LEFT JOIN base b ON b.event_type = k.event_type AND b.idx = s.g
+    ), sm AS (
+      SELECT g1.event_type, g1.idx,
+             SUM(g2.v * POWER(0.5, g1.idx - g2.idx + 1)) AS y
+      FROM grid g1 JOIN grid g2
+        ON g2.event_type = g1.event_type AND g2.idx <= g1.idx
+      GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           SUM(g.v) AS total,
+           ROUND(SQRT(SUM(g.v * g.v)), 4) AS mag,
+           to_json(list(CAST(FLOOR(s.y * 10000) AS BIGINT)
+                        ORDER BY g.idx)) AS sm,
+           to_json(list(printf('%.1f', g.v * 2) ORDER BY g.idx)) AS dbl,
+           to_json(list(g.v > 100 ORDER BY g.idx)) AS hot
+    FROM grid g JOIN sm s
+      ON s.event_type = g.event_type AND s.idx = g.idx
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Kusto elementwise series family over make-series daily "
+    "counts: series_sum / series_magnitude reductions, "
+    "series_multiply / series_greater elementwise maps, and "
+    "series_iir with a [0.5] / [1, -0.5] exponential smoother — all "
+    "pure JVM array lambdas; the 0.5 coefficients keep every product "
+    "dyadic-rational so both engines agree bit-for-bit (oracle "
+    "computes the IIR's closed-form convolution)",
+)
+def kql_series_elementwise(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        events
+        | make-series n = count() default = 0
+            on ts from datetime(2024-01-01) to datetime(2024-01-31)
+            step 1d by event_type
+        | extend total = series_sum(n),
+                 mag = round(series_magnitude(n), 4),
+                 sm = series_iir(n, dynamic([0.5]), dynamic([1.0, -0.5])),
+                 dbl = series_multiply(n, 2),
+                 hot = series_greater(n, 100)
+        | order by event_type asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+    return out.select(
+        "event_type",
+        "total",
+        "mag",
+        F.to_json(
+            # floor(v*1e4) as exact integers: printf would split on
+            # round-half-even (C) vs HALF_UP (Java) at the dyadic
+            # halves this smoother produces exactly
+            F.transform(
+                "sm", lambda v: F.floor(v * 10000).cast("long")
+            )
+        ).alias("sm"),
+        F.to_json(
+            F.transform("dbl", lambda v: F.format_string("%.1f", v))
+        ).alias("dbl"),
+        F.to_json("hot").alias("hot"),
+    )

@@ -2293,3 +2293,71 @@ def test_rolling_percentile_emits_full_timeline_grid(spark):
     assert len(out) == 5
     vals = [r["rolling_50_percentile_v"] for r in out]
     assert vals == [10.0, 10.0, None, None, None]
+
+
+def test_series_elementwise_family(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 4.0], [2.0, 2.0, 2.0])],
+        "x array<double>, y array<double>",
+    )
+    r = kql(
+        spark,
+        """
+        T
+        | extend s = series_add(x, y), d = series_divide(x, 2),
+                 m = series_multiply(x, y), sub = series_subtract(x, y),
+                 g = series_greater(x, 1.5), ge = series_greater_equals(x, 2),
+                 eq = series_equals(x, y), p = series_pow(x, 2),
+                 ab = series_abs(series_subtract(x, y)),
+                 fl = series_floor(series_divide(x, 2)),
+                 su = series_sum(x), pr = series_product(x),
+                 dp = series_dot_product(x, y),
+                 mag = series_magnitude(y),
+                 cs = series_cosine_similarity(x, x)
+        | project s, d, m, sub, g, ge, eq, p, ab, fl, su, pr, dp, mag, cs
+        """,
+        tables={"T": df},
+    ).collect()[0]
+    assert r.s == [3.0, 4.0, 6.0]
+    assert r.d == [0.5, 1.0, 2.0]
+    assert r.m == [2.0, 4.0, 8.0]
+    assert r.sub == [-1.0, 0.0, 2.0]
+    assert r.g == [False, True, True]
+    assert r.ge == [False, True, True]
+    assert r.eq == [False, True, False]
+    assert r.p == [1.0, 4.0, 16.0]
+    assert r.ab == [1.0, 0.0, 2.0]
+    assert r.fl == [0.0, 1.0, 2.0]
+    assert (r.su, r.pr, r.dp) == (7.0, 8.0, 14.0)
+    assert abs(r.mag - 12.0 ** 0.5) < 1e-12
+    assert abs(r.cs - 1.0) < 1e-12
+
+
+def test_series_iir_recursion(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame([([1.0, 2.0, 4.0],)], "x array<double>")
+    # y[n] = x[n] + 0.5*y[n-1]  (b=[1], a=[1, -0.5])
+    r = kql(
+        spark,
+        "T | project y = series_iir(x, dynamic([1.0]), dynamic([1.0, -0.5]))",
+        tables={"T": df},
+    ).collect()[0]
+    assert r.y == [1.0, 2.5, 5.25]
+    # pure FIR through the iir form (a = [1]): the sequence(1, 0)
+    # guard must not feed back
+    r2 = kql(
+        spark,
+        "T | project y = series_iir(x, dynamic([2.0, 1.0]), dynamic([1.0]))",
+        tables={"T": df},
+    ).collect()[0]
+    assert r2.y == [2.0, 5.0, 10.0]
+    # normalization by a[0] != 1
+    r3 = kql(
+        spark,
+        "T | project y = series_iir(x, dynamic([1.0]), dynamic([2.0]))",
+        tables={"T": df},
+    ).collect()[0]
+    assert r3.y == [0.5, 1.0, 2.0]
