@@ -82,8 +82,10 @@ pow,greater,less,greater_equals,less_equals,equals,not_equals}``
 sin,cos,tan,asin,acos,atan,floor,ceiling}``, reductions
 ``series_{sum,product,dot_product,magnitude,cosine_similarity}``,
 and the recursive ``series_iir`` filter — all pure JVM array
-lambdas.  Anything outside the dialect raises ``KqlParseError``
-naming the verb — no silent misreads.
+lambdas; plus round-5 scalars ``startofweek``/``endofweek`` (SUNDAY
+week start), ``format_bytes``, ``format_timespan``, ``parse_path``.
+Anything outside the dialect raises ``KqlParseError`` naming the
+verb — no silent misreads.
 
 Citations: project B1 (BlobStagingOrchestration.cs:331), extend B2
 (BlobAnalysisOrchestration.cs:215), where B3-B6
@@ -666,10 +668,19 @@ def translate_expr(e: str) -> str:
         "datetime_diff",
         lambda a: f"timestampdiff({a[0].strip(chr(39))}, {a[2]}, {a[1]})",
     )
-    for part_ in ("day", "month", "year", "week"):
+    for part_ in ("day", "month", "year"):
         e = _rewrite_calls(
             e, f"startof{part_}", lambda a, p=part_: f"date_trunc('{p}', {a[0]})"
         )
+    # NOT date_trunc('week'): Kusto weeks start SUNDAY, Spark's Monday
+    e = _rewrite_calls(
+        e,
+        "startofweek",
+        lambda a: (
+            f"timestampadd(DAY, 1 - dayofweek({a[0]}), "
+            f"date_trunc('DAY', {a[0]}))"
+        ),
+    )
     e = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", e, flags=re.IGNORECASE)
     e = _rewrite_calls(e, "time", lambda a: a[0])  # time(1h) -> bare literal
     # standalone timespan literals become intervals (after bin/ago, so
@@ -1299,6 +1310,149 @@ def translate_expr(e: str) -> str:
         lambda a: "timestamp_micros(unix_micros("
         f"date_trunc('YEAR', {a[0]}) + INTERVAL 1 YEAR) - 1)",
     )
+    # Kusto weeks start SUNDAY (dayofweek: Sun=1); startofweek is
+    # rewritten earlier (before the startof* family) for the same reason
+    e = _rewrite_calls(
+        e,
+        "endofweek",
+        lambda a: (
+            "timestamp_micros(unix_micros("
+            f"timestampadd(DAY, 8 - dayofweek({a[0]}), "
+            f"date_trunc('DAY', {a[0]}))) - 1)"
+        ),
+    )
+
+    # format_bytes(value [, precision [, units]]) — precision and
+    # units must be LITERALS (they pick the output template at
+    # translate time); auto unit = largest 1024-power with |v| >= 1,
+    # via exact integer thresholds (no float log)
+    _BYTE_UNITS = ["Bytes", "KB", "MB", "GB", "TB", "PB", "EB"]
+
+    def _format_bytes(a: list[str]) -> str:
+        if not 1 <= len(a) <= 3:
+            raise KqlParseError(
+                "format_bytes takes (value [, precision [, units]])"
+            )
+        v = a[0]
+        prec = 0
+        if len(a) > 1:
+            if not re.fullmatch(r"\d+", a[1].strip()):
+                raise KqlParseError(
+                    "format_bytes: precision must be an integer literal"
+                )
+            prec = int(a[1])
+        if len(a) > 2:
+            u = a[2].strip().strip("'\"")
+            if u not in _BYTE_UNITS:
+                raise KqlParseError(
+                    f"format_bytes: unknown units {u!r} "
+                    f"(use one of {_BYTE_UNITS})"
+                )
+            k = _BYTE_UNITS.index(u)
+            return (
+                f"concat(format_string('%.{prec}f', "
+                f"CAST({v} AS DOUBLE) / {float(2 ** (10 * k))!r}), "
+                f"' {u}')"
+            )
+        k_expr = " ".join(
+            f"WHEN abs(CAST({v} AS DOUBLE)) >= {float(2 ** (10 * k))!r} "
+            f"THEN {k}"
+            for k in range(6, 0, -1)
+        )
+        k_sql = f"(CASE {k_expr} ELSE 0 END)"
+        units_arr = ", ".join(f"'{u}'" for u in _BYTE_UNITS)
+        return (
+            f"concat(format_string('%.{prec}f', CAST({v} AS DOUBLE) "
+            f"/ power(2.0D, 10 * {k_sql})), ' ', "
+            f"element_at(array({units_arr}), {k_sql} + 1))"
+        )
+
+    e = _rewrite_calls(e, "format_bytes", _format_bytes)
+
+    # format_timespan(timespan, format) — format must be a string
+    # LITERAL; supported tokens d/dd/h/hh/m/mm/s/ss/f{1..7} plus
+    # [.:- ] separators.  The timespan (a day-time interval) folds to
+    # total microseconds via the epoch round-trip; negative timespans
+    # are outside this profile (documented, like Kusto's d-prefix)
+    def _format_timespan(a: list[str]) -> str:
+        if len(a) != 2:
+            raise KqlParseError("format_timespan takes (timespan, format)")
+        fmt = a[1].strip()
+        if not (fmt.startswith(("'", '"')) and fmt.endswith(("'", '"'))):
+            raise KqlParseError(
+                "format_timespan: format must be a string literal"
+            )
+        us = f"unix_micros(timestamp_micros(0) + ({a[0]}))"
+        parts = []
+        for tok in re.findall(r"d+|h+|m+|s+|f+|[^dhmsf]+", fmt[1:-1]):
+            if tok[0] == "d":
+                d = f"CAST(({us}) DIV 86400000000 AS STRING)"
+                parts.append(
+                    f"lpad({d}, {len(tok)}, '0')" if len(tok) > 1 else d
+                )
+            elif tok[0] == "h":
+                parts.append(
+                    f"lpad(CAST((({us}) DIV 3600000000) % 24 AS STRING), "
+                    f"{max(len(tok), 1)}, '0')"
+                    if len(tok) > 1
+                    else f"CAST((({us}) DIV 3600000000) % 24 AS STRING)"
+                )
+            elif tok[0] == "m":
+                parts.append(
+                    f"lpad(CAST((({us}) DIV 60000000) % 60 AS STRING), "
+                    f"2, '0')"
+                    if len(tok) > 1
+                    else f"CAST((({us}) DIV 60000000) % 60 AS STRING)"
+                )
+            elif tok[0] == "s":
+                parts.append(
+                    f"lpad(CAST((({us}) DIV 1000000) % 60 AS STRING), "
+                    f"2, '0')"
+                    if len(tok) > 1
+                    else f"CAST((({us}) DIV 1000000) % 60 AS STRING)"
+                )
+            elif tok[0] == "f":
+                n = len(tok)
+                if n > 7:
+                    raise KqlParseError(
+                        "format_timespan: at most 7 fraction digits"
+                    )
+                # µs resolution: 7th digit (100 ns) is always 0
+                frac = f"lpad(CAST(({us}) % 1000000 AS STRING), 6, '0')"
+                parts.append(
+                    f"rpad(substring({frac}, 1, {min(n, 6)}), {n}, '0')"
+                )
+            else:
+                parts.append("'" + tok.replace("'", "\\'") + "'")
+        return "concat(" + ", ".join(parts) + ")"
+
+    e = _rewrite_calls(e, "format_timespan", _format_timespan)
+
+    # parse_path(path) -> Kusto's path property bag.  '\\' and '/'
+    # both separate (normalized first); restricted profile:
+    # AlternateDataStreamName only for a ':'-suffixed filename tail,
+    # RootPath = drive ('C:') or UNC root ('//share')
+    def _parse_path(a: list[str]) -> str:
+        p = f"replace({a[0]}, '\\\\', '/')"
+        dirp = f"substring({p}, 1, length({p}) - length(substring_index({p}, '/', -1)) - 1)"
+        fname = f"substring_index({p}, '/', -1)"
+        return (
+            "to_json(named_struct("
+            f"'Scheme', coalesce(regexp_extract({p}, "
+            "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''), "
+            f"'RootPath', coalesce(regexp_extract({p}, "
+            "'^([A-Za-z]:|//[^/]+)', 1), ''), "
+            f"'DirectoryPath', {dirp}, "
+            f"'DirectoryName', substring_index({dirp}, '/', -1), "
+            f"'Filename', substring_index({fname}, ':', 1), "
+            f"'Extension', CASE WHEN instr(substring_index({fname}, ':', 1), '.') > 0 "
+            f"THEN substring_index(substring_index({fname}, ':', 1), '.', -1) "
+            "ELSE '' END, "
+            f"'AlternateDataStreamName', CASE WHEN instr({fname}, ':') > 0 "
+            f"THEN substring_index({fname}, ':', -1) ELSE '' END))"
+        )
+
+    e = _rewrite_calls(e, "parse_path", _parse_path)
     e = _rewrite_calls(
         e,
         "isascii",

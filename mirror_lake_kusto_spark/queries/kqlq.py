@@ -1962,3 +1962,67 @@ def kql_series_elementwise(spark, sf_dir):
         ).alias("dbl"),
         F.to_json("hot").alias("hot"),
     )
+
+
+@query(
+    "kql_scalar_toolkit4",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+             (event_id * 7919) % 2000000000 AS sz
+      FROM events WHERE user_id % 199 = 0
+    )
+    SELECT event_id,
+           date_trunc('day', t) - to_days(CAST(dayofweek(t) AS INT))
+             AS sw,
+           date_trunc('day', t) - to_days(CAST(dayofweek(t) AS INT))
+             + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND AS ew,
+           CAST(dayofyear(t) AS INT) AS doy,
+           printf('%.2f', sz / POWER(2.0,
+             10 * (CASE WHEN sz >= 1073741824 THEN 3
+                        WHEN sz >= 1048576 THEN 2
+                        WHEN sz >= 1024 THEN 1 ELSE 0 END)))
+             || ' ' ||
+             (['Bytes', 'KB', 'MB', 'GB'])[
+               (CASE WHEN sz >= 1073741824 THEN 3
+                     WHEN sz >= 1048576 THEN 2
+                     WHEN sz >= 1024 THEN 1 ELSE 0 END) + 1] AS fb,
+           printf('%.1f', sz / 1048576.0) || ' MB' AS fbm,
+           strftime(t, '%H:%M:%S') AS ft,
+           to_json(struct_pack(
+             Scheme := '',
+             RootPath := '',
+             DirectoryPath := '/data/dir_' || CAST(user_id % 7 AS VARCHAR),
+             DirectoryName := 'dir_' || CAST(user_id % 7 AS VARCHAR),
+             Filename := 'f_' || CAST(event_id AS VARCHAR) || '.txt',
+             Extension := 'txt',
+             AlternateDataStreamName := '')) AS pp
+    FROM ev ORDER BY event_id
+    """,
+    doc="Kusto round-5 scalar batch: startofweek/endofweek (SUNDAY "
+    "week start, unlike Spark's date_trunc), dayofyear, format_bytes "
+    "(auto 1024-power unit via exact integer thresholds + fixed-unit "
+    "form; precision >= 1 keeps dyadic values off the printf "
+    "half-even/HALF_UP split), format_timespan over a day-time "
+    "interval, parse_path property bag — all pure JVM expressions",
+)
+def kql_scalar_toolkit4(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | where user_id % 199 == 0
+        | extend sz = (event_id * 7919) % 2000000000
+        | extend sw = startofweek(ts), ew = endofweek(ts),
+                 doy = toint(dayofyear(ts)),
+                 fb = format_bytes(sz, 2),
+                 fbm = format_bytes(sz, 1, 'MB'),
+                 ft = format_timespan(ts - startofday(ts), 'hh:mm:ss'),
+                 pp = parse_path(strcat('/data/dir_',
+                    tostring(user_id % 7), '/f_',
+                    tostring(event_id), '.txt'))
+        | project event_id, sw, ew, doy, fb, fbm, ft, pp
+        | order by event_id asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -2361,3 +2361,72 @@ def test_series_iir_recursion(spark):
         tables={"T": df},
     ).collect()[0]
     assert r3.y == [0.5, 1.0, 2.0]
+
+
+def test_scalar_toolkit4_edges(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    df = spark.createDataFrame(
+        [("C:\\docs\\rep.v1.txt:hidden",)], "p string"
+    )
+    r = kql(
+        spark,
+        """
+        T
+        | project pp = parse_path(p),
+                  fb = format_bytes(1023),
+                  fk = format_bytes(1536, 1),
+                  fm = format_bytes(1536000, 3, 'MB'),
+                  ft = format_timespan(totimespan('26:03:05'),
+                                       'd.hh:mm:ss'),
+                  tf = format_timespan(totimespan('01:02:03'),
+                                       'hh:mm:ss.fff')
+        """,
+        tables={"T": df},
+    ).collect()[0]
+    import json
+
+    pp = json.loads(r.pp)
+    assert pp["RootPath"] == "C:"
+    assert pp["Filename"] == "rep.v1.txt"
+    assert pp["Extension"] == "txt"
+    assert pp["AlternateDataStreamName"] == "hidden"
+    assert pp["DirectoryName"] == "docs"
+    assert r.fb == "1023 Bytes"
+    assert r.fk == "1.5 KB"
+    assert r.fm == "1.465 MB"
+    assert r.ft == "1.02:03:05"
+    assert r.tf == "01:02:03.000"
+
+    with pytest.raises(KqlParseError, match="units"):
+        kql(spark, "T | project x = format_bytes(1, 1, 'XB')",
+            tables={"T": df})
+    with pytest.raises(KqlParseError, match="precision"):
+        kql(spark, "T | project x = format_bytes(1, p)",
+            tables={"T": df})
+    with pytest.raises(KqlParseError, match="literal"):
+        kql(spark, "T | project x = format_timespan(totimespan('1:0:0'), p)",
+            tables={"T": df})
+
+
+def test_startofweek_is_sunday(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 7),), (dt.datetime(2024, 1, 10, 13),),
+         (dt.datetime(2024, 1, 13, 23, 59),)],
+        "ts timestamp",
+    )
+    rows = kql(
+        spark,
+        "T | project sw = startofweek(ts), ew = endofweek(ts)",
+        tables={"T": df},
+    ).collect()
+    assert all(r.sw == dt.datetime(2024, 1, 7) for r in rows)
+    assert all(
+        r.ew == dt.datetime(2024, 1, 13, 23, 59, 59, 999999) for r in rows
+    )
