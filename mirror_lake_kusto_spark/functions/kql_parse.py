@@ -1908,6 +1908,8 @@ class KqlQuery:
             return self._print(src)
         if re.match(r"datatable\s*\(", src, re.IGNORECASE):
             return self._datatable(src)
+        if re.match(r"find\s", src, re.IGNORECASE):
+            return self._find(src)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", src):
             raise KqlParseError(f"source must be a table name: {src!r}")
         if src in self._lets:
@@ -1917,6 +1919,79 @@ class KqlQuery:
                 self._lets[src] = body
             return self._let_cache[src]
         return self.resolve(src)
+
+    def _find(self, src: str) -> DataFrame:
+        """``find [withsource=Col] in (T1, T2, ...) where Pred
+        [project c1, c2, ...]`` — search rows matching the predicate
+        across several tables (Kusto's cross-table search operator).
+
+        Lowering: union-by-name with missing columns null-filled
+        (typed from the first table that has them), then one filter —
+        a predicate referencing a column a table lacks sees null
+        there, exactly Kusto's semantics.  With no ``project``,
+        output is Kusto's project-smart: the source column, the
+        columns COMMON to every searched table, and ``pack_`` (a JSON
+        bag of each row's remaining own-table columns).
+
+        Scale shape: N table scans + a filter each — the union is
+        plan-level only (no shuffle); predicate and projection push
+        into every branch."""
+        m = re.match(
+            r"find\s+(?:withsource\s*=\s*(\w+)\s+)?in\s*\(([^)]+)\)\s*"
+            r"where\s+(.+?)(?:\s+project\s+(.+))?$",
+            src,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError(
+                "find needs 'find [withsource=Col] in (T1, ...) "
+                f"where pred [project cols]': {src!r}"
+            )
+        src_col = m.group(1) or "source_"
+        names = [t.strip() for t in m.group(2).split(",") if t.strip()]
+        if not names:
+            raise KqlParseError("find needs at least one table")
+        pred = translate_expr(m.group(3))
+        proj = (
+            [c.strip() for c in m.group(4).split(",")]
+            if m.group(4)
+            else None
+        )
+        dfs = [(n, self._source(n)) for n in names]
+        # first-appearance column order; types from the first owner
+        all_cols: dict[str, str] = {}
+        for _, df in dfs:
+            for f in df.schema.fields:
+                all_cols.setdefault(f.name, f.dataType.simpleString())
+        common = [
+            c
+            for c in all_cols
+            if all(c in df.columns for _, df in dfs)
+        ]
+        out = None
+        for n, df in dfs:
+            cols = [F.lit(n).alias(src_col)]
+            for c, dt in all_cols.items():
+                cols.append(
+                    F.col(c)
+                    if c in df.columns
+                    else F.lit(None).cast(dt).alias(c)
+                )
+            if proj is None:
+                own = [c for c in df.columns if c not in common]
+                pack = (
+                    F.to_json(F.struct(*own)) if own else F.lit("{}")
+                )
+                branch = df.select(
+                    *cols, pack.alias("pack_")
+                )
+            else:
+                branch = df.select(*cols, F.lit(None).alias("pack_"))
+            out = branch if out is None else out.unionByName(branch)
+        out = out.filter(F.expr(pred))
+        if proj is not None:
+            return out.select(src_col, *proj)
+        return out.select(src_col, *common, "pack_")
 
     def _range(self, src: str) -> DataFrame:
         """``range x from lo to hi step s`` — numeric or datetime axis,
@@ -2077,7 +2152,7 @@ class KqlQuery:
             r"|make-graph|graph-match"
             r"|getschema|evaluate|top-nested|partition|facet|scan"
             r"|render|parse-where|parse|search|invoke|fork"
-            r"|sample-distinct|sample|top-hitters"
+            r"|sample-distinct|sample|top-hitters|reduce"
             r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
             op,
@@ -2771,6 +2846,58 @@ class KqlQuery:
         r"\s+step\s+(\S+)(?:\s+by\s+(.+))?$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _op_reduce(self, frame, rest):
+        """``reduce by Expr [with threshold=T, characters='...']`` —
+        group string values into patterns (Kusto's log-template
+        clustering).  DETERMINISTIC restricted profile (Kusto's own
+        algorithm is a heuristic): the pattern replaces every digit
+        run with ``*`` and every hex-run of 8+ characters (ids,
+        guids) with ``*``; output is Kusto's shape — ``Pattern``,
+        ``Count``, ``Representative`` (the smallest matching value,
+        a deterministic stand-in for Kusto's arbitrary pick).  The
+        ``with`` options are validated but do not alter this
+        profile's exact grouping.
+
+        Scale shape: one hash aggregation on the derived pattern key —
+        map-side partial aggregation, no quadratic term."""
+        m = re.match(
+            r"^by\s+(.+?)(?:\s+with\s*\((.*)\))?\s*$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError(f"reduce needs 'reduce by Expr': {rest!r}")
+        if m.group(2):
+            for part in _split_top(m.group(2), ","):
+                k, _, v = part.partition("=")
+                k = k.strip().lower()
+                if k == "threshold":
+                    try:
+                        t = float(v)
+                    except ValueError:
+                        raise KqlParseError(
+                            f"reduce: bad threshold {v!r}"
+                        ) from None
+                    if not 0 < t <= 1:
+                        raise KqlParseError(
+                            "reduce: threshold must be in (0, 1]"
+                        )
+                elif k != "characters":
+                    raise KqlParseError(f"reduce: unknown option {k!r}")
+        val = translate_expr(m.group(1))
+        pattern = (
+            "regexp_replace("
+            f"regexp_replace(regexp_replace(CAST({val} AS STRING), "
+            "'[0-9]+', '*'), '\\\\b[0-9a-fA-F*]{8,}\\\\b', '*'), "
+            "'\\\\*{2,}', '*')"
+        )
+        return KqlFrame(
+            frame.df.groupBy(F.expr(pattern).alias("Pattern")).agg(
+                F.count(F.lit(1)).alias("Count"),
+                F.min(F.expr(val)).alias("Representative"),
+            )
+        )
 
     def _op_make_graph(self, frame, rest):
         """``make-graph SrcCol --> DstCol [with NodesTable on IdCol]``

@@ -2026,3 +2026,83 @@ def kql_scalar_toolkit4(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_find_search",
+    """
+    WITH a AS (
+      SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal
+      FROM customer
+    ), b AS (
+      SELECT s_suppkey AS key, s_name AS name, s_acctbal AS bal,
+             s_nationkey AS nat
+      FROM supplier
+    )
+    SELECT src, name, ROUND(bal, 2) AS bal FROM (
+      SELECT 'A' AS src, name, bal FROM a WHERE bal > 9000
+      UNION ALL
+      SELECT 'B' AS src, name, bal FROM b WHERE bal > 9000
+    ) ORDER BY src, name
+    """,
+    doc="KQL find operator: cross-table search with withsource tag "
+    "and projected columns — union-by-name with null-filled missing "
+    "columns, one filter; the union is plan-level only (predicate "
+    "and projection push into every branch, no shuffle)",
+)
+def kql_find_search(spark, sf_dir):
+    tabs = _tables(spark, sf_dir, "customer", "supplier")
+    tabs["A"] = tabs["customer"].selectExpr(
+        "c_custkey AS key", "c_name AS name", "c_acctbal AS bal"
+    )
+    tabs["B"] = tabs["supplier"].selectExpr(
+        "s_suppkey AS key", "s_name AS name", "s_acctbal AS bal",
+        "s_nationkey AS nat"
+    )
+    out = kql(
+        spark,
+        """
+        find withsource=src in (A, B) where bal > 9000
+            project name, bal
+        | order by src asc, name asc
+        """,
+        tables=tabs,
+    )
+    return out.select("src", "name", F.round("bal", 2).alias("bal"))
+
+
+@query(
+    "kql_reduce_patterns",
+    """
+    WITH logs AS (
+      SELECT 'user_' || CAST(user_id % 50 AS VARCHAR)
+             || ' did ' || event_type
+             || ' on host' || CAST(event_id % 7 AS VARCHAR) AS msg
+      FROM events
+    )
+    SELECT regexp_replace(regexp_replace(regexp_replace(
+             msg, '[0-9]+', '*', 'g'),
+             '\\b[0-9a-fA-F*]{8,}\\b', '*', 'g'),
+             '\\*{2,}', '*', 'g') AS Pattern,
+           CAST(COUNT(*) AS BIGINT) AS Count,
+           MIN(msg) AS Representative
+    FROM logs GROUP BY 1 ORDER BY Count DESC, Pattern
+    """,
+    doc="KQL reduce operator: log-template clustering profile — "
+    "digit runs and 8+-char hex runs fold to '*', one hash "
+    "aggregation on the derived pattern key (map-side partials, no "
+    "quadratic term); Representative = MIN(value) keeps the pick "
+    "deterministic on both engines",
+)
+def kql_reduce_patterns(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | project msg = strcat('user_', tostring(user_id % 50),
+            ' did ', event_type, ' on host', tostring(event_id % 7))
+        | reduce by msg
+        | order by Count desc, Pattern asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )

@@ -2430,3 +2430,60 @@ def test_startofweek_is_sunday(spark):
     assert all(
         r.ew == dt.datetime(2024, 1, 13, 23, 59, 59, 999999) for r in rows
     )
+
+
+def test_find_operator_project_smart_and_errors(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    a = spark.createDataFrame([(1, "x", 9500.0)], "key long, name string, bal double")
+    b = spark.createDataFrame(
+        [(7, "z", 9900.0, "EU")], "key long, name string, bal double, region string"
+    )
+    # project-smart default: source_ + common columns + pack_ bag of
+    # each row's own-table extras
+    rows = kql(
+        spark,
+        "find in (A, B) where bal > 9000 | order by key asc",
+        tables={"A": a, "B": b},
+    ).collect()
+    assert [r.source_ for r in rows] == ["A", "B"]
+    assert rows[0].pack_ == "{}"
+    assert rows[1].pack_ == '{"region":"EU"}'
+    # a predicate on a column one table lacks: that table sees null
+    rows2 = kql(
+        spark,
+        "find in (A, B) where region == 'EU' project name",
+        tables={"A": a, "B": b},
+    ).collect()
+    assert [(r.source_, r.name) for r in rows2] == [("B", "z")]
+    with pytest.raises(KqlParseError, match="find needs"):
+        kql(spark, "find in (A)", tables={"A": a})
+
+
+def test_reduce_operator_patterns(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    logs = spark.createDataFrame(
+        [("user 1234 logged in from 10.0.0.1",),
+         ("user 99 logged in from 10.0.0.2",),
+         ("disk deadbeef01 failed",)],
+        "msg string",
+    )
+    rows = kql(
+        spark,
+        "L | reduce by msg | order by Count desc, Pattern asc",
+        tables={"L": logs},
+    ).collect()
+    assert [(r.Pattern, r.Count) for r in rows] == [
+        ("user * logged in from *.*.*.*", 2),
+        ("disk * failed", 1),
+    ]
+    assert rows[0].Representative == "user 1234 logged in from 10.0.0.1"
+    with pytest.raises(KqlParseError, match="threshold"):
+        kql(spark, "L | reduce by msg with (threshold=2)", tables={"L": logs})
