@@ -1554,6 +1554,116 @@ def translate_expr(e: str) -> str:
         # (p_lon, p_lat, c_lon, c_lat, radius_m)
         lambda a: f"({_hav(a[0], a[1], a[2], a[3])} <= ({a[4]}))",
     )
+
+    _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    # geo_point_to_geohash(lon, lat, precision): precision must be a
+    # LITERAL 1..12 — the whole encode then UNROLLS at translate time
+    # into plain integer arithmetic (scale lon/lat to fixed-point
+    # ints, interleave bits lon-first, base32 the 5-bit groups): no
+    # lambdas, no UDF, and the identical formula runs on any SQL
+    # engine (the oracle twin).  Every double step is IEEE-exact-
+    # deterministic, so engines agree bit-for-bit.
+    def _geohash_enc(a: list[str]) -> str:
+        if len(a) != 3:
+            raise KqlParseError(
+                "geo_point_to_geohash takes (longitude, latitude, "
+                "precision)"
+            )
+        if not re.fullmatch(r"\d+", a[2].strip()):
+            raise KqlParseError(
+                "geo_point_to_geohash: precision must be an integer "
+                "literal"
+            )
+        p = int(a[2])
+        if not 1 <= p <= 12:
+            raise KqlParseError(
+                "geo_point_to_geohash: precision must be 1..12"
+            )
+        n = 5 * p
+        lonbits, latbits = (n + 1) // 2, n // 2
+        lon_i = (
+            f"least(CAST(floor((({a[0]}) + 180.0D) / 360.0D * "
+            f"{float(2 ** lonbits)!r}) AS BIGINT), {2 ** lonbits - 1})"
+        )
+        lat_i = (
+            f"least(CAST(floor((({a[1]}) + 90.0D) / 180.0D * "
+            f"{float(2 ** latbits)!r}) AS BIGINT), {2 ** latbits - 1})"
+        )
+        chars = []
+        for i in range(p):
+            terms = []
+            for j in range(5):
+                t = 5 * i + j  # global bit index, 0 = MSB, lon first
+                if t % 2 == 0:
+                    src_, sh = "__ghlon", lonbits - 1 - t // 2
+                else:
+                    src_, sh = "__ghlat", latbits - 1 - (t - 1) // 2
+                terms.append(
+                    f"(({src_} DIV {2 ** sh}) % 2) * {2 ** (4 - j)}"
+                )
+            chars.append(
+                f"substring('{_GH32}', ({' + '.join(terms)}) + 1, 1)"
+            )
+        # bind the scaled ints once via a 2-element struct inlined as
+        # a lambda-free let: a higher-order transform over a 1-element
+        # array keeps each int computed once, not 5p times
+        return (
+            "(transform(array(named_struct("
+            f"'__l', {lon_i}, '__t', {lat_i})), __g -> "
+            + "concat("
+            + ", ".join(
+                c.replace("__ghlon", "__g.__l").replace(
+                    "__ghlat", "__g.__t"
+                )
+                for c in chars
+            )
+            + "))[0])"
+        )
+
+    e = _rewrite_calls(e, "geo_point_to_geohash", _geohash_enc)
+
+    # geo_geohash_to_central_point(gh): runtime-length decode — one
+    # fold re-packs the base32 digits into a BIGINT (<= 60 bits), two
+    # de-interleaving folds split even/odd bits back into the lon/lat
+    # fixed-point ints, and the cell center is exact dyadic math.
+    # Kusto returns a GeoJSON Point dynamic; dynamics here are JSON
+    # strings.
+    def _geohash_dec(a: list[str]) -> str:
+        gh = a[0]
+        iv = (
+            f"aggregate(sequence(1, length({gh})), 0L, (__a, __i) -> "
+            f"__a * 32 + instr('{_GH32}', substring({gh}, __i, 1)) - 1)"
+        )
+        n = f"(5 * length({gh}))"
+        # even global bit positions -> lon, odd -> lat (lon first)
+        lon_i = (
+            f"aggregate(sequence(0, {n} - 1), 0L, (__a, __t) -> "
+            f"CASE WHEN __t % 2 = 0 THEN __a * 2 + "
+            f"(shiftright(__iv, {n} - 1 - __t) % 2) ELSE __a END)"
+        )
+        lat_i = (
+            f"aggregate(sequence(0, {n} - 1), 0L, (__a, __t) -> "
+            f"CASE WHEN __t % 2 = 1 THEN __a * 2 + "
+            f"(shiftright(__iv, {n} - 1 - __t) % 2) ELSE __a END)"
+        )
+        lon = (
+            f"(-180.0D + 360.0D * (CAST({lon_i} AS DOUBLE) + 0.5D) "
+            f"/ power(2.0D, CAST(({n} + 1) DIV 2 AS DOUBLE)))"
+        )
+        lat = (
+            f"(-90.0D + 180.0D * (CAST({lat_i} AS DOUBLE) + 0.5D) "
+            f"/ power(2.0D, CAST({n} DIV 2 AS DOUBLE)))"
+        )
+        body = (
+            "to_json(named_struct('type', 'Point', 'coordinates', "
+            f"array({lon}, {lat})))"
+        )
+        return (
+            f"(transform(array({iv}), __iv -> {body})[0])"
+        )
+
+    e = _rewrite_calls(e, "geo_geohash_to_central_point", _geohash_dec)
     # bit/conversion/datetime batch
     e = _rewrite_calls(e, "binary_and", lambda a: f"(({a[0]}) & ({a[1]}))")
     e = _rewrite_calls(e, "binary_or", lambda a: f"(({a[0]}) | ({a[1]}))")

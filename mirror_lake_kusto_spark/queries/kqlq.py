@@ -2106,3 +2106,87 @@ def kql_reduce_patterns(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+def _geohash_oracle(p: int) -> str:
+    """DuckDB twin of the unrolled geohash encode at literal
+    precision ``p`` — the same fixed-point interleave the KQL
+    lowering emits (see kql_parse geo_point_to_geohash)."""
+    n = 5 * p
+    lonbits, latbits = (n + 1) // 2, n // 2
+    chars = []
+    for i in range(p):
+        terms = []
+        for j in range(5):
+            t = 5 * i + j
+            if t % 2 == 0:
+                src, sh = "lon_i", lonbits - 1 - t // 2
+            else:
+                src, sh = "lat_i", latbits - 1 - (t - 1) // 2
+            terms.append(f"(({src} // {2 ** sh}) % 2) * {2 ** (4 - j)}")
+        chars.append(
+            "substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST({' + '.join(terms)} AS INT) + 1, 1)"
+        )
+    return (
+        f"""
+    WITH pts AS (
+      SELECT doc_id,
+             -180.0 + (doc_id % 3600) / 10.0 AS lon,
+             -90.0 + (doc_id % 1800) / 10.0 AS lat
+      FROM documents WHERE doc_id % 11 = 0
+    ), ints AS (
+      SELECT doc_id, lon, lat,
+             LEAST(CAST(FLOOR((lon + 180.0) / 360.0 *
+               {float(2 ** lonbits)!r}) AS BIGINT),
+               {2 ** lonbits - 1}) AS lon_i,
+             LEAST(CAST(FLOOR((lat + 90.0) / 180.0 *
+               {float(2 ** latbits)!r}) AS BIGINT),
+               {2 ** latbits - 1}) AS lat_i
+      FROM pts
+    )
+    SELECT doc_id, {' || '.join(chars)} AS gh,
+           ROUND(-180.0 + 360.0 * (lon_i + 0.5) /
+                 {float(2 ** lonbits)!r}, 8) AS clon,
+           ROUND(-90.0 + 180.0 * (lat_i + 0.5) /
+                 {float(2 ** latbits)!r}, 8) AS clat
+    FROM ints ORDER BY doc_id
+    """
+    )
+
+
+@query(
+    "kql_geo_geohash",
+    _geohash_oracle(5),
+    doc="Kusto geo_point_to_geohash / geo_geohash_to_central_point: "
+    "the encode UNROLLS at translate time into plain fixed-point "
+    "integer interleaving (no lambdas, no UDF — the oracle twin is "
+    "the same arithmetic in DuckDB syntax); the decode folds base32 "
+    "digits back and de-interleaves, center math exact dyadic so "
+    "both engines agree bit-for-bit",
+)
+def kql_geo_geohash(spark, sf_dir):
+    out = kql(
+        spark,
+        """
+        documents
+        | where doc_id % 11 == 0
+        | extend lon = -180.0 + todouble(doc_id % 3600) / 10.0,
+                 lat = -90.0 + todouble(doc_id % 1800) / 10.0
+        | extend gh = geo_point_to_geohash(lon, lat, 5)
+        | extend ctr = geo_geohash_to_central_point(gh)
+        | project doc_id, gh, ctr
+        | order by doc_id asc
+        """,
+        tables=_tables(spark, sf_dir, "documents"),
+    )
+    return out.select(
+        "doc_id",
+        "gh",
+        F.round(
+            F.get_json_object("ctr", "$.coordinates[0]").cast("double"), 8
+        ).alias("clon"),
+        F.round(
+            F.get_json_object("ctr", "$.coordinates[1]").cast("double"), 8
+        ).alias("clat"),
+    )

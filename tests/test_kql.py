@@ -2487,3 +2487,48 @@ def test_reduce_operator_patterns(spark):
     assert rows[0].Representative == "user 1234 logged in from 10.0.0.1"
     with pytest.raises(KqlParseError, match="threshold"):
         kql(spark, "L | reduce by msg with (threshold=2)", tables={"L": logs})
+
+
+def test_geohash_encode_decode(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    t = spark.createDataFrame([(1,)], "id long")
+
+    def one(e):
+        return kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+
+    # textbook vectors (geohash.org reference implementation)
+    assert one("geo_point_to_geohash(-5.6, 42.6, 5)") == "ezs42"
+    assert (
+        one("geo_point_to_geohash(-122.3493, 47.6205, 9)") == "c22yzv5cw"
+    )
+    assert one("geo_point_to_geohash(13.361389, 38.115556, 8)") == "sqc8b49r"
+    # precision 1 covers a 45x45 degree cell
+    assert one("geo_point_to_geohash(0.0, 0.0, 1)") == "s"
+    # decode returns the cell center as GeoJSON; re-encoding the
+    # center lands in the same cell
+    import json
+
+    ctr = json.loads(
+        one("geo_geohash_to_central_point('ezs42')")
+    )
+    assert ctr["type"] == "Point"
+    lon, lat = ctr["coordinates"]
+    assert abs(lon - (-5.603)) < 0.03 and abs(lat - 42.605) < 0.03
+    assert (
+        one(
+            "geo_point_to_geohash("
+            f"{lon!r}, {lat!r}, 5)"
+        )
+        == "ezs42"
+    )
+    # precision must be a literal in range
+    with pytest.raises(KqlParseError, match="precision"):
+        one("geo_point_to_geohash(1.0, 2.0, 0)")
+    with pytest.raises(KqlParseError, match="precision"):
+        one("geo_point_to_geohash(1.0, 2.0, id)")
