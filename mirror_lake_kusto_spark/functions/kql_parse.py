@@ -82,7 +82,13 @@ pow,greater,less,greater_equals,less_equals,equals,not_equals}``
 sin,cos,tan,asin,acos,atan,floor,ceiling}``, reductions
 ``series_{sum,product,dot_product,magnitude,cosine_similarity}``,
 and the recursive ``series_iir`` filter — all pure JVM array
-lambdas; plus round-5 scalars ``startofweek``/``endofweek`` (SUNDAY
+lambdas; fills ``series_fill_const`` (pure coalesce transform) and
+``series_fill_backward`` (Arrow kernel, mirror of forward),
+``series_seasonal`` (per-phase median profile) and
+``series_periods_detect`` (normalized-autocorrelation top-k, exact
+integer folds) as pure expressions; geo ``geo_point_to_geohash`` /
+``geo_geohash_to_central_point`` (translate-time bit-interleave
+unroll); plus round-5 scalars ``startofweek``/``endofweek`` (SUNDAY
 week start), ``format_bytes``, ``format_timespan``, ``parse_path``.
 Anything outside the dialect raises ``KqlParseError`` naming the
 verb — no silent misreads.
@@ -953,6 +959,113 @@ def translate_expr(e: str) -> str:
         ("series_ceiling", "ceil"),
     ):
         e = _rewrite_calls(e, _nm, _series_map(_sql))
+
+    # series_fill_const(x, c): nulls take the constant — pure
+    # transform + coalesce (the fill_forward/backward/linear scans
+    # need the Arrow kernels; the const fill does not)
+    def _fill_const(a: list[str]) -> str:
+        if len(a) != 2:
+            raise KqlParseError(
+                "series_fill_const takes (series, constant)"
+            )
+        return (
+            f"transform({a[0]}, __v -> "
+            f"coalesce(CAST(__v AS DOUBLE), CAST(({a[1]}) AS DOUBLE)))"
+        )
+
+    e = _rewrite_calls(e, "series_fill_const", _fill_const)
+
+    # series_seasonal(x, period): the seasonal profile repeated over
+    # the series — per-phase (i mod period) MEDIAN of the non-null
+    # values (median = avg of the two middles on even counts).  Pure
+    # JVM array lambdas; intermediate bindings via the 1-element
+    # transform trick so each subresult is computed once.
+    def _series_seasonal(a: list[str]) -> str:
+        if len(a) != 2:
+            raise KqlParseError(
+                "series_seasonal takes (series, period)"
+            )
+        x, p = a[0], a[1]
+        med = (
+            "transform(array(array_sort(filter(__s.__x, (__v, __j) -> "
+            "__j % __s.__p = __ph AND __v IS NOT NULL))), __a -> "
+            "CASE WHEN size(__a) = 0 THEN CAST(NULL AS DOUBLE) "
+            "WHEN size(__a) % 2 = 1 THEN "
+            "CAST(element_at(__a, CAST(size(__a) DIV 2 AS INT) + 1) "
+            "AS DOUBLE) "
+            "ELSE (CAST(element_at(__a, CAST(size(__a) DIV 2 AS INT)) "
+            "AS DOUBLE) + CAST(element_at(__a, "
+            "CAST(size(__a) DIV 2 AS INT) + 1) AS DOUBLE)) / 2.0D "
+            "END)[0]"
+        )
+        return (
+            "(transform(array(named_struct("
+            f"'__x', {x}, '__p', CAST(({p}) AS INT))), __s -> "
+            f"transform(array(transform(sequence(0, __s.__p - 1), "
+            f"__ph -> {med})), __m -> "
+            "transform(sequence(0, size(__s.__x) - 1), __i -> "
+            "element_at(__m, CAST(__i % __s.__p AS INT) + 1)))[0]"
+            ")[0])"
+        )
+
+    e = _rewrite_calls(e, "series_seasonal", _series_seasonal)
+
+    # series_periods_detect(x, min_period, max_period, k): documented
+    # deterministic profile — normalized autocorrelation r(L) =
+    # sum((x[i]*n - S)(x[i+L]*n - S)) / sum((x[i]*n - S)^2) over the
+    # null-as-0 series (the n-scaled form keeps every term an exact
+    # integer when the series is integer-valued, so both engines fold
+    # identical doubles), FLOOR-scaled to 6 places (no rounding-tie
+    # divergence), top-k lags by (score desc, lag asc).  Returns
+    # struct(periods array<double>, scores array<double>) — Kusto's
+    # two dynamic outputs as one struct.
+    def _series_periods(a: list[str]) -> str:
+        if len(a) != 4:
+            raise KqlParseError(
+                "series_periods_detect takes (series, min_period, "
+                "max_period, num_periods)"
+            )
+        x, lo, hi, k = a
+        num = (
+            "aggregate(sequence(1, CAST(__m.__n AS INT) - __lag), 0D, "
+            "(__a, __i) -> __a + "
+            "(element_at(__x, __i) * __m.__n - __m.__s) * "
+            "(element_at(__x, __i + __lag) * __m.__n - __m.__s))"
+        )
+        score = (
+            "CASE WHEN __den <= 0D OR __lag >= CAST(__m.__n AS INT) "
+            f"THEN 0D ELSE floor({num} / __den * 1000000D) / 1000000D "
+            "END"
+        )
+        scored = (
+            f"transform(sequence(({lo}), ({hi})), __lag -> "
+            f"named_struct('score', {score}, 'lag', __lag))"
+        )
+        top = (
+            f"slice(array_sort({scored}, (__l, __r) -> "
+            "CASE WHEN __l.score > __r.score THEN -1 "
+            "WHEN __l.score < __r.score THEN 1 "
+            "WHEN __l.lag < __r.lag THEN -1 "
+            "WHEN __l.lag > __r.lag THEN 1 ELSE 0 END), "
+            f"1, ({k}))"
+        )
+        return (
+            "(transform(array(transform("
+            f"{x}, __v -> coalesce(CAST(__v AS DOUBLE), 0D))), __x -> "
+            "transform(array(named_struct("
+            "'__n', CAST(size(__x) AS DOUBLE), "
+            "'__s', aggregate(__x, 0D, (__a, __v) -> __a + __v))), "
+            "__m -> "
+            "transform(array(aggregate(__x, 0D, (__a, __v) -> __a + "
+            "(__v * __m.__n - __m.__s) * (__v * __m.__n - __m.__s))), "
+            "__den -> "
+            f"transform(array({top}), __t -> named_struct("
+            "'periods', transform(__t, __e -> CAST(__e.lag AS DOUBLE)), "
+            "'scores', transform(__t, __e -> __e.score)))[0]"
+            ")[0])[0])[0])"
+        )
+
+    e = _rewrite_calls(e, "series_periods_detect", _series_periods)
 
     def _dot(x: str, y: str) -> str:
         return (
@@ -2610,7 +2723,12 @@ class KqlQuery:
     #: Kusto series functions backed by engine operators; registered as
     #: SQL UDFs on first use so they work inside KQL expression strings
     #: (e.g. ``make-series ... | extend f = series_fill_forward(total)``)
-    _SERIES_FNS = ("series_fill_forward", "series_fill_linear", "series_outliers")
+    _SERIES_FNS = (
+        "series_fill_forward",
+        "series_fill_backward",
+        "series_fill_linear",
+        "series_outliers",
+    )
 
     def _ensure_series_udfs(self, e: str, spark) -> None:
         """Register the engine's series kernels as SQL functions (once

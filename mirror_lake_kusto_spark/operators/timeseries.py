@@ -181,6 +181,16 @@ def _kernel_fill_forward(col: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
+def _kernel_fill_backward(col: "pd.Series") -> "pd.Series":
+    """Mirror image of ``_kernel_fill_forward``: nulls take the next
+    FOLLOWING non-null value; trailing nulls stay null."""
+    rev = pd.Series([None if v is None else list(v)[::-1] for v in col])
+    filled = _kernel_fill_forward(rev)
+    return pd.Series(
+        [None if v is None else list(v)[::-1] for v in filled]
+    )
+
+
 def _kernel_fill_linear(col: "pd.Series") -> "pd.Series":
     import numpy as np
 
@@ -240,6 +250,7 @@ def _kernel_outliers(col: "pd.Series") -> "pd.Series":
 #: kernel registry for SQL-function registration (functions/kql_parse.py)
 SERIES_KERNELS = {
     "series_fill_forward": _kernel_fill_forward,
+    "series_fill_backward": _kernel_fill_backward,
     "series_fill_linear": _kernel_fill_linear,
     "series_outliers": _kernel_outliers,
 }
@@ -260,6 +271,28 @@ def series_fill_forward(arr: Column | str) -> Column:
         return _kernel_fill_forward(col)
 
     return _u(F.col(arr) if isinstance(arr, str) else arr)
+
+
+def series_fill_backward(arr: Column | str) -> Column:
+    """Kusto ``series_fill_backward``: nulls take the next following
+    non-null value; trailing nulls stay null.  Arrow-vectorized pandas
+    UDF (mirror of ``series_fill_forward`` — same no-O(n)-scan-in-
+    Catalyst rationale)."""
+
+    @F.pandas_udf("array<double>")
+    def _u(col: pd.Series) -> pd.Series:
+        return _kernel_fill_backward(col)
+
+    return _u(F.col(arr) if isinstance(arr, str) else arr)
+
+
+def series_fill_const(arr: Column | str, value: float) -> Column:
+    """Kusto ``series_fill_const``: nulls take a constant — pure JVM
+    ``transform`` + ``coalesce``, no UDF."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(
+        a, lambda x: F.coalesce(x.cast("double"), F.lit(float(value)))
+    )
 
 
 def series_fill_linear(arr: Column | str) -> Column:

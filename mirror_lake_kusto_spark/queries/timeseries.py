@@ -221,6 +221,7 @@ def ts_series_moving_avg(spark, sf_dir):
     lin AS (
       SELECT event_type, slot,
              ROUND(prev_c / 100.0, 4) AS ff,
+             ROUND(next_c / 100.0, 4) AS fb,
              -- FLOOR-scaling, not ROUND: interpolation lands on exact
              -- .5 rounding ties, where Spark (decimal half-up) and
              -- DuckDB (binary) disagree; FLOOR of the same IEEE double
@@ -262,6 +263,8 @@ def ts_series_moving_avg(spark, sf_dir):
     SELECT l.event_type,
            to_json(list(printf('%.4f', l.ff) ORDER BY l.slot))
                AS fill_forward,
+           to_json(list(printf('%.4f', l.fb) ORDER BY l.slot))
+               AS fill_backward,
            to_json(list(printf('%.4f', l.li) ORDER BY l.slot))
                AS fill_linear,
            to_json(list(printf('%.6f', s.sc) ORDER BY l.slot))
@@ -270,7 +273,8 @@ def ts_series_moving_avg(spark, sf_dir):
       ON s.event_type = l.event_type AND s.slot = l.slot
     GROUP BY l.event_type ORDER BY l.event_type
     """,
-    doc="Kusto series_fill_forward / series_fill_linear / "
+    doc="Kusto series_fill_forward / series_fill_backward / "
+    "series_fill_linear / "
     "series_outliers over a 15-min make-series grid with ~half the "
     "slots empty: forward fill carries the last value, linear fill "
     "interpolates interior gaps (edges take the nearest value), "
@@ -280,6 +284,7 @@ def ts_series_moving_avg(spark, sf_dir):
 )
 def ts_series_fill(spark, sf_dir):
     from ..operators.timeseries import (
+        series_fill_backward,
         series_fill_forward,
         series_fill_linear,
         series_outliers,
@@ -305,6 +310,12 @@ def ts_series_fill(spark, sf_dir):
             ),
             4,
         ).alias("fill_forward"),
+        _json_fixed(
+            F.transform(
+                series_fill_backward(cents), lambda x: F.round(x / 100, 4)
+            ),
+            4,
+        ).alias("fill_backward"),
         _json_fixed(
             F.transform(
                 series_fill_linear(cents),
@@ -729,3 +740,153 @@ def ts_series_pearson_corr(spark, sf_dir):
         "event_type",
         F.round(series_pearson_correlation("ns", "us"), 6).alias("r"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_series_periods",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(TIMESTAMP '2024-01-01')) / 21600) AS BIGINT)
+               AS slot
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+    ),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (SELECT UNNEST(range(0, 56)) AS slot),
+    grid AS (
+      SELECT k.event_type, s.slot,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) AS x
+      FROM keys k CROSS JOIN slots s
+      LEFT JOIN (SELECT event_type, slot, COUNT(*) AS n
+                 FROM ev GROUP BY 1, 2) c
+        ON c.event_type = k.event_type AND c.slot = s.slot
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s
+      FROM grid GROUP BY 1
+    ),
+    cent AS (
+      SELECT g.event_type, g.slot, g.x * st.n - st.s AS c
+      FROM grid g JOIN stats st USING (event_type)
+    ),
+    den AS (SELECT event_type, SUM(c * c) AS den FROM cent GROUP BY 1),
+    lags AS (SELECT UNNEST(range(2, 15)) AS lag),
+    num AS (
+      SELECT a.event_type, l.lag, SUM(a.c * b.c) AS num
+      FROM cent a
+      CROSS JOIN lags l
+      JOIN cent b ON b.event_type = a.event_type
+                 AND b.slot = a.slot + l.lag
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT n.event_type, n.lag,
+             CASE WHEN d.den <= 0 THEN 0.0
+                  ELSE FLOOR(n.num / d.den * 1000000) / 1000000
+             END AS score
+      FROM num n JOIN den d USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, lag, score,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY score DESC, lag) AS rk
+      FROM scored
+    )
+    SELECT event_type, CAST(lag AS DOUBLE) AS period, score
+    FROM ranked WHERE rk <= 3
+    ORDER BY event_type, period
+    """,
+    doc="Kusto series_periods_detect (documented autocorrelation "
+    "profile): 6-hour count series per event_type, normalized "
+    "autocorrelation r(L) over the n-scaled integer series (every "
+    "fold term stays an exact integer < 2^53 so both engines sum "
+    "identical doubles in any order), FLOOR-scaled scores, top-3 "
+    "lags by (score desc, lag asc).  The oracle reproduces the "
+    "identical math via a slot self-join — the Spark side is one "
+    "pure-JVM array expression per series, no explode of the "
+    "candidate lag space",
+)
+def ts_series_periods(spark, sf_dir):
+    from ..functions.kql_parse import translate_expr
+
+    ev = load_table(spark, "events", sf_dir)
+    ms = make_series(
+        ev, "ts", {"n": F.count(F.lit(1))},
+        _START, _STOP, _STEP,
+        by=["event_type"], defaults={"n": 0},
+    )
+    pd_expr = F.expr(translate_expr("series_periods_detect(n, 2, 14, 3)"))
+    z = ms.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                pd_expr["periods"].alias("period"),
+                pd_expr["scores"].alias("score"),
+            )
+        ).alias("z"),
+    )
+    return z.select(
+        "event_type",
+        F.col("z.period").alias("period"),
+        F.col("z.score").alias("score"),
+    ).orderBy("event_type", "period")
+
+
+@query(
+    "ts_series_seasonal",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR((epoch(CAST(ts AS TIMESTAMP))
+                   - epoch(TIMESTAMP '2024-01-01')) / 21600) AS BIGINT)
+               AS slot
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+    ),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (SELECT UNNEST(range(0, 56)) AS slot),
+    grid AS (
+      SELECT k.event_type, s.slot,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) AS x
+      FROM keys k CROSS JOIN slots s
+      LEFT JOIN (SELECT event_type, slot, COUNT(*) AS n
+                 FROM ev GROUP BY 1, 2) c
+        ON c.event_type = k.event_type AND c.slot = s.slot
+    ),
+    med AS (
+      SELECT event_type, slot % 4 AS ph, MEDIAN(x) AS m
+      FROM grid GROUP BY 1, 2
+    )
+    SELECT g.event_type, CAST(g.slot AS INT) AS idx,
+           CAST(m.m AS DOUBLE) AS seasonal
+    FROM grid g JOIN med m
+      ON m.event_type = g.event_type AND m.ph = g.slot % 4
+    ORDER BY 1, 2
+    """,
+    doc="Kusto series_seasonal (per-phase median profile, period 4 = "
+    "daily cycle at 6-hour bins): medians of integer counts land on "
+    "exact .0/.5 doubles, so no rounding is needed on either engine. "
+    "Spark side is the pure-JVM array lambda (sort-filter-median per "
+    "phase, computed once per series via 1-element transform "
+    "bindings), exploded back to rows only for the oracle compare",
+)
+def ts_series_seasonal(spark, sf_dir):
+    from ..functions.kql_parse import translate_expr
+
+    ev = load_table(spark, "events", sf_dir)
+    ms = make_series(
+        ev, "ts", {"n": F.count(F.lit(1))},
+        _START, _STOP, _STEP,
+        by=["event_type"], defaults={"n": 0},
+    )
+    ss = F.expr(translate_expr("series_seasonal(n, 4)"))
+    z = ms.select("event_type", F.posexplode(ss).alias("idx", "seasonal"))
+    return z.select(
+        "event_type",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("seasonal").cast("double").alias("seasonal"),
+    ).orderBy("event_type", "idx")

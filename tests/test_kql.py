@@ -835,12 +835,19 @@ def test_series_functions_in_kql_strings(spark):
     out = kql(
         spark,
         "t | extend ff = series_fill_forward(arr), "
-        "lin = series_fill_linear(arr) | project id, ff, lin | order by id asc",
+        "fb = series_fill_backward(arr), "
+        "fc = series_fill_const(arr, -1.5), "
+        "lin = series_fill_linear(arr) "
+        "| project id, ff, fb, fc, lin | order by id asc",
         tables={"t": df},
     ).collect()
     assert out[0].ff == [None, 10.0, 10.0, 40.0]
+    assert out[0].fb == [10.0, 10.0, 40.0, 40.0]
+    assert out[0].fc == [-1.5, 10.0, -1.5, 40.0]
     assert out[0].lin == [10.0, 10.0, 25.0, 40.0]
     assert out[1].ff == [5.0, 5.0, 5.0, 5.0]
+    assert out[1].fb == [5.0, None, None, None]
+    assert out[1].fc == [5.0, -1.5, -1.5, -1.5]
 
 
 def test_series_outliers_in_kql_make_series_chain(spark):
@@ -2532,3 +2539,40 @@ def test_geohash_encode_decode(spark):
         one("geo_point_to_geohash(1.0, 2.0, 0)")
     with pytest.raises(KqlParseError, match="precision"):
         one("geo_point_to_geohash(1.0, 2.0, id)")
+
+
+def test_series_seasonal_and_periods_detect(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    sig = [10.0, 2.0, 3.0, 2.0] * 6  # planted period 4
+    df = spark.createDataFrame([(1, sig)], "id long, arr array<double>")
+    out = kql(
+        spark,
+        "t | extend pd = series_periods_detect(arr, 2, 10, 3), "
+        "ss = series_seasonal(arr, 4) | project id, pd, ss",
+        tables={"t": df},
+    ).collect()[0]
+    assert out.pd.periods[0] == 4.0  # the planted period wins
+    assert out.pd.scores[0] > 0.8
+    assert out.pd.scores == sorted(out.pd.scores, reverse=True)
+    assert out.ss[:4] == [10.0, 2.0, 3.0, 2.0]  # exact periodic medians
+    assert out.ss == out.ss[:4] * 6
+
+    # nulls excluded from the phase median; even counts interpolate
+    df2 = spark.createDataFrame(
+        [(1, [1.0, None, 3.0, 4.0, 5.0, 6.0])], "id long, arr array<double>"
+    )
+    s = kql(
+        spark, "t | extend s = series_seasonal(arr, 2) | project s",
+        tables={"t": df2},
+    ).collect()[0].s
+    assert s == [3.0, 5.0, 3.0, 5.0, 3.0, 5.0]
+
+    # constant series: every autocorrelation degenerates to score 0
+    df3 = spark.createDataFrame([(1, [5.0] * 12)], "id long, arr array<double>")
+    pd3 = kql(
+        spark,
+        "t | extend pd = series_periods_detect(arr, 2, 4, 2) | project pd",
+        tables={"t": df3},
+    ).collect()[0].pd
+    assert list(pd3.scores) == [0.0, 0.0]
