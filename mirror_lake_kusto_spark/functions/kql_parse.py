@@ -1619,6 +1619,107 @@ def translate_expr(e: str) -> str:
         )
 
     e = _rewrite_calls(e, "ipv4_is_in_range", _ip_range)
+
+    # ---- IPv6 toolkit: canonicalization + prefix compare ----
+    # All pure JVM string/array expressions.  parse_ipv6 canonicalizes
+    # to the full lowercase 8-group form (zero-compression expanded,
+    # embedded/bare IPv4 mapped to the last two groups, '/len' suffix
+    # stripped); malformed inputs yield NULL (wrong group count, bad
+    # hex, group wider than 16 bits).
+    def _ip6_canon(src: str) -> str:
+        # v4 tail 'a.b.c.d' -> two hex groups (hex() is uppercase;
+        # the final lower() normalizes)
+        oct_ = (
+            "try_cast(regexp_extract(__s, "
+            "'([0-9]+)\\\\.([0-9]+)\\\\.([0-9]+)\\\\.([0-9]+)$', {g}) "
+            "AS INT)"
+        )
+        v4fix = (
+            "CASE WHEN __s RLIKE '\\\\.' THEN concat("
+            "regexp_replace(__s, '[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+$', ''), "
+            f"hex({oct_.format(g=1)} * 256 + {oct_.format(g=2)}), ':', "
+            f"hex({oct_.format(g=3)} * 256 + {oct_.format(g=4)})) "
+            "ELSE __s END"
+        )
+        # '::' expansion: left ++ zeros ++ right padded to 8 groups
+        groups = (
+            "CASE WHEN instr(__u, '::') > 0 THEN concat("
+            "filter(split(element_at(split(__u, '::'), 1), ':'), "
+            "__g -> __g != ''), "
+            "array_repeat('0', 8 "
+            "- size(filter(split(element_at(split(__u, '::'), 1), ':'), "
+            "__g -> __g != '')) "
+            "- size(filter(split(element_at(split(__u, '::'), 2), ':'), "
+            "__g -> __g != ''))), "
+            "filter(split(element_at(split(__u, '::'), 2), ':'), "
+            "__g -> __g != '')) "
+            "ELSE split(__u, ':') END"
+        )
+        canon = (
+            "CASE WHEN size(__v) = 8 AND NOT exists(__v, __g -> "
+            "length(__g) > 4 OR length(__g) = 0 "
+            "OR __g NOT RLIKE '^[0-9a-fA-F]+$') "
+            "THEN lower(concat_ws(':', transform(__v, __g -> "
+            "lpad(__g, 4, '0')))) END"
+        )
+        return (
+            "transform(array("  # bind __s: bare-v4 -> mapped, strip /len
+            f"CASE WHEN regexp_replace({src}, '/.*$', '') NOT LIKE '%:%' "
+            f"THEN concat('::ffff:', regexp_replace({src}, '/.*$', '')) "
+            f"ELSE regexp_replace({src}, '/.*$', '') END"
+            "), __s -> "
+            f"transform(array({v4fix}), __u -> "
+            f"transform(array({groups}), __v -> {canon})[0]"
+            ")[0])[0]"
+        )
+
+    e = _rewrite_calls(e, "parse_ipv6", lambda a: f"({_ip6_canon(a[0])})")
+
+    # ipv6_compare / ipv6_is_match: compare the canonical forms masked
+    # to the effective prefix = least(explicit arg (default 128),
+    # '/len' suffixes carried by either address).  Equal-length
+    # lowercase hex strings compare lexicographically = numerically.
+    def _ip6_pfx(src: str) -> str:
+        return (
+            f"CASE WHEN instr({src}, '/') > 0 THEN "
+            f"coalesce(try_cast(substring_index({src}, '/', -1) AS INT), "
+            "128) ELSE 128 END"
+        )
+
+    def _ip6_masked(canon_var: str, pfx_var: str) -> str:
+        shift = (
+            f"shiftleft(1, 16 - greatest(least({pfx_var} - 16 * __i, 16), 0))"
+        )
+        return (
+            f"concat_ws(':', transform(sequence(0, 7), __i -> "
+            f"lpad(lower(hex((CAST(conv(element_at(split({canon_var}, ':'), "
+            f"__i + 1), 16, 10) AS BIGINT) DIV {shift}) * {shift})), "
+            "4, '0')))"
+        )
+
+    def _ip6_cmp(a: list[str]) -> str:
+        if len(a) not in (2, 3):
+            raise KqlParseError(
+                "ipv6_compare takes (ip1, ip2[, prefix])"
+            )
+        explicit = a[2] if len(a) == 3 else "128"
+        return (
+            "(transform(array(named_struct("
+            f"'a', {_ip6_canon(a[0])}, 'b', {_ip6_canon(a[1])}, "
+            f"'p', least(CAST(({explicit}) AS INT), {_ip6_pfx(a[0])}, "
+            f"{_ip6_pfx(a[1])}))), __c -> "
+            "CASE WHEN __c.a IS NULL OR __c.b IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN {_ip6_masked('__c.a', '__c.p')} "
+            f"< {_ip6_masked('__c.b', '__c.p')} THEN -1 "
+            f"WHEN {_ip6_masked('__c.a', '__c.p')} "
+            f"> {_ip6_masked('__c.b', '__c.p')} THEN 1 "
+            "ELSE 0 END)[0])"
+        )
+
+    e = _rewrite_calls(e, "ipv6_compare", _ip6_cmp)
+    e = _rewrite_calls(
+        e, "ipv6_is_match", lambda a: f"({_ip6_cmp(a)} = 0)"
+    )
     e = _rewrite_calls(
         e,
         "extract_all",

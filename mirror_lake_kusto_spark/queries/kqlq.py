@@ -2190,3 +2190,49 @@ def kql_geo_geohash(spark, sf_dir):
             F.get_json_object("ctr", "$.coordinates[1]").cast("double"), 8
         ).alias("clat"),
     )
+
+
+@query(
+    "kql_ipv6_toolkit",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id * 131) % 65536 AS hi,
+             (doc_id * 977) % 65536 AS lo
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           '2001:0db8:0000:0000:0000:0000:' ||
+             lpad(printf('%x', hi), 4, '0') || ':' ||
+             lpad(printf('%x', lo), 4, '0') AS canon,
+           CAST(CASE WHEN hi < 32768 THEN -1
+                     WHEN hi > 32768 THEN 1
+                     WHEN lo > 0 THEN 1 ELSE 0 END AS INT) AS cmp,
+           (hi // 4096 = 1) AS inb
+    FROM d ORDER BY doc_id
+    """,
+    doc="Kusto IPv6 toolkit: parse_ipv6 canonicalizes a messy spelling "
+    "(uppercase, zero-compressed '::') to the full 8-group lowercase "
+    "form; ipv6_compare orders against a pivot address; ipv6_is_match "
+    "tests a /100 CIDR block.  All pure JVM string/array expressions "
+    "(translate-time lowering, no UDF).  The oracle derives the "
+    "canonical string and the comparisons ARITHMETICALLY from the "
+    "generating integers — an independent derivation, not the same "
+    "parser twice",
+)
+def kql_ipv6_toolkit(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        documents
+        | where doc_id % 7 == 0
+        | extend hi = (doc_id * 131) % 65536, lo = (doc_id * 977) % 65536
+        | extend ip = strcat('2001:DB8::', tohex(hi), ':', tohex(lo))
+        | extend canon = parse_ipv6(ip),
+                 cmp = ipv6_compare(ip, '2001:db8::8000:0'),
+                 inb = ipv6_is_match(ip, '2001:db8::1000:0/100')
+        | project doc_id, canon, cmp, inb
+        | order by doc_id asc
+        """,
+        tables=_tables(spark, sf_dir, "documents"),
+    )

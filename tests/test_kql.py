@@ -2576,3 +2576,50 @@ def test_series_seasonal_and_periods_detect(spark):
         tables={"t": df3},
     ).collect()[0].pd
     assert list(pd3.scores) == [0.0, 0.0]
+
+
+def test_ipv6_toolkit(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame([(1,)], "id long")
+
+    def one(e):
+        return kql(
+            spark, f"T | extend r = {e} | project r", tables={"T": t}
+        ).first()["r"]
+
+    full = "fe80:0000:0000:0000:0000:0000:0000:0001"
+    assert one("parse_ipv6('fe80::1')") == full
+    assert one("parse_ipv6('::')") == "0000:" * 7 + "0000"
+    assert (
+        one("parse_ipv6('2001:db8::ff00:42:8329')")
+        == "2001:0db8:0000:0000:0000:ff00:0042:8329"
+    )
+    # embedded and bare IPv4 map into the last two groups
+    v4 = "0000:0000:0000:0000:0000:ffff:c0a8:0101"
+    assert one("parse_ipv6('::ffff:192.168.1.1')") == v4
+    assert one("parse_ipv6('192.168.1.1')") == v4
+    # '/len' suffix strips; uppercase folds to lowercase
+    assert (
+        one("parse_ipv6('2001:DB8::/48')")
+        == "2001:0db8:0000:0000:0000:0000:0000:0000"
+    )
+    # malformed -> null (bad hex, wide group, too many groups)
+    assert one("parse_ipv6('garbage')") is None
+    assert one("parse_ipv6('12345::1')") is None
+    assert one("parse_ipv6('1:2:3:4:5:6:7:8:9')") is None
+
+    assert one("ipv6_compare('fe80::1', 'fe80::1')") == 0
+    assert one("ipv6_compare('fe80::1', 'fe80::2')") == -1
+    assert one("ipv6_compare('fe80::2', 'fe80::1')") == 1
+    # explicit prefix masks the compared bits
+    assert one("ipv6_compare('fe80::1', 'fe80::ff', 120)") == 0
+    assert one("ipv6_compare('fe80::1', 'fe81::1', 15)") == 0
+    assert one("ipv6_compare('fe80::1', 'fe81::1', 16)") == -1
+    # '/len' carried by an address caps the effective prefix
+    assert one("ipv6_compare('fe80::1/120', 'fe80::ff')") == 0
+    # v4 and its mapped form are the same address
+    assert one("ipv6_is_match('192.168.1.5', '::ffff:192.168.1.5')") is True
+    assert one("ipv6_is_match('fe80::1', 'fe80::2')") is False
+    assert one("ipv6_is_match('fe80::1', 'fe80::2', 126)") is True
+    assert one("ipv6_compare('garbage', 'fe80::1')") is None
