@@ -427,3 +427,74 @@ def mirror_dv_delete(spark, sf_dir):
     sink.append(region)
     sink.delete_dv("r_regionkey IN (1, 3)")
     return DL.read_snapshot(spark, path)
+
+
+@query(
+    "mirror_cdf_read",
+    """
+    WITH live AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20
+    )
+    SELECT n_nationkey, n_name, 'delete' AS change_type,
+           CAST(3 AS BIGINT) AS commit_version
+    FROM nation WHERE n_nationkey >= 20
+    UNION ALL
+    SELECT n_nationkey, n_name, 'update_preimage', 4
+    FROM live WHERE n_nationkey = 5
+    UNION ALL
+    SELECT 5, 'UPDATED', 'update_postimage', 4
+    UNION ALL
+    SELECT 99, 'NEWLAND', 'insert', 4
+    UNION ALL
+    SELECT n_nationkey, n_name, 'delete', 4
+    FROM live WHERE n_nationkey = 7
+    ORDER BY commit_version, change_type, n_nationkey
+    """,
+    doc="Change Data Feed round trip (PROTOCOL.md 'Change Data Feed'): "
+    "with delta.enableChangeDataFeed set, DELETE and MERGE stage "
+    "row-level _change_data files + cdc actions (delete / "
+    "update_preimage / update_postimage / insert), and read_changes "
+    "reads a cdc commit EXCLUSIVELY from them — exact row-level "
+    "changes instead of the file-level remove+re-add synthesis.  The "
+    "oracle derives the expected change rows independently from the "
+    "nation table",
+)
+def mirror_cdf_read(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_cdf", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    base = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(base)                                   # v0
+    sink.set_properties(
+        {"delta.enableChangeDataFeed": "true"}
+    )                                                   # v1 proto, v2 meta
+    sink.delete("n_nationkey >= 20")                    # v3
+    key_t = dict(base.dtypes)["n_nationkey"]
+    upd = base.filter("n_nationkey = 5").withColumn(
+        "n_name", F.lit("UPDATED")
+    )
+    ins = base.limit(1).select(
+        F.lit(99).cast(key_t).alias("n_nationkey"),
+        F.lit("NEWLAND").alias("n_name"),
+    )
+    sink.merge(
+        upd.unionByName(ins),
+        ["n_nationkey"],
+        delete_keys=base.filter("n_nationkey = 7").select("n_nationkey"),
+    )                                                   # v4
+    ch = DL.read_changes(spark, path, 3, 4)
+    return ch.select(
+        "n_nationkey",
+        "n_name",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).orderBy("commit_version", "change_type", "n_nationkey")

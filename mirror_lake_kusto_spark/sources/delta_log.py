@@ -993,14 +993,20 @@ def read_changes(
     from_version: int,
     to_version: int | None = None,
 ) -> DataFrame:
-    """Batch change feed over [from_version, to_version] — the Delta
-    CDF analogue at the engine's native granularity: ``insert`` rows
-    from files added with ``dataChange: true``, ``delete`` rows from
-    files removed with ``dataChange: true`` (a copy-on-write DELETE
-    therefore appears as the full old file deleted + survivors
-    re-inserted, exactly the remove⋈add stream the mirror itself
-    consumes — C1/C3).  ``dataChange: false`` layout churn (OPTIMIZE /
-    ZORDER) produces no change rows (O2).
+    """Batch change feed over [from_version, to_version] — Delta CDF
+    (PROTOCOL.md "Change Data Feed").  A commit carrying ``cdc``
+    actions (written by the DML paths when
+    ``delta.enableChangeDataFeed`` is set) is read EXCLUSIVELY from
+    its ``_change_data/`` files: exact row-level ``delete`` /
+    ``update_preimage`` / ``update_postimage`` / ``insert`` rows.
+    Commits without cdc actions synthesize at file granularity:
+    ``insert`` rows from files added with ``dataChange: true``,
+    ``delete`` rows from files removed with ``dataChange: true`` (a
+    pre-CDF copy-on-write DELETE therefore appears as the full old
+    file deleted + survivors re-inserted, exactly the remove⋈add
+    stream the mirror itself consumes — C1/C3).  ``dataChange:
+    false`` layout churn (OPTIMIZE / ZORDER / REORG) produces no
+    change rows (O2).
 
     Output = data columns (partition values injected, A7) plus
     ``_change_type`` and ``_commit_version``.  Plumbing is O(commits)
@@ -1046,10 +1052,29 @@ def read_changes(
     type_of = {f.name: f.dataType for f in schema.fields}
     data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
 
-    # (version, change_type, partition tuple) -> file paths
+    # (version, change_type, partition tuple) -> file paths; the
+    # change_type "__cdc__" marks row-level change files whose
+    # _change_type column lives IN the file
     groups: dict[tuple, list[str]] = {}
     for v in span:
-        for act in _read_commit(table_path, v):
+        acts = _read_commit(table_path, v)
+        cdc_acts = [a["cdc"] for a in acts if a.get("cdc") is not None]
+        if cdc_acts:
+            # PROTOCOL.md: when a commit carries cdc actions, readers
+            # use them EXCLUSIVELY — the add/remove churn of the same
+            # commit (CoW rewrite survivors, DV re-adds) is layout,
+            # not change
+            for a in cdc_acts:
+                full = _fs.join(table_path, a["path"])
+                if not _fs.get_fs(table_path).exists(full):
+                    raise ValueError(
+                        f"change file {a['path']} (commit {v}) was "
+                        "vacuumed; the change feed for this span is gone"
+                    )
+                pv = tuple(sorted((a.get("partitionValues") or {}).items()))
+                groups.setdefault((v, "__cdc__", pv), []).append(full)
+            continue
+        for act in acts:
             for key, change in (("add", "insert"), ("remove", "delete")):
                 a = act.get(key)
                 if a is None or not a.get("dataChange", True):
@@ -1058,7 +1083,9 @@ def read_changes(
                     raise UnsupportedTableFeature(
                         f"change feed over a deletion-vector add "
                         f"({a['path']}, commit {v}) would report "
-                        "deleted rows as inserts — not supported"
+                        "deleted rows as inserts — not supported "
+                        "(enable delta.enableChangeDataFeed so "
+                        "delete_dv writes row-level change files)"
                     )
                 full = _fs.join(table_path, a["path"])
                 if change == "delete" and not _fs.get_fs(table_path).exists(full):
@@ -1071,14 +1098,22 @@ def read_changes(
 
     parts: list[DataFrame] = []
     for (v, change, pv), paths in groups.items():
-        df = spark.read.schema(data_schema).parquet(*paths)
+        if change == "__cdc__":
+            cdc_schema = StructType(
+                data_schema.fields
+                + [StructField("_change_type", StringType())]
+            )
+            df = spark.read.schema(cdc_schema).parquet(*paths)
+        else:
+            df = spark.read.schema(data_schema).parquet(*paths)
         for col_name, raw in pv:
             df = df.withColumn(
                 col_name, F.lit(raw).cast(type_of.get(col_name, StringType()))
             )
+        if change != "__cdc__":
+            df = df.withColumn("_change_type", F.lit(change))
         parts.append(
-            df.select(*[f.name for f in schema.fields])
-            .withColumn("_change_type", F.lit(change))
+            df.select(*([f.name for f in schema.fields] + ["_change_type"]))
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
     if not parts:

@@ -89,17 +89,24 @@ def upgraded_protocol(
         for ver, feats in _LEGACY_WRITER_FEATURES.items():
             if ver <= old_w:
                 wf.update(feats)
-    if old_r < 3:
+    # a WRITER-ONLY upgrade (e.g. changeDataFeed) must not raise the
+    # reader version: minWriterVersion 7 + any reader version is legal
+    # per PROTOCOL.md, and bumping readers to 3 with an empty feature
+    # list would lock out every reader for no reason
+    bump_reader = bool(rf) or old_r >= 3
+    if bump_reader and old_r < 3:
         for ver, feats in _LEGACY_READER_FEATURES.items():
             if ver <= old_r:
                 rf.update(feats)
     wf |= rf
-    return {
-        "minReaderVersion": max(old_r, 3),
+    out = {
+        "minReaderVersion": max(old_r, 3) if bump_reader else old_r,
         "minWriterVersion": max(old_w, 7),
-        "readerFeatures": sorted(rf),
         "writerFeatures": sorted(wf),
     }
+    if bump_reader:
+        out["readerFeatures"] = sorted(rf)
+    return out
 
 
 def _list_versions(table_path: str) -> list[int]:
@@ -747,6 +754,73 @@ class DeltaSink:
         self.fs.rmtree(tmp)
         return adds
 
+    def _cdf_enabled(self) -> bool:
+        """True when the table property ``delta.enableChangeDataFeed``
+        is set — the DML paths then also stage row-level change files
+        (PROTOCOL.md "Add CDC File")."""
+        from .delta_log import latest_metadata
+
+        try:
+            meta = latest_metadata(self.spark, self.path)
+        except FileNotFoundError:
+            return False
+        conf = (meta or {}).get("configuration") or {}
+        return (
+            str(conf.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        )
+
+    def _stage_cdc(self, df: DataFrame, now: int) -> list[dict]:
+        """Stage change-data files (df = full logical rows incl.
+        partition columns + ``_change_type``) under ``_change_data/``
+        and return the ``cdc`` actions.  Layout mirrors the data files:
+        partition columns become directories (and partitionValues),
+        rows carry only the data columns + ``_change_type``.  cdc
+        actions always record ``dataChange: false`` (PROTOCOL.md) and
+        are never checkpointed (reconciled_actions rebuilds from
+        adds only)."""
+        tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        actions: list[dict] = []
+        for dirpath, _dirs, files in self.fs.walk(tmp):
+            rel_dir = dirpath[len(tmp):].strip("/") or "."
+            part_values = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split("/"):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = val
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = _fs.join(dirpath, name)
+                meta = _fs.parquet_metadata(src)
+                if meta.num_rows == 0:
+                    continue
+                new_name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+                rel = (
+                    f"_change_data/{rel_dir}/{new_name}"
+                    if rel_dir != "."
+                    else f"_change_data/{new_name}"
+                )
+                dst = _fs.join(self.path, rel)
+                self.fs.makedirs(dst.rsplit("/", 1)[0])
+                self.fs.move(src, dst)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": part_values,
+                            "size": self.fs.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        self.fs.rmtree(tmp)
+        return actions
+
     def _rewrite_group(
         self,
         paths: list[str],
@@ -883,6 +957,7 @@ class DeltaSink:
 
         self._require_no_dvs("DELETE")
         now = int(time.time() * 1000)
+        cdf = self._cdf_enabled()
         types, data_schema = self._data_schema()
         groups = self._partition_groups()
 
@@ -932,6 +1007,18 @@ class DeltaSink:
                         data_change=True,
                         now=now,
                         read_schema=data_schema,
+                    )
+                )
+            if cdf and hit_abs:
+                # row-level change feed: the DELETED rows, so readers
+                # see exact deletes instead of the file-level
+                # remove+re-add synthesis
+                actions.extend(
+                    self._stage_cdc(
+                        probe.filter(predicate)
+                        .drop("_f")
+                        .withColumn("_change_type", F.lit("delete")),
+                        now,
                     )
                 )
         return self._commit(actions, operation="DELETE")
@@ -999,6 +1086,7 @@ class DeltaSink:
                 )
         self._require_no_dvs("MERGE")
         now = int(time.time() * 1000)
+        cdf = self._cdf_enabled()
         types, data_schema = self._data_schema()
         if data_schema is None:
             # empty table: a merge is a plain first append, deletes are
@@ -1103,6 +1191,35 @@ class DeltaSink:
         actions.extend(
             self._stage_adds(inserts, data_change=True, skip_empty=True)
         )
+        if cdf:
+            # row-level change feed: updated target rows (pre/post
+            # image), deleted target rows, and the fresh inserts.
+            # source ∩ delete_keys = ∅ (guarded above), so joining the
+            # source against matched_keys yields exactly the updates.
+            src_cols = source.columns
+            ct = "_change_type"
+            changes = inserts.select(*src_cols).withColumn(
+                ct, F.lit("insert")
+            )
+            if matched_keys is not None:
+                pre = (
+                    probe.join(F.broadcast(src_keys), keys, "inner")
+                    .select(*src_cols)
+                    .withColumn(ct, F.lit("update_preimage"))
+                )
+                post = (
+                    source.join(matched_keys, keys, "inner")
+                    .select(*src_cols)
+                    .withColumn(ct, F.lit("update_postimage"))
+                )
+                changes = changes.unionByName(pre).unionByName(post)
+                if del_keys is not None:
+                    changes = changes.unionByName(
+                        probe.join(F.broadcast(del_keys), keys, "inner")
+                        .select(*src_cols)
+                        .withColumn(ct, F.lit("delete"))
+                    )
+            actions.extend(self._stage_cdc(changes, now))
         if txn is not None:
             # same idempotence contract as append(): the txn action
             # rides the MERGE commit, so a replayed micro-batch can
@@ -1216,6 +1333,46 @@ class DeltaSink:
             .applyInPandas(per_file, "_f string, payload binary, card long")
             .collect()
         )
+        cdc_actions: list[dict] = []
+        if packed and self._cdf_enabled():
+            # row-level change feed: only the NEWLY deleted rows — a
+            # row already in a prior deletion vector must not re-report.
+            # The old-vector (file, row_index) pairs explode executor-
+            # side from the compressed payloads (reorg's pattern) and
+            # anti-join the matches; nothing expands on the driver.
+            newly = probe.filter(predicate)
+            if old_payloads:
+                pairs_src = self.spark.createDataFrame(
+                    [(f, bytearray(p)) for f, p in old_payloads.items()],
+                    "_f string, _payload binary",
+                )
+
+                def explode_old(batches):
+                    import pandas as pd
+
+                    for pdf in batches:
+                        for fpath, payload in zip(
+                            pdf["_f"], pdf["_payload"]
+                        ):
+                            yield pd.DataFrame(
+                                {
+                                    "_f": fpath,
+                                    "_ridx": list(
+                                        _dv.deserialize(bytes(payload))
+                                    ),
+                                }
+                            )
+
+                old_pairs = pairs_src.mapInPandas(
+                    explode_old, "_f string, _ridx long"
+                )
+                newly = newly.join(old_pairs, ["_f", "_ridx"], "left_anti")
+            cdc_actions = self._stage_cdc(
+                newly.drop("_f", "_ridx").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                now,
+            )
         if not packed:
             return self._commit([], operation="DELETE (merge-on-read)")
         # protocol upgrade MERGES with whatever the table already
@@ -1229,6 +1386,7 @@ class DeltaSink:
             cur, ("deletionVectors",), ("deletionVectors",)
         )
         actions: list[dict] = [] if pr == cur else [{"protocol": pr}]
+        actions.extend(cdc_actions)
         full_deletes, dv_rows = [], []
         for r in packed:
             f = by_norm[r["_f"]]
@@ -1376,6 +1534,22 @@ class DeltaSink:
                         f"property {key} must be an integer byte count, "
                         f"got {props[key]!r}"
                     ) from None
+        # enabling the change feed is a WRITER-FEATURE behavior: the
+        # feature must be committed to the table protocol before the
+        # property takes effect (PROTOCOL.md "Change Data Feed")
+        if (
+            str(props.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        ):
+            from .delta_log import latest_protocol
+
+            cur = latest_protocol(self.path)
+            if "changeDataFeed" not in (
+                (cur or {}).get("writerFeatures") or []
+            ):
+                self._commit_protocol_upgrade(
+                    writer_features=("changeDataFeed",)
+                )
         # read-modify-write under optimistic concurrency: a concurrent
         # metaData commit (schema evolution, another property writer)
         # makes _commit raise via the metaData conflict rule — re-read
