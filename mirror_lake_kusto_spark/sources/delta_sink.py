@@ -1882,6 +1882,21 @@ class DeltaSink:
             for f in snap
             if (f.get("deletionVector") or {}).get("cardinality")
         } - {None}
+        # change-data files referenced by commits that SURVIVE the
+        # metadata truncation below must survive too (they are never in
+        # the snapshot's live set — the feed for the retained span
+        # would silently vanish); cdc files of truncated commits are
+        # garbage like their commits
+        from .delta_log import _read_commit
+
+        live_cdc: set[str] = set()
+        for v in _list_versions(self.path):
+            if ckpt is not None and v <= ckpt:
+                continue
+            for act in _read_commit(self.path, v):
+                c = act.get("cdc")
+                if c is not None:
+                    live_cdc.add(c["path"])
         removed_data = 0
         root = self.path.rstrip("/")
         for dirpath, _dirs, files in self.fs.walk(self.path):
@@ -1890,6 +1905,11 @@ class DeltaSink:
             for name in files:
                 full = _fs.join(dirpath, name)
                 rel = full[len(root):].lstrip("/")
+                if rel.startswith("_change_data/"):
+                    if name.endswith(".parquet") and rel not in live_cdc:
+                        self.fs.remove(full)
+                        removed_data += 1
+                    continue
                 if name.endswith(".parquet") and rel not in live:
                     self.fs.remove(full)
                     removed_data += 1

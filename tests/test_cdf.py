@@ -162,3 +162,30 @@ def test_file_level_synthesis_without_property(spark, tmp_path):
     assert (vd, "delete", 0, "r0") in ch
     # no change files were staged
     assert not (tmp_path / "t" / "_change_data").exists()
+
+
+def test_vacuum_keeps_retained_change_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # long checkpoint interval: no metadata truncation -> every cdc
+    # commit is retained, so vacuum must keep every change file
+    sink = DeltaSink(spark, path, checkpoint_interval=100)
+    sink.append(_mk(spark, [(i, f"r{i}") for i in range(4)]).coalesce(1))
+    sink.set_properties({"delta.enableChangeDataFeed": "true"})
+    vd = sink.delete("id = 1")
+    sink.vacuum()
+    assert _changes(spark, path, vd, vd) == [(vd, "delete", 1, "r1")]
+
+    # after a checkpoint + vacuum truncates the log past the cdc
+    # commit, its change files are garbage and must be collected
+    sink2 = DeltaSink(spark, path, checkpoint_interval=1)
+    sink2.append(_mk(spark, [(50, "r50")]))  # writes a checkpoint
+    out = sink2.vacuum()
+    assert out["log_files"] > 0
+    import os
+
+    cdc_left = []
+    for dirpath, _dirs, files in os.walk(
+        os.path.join(path, "_change_data")
+    ):
+        cdc_left.extend(f for f in files if f.endswith(".parquet"))
+    assert cdc_left == []
