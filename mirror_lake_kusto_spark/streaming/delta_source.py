@@ -23,7 +23,10 @@ log tailer hand-rolls at DeltaTableGateway.cs:71-159):
 - ``readChangeFeed`` streams versioned insert/delete ROWS instead
   (``_change_type`` + ``_commit_version`` columns) — the continuous
   twin of ``DeltaSink.changes``; mutually exclusive with
-  ``skipChangeCommits``;
+  ``skipChangeCommits``.  A commit carrying ``cdc`` actions (DML
+  under ``delta.enableChangeDataFeed``) streams exclusively from its
+  ``_change_data`` files — exact row-level deletes/updates with
+  ``_change_type`` read from the file;
 - partition-column values are injected typed from the add action's
   partitionValues (A7/O6) — they are not stored in the data files;
 - reads return Arrow RecordBatches (zero row-at-a-time Python cost).
@@ -234,6 +237,32 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             expect = v + 1
             acts = _commit_actions(self.path, v)
             if self.read_change_feed:
+                # a commit carrying cdc actions (DML under
+                # delta.enableChangeDataFeed) streams EXCLUSIVELY from
+                # its _change_data files: exact row-level changes with
+                # _change_type stored in the file — the add/remove
+                # churn of the same commit is layout, not change
+                cdc_acts = [
+                    a["cdc"] for a in acts if a.get("cdc") is not None
+                ]
+                if cdc_acts:
+                    for act in cdc_acts:
+                        full = os.path.join(self.path, act["path"])
+                        if not os.path.exists(full):
+                            raise ValueError(
+                                f"change file {act['path']} (commit {v}) "
+                                "was vacuumed; its change rows are gone"
+                            )
+                        parts.append(
+                            _FilePartition(
+                                file_path=full,
+                                partition_values=act.get("partitionValues")
+                                or {},
+                                schema_json=schema_json,
+                                commit_version=v,
+                            )
+                        )
+                    continue
                 # CDF mode: removes stream as delete rows instead of
                 # erroring — the continuous twin of DeltaSink.changes
                 for a in acts:

@@ -296,3 +296,34 @@ def test_cdf_excludes_skip_change_commits(spark, tmp_path):
             .option("skipChangeCommits", "true")
             .load()
         )
+
+
+def test_cdf_stream_row_level_on_cdc_commits(spark, tmp_path):
+    path, ckpt = str(tmp_path / "cdfc"), str(tmp_path / "cdfc_ckpt")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(10).toDF("id").coalesce(1))        # v0
+    src.set_properties({"delta.enableChangeDataFeed": "true"})
+    vd = src.delete("id >= 7")
+    rows = _drain_cdf(spark, path, ckpt)
+    # the cdc commit streams EXCLUSIVELY from its change files: exact
+    # row-level deletes, no remove+re-add synthesis
+    at_vd = sorted(
+        (r["id"], r["_change_type"])
+        for r in rows
+        if r["_commit_version"] == vd
+    )
+    assert at_vd == [(7, "delete"), (8, "delete"), (9, "delete")]
+    ins0 = sorted(
+        r["id"] for r in rows
+        if r["_change_type"] == "insert" and r["_commit_version"] == 0
+    )
+    assert ins0 == list(range(10))
+    # stream matches the batch feed exactly
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    batch = DL.read_changes(spark, path, 0).collect()
+    assert sorted(
+        (r["id"], r["_change_type"], r["_commit_version"]) for r in rows
+    ) == sorted(
+        (r["id"], r["_change_type"], r["_commit_version"]) for r in batch
+    )
