@@ -189,3 +189,65 @@ def test_vacuum_keeps_retained_change_files(spark, tmp_path):
     ):
         cdc_left.extend(f for f in files if f.endswith(".parquet"))
     assert cdc_left == []
+
+
+def test_cdf_stream_replicates_table_end_to_end(spark, tmp_path):
+    """Flagship CDC story: source table's change feed streamed into a
+    replica via the exactly-once upsert sink — replica == source after
+    appends, a CoW delete, and a merge (update + insert + delete)."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.streaming.delta_source import (
+        DeltaLogDataSource,
+    )
+    from mirror_lake_kusto_spark.streaming.upsert import upsert_stream
+
+    spark.dataSource.register(DeltaLogDataSource)
+
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    src = DeltaSink(spark, src_path)
+    src.append(_mk(spark, [(i, f"r{i}") for i in range(10)]).coalesce(1))
+    src.set_properties({"delta.enableChangeDataFeed": "true"})
+    src.delete("id >= 8")
+    src.merge(
+        _mk(spark, [(2, "X2"), (20, "X20")]),
+        ["id"],
+        delete_keys=spark.createDataFrame([(5,)], "id long"),
+    )
+
+    changes = (
+        spark.readStream.format("mlk_delta")
+        .option("path", src_path)
+        .option("readChangeFeed", "true")
+        .load()
+        .filter("_change_type != 'update_preimage'")
+        .withColumn("_is_del", F.expr("_change_type = 'delete'"))
+    )
+    dst = DeltaSink(spark, dst_path)
+    q = upsert_stream(
+        changes,
+        dst,
+        key_cols=["id"],
+        app_id="cdc-replica",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        version_col="_commit_version",
+        delete_col="_is_del",
+        target_cols=["id", "v"],
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["id"], r["v"])
+        for r in DL.read_snapshot(spark, dst_path).collect()
+    )
+    want = sorted(
+        (r["id"], r["v"])
+        for r in DL.read_snapshot(spark, src_path).collect()
+    )
+    assert got == want
+    assert got == [
+        (0, "r0"), (1, "r1"), (2, "X2"), (3, "r3"), (4, "r4"),
+        (6, "r6"), (7, "r7"), (20, "X20"),
+    ]
