@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 import uuid
@@ -650,6 +651,7 @@ class DeltaSink:
         does not re-append (I3 exactly-once).
         """
         self._pending_schema = df.schema.json()
+        self._enforce_constraints(df, "WRITE")
         adds = self._stage_adds(df, data_change)
         op = "WRITE" if data_change else "WRITE (dataChange=false)"
         if txn is not None:
@@ -753,6 +755,68 @@ class DeltaSink:
                 )
         self.fs.rmtree(tmp)
         return adds
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT (PROTOCOL.md "CHECK Constraints"): record
+        ``delta.constraints.<name> = <expr>`` in the table metadata and
+        commit the ``checkConstraints`` writer feature.  Every
+        subsequent append/merge enforces the predicate and refuses the
+        whole commit on any violating row (writers that cannot enforce
+        must not write — hence the feature gate).  The expression must
+        already hold on the CURRENT rows (Delta's own ADD CONSTRAINT
+        validates existing data)."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"constraint name must be a bare word: {name!r}")
+        from .delta_log import read_snapshot
+
+        try:
+            current = read_snapshot(self.spark, self.path)
+        except FileNotFoundError:
+            current = None
+        if current is not None:
+            bad = current.filter(f"NOT coalesce(({expr}), false)").limit(1)
+            rows = bad.collect()
+            if rows:
+                raise ValueError(
+                    f"cannot add constraint {name}: existing row "
+                    f"violates ({expr}): {rows[0].asDict()}"
+                )
+        self._commit_protocol_upgrade(
+            writer_features=("checkConstraints",)
+        )
+        return self.set_properties({f"delta.constraints.{name}": expr})
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT: unset the property (the writer feature
+        stays — features are never removed from a protocol)."""
+        return self.set_properties({}, unset=(f"delta.constraints.{name}",))
+
+    def _constraints(self) -> dict[str, str]:
+        from .delta_log import latest_metadata
+
+        try:
+            meta = latest_metadata(self.spark, self.path)
+        except FileNotFoundError:
+            return {}
+        conf = (meta or {}).get("configuration") or {}
+        pfx = "delta.constraints."
+        return {
+            k[len(pfx):]: v for k, v in conf.items() if k.startswith(pfx)
+        }
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """Refuse the write when any row violates a CHECK constraint —
+        one ``limit(1)`` probe per constraint, only when constraints
+        exist (zero cost on the common path).  NULL predicate results
+        count as violations (Delta's CHECK semantics: the constraint
+        must evaluate to true)."""
+        for name, expr in self._constraints().items():
+            rows = df.filter(f"NOT coalesce(({expr}), false)").limit(1).collect()
+            if rows:
+                raise ValueError(
+                    f"{op} violates CHECK constraint {name} ({expr}): "
+                    f"{rows[0].asDict()}"
+                )
 
     def _cdf_enabled(self) -> bool:
         """True when the table property ``delta.enableChangeDataFeed``
@@ -1085,6 +1149,7 @@ class DeltaSink:
                     "atomic commit; split them across batches"
                 )
         self._require_no_dvs("MERGE")
+        self._enforce_constraints(source, "MERGE")
         now = int(time.time() * 1000)
         cdf = self._cdf_enabled()
         types, data_schema = self._data_schema()

@@ -336,3 +336,55 @@ def test_delete_dv_skips_protocol_action_when_current(spark, tmp_path):
     assert any("protocol" in a for a in v1_acts)
     # ...the second sees it already satisfied and commits no protocol row
     assert not any("protocol" in a for a in v2_acts)
+
+
+# -- CHECK constraints (PROTOCOL.md "CHECK Constraints") -------------------
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path)
+    sink.append(spark.createDataFrame([(1, 5.0), (2, 9.0)], "id long, v double"))
+    sink.add_constraint("v_positive", "v > 0")
+
+    # the feature is committed to the protocol
+    proto = DL.latest_protocol(path)
+    assert "checkConstraints" in (proto.get("writerFeatures") or [])
+
+    # compliant append passes; violating append refuses the WHOLE batch
+    sink.append(spark.createDataFrame([(3, 1.5)], "id long, v double"))
+    with pytest.raises(ValueError, match="v_positive"):
+        sink.append(
+            spark.createDataFrame([(4, 2.0), (5, -1.0)], "id long, v double")
+        )
+    # NULL predicate result counts as a violation (CHECK must be true)
+    with pytest.raises(ValueError, match="v_positive"):
+        sink.append(spark.createDataFrame([(6, None)], "id long, v double"))
+    ids = sorted(r["id"] for r in DL.read_snapshot(spark, path).collect())
+    assert ids == [1, 2, 3]
+
+    # merge sources are enforced too
+    with pytest.raises(ValueError, match="v_positive"):
+        sink.merge(
+            spark.createDataFrame([(1, -9.0)], "id long, v double"), ["id"]
+        )
+
+    # dropping the constraint lifts enforcement (feature stays)
+    sink.drop_constraint("v_positive")
+    sink.append(spark.createDataFrame([(7, -3.0)], "id long, v double"))
+    assert "checkConstraints" in DL.latest_protocol(path)["writerFeatures"]
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path)
+    sink.append(spark.createDataFrame([(1, -5.0)], "id long, v double"))
+    with pytest.raises(ValueError, match="existing row"):
+        sink.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="bare word"):
+        sink.add_constraint("bad name", "v > 0")
