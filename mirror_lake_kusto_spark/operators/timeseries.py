@@ -405,6 +405,77 @@ def series_decompose(
     return out.drop("_phase_med", "_des")
 
 
+def series_decompose_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+    val_col: str,
+    period: int,
+    horizon: int,
+    trend: str = "avg",
+) -> DataFrame:
+    """Kusto ``series_decompose_forecast`` profile: fit the
+    ``series_decompose`` model (per-phase median seasonal profile +
+    constant-mean or OLS-linefit trend) on the observed rows, then
+    extrapolate ``horizon`` future index steps per key —
+    ``forecast = seasonal(idx mod period) + trend(idx)``.
+
+    All JVM aggregates: one groupBy for the phase profile, one for the
+    fit (slope/intercept/max-idx), a ``sequence`` explode for the
+    future index axis, and a (key, phase) equi-join — cost is
+    O(keys × period + keys × horizon), never touching the data again.
+    Output = ``key..., idx, forecast`` for the future points only."""
+    if horizon <= 0:
+        raise ValueError(f"horizon must be positive, got {horizon}")
+    dec = series_decompose(df, key_cols, idx_col, val_col, period, trend)
+    prof = dec.groupBy(
+        *key_cols, F.pmod(F.col(idx_col), F.lit(period)).alias("_ph")
+    ).agg(F.min("seasonal").alias("_seasonal"))
+    if trend == "avg":
+        fit = dec.groupBy(*key_cols).agg(
+            F.max(idx_col).alias("_mx"), F.min("trend").alias("_trend")
+        )
+        fut = fit.select(
+            *key_cols,
+            "_trend",
+            F.explode(
+                F.sequence(F.col("_mx") + 1, F.col("_mx") + horizon)
+            ).alias(idx_col),
+        )
+        trend_col = F.col("_trend")
+    else:
+        fit = (
+            dec.withColumn("_des", F.col(val_col) - F.col("seasonal"))
+            .groupBy(*key_cols)
+            .agg(
+                F.expr(f"regr_slope(_des, {idx_col})").alias("_m"),
+                F.expr(f"regr_intercept(_des, {idx_col})").alias("_b"),
+                F.max(idx_col).alias("_mx"),
+            )
+        )
+        fut = fit.select(
+            *key_cols,
+            "_m",
+            "_b",
+            F.explode(
+                F.sequence(F.col("_mx") + 1, F.col("_mx") + horizon)
+            ).alias(idx_col),
+        )
+        trend_col = F.round(
+            F.col("_b") + F.col("_m") * F.col(idx_col), 4
+        )
+    out = fut.join(
+        prof,
+        [fut[c] == prof[c] for c in key_cols]
+        + [F.pmod(fut[idx_col], F.lit(period)) == prof["_ph"]],
+    )
+    return out.select(
+        *[fut[c] for c in key_cols],
+        fut[idx_col],
+        F.round(F.col("_seasonal") + trend_col, 4).alias("forecast"),
+    )
+
+
 def series_anomalies(
     df: DataFrame,
     key_cols: list[str],

@@ -890,3 +890,45 @@ def ts_series_seasonal(spark, sf_dir):
         F.col("idx").cast("int").alias("idx"),
         F.col("seasonal").cast("double").alias("seasonal"),
     ).orderBy("event_type", "idx")
+
+
+@query(
+    "ts_series_forecast",
+    _DECOMP_BASE
+    + """
+    , prof AS (
+      SELECT DISTINCT event_type, idx % 7 AS ph, seasonal FROM dec
+    ),
+    fit AS (
+      SELECT event_type, MAX(idx) AS mx, MIN(trend) AS trend
+      FROM dec GROUP BY 1
+    ),
+    fut AS (
+      SELECT f.event_type, UNNEST(range(f.mx + 1, f.mx + 15)) AS idx,
+             f.trend
+      FROM fit f
+    )
+    SELECT u.event_type, CAST(u.idx AS INT) AS idx,
+           ROUND(p.seasonal + u.trend, 4) AS forecast
+    FROM fut u JOIN prof p
+      ON p.event_type = u.event_type AND p.ph = u.idx % 7
+    ORDER BY 1, 2
+    """,
+    doc="Kusto series_decompose_forecast profile (trend='avg'): fit "
+    "the decompose model on 30 observed daily counts, extrapolate 14 "
+    "future days per event_type — forecast = per-phase seasonal "
+    "median + constant trend.  Model fit is one groupBy per "
+    "component; the future axis is a sequence explode joined to the "
+    "(key, phase) profile — never rescans the data",
+)
+def ts_series_forecast(spark, sf_dir):
+    from ..operators.timeseries import series_decompose_forecast
+
+    base = _daily_counts(spark, sf_dir)
+    out = series_decompose_forecast(
+        base, ["event_type"], "idx", "v", period=7, horizon=14,
+        trend="avg",
+    )
+    return out.select(
+        "event_type", F.col("idx").cast("int").alias("idx"), "forecast"
+    ).orderBy("event_type", "idx")

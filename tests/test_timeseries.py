@@ -256,3 +256,37 @@ def test_series_pearson_correlation(spark):
     ]
     assert math.isclose(got[0], 1.0) and math.isclose(got[1], -1.0)
     assert got[2] is None
+
+
+def test_series_decompose_forecast_linefit_extrapolates(spark):
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.operators.timeseries import (
+        series_decompose_forecast,
+    )
+
+    # planted series: v = 10 + 2*idx + seasonal [0, 5] (period 2)
+    rows = [
+        ("k", i, float(10 + 2 * i + (0 if i % 2 == 0 else 5)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "key string, idx int, v double")
+    out = series_decompose_forecast(
+        df, ["key"], "idx", "v", period=2, horizon=4, trend="linefit"
+    ).orderBy("idx")
+    got = [(r["idx"], r["forecast"]) for r in out.collect()]
+    assert [g[0] for g in got] == [20, 21, 22, 23]
+    # extrapolation continues the planted line + seasonal swing
+    # (the median seasonal profile absorbs ~1 unit of trend drift —
+    # inherent to the decompose model, not an extrapolation error)
+    for idx, f in got:
+        want = 10 + 2 * idx + (0 if idx % 2 == 0 else 5)
+        assert abs(f - want) < 2.5, (idx, f, want)
+    # two-step differences recover the planted slope exactly
+    assert abs((got[2][1] - got[0][1]) / 2 - 2.0) < 0.05
+    assert abs((got[3][1] - got[1][1]) / 2 - 2.0) < 0.05
+
+    with pytest.raises(ValueError, match="horizon"):
+        series_decompose_forecast(
+            df, ["key"], "idx", "v", period=2, horizon=0
+        )
