@@ -498,3 +498,42 @@ def mirror_cdf_read(spark, sf_dir):
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     ).orderBy("commit_version", "change_type", "n_nationkey")
+
+
+@query(
+    "mirror_time_travel",
+    """
+    SELECT n_nationkey, n_name,
+           'v0' AS at FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'head'
+    FROM nation WHERE n_nationkey % 3 != 0
+    ORDER BY at, n_nationkey
+    """,
+    doc="Time travel (Delta VERSION AS OF): read_snapshot(upto=v) "
+    "replays the log only to v — the pre-delete version still shows "
+    "every row after a later DELETE, the head shows the survivors.  "
+    "Log replay is O(commits <= v) driver metadata; the data reads "
+    "stay distributed",
+)
+def mirror_time_travel(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_tt", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    base = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(base)                       # v0
+    sink.delete("n_nationkey % 3 = 0")      # v1
+    old = DL.read_snapshot(spark, path, upto=0).withColumn(
+        "at", F.lit("v0")
+    )
+    head = DL.read_snapshot(spark, path).withColumn("at", F.lit("head"))
+    return old.unionByName(head).orderBy("at", "n_nationkey")

@@ -650,6 +650,7 @@ class DeltaSink:
         after committing discovers the fact via last_txn_version and
         does not re-append (I3 exactly-once).
         """
+        df = self._apply_generated(df, "WRITE")
         self._pending_schema = df.schema.json()
         self._enforce_constraints(df, "WRITE")
         adds = self._stage_adds(df, data_change)
@@ -817,6 +818,88 @@ class DeltaSink:
                     f"{op} violates CHECK constraint {name} ({expr}): "
                     f"{rows[0].asDict()}"
                 )
+
+    def add_generated_column(
+        self, name: str, sql_type: str, expr: str
+    ) -> int:
+        """ADD a generated column (PROTOCOL.md "Generated Columns"):
+        append a field whose ``delta.generationExpression`` metadata
+        records the expression, and commit the ``generatedColumns``
+        writer feature.  Existing files read NULL for the column
+        (generation applies at write time, Delta's own semantics);
+        subsequent appends/merges compute it when absent from the
+        input and validate it (null-safe equality) when present.
+
+        Generated partition columns are the headline use: a ``day``
+        column generated from an event timestamp gives storage-layer
+        partition pruning without trusting every writer to derive it
+        consistently."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"column name must be a bare word: {name!r}")
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"{self.path}: no table metadata yet")
+        parsed = json.loads(meta["schemaString"])
+        if name in {f["name"] for f in parsed["fields"]}:
+            raise ValueError(f"column {name!r} already exists")
+        self._commit_protocol_upgrade(
+            writer_features=("generatedColumns",)
+        )
+        field = {
+            "name": name,
+            "type": sql_type,
+            "nullable": True,
+            "metadata": {"delta.generationExpression": expr},
+        }
+        new_schema = json.dumps(
+            {**parsed, "fields": parsed["fields"] + [field]}
+        )
+        self._pending_schema = new_schema
+        return self._commit(
+            [{"metaData": {**meta, "schemaString": new_schema}}],
+            operation="ADD COLUMNS (generated)",
+        )
+
+    def _generated(self) -> dict[str, str]:
+        """name -> generation expression, from schema field metadata."""
+        from .delta_log import latest_metadata
+
+        try:
+            meta = latest_metadata(self.spark, self.path)
+        except FileNotFoundError:
+            return {}
+        if meta is None:
+            return {}
+        return {
+            f["name"]: f["metadata"]["delta.generationExpression"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if (f.get("metadata") or {}).get("delta.generationExpression")
+        }
+
+    def _apply_generated(self, df: DataFrame, op: str) -> DataFrame:
+        """Compute absent generated columns; validate present ones
+        (null-safe equality, limit-1 probe) — a writer supplying a
+        value that disagrees with the generation expression must fail,
+        not silently diverge (the generatedColumns feature contract)."""
+        import pyspark.sql.functions as F
+
+        for name, expr in self._generated().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+                continue
+            rows = (
+                df.filter(f"NOT coalesce(({name}) <=> ({expr}), false)")
+                .limit(1)
+                .collect()
+            )
+            if rows:
+                raise ValueError(
+                    f"{op} violates generated column {name} = ({expr}): "
+                    f"{rows[0].asDict()}"
+                )
+        return df
 
     def _cdf_enabled(self) -> bool:
         """True when the table property ``delta.enableChangeDataFeed``
@@ -1149,6 +1232,7 @@ class DeltaSink:
                     "atomic commit; split them across batches"
                 )
         self._require_no_dvs("MERGE")
+        source = self._apply_generated(source, "MERGE")
         self._enforce_constraints(source, "MERGE")
         now = int(time.time() * 1000)
         cdf = self._cdf_enabled()

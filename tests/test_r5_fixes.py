@@ -388,3 +388,86 @@ def test_add_constraint_validates_existing_rows(spark, tmp_path):
         sink.add_constraint("v_positive", "v > 0")
     with pytest.raises(ValueError, match="bare word"):
         sink.add_constraint("bad name", "v > 0")
+
+
+# -- generated columns (PROTOCOL.md "Generated Columns") -------------------
+
+
+def test_generated_column_computed_and_validated(spark, tmp_path):
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path)
+    sink.append(
+        spark.createDataFrame([(1, "2024-03-05 10:00:00")], "id long, ts string")
+    )
+    sink.add_generated_column("day", "string", "substring(ts, 1, 10)")
+    proto = DL.latest_protocol(path)
+    assert "generatedColumns" in (proto.get("writerFeatures") or [])
+
+    # absent from the input -> computed at write
+    sink.append(
+        spark.createDataFrame([(2, "2024-03-06 11:00:00")], "id long, ts string")
+    )
+    rows = {r["id"]: r for r in DL.read_snapshot(spark, path).collect()}
+    assert rows[2]["day"] == "2024-03-06"
+    # pre-evolution file reads NULL (generation applies at write)
+    assert rows[1]["day"] is None
+
+    # present and consistent -> accepted; inconsistent -> refused
+    ok = spark.createDataFrame(
+        [(3, "2024-03-07 09:00:00", "2024-03-07")],
+        "id long, ts string, day string",
+    )
+    sink.append(ok)
+    bad = spark.createDataFrame(
+        [(4, "2024-03-08 09:00:00", "2024-01-01")],
+        "id long, ts string, day string",
+    )
+    with pytest.raises(ValueError, match="generated column day"):
+        sink.append(bad)
+
+    # merge sources are generated too
+    sink.merge(
+        spark.createDataFrame(
+            [(2, "2024-04-01 00:30:00")], "id long, ts string"
+        ),
+        ["id"],
+    )
+    rows = {r["id"]: r for r in DL.read_snapshot(spark, path).collect()}
+    assert rows[2]["day"] == "2024-04-01"
+
+    with pytest.raises(ValueError, match="already exists"):
+        sink.add_generated_column("day", "string", "substring(ts, 1, 10)")
+
+
+def test_generated_partition_column_prunes(spark, tmp_path):
+    import os
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path, partition_by=["day"])
+    first = spark.createDataFrame(
+        [(1, "2024-03-05 10:00:00", "2024-03-05")],
+        "id long, ts string, day string",
+    )
+    sink.append(first)
+    sink.add_generated_column("tag", "string", "substring(day, 6, 2)")
+    # writers not supplying day still partition correctly when day is
+    # itself derivable — here day IS supplied; tag is generated
+    sink.append(
+        spark.createDataFrame(
+            [(2, "2024-04-06 11:00:00", "2024-04-06")],
+            "id long, ts string, day string",
+        )
+    )
+    dirs = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert dirs == {"day=2024-03-05", "day=2024-04-06"}
+    got = DL.read_snapshot(
+        spark, path, partition_predicate="day = '2024-04-06'"
+    ).collect()
+    assert [r["id"] for r in got] == [2]
+    assert got[0]["tag"] == "04"
