@@ -119,6 +119,23 @@ EXTENSION_HEADLINE = [
     "kql_agg_toolkit",
     "kql_sequence_detect",
     "kql_geo_toolkit",
+    # round-5 second-pass additions: CDF round trip, graph/plugins,
+    # geohash + IPv6 pure-expression toolkits, series completion
+    "mirror_cdf_read",
+    "mirror_time_travel",
+    "kql_geo_geohash",
+    "kql_ipv6_toolkit",
+    "ts_series_periods",
+    "ts_series_seasonal",
+    "ts_series_forecast",
+    "kql_graph_match_2hop",
+    "kql_funnel_sequence",
+    "kql_dcount_intersect",
+    "kql_new_activity_metrics",
+    "kql_ipv4_lookup",
+    "kql_diffpatterns",
+    "kql_reduce_patterns",
+    "multimodal_real_decode",
 ]
 
 
