@@ -1067,6 +1067,45 @@ def translate_expr(e: str) -> str:
 
     e = _rewrite_calls(e, "series_periods_detect", _series_periods)
 
+    # series_decompose family: Arrow-kernel SQL UDFs (registered in
+    # _ensure_series_udfs) — the translate step only pads defaults.
+    # Profile (documented deviation from Kusto): the period is an
+    # EXPLICIT positive int (no -1 auto-detect; use
+    # series_periods_detect), forecast signature is
+    # (series, period, points[, trend]).
+    def _pad_defaults(name: str, min_args: int, defaults: list[str]):
+        def fn(a: list[str]) -> str:
+            if not min_args <= len(a) <= min_args + len(defaults):
+                raise KqlParseError(
+                    f"{name} takes {min_args}..{min_args + len(defaults)}"
+                    " arguments"
+                )
+            full = list(a) + defaults[len(a) - min_args:]
+            return f"{name}({', '.join(full)})"
+
+        return fn
+
+    e = _rewrite_calls(
+        e,
+        "series_decompose_anomalies",
+        _pad_defaults(
+            "series_decompose_anomalies", 2, ["1.5", "'linefit'"]
+        ),
+        self_referential=True,
+    )
+    e = _rewrite_calls(
+        e,
+        "series_decompose_forecast",
+        _pad_defaults("series_decompose_forecast", 3, ["'linefit'"]),
+        self_referential=True,
+    )
+    e = _rewrite_calls(
+        e,
+        "series_decompose",
+        _pad_defaults("series_decompose", 2, ["'avg'"]),
+        self_referential=True,
+    )
+
     def _dot(x: str, y: str) -> str:
         return (
             f"aggregate(zip_with({x}, {y}, "
@@ -2070,6 +2109,56 @@ def _named_exprs(arglist: str) -> list[tuple[str | None, str]]:
     return out
 
 
+def ensure_series_functions(spark) -> None:
+    """Register the engine's series kernels as session SQL functions
+    (idempotent): the fill/outlier one-arg kernels plus the
+    series_decompose model family (decompose / anomalies / forecast).
+    KQL pipelines call this lazily when an expression mentions one;
+    direct ``F.expr(translate_expr(...))`` users call it explicitly."""
+    if spark is None or getattr(spark, "_mlk_series_udfs", False):
+        return
+    from ..operators.timeseries import (
+        SERIES_KERNELS,
+        _kernel_decompose,
+        _kernel_decompose_anomalies,
+        _kernel_decompose_forecast,
+    )
+
+    def _wrap(kernel):
+        @F.pandas_udf("array<double>")
+        def _u(c: pd.Series) -> pd.Series:
+            return kernel(c)
+
+        return _u
+
+    for fn, kernel in SERIES_KERNELS.items():
+        spark.udf.register(fn, _wrap(kernel))
+
+    @F.pandas_udf(
+        "struct<baseline:array<double>,seasonal:array<double>,"
+        "trend:array<double>,residual:array<double>>"
+    )
+    def _dec(a: pd.Series, p: pd.Series, t: pd.Series) -> pd.DataFrame:
+        return _kernel_decompose(a, p, t)
+
+    @F.pandas_udf("array<int>")
+    def _ad(
+        a: pd.Series, p: pd.Series, k: pd.Series, t: pd.Series
+    ) -> pd.Series:
+        return _kernel_decompose_anomalies(a, p, k, t)
+
+    @F.pandas_udf("array<double>")
+    def _fc(
+        a: pd.Series, p: pd.Series, h: pd.Series, t: pd.Series
+    ) -> pd.Series:
+        return _kernel_decompose_forecast(a, p, h, t)
+
+    spark.udf.register("series_decompose", _dec)
+    spark.udf.register("series_decompose_anomalies", _ad)
+    spark.udf.register("series_decompose_forecast", _fc)
+    spark._mlk_series_udfs = True
+
+
 class KqlQuery:
     """Parses and lowers one KQL pipe expression."""
 
@@ -2830,29 +2919,25 @@ class KqlQuery:
         "series_fill_linear",
         "series_outliers",
     )
+    #: Arrow-kernel model functions with their own multi-arg signatures
+    _SERIES_MODEL_FNS = (
+        "series_decompose",
+        "series_decompose_anomalies",
+        "series_decompose_forecast",
+    )
 
     def _ensure_series_udfs(self, e: str, spark) -> None:
         """Register the engine's series kernels as SQL functions (once
         per session) when the expression mentions them, so Kusto series
         calls pass straight through to Arrow-vectorized UDFs."""
         if spark is None or not re.search(
-            r"\b(?:%s)\s*\(" % "|".join(self._SERIES_FNS), e, re.IGNORECASE
+            r"\b(?:%s)\s*\("
+            % "|".join(self._SERIES_FNS + self._SERIES_MODEL_FNS),
+            e,
+            re.IGNORECASE,
         ):
             return
-        if getattr(spark, "_mlk_series_udfs", False):
-            return
-        from ..operators.timeseries import SERIES_KERNELS
-
-        def _wrap(kernel):
-            @F.pandas_udf("array<double>")
-            def _u(c: pd.Series) -> pd.Series:
-                return kernel(c)
-
-            return _u
-
-        for fn in self._SERIES_FNS:
-            spark.udf.register(fn, _wrap(SERIES_KERNELS[fn]))
-        spark._mlk_series_udfs = True
+        ensure_series_functions(spark)
 
     def _op_extend(self, frame, rest):
         exprs = {}

@@ -247,6 +247,145 @@ def _kernel_outliers(col: "pd.Series") -> "pd.Series":
     return pd.Series(out)
 
 
+def _seq_mean(vals) -> float:
+    """Sequential left-to-right double mean — matches the accumulation
+    order of Spark's whole-partition window AVG (numpy's pairwise
+    summation would differ in the last ulp, and the decompose oracle
+    comparisons are bit-exact)."""
+    s, n = 0.0, 0
+    for v in vals:
+        if v == v:  # not nan
+            s += float(v)
+            n += 1
+    return s / n if n else float("nan")
+
+
+def _decomp_arrays(x, period: int, trend: str):
+    """The series_decompose model on one array — IDENTICAL math to the
+    row-level operator (per-phase median seasonal zero-centered by the
+    row-mean of phase medians; 'avg' or 'linefit' trend on the
+    deseasoned series; components rounded to 4 in the same order)."""
+    import numpy as np
+
+    n = len(x)
+    ph = np.arange(n) % period
+    pm = np.full(n, np.nan)
+    for p in range(period):
+        vals = x[(ph == p) & ~np.isnan(x)]
+        if len(vals):
+            pm[ph == p] = np.median(vals)
+    seasonal = np.round(pm - _seq_mean(pm), 4)
+    des = x - seasonal
+    idx = np.arange(n, dtype=float)
+    m = ~np.isnan(des)
+    if trend == "linefit" and m.sum() >= 2:
+        mi, md = _seq_mean(idx[m]), _seq_mean(des[m])
+        cov = _seq_mean((idx[m] - mi) * (des[m] - md))
+        var = _seq_mean((idx[m] - mi) ** 2)
+        slope = cov / var if var else 0.0
+        tr = np.round(md - slope * mi + slope * idx, 4)
+    elif trend == "avg" or m.sum() < 2:
+        tr = np.round(np.full(n, _seq_mean(des)), 4)
+    elif trend == "none":
+        tr = np.zeros(n)
+    else:
+        raise ValueError(f"trend must be avg/linefit/none, got {trend!r}")
+    baseline = np.round(seasonal + tr, 4)
+    residual = np.round(x - baseline, 4)
+    return baseline, seasonal, tr, residual
+
+
+def _as_x(v):
+    import numpy as np
+
+    return np.array([np.nan if e is None else float(e) for e in v])
+
+
+def _lst(a):
+    import numpy as np
+
+    return [None if np.isnan(e) else float(e) for e in a]
+
+
+def _kernel_decompose(arrs, periods, trends) -> "pd.DataFrame":
+    out = {"baseline": [], "seasonal": [], "trend": [], "residual": []}
+    for v, p, t in zip(arrs, periods, trends):
+        if v is None:
+            for k in out:
+                out[k].append(None)
+            continue
+        b, s, tr, r = _decomp_arrays(_as_x(v), int(p), str(t))
+        out["baseline"].append(_lst(b))
+        out["seasonal"].append(_lst(s))
+        out["trend"].append(_lst(tr))
+        out["residual"].append(_lst(r))
+    return pd.DataFrame(out)
+
+
+def _kernel_decompose_anomalies(arrs, periods, ks, trends) -> "pd.Series":
+    import numpy as np
+
+    res = []
+    for v, p, k, t in zip(arrs, periods, ks, trends):
+        if v is None:
+            res.append(None)
+            continue
+        k = float(k)  # SQL decimal literal -> python float
+        x = _as_x(v)
+        _b, _s, _t, r = _decomp_arrays(x, int(p), str(t))
+        rr = r[~np.isnan(r)]
+        if len(rr) == 0:
+            res.append([0] * len(x))
+            continue
+        q1, q3 = np.percentile(rr, 25), np.percentile(rr, 75)
+        lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+        res.append(
+            [
+                0 if e != e else (1 if e > hi else (-1 if e < lo else 0))
+                for e in r
+            ]
+        )
+    return pd.Series(res)
+
+
+def _kernel_decompose_forecast(arrs, periods, points, trends) -> "pd.Series":
+    """Whole-series baseline + ``points`` extrapolated steps (Kusto's
+    series_decompose_forecast shape: the model's fit over the observed
+    range, then the forecast beyond it)."""
+    import numpy as np
+
+    res = []
+    for v, p, h, t in zip(arrs, periods, points, trends):
+        if v is None:
+            res.append(None)
+            continue
+        p, h = int(p), int(h)
+        x = _as_x(v)
+        n = len(x)
+        b, s, tr, _r = _decomp_arrays(x, p, str(t))
+        # seasonal profile per phase (constant within a phase)
+        prof = [None] * p
+        for i in range(n):
+            if prof[i % p] is None and s[i] == s[i]:
+                prof[i % p] = float(s[i])
+        fut_idx = np.arange(n, n + h, dtype=float)
+        t = str(t)
+        if t == "linefit" and n >= 2:
+            # recover slope/intercept from two trend points
+            slope = (tr[-1] - tr[0]) / (n - 1) if n > 1 else 0.0
+            ftr = tr[-1] + slope * (fut_idx - (n - 1))
+        else:
+            ftr = np.full(h, tr[-1] if n else 0.0)
+        fb = [
+            None
+            if prof[int(i) % p] is None
+            else round(prof[int(i) % p] + float(ft), 4)
+            for i, ft in zip(fut_idx, ftr)
+        ]
+        res.append(_lst(b) + fb)
+    return pd.Series(res)
+
+
 #: kernel registry for SQL-function registration (functions/kql_parse.py)
 SERIES_KERNELS = {
     "series_fill_forward": _kernel_fill_forward,

@@ -932,3 +932,87 @@ def ts_series_forecast(spark, sf_dir):
     return out.select(
         "event_type", F.col("idx").cast("int").alias("idx"), "forecast"
     ).orderBy("event_type", "idx")
+
+
+@query(
+    "kql_series_decompose",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS INT) AS idx
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31'
+    ),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    slots AS (SELECT CAST(UNNEST(range(0, 30)) AS INT) AS idx),
+    grid AS (
+      SELECT k.event_type, s.idx, CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+      FROM keys k CROSS JOIN slots s
+      LEFT JOIN (SELECT event_type, idx, COUNT(*) AS n
+                 FROM ev GROUP BY 1, 2) c
+        ON c.event_type = k.event_type AND c.idx = s.idx
+    ),
+    ph AS (
+      SELECT *, median(v) OVER (PARTITION BY event_type, idx % 7) AS pm
+      FROM grid
+    ),
+    se AS (
+      SELECT *, ROUND(pm - avg(pm) OVER (PARTITION BY event_type), 4)
+                  AS seasonal
+      FROM ph
+    ),
+    tr AS (
+      SELECT *, ROUND(avg(v - seasonal) OVER (PARTITION BY event_type), 4)
+                  AS trend
+      FROM se
+    )
+    SELECT event_type, idx, seasonal, trend,
+           ROUND(seasonal + trend, 4) AS baseline,
+           ROUND(v - ROUND(seasonal + trend, 4), 4) AS residual
+    FROM tr ORDER BY event_type, idx
+    """,
+    doc="KQL array-level series_decompose (the make-series | extend "
+    "d = series_decompose(n, 7, 'avg') chain): the Arrow kernel "
+    "reproduces the row-level operator's math EXACTLY (sequential "
+    "left-to-right means matching Spark's window accumulation; "
+    "pytest pins kernel == operator), exploded back to rows only for "
+    "the oracle compare over a zero-filled daily grid",
+)
+def kql_series_decompose(spark, sf_dir):
+    from ..functions.kql_parse import (
+        ensure_series_functions,
+        translate_expr,
+    )
+
+    ensure_series_functions(spark)
+
+    ev = load_table(spark, "events", sf_dir)
+    ms = make_series(
+        ev, "ts", {"n": F.count(F.lit(1))},
+        _START, datetime.datetime(2024, 1, 31),
+        datetime.timedelta(days=1),
+        by=["event_type"], defaults={"n": 0},
+    )
+    d = F.expr(translate_expr("series_decompose(n, 7, 'avg')"))
+    z = ms.select(
+        "event_type",
+        F.posexplode(
+            F.arrays_zip(
+                d["seasonal"].alias("seasonal"),
+                d["trend"].alias("trend"),
+                d["baseline"].alias("baseline"),
+                d["residual"].alias("residual"),
+            )
+        ).alias("idx", "z"),
+    )
+    return z.select(
+        "event_type",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("z.seasonal").alias("seasonal"),
+        F.col("z.trend").alias("trend"),
+        F.col("z.baseline").alias("baseline"),
+        F.col("z.residual").alias("residual"),
+    ).orderBy("event_type", "idx")

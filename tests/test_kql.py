@@ -2623,3 +2623,47 @@ def test_ipv6_toolkit(spark):
     assert one("ipv6_is_match('fe80::1', 'fe80::2')") is False
     assert one("ipv6_is_match('fe80::1', 'fe80::2', 126)") is True
     assert one("ipv6_compare('garbage', 'fe80::1')") is None
+
+
+def test_series_decompose_family_in_kql(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    sig = [10.0, 2.0, 3.0, 2.0] * 6
+    sig[5] = 50.0  # planted anomaly
+    df = spark.createDataFrame([(1, sig)], "id long, arr array<double>")
+    out = kql(
+        spark,
+        "t | extend d = series_decompose(arr, 4, 'linefit'), "
+        "ad = series_decompose_anomalies(arr, 4), "
+        "fc = series_decompose_forecast(arr, 4, 4) "
+        "| project id, d, ad, fc",
+        tables={"t": df},
+    ).collect()[0]
+    # decompose identity: baseline + residual == value (rounded)
+    for v, b, r in zip(sig, out.d.baseline, out.d.residual):
+        assert abs((b + r) - v) < 1e-9
+    # only the planted spike flags
+    assert out.ad[5] == 1 and sum(abs(x) for x in out.ad) == 1
+    # forecast = whole-series baseline + 4 extrapolated points
+    assert len(out.fc) == 28
+    assert out.fc[:24] == out.d.baseline
+
+    # array kernel reproduces the row-level operator EXACTLY
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.operators.timeseries import (
+        series_decompose,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(sig)], "idx int, v double"
+    ).withColumn("key", F.lit("k"))
+    op = (
+        series_decompose(rows, ["key"], "idx", "v", period=4,
+                         trend="linefit")
+        .orderBy("idx")
+        .collect()
+    )
+    assert [r["baseline"] for r in op] == list(out.d.baseline)
+    assert [r["seasonal"] for r in op] == list(out.d.seasonal)
+    assert [r["residual"] for r in op] == list(out.d.residual)
