@@ -122,11 +122,36 @@ class KqlFrame:
             return KqlFrame(self.df.select(*cols).distinct())
         return KqlFrame(self.df.distinct())
 
-    def mv_expand(self, col: str, alias: str | None = None) -> "KqlFrame":
-        """``mv-expand col`` / ``mv-expand alias = col`` — one output
-        row per array element (explode_outer: empty/null arrays keep a
-        row with null, KQL parity).  The element replaces the array."""
-        out = self.df.withColumn(alias or col, F.explode_outer(F.col(col)))
+    def mv_expand(
+        self,
+        col: str,
+        alias: str | None = None,
+        index_alias: str | None = None,
+    ) -> "KqlFrame":
+        """``mv-expand [with_itemindex=ix] col`` / ``mv-expand alias =
+        col`` — one output row per array element (explode_outer:
+        empty/null arrays keep a row with null, KQL parity).  The
+        element replaces the array; ``with_itemindex`` adds the
+        0-based element index (posexplode, null arrays index -1 is
+        Kusto's shape for the kept row — here the index is null,
+        documented deviation)."""
+        if index_alias is None:
+            out = self.df.withColumn(
+                alias or col, F.explode_outer(F.col(col))
+            )
+            if alias is not None and alias != col:
+                out = out.drop(col)
+            return KqlFrame(out)
+        exploded = self.df.select(
+            *[F.col(c) for c in self.df.columns],
+            F.posexplode_outer(F.col(col)).alias(
+                index_alias, "__mlk_elem"
+            ),
+        )
+        target = alias or col
+        out = exploded.withColumn(target, F.col("__mlk_elem")).drop(
+            "__mlk_elem"
+        )
         if alias is not None and alias != col:
             out = out.drop(col)
         return KqlFrame(out)

@@ -2985,15 +2985,37 @@ class KqlQuery:
             "OVER (ORDER BY " + ", ".join(self._order_sql)
             + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        e = _rewrite_calls(
-            e, "prev",
-            lambda a: f"lag({a[0]}, {a[1] if len(a) > 1 else 1}) {over}",
-        )
-        e = _rewrite_calls(
-            e, "next",
-            lambda a: f"lead({a[0]}, {a[1] if len(a) > 1 else 1}) {over}",
-        )
-        e = _rewrite_calls(e, "row_cumsum", lambda a: f"sum({a[0]}) {cum}")
+        def _shift(fn_sql: str):
+            # prev/next(x[, offset[, default]]) — Kusto's 3-arg form
+            def fn(a: list[str]) -> str:
+                if len(a) > 3:
+                    raise KqlParseError(
+                        f"{fn_sql}: prev/next take (x[, offset[, "
+                        "default]])"
+                    )
+                off = a[1] if len(a) > 1 else "1"
+                dflt = f", {a[2]}" if len(a) > 2 else ""
+                return f"{fn_sql}({a[0]}, {off}{dflt}) {over}"
+
+            return fn
+
+        e = _rewrite_calls(e, "prev", _shift("lag"))
+        e = _rewrite_calls(e, "next", _shift("lead"))
+
+        def _cumsum(a: list[str]) -> str:
+            if len(a) != 1:
+                # Kusto's 2-arg restart form needs a nested window
+                # (group id = running sum of restarts) — not
+                # expressible in one extend; refuse loudly instead of
+                # silently ignoring the restart argument
+                raise KqlParseError(
+                    "row_cumsum(x, restart) is not supported — compute "
+                    "the restart group in a prior extend and use "
+                    "summarize/window functions over it"
+                )
+            return f"sum({a[0]}) {cum}"
+
+        e = _rewrite_calls(e, "row_cumsum", _cumsum)
         # rank by the TERM itself, FOLLOWING the serialized direction
         # when the term is one of the order-by keys (Kusto row_rank_*
         # assign rank 1 to the FIRST serialized row): equal terms share
@@ -3249,11 +3271,20 @@ class KqlQuery:
         return frame.distinct(*[c.strip() for c in rest.split(",")])
 
     def _op_mv_expand(self, frame, rest):
+        # optional Kusto modifier: mv-expand with_itemindex=ix col
+        index_alias = None
+        m = re.match(
+            r"^\s*with_itemindex\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            index_alias, rest = m.group(1), m.group(2)
         named = _named_exprs(rest)
         if len(named) != 1:
             raise KqlParseError("mv-expand takes one column")
         name, col = named[0]
-        return frame.mv_expand(col, alias=name)
+        return frame.mv_expand(col, alias=name, index_alias=index_alias)
 
     _MAKE_SERIES_RE = re.compile(
         r"^(.*?)\s+on\s+([A-Za-z_][A-Za-z0-9_]*)\s+from\s+(.+?)\s+to\s+(.+?)"

@@ -2667,3 +2667,38 @@ def test_series_decompose_family_in_kql(spark):
     assert [r["baseline"] for r in op] == list(out.d.baseline)
     assert [r["seasonal"] for r in op] == list(out.d.seasonal)
     assert [r["residual"] for r in op] == list(out.d.residual)
+
+
+def test_mv_expand_with_itemindex_and_prev_default(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, [])], "id long, xs array<string>"
+    )
+    out = kql(
+        spark,
+        "t | mv-expand with_itemindex=ix x = xs "
+        "| project id, ix, x | order by id asc, ix asc",
+        tables={"t": df},
+    ).collect()
+    assert [(r.id, r.ix, r.x) for r in out] == [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (2, None, None),
+    ]
+
+    df2 = spark.createDataFrame([(i, i * 10) for i in range(4)], "i long, v long")
+    out2 = kql(
+        spark,
+        "t | order by i asc | extend p = prev(v, 1, -1) | project i, p",
+        tables={"t": df2},
+    ).collect()
+    assert [r.p for r in out2] == [-1, 0, 10, 20]
+
+    with pytest.raises(KqlParseError, match="restart"):
+        kql(
+            spark,
+            "t | order by i asc | extend c = row_cumsum(v, i == 2)",
+            tables={"t": df2},
+        )
