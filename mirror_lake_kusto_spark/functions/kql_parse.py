@@ -2564,7 +2564,7 @@ class KqlQuery:
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
             r"|make-graph|graph-match"
             r"|getschema|evaluate|top-nested|partition|facet|scan"
-            r"|render|parse-where|parse|search|invoke|fork"
+            r"|render|parse-kv|parse-where|parse|search|invoke|fork"
             r"|sample-distinct|sample|top-hitters|reduce"
             r"|where|project|extend|summarize"
             r"|take|limit|top|count|distinct|union|join|lookup|as)\b(.*)",
@@ -3269,6 +3269,69 @@ class KqlQuery:
         if rest.strip() == "*" or not rest.strip():
             return frame.distinct()
         return frame.distinct(*[c.strip() for c in rest.split(",")])
+
+    def _op_parse_kv(self, frame, rest):
+        """``parse-kv Expr as (k1: type, ...) with (pair_delimiter=...,
+        kv_delimiter=...)`` — extract key=value pairs into typed
+        columns.  Lowers to Spark's JVM ``str_to_map`` + typed
+        ``element_at`` lookups: one map build per row, no regex per
+        key, no UDF.  Profile: delimiter mode only (Kusto's regex/
+        quoting modes are out of scope); missing keys yield null
+        (try_cast for typed columns)."""
+        m = re.match(
+            r"^(.*?)\s+as\s*\((.*?)\)\s*(?:with\s*\((.*)\))?\s*$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlParseError(
+                "parse-kv needs: Expr as (name: type, ...) "
+                "[with (pair_delimiter=..., kv_delimiter=...)]"
+            )
+        src = translate_expr(m.group(1))
+        pair_d, kv_d = " ", "="
+        opts = m.group(3) or ""
+        opt_re = re.compile(
+            r"(pair_delimiter|kv_delimiter)\s*=\s*'([^']*)'", re.IGNORECASE
+        )
+        for om in opt_re.finditer(opts):
+            if om.group(1).lower() == "pair_delimiter":
+                pair_d = om.group(2)
+            else:
+                kv_d = om.group(2)
+        leftover = opt_re.sub("", opts).replace(",", "").strip()
+        if leftover:
+            raise KqlParseError(
+                f"parse-kv: unsupported option(s) {leftover!r} (this "
+                "profile takes pair_delimiter/kv_delimiter string "
+                "literals)"
+            )
+
+        def _sql_str(s: str) -> str:
+            # regex-escape (str_to_map delimiters are regexes), then
+            # SQL-quote
+            return "'" + re.escape(s).replace("\\", "\\\\").replace("'", "''") + "'"
+
+        map_e = f"str_to_map({src}, {_sql_str(pair_d)}, {_sql_str(kv_d)})"
+        exprs = {}
+        for decl in m.group(2).split(","):
+            decl = decl.strip()
+            if not decl:
+                continue
+            name, _, ktype = decl.partition(":")
+            name, ktype = name.strip(), (ktype.strip().lower() or "string")
+            if ktype not in self._KUSTO_TYPES:
+                raise KqlParseError(
+                    f"parse-kv: unsupported type {ktype!r} for {name!r}"
+                )
+            val = f"element_at({map_e}, '{name}')"
+            sql_t = self._KUSTO_TYPES[ktype]
+            exprs[name] = F.expr(
+                val if sql_t == "string" else f"try_cast({val} AS {sql_t})"
+            )
+        if not exprs:
+            raise KqlParseError("parse-kv: no columns declared")
+        return frame.extend(**exprs)
 
     def _op_mv_expand(self, frame, rest):
         # optional Kusto modifier: mv-expand with_itemindex=ix col

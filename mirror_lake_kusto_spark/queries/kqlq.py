@@ -2236,3 +2236,32 @@ def kql_ipv6_toolkit(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "documents"),
     )
+
+
+@query(
+    "kql_parse_kv",
+    """
+    SELECT doc_id, lang AS k_lang, n_chars AS k_n, source AS k_src
+    FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id
+    """,
+    doc="KQL parse-kv operator: key=value extraction into typed "
+    "columns lowers to Spark's JVM str_to_map + element_at — one map "
+    "build per row, no per-key regex, no UDF.  The round trip "
+    "(strcat the kv string, parse it back) must reproduce the source "
+    "columns exactly, which the oracle selects directly",
+)
+def kql_parse_kv(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        documents
+        | where doc_id % 13 == 0
+        | extend msg = strcat('k_lang=', lang, ' k_n=',
+                              tostring(n_chars), ' k_src=', source)
+        | parse-kv msg as (k_lang: string, k_n: long, k_src: string)
+          with (pair_delimiter=' ', kv_delimiter='=')
+        | project doc_id, k_lang, k_n, k_src
+        | order by doc_id asc
+        """,
+        tables=_tables(spark, sf_dir, "documents"),
+    )

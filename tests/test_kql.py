@@ -2702,3 +2702,43 @@ def test_mv_expand_with_itemindex_and_prev_default(spark):
             "t | order by i asc | extend c = row_cumsum(v, i == 2)",
             tables={"t": df2},
         )
+
+
+def test_parse_kv_operator(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "level=INFO code=200 ms=12.5 user=bob"),
+         (2, "level=WARN code=503 ms=991.0")],
+        "id long, msg string",
+    )
+    out = kql(
+        spark,
+        "t | parse-kv msg as (level: string, code: long, ms: real, "
+        "user: string) with (pair_delimiter=' ', kv_delimiter='=') "
+        "| project id, level, code, ms, user | order by id asc",
+        tables={"t": df},
+    ).collect()
+    assert (out[0].level, out[0].code, out[0].ms, out[0].user) == (
+        "INFO", 200, 12.5, "bob",
+    )
+    assert out[1].user is None  # missing key -> null
+
+    # custom delimiters; defaults are space + '='
+    df2 = spark.createDataFrame([(1, "a:1,b:2")], "id long, s string")
+    r = kql(
+        spark,
+        "t | parse-kv s as (a: long, b: long) "
+        "with (pair_delimiter=',', kv_delimiter=':') | project a, b",
+        tables={"t": df2},
+    ).collect()[0]
+    assert (r.a, r.b) == (1, 2)
+
+    with pytest.raises(KqlParseError, match="unsupported option"):
+        kql(spark, "t | parse-kv s as (a: long) with (regex_mode=true)",
+            tables={"t": df2})
+    with pytest.raises(KqlParseError, match="no columns"):
+        kql(spark, "t | parse-kv s as ()", tables={"t": df2})
