@@ -1080,6 +1080,20 @@ def translate_expr(e: str) -> str:
                     f"{name} takes {min_args}..{min_args + len(defaults)}"
                     " arguments"
                 )
+            # the 2nd argument is the PERIOD in this profile, and it
+            # must be a positive integer literal — Kusto's own 2nd
+            # argument varies by function (anomalies takes threshold
+            # there), so a float here means the caller is using
+            # Kusto's signature: refuse loudly instead of silently
+            # truncating a threshold into a period
+            if not re.fullmatch(r"\+?\d+", a[1].strip()):
+                raise KqlParseError(
+                    f"{name}: this profile's 2nd argument is the "
+                    f"seasonality PERIOD and must be a positive "
+                    f"integer literal (got {a[1].strip()!r}); "
+                    "auto-detection (-1) is not supported — use "
+                    "series_periods_detect"
+                )
             full = list(a) + defaults[len(a) - min_args:]
             return f"{name}({', '.join(full)})"
 
@@ -1673,16 +1687,25 @@ def translate_expr(e: str) -> str:
             "'([0-9]+)\\\\.([0-9]+)\\\\.([0-9]+)\\\\.([0-9]+)$', {g}) "
             "AS INT)"
         )
+        octs_ok = " AND ".join(
+            f"{oct_.format(g=g)} BETWEEN 0 AND 255" for g in (1, 2, 3, 4)
+        )
         v4fix = (
-            "CASE WHEN __s RLIKE '\\\\.' THEN concat("
+            # out-of-range / malformed octets make the whole address
+            # NULL (Kusto's parse_ipv6 null-on-invalid contract)
+            f"CASE WHEN __s RLIKE '\\\\.' THEN (CASE WHEN {octs_ok} "
+            "THEN concat("
             "regexp_replace(__s, '[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+$', ''), "
             f"hex({oct_.format(g=1)} * 256 + {oct_.format(g=2)}), ':', "
-            f"hex({oct_.format(g=3)} * 256 + {oct_.format(g=4)})) "
+            f"hex({oct_.format(g=3)} * 256 + {oct_.format(g=4)})) END) "
             "ELSE __s END"
         )
-        # '::' expansion: left ++ zeros ++ right padded to 8 groups
+        # '::' expansion: left ++ zeros ++ right padded to 8 groups;
+        # more than one '::' is malformed -> empty marker group, which
+        # the canon validity check turns into NULL
         groups = (
-            "CASE WHEN instr(__u, '::') > 0 THEN concat("
+            "CASE WHEN size(split(__u, '::')) > 2 THEN array('') "
+            "WHEN instr(__u, '::') > 0 THEN concat("
             "filter(split(element_at(split(__u, '::'), 1), ':'), "
             "__g -> __g != ''), "
             "array_repeat('0', 8 "
@@ -1912,8 +1935,13 @@ def translate_expr(e: str) -> str:
             "to_json(named_struct('type', 'Point', 'coordinates', "
             f"array({lon}, {lat})))"
         )
+        # invalid characters (geohash base32 excludes a/i/l/o and
+        # uppercase) or length outside 1..12 -> NULL, matching Kusto;
+        # without the guard instr() = 0 would silently fold digit -1
+        # into plausible-but-wrong coordinates
         return (
-            f"(transform(array({iv}), __iv -> {body})[0])"
+            f"(CASE WHEN ({a[0]}) RLIKE '^[0-9b-hjkmnp-z]{{1,12}}$' THEN "
+            f"transform(array({iv}), __iv -> {body})[0] END)"
         )
 
     e = _rewrite_calls(e, "geo_geohash_to_central_point", _geohash_dec)
@@ -3273,11 +3301,12 @@ class KqlQuery:
     def _op_parse_kv(self, frame, rest):
         """``parse-kv Expr as (k1: type, ...) with (pair_delimiter=...,
         kv_delimiter=...)`` — extract key=value pairs into typed
-        columns.  Lowers to Spark's JVM ``str_to_map`` + typed
-        ``element_at`` lookups: one map build per row, no regex per
-        key, no UDF.  Profile: delimiter mode only (Kusto's regex/
-        quoting modes are out of scope); missing keys yield null
-        (try_cast for typed columns)."""
+        columns.  Lowers to per-key JVM ``regexp_extract`` with a
+        lookahead-bounded value (first occurrence wins), no UDF.
+        Profile: delimiter mode only (Kusto's regex/quoting modes are
+        out of scope); missing keys yield null, duplicate keys and
+        empty segments are tolerated (``str_to_map`` would throw on
+        both under Spark's default map-key dedup policy)."""
         m = re.match(
             r"^(.*?)\s+as\s*\((.*?)\)\s*(?:with\s*\((.*)\))?\s*$",
             rest,
@@ -3307,12 +3336,22 @@ class KqlQuery:
                 "literals)"
             )
 
-        def _sql_str(s: str) -> str:
-            # regex-escape (str_to_map delimiters are regexes), then
-            # SQL-quote
-            return "'" + re.escape(s).replace("\\", "\\\\").replace("'", "''") + "'"
+        def _sql_rx(s: str) -> str:
+            # regex-escape, then SQL-quote (doubling backslashes for
+            # the SQL string literal layer)
+            return (
+                "'"
+                + re.escape(s).replace("\\", "\\\\").replace("'", "''")
+                + "'"
+            )
 
-        map_e = f"str_to_map({src}, {_sql_str(pair_d)}, {_sql_str(kv_d)})"
+        # per-key extraction with a lookahead-bounded value (first
+        # occurrence wins).  NOT str_to_map: that throws on duplicate
+        # keys (Spark's mapKeyDedupPolicy=EXCEPTION default) and on
+        # the empty segments repeated delimiters produce — both
+        # routine in real log lines.  K declared keys = K JVM regex
+        # scans per row, no UDF, no data-dependent crash.
+        p_rx, kv_rx = _sql_rx(pair_d), _sql_rx(kv_d)
         exprs = {}
         for decl in m.group(2).split(","):
             decl = decl.strip()
@@ -3320,11 +3359,23 @@ class KqlQuery:
                 continue
             name, _, ktype = decl.partition(":")
             name, ktype = name.strip(), (ktype.strip().lower() or "string")
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise KqlParseError(
+                    f"parse-kv: column name must be a bare word: {name!r}"
+                )
             if ktype not in self._KUSTO_TYPES:
                 raise KqlParseError(
                     f"parse-kv: unsupported type {ktype!r} for {name!r}"
                 )
-            val = f"element_at({map_e}, '{name}')"
+            pat = (
+                f"concat('(?:^|', {p_rx}, ')', '{name}', {kv_rx}, "
+                f"'((?:(?!', {p_rx}, ').)*)')"
+            )
+            # missing key -> NULL (not ''): gate the extract on a match
+            val = (
+                f"CASE WHEN ({src}) RLIKE {pat} "
+                f"THEN regexp_extract({src}, {pat}, 1) END"
+            )
             sql_t = self._KUSTO_TYPES[ktype]
             exprs[name] = F.expr(
                 val if sql_t == "string" else f"try_cast({val} AS {sql_t})"

@@ -2245,10 +2245,11 @@ def kql_ipv6_toolkit(spark, sf_dir):
     FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id
     """,
     doc="KQL parse-kv operator: key=value extraction into typed "
-    "columns lowers to Spark's JVM str_to_map + element_at — one map "
-    "build per row, no per-key regex, no UDF.  The round trip "
-    "(strcat the kv string, parse it back) must reproduce the source "
-    "columns exactly, which the oracle selects directly",
+    "columns via per-key JVM regexp_extract (lookahead-bounded "
+    "values, first occurrence wins — robust to duplicate keys and "
+    "repeated delimiters, unlike str_to_map), no UDF.  The round "
+    "trip (strcat the kv string, parse it back) must reproduce the "
+    "source columns exactly, which the oracle selects directly",
 )
 def kql_parse_kv(spark, sf_dir):
     return kql(

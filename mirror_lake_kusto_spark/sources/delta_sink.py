@@ -433,6 +433,32 @@ class DeltaSink:
             conf = dict((prev or {}).get("configuration") or {})
         else:
             self._pending_configuration = None
+        # field metadata the TABLE owns (generation expressions) must
+        # survive a schema-evolving append: an input frame's schema
+        # never carries it, so regenerating schemaString from the df
+        # would silently erase delta.generationExpression and disable
+        # generated-column enforcement from then on
+        if prev is not None:
+            try:
+                prev_meta = {
+                    f["name"]: (f.get("metadata") or {})
+                    for f in json.loads(prev["schemaString"])["fields"]
+                }
+                parsed = json.loads(schema_string)
+                changed = False
+                for f in parsed["fields"]:
+                    keep = {
+                        k: v
+                        for k, v in prev_meta.get(f["name"], {}).items()
+                        if k.startswith("delta.generationExpression")
+                    }
+                    if keep and not (f.get("metadata") or {}):
+                        f["metadata"] = keep
+                        changed = True
+                if changed:
+                    schema_string = json.dumps(parsed)
+            except (KeyError, ValueError, TypeError):
+                pass
         return {
             "id": (prev or {}).get("id") or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -917,7 +943,30 @@ class DeltaSink:
             == "true"
         )
 
-    def _stage_cdc(self, df: DataFrame, now: int) -> list[dict]:
+    def _hit_frame(self, hit_parts, data_schema, inject) -> DataFrame:
+        """Union of ONLY the hit files (per partition group, partition
+        values injected) — the frame the CDF staging scans, so change
+        extraction costs O(files touched), never a second whole-table
+        probe."""
+        frames = []
+        for paths, pv in hit_parts:
+            reader = self.spark.read
+            if data_schema is not None:
+                reader = reader.schema(data_schema)
+            frames.append(
+                inject(
+                    reader.parquet(
+                        *[_fs.join(self.path, p) for p in paths]
+                    ),
+                    pv,
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _stage_cdc(self, df: DataFrame) -> list[dict]:
         """Stage change-data files (df = full logical rows incl.
         partition columns + ``_change_type``) under ``_change_data/``
         and return the ``cdc`` actions.  Layout mirrors the data files:
@@ -925,7 +974,9 @@ class DeltaSink:
         rows carry only the data columns + ``_change_type``.  cdc
         actions always record ``dataChange: false`` (PROTOCOL.md) and
         are never checkpointed (reconciled_actions rebuilds from
-        adds only)."""
+        adds only).  No logical->physical rename here (unlike
+        _stage_adds): every CDF DML path goes through _data_schema,
+        which refuses column-mapped tables outright."""
         tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write
         if self.partition_by:
@@ -1135,6 +1186,7 @@ class DeltaSink:
             # match on NORMALIZED full paths: stored paths are table-
             # relative normally but absolute for shallow-cloned files,
             # and join passes an absolute second arg through on local FS
+            hit_parts: list[tuple[list[str], dict]] = []
             for key, paths in groups.items():
                 part_values = dict(key)
                 hit = [
@@ -1144,6 +1196,7 @@ class DeltaSink:
                 ]
                 if not hit:
                     continue
+                hit_parts.append((hit, part_values))
                 actions.extend(
                     self._rewrite_group(
                         hit,
@@ -1156,16 +1209,18 @@ class DeltaSink:
                         read_schema=data_schema,
                     )
                 )
-            if cdf and hit_abs:
+            if cdf and hit_parts:
                 # row-level change feed: the DELETED rows, so readers
                 # see exact deletes instead of the file-level
-                # remove+re-add synthesis
+                # remove+re-add synthesis.  Scans only the HIT files
+                # (every matching row lives in one by construction) —
+                # not a second whole-table probe
+                hit_probe = self._hit_frame(hit_parts, data_schema, inject)
                 actions.extend(
                     self._stage_cdc(
-                        probe.filter(predicate)
-                        .drop("_f")
-                        .withColumn("_change_type", F.lit("delete")),
-                        now,
+                        hit_probe.filter(predicate).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
                     )
                 )
         return self._commit(actions, operation="DELETE")
@@ -1283,6 +1338,7 @@ class DeltaSink:
             )
         actions: list[dict] = []
         matched_keys = None
+        hit_probe = None
         if probes:
             probe = probes[0]
             for p in probes[1:]:
@@ -1291,11 +1347,10 @@ class DeltaSink:
             hit_abs = set()
             for r in hits.select("_f").distinct().collect():
                 hit_abs.add(self.fs.normalize(r["_f"]))
-            # keys present in ANY affected file = the matched set
-            matched_keys = hits.select(*keys).distinct()
             src_cols = source.columns
             # absolute-path matching (see delete): shallow-cloned files
             # are stored absolute and must still rewrite copy-on-write
+            hit_parts: list[tuple[list[str], dict]] = []
             for key, paths in groups.items():
                 part_values = dict(key)
                 hit = [
@@ -1305,6 +1360,7 @@ class DeltaSink:
                 ]
                 if not hit:
                     continue
+                hit_parts.append((hit, part_values))
                 pv = part_values
 
                 def rewrite(df, pv=pv):
@@ -1330,6 +1386,24 @@ class DeltaSink:
                         data_change=True, now=now, read_schema=data_schema,
                     )
                 )
+            # keys present in ANY affected file = the matched set.
+            # Derived from the HIT files only (every match lives in
+            # one by construction) — downstream consumers (inserts
+            # anti-join, CDF post-image join) then rescan O(files
+            # touched), not the whole table a `hits`-based frame
+            # would re-probe
+            hit_probe = (
+                self._hit_frame(hit_parts, data_schema, inject)
+                if hit_parts
+                else None
+            )
+            matched_keys = (
+                hit_probe.join(F.broadcast(all_keys), keys, "inner")
+                .select(*keys)
+                .distinct()
+                if hit_probe is not None
+                else None
+            )
         inserts = (
             source.join(matched_keys, keys, "left_anti")
             if matched_keys is not None
@@ -1351,8 +1425,10 @@ class DeltaSink:
                 ct, F.lit("insert")
             )
             if matched_keys is not None:
+                # pre-image / delete rows come off the HIT files only
+                # (hit_probe), not a second whole-table probe scan
                 pre = (
-                    probe.join(F.broadcast(src_keys), keys, "inner")
+                    hit_probe.join(F.broadcast(src_keys), keys, "inner")
                     .select(*src_cols)
                     .withColumn(ct, F.lit("update_preimage"))
                 )
@@ -1364,11 +1440,13 @@ class DeltaSink:
                 changes = changes.unionByName(pre).unionByName(post)
                 if del_keys is not None:
                     changes = changes.unionByName(
-                        probe.join(F.broadcast(del_keys), keys, "inner")
+                        hit_probe.join(
+                            F.broadcast(del_keys), keys, "inner"
+                        )
                         .select(*src_cols)
                         .withColumn(ct, F.lit("delete"))
                     )
-            actions.extend(self._stage_cdc(changes, now))
+            actions.extend(self._stage_cdc(changes))
         if txn is not None:
             # same idempotence contract as append(): the txn action
             # rides the MERGE commit, so a replayed micro-batch can
@@ -1519,8 +1597,7 @@ class DeltaSink:
             cdc_actions = self._stage_cdc(
                 newly.drop("_f", "_ridx").withColumn(
                     "_change_type", F.lit("delete")
-                ),
-                now,
+                )
             )
         if not packed:
             return self._commit([], operation="DELETE (merge-on-read)")
@@ -1534,16 +1611,29 @@ class DeltaSink:
         pr = upgraded_protocol(
             cur, ("deletionVectors",), ("deletionVectors",)
         )
-        actions: list[dict] = [] if pr == cur else [{"protocol": pr}]
-        actions.extend(cdc_actions)
         full_deletes, dv_rows = [], []
         for r in packed:
             f = by_norm[r["_f"]]
+            old_card = (f.get("deletionVector") or {}).get(
+                "cardinality"
+            ) or 0
+            if old_card and r["card"] <= old_card:
+                # every matching row was already deleted (the merged
+                # bitmap is the old bitmap): re-adding an identical DV
+                # is log churn — and under CDF it would commit DV
+                # re-adds with NO cdc action (zero newly-deleted
+                # rows), which permanently breaks the change feed over
+                # that span
+                continue
             n_rec = f.get("numRecords")
             if n_rec is not None and r["card"] >= n_rec:
                 full_deletes.append(f)
             else:
                 dv_rows.append((f, r))
+        if not full_deletes and not dv_rows:
+            return self._commit([], operation="DELETE (merge-on-read)")
+        actions: list[dict] = [] if pr == cur else [{"protocol": pr}]
+        actions.extend(cdc_actions)
         descs = _dv.pack_dv_file(
             self.path,
             [(bytes(r["payload"]), int(r["card"])) for _f, r in dv_rows],

@@ -251,3 +251,21 @@ def test_cdf_stream_replicates_table_end_to_end(spark, tmp_path):
         (0, "r0"), (1, "r1"), (2, "X2"), (3, "r3"), (4, "r4"),
         (6, "r6"), (7, "r7"), (20, "X20"),
     ]
+
+
+def test_delete_dv_noop_when_all_matches_already_deleted(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path)
+    sink.append(_mk(spark, [(i, f"r{i}") for i in range(6)]).coalesce(1))
+    sink.set_properties({"delta.enableChangeDataFeed": "true"})
+    v1 = sink.delete_dv("id IN (1, 2)")
+    head_before = v1
+    # identical predicate: every match is already deleted — the commit
+    # must be SKIPPED (a DV re-add with no cdc action would break the
+    # change feed over that span)
+    v2 = sink.delete_dv("id IN (1, 2)")
+    assert v2 == head_before  # no new commit
+    # feed over the whole span stays readable and exact
+    ch = _changes(spark, path, 0)
+    dels = [(c[2], c[0]) for c in ch if c[1] == "delete"]
+    assert dels == [(1, v1), (2, v1)]

@@ -2534,6 +2534,10 @@ def test_geohash_encode_decode(spark):
         )
         == "ezs42"
     )
+    # invalid characters (a/i/l/o, uppercase) and bad length -> null
+    assert one("geo_geohash_to_central_point('EZS42')") is None
+    assert one("geo_geohash_to_central_point('ali0')") is None
+    assert one("geo_geohash_to_central_point('')") is None
     # precision must be a literal in range
     with pytest.raises(KqlParseError, match="precision"):
         one("geo_point_to_geohash(1.0, 2.0, 0)")
@@ -2608,6 +2612,9 @@ def test_ipv6_toolkit(spark):
     assert one("parse_ipv6('garbage')") is None
     assert one("parse_ipv6('12345::1')") is None
     assert one("parse_ipv6('1:2:3:4:5:6:7:8:9')") is None
+    # multiple '::' and out-of-range IPv4 octets are malformed too
+    assert one("parse_ipv6('1::2::3')") is None
+    assert one("parse_ipv6('::ffff:1.2.3.300')") is None
 
     assert one("ipv6_compare('fe80::1', 'fe80::1')") == 0
     assert one("ipv6_compare('fe80::1', 'fe80::2')") == -1
@@ -2736,6 +2743,18 @@ def test_parse_kv_operator(spark):
         tables={"t": df2},
     ).collect()[0]
     assert (r.a, r.b) == (1, 2)
+
+    # duplicate keys and repeated delimiters must not crash the query
+    # (str_to_map would throw): first occurrence wins
+    df3 = spark.createDataFrame(
+        [(1, "retry=1  x=2 retry=3 ")], "id long, s string"
+    )
+    r3 = kql(
+        spark,
+        "t | parse-kv s as (retry: long, x: long) | project retry, x",
+        tables={"t": df3},
+    ).collect()[0]
+    assert (r3.retry, r3.x) == (1, 2)
 
     with pytest.raises(KqlParseError, match="unsupported option"):
         kql(spark, "t | parse-kv s as (a: long) with (regex_mode=true)",

@@ -471,3 +471,38 @@ def test_generated_partition_column_prunes(spark, tmp_path):
     ).collect()
     assert [r["id"] for r in got] == [2]
     assert got[0]["tag"] == "04"
+
+
+def test_generated_column_survives_schema_evolving_append(spark, tmp_path):
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    path = str(tmp_path / "t")
+    sink = DeltaSink(spark, path)
+    sink.append(
+        spark.createDataFrame([(1, "2024-03-05 10:00:00")], "id long, ts string")
+    )
+    sink.add_generated_column("day", "string", "substring(ts, 1, 10)")
+    # schema-evolving append (extra column): the new metaData must
+    # carry the generation expression forward, not erase it
+    sink.append(
+        spark.createDataFrame(
+            [(2, "2024-03-06 11:00:00", "x")], "id long, ts string, extra string"
+        )
+    )
+    import json
+
+    meta = DL.latest_metadata(spark, path)
+    gen = {
+        f["name"]: (f.get("metadata") or {}).get("delta.generationExpression")
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert gen["day"] == "substring(ts, 1, 10)"
+    # enforcement still live: the generated value is computed
+    sink.append(
+        spark.createDataFrame(
+            [(3, "2024-03-07 09:00:00", "y")], "id long, ts string, extra string"
+        )
+    )
+    rows = {r["id"]: r for r in DL.read_snapshot(spark, path).collect()}
+    assert rows[3]["day"] == "2024-03-07"
