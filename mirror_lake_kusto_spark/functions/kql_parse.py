@@ -1069,10 +1069,12 @@ def translate_expr(e: str) -> str:
 
     # series_decompose family: Arrow-kernel SQL UDFs (registered in
     # _ensure_series_udfs) — the translate step only pads defaults.
-    # Profile (documented deviation from Kusto): the period is an
-    # EXPLICIT positive int (no -1 auto-detect; use
-    # series_periods_detect), forecast signature is
-    # (series, period, points[, trend]).
+    # The period is an integer literal; -1 auto-detects via the same
+    # normalized-autocorrelation profile as series_periods_detect
+    # (deterministic; no significant period -> pure-trend
+    # decomposition).  Forecast signature is
+    # (series, period, points[, trend]) — documented deviation from
+    # Kusto, whose forecast takes (series, points, ...).
     def _pad_defaults(name: str, min_args: int, defaults: list[str]):
         def fn(a: list[str]) -> str:
             if not min_args <= len(a) <= min_args + len(defaults):
@@ -1081,18 +1083,17 @@ def translate_expr(e: str) -> str:
                     " arguments"
                 )
             # the 2nd argument is the PERIOD in this profile, and it
-            # must be a positive integer literal — Kusto's own 2nd
-            # argument varies by function (anomalies takes threshold
-            # there), so a float here means the caller is using
-            # Kusto's signature: refuse loudly instead of silently
-            # truncating a threshold into a period
-            if not re.fullmatch(r"\+?\d+", a[1].strip()):
+            # must be an integer literal (-1 = autocorrelation
+            # auto-detect) — Kusto's own 2nd argument varies by
+            # function (anomalies takes threshold there), so a float
+            # here means the caller is using Kusto's signature:
+            # refuse loudly instead of silently truncating a
+            # threshold into a period
+            if not re.fullmatch(r"(-1|\+?\d+)", a[1].strip()):
                 raise KqlParseError(
                     f"{name}: this profile's 2nd argument is the "
-                    f"seasonality PERIOD and must be a positive "
-                    f"integer literal (got {a[1].strip()!r}); "
-                    "auto-detection (-1) is not supported — use "
-                    "series_periods_detect"
+                    f"seasonality PERIOD and must be an integer "
+                    f"literal (-1 auto-detects; got {a[1].strip()!r})"
                 )
             full = list(a) + defaults[len(a) - min_args:]
             return f"{name}({', '.join(full)})"

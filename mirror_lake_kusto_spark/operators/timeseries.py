@@ -260,12 +260,80 @@ def _seq_mean(vals) -> float:
     return s / n if n else float("nan")
 
 
+def _detect_period(x) -> int:
+    """Deterministic auto-seasonality (Kusto's ``period=-1``): the lag
+    in [2, n//2] with the highest normalized autocorrelation of the
+    null-as-0 series — the same r(L) profile as series_periods_detect
+    (n-scaled exact-integer folds).  Returns 0 (no seasonality) when
+    nothing scores above the 0.3 floor Kusto's docs describe as a
+    'significant' period."""
+    import numpy as np
+
+    v = np.where(np.isnan(x), 0.0, x)
+    n = len(v)
+    if n < 4:
+        return 0
+    # detrend first (subtract the OLS linefit): a monotone trend has
+    # autocorrelation > the floor at EVERY small lag and would always
+    # masquerade as a period-2 seasonality
+    idx = np.arange(n, dtype=float)
+    mi, mv = _seq_mean(idx), _seq_mean(v)
+    var = _seq_mean((idx - mi) ** 2)
+    slope = _seq_mean((idx - mi) * (v - mv)) / var if var else 0.0
+    v = v - (mv - slope * mi + slope * idx)
+    s = 0.0
+    for e in v:
+        s += float(e)
+    c = v * n - s
+    den = 0.0
+    for e in c:
+        den += float(e) * float(e)
+    if den <= 0:
+        return 0
+    best_lag, best = 0, 0.3
+    for lag in range(2, n // 2 + 1):
+        num = 0.0
+        for i in range(n - lag):
+            num += float(c[i]) * float(c[i + lag])
+        score = num / den
+        if score > best:
+            best_lag, best = lag, score
+    return best_lag
+
+
 def _decomp_arrays(x, period: int, trend: str):
     """The series_decompose model on one array — IDENTICAL math to the
     row-level operator (per-phase median seasonal zero-centered by the
     row-mean of phase medians; 'avg' or 'linefit' trend on the
-    deseasoned series; components rounded to 4 in the same order)."""
+    deseasoned series; components rounded to 4 in the same order).
+    ``period=-1`` auto-detects via ``_detect_period``; no significant
+    period -> pure-trend decomposition (seasonal all zero)."""
     import numpy as np
+
+    if period == -1:
+        period = _detect_period(x)
+    if period <= 0:
+        # no seasonality: zero seasonal component, trend fits the raw
+        # series
+        period = max(len(x), 1)
+        n = len(x)
+        seasonal = np.zeros(n)
+        des = x - seasonal
+        idx = np.arange(n, dtype=float)
+        m = ~np.isnan(des)
+        if trend == "linefit" and m.sum() >= 2:
+            mi, md = _seq_mean(idx[m]), _seq_mean(des[m])
+            cov = _seq_mean((idx[m] - mi) * (des[m] - md))
+            var = _seq_mean((idx[m] - mi) ** 2)
+            slope = cov / var if var else 0.0
+            tr = np.round(md - slope * mi + slope * idx, 4)
+        elif trend == "none":
+            tr = np.zeros(n)
+        else:
+            tr = np.round(np.full(n, _seq_mean(des)), 4)
+        baseline = np.round(seasonal + tr, 4)
+        residual = np.round(x - baseline, 4)
+        return baseline, seasonal, tr, residual
 
     n = len(x)
     ph = np.arange(n) % period
@@ -362,7 +430,11 @@ def _kernel_decompose_forecast(arrs, periods, points, trends) -> "pd.Series":
         p, h = int(p), int(h)
         x = _as_x(v)
         n = len(x)
-        b, s, tr, _r = _decomp_arrays(x, p, str(t))
+        if p == -1:
+            p = _detect_period(x)
+        b, s, tr, _r = _decomp_arrays(x, p if p > 0 else 0, str(t))
+        if p <= 0:
+            p = 1  # no seasonality: the profile below is [0.0]
         # seasonal profile per phase (constant within a phase)
         prof = [None] * p
         for i in range(n):

@@ -2761,3 +2761,33 @@ def test_parse_kv_operator(spark):
             tables={"t": df2})
     with pytest.raises(KqlParseError, match="no columns"):
         kql(spark, "t | parse-kv s as ()", tables={"t": df2})
+
+
+def test_series_decompose_auto_period(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    sig = [10.0, 2.0, 3.0, 2.0] * 8  # planted period 4
+    df = spark.createDataFrame([(1, sig)], "id long, arr array<double>")
+    out = kql(
+        spark,
+        "t | extend d = series_decompose(arr, -1, 'linefit'), "
+        "dx = series_decompose(arr, 4, 'linefit'), "
+        "fc = series_decompose_forecast(arr, -1, 4) "
+        "| project d, dx, fc",
+        tables={"t": df},
+    ).collect()[0]
+    # auto-detect lands on the planted period: identical decomposition
+    assert list(out.d.seasonal) == list(out.dx.seasonal)
+    assert list(out.d.baseline) == list(out.dx.baseline)
+    assert len(out.fc) == len(sig) + 4
+
+    # no significant period (monotone ramp) -> pure-trend model
+    ramp = [float(i) for i in range(16)]
+    df2 = spark.createDataFrame([(1, ramp)], "id long, arr array<double>")
+    d2 = kql(
+        spark,
+        "t | extend d = series_decompose(arr, -1, 'linefit') | project d",
+        tables={"t": df2},
+    ).collect()[0].d
+    assert all(s == 0.0 for s in d2.seasonal)
+    assert all(abs(r) < 1e-6 for r in d2.residual)  # linefit is exact
