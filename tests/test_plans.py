@@ -519,3 +519,29 @@ def test_graph_match_id_access_skips_node_join(spark):
     endpoints may appear)."""
     plan = _plan(spark, "kql_graph_match_cycle")
     assert "Deduplicate" not in plan
+
+
+def test_round5_pure_expression_lowerings_stay_jvm_side(spark):
+    """The geohash, IPv6, parse-kv, and periods-detect lowerings are
+    documented as pure JVM expressions — no Python evaluation node may
+    appear in their plans (the decompose family is the deliberate
+    Arrow-kernel exception and is NOT in this list)."""
+    for name in (
+        "kql_geo_geohash",
+        "kql_ipv6_toolkit",
+        "kql_parse_kv",
+        "ts_series_periods",
+        "ts_series_seasonal",
+    ):
+        plan = _plan(spark, name)
+        assert "Python" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_ts_series_forecast_no_rescan(spark):
+    """The forecast query's plan reads the events scan once per model
+    component and never forms a cartesian product; the future axis is
+    a generator (explode of sequence), not a join against data."""
+    plan = _plan(spark, "ts_series_forecast")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
