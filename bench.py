@@ -136,6 +136,9 @@ EXTENSION_HEADLINE = [
     "kql_diffpatterns",
     "kql_reduce_patterns",
     "multimodal_real_decode",
+    "similarity_topk_binary",
+    "kql_series_decompose",
+    "kql_parse_kv",
 ]
 
 

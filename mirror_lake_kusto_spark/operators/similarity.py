@@ -1046,3 +1046,64 @@ def cosine_topk_mmr(
         .applyInPandas(mmr, out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+def binarize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "bits"
+) -> DataFrame:
+    """Sign-bit quantization: pack 64 dimensions per BIGINT word
+    (bit j of word w set iff ``vec[64w + j] > 0``) — a 32x memory
+    reduction over float32 that preserves angular neighborhoods
+    (Charikar hyperplane-LSH with axis-aligned planes).  Pure JVM
+    array expressions; the fold uses bitwise OR, never ``+``, so the
+    sign bit cannot trip ANSI overflow."""
+    e = F.col(vec_col)
+    words = F.expr(
+        f"""
+        transform(
+          sequence(0, CAST((size({vec_col}) + 63) DIV 64 - 1 AS INT)),
+          __w -> aggregate(
+            sequence(0, 63), 0L,
+            (__acc, __j) -> CASE
+              WHEN __w * 64 + __j < size({vec_col})
+                   AND element_at({vec_col}, __w * 64 + __j + 1) > 0
+              THEN __acc | shiftleft(1L, __j)
+              ELSE __acc END))
+        """
+    )
+    return df.withColumn(out_col, words)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbors under HAMMING distance between the
+    sign-bit packed codes — the binary-quantization scan path: the
+    corpus streams as packed BIGINT words (32x smaller than float32),
+    the distance is ``bit_count(xor)`` per word (pure JVM, SIMD-class
+    popcount), and the small query frame broadcasts.  Deterministic
+    ties: (distance, corpus id).  At 100 TB the scan cost is bound by
+    the packed bytes, not the raw vectors; use as a first-stage
+    filter and rerank survivors with exact cosine."""
+    cb = binarize_embeddings(corpus, vec_col).select(
+        F.col(id_col), F.col("bits")
+    )
+    qb = binarize_embeddings(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("bits").alias("q_bits")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(bits, q_bits, "
+        "(__l, __r) -> bit_count(__l ^ __r)), 0, "
+        "(__a, __v) -> __a + __v)"
+    )
+    scored = cb.join(F.broadcast(qb)).withColumn("hamming", dist)
+    w = Window.partitionBy("q_id").orderBy("hamming", id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("q_id", id_col, F.col("hamming").cast("int").alias("hamming"))
+    )

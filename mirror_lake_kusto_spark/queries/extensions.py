@@ -2131,3 +2131,43 @@ def similarity_index_voronoi(spark, sf_dir):
     return res.select(
         "query_id", "cand_id", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+@query(
+    "similarity_topk_binary",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    d AS (
+      SELECT q.q_id, e.vec_id,
+             SUM(CASE WHEN (q.qe[u.i] > 0) != (e.embedding[u.i] > 0)
+                      THEN 1 ELSE 0 END) AS hamming
+      FROM q
+      CROSS JOIN embeddings e
+      CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) u
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, vec_id) AS rk
+      FROM d
+    )
+    SELECT q_id, vec_id, CAST(hamming AS INT) AS hamming
+    FROM r WHERE rk <= 10
+    ORDER BY q_id, hamming, vec_id
+    """,
+    doc="Binary (1-bit) embedding quantization + Hamming top-k: "
+    "sign-bit packing to BIGINT words (32x smaller than float32) and "
+    "bit_count(xor) distance — the cheapest 100 TB first-stage ANN "
+    "scan, pure JVM popcount, query frame broadcast.  The oracle "
+    "derives the same distances INDEPENDENTLY by counting sign "
+    "disagreements on the raw float vectors (never packs), so the "
+    "packing arithmetic is cross-checked, not repeated",
+)
+def similarity_topk_binary(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter("vec_id % 100 = 0")
+    out = similarity.hamming_topk(emb, queries, k=10)
+    return out.orderBy("q_id", "hamming", "vec_id")

@@ -1277,3 +1277,44 @@ def test_frame_sample_decode_spark_plumbing(spark):
     for (_, fi), r in got.items():
         assert (r["width"], r["height"]) == (2, 2)
         assert r["frame_mean"] == float(frames[fi][0])
+
+
+def test_hamming_topk_binary_quantization(spark, emb):
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    out = similarity.hamming_topk(emb, queries_df, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append((r.hamming, r.vec_id))
+    assert set(per_q) == {0, 1, 2}
+    for q_id, rows in per_q.items():
+        assert len(rows) == 5
+        # each query's nearest code is itself at distance 0
+        assert rows[0] == (0, q_id) or rows[0][0] == 0
+        # distances ascend (ties broken by id, so list is sorted)
+        assert rows == sorted(rows)
+        assert all(0 <= h <= 64 for h, _ in rows)
+
+    # packing layout: bit j of word w == sign of dim 64w + j
+    packed = similarity.binarize_embeddings(
+        emb.filter(F.col("vec_id") == 0)
+    ).collect()[0]
+    vec = packed["embedding"]
+    word = packed["bits"][0]
+    for j in range(64):
+        assert ((word >> j) & 1) == (1 if vec[j] > 0 else 0)
+
+    # binary recall sanity: the exact cosine top-1 neighbor (excluding
+    # self) appears in the binary top-10 for most queries
+    exact = similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") >= 3), queries_df, k=1
+    ).collect()
+    binary = similarity.hamming_topk(
+        emb.filter(F.col("vec_id") >= 3), queries_df, k=10
+    ).collect()
+    btop = {}
+    for r in binary:
+        btop.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(
+        1 for r in exact if r.cand_id in btop.get(r.query_id, set())
+    )
+    assert hits >= 2  # of 3 queries
