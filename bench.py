@@ -137,6 +137,7 @@ EXTENSION_HEADLINE = [
     "kql_reduce_patterns",
     "multimodal_real_decode",
     "similarity_topk_binary",
+    "similarity_topk_binary_rerank",
     "kql_series_decompose",
     "kql_parse_kv",
 ]

@@ -1107,3 +1107,41 @@ def hamming_topk(
         .filter(F.col("__rk") <= k)
         .select("q_id", id_col, F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The canonical two-stage binary-quantization retrieval: Hamming
+    top-m over the packed codes (cheap popcount scan) narrows to m
+    candidates per query, then EXACT cosine reranks the survivors to
+    top-k.  At 100 TB the float vectors are touched only for the
+    m × |queries| candidate rows — the full corpus streams as packed
+    bits."""
+    if not k <= m:
+        raise ValueError(f"rerank needs k <= m, got k={k} m={m}")
+    cand = hamming_topk(corpus, queries, m, id_col, vec_col)
+    cvec = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        cand.join(cvec, id_col)
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            _cosine_sim_expr("_cvec", "_qvec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("q_id", id_col, "cos_sim")
+    )

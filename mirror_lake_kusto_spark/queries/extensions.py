@@ -2171,3 +2171,52 @@ def similarity_topk_binary(spark, sf_dir):
     queries = emb.filter("vec_id % 100 = 0")
     out = similarity.hamming_topk(emb, queries, k=10)
     return out.orderBy("q_id", "hamming", "vec_id")
+
+
+@query(
+    "similarity_topk_binary_rerank",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, emb AS qemb FROM e WHERE vec_id % 100 = 0
+    ),
+    d AS (
+      SELECT q.q_id, e.vec_id, e.emb, q.qemb,
+             SUM(CASE WHEN (q.qemb[u.i] > 0) != (e.emb[u.i] > 0)
+                      THEN 1 ELSE 0 END) AS hamming
+      FROM q
+      CROSS JOIN e
+      CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) u
+      GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, vec_id) AS rk
+      FROM d
+    ),
+    scored AS (
+      SELECT q_id, vec_id,
+             ROUND(list_dot_product(emb, qemb) /
+                   (sqrt(list_dot_product(emb, emb)) *
+                    sqrt(list_dot_product(qemb, qemb))), 6) AS cos_sim
+      FROM cand WHERE rk <= 50
+    )
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= 10
+    ORDER BY q_id, cos_sim DESC, vec_id
+    """,
+    doc="Two-stage binary retrieval: Hamming top-50 over sign-bit "
+    "packed codes narrows the corpus, exact cosine reranks to "
+    "top-10 — the float vectors are touched only for candidate rows. "
+    "Oracle recomputes both stages independently (sign disagreements "
+    "on raw floats, list_dot_product cosine)",
+)
+def similarity_topk_binary_rerank(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter("vec_id % 100 = 0")
+    out = similarity.hamming_rerank_topk(emb, queries, k=10, m=50)
+    return out.orderBy("q_id", F.desc("cos_sim"), "vec_id")

@@ -1318,3 +1318,27 @@ def test_hamming_topk_binary_quantization(spark, emb):
         1 for r in exact if r.cand_id in btop.get(r.query_id, set())
     )
     assert hits >= 2  # of 3 queries
+
+
+def test_hamming_rerank_recovers_exact_topk(spark, emb):
+    import pytest as _pytest
+
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = similarity.cosine_topk_bruteforce(corpus, queries_df, k=5).collect()
+    two_stage = similarity.hamming_rerank_topk(
+        corpus, queries_df, k=5, m=100
+    ).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.cand_id)
+    ts = {}
+    for r in two_stage:
+        ts.setdefault(r.q_id, set()).add(r.vec_id)
+    # with a wide first stage (m=100 of 497) the rerank recovers most
+    # of the exact top-5
+    overlap = sum(len(ex[q] & ts[q]) for q in ex)
+    assert overlap >= 9  # of 15
+
+    with _pytest.raises(ValueError, match="k <= m"):
+        similarity.hamming_rerank_topk(corpus, queries_df, k=10, m=5)
