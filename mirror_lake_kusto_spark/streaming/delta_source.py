@@ -147,12 +147,17 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         skip_change_commits: bool,
         max_commits_per_trigger: int | None = None,
         read_change_feed: bool = False,
+        starting_version: int | None = None,
     ):
         self.path = table_path
         self._schema = schema
         self.skip_change_commits = skip_change_commits
         self.max_commits_per_trigger = max_commits_per_trigger
         self.read_change_feed = read_change_feed
+        #: Delta's startingVersion option: begin at this COMMIT instead
+        #: of materializing the initial snapshot ('latest' resolved to
+        #: head+1 by the DataSource).  None = snapshot-then-stream.
+        self.starting_version = starting_version
         # progress floor for admission control: learned from
         # initialOffset (fresh query) and each planned batch's END
         # offset in partitions().  The Python DataSource API calls
@@ -164,6 +169,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._floor: int | None = None
 
     def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            # begin at the requested commit: offsets are exclusive
+            # starts, so version N streams from commit N on, and the
+            # checkpoint-snapshot materialization path (which triggers
+            # only at offset -1) is skipped by construction
+            self._floor = self.starting_version - 1
+            return {"version": self.starting_version - 1}
         self._floor = -1
         return {"version": -1}
 
@@ -364,7 +376,9 @@ class DeltaLogDataSource(DataSource):
     """format("mlk_delta") — options: path, skipChangeCommits,
     maxCommitsPerTrigger, readChangeFeed (stream versioned
     insert/delete rows instead of erroring on removes — the continuous
-    twin of ``DeltaSink.changes``)."""
+    twin of ``DeltaSink.changes``), startingVersion (an int commit to
+    begin from instead of the initial snapshot, or 'latest' = only
+    commits after the stream starts)."""
 
     @classmethod
     def name(cls) -> str:
@@ -403,10 +417,26 @@ class DeltaLogDataSource(DataSource):
         skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"
         cdf = self._cdf()
         max_commits = self.options.get("maxcommitspertrigger")
+        starting = self.options.get("startingversion")
+        starting_version: int | None = None
+        if starting is not None:
+            if str(starting).lower() == "latest":
+                vs = _versions(self.options["path"])
+                ckpt = _last_checkpoint_version(self.options["path"])
+                head = vs[-1] if vs else (ckpt if ckpt is not None else -1)
+                starting_version = head + 1
+            else:
+                starting_version = int(starting)
+                if starting_version < 0:
+                    raise ValueError(
+                        f"startingVersion must be >= 0 or 'latest', "
+                        f"got {starting!r}"
+                    )
         return DeltaLogStreamReader(
             self.options["path"],
             schema,
             skip,
             max_commits_per_trigger=int(max_commits) if max_commits else None,
             read_change_feed=cdf,
+            starting_version=starting_version,
         )

@@ -17,12 +17,14 @@ def _register(spark):
     spark.dataSource.register(DeltaLogDataSource)
 
 
-def _drain(spark, path, ckpt, name, skip_change=False):
+def _drain(spark, path, ckpt, name="q", skip_change=False, options=None):
     """Run the stream to exhaustion; returns the rows of THIS drain only
     (foreachBatch + checkpoint -> restarts resume from stored offsets)."""
     reader = spark.readStream.format("mlk_delta").option("path", path)
     if skip_change:
         reader = reader.option("skipChangeCommits", "true")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     rows: list = []
 
     def collect_batch(bdf, _bid):
@@ -327,3 +329,36 @@ def test_cdf_stream_row_level_on_cdc_commits(spark, tmp_path):
     ) == sorted(
         (r["id"], r["_change_type"], r["_commit_version"]) for r in batch
     )
+
+
+def test_starting_version_skips_initial_snapshot(spark, tmp_path):
+    path, ckpt = str(tmp_path / "sv"), str(tmp_path / "sv_ckpt")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(5).toDF("id").coalesce(1))          # v0
+    src.append(spark.range(10, 13).toDF("id").coalesce(1))     # v1
+    src.append(spark.range(20, 22).toDF("id").coalesce(1))     # v2
+    rows = _drain(spark, path, ckpt, options={"startingVersion": "1"})
+    assert sorted(r["id"] for r in rows) == [10, 11, 12, 20, 21]
+
+    # 'latest': only commits AFTER the stream starts
+    ckpt2 = str(tmp_path / "sv_ckpt2")
+    rows2 = _drain(spark, path, ckpt2, options={"startingVersion": "latest"})
+    assert rows2 == []
+    src.append(spark.range(30, 31).toDF("id").coalesce(1))     # v3
+    rows3 = _drain(spark, path, ckpt2, options={"startingVersion": "latest"})
+    assert sorted(r["id"] for r in rows3) == [30]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="startingVersion"):
+        (
+            spark.readStream.format("mlk_delta")
+            .option("path", path)
+            .option("startingVersion", "-3")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "bad"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
