@@ -1332,6 +1332,48 @@ def translate_expr(e: str) -> str:
         ),
         self_referential=True,
     )
+
+    # percentilew/percentilesw: WEIGHTED percentiles — Spark's exact
+    # percentile takes a frequency third argument, so the weighted
+    # form is the same single-pass aggregate (weights must be
+    # integral, matching Kusto's intent).  MUST run after the
+    # percentile/percentiles rewrites above: these emit final
+    # `percentile(...)` SQL that the percent->fraction rewrite would
+    # otherwise divide a second time.
+    def _pctw(a: list[str]) -> str:
+        if len(a) != 3:
+            raise KqlParseError(
+                "percentilew takes (expr, weight, percentile)"
+            )
+        return (
+            f"percentile({a[0]}, ({a[2]}) / 100.0, "
+            f"CAST({a[1]} AS BIGINT))"
+        )
+
+    e = _rewrite_calls(e, "percentilew", _pctw)
+
+    def _pctsw(a: list[str]) -> str:
+        if len(a) < 3:
+            raise KqlParseError(
+                "percentilesw takes (expr, weight, p1[, p2...])"
+            )
+        return (
+            f"percentile({a[0]}, array("
+            + ", ".join(f"CAST({p} AS DOUBLE) / 100.0" for p in a[2:])
+            + f"), CAST({a[1]} AS BIGINT))"
+        )
+
+    e = _rewrite_calls(e, "percentilesw", _pctsw)
+    e = _rewrite_calls(
+        e,
+        "make_list_with_nulls",
+        # collect_list drops nulls; wrapping each value in a struct
+        # smuggles them through, then the transform unwraps
+        lambda a: (
+            f"transform(collect_list(struct({a[0]} AS __v)), "
+            "__s -> __s.__v)"
+        ),
+    )
     e = _rewrite_calls(
         e,
         "make_list",
@@ -1339,6 +1381,12 @@ def translate_expr(e: str) -> str:
         lambda a: f"collect_list({a[0]})"
         if len(a) == 1
         else f"slice(collect_list({a[0]}), 1, {a[1]})",
+    )
+    e = _rewrite_calls(
+        e, "covariance", lambda a: f"covar_samp({a[0]}, {a[1]})"
+    )
+    e = _rewrite_calls(
+        e, "covariancep", lambda a: f"covar_pop({a[0]}, {a[1]})"
     )
     e = re.sub(r"\bstdevp\s*\(", "stddev_pop(", e, flags=re.IGNORECASE)
     e = re.sub(r"\bvariancep\s*\(", "var_pop(", e, flags=re.IGNORECASE)

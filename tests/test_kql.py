@@ -2791,3 +2791,33 @@ def test_series_decompose_auto_period(spark):
     ).collect()[0].d
     assert all(s == 0.0 for s in d2.seasonal)
     assert all(abs(r) < 1e-6 for r in d2.residual)  # linefit is exact
+
+
+def test_weighted_percentiles_covariance_make_list_with_nulls(spark):
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1, 2.0), (1, 2.0, 1, 4.0), (1, 3.0, 8, 6.0),
+         (1, None, 1, 8.0)],
+        "g long, x double, w long, y double",
+    )
+    out = kql(
+        spark,
+        "t | summarize pw = percentilew(x, w, 50), "
+        "psw = percentilesw(x, w, 25, 75), "
+        "p50 = percentile(x, 50), "
+        "cv = covariance(x, y), cvp = covariancep(x, y), "
+        "ln = make_list_with_nulls(x) by g",
+        tables={"t": df},
+    ).collect()[0]
+    # weight-expanded series [1, 2, 3x8]: every quartile lands on 3
+    assert out.pw == 3.0
+    assert list(out.psw) == [3.0, 3.0]
+    # the unweighted percentile next to it is untouched by the
+    # weighted rewrite (regression: ordering of the two rewrites)
+    assert out.p50 == 2.0
+    # covar over (1,2,3) vs (2,4,6): samp 2, pop 4/3
+    assert abs(out.cv - 2.0) < 1e-9
+    assert abs(out.cvp - 4.0 / 3.0) < 1e-9
+    # make_list_with_nulls keeps the null element collect_list drops
+    assert len(out.ln) == 4 and sum(1 for v in out.ln if v is None) == 1
