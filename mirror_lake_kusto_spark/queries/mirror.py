@@ -537,3 +537,80 @@ def mirror_time_travel(spark, sf_dir):
     )
     head = DL.read_snapshot(spark, path).withColumn("at", F.lit("head"))
     return old.unionByName(head).orderBy("at", "n_nationkey")
+
+
+@query(
+    "mirror_concurrent_writers",
+    f"""
+    SELECT {", ".join(_COLS)} FROM lineitem
+    WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Concurrent-commit conflict RESOLUTION (round 6): two "
+    "independent DeltaSink writers race disjoint appends while a "
+    "third OPTIMIZEs (dataChange=false) the same table; losers "
+    "rebase onto the winner's head and retry per Delta's logical "
+    "conflict rules (delta_sink._check_conflicts) — the reference "
+    "is single-writer by construction "
+    "(Storage/CheckpointGateway.cs:96-104).  The post-race table "
+    "must hold every appended row exactly once",
+)
+def mirror_concurrent_writers(spark, sf_dir):
+    import threading
+
+    from ..sources import delta_log as DL
+    from ..sources.delta_sink import ConcurrentCommitConflict
+
+    workdir = _workdir("mirror_race", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter("l_orderkey <= 2000")
+        .select(*_COLS)
+        .cache()
+    )
+    li.count()
+    seed = DeltaSink(spark, path, checkpoint_interval=10**6)
+    seed.append(li.limit(0))  # bootstrap schema at v0
+    errors: list = []
+
+    def appender(parity: int):
+        s = DeltaSink(spark, path, checkpoint_interval=10**6)
+        try:
+            for third in range(3):
+                s.append(
+                    li.filter(
+                        (F.col("l_orderkey") % 2 == parity)
+                        & (F.col("l_orderkey") % 3 == third)
+                    )
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def compactor():
+        s = DeltaSink(spark, path, checkpoint_interval=10**6)
+        for _ in range(2):
+            try:
+                s.optimize()
+            except ConcurrentCommitConflict:
+                continue  # true conflict: re-plan from the new snapshot
+
+    ts = [
+        threading.Thread(target=appender, args=(0,)),
+        threading.Thread(target=appender, args=(1,)),
+        threading.Thread(target=compactor),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    li.unpersist()
+    if errors:
+        raise errors[0]
+    return (
+        DL.read_snapshot(spark, path)
+        .select(*_COLS)
+        .orderBy("l_orderkey", "l_linenumber")
+    )

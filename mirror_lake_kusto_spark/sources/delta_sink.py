@@ -329,17 +329,61 @@ class DeltaSink:
             return v
 
     def _check_conflicts(self, versions, actions: list[dict]) -> None:
-        """Raise if any commit in ``versions`` (written by a concurrent
-        winner) touched a file this commit also adds or removes — or
-        recorded metaData while this commit also carries metaData (a
-        blind metaData re-submit would overwrite the winner's schema or
-        properties with stale state)."""
+        """Delta's logical conflict rules (delta-io PROTOCOL.md +
+        OptimisticTransaction semantics), applied by a commit-race
+        LOSER before it rebases onto the winner's head and retries.
+        The reference never faces this — it is single-writer by
+        construction (checkpoint temp-blob/rename dance,
+        Storage/CheckpointGateway.cs:96-104); a Delta mirror sharing a
+        table with other writers does, daily.
+
+        Benign (rebase + retry, no error): append vs append on
+        disjoint files; OPTIMIZE (``dataChange: false`` adds/removes)
+        racing an append in either direction; a winner's metaData
+        that is schema-identical to mine (e.g. the two-writer
+        bootstrap race) with unchanged partitioning/constraints; a
+        winner's DELETE of files my commit never touches.
+
+        True conflicts (raise ConcurrentCommitConflict — caller must
+        re-plan from the new snapshot):
+
+        - winner changed the protocol (this commit was validated
+          against the old feature set);
+        - winner changed metadata while this commit carries metaData
+          (blind re-submit would overwrite the winner's state), or
+          changed the schema / partition columns / CHECK constraints
+          my staged files were written and validated under;
+        - file overlap: winner added or removed a path this commit
+          also adds/removes (double-remove, or an OPTIMIZE add
+          resurrecting concurrently-deleted rows);
+        - winner added ``dataChange: true`` files while this commit
+          is a READING transaction (it removed files with
+          ``dataChange: true`` — DELETE/MERGE computed from a
+          snapshot): rows matching the predicate may exist in the new
+          files (write-skew; Delta's WriteSerializable rule).  Blind
+          appends and OPTIMIZE (``dataChange: false`` removes) are
+          exempt;
+        - winner advanced the same ``txn`` appId (the idempotence
+          watermark this commit is about to assert would go
+          backwards)."""
         mine = {
             a[k]["path"] for a in actions for k in ("add", "remove") if k in a
         }
         mine_meta = any("metaData" in a for a in actions)
-        if not mine and not mine_meta:
-            return
+        mine_adds = any("add" in a for a in actions)
+        i_read_data = any(
+            a["remove"].get("dataChange", True)
+            for a in actions
+            if "remove" in a
+        )
+        my_txn_apps = {
+            a["txn"]["appId"] for a in actions if "txn" in a
+        }
+        my_schema_key = (
+            self._schema_key(self._pending_schema)
+            if mine_adds and self._pending_schema != "{}"
+            else None
+        )
         d = _log_dir(self.path)
         for v in versions:
             p = _fs.join(d, TX_FMT.format(v) + ".json")
@@ -349,10 +393,17 @@ class DeltaSink:
                 if not line.strip():
                     continue
                 act = json.loads(line)
-                if mine_meta and "metaData" in act:
+                if "protocol" in act:
+                    self._check_protocol_conflict(v, act["protocol"])
+                if "metaData" in act:
+                    self._check_meta_conflict(
+                        v, act["metaData"], mine_meta, my_schema_key
+                    )
+                if "txn" in act and act["txn"].get("appId") in my_txn_apps:
                     raise ConcurrentCommitConflict(
-                        f"concurrent commit {v} changed table "
-                        "metadata; re-read and retry"
+                        f"concurrent commit {v} advanced txn appId "
+                        f"{act['txn']['appId']!r}; re-check "
+                        "last_txn_version before retrying"
                     )
                 for k in ("add", "remove"):
                     if k in act and act[k]["path"] in mine:
@@ -361,6 +412,96 @@ class DeltaSink:
                             f"{act[k]['path']}; retry the operation "
                             f"from the new snapshot"
                         )
+                if (
+                    i_read_data
+                    and "add" in act
+                    and act["add"].get("dataChange", True)
+                ):
+                    raise ConcurrentCommitConflict(
+                        f"concurrent commit {v} appended data while "
+                        "this commit deletes by predicate — new rows "
+                        "may match; re-run the delete from the new "
+                        "snapshot"
+                    )
+
+    #: writer features whose semantics this sink actually enforces on
+    #: its own writes — a winner's protocol upgrade WITHIN this set is
+    #: a benign rebase; anything outside it means our retried commit
+    #: could violate an obligation we don't implement (e.g.
+    #: identityColumns: appends must assign identity values)
+    _SINK_WRITER_FEATURES = frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "generatedColumns",
+            "changeDataFeed",
+            "columnMapping",
+            "deletionVectors",
+            "v2Checkpoint",
+            "vacuumProtocolCheck",
+            "timestampNtz",
+        }
+    )
+
+    def _check_protocol_conflict(self, v: int, proto: dict) -> None:
+        """A winner's protocol action conflicts only when it demands
+        writer obligations this sink does not implement — the
+        two-writer bootstrap race (both try to commit the identical
+        v0 protocol) and an upgrade within the enforced feature set
+        rebase cleanly."""
+        w = proto.get("minWriterVersion") or 2
+        wf = set(proto.get("writerFeatures") or [])
+        rf = set(proto.get("readerFeatures") or [])
+        ok = (
+            w in (1, 2, 3, 4, 5)  # legacy versions whose implied
+            # features (appendOnly/invariants/checkConstraints/CDF/
+            # generatedColumns/columnMapping) this sink enforces
+            or (w == 7 and not (wf - self._SINK_WRITER_FEATURES))
+        ) and not (rf - self._SINK_WRITER_FEATURES)
+        if not ok:
+            raise ConcurrentCommitConflict(
+                f"concurrent commit {v} upgraded the table protocol to "
+                f"minWriterVersion={w} writerFeatures={sorted(wf)}; "
+                "this writer cannot prove its retried commit honors "
+                "those obligations — re-validate and retry"
+            )
+
+    def _check_meta_conflict(
+        self, v: int, winner_md: dict, mine_meta: bool, my_schema_key
+    ) -> None:
+        """metaData-vs-metaData is always a conflict (blind overwrite);
+        a winner's metaData under MY data commit conflicts only when it
+        invalidates my staged files: different schema, different
+        partition columns, or new CHECK constraints my rows were never
+        validated against.  Anything else (a property tweak, the
+        schema-identical bootstrap race) is a benign rebase."""
+        if mine_meta:
+            raise ConcurrentCommitConflict(
+                f"concurrent commit {v} changed table metadata; "
+                "re-read and retry"
+            )
+        if my_schema_key is None:
+            return
+        winner_key = self._schema_key(winner_md.get("schemaString") or "{}")
+        if winner_key != my_schema_key:
+            raise ConcurrentCommitConflict(
+                f"concurrent commit {v} changed the table schema; "
+                "staged files no longer conform — re-plan the write"
+            )
+        if list(winner_md.get("partitionColumns") or []) != list(
+            self.partition_by
+        ):
+            raise ConcurrentCommitConflict(
+                f"concurrent commit {v} changed the partition "
+                "columns; staged files are laid out for the old ones"
+            )
+        conf = winner_md.get("configuration") or {}
+        if any(k.startswith("delta.constraints.") for k in conf):
+            raise ConcurrentCommitConflict(
+                f"concurrent commit {v} added a CHECK constraint this "
+                "commit's rows were never validated against; re-run"
+            )
 
     @staticmethod
     def _strip_field_metadata(node):
