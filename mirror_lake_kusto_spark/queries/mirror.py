@@ -614,3 +614,45 @@ def mirror_concurrent_writers(spark, sf_dir):
         .select(*_COLS)
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "mirror_time_travel_ts",
+    """
+    SELECT n_nationkey, n_name, 'pre' AS at FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'head'
+    FROM nation WHERE n_nationkey % 2 != 0
+    ORDER BY at, n_nationkey
+    """,
+    doc="Timestamp time travel (Delta TIMESTAMP AS OF) on an "
+    "inCommitTimestamp table: enabling the writer feature stamps an "
+    "authoritative monotonic clock into commitInfo; resolve_timestamp "
+    "maps a wall-clock point to the latest commit at-or-before it, "
+    "so reading one tick before the DELETE's ICT shows every row and "
+    "the head shows the survivors.  Resolution is O(commits) driver "
+    "metadata; the data reads stay distributed",
+)
+def mirror_time_travel_ts(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_tt_ts", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    base = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(base)                                          # v0
+    sink.set_properties({"delta.enableInCommitTimestamps": "true"})
+    v_del = sink.delete("n_nationkey % 2 = 0")
+    ts_of = dict(DL.commit_timestamps(path))
+    pre = DL.read_snapshot(
+        spark, path, timestamp=ts_of[v_del] - 1
+    ).withColumn("at", F.lit("pre"))
+    head = DL.read_snapshot(spark, path).withColumn("at", F.lit("head"))
+    return pre.unionByName(head).orderBy("at", "n_nationkey")

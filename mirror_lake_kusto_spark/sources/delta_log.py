@@ -178,6 +178,105 @@ def list_commit_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
+def _commit_info_of(table_path: str, version: int) -> dict | None:
+    """The commit's ``commitInfo`` action (writers put it first; scan
+    defensively), parsed line-by-line so a fat commit costs one text
+    read, not a JSON parse of every add action."""
+    text = _fs.get_fs(table_path).read_text(_commit_file(table_path, version))
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        act = json.loads(line)
+        if "commitInfo" in act:
+            return act["commitInfo"]
+    return None
+
+
+def commit_timestamps(table_path: str) -> list[tuple[int, int]]:
+    """``(version, epoch-millis)`` for every surviving JSON commit, in
+    version order, monotonically adjusted (Delta's commit-timestamp
+    fix-up: a commit's effective clock is ``max(prev + 1, own)``, so
+    out-of-order file mtimes — blob copies, clock skew between writers
+    — can never make time travel non-deterministic).
+
+    Per-commit clock priority (delta-spark DeltaHistoryManager +
+    PROTOCOL.md "In-Commit Timestamps"):
+
+    1. ``commitInfo.inCommitTimestamp`` — authoritative when the
+       ``inCommitTimestamp`` writer feature is on (the table's clock
+       survives file copies / log rewrites);
+    2. ``commitInfo.timestamp`` — the wall clock ``history()`` shows;
+    3. the commit file's modification time.
+
+    O(surviving commits) driver-side metadata; vacuumed/checkpointed-
+    away history is not resolvable by timestamp, exactly like Delta
+    (reference analogue: the go-back date cutoff walks blob dates the
+    same way, BlobAnalysisOrchestration.cs:137-159)."""
+    fs = _fs.get_fs(table_path)
+    out: list[tuple[int, int]] = []
+    prev = -(1 << 62)
+    for v in list_commit_versions(table_path):
+        info = _commit_info_of(table_path, v) or {}
+        ts = info.get("inCommitTimestamp") or info.get("timestamp")
+        if ts is None:
+            ts = fs.getmtime_ms(_commit_file(table_path, v))
+        ts = max(int(ts), prev + 1)
+        out.append((v, ts))
+        prev = ts
+    return out
+
+
+def _to_epoch_ms(ts) -> int:
+    """Normalize a user timestamp — datetime, ISO-8601 / SQL string
+    (naive = UTC), or epoch MILLIS int/float — to epoch millis."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    if isinstance(ts, str):
+        parsed = _dt.datetime.fromisoformat(ts)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        return int(parsed.timestamp() * 1000)
+    return int(ts)
+
+
+def resolve_timestamp(table_path: str, ts, mode: str = "at_or_before") -> int:
+    """Timestamp -> commit version.
+
+    ``at_or_before`` (TIMESTAMP AS OF): the LATEST version whose commit
+    time <= ts; raises if ts predates the earliest surviving commit or
+    exceeds the latest (Delta's own timestampAsOf contract — a silent
+    clamp would time-travel somewhere the user didn't ask for).
+
+    ``at_or_after`` (startingTimestamp): the EARLIEST version whose
+    commit time >= ts; a ts beyond the head resolves to head+1 — a
+    stream that starts there simply waits for future commits."""
+    target = _to_epoch_ms(ts)
+    pairs = commit_timestamps(table_path)
+    if not pairs:
+        raise FileNotFoundError(f"{table_path}: no Delta commits")
+    if mode == "at_or_before":
+        if target < pairs[0][1]:
+            raise ValueError(
+                f"timestamp {ts!r} is before the earliest available "
+                f"commit ({pairs[0][1]} ms at version {pairs[0][0]})"
+            )
+        if target > pairs[-1][1]:
+            raise ValueError(
+                f"timestamp {ts!r} is after the latest commit "
+                f"({pairs[-1][1]} ms at version {pairs[-1][0]}); "
+                "read the head without timestamp instead"
+            )
+        return max(v for v, t in pairs if t <= target)
+    if mode == "at_or_after":
+        later = [v for v, t in pairs if t >= target]
+        return min(later) if later else pairs[-1][0] + 1
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def read_last_checkpoint(table_path: str) -> int | None:
     """A3: the ``_last_checkpoint`` JSON pointer -> checkpoint txId."""
     fs = _fs.get_fs(table_path)
@@ -794,6 +893,7 @@ def read_snapshot(
     upto: int | None = None,
     partition_predicate: str | None = None,
     predicate: str | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Current table contents.  Files are read grouped by partition
     tuple with the partition values injected as typed literal columns —
@@ -812,7 +912,17 @@ def read_snapshot(
     ``sources/skipping.py``), then re-applies the full predicate as a
     row filter so the result is identical with pruning on or off.  At
     100 TB this is the difference between opening every file and
-    opening only the few whose [min, max] range can match."""
+    opening only the few whose [min, max] range can match.
+
+    ``timestamp`` (TIMESTAMP AS OF: datetime / ISO string / epoch ms)
+    resolves to a version via ``resolve_timestamp`` — commitInfo's
+    inCommitTimestamp when the writer feature is on, else commit
+    clocks with Delta's monotonic fix-up.  Mutually exclusive with
+    ``upto``."""
+    if timestamp is not None:
+        if upto is not None:
+            raise ValueError("pass either upto= or timestamp=, not both")
+        upto = resolve_timestamp(table_path, timestamp)
     files = snapshot_files(spark, table_path, upto=upto)
     meta = latest_metadata(spark, table_path, upto=upto)
     mapping = column_mapping_of(meta)  # logical -> physical, or None

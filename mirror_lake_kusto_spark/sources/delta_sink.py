@@ -309,6 +309,7 @@ class DeltaSink:
                 # nothing): a commit carrying at most commitInfo is
                 # protocol noise — skip it and report the current version
                 return v - 1
+            self._stamp_ict(v, body)
             try:
                 self.coordinator.create_commit(
                     self.fs,
@@ -320,13 +321,96 @@ class DeltaSink:
                 # may carry new metadata (e.g. a rename), so the memo
                 # must be re-derived before we retry
                 self._mapping_cache = False
+                self._ict_cache = None
                 attempted = v
                 continue
+            if any("metaData" in a for a in body):
+                # our own metaData may have flipped table-level
+                # behaviors (ICT, column mapping) — re-derive next time
+                self._ict_cache = None
             if (v + 1) % self.checkpoint_interval == 0 and not getattr(
                 self, "_ckpt_suspended", False
             ):
                 self._write_checkpoint(v)
             return v
+
+    #: memoized "table has delta.enableInCommitTimestamps=true"; None =
+    #: not yet derived.  Invalidated on a lost commit race and whenever
+    #: this writer commits metaData itself.
+    _ict_cache: "bool | None" = None
+
+    def _ict_enabled(self, body: list[dict]) -> bool:
+        """Is in-commit-timestamp stamping on for THIS commit?  The
+        enabling commit itself already stamps (PROTOCOL.md "In-Commit
+        Timestamps": required from the enablement commit onward), so
+        a metaData action in the body overrides the table state."""
+        for a in body:
+            md = a.get("metaData")
+            if md is not None:
+                return (
+                    str(
+                        (md.get("configuration") or {}).get(
+                            "delta.enableInCommitTimestamps", ""
+                        )
+                    ).lower()
+                    == "true"
+                )
+        if self._ict_cache is None:
+            from .delta_log import latest_metadata
+
+            try:
+                meta = latest_metadata(self.spark, self.path) or {}
+            except FileNotFoundError:
+                meta = {}
+            self._ict_cache = (
+                str(
+                    (meta.get("configuration") or {}).get(
+                        "delta.enableInCommitTimestamps", ""
+                    )
+                ).lower()
+                == "true"
+            )
+        return self._ict_cache
+
+    def _stamp_ict(self, v: int, body: list[dict]) -> None:
+        """Write ``commitInfo.inCommitTimestamp`` = max(now, prev + 1)
+        when the inCommitTimestamp writer feature is active — the
+        table-internal clock that survives file copies and makes
+        timestamp time travel authoritative (PROTOCOL.md "In-Commit
+        Timestamps").  One driver-side metadata read of the head
+        commit per write, only on ICT tables."""
+        if not self._ict_enabled(body):
+            return
+        from .delta_log import _commit_info_of
+
+        now = int(time.time() * 1000)
+        prev = 0
+        if v > 0:
+            try:
+                info = _commit_info_of(self.path, v - 1) or {}
+                prev = int(
+                    info.get("inCommitTimestamp")
+                    or info.get("timestamp")
+                    or 0
+                )
+            except FileNotFoundError:
+                prev = 0
+        ict = max(now, prev + 1)
+        for a in body:
+            if "commitInfo" in a:
+                a["commitInfo"]["inCommitTimestamp"] = ict
+                return
+        body.insert(
+            0,
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "inCommitTimestamp": ict,
+                    "operation": "WRITE",
+                    "operationParameters": {},
+                }
+            },
+        )
 
     def _check_conflicts(self, versions, actions: list[dict]) -> None:
         """Delta's logical conflict rules (delta-io PROTOCOL.md +
@@ -441,6 +525,7 @@ class DeltaSink:
             "v2Checkpoint",
             "vacuumProtocolCheck",
             "timestampNtz",
+            "inCommitTimestamp",
         }
     )
 
@@ -1930,6 +2015,33 @@ class DeltaSink:
                 self._commit_protocol_upgrade(
                     writer_features=("changeDataFeed",)
                 )
+        # in-commit timestamps are likewise feature-gated: commit the
+        # writer feature first, and record the enablement provenance
+        # (version + clock of the enabling commit) the protocol asks
+        # for so readers know mtimes before that point are historical
+        if (
+            str(props.get("delta.enableInCommitTimestamps", "")).lower()
+            == "true"
+        ):
+            from .delta_log import commit_timestamps, latest_protocol
+
+            cur = latest_protocol(self.path)
+            if "inCommitTimestamp" not in (
+                (cur or {}).get("writerFeatures") or []
+            ):
+                self._commit_protocol_upgrade(
+                    writer_features=("inCommitTimestamp",)
+                )
+            pairs = commit_timestamps(self.path)
+            prev_ts = pairs[-1][1] if pairs else 0
+            enable_v = self._next_version()
+            props = {
+                **props,
+                "delta.inCommitTimestampEnablementVersion": str(enable_v),
+                "delta.inCommitTimestampEnablementTimestamp": str(
+                    max(int(time.time() * 1000), prev_ts + 1)
+                ),
+            }
         # read-modify-write under optimistic concurrency: a concurrent
         # metaData commit (schema evolution, another property writer)
         # makes _commit raise via the metaData conflict rule — re-read

@@ -42,6 +42,7 @@ import posixpath
 import re
 import shutil
 import threading
+import time
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
@@ -132,6 +133,12 @@ class LocalFS:
     def getsize(self, p: str) -> int:
         return os.path.getsize(p)
 
+    def getmtime_ms(self, p: str) -> int:
+        """File modification time in epoch millis — the clock Delta's
+        timestamp-based time travel resolves against when commitInfo
+        carries no timestamp."""
+        return int(os.path.getmtime(p) * 1000)
+
     def walk(self, d: str):
         # normalize to '/' separators: callers split walk-relative
         # paths on '/' to derive partition directories, which would
@@ -170,6 +177,7 @@ class MemoryFS:
         self._blobs: dict[str, bytes] = {}
         self._lock = threading.Lock()
         self._dirs: set[str] = set()
+        self._mtimes: dict[str, int] = {}
 
     def _norm(self, p: str) -> str:
         return p.rstrip("/")
@@ -178,6 +186,7 @@ class MemoryFS:
         with self._lock:
             self._blobs.clear()
             self._dirs.clear()
+            self._mtimes.clear()
 
     def listdir(self, d: str) -> list[str]:
         d = self._norm(d) + "/"
@@ -216,10 +225,12 @@ class MemoryFS:
     def write_text(self, p: str, data: str) -> None:
         with self._lock:
             self._blobs[self._norm(p)] = data.encode()
+            self._mtimes[self._norm(p)] = int(time.time() * 1000)
 
     def write_bytes(self, p: str, data: bytes) -> None:
         with self._lock:
             self._blobs[self._norm(p)] = bytes(data)
+            self._mtimes[self._norm(p)] = int(time.time() * 1000)
 
     def create_exclusive(self, p: str, data: str) -> None:
         key = self._norm(p)
@@ -227,6 +238,7 @@ class MemoryFS:
             if key in self._blobs:
                 raise FileExistsError(p)
             self._blobs[key] = data.encode()
+            self._mtimes[key] = int(time.time() * 1000)
 
     def rename(self, src: str, dst: str) -> None:
         with self._lock:
@@ -234,6 +246,9 @@ class MemoryFS:
                 self._blobs[self._norm(dst)] = self._blobs.pop(self._norm(src))
             except KeyError:
                 raise FileNotFoundError(src) from None
+            self._mtimes[self._norm(dst)] = self._mtimes.pop(
+                self._norm(src), int(time.time() * 1000)
+            )
 
     move = rename
 
@@ -257,6 +272,13 @@ class MemoryFS:
 
     def getsize(self, p: str) -> int:
         return len(self.read_bytes(p))
+
+    def getmtime_ms(self, p: str) -> int:
+        with self._lock:
+            try:
+                return self._mtimes[self._norm(p)]
+            except KeyError:
+                raise FileNotFoundError(p) from None
 
     def walk(self, d: str):
         d = self._norm(d)
@@ -403,6 +425,11 @@ class HadoopFS:
 
     def getsize(self, p: str) -> int:
         return int(self._fs(p).getFileStatus(self._path(p)).getLen())
+
+    def getmtime_ms(self, p: str) -> int:
+        return int(
+            self._fs(p).getFileStatus(self._path(p)).getModificationTime()
+        )
 
     def walk(self, d: str):
         # paths are built from the CALLER'S root spelling (not Hadoop's

@@ -378,7 +378,9 @@ class DeltaLogDataSource(DataSource):
     insert/delete rows instead of erroring on removes — the continuous
     twin of ``DeltaSink.changes``), startingVersion (an int commit to
     begin from instead of the initial snapshot, or 'latest' = only
-    commits after the stream starts)."""
+    commits after the stream starts), startingTimestamp (a wall-clock
+    point resolved to the first commit at-or-after it via the table's
+    commit clocks — inCommitTimestamp when the feature is on)."""
 
     @classmethod
     def name(cls) -> str:
@@ -395,6 +397,16 @@ class DeltaLogDataSource(DataSource):
         return cdf
 
     def schema(self) -> StructType:
+        if (
+            self.options.get("startingversion") is not None
+            and self.options.get("startingtimestamp") is not None
+        ):
+            # fail at load() time, not first trigger: the two options
+            # contradict each other
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive"
+            )
         meta = _latest_metadata(self.options["path"])
         if meta is None:
             raise ValueError(f"no Delta metaData under {self.options['path']}")
@@ -418,8 +430,25 @@ class DeltaLogDataSource(DataSource):
         cdf = self._cdf()
         max_commits = self.options.get("maxcommitspertrigger")
         starting = self.options.get("startingversion")
+        starting_ts = self.options.get("startingtimestamp")
+        if starting is not None and starting_ts is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive"
+            )
         starting_version: int | None = None
-        if starting is not None:
+        if starting_ts is not None:
+            # resolve against the table's commit clocks — authoritative
+            # inCommitTimestamp when the writer feature is on, else
+            # commitInfo/mtime with Delta's monotonic fix-up; a
+            # timestamp past the head starts an empty stream that waits
+            # for future commits (delta-spark's startingTimestamp)
+            from ..sources.delta_log import resolve_timestamp
+
+            starting_version = resolve_timestamp(
+                self.options["path"], starting_ts, mode="at_or_after"
+            )
+        elif starting is not None:
             if str(starting).lower() == "latest":
                 vs = _versions(self.options["path"])
                 ckpt = _last_checkpoint_version(self.options["path"])
