@@ -656,3 +656,55 @@ def mirror_time_travel_ts(spark, sf_dir):
     ).withColumn("at", F.lit("pre"))
     head = DL.read_snapshot(spark, path).withColumn("at", F.lit("head"))
     return pre.unionByName(head).orderBy("at", "n_nationkey")
+
+
+@query(
+    "mirror_type_widening",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           ROUND(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    doc="typeWidening (PROTOCOL.md): first commit writes s_suppkey as "
+    "INT / s_acctbal as FLOAT, the second appends the widened "
+    "BIGINT/DOUBLE schema — metaData records the wide types while the "
+    "old files keep narrow physical types.  read_snapshot reads every "
+    "file with the LATEST schema; Spark's parquet readers promote "
+    "int->long and float->double natively, so old and new files "
+    "union losslessly",
+)
+def mirror_type_widening(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_tw", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).cache()
+    sink = DeltaSink(spark, path)
+    sink.append(                                      # v0: narrow types
+        sup.filter("s_suppkey % 2 = 0").select(
+            F.col("s_suppkey").cast("int").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("float").alias("s_acctbal"),
+        )
+    )
+    sink.append(                                      # v1: widened
+        sup.filter("s_suppkey % 2 = 1").select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+    sup.unpersist()
+    # ROUND both sides: the narrow files round-trip s_acctbal through
+    # float32 (the widening semantic), reintroducing ~1e-4 noise on a
+    # 2-decimal currency column
+    return (
+        DL.read_snapshot(spark, path)
+        .withColumn("s_acctbal", F.round("s_acctbal", 2))
+        .orderBy("s_suppkey")
+    )

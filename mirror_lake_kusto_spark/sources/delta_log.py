@@ -711,6 +711,14 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
             "timestampNtz",       # Spark reads TIMESTAMP_NTZ natively
             "vacuumProtocolCheck",  # read-side no-op by definition
             "v2Checkpoint",       # manifest+sidecar checkpoints (below)
+            # typeWidening: old files keep the narrow physical type
+            # while metaData records the widened one; read_snapshot
+            # reads every file with the LATEST schema and Spark 4's
+            # parquet readers promote int->long/double, float->double,
+            # decimal growth, int->decimal, date->timestamp_ntz
+            # natively (verified in test_r6_type_widening)
+            "typeWidening",
+            "typeWidening-preview",
         }
         ok = (
             reader == 1
