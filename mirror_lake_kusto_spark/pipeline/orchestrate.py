@@ -723,6 +723,17 @@ class MirrorPipeline:
         meta = DL.latest_metadata(self.spark, self.source, upto=end_tx)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         type_of = {f.name: f.dataType for f in schema.fields}
+        src_conf = meta.get("configuration") or {}
+        # source row tracking: carry every row's SOURCE identity into
+        # the mirror as a lineage column — repacking would otherwise
+        # silently strip the lineage the source guaranteed
+        rt_src = (
+            str(src_conf.get("delta.enableRowTracking", "")).lower()
+            == "true"
+        )
+        src_mat_id = src_conf.get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        )
         # column-mapped source: files store PHYSICAL names; partition
         # values recorded from add actions are keyed physical too —
         # read physical, relabel logical right after the scan (the
@@ -746,6 +757,17 @@ class MirrorPipeline:
                 ]
             )
         )
+        if rt_src and src_mat_id:
+            from pyspark.sql.types import LongType
+
+            # the source's materialized row-id column is physical-only;
+            # files from before materialization null-fill
+            read_schema = StructType(
+                [
+                    *read_schema.fields,
+                    StructField(src_mat_id, LongType(), True),
+                ]
+            )
         groups: dict[tuple, list[str]] = {}
         for it in todo:
             pv = tuple(
@@ -771,7 +793,10 @@ class MirrorPipeline:
                 )
             for col_name, raw in pv:
                 df = df.withColumn(col_name, F.lit(raw).cast(type_of[col_name]))
-            df = df.select(*[f.name for f in schema.fields]).withColumns(
+            keep = [f.name for f in schema.fields]
+            if rt_src and src_mat_id:
+                keep.append(src_mat_id)
+            df = df.select(*keep).withColumns(
                 {
                     "MLK_BlobPath": _fsmod.spark_scan_path(
                         F.input_file_name()
@@ -779,14 +804,72 @@ class MirrorPipeline:
                     "MLK_BatchTxId": F.lit(end_tx).cast("long"),
                 }
             )
+            if rt_src:
+                df = df.withColumn(
+                    "__mlk_ridx", F.col("_metadata.row_index")
+                )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        self.sink.append(out, txn=(app_id, end_tx))
+        extra_actions: list[dict] = []
+        if rt_src:
+            out = self._attach_source_row_ids(out, todo, end_tx, src_mat_id)
+        # preserve the source's app-domain metadata (PROTOCOL.md
+        # "Domain Metadata"): a consumer of the MIRROR must see the
+        # domains the SOURCE carried.  delta.* domains are per-table
+        # internals (row-id watermarks, clustering state) and stay put.
+        for domain, conf in DL.latest_domain_metadata(
+            self.source, upto=end_tx
+        ).items():
+            if domain.startswith("delta."):
+                continue
+            extra_actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": conf,
+                        "removed": False,
+                    }
+                }
+            )
+        self.sink.append(
+            out, txn=(app_id, end_tx), extra_actions=extra_actions
+        )
         for it in todo:
             it["state"] = "Staged"
         return len(todo)
+
+    def _attach_source_row_ids(self, out, todo, end_tx, src_mat_id):
+        """Lineage column ``MLK_SourceRowId``: the source's stable row
+        id for every mirrored row — materialized value when the source
+        rewrote the file, else ``add.baseRowId + physical row index``.
+        The per-file id frame is batch-metadata-sized and broadcast;
+        the data never shuffles."""
+        from ..sources import fs as _fsmod
+
+        want = {i["blob_path"] for i in todo}
+        id_rows = [
+            (
+                _fsmod.data_path_spelling(self.source, f["path"]),
+                f.get("baseRowId"),
+            )
+            for f in DL.snapshot_files(self.spark, self.source, upto=end_tx)
+            if f["path"] in want
+        ]
+        ids = F.broadcast(
+            self.spark.createDataFrame(
+                id_rows, "MLK_BlobPath string, __mlk_base long"
+            )
+        )
+        out = out.join(ids, "MLK_BlobPath", "left")
+        fresh = F.col("__mlk_base") + F.col("__mlk_ridx")
+        src_id = (
+            F.coalesce(F.col(src_mat_id), fresh) if src_mat_id else fresh
+        )
+        return out.withColumn("MLK_SourceRowId", src_id).drop(
+            "__mlk_base", "__mlk_ridx", *( [src_mat_id] if src_mat_id else [])
+        )
 
     def _check_span_has_no_dvs(self, hwm: int, end_tx: int) -> None:
         """Raw-commit scan of (hwm, end_tx] for deletion-vector adds:

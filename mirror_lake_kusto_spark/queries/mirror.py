@@ -708,3 +708,110 @@ def mirror_type_widening(spark, sf_dir):
         .withColumn("s_acctbal", F.round("s_acctbal", 2))
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "mirror_variant_roundtrip",
+    """
+    SELECT n_nationkey,
+           n_name AS vname,
+           CAST(n_regionkey AS INT) AS vregion
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="variantType (PROTOCOL.md 'Variant Data Type'): rows are "
+    "packed into a VARIANT column (parse_json), written through the "
+    "sink — which commits the variantType reader+writer feature gate "
+    "and falls back to a distributed row count for add stats (pyarrow "
+    "cannot parse the VARIANT footer) — with the second commit "
+    "written SHREDDED (typed_value layout); read_snapshot "
+    "reconstructs both layouts and variant_get extracts typed fields "
+    "back out losslessly",
+)
+def mirror_variant_roundtrip(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_variant", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    base = load_table(spark, "nation", sf_dir).selectExpr(
+        "n_nationkey",
+        "parse_json(to_json(named_struct("
+        "'name', n_name, 'region', n_regionkey))) AS v",
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(base.filter("n_nationkey % 2 = 0"))   # v0: unshredded
+    spark.conf.set(
+        "spark.sql.variant.forceShreddingSchemaForTest",
+        "name string, region int",
+    )
+    try:
+        sink.append(base.filter("n_nationkey % 2 = 1"))  # v1: shredded
+    finally:
+        spark.conf.unset("spark.sql.variant.forceShreddingSchemaForTest")
+    return (
+        DL.read_snapshot(spark, path)
+        .selectExpr(
+            "n_nationkey",
+            "variant_get(v, '$.name', 'string') AS vname",
+            "variant_get(v, '$.region', 'int') AS vregion",
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "mirror_row_tracking",
+    """
+    WITH src AS (
+      SELECT n_nationkey, n_name,
+             ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+      FROM nation
+    )
+    SELECT n_nationkey, n_name, CAST(rid AS BIGINT) AS src_row_id
+    FROM src
+    WHERE n_nationkey % 5 != 0
+    ORDER BY n_nationkey
+    """,
+    doc="Row tracking (PROTOCOL.md 'Row Tracking'): the source table "
+    "enables delta.enableRowTracking (feature commit + id backfill + "
+    "watermark domain metadata), deletes rows (the copy-on-write "
+    "rewrite MATERIALIZES survivors' ids so identities never change), "
+    "and the mirror pipeline carries each row's source identity as "
+    "the MLK_SourceRowId lineage column.  Ids are assigned in "
+    "n_nationkey order (single sorted file), so the oracle can "
+    "recompute them with ROW_NUMBER",
+)
+def mirror_row_tracking(spark, sf_dir):
+    workdir = _workdir("mirror_rt", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    base = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+    )
+    src = DeltaSink(spark, src_path)
+    src.append(base)                                           # ids 0..N-1
+    src.set_properties({"delta.enableRowTracking": "true"})
+    src.delete("n_nationkey % 5 = 0")    # rewrite materializes ids
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        os.path.join(workdir, "dst"),
+        os.path.join(workdir, "state"),
+        table_name="nation_rt",
+    )
+    pipe.run_until_idle()
+    return (
+        pipe.mirror_df()
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("MLK_SourceRowId").alias("src_row_id"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -29,6 +29,11 @@ _DELTA_TO_SPARK: dict[str, T.DataType] = {
     "date": T.DateType(),
     "timestamp": T.TimestampType(),
     "timestamp_ntz": T.TimestampNTZType(),
+    # Delta "variantType" table feature: semi-structured values with
+    # shredded parquet storage (PROTOCOL.md "Variant Data Type");
+    # Spark 4 reads both unshredded (metadata/value) and shredded
+    # (typed_value) physical layouts natively
+    "variant": T.VariantType(),
 }
 
 # Spark type -> Kusto scalar type string (parity table with
@@ -46,6 +51,7 @@ _SPARK_TO_KUSTO: dict[type, str] = {
     T.TimestampType: "datetime",
     T.TimestampNTZType: "datetime",
     T.BinaryType: "string",  # reference: unsupported; we base64 if exporting
+    T.VariantType: "dynamic",
 }
 
 

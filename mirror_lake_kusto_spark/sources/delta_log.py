@@ -81,6 +81,10 @@ ADD_SCHEMA = StructType(
         StructField("dataChange", BooleanType()),
         StructField("stats", StringType()),
         StructField("deletionVector", DV_SCHEMA),
+        # row tracking (PROTOCOL.md "Row Tracking"): the first fresh
+        # row id in the file and the commit version its rows default to
+        StructField("baseRowId", LongType()),
+        StructField("defaultRowCommitVersion", LongType()),
     ]
 )
 REMOVE_SCHEMA = StructType(
@@ -106,6 +110,13 @@ TXN_SCHEMA = StructType(
         StructField("lastUpdated", LongType()),
     ]
 )
+DOMAIN_METADATA_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("configuration", StringType()),
+        StructField("removed", BooleanType()),
+    ]
+)
 ACTIONS_SCHEMA = StructType(
     [
         StructField("metaData", METADATA_SCHEMA),
@@ -113,6 +124,7 @@ ACTIONS_SCHEMA = StructType(
         StructField("remove", REMOVE_SCHEMA),
         StructField("protocol", PROTOCOL_SCHEMA),
         StructField("txn", TXN_SCHEMA),
+        StructField("domainMetadata", DOMAIN_METADATA_SCHEMA),
     ]
 )
 
@@ -344,7 +356,9 @@ def _conform_action_structs(df: DataFrame) -> DataFrame:
     fields (older writers lack add.deletionVector; sidecars carry only
     file actions; newer writers' extra fields drop) so unions and
     downstream column references resolve uniformly."""
-    for col in ("metaData", "add", "remove", "protocol", "txn"):
+    for col in (
+        "metaData", "add", "remove", "protocol", "txn", "domainMetadata",
+    ):
         want = ACTIONS_SCHEMA[col].dataType
         if col not in df.columns:
             df = df.withColumn(col, F.lit(None).cast(want))
@@ -423,7 +437,10 @@ def read_actions(
     ):
         ckpt = spark.read.parquet(*checkpoint_files(table_path, ckpt_version))
         side = sidecar_files(table_path, ckpt_version)
-        keep = ["metaData", "add", "remove", "protocol", "txn"]
+        keep = [
+            "metaData", "add", "remove", "protocol", "txn",
+            "domainMetadata",
+        ]
         ckpt = _conform_action_structs(ckpt).select(*keep)
         if side:
             # v2 checkpoint: the manifest holds protocol/metaData (and
@@ -433,9 +450,7 @@ def read_actions(
             ).select(*keep)
             ckpt = ckpt.unionByName(sdf)
         srcs.append(
-            ckpt.select("metaData", "add", "remove", "protocol", "txn").withColumn(
-                "tx_id", F.lit(ckpt_version)
-            )
+            ckpt.select(*keep).withColumn("tx_id", F.lit(ckpt_version))
         )
         versions = [v for v in versions if v > ckpt_version]
     if versions:
@@ -535,6 +550,10 @@ def file_actions(
         F.col("add.dataChange").alias("dataChange"),
         F.col("add.modificationTime").alias("modificationTime"),
         F.col("add.deletionVector").alias("deletionVector"),
+        F.col("add.baseRowId").alias("baseRowId"),
+        F.col("add.defaultRowCommitVersion").alias(
+            "defaultRowCommitVersion"
+        ),
     )
     removes = acts.filter(F.col("remove").isNotNull()).select(
         "tx_id",
@@ -547,6 +566,8 @@ def file_actions(
         F.col("remove.dataChange").alias("dataChange"),
         F.col("remove.deletionTimestamp").alias("modificationTime"),
         F.lit(None).cast(DV_SCHEMA).alias("deletionVector"),
+        F.lit(None).cast("long").alias("baseRowId"),
+        F.lit(None).cast("long").alias("defaultRowCommitVersion"),
     )
     return adds.unionByName(removes)
 
@@ -719,6 +740,11 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
             # natively (verified in test_r6_type_widening)
             "typeWidening",
             "typeWidening-preview",
+            # variantType: Spark 4 reads both unshredded
+            # (metadata/value) and shredded (typed_value) physical
+            # variant layouts natively (test_r6_variant)
+            "variantType",
+            "variantType-preview",
         }
         ok = (
             reader == 1
@@ -768,6 +794,8 @@ def snapshot_files(
                     "numRecords",
                     "stats",
                     "deletionVector",
+                    "baseRowId",
+                    "defaultRowCommitVersion",
                 ),
                 F.struct("tx_id", F.col("is_add").cast("int")),
             ).alias("last")
@@ -780,6 +808,10 @@ def snapshot_files(
             F.col("last.numRecords").alias("numRecords"),
             F.col("last.stats").alias("stats"),
             F.col("last.deletionVector").alias("deletionVector"),
+            F.col("last.baseRowId").alias("baseRowId"),
+            F.col("last.defaultRowCommitVersion").alias(
+                "defaultRowCommitVersion"
+            ),
         )
     )
     return [r.asDict(recursive=True) for r in latest.collect()]
@@ -831,6 +863,10 @@ def _snapshot_files_driver(
                     "numRecords": _num_records(add.get("stats")),
                     "stats": add.get("stats"),
                     "deletionVector": add.get("deletionVector"),
+                    "baseRowId": add.get("baseRowId"),
+                    "defaultRowCommitVersion": add.get(
+                        "defaultRowCommitVersion"
+                    ),
                 },
             )
         try:
@@ -854,6 +890,10 @@ def _snapshot_files_driver(
                         "numRecords": _num_records(a.get("stats")),
                         "stats": a.get("stats"),
                         "deletionVector": a.get("deletionVector"),
+                        "baseRowId": a.get("baseRowId"),
+                        "defaultRowCommitVersion": a.get(
+                            "defaultRowCommitVersion"
+                        ),
                     },
                 )
             elif "remove" in act:
@@ -902,6 +942,7 @@ def read_snapshot(
     partition_predicate: str | None = None,
     predicate: str | None = None,
     timestamp=None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Current table contents.  Files are read grouped by partition
     tuple with the partition values injected as typed literal columns —
@@ -933,6 +974,18 @@ def read_snapshot(
         upto = resolve_timestamp(table_path, timestamp)
     files = snapshot_files(spark, table_path, upto=upto)
     meta = latest_metadata(spark, table_path, upto=upto)
+    mat_id = mat_rcv = None
+    if row_ids:
+        conf = (meta or {}).get("configuration") or {}
+        if str(conf.get("delta.enableRowTracking", "")).lower() != "true":
+            raise ValueError(
+                f"{table_path}: row_ids=True needs row tracking "
+                "(delta.enableRowTracking) on the table"
+            )
+        mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_rcv = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
     mapping = column_mapping_of(meta)  # logical -> physical, or None
     if mapping is not None:
         # normalize to LOGICAL names up front: add.partitionValues (and
@@ -1006,6 +1059,18 @@ def read_snapshot(
         for f in files
         if (f.get("deletionVector") or {}).get("cardinality")
     ]
+    mat_cols = [c for c in (mat_id, mat_rcv) if c]
+    if mat_cols:
+        # the materialized row-id/commit-version columns are PHYSICAL
+        # only (never part of the logical schema): files written before
+        # materialization lack them and null-fill
+        read_schema = StructType(
+            [
+                *read_schema.fields,
+                *[StructField(c, LongType(), True) for c in mat_cols],
+            ]
+        )
+    need_identity = bool(dv_files) or row_ids
     groups: dict[tuple, list[str]] = {}
     for f in files:
         key = tuple(sorted((f["partitionValues"] or {}).items()))
@@ -1015,7 +1080,7 @@ def read_snapshot(
     parts: list[DataFrame] = []
     for key, paths in groups.items():
         df = spark.read.schema(read_schema).parquet(*paths)
-        if dv_files:
+        if need_identity:
             # merge-on-read: carry the file identity + physical row
             # index so deletion vectors can filter below (must come
             # straight off the scan — _metadata resolves only there)
@@ -1028,7 +1093,9 @@ def read_snapshot(
                 }
             )
         if mapping is not None:
-            keep_extra = ["__mlk_file", "__mlk_ridx"] if dv_files else []
+            keep_extra = (
+                ["__mlk_file", "__mlk_ridx"] if need_identity else []
+            ) + mat_cols
             df = df.select(
                 *[
                     F.col(mapping[f.name]).alias(f.name)
@@ -1041,17 +1108,65 @@ def read_snapshot(
                 col_name, F.lit(raw).cast(type_of.get(col_name, StringType()))
             )
         keep = [f.name for f in schema.fields]
-        if dv_files:
+        if need_identity:
             keep += ["__mlk_file", "__mlk_ridx"]
+        keep += mat_cols
         parts.append(df.select(*keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if row_ids:
+        out = _attach_row_ids(spark, table_path, out, files, mat_id, mat_rcv)
     if dv_files:
         out = _apply_deletion_vectors(spark, table_path, out, dv_files)
+    elif row_ids:
+        out = out.drop("__mlk_file", "__mlk_ridx")
     if predicate is not None:
         # pruning is advisory; the row filter guarantees exactness
         out = out.filter(predicate)
+    return out
+
+
+def _attach_row_ids(
+    spark: SparkSession,
+    table_path: str,
+    out: DataFrame,
+    files: list[dict],
+    mat_id: str | None,
+    mat_rcv: str | None,
+) -> DataFrame:
+    """Materialize ``_row_id`` / ``_row_commit_version`` (PROTOCOL.md
+    "Row Tracking" read semantics): per row, the materialized column
+    value when a rewrite preserved it, else the FRESH id
+    ``add.baseRowId + physical row index`` (and the add's
+    defaultRowCommitVersion).  The per-file id frame is metadata-sized
+    and broadcast; rows never shuffle."""
+    id_rows = [
+        (
+            _fs.data_path_spelling(table_path, f["path"]),
+            f.get("baseRowId"),
+            f.get("defaultRowCommitVersion"),
+        )
+        for f in files
+    ]
+    ids = F.broadcast(
+        spark.createDataFrame(
+            id_rows, "__mlk_file string, __mlk_base long, __mlk_rcv long"
+        )
+    )
+    out = out.join(ids, "__mlk_file", "left")
+    fresh_id = F.col("__mlk_base") + F.col("__mlk_ridx")
+    fresh_rcv = F.col("__mlk_rcv")
+    out = out.withColumns(
+        {
+            "_row_id": F.coalesce(F.col(mat_id), fresh_id)
+            if mat_id
+            else fresh_id,
+            "_row_commit_version": F.coalesce(F.col(mat_rcv), fresh_rcv)
+            if mat_rcv
+            else fresh_rcv,
+        }
+    ).drop("__mlk_base", "__mlk_rcv", *[c for c in (mat_id, mat_rcv) if c])
     return out
 
 
@@ -1305,6 +1420,44 @@ def typed_partition_cols(spark: SparkSession, table_path: str) -> dict[str, Any]
     return {f.name: f.dataType for f in schema.fields if f.name in part_cols}
 
 
+def latest_domain_metadata(
+    table_path: str, upto: int | None = None
+) -> dict[str, str]:
+    """Live domain metadata at ``upto``: domain -> configuration JSON
+    (PROTOCOL.md "Domain Metadata" reconciliation: per domain keep the
+    newest action; a ``removed: true`` tombstone drops it).  Driver-
+    side metadata walk — checkpoint domainMetadata column first, then
+    surviving JSON commits in version order."""
+    state: dict[str, tuple[int, dict]] = {}
+
+    def apply(v: int, dm: dict) -> None:
+        cur = state.get(dm.get("domain") or "")
+        if cur is None or v >= cur[0]:
+            state[dm.get("domain") or ""] = (v, dm)
+
+    ckpt = read_last_checkpoint(table_path)
+    use_ckpt = ckpt is not None and (upto is None or ckpt <= upto)
+    if use_ckpt:
+        try:
+            for dm in _checkpoint_column(table_path, ckpt, "domainMetadata"):
+                apply(ckpt, dm)
+        except Exception:
+            pass  # column absent: table never used domain metadata
+    for v in list_commit_versions(table_path):
+        if upto is not None and v > upto:
+            continue
+        if use_ckpt and v <= ckpt:
+            continue
+        for act in _read_commit(table_path, v):
+            if "domainMetadata" in act:
+                apply(v, act["domainMetadata"])
+    return {
+        d: dm.get("configuration") or ""
+        for d, (_v, dm) in sorted(state.items())
+        if not dm.get("removed")
+    }
+
+
 def reconciled_actions(
     spark: SparkSession, table_path: str, upto: int | None = None
 ) -> DataFrame:
@@ -1315,7 +1468,14 @@ def reconciled_actions(
     mid-write (else upto=v time-travel reads are corrupted)."""
     meta = latest_metadata(spark, table_path, upto=upto)
     files = snapshot_files(spark, table_path, upto=upto)
-    blank = {"metaData": None, "add": None, "remove": None, "protocol": None, "txn": None}
+    blank = {
+        "metaData": None,
+        "add": None,
+        "remove": None,
+        "protocol": None,
+        "txn": None,
+        "domainMetadata": None,
+    }
     acts: list[dict] = [{**blank, "metaData": meta}]
     # carry the table's ACTUAL protocol: hardcoding the basic one would
     # silently downgrade a DV/feature table once the JSON history is
@@ -1347,6 +1507,20 @@ def reconciled_actions(
         acts.append(
             {**blank, "txn": {"appId": app_id, "version": version, "lastUpdated": 0}}
         )
+    # live domain metadata survives checkpointing (PROTOCOL.md: a
+    # checkpoint that drops it loses the row-id high-water mark once
+    # the JSON history is truncated)
+    for domain, conf in latest_domain_metadata(table_path, upto).items():
+        acts.append(
+            {
+                **blank,
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": conf,
+                    "removed": False,
+                },
+            }
+        )
     for f in files:
         acts.append(
             {
@@ -1370,6 +1544,12 @@ def reconciled_actions(
                     # rows once the JSON history is truncated
                     "deletionVector": _conform(
                         f.get("deletionVector"), DV_SCHEMA
+                    ),
+                    # row tracking: base ids must survive checkpointing
+                    # or every row id silently changes after truncation
+                    "baseRowId": f.get("baseRowId"),
+                    "defaultRowCommitVersion": f.get(
+                        "defaultRowCommitVersion"
                     ),
                 },
             }

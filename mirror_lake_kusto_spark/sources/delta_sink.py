@@ -36,6 +36,7 @@ import time
 import uuid
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from . import fs as _fs
@@ -120,6 +121,33 @@ def _list_versions(table_path: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+
+def _safe_parquet_meta(path: str):
+    """Footer metadata, or None when the footer carries a logical type
+    pyarrow cannot parse (Spark's parquet VARIANT annotation is newer
+    than pyarrow's Thrift enum) — callers fall back to a distributed
+    row count and stat-less adds (stats are advisory)."""
+    try:
+        return _fs.parquet_metadata(path)
+    except OSError:
+        return None
+
+
+def _spark_row_counts(spark, root: str) -> dict[str, int]:
+    """Rows per parquet file under ``root`` in ONE distributed job —
+    the footer-free fallback for files pyarrow cannot open."""
+    import pyspark.sql.functions as F
+
+    fs = _fs.get_fs(root)
+    rows = (
+        spark.read.parquet(root)
+        .groupBy(F.col("_metadata.file_path").alias("p"))
+        .count()
+        .collect()
+    )
+    return {fs.normalize(r["p"]): int(r["count"]) for r in rows}
 
 
 class CommitCoordinator:
@@ -261,6 +289,10 @@ class DeltaSink:
                 *actions,
             ]
         attempted: int | None = None
+        # per-_commit marker: which adds THIS call stamped (so a retry
+        # re-stamps them from the fresh watermark, while adds that
+        # arrived pre-assigned are never touched)
+        self._rt_stamped_ids = set()
         while True:
             v = self._next_version()
             if expected_version is not None and v != expected_version:
@@ -285,7 +317,16 @@ class DeltaSink:
                     # bootstrap would record the "{}" placeholder and
                     # leave the table unreadable — skip the commit
                     return -1
-                body.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+                proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+                if self._schema_uses_variant():
+                    # VARIANT columns are feature-gated (PROTOCOL.md
+                    # "Variant Data Type"): readers that don't know the
+                    # shredded layout must refuse, so the bootstrap
+                    # protocol must advertise it
+                    proto = upgraded_protocol(
+                        proto, ("variantType",), ("variantType",)
+                    )
+                body.append({"protocol": proto})
                 body.append({"metaData": self._metadata_action()})
             elif self._schema_changed() and not any(
                 "metaData" in a for a in actions
@@ -302,6 +343,22 @@ class DeltaSink:
                         "columns via evolve_add(), then append under "
                         "the current logical schema"
                     )
+                if self._schema_uses_variant():
+                    from .delta_log import latest_protocol
+
+                    cur = latest_protocol(self.path)
+                    if "variantType" not in (
+                        (cur or {}).get("readerFeatures") or []
+                    ):
+                        body.append(
+                            {
+                                "protocol": upgraded_protocol(
+                                    cur,
+                                    ("variantType",),
+                                    ("variantType",),
+                                )
+                            }
+                        )
                 body.append({"metaData": self._metadata_action()})
             body.extend(actions)
             if not [a for a in body if "commitInfo" not in a]:
@@ -309,6 +366,7 @@ class DeltaSink:
                 # nothing): a commit carrying at most commitInfo is
                 # protocol noise — skip it and report the current version
                 return v - 1
+            self._stamp_row_ids(v, body)
             self._stamp_ict(v, body)
             try:
                 self.coordinator.create_commit(
@@ -322,12 +380,24 @@ class DeltaSink:
                 # must be re-derived before we retry
                 self._mapping_cache = False
                 self._ict_cache = None
+                self._rt_cache = None
+                self._rt_hwm_cache = None
                 attempted = v
                 continue
             if any("metaData" in a for a in body):
                 # our own metaData may have flipped table-level
-                # behaviors (ICT, column mapping) — re-derive next time
+                # behaviors (ICT, column mapping, row tracking) —
+                # re-derive next time
                 self._ict_cache = None
+                self._rt_cache = None
+            for a in body:
+                dm = a.get("domainMetadata") or {}
+                if dm.get("domain") == "delta.rowTracking":
+                    self._rt_hwm_cache = int(
+                        json.loads(dm["configuration"])[
+                            "rowIdHighWaterMark"
+                        ]
+                    )
             if (v + 1) % self.checkpoint_interval == 0 and not getattr(
                 self, "_ckpt_suspended", False
             ):
@@ -412,6 +482,267 @@ class DeltaSink:
             },
         )
 
+    #: memoized "table has delta.enableRowTracking=true"; None = not
+    #: yet derived.  Same invalidation discipline as _ict_cache.
+    _rt_cache: "bool | None" = None
+    #: memoized row-id high-water mark; None = re-read from the log
+    _rt_hwm_cache: "int | None" = None
+
+    def _rt_enabled(self, body: list[dict] | None = None) -> bool:
+        """Is row tracking (PROTOCOL.md "Row Tracking") on for THIS
+        commit?  A metaData action in the body overrides the table
+        state (the enabling commit itself already assigns ids)."""
+        for a in body or ():
+            md = a.get("metaData")
+            if md is not None:
+                return (
+                    str(
+                        (md.get("configuration") or {}).get(
+                            "delta.enableRowTracking", ""
+                        )
+                    ).lower()
+                    == "true"
+                )
+        if self._rt_cache is None:
+            from .delta_log import latest_metadata
+
+            try:
+                meta = latest_metadata(self.spark, self.path) or {}
+            except FileNotFoundError:
+                meta = {}
+            self._rt_cache = (
+                str(
+                    (meta.get("configuration") or {}).get(
+                        "delta.enableRowTracking", ""
+                    )
+                ).lower()
+                == "true"
+            )
+        return self._rt_cache
+
+    def _rt_hwm(self) -> int:
+        """Current row-id high-water mark from the delta.rowTracking
+        domain metadata (-1 when no id was ever assigned)."""
+        if self._rt_hwm_cache is None:
+            from .delta_log import latest_domain_metadata
+
+            conf = latest_domain_metadata(self.path).get(
+                "delta.rowTracking"
+            )
+            self._rt_hwm_cache = (
+                int(json.loads(conf).get("rowIdHighWaterMark", -1))
+                if conf
+                else -1
+            )
+        return self._rt_hwm_cache
+
+    def _stamp_row_ids(self, v: int, body: list[dict]) -> None:
+        """Assign fresh ``baseRowId`` / ``defaultRowCommitVersion`` to
+        every add and advance the ``delta.rowTracking`` high-water mark
+        in the SAME commit (PROTOCOL.md "Row Tracking": writers with
+        the feature MUST do both).  Re-stamps idempotently on each
+        optimistic-concurrency retry — a race loser re-reads the
+        winner's advanced watermark and rebases its id range.  Adds
+        that arrive with a baseRowId already set (DV re-adds, the
+        backfill) keep it: those rows' identities must not change."""
+        if not self._rt_enabled(body):
+            return
+        stamped = self._rt_stamped_ids
+        # drop any watermark action a previous (lost) iteration added
+        body[:] = [
+            a
+            for a in body
+            if (a.get("domainMetadata") or {}).get("domain")
+            != "delta.rowTracking"
+        ]
+        adds = [
+            a["add"]
+            for a in body
+            if "add" in a
+            and (
+                a["add"].get("baseRowId") is None
+                or id(a["add"]) in stamped
+            )
+        ]
+        if not adds:
+            return
+        hwm = self._rt_hwm()
+        for add in adds:
+            stamped.add(id(add))
+            try:
+                n = int(json.loads(add.get("stats") or "{}")["numRecords"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"row tracking needs numRecords stats to size the "
+                    f"fresh id range; add for {add.get('path')!r} has "
+                    "none"
+                ) from None
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = v
+            hwm += n
+        body.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+
+    def _enable_row_tracking(self) -> dict[str, str]:
+        """Feature upgrade + id backfill for delta.enableRowTracking.
+        Returns the extra configuration (materialized column names)
+        the property commit must carry.  Backfill = one dataChange=
+        false commit re-adding every current file with a fresh
+        baseRowId range + the watermark domain metadata — the same
+        shape delta-spark's ALTER TABLE backfill writes."""
+        from .delta_log import latest_protocol, snapshot_files
+
+        cur = latest_protocol(self.path)
+        have = set((cur or {}).get("writerFeatures") or [])
+        if not {"rowTracking", "domainMetadata"} <= have:
+            self._commit_protocol_upgrade(
+                writer_features=("rowTracking", "domainMetadata")
+            )
+        for _attempt in range(5):
+            files = snapshot_files(self.spark, self.path)
+            todo = [f for f in files if f.get("baseRowId") is None]
+            if not todo:
+                break
+            self._rt_hwm_cache = None
+            hwm = self._rt_hwm()
+            # pin the commit version (CAS) so defaultRowCommitVersion
+            # can be written INTO the backfill adds themselves
+            expected = self._next_version()
+            acts: list[dict] = []
+            for f in sorted(todo, key=lambda f: f["path"]):
+                n = f.get("numRecords")
+                if n is None:
+                    raise ValueError(
+                        f"cannot backfill row ids: {f['path']} has no "
+                        "numRecords stats"
+                    )
+                acts.append(
+                    {
+                        "add": {
+                            "path": f["path"],
+                            "partitionValues": f["partitionValues"] or {},
+                            "size": f["size"],
+                            "modificationTime": 0,
+                            "dataChange": False,
+                            "stats": f.get("stats")
+                            or json.dumps({"numRecords": n}),
+                            "deletionVector": f.get("deletionVector"),
+                            "baseRowId": hwm + 1,
+                            "defaultRowCommitVersion": expected,
+                        }
+                    }
+                )
+                hwm += int(n)
+            acts.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": hwm}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+            try:
+                self._commit(
+                    acts,
+                    operation="ROW TRACKING BACKFILL",
+                    expected_version=expected,
+                )
+                self._rt_hwm_cache = hwm
+                break
+            except ConcurrentCommitConflict:
+                continue
+        else:
+            raise ConcurrentCommitConflict(
+                f"{self.path}: row-id backfill kept losing the commit "
+                "race"
+            )
+        suffix = uuid.uuid4().hex[:8]
+        return {
+            "delta.rowTracking.materializedRowIdColumnName":
+                f"_row-id-col-{suffix}",
+            "delta.rowTracking.materializedRowCommitVersionColumnName":
+                f"_row-commit-version-col-{suffix}",
+        }
+
+    def _rt_mat_cols(self) -> tuple:
+        """(materializedRowIdColumnName, materializedRowCommitVersion
+        ColumnName) from the table configuration — (None, None) when
+        not configured."""
+        from .delta_log import latest_metadata
+
+        try:
+            conf = (
+                latest_metadata(self.spark, self.path) or {}
+            ).get("configuration") or {}
+        except FileNotFoundError:
+            conf = {}
+        return (
+            conf.get("delta.rowTracking.materializedRowIdColumnName"),
+            conf.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ),
+        )
+
+    def _materialize_row_ids(
+        self, df, paths: list[str], mat_id: str, mat_rcv: str | None
+    ):
+        """Fill the materialized row-id / commit-version columns for
+        rows that still carry fresh (positional) ids: value =
+        ``add.baseRowId + physical row index``, resolved by a
+        BROADCAST join against the group's per-file id frame (metadata-
+        sized; a literal map would bloat the plan on 10k-file groups).
+        Rows whose materialized value is already set keep it."""
+        from .delta_log import snapshot_files
+
+        info = {
+            f["path"]: (
+                f.get("baseRowId"),
+                f.get("defaultRowCommitVersion"),
+            )
+            for f in snapshot_files(self.spark, self.path)
+        }
+        id_rows = [
+            (
+                _fs.data_path_spelling(self.path, rel),
+                *(info.get(rel) or (None, None)),
+            )
+            for rel in paths
+        ]
+        ids = F.broadcast(
+            self.spark.createDataFrame(
+                id_rows,
+                "__mlk_rtfile string, __mlk_base long, __mlk_frcv long",
+            )
+        )
+        df = df.join(ids, "__mlk_rtfile", "left")
+        for col, fresh in (
+            (mat_id, F.col("__mlk_base") + F.col("__mlk_rtridx")),
+            (mat_rcv, F.col("__mlk_frcv")),
+        ):
+            if not col:
+                continue
+            have = (
+                F.col(col)
+                if col in df.columns
+                else F.lit(None).cast("long")
+            )
+            df = df.withColumn(col, F.coalesce(have, fresh))
+        # keep the identity helpers: the caller's transform may use
+        # them (reorg's DV anti-join); _rewrite_group drops them last
+        return df.drop("__mlk_base", "__mlk_frcv")
+
     def _check_conflicts(self, versions, actions: list[dict]) -> None:
         """Delta's logical conflict rules (delta-io PROTOCOL.md +
         OptimisticTransaction semantics), applied by a commit-race
@@ -463,6 +794,11 @@ class DeltaSink:
         my_txn_apps = {
             a["txn"]["appId"] for a in actions if "txn" in a
         }
+        my_domains = {
+            (a["domainMetadata"].get("domain") or "")
+            for a in actions
+            if "domainMetadata" in a
+        }
         my_schema_key = (
             self._schema_key(self._pending_schema)
             if mine_adds and self._pending_schema != "{}"
@@ -489,6 +825,19 @@ class DeltaSink:
                         f"{act['txn']['appId']!r}; re-check "
                         "last_txn_version before retrying"
                     )
+                if "domainMetadata" in act:
+                    dom = act["domainMetadata"].get("domain") or ""
+                    if dom == "delta.rowTracking":
+                        # the winner advanced the row-id watermark:
+                        # NOT a conflict — _stamp_row_ids re-reads it
+                        # and rebases this commit's id range
+                        self._rt_hwm_cache = None
+                    elif dom in my_domains:
+                        raise ConcurrentCommitConflict(
+                            f"concurrent commit {v} wrote domain "
+                            f"metadata for {dom!r} this commit also "
+                            "sets; re-read and retry"
+                        )
                 for k in ("add", "remove"):
                     if k in act and act[k]["path"] in mine:
                         raise ConcurrentCommitConflict(
@@ -526,6 +875,8 @@ class DeltaSink:
             "vacuumProtocolCheck",
             "timestampNtz",
             "inCommitTimestamp",
+            "rowTracking",
+            "domainMetadata",
         }
     )
 
@@ -587,6 +938,29 @@ class DeltaSink:
                 f"concurrent commit {v} added a CHECK constraint this "
                 "commit's rows were never validated against; re-run"
             )
+
+    def _schema_uses_variant(self) -> bool:
+        """Does the pending schema contain a VARIANT anywhere (top
+        level or nested)?  Proper JSON walk — a column literally named
+        'variant' must not trip the feature gate."""
+        def walk(node) -> bool:
+            if node == "variant":
+                return True
+            if isinstance(node, dict):
+                return any(
+                    walk(node.get(k))
+                    for k in ("type", "elementType", "keyType",
+                              "valueType", "fields")
+                    if k in node
+                )
+            if isinstance(node, list):
+                return any(walk(x) for x in node)
+            return False
+
+        try:
+            return walk(json.loads(self._pending_schema))
+        except ValueError:
+            return False
 
     @staticmethod
     def _strip_field_metadata(node):
@@ -889,6 +1263,7 @@ class DeltaSink:
         df: DataFrame,
         data_change: bool = True,
         txn: tuple[str, int] | None = None,
+        extra_actions: Sequence[dict] = (),
     ) -> int:
         """Write ``df``'s rows as new parquet files + one atomic commit.
 
@@ -918,7 +1293,7 @@ class DeltaSink:
                     }
                 },
             )
-        return self._commit(adds, operation=op)
+        return self._commit([*extra_actions, *adds], operation=op)
 
     #: memoized _current_mapping result; False = not yet computed.
     #: Invalidated by evolve_rename (the only in-process mutation) and
@@ -975,6 +1350,7 @@ class DeltaSink:
         writer.parquet(tmp)
 
         adds: list[dict] = []
+        counts: dict[str, int] | None = None
         for dirpath, _dirs, files in self.fs.walk(tmp):
             rel_dir = dirpath[len(tmp):].strip("/") or "."
             part_values = {}
@@ -986,8 +1362,16 @@ class DeltaSink:
                 if not name.endswith(".parquet"):
                     continue
                 src = _fs.join(dirpath, name)
-                meta = _fs.parquet_metadata(src)
-                if skip_empty and meta.num_rows == 0:
+                meta = _safe_parquet_meta(src)
+                if meta is None:
+                    if counts is None:
+                        counts = _spark_row_counts(self.spark, tmp)
+                    nrows = counts.get(self.fs.normalize(src), 0)
+                    stats = json.dumps({"numRecords": nrows})
+                else:
+                    nrows = meta.num_rows
+                    stats = file_stats_json(meta)
+                if skip_empty and nrows == 0:
                     continue
                 new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
                 rel = f"{rel_dir}/{new_name}" if rel_dir != "." else new_name
@@ -1002,7 +1386,7 @@ class DeltaSink:
                             "size": self.fs.getsize(dst),
                             "modificationTime": int(time.time() * 1000),
                             "dataChange": data_change,
-                            "stats": file_stats_json(meta),
+                            "stats": stats,
                         }
                     }
                 )
@@ -1209,6 +1593,7 @@ class DeltaSink:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
         actions: list[dict] = []
+        counts: dict[str, int] | None = None
         for dirpath, _dirs, files in self.fs.walk(tmp):
             rel_dir = dirpath[len(tmp):].strip("/") or "."
             part_values = {}
@@ -1220,8 +1605,13 @@ class DeltaSink:
                 if not name.endswith(".parquet"):
                     continue
                 src = _fs.join(dirpath, name)
-                meta = _fs.parquet_metadata(src)
-                if meta.num_rows == 0:
+                meta = _safe_parquet_meta(src)
+                if meta is None:
+                    if counts is None:
+                        counts = _spark_row_counts(self.spark, tmp)
+                    if counts.get(self.fs.normalize(src), 0) == 0:
+                        continue
+                elif meta.num_rows == 0:
                     continue
                 new_name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
                 rel = (
@@ -1257,14 +1647,47 @@ class DeltaSink:
         """Rewrite one partition group's files through ``transform``:
         emit removes for the old files and adds for the rewritten ones.
         Partition columns stay OUT of the data files (injected at read,
-        A7/O6), so the rewrite only moves the non-partition columns."""
+        A7/O6), so the rewrite only moves the non-partition columns.
+
+        Under row tracking, the rows' ids are MATERIALIZED into the
+        rewritten files (the configured physical columns) before the
+        transform runs — a rewrite must preserve row identities
+        (PROTOCOL.md "Row Tracking"); the re-added files get fresh
+        baseRowIds but every surviving row's materialized id wins on
+        read."""
         from .delta_log import partition_subdir
 
+        rt = self._rt_enabled()
+        mats = self._rt_mat_cols() if rt else (None, None)
         reader = self.spark.read
         if read_schema is not None:
-            reader = reader.schema(read_schema)
+            schema = read_schema
+            if rt and mats[0]:
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                schema = StructType(
+                    [
+                        *read_schema.fields,
+                        *[
+                            StructField(c, LongType(), True)
+                            for c in mats
+                            if c and c not in read_schema.fieldNames()
+                        ],
+                    ]
+                )
+            reader = reader.schema(schema)
         df = reader.parquet(*[_fs.join(self.path, p) for p in paths])
-        out = transform(df)
+        if rt and mats[0]:
+            # attach the physical identity BEFORE any join: _metadata
+            # resolves only directly on the scan.  Transforms may use
+            # the helpers (__mlk_rtfile/__mlk_rtridx); they are dropped
+            # before the write either way.
+            df = df.withColumn(
+                "__mlk_rtfile",
+                _fs.spark_scan_path(F.col("_metadata.file_path")),
+            ).withColumn("__mlk_rtridx", F.col("_metadata.row_index"))
+            df = self._materialize_row_ids(df, paths, *mats)
+        out = transform(df).drop("__mlk_rtfile", "__mlk_rtridx")
         tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         out.write.parquet(tmp)
         actions: list[dict] = [
@@ -1279,12 +1702,18 @@ class DeltaSink:
             for rel in paths
         ]
         subdir = partition_subdir(part_values)
+        counts: dict[str, int] | None = None
         for name in self.fs.listdir(tmp):
             if not name.endswith(".parquet"):
                 continue
             src = _fs.join(tmp, name)
-            meta = _fs.parquet_metadata(src)
-            if meta.num_rows == 0:
+            meta = _safe_parquet_meta(src)
+            if meta is None:
+                if counts is None:
+                    counts = _spark_row_counts(self.spark, tmp)
+                if counts.get(self.fs.normalize(src), 0) == 0:
+                    continue
+            elif meta.num_rows == 0:
                 continue
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = f"{subdir}/{new_name}" if subdir else new_name
@@ -1299,7 +1728,15 @@ class DeltaSink:
                         "size": self.fs.getsize(dst),
                         "modificationTime": now,
                         "dataChange": data_change,
-                        "stats": file_stats_json(meta),
+                        "stats": file_stats_json(meta)
+                        if meta is not None
+                        else json.dumps(
+                            {
+                                "numRecords": counts.get(
+                                    self.fs.normalize(src), 0
+                                )
+                            }
+                        ),
                     }
                 }
             )
@@ -1885,6 +2322,13 @@ class DeltaSink:
                         "dataChange": True,
                         "stats": f.get("stats"),
                         "deletionVector": desc,
+                        # re-adding the SAME file with a DV must keep
+                        # its row ids (PROTOCOL.md Row Tracking) — the
+                        # surviving rows' identities don't change
+                        "baseRowId": f.get("baseRowId"),
+                        "defaultRowCommitVersion": f.get(
+                            "defaultRowCommitVersion"
+                        ),
                     }
                 }
             )
@@ -1952,7 +2396,23 @@ class DeltaSink:
                 continue
 
             def transform(df, _d=deleted):
-                out = df.withColumns({"_f": norm_expr, "_ridx": F.col("_metadata.row_index")})
+                # under row tracking _rewrite_group pre-attaches the
+                # identity (a join consumed _metadata); otherwise read
+                # it straight off the scan
+                if "__mlk_rtridx" in df.columns:
+                    out = df.withColumns(
+                        {
+                            "_f": F.col("__mlk_rtfile"),
+                            "_ridx": F.col("__mlk_rtridx"),
+                        }
+                    )
+                else:
+                    out = df.withColumns(
+                        {
+                            "_f": norm_expr,
+                            "_ridx": F.col("_metadata.row_index"),
+                        }
+                    )
                 return out.join(_d, ["_f", "_ridx"], "left_anti").drop(
                     "_f", "_ridx"
                 )
@@ -2015,6 +2475,15 @@ class DeltaSink:
                 self._commit_protocol_upgrade(
                     writer_features=("changeDataFeed",)
                 )
+        # row tracking (PROTOCOL.md "Row Tracking"): commit the writer
+        # features, BACKFILL ids for existing files (re-add them with
+        # fresh baseRowIds, dataChange=false) and pick the materialized
+        # column names rewrites will preserve ids through
+        if (
+            str(props.get("delta.enableRowTracking", "")).lower()
+            == "true"
+        ):
+            props = {**props, **self._enable_row_tracking()}
         # in-commit timestamps are likewise feature-gated: commit the
         # writer feature first, and record the enablement provenance
         # (version + clock of the enabling commit) the protocol asks
