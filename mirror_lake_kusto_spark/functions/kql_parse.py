@@ -2633,9 +2633,13 @@ class KqlQuery:
         )
 
     def _apply(self, frame: KqlFrame, op: str) -> KqlFrame:
-        # Kusto shuffle/strategy hints are physical advice Catalyst/AQE
-        # already handle — accept and drop them so real queries run
-        op = re.sub(r"\bhint\.[\w.]+\s*=\s*\S+\s*", "", op)
+        # Kusto hint.* tokens at THIS operator's level are captured and
+        # HONORED where they steer the plan (join hint.strategy=
+        # broadcast -> F.broadcast; hint.shufflekey / strategy=shuffle
+        # -> pre-op repartition) and dropped otherwise (remote,
+        # concurrency: engine-topology advice AQE already owns).
+        # Depth-aware: hints inside a subquery belong to the subquery.
+        op, self._hints = _extract_hints(op)
         verb_m = re.match(
             r"(project-away|project-rename|project-keep|project-reorder"
             r"|order\s+by|sort\s+by|mv-apply|mv-expand|make-series|serialize"
@@ -3251,6 +3255,23 @@ class KqlQuery:
         return KqlFrame(work.select(*ordered))
 
     def _op_summarize(self, frame, rest):
+        hints = getattr(self, "_hints", None) or {}
+        shufflekey = hints.get("shufflekey")
+        if shufflekey or (hints.get("strategy") or "").lower() == "shuffle":
+            # Kusto shuffle-summarize: pre-partition the input on the
+            # named key(s) so the aggregate runs co-located (the
+            # repartition IS the shuffle; the hash-agg after it is
+            # map-side local)
+            cols = [
+                F.col(c.strip()) for c in (shufflekey or "").split(",") if c.strip()
+            ]
+            nparts = (
+                [int(hints["num_partitions"])]
+                if "num_partitions" in hints
+                else []
+            )
+            if cols or nparts:
+                frame = KqlFrame(frame.df.repartition(*nparts, *cols))
         by_split = re.split(r"\bby\b", rest, maxsplit=1, flags=re.IGNORECASE)
         agg_part = by_split[0].strip()
         by_part = by_split[1].strip() if len(by_split) > 1 else ""
@@ -5417,7 +5438,37 @@ class KqlQuery:
             out = out.unionByName(p)
         return KqlFrame(out)
 
+    def _apply_join_hints(self, left, right, keys, hints):
+        """Lower Kusto join execution hints onto the Spark plan.
+        ``hint.strategy=broadcast`` broadcasts the LEFT side (Kusto's
+        contract: put the small table on the left); ``hint.shufflekey=
+        Col`` / ``hint.strategy=shuffle`` pre-repartition both sides on
+        the key(s) (honoring ``hint.num_partitions``), which is exactly
+        Kusto's shuffle-join semantics and gives Catalyst co-located
+        inputs.  Oracle results are unchanged — plan tests pin the
+        strategy flip."""
+        strategy = (hints.get("strategy") or "").lower()
+        shufflekey = hints.get("shufflekey")
+        nparts = (
+            int(hints["num_partitions"])
+            if "num_partitions" in hints
+            else None
+        )
+        if strategy == "broadcast":
+            left = KqlFrame(F.broadcast(left.df))
+        elif shufflekey or strategy == "shuffle":
+            cols = (
+                [c.strip() for c in shufflekey.split(",")]
+                if shufflekey
+                else list(keys)
+            )
+            args = ([nparts] if nparts else []) + [F.col(c) for c in cols]
+            left = KqlFrame(left.df.repartition(*args))
+            right = KqlFrame(right.df.repartition(*args))
+        return left, right
+
     def _op_join(self, frame, rest):
+        hints = getattr(self, "_hints", None) or {}
         m = re.match(
             r"^(?:kind\s*=\s*(\w+)\s+)?\((.*)\)\s+on\s+(.+)$",
             rest,
@@ -5439,7 +5490,30 @@ class KqlQuery:
                 raise KqlParseError(
                     f"only equi-join on shared column names is supported: {k!r}"
                 )
+        frame, other = self._apply_join_hints(frame, other, keys, hints)
         return frame.join(other, keys, (kind or "inner").lower())
+
+
+def _extract_hints(op: str) -> "tuple[str, dict[str, str]]":
+    """Capture and remove ``hint.name=value`` tokens at paren-depth 0
+    of one operator's text.  Hints inside a parenthesized subquery are
+    left intact — they belong to the inner operator and are handled
+    when the subquery is parsed."""
+    hints: dict[str, str] = {}
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r"\bhint\.([\w.]+)\s*=\s*([^\s,()]+)\s*", op):
+        prefix = op[: m.start()]
+        # crude but sufficient depth check: hint values never contain
+        # parens and KQL string literals containing 'hint.' are rare
+        depth = prefix.count("(") - prefix.count(")")
+        if depth > 0:
+            continue
+        hints[m.group(1).lower()] = m.group(2)
+        out.append(op[last : m.start()])
+        last = m.end()
+    out.append(op[last:])
+    return "".join(out), hints
 
 
 def kql(

@@ -2266,3 +2266,41 @@ def kql_parse_kv(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "documents"),
     )
+
+
+@query(
+    "kql_join_hints",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS suppliers,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n_name
+    """,
+    doc="KQL execution hints HONORED (round 6): hint.strategy="
+    "broadcast lowers to F.broadcast on the left (Kusto's small-side "
+    "contract) and hint.shufflekey pre-repartitions the summarize "
+    "input — the plan flips (pinned in test_plans."
+    "test_kql_join_hints_steer_the_plan) while the values hash-match "
+    "the unhinted oracle exactly",
+)
+def kql_join_hints(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        nation
+        | project n_nationkey, n_name
+        | join kind=inner hint.strategy=broadcast (
+            supplier | project s_nationkey, s_acctbal
+            | project-rename n_nationkey = s_nationkey
+          ) on n_nationkey
+        | summarize hint.shufflekey=n_name
+            suppliers = count(),
+            bal_cents = sum(tolong(round(s_acctbal * 100))) by n_name
+        | project n_name, suppliers, bal_cents
+        | order by n_name asc
+        """,
+        tables=_tables(spark, sf_dir, "nation", "supplier"),
+    )

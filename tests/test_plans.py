@@ -545,3 +545,83 @@ def test_ts_series_forecast_no_rescan(spark):
     plan = _plan(spark, "ts_series_forecast")
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_kql_join_hints_steer_the_plan(spark):
+    """Round-6: hint.strategy=broadcast flips the join to
+    BroadcastHashJoin; hint.shufflekey=K + hint.num_partitions
+    pre-partitions both sides (REPARTITION_BY_NUM) and the join reuses
+    that partitioning; hints inside a subquery stay with the subquery.
+    Row results are identical with or without hints."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    def plan_of(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.range(10).withColumnRenamed("id", "k")
+    tables = {"B": big, "S": small}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = kql(spark, "B | join kind=inner (S) on k", tables)
+        hinted = kql(
+            spark,
+            "B | join kind=inner hint.strategy=broadcast (S) on k",
+            tables,
+        )
+        assert "BroadcastHashJoin" not in plan_of(plain)
+        assert "BroadcastHashJoin" in plan_of(hinted)
+        shuffled = kql(
+            spark,
+            "B | join kind=inner hint.shufflekey=k "
+            "hint.num_partitions=7 (S) on k",
+            tables,
+        )
+        p = plan_of(shuffled)
+        # the explicit repartition reaches the plan; Spark's
+        # EnsureRequirements may renumber it to co-partition the join
+        # (engine-owned sizing), so only the shape is pinned here —
+        # the summarize test pins the explicit number
+        assert "REPARTITION_BY_NUM" in p
+        assert (
+            sorted(r.k for r in hinted.collect())
+            == sorted(r.k for r in shuffled.collect())
+            == sorted(r.k for r in plain.collect())
+        )
+        nested = kql(
+            spark,
+            "B | join kind=inner (S | join kind=inner "
+            "hint.strategy=broadcast (S) on k) on k",
+            tables,
+        )
+        assert "BroadcastHashJoin" in plan_of(nested)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_kql_summarize_shufflekey_hint(spark):
+    """summarize hint.shufflekey pre-partitions the input on the key;
+    the hash aggregate after it needs no further exchange; counts are
+    unchanged."""
+    import pyspark.sql.functions as F
+
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    def plan_of(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    big = spark.range(1000).withColumn("k", F.col("id") % 10).drop("id")
+    out = kql(
+        spark,
+        "B | summarize hint.shufflekey=k hint.num_partitions=5 "
+        "c=count() by k",
+        {"B": big},
+    )
+    p = plan_of(out)
+    assert "REPARTITION_BY_NUM" in p and ", 5)" in p
+    rows = {r.k: r.c for r in out.collect()}
+    assert rows == {i: 100 for i in range(10)}
