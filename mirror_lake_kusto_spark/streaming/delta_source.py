@@ -148,12 +148,17 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         max_commits_per_trigger: int | None = None,
         read_change_feed: bool = False,
         starting_version: int | None = None,
+        max_bytes_per_trigger: int | None = None,
     ):
         self.path = table_path
         self._schema = schema
         self.skip_change_commits = skip_change_commits
         self.max_commits_per_trigger = max_commits_per_trigger
+        self.max_bytes_per_trigger = max_bytes_per_trigger
         self.read_change_feed = read_change_feed
+        #: per-version cache of this reader's emitted-entry lists
+        #: (driver metadata; bounded)
+        self._entries_cache: dict[int, list] = {}
         #: Delta's startingVersion option: begin at this COMMIT instead
         #: of materializing the initial snapshot ('latest' resolved to
         #: head+1 by the DataSource).  None = snapshot-then-stream.
@@ -165,8 +170,20 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         # deliver commit() to the planner instance — verified
         # empirically), so on a RESTARTED query the first batch is
         # unbounded; every batch after it is capped (I5 latency tuning,
-        # the maxFilesPerTrigger analogue).
-        self._floor: int | None = None
+        # the maxFilesPerTrigger analogue).  A position is
+        # (version, index): index None = commit fully consumed,
+        # index k = the commit's first k emitted files consumed
+        # (maxBytesPerTrigger splits a fat commit mid-way).
+        self._floor: "tuple[int, int | None] | None" = None
+
+    @staticmethod
+    def _pos(off: dict) -> "tuple[int, int | None]":
+        return off["version"], off.get("index")
+
+    @staticmethod
+    def _off(pos: "tuple[int, int | None]") -> dict:
+        v, idx = pos
+        return {"version": v} if idx is None else {"version": v, "index": idx}
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -174,9 +191,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             # starts, so version N streams from commit N on, and the
             # checkpoint-snapshot materialization path (which triggers
             # only at offset -1) is skipped by construction
-            self._floor = self.starting_version - 1
+            self._floor = (self.starting_version - 1, None)
             return {"version": self.starting_version - 1}
-        self._floor = -1
+        self._floor = (-1, None)
         return {"version": -1}
 
     def latestOffset(self) -> dict:
@@ -188,32 +205,193 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             ckpt = _last_checkpoint_version(self.path)
             latest = ckpt if ckpt is not None else -1
         cap = self.max_commits_per_trigger
-        if cap is not None and self._floor is not None:
-            floor = self._floor
-            if floor == -1 and vs and vs[0] > 0:
-                # initial batch of a vacuumed table: the checkpoint
-                # snapshot is one unit; the cap counts commits past it
-                ckpt = _last_checkpoint_version(self.path)
-                if ckpt is not None:
-                    floor = ckpt
-            latest = min(latest, floor + cap)
-        return {"version": latest}
+        max_bytes = self.max_bytes_per_trigger
+        if (cap is None and max_bytes is None) or self._floor is None:
+            return {"version": latest}
+        floor_v, floor_idx = self._floor
+        if floor_v == -1 and vs and vs[0] > 0:
+            # initial batch of a vacuumed table: the checkpoint
+            # snapshot is one indivisible unit; admission control
+            # counts commits/bytes past it
+            ckpt = _last_checkpoint_version(self.path)
+            if ckpt is not None:
+                return {"version": ckpt}
+        pos: "tuple[int, int | None]" = (floor_v, floor_idx)
+        commits_used = 0
+        bytes_used = 0
+        admitted_any = False
+        for v in vs:
+            start_k = 0
+            if v < floor_v or (v == floor_v and floor_idx is None):
+                continue
+            if v == floor_v:
+                start_k = floor_idx
+            if cap is not None and commits_used >= cap:
+                break
+            entries = self._commit_entries(v)
+            remaining = entries[start_k:]
+            if max_bytes is None:
+                pos = (v, None)
+                commits_used += 1
+                admitted_any = True
+                continue
+            took = 0
+            for e in remaining:
+                size = int(e.get("size") or 0)
+                if admitted_any and bytes_used + size > max_bytes:
+                    break
+                bytes_used += size
+                took += 1
+                admitted_any = True
+            if took < len(remaining):
+                if took or start_k:
+                    pos = (v, start_k + took)
+                break
+            pos = (v, None)
+            commits_used += 1
+            # a commit that emitted nothing (metaData-only, skipped
+            # change commit) is free; only data-carrying commits count
+            if not remaining:
+                commits_used -= 1
+        return self._off(pos)
 
     def commit(self, end: dict) -> None:
         pass  # offsets derive from the immutable log; nothing to ack
+
+    def _commit_entries(self, v: int) -> list[dict]:
+        """The files commit ``v`` emits under this reader's mode, in
+        the commit's own (stable) order: {path, partitionValues,
+        change_type, size} dicts.  Shared by latestOffset's byte-based
+        admission control and partitions() so both always agree on
+        file identity and order.  Driver-side metadata; memoized."""
+        if v in self._entries_cache:
+            return self._entries_cache[v]
+        acts = _commit_actions(self.path, v)
+        out: list[dict] = []
+        if self.read_change_feed:
+            # a commit carrying cdc actions (DML under
+            # delta.enableChangeDataFeed) streams EXCLUSIVELY from
+            # its _change_data files: exact row-level changes with
+            # _change_type stored in the file — the add/remove
+            # churn of the same commit is layout, not change
+            cdc_acts = [a["cdc"] for a in acts if a.get("cdc") is not None]
+            if cdc_acts:
+                for act in cdc_acts:
+                    full = os.path.join(self.path, act["path"])
+                    if not os.path.exists(full):
+                        raise ValueError(
+                            f"change file {act['path']} (commit {v}) "
+                            "was vacuumed; its change rows are gone"
+                        )
+                    out.append(
+                        {
+                            "path": full,
+                            "partitionValues": act.get("partitionValues")
+                            or {},
+                            "change_type": "insert",  # stored in-file
+                            "size": act.get("size") or 0,
+                        }
+                    )
+            else:
+                # CDF mode: removes stream as delete rows instead of
+                # erroring — the continuous twin of DeltaSink.changes
+                for a in acts:
+                    for key, change in (
+                        ("add", "insert"),
+                        ("remove", "delete"),
+                    ):
+                        act = a.get(key)
+                        if act is None or not act.get("dataChange", True):
+                            continue
+                        if (act.get("deletionVector") or {}).get(
+                            "cardinality"
+                        ):
+                            raise ValueError(
+                                f"commit {v} rewrites {act['path']} with "
+                                "a deletion vector; the change feed "
+                                "cannot stream merge-on-read rewrites"
+                            )
+                        full = os.path.join(self.path, act["path"])
+                        if change == "delete" and not os.path.exists(full):
+                            raise ValueError(
+                                f"removed file {act['path']} (commit {v}) "
+                                "was vacuumed; its change rows are gone"
+                            )
+                        out.append(
+                            {
+                                "path": full,
+                                "partitionValues": act.get(
+                                    "partitionValues"
+                                )
+                                or {},
+                                "change_type": change,
+                                "size": act.get("size") or 0,
+                            }
+                        )
+        else:
+            has_data_remove = any(
+                a["remove"].get("dataChange", True)
+                for a in acts
+                if "remove" in a
+            )
+            if has_data_remove and not self.skip_change_commits:
+                raise ValueError(
+                    f"commit {v} removes data; streams cannot retract "
+                    "rows (set skipChangeCommits to ignore such commits)"
+                )
+            if not has_data_remove:
+                for a in acts:
+                    add = a.get("add")
+                    if add and add.get("dataChange", True):
+                        if (add.get("deletionVector") or {}).get(
+                            "cardinality"
+                        ):
+                            raise ValueError(
+                                f"commit {v} adds {add['path']} with a "
+                                "deletion vector; streaming it raw would "
+                                "resurrect deleted rows"
+                            )
+                        out.append(
+                            {
+                                "path": os.path.join(
+                                    self.path, add["path"]
+                                ),
+                                "partitionValues": add.get(
+                                    "partitionValues"
+                                )
+                                or {},
+                                "change_type": "insert",
+                                "size": add.get("size") or 0,
+                            }
+                        )
+            # skip_change_commits with a data remove: whole commit
+            # dropped (Delta's skipChangeCommits) -> out stays []
+        if len(self._entries_cache) > 1024:
+            self._entries_cache.clear()
+        self._entries_cache[v] = out
+        return out
 
     def partitions(self, start: dict, end: dict):
         # learn progress from the planned END: the engine commits this
         # batch at `end`, so the next latestOffset may admit past it (a
         # failed batch replans from the checkpointed start and simply
         # admits a larger range — never a gap)
-        if self._floor is None or end["version"] > self._floor:
-            self._floor = end["version"]
+        end_pos = self._pos(end)
+
+        def _key(pos):
+            v, idx = pos
+            return (v, float("inf") if idx is None else idx)
+
+        if self._floor is None or _key(end_pos) > _key(self._floor):
+            self._floor = end_pos
+        sv, sidx = self._pos(start)
+        ev, eidx = self._pos(end)
         parts: list[_FilePartition] = []
         schema_json = self._schema.json()
         versions = _versions(self.path)
-        skip_upto = start["version"]
-        if start["version"] == -1 and (not versions or versions[0] > 0):
+        # first unconsumed position: mid-commit (sv, sidx) or sv+1
+        begin_v = sv if sidx is not None else sv + 1
+        if sv == -1 and sidx is None and (not versions or versions[0] > 0):
             # initial offset on a vacuumed/truncated log: the surviving
             # JSON commits miss every checkpoint-only file.  Like
             # Delta's own streaming source, materialize the checkpoint
@@ -226,7 +404,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     "checkpoint covering the gap — initial snapshot "
                     "cannot be reconstructed"
                 )
-            if ckpt <= end["version"]:
+            if ckpt <= ev:
                 for f in _checkpoint_snapshot_files(self.path, ckpt):
                     parts.append(
                         _FilePartition(
@@ -236,10 +414,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                             commit_version=ckpt,
                         )
                     )
-                skip_upto = ckpt  # commits <= ckpt are inside the snapshot
-        expect = skip_upto + 1
+                begin_v = ckpt + 1  # commits <= ckpt are in the snapshot
+        expect = begin_v
         for v in versions:
-            if not (skip_upto < v <= end["version"]):
+            if not (begin_v <= v <= ev):
                 continue
             if v != expect:
                 raise ValueError(
@@ -247,92 +425,19 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     f"[{expect}, {v}) — refusing to silently under-read"
                 )
             expect = v + 1
-            acts = _commit_actions(self.path, v)
-            if self.read_change_feed:
-                # a commit carrying cdc actions (DML under
-                # delta.enableChangeDataFeed) streams EXCLUSIVELY from
-                # its _change_data files: exact row-level changes with
-                # _change_type stored in the file — the add/remove
-                # churn of the same commit is layout, not change
-                cdc_acts = [
-                    a["cdc"] for a in acts if a.get("cdc") is not None
-                ]
-                if cdc_acts:
-                    for act in cdc_acts:
-                        full = os.path.join(self.path, act["path"])
-                        if not os.path.exists(full):
-                            raise ValueError(
-                                f"change file {act['path']} (commit {v}) "
-                                "was vacuumed; its change rows are gone"
-                            )
-                        parts.append(
-                            _FilePartition(
-                                file_path=full,
-                                partition_values=act.get("partitionValues")
-                                or {},
-                                schema_json=schema_json,
-                                commit_version=v,
-                            )
-                        )
-                    continue
-                # CDF mode: removes stream as delete rows instead of
-                # erroring — the continuous twin of DeltaSink.changes
-                for a in acts:
-                    for key, change in (("add", "insert"), ("remove", "delete")):
-                        act = a.get(key)
-                        if act is None or not act.get("dataChange", True):
-                            continue
-                        if (act.get("deletionVector") or {}).get("cardinality"):
-                            raise ValueError(
-                                f"commit {v} rewrites {act['path']} with "
-                                "a deletion vector; the change feed "
-                                "cannot stream merge-on-read rewrites"
-                            )
-                        full = os.path.join(self.path, act["path"])
-                        if change == "delete" and not os.path.exists(full):
-                            raise ValueError(
-                                f"removed file {act['path']} (commit {v}) "
-                                "was vacuumed; its change rows are gone"
-                            )
-                        parts.append(
-                            _FilePartition(
-                                file_path=full,
-                                partition_values=act.get("partitionValues") or {},
-                                schema_json=schema_json,
-                                change_type=change,
-                                commit_version=v,
-                            )
-                        )
-                continue
-            has_data_remove = any(
-                a["remove"].get("dataChange", True)
-                for a in acts
-                if "remove" in a
-            )
-            if has_data_remove:
-                if self.skip_change_commits:
-                    continue  # Delta's skipChangeCommits: drop whole commit
-                raise ValueError(
-                    f"commit {v} removes data; streams cannot retract rows "
-                    "(set skipChangeCommits to ignore such commits)"
-                )
-            for a in acts:
-                add = a.get("add")
-                if add and add.get("dataChange", True):
-                    if (add.get("deletionVector") or {}).get("cardinality"):
-                        raise ValueError(
-                            f"commit {v} adds {add['path']} with a "
-                            "deletion vector; streaming it raw would "
-                            "resurrect deleted rows"
-                        )
-                    parts.append(
-                        _FilePartition(
-                            file_path=os.path.join(self.path, add["path"]),
-                            partition_values=add.get("partitionValues") or {},
-                            schema_json=schema_json,
-                            commit_version=v,
-                        )
+            entries = self._commit_entries(v)
+            lo = sidx if (v == sv and sidx is not None) else 0
+            hi = eidx if (v == ev and eidx is not None) else len(entries)
+            for e in entries[lo:hi]:
+                parts.append(
+                    _FilePartition(
+                        file_path=e["path"],
+                        partition_values=e["partitionValues"],
+                        schema_json=schema_json,
+                        change_type=e["change_type"],
+                        commit_version=v,
                     )
+                )
         return parts
 
     def read(self, partition: _FilePartition):
@@ -374,7 +479,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
 class DeltaLogDataSource(DataSource):
     """format("mlk_delta") — options: path, skipChangeCommits,
-    maxCommitsPerTrigger, readChangeFeed (stream versioned
+    maxCommitsPerTrigger, maxBytesPerTrigger (admission control by add-
+    file bytes: a fat commit splits across triggers at file granularity
+    — the knob that bounds executor memory when commit sizes are
+    skewed; at least one file is always admitted), readChangeFeed (stream versioned
     insert/delete rows instead of erroring on removes — the continuous
     twin of ``DeltaSink.changes``), startingVersion (an int commit to
     begin from instead of the initial snapshot, or 'latest' = only
@@ -429,6 +537,7 @@ class DeltaLogDataSource(DataSource):
         skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"
         cdf = self._cdf()
         max_commits = self.options.get("maxcommitspertrigger")
+        max_bytes = self.options.get("maxbytespertrigger")
         starting = self.options.get("startingversion")
         starting_ts = self.options.get("startingtimestamp")
         if starting is not None and starting_ts is not None:
@@ -468,4 +577,5 @@ class DeltaLogDataSource(DataSource):
             max_commits_per_trigger=int(max_commits) if max_commits else None,
             read_change_feed=cdf,
             starting_version=starting_version,
+            max_bytes_per_trigger=int(max_bytes) if max_bytes else None,
         )

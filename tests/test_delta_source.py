@@ -362,3 +362,73 @@ def test_starting_version_skips_initial_snapshot(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_max_bytes_per_trigger_splits_fat_commit(spark, tmp_path):
+    """Round-6: maxBytesPerTrigger splits ONE fat multi-file commit
+    across triggers at FILE granularity (offsets gain an intra-commit
+    index), always admitting at least one file so the stream never
+    stalls — and stream == batch exactly."""
+    import time as _time
+
+    path, ckpt = str(tmp_path / "bcap"), str(tmp_path / "ckptbcap")
+    src = DeltaSink(spark, path)
+    src.append(spark.createDataFrame([(-1,)], "id long").coalesce(1))  # v0
+
+    batches = {}
+
+    def collect_batch(bdf, bid):
+        batches[bid] = sorted(r["id"] for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("mlk_delta")
+        .option("path", path)
+        .option("maxBytesPerTrigger", "1")  # every file alone busts it
+        .load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        # wait out the unbounded FIRST batch (API caveat, see
+        # test_max_commits_per_trigger_caps_batches), THEN land one
+        # fat 8-file commit so the byte cap is what admits it
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not batches:
+            _time.sleep(0.2)
+        assert batches, "first batch never arrived"
+        src.append(spark.range(0, 800).toDF("id").repartition(8))
+        deadline = _time.time() + 150
+        while _time.time() < deadline:
+            if sum(len(b) for b in batches.values()) >= 801:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    got = sorted(x for b in batches.values() for x in b)
+    assert got == [-1] + list(range(800))  # nothing lost or duplicated
+    # the fat commit did NOT arrive in one batch: steady-state batches
+    # (after the unbounded first) carry one file each
+    steady = [b for _, b in sorted(batches.items())[1:] if b]
+    assert len(steady) >= 7
+    # one file per steady batch (repartition(8) gives ~100-row files)
+    assert max(len(b) for b in steady) <= 150
+
+
+def test_max_bytes_and_commits_compose(spark, tmp_path):
+    """Both caps at once: bytes bound file admission inside the commit
+    budget; drain-to-exhaustion still yields exactly the table."""
+    path, ckpt = str(tmp_path / "bothcap"), str(tmp_path / "ckptboth")
+    src = DeltaSink(spark, path)
+    for i in range(4):
+        src.append(
+            spark.range(10 * i, 10 * (i + 1)).toDF("id").repartition(2)
+        )
+    rows = _drain(
+        spark,
+        path,
+        ckpt,
+        options={"maxBytesPerTrigger": "1", "maxCommitsPerTrigger": "2"},
+    )
+    assert sorted(r["id"] for r in rows) == list(range(40))

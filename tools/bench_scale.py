@@ -45,6 +45,17 @@ FAMILY = [
     "text_profile",
     "text_unigram_logprob",
     "embedding_random_projection",
+    # round-6 coverage: the families the r5 probe left unmeasured
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "similarity_topk_binary",
+    "similarity_topk_binary_rerank",
+    "pipeline_decontaminate_semantic",
+    # graph-match + CDF scale with EVENTS/lineitem fixtures, not the
+    # replicated corpus; they run at both scales for the RSS bar and
+    # the fixed-cost floor, and their ratio is informative, not a gate
+    "kql_graph_match_2hop",
+    "mirror_cdf_read",
 ]
 
 
@@ -100,10 +111,26 @@ def build_sf1(spark) -> None:
     big_emb.coalesce(8).write.mode("overwrite").parquet(
         f"{DST}/embeddings.parquet"
     )
+    # events replicate too (round 6): graph-match walks event edges —
+    # replicas live in disjoint id universes (users offset per replica)
+    # so the graph grows 10x in NODES, the realistic shape, instead of
+    # 10x DENSER on the same users (which would square the 2-hop work)
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SRC)
+    big_ev = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("_rep") * OFF).alias("event_id"),
+        (F.col("user_id") + F.col("_rep") * OFF).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+    )
+    dst_ev = f"{DST}/events.parquet"
+    if os.path.islink(dst_ev):
+        os.remove(dst_ev)  # earlier runs symlinked it
+    big_ev.coalesce(8).write.mode("overwrite").parquet(dst_ev)
     # the rest of the tables are not used by this family; link them so
     # load_table resolves if a query touches one
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders lineitem"
     ).split():
         dst = f"{DST}/{t}.parquet"
         if not os.path.exists(dst):
