@@ -815,3 +815,65 @@ def mirror_row_tracking(spark, sf_dir):
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "mirror_update",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN ROUND(CAST(o_totalprice AS DECIMAL(15,2)) * 1.1, 2)
+                ELSE CAST(o_totalprice AS DECIMAL(15,2)) END
+                AS DOUBLE) AS o_totalprice,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 'REPRICED' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+    doc="UPDATE ... SET (Delta copy-on-write): only the files holding "
+    "matching rows rewrite; every right-hand side sees the pre-update "
+    "row; non-matching rows are byte-stable.  The oracle recomputes "
+    "the same transformation relationally.  The reference never "
+    "updates in place (K6 is delete-only) — standalone-engine surface",
+)
+def mirror_update(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_upd", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    # keep o_totalprice DECIMAL through the update: decimal * 1.1
+    # rounds exactly on both engines (doubles hit .5-tie divergence)
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter("o_orderkey <= 5000")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(15,2)").alias(
+                "o_totalprice"
+            ),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(base.repartition(4))
+    sink.update(
+        "o_orderpriority = '1-URGENT'",
+        {
+            "o_totalprice":
+                "cast(round(o_totalprice * 1.1, 2) as decimal(15,2))",
+            "o_orderstatus": "'REPRICED'",
+        },
+    )
+    return (
+        DL.read_snapshot(spark, path)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )

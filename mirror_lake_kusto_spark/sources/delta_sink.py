@@ -1888,6 +1888,169 @@ class DeltaSink:
                 )
         return self._commit(actions, operation="DELETE")
 
+    def update(self, predicate: str, assignments: dict[str, str]) -> int:
+        """UPDATE ... SET — Delta's copy-on-write UPDATE: rewrite only
+        the FILES containing matching rows, applying every assignment
+        to the matching rows (all right-hand sides see the PRE-update
+        row, SQL semantics) and leaving the rest byte-stable.
+
+        - generated columns recompute from the new values and may not
+          be assigned directly (the generatedColumns contract);
+        - CHECK constraints re-validate the updated rows BEFORE any
+          file is rewritten;
+        - partition columns may not be assigned (a value change would
+          move rows across partition directories — Delta's UPDATE
+          rewrites those too; this engine refuses loudly instead);
+        - under CDF the commit stages update_preimage /
+          update_postimage row pairs (Delta's UPDATE change types);
+        - under row tracking the rewrite preserves each row's id and
+          RESETS the materialized commit version of updated rows, so
+          their _row_commit_version reads as the UPDATE's commit (the
+          new add's defaultRowCommitVersion) — PROTOCOL.md Row
+          Tracking's UPDATE semantics.
+
+        The reference never updates in place (K6 is delete-only,
+        DeltaTableOrchestration.cs:85-133); this is standalone-engine
+        surface past that parity point."""
+        import pyspark.sql.functions as F
+
+        self._require_no_dvs("UPDATE")
+        now = int(time.time() * 1000)
+        cdf = self._cdf_enabled()
+        types, data_schema = self._data_schema()
+        gen = self._generated()
+        data_cols = (
+            {f.name for f in data_schema.fields}
+            if data_schema is not None
+            else set()
+        )
+        for c in assignments:
+            if c in self.partition_by or c in (types or {}):
+                raise ValueError(
+                    f"UPDATE cannot assign partition column {c!r} "
+                    "(rows would move across partitions); delete + "
+                    "re-append instead"
+                )
+            if c in gen:
+                raise ValueError(
+                    f"column {c!r} is generated ({gen[c]}); assign its "
+                    "source columns and it recomputes"
+                )
+            if data_cols and c not in data_cols:
+                raise ValueError(f"unknown column {c!r}")
+        for name, gexpr in gen.items():
+            if name in (types or {}) and any(
+                re.search(rf"\b{re.escape(c)}\b", gexpr)
+                for c in assignments
+            ):
+                raise ValueError(
+                    f"generated PARTITION column {name} = ({gexpr}) "
+                    "depends on an assigned column; its rows would "
+                    "move across partitions"
+                )
+        groups = self._partition_groups()
+
+        def inject(df, pv):
+            for c, raw in pv.items():
+                df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+            return df
+
+        def apply_set(df):
+            """Hit rows get the new values; __mlk_hit is computed from
+            PRE-update values once so the predicate and the generated
+            recompute never observe half-updated rows."""
+            df = df.withColumn("__mlk_hit", F.expr(f"({predicate})"))
+            hit = F.coalesce(F.col("__mlk_hit"), F.lit(False))
+            df = df.withColumns(
+                {
+                    c: F.when(hit, F.expr(e)).otherwise(F.col(c))
+                    for c, e in assignments.items()
+                }
+            )
+            regen = {
+                name: F.when(hit, F.expr(gexpr)).otherwise(F.col(name))
+                for name, gexpr in gen.items()
+                if name not in (types or {}) and name in df.columns
+            }
+            if regen:
+                df = df.withColumns(regen)
+            return df
+
+        probes = []
+        for key, paths in groups.items():
+            reader = self.spark.read
+            if data_schema is not None:
+                reader = reader.schema(data_schema)
+            probes.append(
+                inject(
+                    reader.parquet(*[_fs.join(self.path, p) for p in paths]),
+                    dict(key),
+                ).withColumn("_f", F.input_file_name())
+            )
+        if not probes:
+            return self._commit([], operation="UPDATE")
+        probe = probes[0]
+        for p in probes[1:]:
+            probe = probe.unionByName(p)
+        hit_abs = {
+            self.fs.normalize(r["_f"])
+            for r in probe.filter(predicate).select("_f").distinct().collect()
+        }
+        hit_parts: list[tuple[list[str], dict]] = []
+        for key, paths in groups.items():
+            hit = [
+                p
+                for p in paths
+                if self.fs.normalize(_fs.join(self.path, p)) in hit_abs
+            ]
+            if hit:
+                hit_parts.append((hit, dict(key)))
+        if not hit_parts:
+            return self._commit([], operation="UPDATE")
+        hit_probe = self._hit_frame(hit_parts, data_schema, inject)
+        updated = apply_set(hit_probe).filter("__mlk_hit").drop("__mlk_hit")
+        self._enforce_constraints(updated, "UPDATE")
+        mat_rcv = (
+            self._rt_mat_cols()[1] if self._rt_enabled() else None
+        )
+        actions: list[dict] = []
+        for hit, part_values in hit_parts:
+
+            def transform(df, pv=part_values):
+                out = apply_set(inject(df, pv))
+                if mat_rcv and mat_rcv in out.columns:
+                    # updated rows belong to THIS commit: null the
+                    # materialized commit version so reads fall back
+                    # to the new add's defaultRowCommitVersion
+                    out = out.withColumn(
+                        mat_rcv,
+                        F.when(
+                            F.coalesce(F.col("__mlk_hit"), F.lit(False)),
+                            F.lit(None).cast("long"),
+                        ).otherwise(F.col(mat_rcv)),
+                    )
+                return out.drop("__mlk_hit", *pv.keys())
+
+            actions.extend(
+                self._rewrite_group(
+                    hit,
+                    part_values,
+                    transform,
+                    data_change=True,
+                    now=now,
+                    read_schema=data_schema,
+                )
+            )
+        if cdf:
+            pre = hit_probe.filter(predicate).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = updated.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            actions.extend(self._stage_cdc(pre.unionByName(post)))
+        return self._commit(actions, operation="UPDATE")
+
     def merge(
         self,
         source: DataFrame,

@@ -87,7 +87,15 @@ def file_stats_json(pq_meta) -> str:
             if name in bad_minmax or not st.has_min_max:
                 bad_minmax.add(name)
                 continue
-            lo, hi = _jsonable(st.min), _jsonable(st.max)
+            try:
+                lo, hi = _jsonable(st.min), _jsonable(st.max)
+            except Exception:
+                # pyarrow cannot decode min/max for some physical
+                # types (e.g. Spark writes DECIMAL as
+                # FIXED_LEN_BYTE_ARRAY): degrade to no min/max for
+                # the column — stats are advisory, never required
+                bad_minmax.add(name)
+                continue
             if lo is None or hi is None:
                 bad_minmax.add(name)
                 continue
