@@ -3256,22 +3256,6 @@ class KqlQuery:
 
     def _op_summarize(self, frame, rest):
         hints = getattr(self, "_hints", None) or {}
-        shufflekey = hints.get("shufflekey")
-        if shufflekey or (hints.get("strategy") or "").lower() == "shuffle":
-            # Kusto shuffle-summarize: pre-partition the input on the
-            # named key(s) so the aggregate runs co-located (the
-            # repartition IS the shuffle; the hash-agg after it is
-            # map-side local)
-            cols = [
-                F.col(c.strip()) for c in (shufflekey or "").split(",") if c.strip()
-            ]
-            nparts = (
-                [int(hints["num_partitions"])]
-                if "num_partitions" in hints
-                else []
-            )
-            if cols or nparts:
-                frame = KqlFrame(frame.df.repartition(*nparts, *cols))
         by_split = re.split(r"\bby\b", rest, maxsplit=1, flags=re.IGNORECASE)
         agg_part = by_split[0].strip()
         by_part = by_split[1].strip() if len(by_split) > 1 else ""
@@ -3285,6 +3269,27 @@ class KqlQuery:
                 by_cols.append(key)
         if computed:
             frame = frame.extend(**computed)
+        shufflekey = hints.get("shufflekey")
+        if shufflekey or (hints.get("strategy") or "").lower() == "shuffle":
+            # Kusto shuffle-summarize: pre-partition the input on the
+            # named key(s) — or, like Kusto itself, on the BY keys
+            # when hint.strategy=shuffle names none — so the aggregate
+            # runs co-located (the repartition IS the shuffle; the
+            # hash-agg after it is map-side local).  Applied after the
+            # computed by-keys exist so they can serve as the keys.
+            names = (
+                [c.strip() for c in shufflekey.split(",") if c.strip()]
+                if shufflekey
+                else list(by_cols)
+            )
+            cols = [F.col(c) for c in names]
+            nparts = (
+                [int(hints["num_partitions"])]
+                if "num_partitions" in hints
+                else []
+            )
+            if cols or nparts:
+                frame = KqlFrame(frame.df.repartition(*nparts, *cols))
         am = re.match(
             r"^\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?"
             r"arg_(max|min)\s*\(",

@@ -877,3 +877,43 @@ def mirror_update(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "mirror_identity_column",
+    """
+    SELECT n_nationkey, n_name,
+           CAST(100 + 10 * (ROW_NUMBER()
+                OVER (ORDER BY n_nationkey) - 1) AS BIGINT) AS rid
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="IDENTITY columns (PROTOCOL.md): add_identity_column records "
+    "start/step/allowExplicitInsert field metadata + the "
+    "identityColumns writer feature; the append assigns values via a "
+    "pure-JVM shuffle-free interleave and advances "
+    "delta.identity.highWaterMark in the same commit.  A single "
+    "sorted input partition makes the assignment order-deterministic "
+    "so the oracle can recompute it with ROW_NUMBER",
+)
+def mirror_identity_column(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_ident", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    sink = DeltaSink(spark, path)
+    sink.append(
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .limit(0)
+    )
+    sink.add_identity_column("rid", start=100, step=10)
+    sink.append(
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+    )
+    return DL.read_snapshot(spark, path).orderBy("n_nationkey")

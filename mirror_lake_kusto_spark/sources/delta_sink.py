@@ -467,6 +467,19 @@ class DeltaSink:
                 prev = 0
         ict = max(now, prev + 1)
         for a in body:
+            md = a.get("metaData")
+            if md is not None:
+                conf = md.get("configuration") or {}
+                if conf.get(
+                    "delta.inCommitTimestampEnablementVersion"
+                ) == str(v):
+                    # the enabling commit: the recorded enablement
+                    # clock must equal the inCommitTimestamp actually
+                    # stamped into this commit (PROTOCOL.md)
+                    conf["delta.inCommitTimestampEnablementTimestamp"] = (
+                        str(ict)
+                    )
+        for a in body:
             if "commitInfo" in a:
                 a["commitInfo"]["inCommitTimestamp"] = ict
                 return
@@ -548,13 +561,6 @@ class DeltaSink:
         if not self._rt_enabled(body):
             return
         stamped = self._rt_stamped_ids
-        # drop any watermark action a previous (lost) iteration added
-        body[:] = [
-            a
-            for a in body
-            if (a.get("domainMetadata") or {}).get("domain")
-            != "delta.rowTracking"
-        ]
         adds = [
             a["add"]
             for a in body
@@ -565,8 +571,47 @@ class DeltaSink:
             )
         ]
         if not adds:
+            # nothing to stamp: a caller-supplied watermark action
+            # (the backfill commit) must survive untouched
             return
-        hwm = self._rt_hwm()
+        # drop any watermark action a previous (lost) iteration OR the
+        # caller added — we are about to write a superseding one
+        caller_hwm = -1
+        kept: list[dict] = []
+        for a in body:
+            dm = a.get("domainMetadata") or {}
+            if dm.get("domain") == "delta.rowTracking":
+                try:
+                    caller_hwm = int(
+                        json.loads(dm.get("configuration") or "{}").get(
+                            "rowIdHighWaterMark", -1
+                        )
+                    )
+                except ValueError:
+                    pass
+                continue
+            kept.append(a)
+        body[:] = kept
+        # fresh ids start past the stored watermark, any range the
+        # caller pre-assigned in THIS commit, and the caller's own
+        # watermark — never overlapping any of them
+        pre_end = max(
+            (
+                int(a["add"]["baseRowId"])
+                + int(
+                    json.loads(a["add"].get("stats") or "{}").get(
+                        "numRecords", 1
+                    )
+                )
+                - 1
+                for a in body
+                if "add" in a
+                and a["add"].get("baseRowId") is not None
+                and id(a["add"]) not in stamped
+            ),
+            default=-1,
+        )
+        hwm = max(self._rt_hwm(), pre_end, caller_hwm)
         for add in adds:
             stamped.add(id(add))
             try:
@@ -668,6 +713,16 @@ class DeltaSink:
                 f"{self.path}: row-id backfill kept losing the commit "
                 "race"
             )
+        # idempotent re-enable: regenerating the materialized column
+        # names would orphan every id already materialized under the
+        # old names — keep the configured ones when present
+        cur_id, cur_rcv = self._rt_mat_cols()
+        if cur_id and cur_rcv:
+            return {
+                "delta.rowTracking.materializedRowIdColumnName": cur_id,
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName": cur_rcv,
+            }
         suffix = uuid.uuid4().hex[:8]
         return {
             "delta.rowTracking.materializedRowIdColumnName":
@@ -877,6 +932,14 @@ class DeltaSink:
             "inCommitTimestamp",
             "rowTracking",
             "domainMetadata",
+            # this sink writes variant tables itself (_schema_uses_
+            # variant gate) — a rival's variantType upgrade must
+            # rebase, not hard-fail the bootstrap race
+            "variantType",
+            "variantType-preview",
+            # round 6: appends assign identity values and advance the
+            # high water mark (add_identity_column)
+            "identityColumns",
         }
     )
 
@@ -890,9 +953,10 @@ class DeltaSink:
         wf = set(proto.get("writerFeatures") or [])
         rf = set(proto.get("readerFeatures") or [])
         ok = (
-            w in (1, 2, 3, 4, 5)  # legacy versions whose implied
+            w in (1, 2, 3, 4, 5, 6)  # legacy versions whose implied
             # features (appendOnly/invariants/checkConstraints/CDF/
-            # generatedColumns/columnMapping) this sink enforces
+            # generatedColumns/columnMapping/identityColumns) this
+            # sink enforces
             or (w == 7 and not (wf - self._SINK_WRITER_FEATURES))
         ) and not (rf - self._SINK_WRITER_FEATURES)
         if not ok:
@@ -1278,9 +1342,17 @@ class DeltaSink:
         does not re-append (I3 exactly-once).
         """
         df = self._apply_generated(df, "WRITE")
+        idents = self._identity_cols()
+        if idents:
+            df = self._assign_identity(df, idents)
         self._pending_schema = df.schema.json()
         self._enforce_constraints(df, "WRITE")
         adds = self._stage_adds(df, data_change)
+        if idents:
+            wm = self._identity_watermark_action(adds, idents)
+            if wm is not None:
+                adds.insert(0, wm)
+                self._pending_schema = wm["metaData"]["schemaString"]
         op = "WRITE" if data_change else "WRITE (dataChange=false)"
         if txn is not None:
             adds.insert(
@@ -1454,6 +1526,181 @@ class DeltaSink:
                     f"{op} violates CHECK constraint {name} ({expr}): "
                     f"{rows[0].asDict()}"
                 )
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """ADD an IDENTITY column (PROTOCOL.md "Identity Columns"):
+        append a BIGINT field whose ``delta.identity.start`` / ``step``
+        / ``allowExplicitInsert: false`` metadata makes every
+        subsequent append assign system-generated values.  Existing
+        files read NULL for it (like generated columns, assignment is
+        a write-time behavior).
+
+        Assignment is pure JVM and shuffle-free: value = watermark +
+        step * (1 + partition_id + local_row_index * 65536), derived
+        from ``monotonically_increasing_id``'s (partition, index)
+        encoding — unique by construction, MONOTONIC per Delta's
+        contract, and gap-tolerant exactly as Delta documents
+        ("identity values are not guaranteed contiguous").  The high
+        water mark advances to the true MAX of each batch (read from
+        the add-file stats, falling back to one max() scan), recorded
+        as ``delta.identity.highWaterMark`` field metadata in the SAME
+        commit as the data — crash-safe like everything else here."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"column name must be a bare word: {name!r}")
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"{self.path}: no table metadata yet")
+        parsed = json.loads(meta["schemaString"])
+        if name in {f["name"] for f in parsed["fields"]}:
+            raise ValueError(f"column {name!r} already exists")
+        self._commit_protocol_upgrade(
+            writer_features=("identityColumns",)
+        )
+        field = {
+            "name": name,
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.identity.start": start,
+                "delta.identity.step": step,
+                "delta.identity.allowExplicitInsert": False,
+            },
+        }
+        new_schema = json.dumps(
+            {**parsed, "fields": parsed["fields"] + [field]}
+        )
+        self._pending_schema = new_schema
+        return self._commit(
+            [{"metaData": {**meta, "schemaString": new_schema}}],
+            operation="ADD COLUMNS (identity)",
+        )
+
+    def _identity_cols(self) -> dict[str, dict]:
+        """name -> {start, step, highWaterMark?} from field metadata."""
+        from .delta_log import latest_metadata
+
+        try:
+            meta = latest_metadata(self.spark, self.path)
+        except FileNotFoundError:
+            return {}
+        if meta is None:
+            return {}
+        out = {}
+        for f in json.loads(meta["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            if "delta.identity.start" in md:
+                out[f["name"]] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "hwm": md.get("delta.identity.highWaterMark"),
+                    "allow": bool(
+                        md.get("delta.identity.allowExplicitInsert")
+                    ),
+                }
+        return out
+
+    def _assign_identity(self, df: DataFrame, idents: dict) -> DataFrame:
+        """Assign values for every identity column absent from ``df``
+        (present + allowExplicitInsert=false refuses, Delta's GENERATED
+        ALWAYS contract).  Dense interleave, delta-spark's own scheme:
+        k = 1 + partition_id + local_row_index * numPartitions — unique
+        because partition_id < numPartitions, and nearly gap-free.  The
+        planned partition count is pinned from the frame; should a
+        runtime re-plan ever yield MORE partitions, the guard raises
+        instead of silently colliding.  Pure JVM, shuffle-free."""
+        nparts = max(df.rdd.getNumPartitions(), 1)
+        mid = F.monotonically_increasing_id()
+        pid = F.shiftright(mid, 33)
+        idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
+        for name, info in idents.items():
+            if name in df.columns:
+                if not info["allow"]:
+                    raise ValueError(
+                        f"identity column {name!r} is GENERATED ALWAYS "
+                        "— remove it from the input frame"
+                    )
+                continue
+            base = (
+                int(info["hwm"])
+                if info["hwm"] is not None
+                else info["start"] - info["step"]
+            )
+            k = F.lit(1) + pid + idx * F.lit(nparts)
+            value = F.lit(base) + F.lit(info["step"]) * k
+            guarded = F.when(pid < F.lit(nparts), value).otherwise(
+                F.expr(
+                    "raise_error('identity assignment planned "
+                    f"{nparts} partitions but saw more at runtime — "
+                    "re-run the write')"
+                )
+            )
+            df = df.withColumn(name, guarded.cast("long"))
+        return df
+
+    def _identity_watermark_action(
+        self, adds: list[dict], idents: dict
+    ) -> dict | None:
+        """New metaData action advancing each identity column's
+        highWaterMark to the batch's true MAX (from the add stats;
+        one max() scan over the new files when a stats entry is
+        missing).  None when nothing advanced."""
+        from .delta_log import latest_metadata
+
+        new_hwm: dict[str, int] = {}
+        for name, info in idents.items():
+            vals = []
+            missing = []
+            stat_key = "maxValues" if info["step"] > 0 else "minValues"
+            for a in adds:
+                add = a.get("add")
+                if add is None:
+                    continue
+                st = json.loads(add.get("stats") or "{}")
+                v = (st.get(stat_key) or {}).get(name)
+                if v is None:
+                    if st.get("numRecords", 1):
+                        missing.append(add["path"])
+                else:
+                    vals.append(int(v))
+            if missing:
+                scan = self.spark.read.parquet(
+                    *[_fs.join(self.path, p) for p in missing]
+                )
+                agg = F.max(name) if info["step"] > 0 else F.min(name)
+                row = scan.agg(agg).collect()[0]
+                if row[0] is not None:
+                    vals.append(int(row[0]))
+            if not vals:
+                continue
+            # the water mark is the extreme in the STEP's direction
+            # (a negative step descends: its mark is the minimum)
+            batch_max = max(vals) if info["step"] > 0 else min(vals)
+            prev = (
+                int(info["hwm"])
+                if info["hwm"] is not None
+                else info["start"] - info["step"]
+            )
+            if (info["step"] > 0 and batch_max > prev) or (
+                info["step"] < 0 and batch_max < prev
+            ):
+                new_hwm[name] = batch_max
+        if not new_hwm:
+            return None
+        meta = latest_metadata(self.spark, self.path)
+        parsed = json.loads(meta["schemaString"])
+        for f in parsed["fields"]:
+            if f["name"] in new_hwm:
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "delta.identity.highWaterMark": new_hwm[f["name"]],
+                }
+        return {"metaData": {**meta, "schemaString": json.dumps(parsed)}}
 
     def add_generated_column(
         self, name: str, sql_type: str, expr: str
@@ -2174,6 +2421,15 @@ class DeltaSink:
             for r in hits.select("_f").distinct().collect():
                 hit_abs.add(self.fs.normalize(r["_f"]))
             src_cols = source.columns
+            # row tracking: _rewrite_group materializes the id columns
+            # into the frame; the rewrite must CARRY them — unmatched
+            # rows keep id and commit version, matched (updated) rows
+            # keep their id but reset the materialized commit version
+            # so reads surface the MERGE's commit (same semantics as
+            # update())
+            mat_id, mat_rcv = (
+                self._rt_mat_cols() if self._rt_enabled() else (None, None)
+            )
             # absolute-path matching (see delete): shallow-cloned files
             # are stored absolute and must still rewrite copy-on-write
             hit_parts: list[tuple[list[str], dict]] = []
@@ -2191,19 +2447,28 @@ class DeltaSink:
 
                 def rewrite(df, pv=pv):
                     full = inject(df, pv)
+                    rt_cols = [
+                        c
+                        for c in (mat_id, mat_rcv)
+                        if c and c in full.columns
+                    ]
                     kept = full.join(
                         F.broadcast(all_keys), keys, "left_anti"
-                    ).select(*src_cols)
+                    ).select(*src_cols, *rt_cols)
                     # one output per MATCHED TARGET ROW carrying the
                     # source's values (Delta's matched-update
                     # multiplicity).  No forced broadcast: the source
                     # can be arbitrarily large — AQE broadcasts it only
                     # when it actually fits
                     updated = (
-                        full.select(*keys)
+                        full.select(*keys, *rt_cols)
                         .join(source, keys, "inner")
-                        .select(*src_cols)
+                        .select(*src_cols, *rt_cols)
                     )
+                    if mat_rcv and mat_rcv in rt_cols:
+                        updated = updated.withColumn(
+                            mat_rcv, F.lit(None).cast("long")
+                        )
                     return kept.unionByName(updated).drop(*pv.keys())
 
                 actions.extend(
@@ -2651,11 +2916,12 @@ class DeltaSink:
         # writer feature first, and record the enablement provenance
         # (version + clock of the enabling commit) the protocol asks
         # for so readers know mtimes before that point are historical
-        if (
+        ict_enabling = (
             str(props.get("delta.enableInCommitTimestamps", "")).lower()
             == "true"
-        ):
-            from .delta_log import commit_timestamps, latest_protocol
+        )
+        if ict_enabling:
+            from .delta_log import latest_protocol
 
             cur = latest_protocol(self.path)
             if "inCommitTimestamp" not in (
@@ -2664,16 +2930,6 @@ class DeltaSink:
                 self._commit_protocol_upgrade(
                     writer_features=("inCommitTimestamp",)
                 )
-            pairs = commit_timestamps(self.path)
-            prev_ts = pairs[-1][1] if pairs else 0
-            enable_v = self._next_version()
-            props = {
-                **props,
-                "delta.inCommitTimestampEnablementVersion": str(enable_v),
-                "delta.inCommitTimestampEnablementTimestamp": str(
-                    max(int(time.time() * 1000), prev_ts + 1)
-                ),
-            }
         # read-modify-write under optimistic concurrency: a concurrent
         # metaData commit (schema evolution, another property writer)
         # makes _commit raise via the metaData conflict rule — re-read
@@ -2694,6 +2950,18 @@ class DeltaSink:
             conf.update({k: str(v) for k, v in props.items()})
             for k in unset:
                 conf.pop(k, None)
+            if ict_enabling:
+                # enablement provenance must name THE commit the
+                # property lands in (pinned per CAS attempt — a lost
+                # race recomputes it); the timestamp is synced to the
+                # actual stamped inCommitTimestamp by _stamp_ict
+                conf["delta.inCommitTimestampEnablementVersion"] = str(
+                    expected
+                )
+                conf.setdefault(
+                    "delta.inCommitTimestampEnablementTimestamp",
+                    str(int(time.time() * 1000)),
+                )
             md = {**meta, "configuration": conf}
             try:
                 return self._commit(

@@ -211,8 +211,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         floor_v, floor_idx = self._floor
         if floor_v == -1 and vs and vs[0] > 0:
             # initial batch of a vacuumed table: the checkpoint
-            # snapshot is one indivisible unit; admission control
-            # counts commits/bytes past it
+            # snapshot is one indivisible unit and forms the whole
+            # first batch; commit/byte admission control starts on
+            # the NEXT trigger (floor then sits at the checkpoint)
             ckpt = _last_checkpoint_version(self.path)
             if ckpt is not None:
                 return {"version": ckpt}

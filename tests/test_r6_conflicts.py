@@ -367,3 +367,31 @@ def test_threaded_append_vs_optimize_converges(spark, tmp_path):
         r.a for r in DL.read_snapshot(spark, path).select("a").collect()
     )
     assert got == sorted(list(range(0, 10)) + list(range(10, 40)) * 2)
+
+
+def test_variant_bootstrap_race_rebases(spark):
+    """Code-review regression: the sink writes variantType protocols
+    itself, so a rival's variantType upgrade must rebase — not
+    hard-fail the race."""
+    path = _mem("var_race")
+    a = _sink(spark, path)
+    a._commit([_add("f0.parquet")], operation="WRITE")
+
+    def variant_proto_wins():
+        a._commit(
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["variantType"],
+                        "writerFeatures": ["appendOnly", "invariants",
+                                           "variantType"],
+                    }
+                }
+            ],
+            operation="UPGRADE PROTOCOL",
+        )
+
+    b = _sink(spark, path, commit_coordinator=_InjectOnce(variant_proto_wins))
+    assert b._commit([_add("f1.parquet")], operation="WRITE") == 2

@@ -203,3 +203,116 @@ def test_rt_stats_required(spark, tmp_path):
             ],
             operation="WRITE",
         )
+
+
+def test_merge_preserves_ids_and_bumps_matched_rcv(spark, tmp_path):
+    """Code-review regression: merge() must carry the materialized id
+    columns through its rewrite — unmatched rows in rewritten files
+    keep id AND commit version, matched rows keep id with the MERGE's
+    commit version, inserted rows get fresh ids."""
+    path = str(tmp_path / "rtm")
+    sink = DeltaSink(spark, path, checkpoint_interval=10**6)
+    sink.append(
+        spark.sql("select id as k, cast(id as long) as v from range(6)")
+        .coalesce(1)
+    )
+    sink.set_properties({"delta.enableRowTracking": "true"})
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in DL.read_snapshot(spark, path, row_ids=True).collect()
+    }
+    src = spark.sql(
+        "select id as k, cast(id * 100 as long) as v from range(4, 8)"
+    )
+    vm = sink.merge(src, ["k"])
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in DL.read_snapshot(spark, path, row_ids=True).collect()
+    }
+    # unmatched rows 0..3: id AND commit version unchanged
+    for k in range(4):
+        assert after[k] == before[k]
+    # matched rows 4,5: same id, commit version = the merge's
+    for k in (4, 5):
+        assert after[k][0] == before[k][0]
+        assert after[k][1] == vm
+    # inserted rows 6,7: fresh distinct ids beyond the old watermark
+    fresh = {after[k][0] for k in (6, 7)}
+    assert len(fresh) == 2
+    assert fresh.isdisjoint({rid for rid, _ in before.values()})
+    assert all(after[k][1] == vm for k in (6, 7))
+
+
+def test_reenable_row_tracking_is_idempotent(spark, tmp_path):
+    """Code-review regression: re-running set_properties(enableRow
+    Tracking) must keep the configured materialized column names (new
+    names would orphan every materialized id) and must not corrupt the
+    watermark."""
+    path = str(tmp_path / "rti")
+    sink = DeltaSink(spark, path, checkpoint_interval=10**6)
+    sink.append(spark.range(0, 4).toDF("id").coalesce(1))
+    sink.set_properties({"delta.enableRowTracking": "true"})
+    conf1 = DL.latest_metadata(spark, path)["configuration"]
+    sink.delete("id = 1")  # materializes ids under the round-1 names
+    ids1 = _ids(spark, path)
+    sink.set_properties({"delta.enableRowTracking": "true"})  # re-apply
+    conf2 = DL.latest_metadata(spark, path)["configuration"]
+    assert (
+        conf2["delta.rowTracking.materializedRowIdColumnName"]
+        == conf1["delta.rowTracking.materializedRowIdColumnName"]
+    )
+    assert _ids(spark, path) == ids1  # identities survived the re-apply
+
+
+def test_backfill_with_preassigned_ids_keeps_watermark(spark, tmp_path):
+    """Code-review regression: a commit whose adds arrive with
+    pre-assigned baseRowIds AND a caller watermark (the backfill shape)
+    must keep the watermark action — and later stamping must start past
+    both."""
+    import json as _json
+
+    path = str(tmp_path / "rtw")
+    sink = DeltaSink(spark, path, checkpoint_interval=10**6)
+    sink.append(spark.range(0, 4).toDF("id").coalesce(1))
+    sink.set_properties({"delta.enableRowTracking": "true"})
+    # simulate an external writer's commit: pre-assigned range + its
+    # own watermark, committed while rt is already enabled
+    sink._commit(
+        [
+            {
+                "add": {
+                    "path": "ext.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _json.dumps({"numRecords": 10}),
+                    "baseRowId": 100,
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": _json.dumps(
+                        {"rowIdHighWaterMark": 109}
+                    ),
+                    "removed": False,
+                }
+            },
+        ],
+        operation="WRITE",
+    )
+    dm = _json.loads(DL.latest_domain_metadata(path)["delta.rowTracking"])
+    assert dm["rowIdHighWaterMark"] == 109  # caller watermark survived
+    # fresh sink (no stale memo): next append stamps PAST the range
+    sink2 = DeltaSink(spark, path, checkpoint_interval=10**6)
+    sink2.append(spark.range(20, 22).toDF("id").coalesce(1))
+    files = {
+        f["path"]: f for f in DL.snapshot_files(spark, path)
+    }
+    new = [
+        f
+        for p, f in files.items()
+        if p != "ext.parquet" and (f.get("baseRowId") or 0) > 4
+    ]
+    assert new and all(f["baseRowId"] >= 110 for f in new)

@@ -111,27 +111,31 @@ def build_sf1(spark) -> None:
     big_emb.coalesce(8).write.mode("overwrite").parquet(
         f"{DST}/embeddings.parquet"
     )
-    # events replicate too (round 6): graph-match walks event edges —
-    # replicas live in disjoint id universes (users offset per replica)
-    # so the graph grows 10x in NODES, the realistic shape, instead of
-    # 10x DENSER on the same users (which would square the 2-hop work)
-    from mirror_lake_kusto_spark.sources.tables import load_table
-
-    ev = load_table(spark, "events", SRC)
-    big_ev = ev.crossJoin(reps).select(
-        (F.col("event_id") + F.col("_rep") * OFF).alias("event_id"),
-        (F.col("user_id") + F.col("_rep") * OFF).alias("user_id"),
-        *[c for c in ev.columns if c not in ("event_id", "user_id")],
-    )
-    dst_ev = f"{DST}/events.parquet"
-    if os.path.islink(dst_ev):
-        os.remove(dst_ev)  # earlier runs symlinked it
-    big_ev.coalesce(8).write.mode("overwrite").parquet(dst_ev)
+    # orders + lineitem replicate too (round 6): graph-match builds
+    # its customer->order->supplier graph from THESE tables — replicas
+    # live in disjoint key universes (keys offset per replica) so the
+    # graph grows 10x in NODES, the realistic shape, instead of 10x
+    # DENSER on the same nodes (which would square the 2-hop work)
+    for tbl, keys in (
+        ("orders", ("o_orderkey", "o_custkey")),
+        ("lineitem", ("l_orderkey", "l_suppkey")),
+    ):
+        src_df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        big = src_df.crossJoin(reps).select(
+            *[
+                (F.col(c) + F.col("_rep") * OFF).alias(c)
+                if c in keys
+                else F.col(c)
+                for c in src_df.columns
+            ],
+        )
+        dst_t = f"{DST}/{tbl}.parquet"
+        if os.path.islink(dst_t):
+            os.remove(dst_t)  # earlier runs symlinked it
+        big.coalesce(8).write.mode("overwrite").parquet(dst_t)
     # the rest of the tables are not used by this family; link them so
     # load_table resolves if a query touches one
-    for t in (
-        "region nation customer supplier part orders lineitem"
-    ).split():
+    for t in ("region nation customer supplier part events").split():
         dst = f"{DST}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{t}.parquet", dst)
