@@ -140,6 +140,17 @@ EXTENSION_HEADLINE = [
     "similarity_topk_binary_rerank",
     "kql_series_decompose",
     "kql_parse_kv",
+    # round-6 additions: multi-writer conflict resolution, timestamp
+    # time travel on ICT tables, typeWidening/variant reads, row
+    # tracking through the mirror, UPDATE, identity, honored hints
+    "mirror_concurrent_writers",
+    "mirror_time_travel_ts",
+    "mirror_type_widening",
+    "mirror_variant_roundtrip",
+    "mirror_row_tracking",
+    "mirror_update",
+    "mirror_identity_column",
+    "kql_join_hints",
 ]
 
 
