@@ -306,7 +306,9 @@ def test_append_loser_vs_unsupported_protocol_raises(spark):
                     "protocol": {
                         "minReaderVersion": 1,
                         "minWriterVersion": 7,
-                        "writerFeatures": ["identityColumns"],
+                        # a writer obligation this sink genuinely
+                        # does not implement
+                        "writerFeatures": ["icebergCompatV2"],
                     }
                 }
             ],
