@@ -145,18 +145,28 @@ def rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+RUNS = 2  # min-of-N: single shots of the quadratic-verify dedups
+# swing 2x run-to-run (GC/skew timing) — measured in round 6, where
+# identical code+data produced 65-123 s across shots
+
+
 def run_family(spark, sf_dir: str) -> dict:
     from mirror_lake_kusto_spark.queries import all_queries
 
     registry = all_queries()
     out = {}
     for name in FAMILY:
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        n = registry[name].fn(spark, sf_dir).count()
+        best = None
+        rows = 0
+        for _ in range(RUNS):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            rows = registry[name].fn(spark, sf_dir).count()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
         out[name] = {
-            "sec": round(time.time() - t0, 2),
-            "rows": n,
+            "sec": round(best, 2),
+            "rows": rows,
             "peak_driver_rss_mb": round(rss_mb(), 1),
         }
         print(f"  {name}: {out[name]}", flush=True)
