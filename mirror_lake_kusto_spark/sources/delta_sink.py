@@ -382,14 +382,18 @@ class DeltaSink:
                 self._ict_cache = None
                 self._rt_cache = None
                 self._rt_hwm_cache = None
+                self._rt_mats_cache = False
+                self._ident_cache = None
                 attempted = v
                 continue
             if any("metaData" in a for a in body):
                 # our own metaData may have flipped table-level
-                # behaviors (ICT, column mapping, row tracking) —
-                # re-derive next time
+                # behaviors (ICT, column mapping, row tracking,
+                # identity) — re-derive next time
                 self._ict_cache = None
                 self._rt_cache = None
+                self._rt_mats_cache = False
+                self._ident_cache = None
             for a in body:
                 dm = a.get("domainMetadata") or {}
                 if dm.get("domain") == "delta.rowTracking":
@@ -731,10 +735,17 @@ class DeltaSink:
                 f"_row-commit-version-col-{suffix}",
         }
 
+    #: memoized _rt_mat_cols result; False = not yet derived (None is
+    #: a legal value).  One driver-side log walk per DELETE/OPTIMIZE
+    #: partition GROUP otherwise.
+    _rt_mats_cache: "tuple | bool" = False
+
     def _rt_mat_cols(self) -> tuple:
         """(materializedRowIdColumnName, materializedRowCommitVersion
         ColumnName) from the table configuration — (None, None) when
         not configured."""
+        if self._rt_mats_cache is not False:
+            return self._rt_mats_cache
         from .delta_log import latest_metadata
 
         try:
@@ -743,12 +754,13 @@ class DeltaSink:
             ).get("configuration") or {}
         except FileNotFoundError:
             conf = {}
-        return (
+        self._rt_mats_cache = (
             conf.get("delta.rowTracking.materializedRowIdColumnName"),
             conf.get(
                 "delta.rowTracking.materializedRowCommitVersionColumnName"
             ),
         )
+        return self._rt_mats_cache
 
     def _materialize_row_ids(
         self, df, paths: list[str], mat_id: str, mat_rcv: str | None
@@ -1581,15 +1593,24 @@ class DeltaSink:
             operation="ADD COLUMNS (identity)",
         )
 
+    #: memoized _identity_cols result; None = not yet derived.  Same
+    #: invalidation discipline as _mapping_cache/_ict_cache — the
+    #: lookup otherwise costs a driver-side log walk per append.
+    _ident_cache: "dict | None" = None
+
     def _identity_cols(self) -> dict[str, dict]:
         """name -> {start, step, highWaterMark?} from field metadata."""
+        if self._ident_cache is not None:
+            return self._ident_cache
         from .delta_log import latest_metadata
 
         try:
             meta = latest_metadata(self.spark, self.path)
         except FileNotFoundError:
+            self._ident_cache = {}
             return {}
         if meta is None:
+            self._ident_cache = {}
             return {}
         out = {}
         for f in json.loads(meta["schemaString"])["fields"]:
@@ -1603,6 +1624,7 @@ class DeltaSink:
                         md.get("delta.identity.allowExplicitInsert")
                     ),
                 }
+        self._ident_cache = out
         return out
 
     def _assign_identity(self, df: DataFrame, idents: dict) -> DataFrame:
