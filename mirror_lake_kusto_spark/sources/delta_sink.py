@@ -1276,7 +1276,7 @@ class DeltaSink:
             r.asDict(recursive=True)
             for r in acts.filter(
                 "metaData IS NOT NULL OR protocol IS NOT NULL "
-                "OR txn IS NOT NULL"
+                "OR txn IS NOT NULL OR domainMetadata IS NOT NULL"
             ).collect()
         ]
         sidecar_schema = StructType(
@@ -1291,6 +1291,9 @@ class DeltaSink:
                 ACTIONS_SCHEMA["metaData"],
                 ACTIONS_SCHEMA["protocol"],
                 ACTIONS_SCHEMA["txn"],
+                # domainMetadata must survive v2 checkpointing too —
+                # the row-id high-water mark lives there
+                ACTIONS_SCHEMA["domainMetadata"],
                 StructField("sidecar", sidecar_schema),
                 StructField(
                     "checkpointMetadata",
@@ -1302,6 +1305,7 @@ class DeltaSink:
             "metaData": None,
             "protocol": None,
             "txn": None,
+            "domainMetadata": None,
             "sidecar": None,
             "checkpointMetadata": None,
         }
@@ -1315,6 +1319,7 @@ class DeltaSink:
                     "metaData": r.get("metaData"),
                     "protocol": r.get("protocol"),
                     "txn": r.get("txn"),
+                    "domainMetadata": r.get("domainMetadata"),
                 }
             )
         rows.extend({**blank, "sidecar": sc} for sc in sidecars)

@@ -316,3 +316,30 @@ def test_backfill_with_preassigned_ids_keeps_watermark(spark, tmp_path):
         if p != "ext.parquet" and (f.get("baseRowId") or 0) > 4
     ]
     assert new and all(f["baseRowId"] >= 110 for f in new)
+
+
+def test_row_ids_survive_v2_checkpoint(spark, tmp_path):
+    """The v2 (manifest+sidecar) checkpoint must carry baseRowId AND
+    the watermark domain — the classic-checkpoint guarantee, same
+    shape (caught in round 6: the manifest filter dropped
+    domainMetadata rows)."""
+    path = str(tmp_path / "rtv2")
+    sink = DeltaSink(
+        spark, path, checkpoint_interval=10**6, checkpoint_format="v2"
+    )
+    sink.append(spark.range(0, 4).toDF("id").coalesce(1))
+    sink.set_properties({"delta.enableRowTracking": "true"})
+    sink.append(spark.range(10, 12).toDF("id").coalesce(1))
+    before = _ids(spark, path)
+    head = DL.list_commit_versions(path)[-1]
+    sink._write_checkpoint(head)
+    for v in DL.list_commit_versions(path):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    assert _ids(spark, path) == before
+    assert json.loads(
+        DL.latest_domain_metadata(path)["delta.rowTracking"]
+    )["rowIdHighWaterMark"] == 5
+    sink2 = DeltaSink(spark, path, checkpoint_interval=10**6)
+    sink2.append(spark.range(20, 22).toDF("id").coalesce(1))
+    after = _ids(spark, path)
+    assert sorted(rid for rid, _ in after.values()) == list(range(8))
