@@ -43,12 +43,35 @@ def _with_cols(df: DataFrame, extra: list[tuple[str, str]]):
     return out
 
 
-def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
-    rows = query_df.select(id_col, vec_col).collect()
+#: driver budget for collected query vectors: every search here
+#: BROADCASTS the query matrix to executors, so the query side must be
+#: small by design — 100k × 768-dim float64 is already ~600 MB.  A
+#: "query" frame that is accidentally the whole corpus must fail
+#: loudly, not OOM the driver.
+MAX_QUERY_VECTORS = 100_000
+
+
+def _collect_queries(
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_queries: int = MAX_QUERY_VECTORS,
+):
+    rows = (
+        query_df.select(id_col, vec_col).limit(max_queries + 1).collect()
+    )
     if not rows:
         raise ValueError(
             "query frame produced no vectors — nothing to search for "
             "(check the id filter against the embeddings table)"
+        )
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query frame exceeds {max_queries} vectors — the query "
+            "side is collected to the driver and broadcast, so it must "
+            "stay small; for corpus-scale all-pairs use the dedup "
+            "pair operators (cosine_pairs), or raise max_queries "
+            "explicitly if the driver really has the memory"
         )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qmat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -283,36 +283,36 @@ class MirrorPipeline:
             # file, and with empty processed state the snapshot diff
             # yields exactly the full active snapshot.
             schema_item = self._check_schema(hwm, end_tx)
-            cap = self.max_items_per_batch
-            adds, removes = self._snapshot_diff(end_tx)
-            # path-ordered chunking: at most `cap` items reach the
-            # driver per batch; the diff recomputes smaller each
-            # round because processed state grows
-            add_rows = adds.orderBy("path").limit(cap + 1).collect()
-            if len(add_rows) > cap:
-                add_rows = add_rows[:cap]
-                remove_rows = []
-                snapshot_chunk = "snapshot-chunk-partial"
-            else:
-                remove_rows = removes.orderBy("path").limit(cap + 1).collect()
-                if len(remove_rows) > cap:
-                    remove_rows = remove_rows[:cap]
-                    snapshot_chunk = "snapshot-chunk-partial"
-                else:
-                    snapshot_chunk = "snapshot-chunk-final"
+            add_rows, remove_rows, snapshot_chunk = self._chunked_diff(
+                end_tx
+            )
         else:
-            end_tx = self._cap_span(hwm, end_tx)
+            end_tx, first_n = self._cap_span(hwm, end_tx)
             schema_item = self._check_schema(hwm, end_tx)
-            local = DL.coalesced_segment_local(self.source, after=hwm, upto=end_tx)
-            if local is not None:
-                # driver-scale segment: the reference's own hash-set
-                # cancellation, no cluster round trip
-                add_rows, remove_rows = local
-            else:
-                adds, removes = DL.coalesced_segment(
-                    self.spark, self.source, after=hwm, upto=end_tx
+            if first_n > self.max_items_per_batch:
+                # FAT COMMIT: one commit alone exceeds the driver item
+                # budget (a 100k-file backfill commit).  The coalesced
+                # segment would collect it whole — route through the
+                # same path-ordered snapshot-diff chunking the vacuumed
+                # path uses: at most `cap` items reach the driver per
+                # batch, and the diff recomputes smaller each round as
+                # processed state grows
+                add_rows, remove_rows, snapshot_chunk = (
+                    self._chunked_diff(end_tx)
                 )
-                add_rows, remove_rows = adds.collect(), removes.collect()
+            else:
+                local = DL.coalesced_segment_local(
+                    self.source, after=hwm, upto=end_tx
+                )
+                if local is not None:
+                    # driver-scale segment: the reference's own hash-set
+                    # cancellation, no cluster round trip
+                    add_rows, remove_rows = local
+                else:
+                    adds, removes = DL.coalesced_segment(
+                        self.spark, self.source, after=hwm, upto=end_tx
+                    )
+                    add_rows, remove_rows = adds.collect(), removes.collect()
         self._check_no_deletion_vectors(add_rows)
         # the coalesced/cancelled view above can HIDE a delete_dv
         # commit (remove(P) + add(P, DV) on one path cancels to
@@ -347,12 +347,32 @@ class MirrorPipeline:
             items.append(it)
         return items, start_tx, end_tx
 
-    def _cap_span(self, hwm: int, end_tx: int) -> int:
+    def _chunked_diff(self, end_tx: int):
+        """Path-ordered chunk of (active snapshot at end_tx) ∖ processed:
+        at most ``max_items_per_batch`` items reach the driver per
+        batch.  Returns (add_rows, remove_rows, chunk_state) where
+        chunk_state is ``snapshot-chunk-partial`` while more chunks
+        remain (the StagingTable item stays open, holding back the
+        high-water mark) and ``snapshot-chunk-final`` on the last."""
+        cap = self.max_items_per_batch
+        adds, removes = self._snapshot_diff(end_tx)
+        add_rows = adds.orderBy("path").limit(cap + 1).collect()
+        if len(add_rows) > cap:
+            return add_rows[:cap], [], "snapshot-chunk-partial"
+        remove_rows = removes.orderBy("path").limit(cap + 1).collect()
+        if len(remove_rows) > cap:
+            return add_rows, remove_rows[:cap], "snapshot-chunk-partial"
+        return add_rows, remove_rows, "snapshot-chunk-final"
+
+    def _cap_span(self, hwm: int, end_tx: int) -> tuple[int, int]:
         """Commit-boundary chunking: choose the largest prefix of the
         pending versions whose cumulative action count stays under
         max_items_per_batch (always at least one commit).  Counts are
         line counts of the commit JSONs — a cheap streaming read, and a
-        safe overestimate (metaData/protocol/txn lines count too)."""
+        safe overestimate (metaData/protocol/txn lines count too).
+        Returns (chosen end_tx, first commit's action count) — a first
+        count above the cap means even a single-commit batch would
+        blow the driver budget and the caller must chunk WITHIN it."""
         cap = self.max_items_per_batch
         pending = [
             v
@@ -361,17 +381,20 @@ class MirrorPipeline:
         ]
         total = 0
         chosen = pending[0]
+        first_n = 0
         from ..sources import fs as _fsmod
 
         src_fs = _fsmod.get_fs(self.source)
         for v in pending:
             text = src_fs.read_text(DL._commit_file(self.source, v))
             n = sum(1 for line in text.splitlines() if line.strip())
+            if v == pending[0]:
+                first_n = n
             if total + n > cap and v != pending[0]:
                 break
             total += n
             chosen = v
-        return chosen
+        return chosen, first_n
 
     def _snapshot_diff(self, end_tx: int):
         """C2: newAdds = current snapshot ∖ processed adds; newRemoves =

@@ -655,6 +655,68 @@ def coalesced_segment_local(
     return live_adds, live_removes
 
 
+#: integer digits each integral type may carry — the floor a decimal's
+#: (precision - scale) must clear to hold it losslessly
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+#: string-to-string widenings that are always lossless (PROTOCOL.md
+#: "Type Widening" supported type changes; Spark 4's parquet readers
+#: perform every one of these promotions natively on read, so files
+#: written before the change stay valid as-is)
+_WIDENINGS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+
+
+def _decimal_params(t: str) -> tuple[int, int] | None:
+    """(precision, scale) of a Delta JSON 'decimal(p,s)' type string."""
+    if not (t.startswith("decimal(") and t.endswith(")")):
+        return None
+    try:
+        p, s = t[len("decimal("):-1].split(",")
+        return int(p), int(s)
+    except ValueError:
+        return None
+
+
+def is_type_widening(from_t, to_t) -> bool:
+    """True when changing a column's Delta type ``from_t`` -> ``to_t``
+    is one of PROTOCOL.md's lossless Type Widening changes — the ONLY
+    retypes a table may take while keeping its existing (narrower)
+    data files:
+
+    - byte -> short -> integer -> long, and any of those -> double
+    - float -> double
+    - date -> timestamp_ntz
+    - decimal(p,s) -> decimal(p',s') with p'-s' >= p-s and s' >= s
+    - byte/short/integer/long -> decimal with p-s >= the integral
+      type's digit count
+
+    Complex (struct/array/map) types never widen as a unit, and equal
+    types are NOT a widening (callers treat same-type as no-op)."""
+    if not (isinstance(from_t, str) and isinstance(to_t, str)):
+        return False
+    if from_t == to_t:
+        return False
+    if to_t in _WIDENINGS.get(from_t, ()):
+        return True
+    to_dec = _decimal_params(to_t)
+    if to_dec is None:
+        return False
+    p2, s2 = to_dec
+    if from_t in _INT_DIGITS:
+        return s2 >= 0 and p2 - s2 >= _INT_DIGITS[from_t]
+    from_dec = _decimal_params(from_t)
+    if from_dec is None:
+        return False
+    p1, s1 = from_dec
+    return s2 >= s1 and p2 - s2 >= p1 - s1
+
+
 class UnsupportedTableFeature(RuntimeError):
     """The table's Delta protocol requires reader features this engine
     does not implement (deletion vectors, column mapping, ...).
@@ -662,6 +724,36 @@ class UnsupportedTableFeature(RuntimeError):
     table's deleted rows would silently resurface — so the read must
     fail loudly instead.  Mirrors the reference's own throw on
     unsupported log shapes (TransactionLogEntry.cs:341-342)."""
+
+
+#: Known-but-unsupported reader features: the fail-closed error names
+#: WHAT the feature changes so the user knows why blind reads are
+#: wrong and what to do about it (not just an opaque feature string).
+#: Keys are the stable feature names; "-preview" suffixes match too.
+_FEATURE_NOTES: dict[str, str] = {
+    "catalogManaged": (
+        "commits are coordinated through a catalog, so the filesystem "
+        "_delta_log is no longer the source of truth — the latest "
+        "commits may live only in the catalog and a filesystem read "
+        "can return a stale or torn snapshot; read this table through "
+        "its managing catalog"
+    ),
+    "catalogOwned": (
+        "the table is owned by a catalog (coordinated commits): the "
+        "filesystem log can lag the true head — read through the "
+        "owning catalog"
+    ),
+    "coordinatedCommits": (
+        "commit ordering is delegated to an external commit "
+        "coordinator; unbacked filesystem commits may be missing — "
+        "read through the coordinator"
+    ),
+    "collations": (
+        "string columns carry non-default collations; this engine "
+        "would compare/sort/group them in UTF8_BINARY order and "
+        "return differently-ordered (wrong) results"
+    ),
+}
 
 
 #: (abs table path, head version, upto) triples already verified OK
@@ -752,12 +844,19 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
             or (reader == 3 and features and not (features - supported))
         )
         if not ok:
+            unknown = sorted(features - supported) if reader == 3 else []
+            notes = "".join(
+                f"\n  - {f}: {_FEATURE_NOTES[k]}"
+                for f in unknown
+                for k in (f.removesuffix("-preview"),)
+                if k in _FEATURE_NOTES
+            )
             raise UnsupportedTableFeature(
                 f"table {table_path} requires minReaderVersion={reader} "
                 f"readerFeatures={sorted(features)}; this engine "
                 f"implements reader versions 1-2 plus "
                 f"{sorted(supported)} — reading anyway would return "
-                "wrong rows"
+                "wrong rows" + notes
             )
     # cache the OK verdict per (table, head) — the guard otherwise
     # re-parses every post-checkpoint commit on each read; a new
