@@ -110,10 +110,15 @@ class MirrorPipeline:
             raise ValueError(f"unknown state_backend: {state_backend!r}")
         self.go_back_days = go_back_days
         self.creation_time_expr = creation_time_expr
-        if on_schema_change not in ("fail", "evolve-add", "evolve-rename"):
+        if on_schema_change not in (
+            "fail",
+            "evolve-add",
+            "evolve-rename",
+            "widen",
+        ):
             raise ValueError(
-                f"on_schema_change must be 'fail', 'evolve-add' or "
-                f"'evolve-rename', got {on_schema_change!r}"
+                f"on_schema_change must be 'fail', 'evolve-add', "
+                f"'evolve-rename' or 'widen', got {on_schema_change!r}"
             )
         # "fail" = reference parity (TransactionLog.cs:153-157 throws);
         # "evolve-add" = Kusto `.create-merge` posture (K1): purely
@@ -122,7 +127,14 @@ class MirrorPipeline:
         # "evolve-rename" = evolve-add PLUS column-mapping renames:
         # a source RENAME (same physical identity, new logical name)
         # re-records the schema and renames the target metadata-only
-        # via DeltaSink.evolve_rename — drop/retype still fail loudly
+        # via DeltaSink.evolve_rename — drop/retype still fail loudly;
+        # "widen" = evolve-add PLUS lossless type widenings (int->long,
+        # float->double, decimal growth — PROTOCOL.md Type Widening):
+        # when the SOURCE widens a column, the TARGET metaData is
+        # widened via DeltaSink.evolve_widen (typeWidening feature +
+        # typeChanges history) and the mirror continues — narrow files
+        # on both sides promote natively on read.  Lossy retypes and
+        # drops still fail loudly
         self.on_schema_change = on_schema_change
         self.now_fn = now_fn or _utcnow
         self.app_id = f"mlk-mirror:{table_name}"
@@ -536,6 +548,48 @@ class MirrorPipeline:
                     meta.get("partitionColumns") or []
                 ),
             }
+        if self.on_schema_change == "widen" and same_parts:
+            widen_map = self._widen_delta(
+                recorded["schema"], meta["schemaString"]
+            )
+            if widen_map is not None:
+                # follow the source's widening on the TARGET before any
+                # load: evolve_widen rewrites the target metaData with
+                # the typeWidening feature + per-field typeChanges
+                # history (its old narrow files promote on read), and
+                # is a replay-safe no-op when a crash already applied
+                # it.  A never-appended target simply takes the wide
+                # schema on its first append.  The load path reads
+                # every source file — narrow pre-widen ones included —
+                # under the schema at end_tx, so one batch may span
+                # commits before AND after the widen.
+                tgt_meta = DL.latest_metadata(self.spark, self.sink.path)
+                if widen_map and tgt_meta is not None:
+                    self.sink.evolve_widen(widen_map)
+                added = {
+                    f["name"]
+                    for f in json.loads(meta["schemaString"])["fields"]
+                } - {
+                    f["name"]
+                    for f in json.loads(recorded["schema"])["fields"]
+                }
+                if added and self.sink._current_mapping():
+                    # additions on a column-mapped target need explicit
+                    # mapping identities (same rule as evolve-rename)
+                    self.sink.evolve_add(meta["schemaString"])
+                return {
+                    **self._item(
+                        hwm + 1,
+                        end_tx,
+                        "Schema",
+                        "Done",
+                        self.now_fn().isoformat(),
+                    ),
+                    "schema": meta["schemaString"],
+                    "partition_columns": json.dumps(
+                        meta.get("partitionColumns") or []
+                    ),
+                }
         if self.on_schema_change == "evolve-rename":
             renames = self._rename_delta(recorded, meta)
             if renames is not None:
@@ -586,9 +640,38 @@ class MirrorPipeline:
                 "added columns and column-mapping renames, never "
                 "drop/retype)"
                 if self.on_schema_change == "evolve-rename"
+                else " (not an add or lossless widening; widen accepts "
+                "added columns and PROTOCOL.md Type Widening retypes — "
+                "int->long, float->double, decimal growth — never "
+                "drops or lossy retypes)"
+                if self.on_schema_change == "widen"
                 else ""
             )
         )
+
+    def _widen_delta(
+        self, old_json: str, new_json: str
+    ) -> dict[str, str] | None:
+        """{column -> new Delta type} of every safely WIDENED column
+        when the schema change is adds + lossless widenings only (the
+        dict is empty for a pure add); None when any old field is
+        dropped or retyped outside the widening matrix."""
+        from ..sources.delta_log import is_type_widening
+
+        old = {f["name"]: f for f in json.loads(old_json)["fields"]}
+        new = {f["name"]: f for f in json.loads(new_json)["fields"]}
+        if not (set(old) <= set(new)):
+            return None  # dropped column: never follow
+        out: dict[str, str] = {}
+        for name, f in old.items():
+            new_t = new[name]["type"]
+            if f["type"] == new_t:
+                continue
+            if is_type_widening(f["type"], new_t):
+                out[name] = new_t
+            else:
+                return None
+        return out
 
     def _rename_delta(self, recorded, meta) -> dict[str, str] | None:
         """Old-logical -> new-logical name map when the schema change

@@ -711,6 +711,82 @@ def mirror_type_widening(spark, sf_dir):
 
 
 @query(
+    "mirror_type_widening_evolve",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           ROUND(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal,
+           CAST(s_nationkey AS DECIMAL(14,4)) AS s_nationkey
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    doc="on_schema_change='widen' (round 7): the SOURCE widens columns "
+    "mid-stream (widen_column: int->bigint, float->double, "
+    "decimal(10,2)->decimal(14,4)) and the MIRROR FOLLOWS instead of "
+    "stranding — sync #1 lands the narrow half, then one sync #2 "
+    "batch spans a narrow commit, the widen commits, and a wide "
+    "commit; DeltaSink.evolve_widen rewrites the target metaData with "
+    "the typeWidening feature + delta.typeChanges history, so the "
+    "target's own narrow files promote on read.  Reference analogue "
+    "surpassed: Storage/TransactionLog.cs:153-157 refuses all schema "
+    "changes",
+)
+def mirror_type_widening_evolve(spark, sf_dir):
+    workdir = _workdir("mirror_twe", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    ).cache()
+
+    def narrow(pred):
+        return sup.filter(pred).select(
+            F.col("s_suppkey").cast("int").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("float").alias("s_acctbal"),
+            F.col("s_nationkey").cast("decimal(10,2)").alias("s_nationkey"),
+        )
+
+    src = DeltaSink(spark, src_path)
+    src.append(narrow("s_suppkey % 3 = 0"))               # v0 narrow
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        os.path.join(workdir, "dst"),
+        os.path.join(workdir, "state"),
+        table_name="sup_widen",
+        on_schema_change="widen",
+    )
+    pipe.run_until_idle()                # target created NARROW
+    src.append(narrow("s_suppkey % 3 = 1"))               # v1 narrow
+    src.widen_column("s_suppkey", "long")                 # v2
+    src.widen_column("s_acctbal", "double")               # v3
+    src.widen_column("s_nationkey", "decimal(14,4)")      # v4
+    src.append(                                           # v5 wide
+        sup.filter("s_suppkey % 3 = 2").select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("s_nationkey").cast("decimal(14,4)").alias("s_nationkey"),
+        )
+    )
+    pipe.run_until_idle()                # ONE batch spans v1..v5
+    sup.unpersist()
+    # ROUND both sides: the narrow files round-trip s_acctbal through
+    # float32, reintroducing ~1e-4 noise on a 2-decimal currency column
+    return (
+        pipe.mirror_df()
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_nationkey",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "mirror_variant_roundtrip",
     """
     SELECT n_nationkey,

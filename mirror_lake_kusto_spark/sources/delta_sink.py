@@ -343,22 +343,34 @@ class DeltaSink:
                         "columns via evolve_add(), then append under "
                         "the current logical schema"
                     )
+                # a retype inside the change: lossless widenings are
+                # legal but make the old (narrow) files readable only
+                # under typeWidening promotion — annotate the per-field
+                # delta.typeChanges history and gate the feature;
+                # anything lossy fails loudly (silently recording the
+                # new type would corrupt old rows on read)
+                widened = self._annotate_type_changes()
+                feats = []
                 if self._schema_uses_variant():
+                    feats.append("variantType")
+                if widened:
+                    feats.append("typeWidening")
+                if feats:
                     from .delta_log import latest_protocol
 
                     cur = latest_protocol(self.path)
-                    if "variantType" not in (
-                        (cur or {}).get("readerFeatures") or []
-                    ):
-                        body.append(
-                            {
-                                "protocol": upgraded_protocol(
-                                    cur,
-                                    ("variantType",),
-                                    ("variantType",),
-                                )
-                            }
+                    need = [
+                        f
+                        for f in feats
+                        if f
+                        not in ((cur or {}).get("readerFeatures") or [])
+                    ]
+                    if need:
+                        pr = upgraded_protocol(
+                            cur, tuple(need), tuple(need)
                         )
+                        if pr != cur:
+                            body.append({"protocol": pr})
                 body.append({"metaData": self._metadata_action()})
             body.extend(actions)
             if not [a for a in body if "commitInfo" not in a]:
@@ -379,6 +391,7 @@ class DeltaSink:
                 # may carry new metadata (e.g. a rename), so the memo
                 # must be re-derived before we retry
                 self._mapping_cache = False
+                self._tbl_types_cache = False
                 self._ict_cache = None
                 self._rt_cache = None
                 self._rt_hwm_cache = None
@@ -389,7 +402,8 @@ class DeltaSink:
             if any("metaData" in a for a in body):
                 # our own metaData may have flipped table-level
                 # behaviors (ICT, column mapping, row tracking,
-                # identity) — re-derive next time
+                # identity, column types) — re-derive next time
+                self._tbl_types_cache = False
                 self._ict_cache = None
                 self._rt_cache = None
                 self._rt_mats_cache = False
@@ -952,6 +966,11 @@ class DeltaSink:
             # round 6: appends assign identity values and advance the
             # high water mark (add_identity_column)
             "identityColumns",
+            # round 7: this sink widens columns itself (widen_column)
+            # and upcasts narrow appends to the table schema — a
+            # rival's typeWidening upgrade rebases cleanly
+            "typeWidening",
+            "typeWidening-preview",
         }
     )
 
@@ -1072,11 +1091,9 @@ class DeltaSink:
             )
         return parsed
 
-    def _schema_changed(self) -> bool:
-        """Driver-side scan of the newest commits for the last recorded
-        schemaString (metadata-only; no Spark job)."""
-        if self._pending_schema == "{}":
-            return False
+    def _last_schema_string(self) -> str | None:
+        """Last recorded schemaString, from a driver-side newest-first
+        scan of the commit JSONs (metadata-only; no Spark job)."""
         d = _log_dir(self.path)
         for v in reversed(_list_versions(self.path)):
             text = self.fs.read_text(_fs.join(d, TX_FMT.format(v) + ".json"))
@@ -1085,11 +1102,76 @@ class DeltaSink:
                     continue
                 act = json.loads(line)
                 if "metaData" in act:
-                    return self._schema_key(
-                        act["metaData"]["schemaString"]
-                    ) != self._schema_key(self._pending_schema
-                    )
-        return False
+                    return act["metaData"]["schemaString"]
+        return None
+
+    def _schema_changed(self) -> bool:
+        if self._pending_schema == "{}":
+            return False
+        prev = self._last_schema_string()
+        return prev is not None and self._schema_key(
+            prev
+        ) != self._schema_key(self._pending_schema)
+
+    def _annotate_type_changes(self) -> bool:
+        """Called when an append's schema differs from the table's:
+        classify every per-field RETYPE against the previous schema.
+        Lossless widenings annotate the field's ``delta.typeChanges``
+        history (recomputed from the PREVIOUS schema's entries, so the
+        commit retry loop stays idempotent) and return True — the
+        caller must gate the typeWidening feature.  A retype outside
+        the widening matrix raises: recording it silently would make
+        every old file's column read wrong.  Complex-type changes
+        (nested struct evolution) pass through untouched — they keep
+        the historical permissive record-metaData behavior.  Fields
+        whose type is unchanged still CARRY FORWARD prior typeChanges
+        history (a later added column must not erase it)."""
+        from .delta_log import is_type_widening
+
+        prev_ss = self._last_schema_string()
+        if prev_ss is None:
+            return False
+        prev_fields = {
+            f["name"]: f for f in json.loads(prev_ss)["fields"]
+        }
+        parsed = json.loads(self._pending_schema)
+        widened = False
+        dirty = False
+        for f in parsed["fields"]:
+            pf = prev_fields.get(f["name"])
+            if pf is None:
+                continue
+            old_t, new_t = pf["type"], f["type"]
+            prior = (pf.get("metadata") or {}).get("delta.typeChanges")
+            if old_t == new_t:
+                if prior and not (f.get("metadata") or {}).get(
+                    "delta.typeChanges"
+                ):
+                    f["metadata"] = {
+                        **(f.get("metadata") or {}),
+                        "delta.typeChanges": prior,
+                    }
+                    dirty = True
+                continue
+            if not (isinstance(old_t, str) and isinstance(new_t, str)):
+                continue  # nested evolution: historical behavior
+            if not is_type_widening(old_t, new_t):
+                raise ValueError(
+                    f"append retypes column {f['name']!r} "
+                    f"{old_t!r} -> {new_t!r}, which is not a lossless "
+                    "widening (PROTOCOL.md Type Widening matrix) — "
+                    "old files would read wrong; cast the input or "
+                    "rewrite the table"
+                )
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.typeChanges": list(prior or [])
+                + [{"fromType": old_t, "toType": new_t}],
+            }
+            widened = dirty = True
+        if dirty:
+            self._pending_schema = json.dumps(parsed)
+        return widened
 
     def _metadata_action(self, df: DataFrame | None = None) -> dict:
         schema_string = df.schema.json() if df is not None else self._pending_schema
@@ -1359,6 +1441,7 @@ class DeltaSink:
         does not re-append (I3 exactly-once).
         """
         df = self._apply_generated(df, "WRITE")
+        df = self._upcast_widened(df)
         idents = self._identity_cols()
         if idents:
             df = self._assign_identity(df, idents)
@@ -1389,6 +1472,62 @@ class DeltaSink:
     #: by a lost commit race (an external writer may have changed the
     #: table's metadata)
     _mapping_cache: "dict | None | bool" = False
+
+    #: memoized {column -> Delta JSON type} of the table's current
+    #: schema, for the append-upcast check; False = not yet derived.
+    #: Invalidated wherever _mapping_cache is (lost commit race, own
+    #: metaData commit) — the same events that can change the schema.
+    _tbl_types_cache: "dict | None | bool" = False
+
+    def _upcast_widened(self, df: DataFrame) -> DataFrame:
+        """Delta writer semantics after a type widening: input NARROWER
+        than the table schema is cast up before staging, so
+        ``widen_column`` doesn't strand narrow producers and — crucially
+        — a narrow append can never clobber the table's wide metaData
+        back down via the implicit schema-change path.  Only lossless
+        widenings cast; any other mismatch flows through to the
+        schema-change handling in _commit unchanged."""
+        from .delta_log import is_type_widening
+
+        if self._tbl_types_cache is False:
+            from .delta_log import latest_metadata
+
+            try:
+                meta = latest_metadata(self.spark, self.path)
+            except FileNotFoundError:
+                meta = None
+            self._tbl_types_cache = (
+                None
+                if meta is None
+                else {
+                    f["name"]: f["type"]
+                    for f in json.loads(meta["schemaString"])["fields"]
+                }
+            )
+        tbl = self._tbl_types_cache
+        if not tbl:
+            return df
+        casts = {}
+        for f in json.loads(df.schema.json())["fields"]:
+            t = tbl.get(f["name"])
+            if t is not None and is_type_widening(f["type"], t):
+                from pyspark.sql.types import StructField
+
+                casts[f["name"]] = StructField.fromJson(
+                    {
+                        "name": f["name"],
+                        "type": t,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ).dataType
+        if not casts:
+            return df
+        import pyspark.sql.functions as F
+
+        return df.withColumns(
+            {n: F.col(n).cast(dt) for n, dt in casts.items()}
+        )
 
     def _current_mapping(self) -> dict | None:
         """Logical -> physical names when THIS table uses column
@@ -3147,6 +3286,83 @@ class DeltaSink:
             ],
             operation="ADD COLUMNS",
         )
+
+    def widen_column(self, column: str, to_type: str) -> int:
+        """ALTER COLUMN ... TYPE, restricted to PROTOCOL.md's lossless
+        Type Widening matrix: the table's metaData records the wide
+        type while every existing data file keeps its narrow physical
+        type (no rewrite), so the commit must also enable the
+        ``typeWidening`` reader+writer feature — readers that don't
+        promote on read would return wrong values.  ``to_type`` is a
+        Delta JSON type string ('long', 'double', 'decimal(12,2)',
+        'timestamp_ntz').  The reference refuses every retype
+        (Storage/TransactionLog.cs:153-157); this is the evolution
+        beyond that parity point."""
+        return self.evolve_widen({column: to_type})
+
+    def evolve_widen(self, widen_map: dict[str, str]) -> int:
+        """Apply several column widenings in ONE commit (the mirror's
+        ``on_schema_change='widen'`` follow path).  Per column: no-op
+        when the table already has the target type (crash-replay
+        idempotence), loud refusal when the change is not in the
+        lossless widening matrix.  Each widened field's metadata gains
+        a ``delta.typeChanges`` history entry ({fromType, toType} —
+        PROTOCOL.md "Type Change Metadata"), appended to any prior
+        entries so a twice-widened column keeps its full lineage.
+        Column-mapping metadata (physicalName/id) rides along
+        untouched, so mapped tables widen too.  Returns the commit
+        version, or -1 when every column was already wide."""
+        from .delta_log import (
+            is_type_widening,
+            latest_metadata,
+            latest_protocol,
+        )
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"{self.path}: no metaData to widen")
+        parsed = json.loads(meta["schemaString"])
+        by_name = {f["name"]: f for f in parsed["fields"]}
+        missing = sorted(set(widen_map) - set(by_name))
+        if missing:
+            raise ValueError(f"widen of unknown column(s): {missing}")
+        changed = False
+        for name, to_t in widen_map.items():
+            f = by_name[name]
+            if f["type"] == to_t:
+                continue  # already wide: replay-safe no-op
+            if not is_type_widening(f["type"], to_t):
+                raise ValueError(
+                    f"widen_column: {name!r} {f['type']!r} -> {to_t!r} "
+                    "is not a lossless widening (PROTOCOL.md Type "
+                    "Widening matrix); a lossy retype needs a full "
+                    "table rewrite"
+                )
+            md = dict(f.get("metadata") or {})
+            md["delta.typeChanges"] = list(
+                md.get("delta.typeChanges") or []
+            ) + [{"fromType": f["type"], "toType": to_t}]
+            f["metadata"] = md
+            f["type"] = to_t
+            changed = True
+        if not changed:
+            return -1
+        new_schema = json.dumps(parsed)
+        actions: list[dict] = []
+        cur_pr = latest_protocol(self.path)
+        if "typeWidening" not in set(
+            (cur_pr or {}).get("readerFeatures") or []
+        ):
+            pr = upgraded_protocol(
+                cur_pr, ("typeWidening",), ("typeWidening",)
+            )
+            if pr != cur_pr:
+                actions.append({"protocol": pr})
+        actions.append(
+            {"metaData": {**meta, "schemaString": new_schema}}
+        )
+        self._pending_schema = new_schema
+        return self._commit(actions, operation="CHANGE COLUMN")
 
     def optimize(
         self,
