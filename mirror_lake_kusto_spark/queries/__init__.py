@@ -79,15 +79,20 @@ def all_queries() -> dict[str, Query]:
     )
 
     recorded = _RECORDED_R01 | _driver_recorded()
-    # Oracle-less queries sort after everything else: the driver's
-    # 50-entry sample can only ever log them as ``no_oracle`` rows-only
-    # checks (they are validated by pytest gates instead), so they must
-    # not displace hash-checkable queries from the sample window.
+    # Never-recorded entries enumerate first so the driver's 50-entry
+    # sample always covers them.  Among the never-recorded,
+    # hash-checkable (oracled) queries outrank oracle-less ones — a
+    # rows-only check must not displace a value-hash check when the
+    # window is contended — but oracle-less entries still precede
+    # already-recorded queries, so they ROTATE into the sample instead
+    # of accumulating unsampled forever (round-7 fix: the old ordering
+    # sorted them dead last, so e.g. similarity_topk_mmr could never
+    # appear in any CORRECTNESS file).
     ordered = sorted(
         registry,
         key=lambda n: (
-            registry[n].oracle is None,
             n in recorded,
+            registry[n].oracle is None,
             n not in _PENDING_R03,
         ),
     )

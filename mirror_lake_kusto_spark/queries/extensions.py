@@ -1951,13 +1951,68 @@ def mirror_bloom_point_lookup(spark, sf_dir):
 
 @query(
     "similarity_topk_mmr",
-    None,  # greedy-iterative by nature; diversity gate pinned by pytest
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, emb FROM e WHERE vec_id >= 5),
+    pool AS (
+      SELECT query_id, cand_id, rel, emb FROM (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(emb, qemb) /
+                     (sqrt(list_dot_product(emb, emb)) *
+                      sqrt(list_dot_product(qemb, qemb))), 6) AS rel,
+               emb,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY ROUND(list_dot_product(emb, qemb) /
+                     (sqrt(list_dot_product(emb, emb)) *
+                      sqrt(list_dot_product(qemb, qemb))), 6) DESC,
+                  cand_id) AS rn
+        FROM c CROSS JOIN q)
+      WHERE rn <= 50
+    ),
+    pair AS (
+      SELECT a.query_id, a.cand_id AS i, b.cand_id AS j,
+             list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              sqrt(list_dot_product(b.emb, b.emb))) AS sim
+      FROM pool a JOIN pool b USING (query_id)
+    ),
+    mmr AS (
+      SELECT query_id, cand_id, rel, 1 AS mmr_rank, [cand_id] AS sel
+      FROM (SELECT query_id, cand_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, cand_id) AS rn
+            FROM pool) WHERE rn = 1
+      UNION ALL
+      SELECT m.query_id, pick.cand_id, pick.rel, m.mmr_rank + 1,
+             list_append(m.sel, pick.cand_id)
+      FROM mmr m, LATERAL (
+        SELECT p.cand_id, p.rel
+        FROM pool p
+        WHERE p.query_id = m.query_id
+          AND NOT list_contains(m.sel, p.cand_id)
+        ORDER BY 0.5 * p.rel - 0.5 * (
+            SELECT MAX(w.sim) FROM pair w
+            WHERE w.query_id = m.query_id AND w.j = p.cand_id
+              AND list_contains(m.sel, w.i)) DESC,
+          p.rel DESC, p.cand_id
+        LIMIT 1
+      ) pick
+      WHERE m.mmr_rank < 10
+    )
+    SELECT query_id, cand_id, rel AS cos_sim,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank
+    FROM mmr ORDER BY query_id, mmr_rank
+    """,
     doc="MMR-diversified top-k retrieval (Carbonell-Goldstein): exact "
     "cosine candidate pool per query (distributed, corpus never "
     "shuffles) + greedy lambda*relevance - (1-lambda)*redundancy "
     "selection inside one Arrow group per query — O(k*pool*dim) "
-    "numpy, no driver loop.  Diversity gate: selected sets must be "
-    "strictly less self-similar than plain top-k (pytest)",
+    "numpy, no driver loop.  Deterministic (ties: rel desc, cand_id "
+    "asc), so the DuckDB oracle re-derives the greedy selection with "
+    "a recursive CTE carrying each query's selected-set as a list — "
+    "hash-checked, not rows-only (round 7)",
 )
 def similarity_topk_mmr(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
