@@ -151,6 +151,12 @@ EXTENSION_HEADLINE = [
     "mirror_update",
     "mirror_identity_column",
     "kql_join_hints",
+    # round-7 additions: mirror-side type-widening follow, liquid
+    # clustering on the target (Hilbert OPTIMIZE), MMR (now
+    # oracle-checked via a recursive-CTE DuckDB twin)
+    "mirror_type_widening_evolve",
+    "mirror_clustered_target",
+    "similarity_topk_mmr",
 ]
 
 

@@ -83,6 +83,7 @@ class MirrorPipeline:
         state_backend: str = "delta",
         on_schema_change: str = "fail",
         optimize_target_zorder_by: list[str] | None = None,
+        optimize_target_cluster_by: list[str] | None = None,
         commit_coordinator=None,
     ):
         self.spark = spark
@@ -145,7 +146,16 @@ class MirrorPipeline:
         self.optimize_target_every = optimize_target_every
         # optional z-curve clustering during periodic target compaction:
         # multi-column data skipping on the mirror's own read side
+        if optimize_target_zorder_by and optimize_target_cluster_by:
+            raise ValueError(
+                "optimize_target_zorder_by and optimize_target_cluster_by "
+                "are mutually exclusive"
+            )
         self.optimize_target_zorder_by = optimize_target_zorder_by
+        # liquid alternative: DECLARE clustering on the target (the
+        # clustering writer feature + delta.clustering domain) so every
+        # periodic OPTIMIZE lays data out along the Hilbert curve
+        self.optimize_target_cluster_by = optimize_target_cluster_by
         # driver-metadata ceiling (SURVEY §7.4): one batch materializes
         # at most this many TransactionItems on the driver.  Larger
         # spans are processed in multiple batches — by commit boundary
@@ -211,7 +221,13 @@ class MirrorPipeline:
             self.optimize_target_every
             and self._batches_run % self.optimize_target_every == 0
         ):
-            self.sink.optimize(zorder_by=self.optimize_target_zorder_by)
+            if self.optimize_target_cluster_by:
+                # declare once (idempotent), then a bare OPTIMIZE
+                # Hilbert-clusters on the declared columns
+                self.sink.set_cluster_by(self.optimize_target_cluster_by)
+                self.sink.optimize()
+            else:
+                self.sink.optimize(zorder_by=self.optimize_target_zorder_by)
         return {
             "status": "processed",
             "start_tx": start_tx,

@@ -711,6 +711,62 @@ def mirror_type_widening(spark, sf_dir):
 
 
 @query(
+    "mirror_clustered_target",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey <= 4000
+      AND l_orderkey BETWEEN 500 AND 1500
+      AND l_partkey  BETWEEN 100 AND 1200
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity
+    """,
+    doc="liquid clustering on the mirror target (round 7): "
+    "optimize_target_cluster_by declares the clustering writer "
+    "feature + delta.clustering domain metadata on the TARGET and "
+    "every periodic OPTIMIZE lays rows along the HILBERT curve over "
+    "(l_orderkey, l_partkey) — dataChange=false churn the mirror "
+    "must not re-ingest.  The returned slice filters on BOTH cluster "
+    "keys, the exact workload the layout makes stats-skippable; a "
+    "plan test (test_r7_clustering) pins the actual file pruning.  "
+    "Reference analogue: K2 extent policies, surpassed (the "
+    "reference delegates layout to Kusto)",
+)
+def mirror_clustered_target(spark, sf_dir):
+    workdir = _workdir("mirror_clu", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        "l_orderkey <= 4000"
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").cache()
+    src = DeltaSink(spark, src_path)
+    src.append(li.filter("l_orderkey % 2 = 0"))
+    src.append(li.filter("l_orderkey % 2 = 1"))
+    li.unpersist()
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        os.path.join(workdir, "dst"),
+        os.path.join(workdir, "state"),
+        table_name="li_clustered",
+        optimize_target_every=1,
+        optimize_target_cluster_by=["l_orderkey", "l_partkey"],
+    )
+    pipe.run_until_idle()
+    return (
+        pipe.sink.to_df(
+            predicate="l_orderkey >= 500 AND l_orderkey <= 1500"
+        )
+        .filter(
+            "l_orderkey BETWEEN 500 AND 1500 "
+            "AND l_partkey BETWEEN 100 AND 1200"
+        )
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+@query(
     "mirror_type_widening_evolve",
     """
     SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,

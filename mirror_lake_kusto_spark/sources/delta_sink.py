@@ -971,6 +971,10 @@ class DeltaSink:
             # rival's typeWidening upgrade rebases cleanly
             "typeWidening",
             "typeWidening-preview",
+            # round 7: liquid clustering (set_cluster_by + Hilbert
+            # OPTIMIZE); the feature imposes no obligations on plain
+            # appends, so a rival's upgrade rebases cleanly
+            "clustering",
         }
     )
 
@@ -3364,11 +3368,105 @@ class DeltaSink:
         self._pending_schema = new_schema
         return self._commit(actions, operation="CHANGE COLUMN")
 
+    def set_cluster_by(self, cols: Sequence[str]) -> int:
+        """Declare LIQUID CLUSTERING on the table (Delta's
+        ``ALTER TABLE ... CLUSTER BY``): one commit carrying the
+        ``clustering`` + ``domainMetadata`` writer features and the
+        ``delta.clustering`` domain whose configuration records
+        ``{"clusteringColumns": [["col"], ...]}`` (physical names on a
+        column-mapped table, per the spec).  Writer-only: readers need
+        nothing new.  From then on a bare :meth:`optimize` lays data
+        out along the Hilbert curve over these columns — the
+        incremental, no-partition-boundaries layout that replaced
+        ZORDER as the default for new tables.  Idempotent when the
+        same columns are already declared (returns -1)."""
+        from .delta_log import (
+            latest_domain_metadata,
+            latest_metadata,
+            latest_protocol,
+        )
+
+        cols = list(cols)
+        if not cols:
+            raise ValueError("set_cluster_by needs at least one column")
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(
+                f"{self.path}: set_cluster_by before the table exists — "
+                "append first"
+            )
+        part_cols = set(meta.get("partitionColumns") or [])
+        bad = [c for c in cols if c in part_cols]
+        if bad:
+            raise ValueError(
+                f"cluster columns {bad} are partition columns — liquid "
+                "clustering and hive partitioning are exclusive per key"
+            )
+        known = {
+            f["name"] for f in json.loads(meta["schemaString"])["fields"]
+        }
+        missing = [c for c in cols if c not in known]
+        if missing:
+            raise ValueError(f"unknown cluster column(s): {missing}")
+        mapping = self._current_mapping()  # logical -> physical
+        stored = [[mapping.get(c, c) if mapping else c] for c in cols]
+        cur = latest_domain_metadata(self.path).get("delta.clustering")
+        if cur is not None and (
+            json.loads(cur).get("clusteringColumns") == stored
+        ):
+            return -1  # already declared: replay-safe no-op
+        actions: list[dict] = []
+        pr = latest_protocol(self.path)
+        have_w = set((pr or {}).get("writerFeatures") or [])
+        need = [
+            f
+            for f in ("clustering", "domainMetadata")
+            if f not in have_w
+        ]
+        if need:
+            up = upgraded_protocol(pr, (), tuple(need))
+            if up != pr:
+                actions.append({"protocol": up})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": stored}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        return self._commit(actions, operation="CLUSTER BY")
+
+    def _clustering_columns(self) -> list[str] | None:
+        """LOGICAL clustering columns declared in the
+        ``delta.clustering`` domain, or None."""
+        from .delta_log import latest_domain_metadata
+
+        conf = latest_domain_metadata(self.path).get("delta.clustering")
+        if not conf:
+            return None
+        paths = json.loads(conf).get("clusteringColumns") or []
+        mapping = self._current_mapping()
+        log_of = {v: k for k, v in (mapping or {}).items()}
+        out: list[str] = []
+        for p in paths:
+            name = p[0] if isinstance(p, list) else p
+            if isinstance(p, list) and len(p) != 1:
+                raise ValueError(
+                    f"nested clustering path {p} is not supported"
+                )
+            out.append(log_of.get(name, name))
+        return out or None
+
     def optimize(
         self,
         target_file_bytes: int | None = None,
         zorder_by: Sequence[str] | None = None,
         partition_predicate: str | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> int:
         """Compact each partition group toward ``target_file_bytes``-sized
         files; every action carries ``dataChange: false`` — the churn
@@ -3392,12 +3490,26 @@ class DeltaSink:
         ``partition_predicate`` (SQL over partition columns) scopes the
         maintenance to matching partitions — Delta's ``OPTIMIZE WHERE``:
         at 100 TB you compact/cluster the partitions that churned, not
-        the whole table."""
+        the whole table.
+
+        ``cluster_by`` lays rows out along the HILBERT curve instead of
+        the z-curve (liquid clustering's layout: no diagonal jumps, so
+        per-file [min, max] is strictly tighter on every key).  When
+        neither ``zorder_by`` nor ``cluster_by`` is given and the table
+        DECLARES clustering (:meth:`set_cluster_by`), the declared
+        columns apply automatically — Delta's ``OPTIMIZE`` semantics on
+        a clustered table."""
         import math as _math
 
         from .delta_log import _prune_partitions, latest_metadata, snapshot_files
 
         self._require_no_dvs("OPTIMIZE")
+        if zorder_by is not None and cluster_by is not None:
+            raise ValueError(
+                "zorder_by and cluster_by are mutually exclusive"
+            )
+        if zorder_by is None and cluster_by is None:
+            cluster_by = self._clustering_columns()
         if target_file_bytes is None:
             # per-table policy wins over the 128 MB default (K2: the
             # reference sets Kusto merge policies; here the knob lives
@@ -3416,14 +3528,16 @@ class DeltaSink:
                 ) from None
         now = int(time.time() * 1000)
         _types, data_schema = self._data_schema()
-        zcols = list(zorder_by or [])
+        hilbert = zorder_by is None and bool(cluster_by)
+        zcols = list(zorder_by or cluster_by or [])
         if zcols:
             if data_schema is None:
                 return self._commit([])
             missing = [c for c in zcols if c not in data_schema.names]
             if missing:
                 raise ValueError(
-                    f"zorder_by columns {missing} are not data columns "
+                    f"{'cluster_by' if hilbert else 'zorder_by'} columns "
+                    f"{missing} are not data columns "
                     "(partition columns are already file-separated)"
                 )
             bounds = self._zorder_bounds(zcols, data_schema)
@@ -3445,10 +3559,12 @@ class DeltaSink:
             if not zcols and len(files) <= n_out:
                 continue
             if zcols:
-                from .skipping import zvalue_column
+                from .skipping import hilbert_column, zvalue_column
+
+                curve = hilbert_column if hilbert else zvalue_column
 
                 def transform(df, n=n_out, s=data_schema, b=bounds):
-                    z = zvalue_column(zcols, b, s)
+                    z = curve(zcols, b, s)
                     out = df.withColumn("_mlk_z", z)
                     if n > 1:
                         out = out.repartitionByRange(n, "_mlk_z")
@@ -3469,7 +3585,12 @@ class DeltaSink:
                 )
             )
         return self._commit(
-            actions, operation="OPTIMIZE ZORDER" if zcols else "OPTIMIZE"
+            actions,
+            operation="OPTIMIZE CLUSTER BY"
+            if (zcols and hilbert)
+            else "OPTIMIZE ZORDER"
+            if zcols
+            else "OPTIMIZE",
         )
 
     def _zorder_bounds(self, zcols, data_schema) -> dict[str, tuple[float, float]]:

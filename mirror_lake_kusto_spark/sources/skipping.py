@@ -212,6 +212,102 @@ def zvalue_column(
     return z
 
 
+def hilbert_index(coords, bits: int):
+    """Vectorized Hilbert-curve distance of ``coords`` (shape
+    (n_dims, N), uint64 bucket ids in [0, 2^bits)) — John Skilling's
+    public-domain transpose algorithm ("Programming the Hilbert
+    curve", AIP Conf. Proc. 707, 2004), with the per-bit loop run as
+    numpy boolean-mask ops over the whole batch (O(bits * n_dims)
+    vectorized passes, no per-row Python).
+
+    The Hilbert curve is the liquid-clustering layout curve: unlike
+    the z-curve it has NO long diagonal jumps, so consecutive rows are
+    always adjacent in key space and per-file [min, max] ranges come
+    out strictly tighter on every clustering dimension."""
+    import numpy as np
+
+    X = np.ascontiguousarray(coords, dtype=np.uint64).copy()
+    n, N = X.shape
+    one = np.uint64(1)
+    # inverse-undo excess work (top bit downward)
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        P = Q - one
+        for i in range(n):
+            mask = (X[i] & Q) != 0
+            X[0] = np.where(mask, X[0] ^ P, X[0])
+            t = np.where(mask, np.uint64(0), (X[0] ^ X[i]) & P)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= one
+    # Gray encode
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros(N, dtype=np.uint64)
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        m = (X[n - 1] & Q) != 0
+        t = np.where(m, t ^ (Q - one), t)
+        Q >>= one
+    for i in range(n):
+        X[i] ^= t
+    # transpose -> scalar index: MSB-first interleave across words
+    idx = np.zeros(N, dtype=np.uint64)
+    for q in range(bits - 1, -1, -1):
+        for j in range(n):
+            idx = (idx << one) | ((X[j] >> np.uint64(q)) & one)
+    return idx.astype(np.int64)
+
+
+def hilbert_column(
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    schema: StructType,
+    bits: int | None = None,
+) -> "Column":  # noqa: F821
+    """Hilbert-curve cluster key over ``cols`` — the liquid-clustering
+    twin of :func:`zvalue_column`.  Column scaling to bucket ids runs
+    JVM-side via :func:`numeric_proxy`; the curve itself is an
+    Arrow-batched pandas UDF over the already-narrow proxy columns
+    (one int64 out per row), vectorized end-to-end in numpy.  This
+    sits on the OPTIMIZE rewrite path where the full-data rewrite
+    dwarfs the key computation.  Nulls sort to bucket 0."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    n = len(cols)
+    if bits is None:
+        bits = min(ZORDER_BITS, 63 // n)
+    if not 1 <= n * bits <= 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    type_of = {f.name: f.dataType for f in schema.fields}
+    lo_hi = [bounds[c] for c in cols]
+    top = float((1 << bits) - 1)
+
+    # no type hints: pandas_udf cannot infer an eval type from a
+    # varargs signature — the legacy SCALAR form handles *series
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _hkey(*series):
+        m = len(series[0])
+        coords = np.zeros((n, m), dtype=np.uint64)
+        for j, s in enumerate(series):
+            lo, hi = lo_hi[j]
+            v = s.to_numpy(dtype=np.float64, na_value=lo)
+            if hi > lo:
+                v = (v - lo) / (hi - lo) * top
+            else:
+                v = np.zeros(m, dtype=np.float64)
+            coords[j] = np.clip(np.nan_to_num(v, nan=0.0), 0.0, top).astype(
+                np.uint64
+            )
+        return pd.Series(hilbert_index(coords, bits))
+
+    return _hkey(
+        *[numeric_proxy(c, type_of[c]) for c in cols]
+    )
+
+
 # ---------------------------------------------------------------------------
 # read side: predicate conjuncts -> per-file interval tests
 # ---------------------------------------------------------------------------
