@@ -149,10 +149,17 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         read_change_feed: bool = False,
         starting_version: int | None = None,
         max_bytes_per_trigger: int | None = None,
+        ignore_deletes: bool = False,
     ):
         self.path = table_path
         self._schema = schema
         self.skip_change_commits = skip_change_commits
+        #: Delta's ignoreDeletes: commits that ONLY remove data (a
+        #: retention delete of whole files/partitions) are skipped;
+        #: commits that remove AND add (updates, DV rewrites) still
+        #: raise — those need skipChangeCommits, which drops the adds
+        #: too.  The narrower of the two opt-outs.
+        self.ignore_deletes = ignore_deletes
         self.max_commits_per_trigger = max_commits_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.read_change_feed = read_change_feed
@@ -336,10 +343,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 if "remove" in a
             )
             if has_data_remove and not self.skip_change_commits:
-                raise ValueError(
-                    f"commit {v} removes data; streams cannot retract "
-                    "rows (set skipChangeCommits to ignore such commits)"
+                delete_only = not any(
+                    a["add"].get("dataChange", True)
+                    for a in acts
+                    if "add" in a
                 )
+                if not (self.ignore_deletes and delete_only):
+                    raise ValueError(
+                        f"commit {v} removes data; streams cannot "
+                        "retract rows (set ignoreDeletes to skip "
+                        "delete-only commits, or skipChangeCommits to "
+                        "drop data-rewriting commits wholesale)"
+                    )
             if not has_data_remove:
                 for a in acts:
                     add = a.get("add")
@@ -480,6 +495,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
 class DeltaLogDataSource(DataSource):
     """format("mlk_delta") — options: path, skipChangeCommits,
+    ignoreDeletes (skip commits that ONLY remove data — retention
+    deletes of whole files; commits that rewrite data still raise),
     maxCommitsPerTrigger, maxBytesPerTrigger (admission control by add-
     file bytes: a fat commit splits across triggers at file granularity
     — the knob that bounds executor memory when commit sizes are
@@ -498,10 +515,12 @@ class DeltaLogDataSource(DataSource):
     def _cdf(self) -> bool:
         cdf = str(self.options.get("readchangefeed", "false")).lower() == "true"
         skip = str(self.options.get("skipchangecommits", "false")).lower() == "true"
-        if cdf and skip:
+        ign = str(self.options.get("ignoredeletes", "false")).lower() == "true"
+        if cdf and (skip or ign):
             raise ValueError(
-                "readChangeFeed and skipChangeCommits are mutually "
-                "exclusive: the feed's whole point is delivering removes"
+                "readChangeFeed and skipChangeCommits/ignoreDeletes are "
+                "mutually exclusive: the feed's whole point is "
+                "delivering removes"
             )
         return cdf
 
@@ -579,4 +598,8 @@ class DeltaLogDataSource(DataSource):
             read_change_feed=cdf,
             starting_version=starting_version,
             max_bytes_per_trigger=int(max_bytes) if max_bytes else None,
+            ignore_deletes=str(
+                self.options.get("ignoredeletes", "false")
+            ).lower()
+            == "true",
         )

@@ -95,6 +95,82 @@ def test_skip_change_commits_drops_rewrite(spark, tmp_path):
     assert len(out) == 20
 
 
+def test_ignore_deletes_skips_delete_only_commits(spark, tmp_path):
+    """Delta's ignoreDeletes (round 7): commits that ONLY remove data
+    (a whole-file retention delete) are skipped; subsequent appends
+    keep flowing through the same stream."""
+    path, ckpt = str(tmp_path / "t_ign"), str(tmp_path / "ckpt_ign")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(10).selectExpr("id", "id % 2 AS bucket"))
+    src.append(spark.range(10, 20).selectExpr("id", "cast(2 as long) AS bucket"))
+    # whole-file delete: every row of commit-2's file matches -> the
+    # commit carries removes only, no rewritten add
+    src.delete("bucket = 2")
+    src.append(spark.range(20, 25).selectExpr("id", "id % 2 AS bucket"))
+    out = _drain(
+        spark, path, ckpt, "t_ign", options={"ignoreDeletes": "true"}
+    )
+    assert sorted(r["id"] for r in out) == list(range(25))
+
+
+def test_ignore_deletes_still_raises_on_rewrites(spark, tmp_path):
+    """A partial delete rewrites a file (remove+add in one commit):
+    ignoreDeletes must NOT silently drop it — that's skipChangeCommits'
+    contract, not ignoreDeletes'."""
+    path, ckpt = str(tmp_path / "t_ign2"), str(tmp_path / "ckpt_ign2")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(20).coalesce(1).toDF("id"))  # ONE file
+    src.delete("id < 5")  # copy-on-write: remove + rewritten add
+    with pytest.raises(
+        StreamingQueryException, match="skipChangeCommits"
+    ):
+        _drain(
+            spark, path, ckpt, "t_ign2", options={"ignoreDeletes": "true"}
+        )
+
+
+def test_ignore_deletes_excludes_cdf(spark, tmp_path):
+    path = str(tmp_path / "t_ign3")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(3).toDF("id"))
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("mlk_delta")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("ignoreDeletes", "true")
+            .load()
+        )
+
+
+def test_stream_survives_dv_delete_with_skip_change_commits(spark, tmp_path):
+    """stream == batch over a source that takes a merge-on-read (DV)
+    delete mid-stream: with skipChangeCommits the DV rewrite commit is
+    dropped whole, the stream keeps running, delivered rows equal the
+    batch read BEFORE the delete, and the batch HEAD read honors the
+    DV (rows really deleted)."""
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    path, ckpt = str(tmp_path / "t_dv"), str(tmp_path / "ckpt_dv")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(10).toDF("id"))
+    first = _drain(spark, path, ckpt, "t_dv1", skip_change=True)
+    assert len(first) == 10
+    v_del = src.delete_dv("id < 4")           # remove(P) + add(P, DV)
+    src.append(spark.range(10, 15).toDF("id"))
+    second = _drain(spark, path, ckpt, "t_dv2", skip_change=True)
+    # the DV commit is dropped whole; the later append flows
+    assert sorted(r["id"] for r in second) == list(range(10, 15))
+    # stream total == batch snapshot BEFORE the delete + new inserts
+    pre = {r["id"] for r in DL.read_snapshot(spark, path, upto=v_del - 1).collect()}
+    assert {r["id"] for r in first + second} == pre | set(range(10, 15))
+    # batch head read applies the DV
+    head = sorted(
+        r["id"] for r in DL.read_snapshot(spark, path).collect()
+    )
+    assert head == list(range(4, 15))
+
+
 # -- StreamingMirror (pipeline/stream_mirror.py) -----------------------------
 
 
