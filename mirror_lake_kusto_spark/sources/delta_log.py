@@ -85,6 +85,10 @@ ADD_SCHEMA = StructType(
         # row id in the file and the commit version its rows default to
         StructField("baseRowId", LongType()),
         StructField("defaultRowCommitVersion", LongType()),
+        # writer-private provenance (PROTOCOL.md allows arbitrary
+        # string tags); this engine marks Hilbert-clustered rewrites
+        # so OPTIMIZE can be INCREMENTAL (skip already-clustered files)
+        StructField("tags", MapType(StringType(), StringType())),
     ]
 )
 REMOVE_SCHEMA = StructType(
@@ -554,6 +558,7 @@ def file_actions(
         F.col("add.defaultRowCommitVersion").alias(
             "defaultRowCommitVersion"
         ),
+        F.col("add.tags").alias("tags"),
     )
     removes = acts.filter(F.col("remove").isNotNull()).select(
         "tx_id",
@@ -568,6 +573,7 @@ def file_actions(
         F.lit(None).cast(DV_SCHEMA).alias("deletionVector"),
         F.lit(None).cast("long").alias("baseRowId"),
         F.lit(None).cast("long").alias("defaultRowCommitVersion"),
+        F.lit(None).cast("map<string,string>").alias("tags"),
     )
     return adds.unionByName(removes)
 
@@ -895,6 +901,7 @@ def snapshot_files(
                     "deletionVector",
                     "baseRowId",
                     "defaultRowCommitVersion",
+                    "tags",
                 ),
                 F.struct("tx_id", F.col("is_add").cast("int")),
             ).alias("last")
@@ -911,6 +918,7 @@ def snapshot_files(
             F.col("last.defaultRowCommitVersion").alias(
                 "defaultRowCommitVersion"
             ),
+            F.col("last.tags").alias("tags"),
         )
     )
     return [r.asDict(recursive=True) for r in latest.collect()]
@@ -966,6 +974,9 @@ def _snapshot_files_driver(
                     "defaultRowCommitVersion": add.get(
                         "defaultRowCommitVersion"
                     ),
+                    # pyarrow reads parquet maps as (key, value) tuple
+                    # lists — normalize like partitionValues above
+                    "tags": dict(add["tags"]) if add.get("tags") else None,
                 },
             )
         try:
@@ -993,6 +1004,7 @@ def _snapshot_files_driver(
                         "defaultRowCommitVersion": a.get(
                             "defaultRowCommitVersion"
                         ),
+                        "tags": dict(a["tags"]) if a.get("tags") else None,
                     },
                 )
             elif "remove" in act:
@@ -1650,6 +1662,9 @@ def reconciled_actions(
                     "defaultRowCommitVersion": f.get(
                         "defaultRowCommitVersion"
                     ),
+                    # clustered-provenance tags survive too, or the
+                    # next incremental OPTIMIZE re-clusters everything
+                    "tags": f.get("tags"),
                 },
             }
         )

@@ -688,22 +688,24 @@ class DeltaSink:
                         f"cannot backfill row ids: {f['path']} has no "
                         "numRecords stats"
                     )
-                acts.append(
-                    {
-                        "add": {
-                            "path": f["path"],
-                            "partitionValues": f["partitionValues"] or {},
-                            "size": f["size"],
-                            "modificationTime": 0,
-                            "dataChange": False,
-                            "stats": f.get("stats")
-                            or json.dumps({"numRecords": n}),
-                            "deletionVector": f.get("deletionVector"),
-                            "baseRowId": hwm + 1,
-                            "defaultRowCommitVersion": expected,
-                        }
-                    }
-                )
+                add = {
+                    "path": f["path"],
+                    "partitionValues": f["partitionValues"] or {},
+                    "size": f["size"],
+                    "modificationTime": 0,
+                    "dataChange": False,
+                    "stats": f.get("stats")
+                    or json.dumps({"numRecords": n}),
+                    "deletionVector": f.get("deletionVector"),
+                    "baseRowId": hwm + 1,
+                    "defaultRowCommitVersion": expected,
+                }
+                if f.get("tags"):
+                    # the backfill re-add points at the SAME physical
+                    # file — its clustered-provenance tag must survive
+                    # or the next OPTIMIZE re-clusters it for nothing
+                    add["tags"] = f["tags"]
+                acts.append({"add": add})
                 hwm += int(n)
             acts.append(
                 {
@@ -2060,6 +2062,7 @@ class DeltaSink:
         data_change: bool,
         now: int,
         read_schema=None,
+        tags: dict[str, str] | None = None,
     ) -> list[dict]:
         """Rewrite one partition group's files through ``transform``:
         emit removes for the old files and adds for the rewritten ones.
@@ -2137,26 +2140,25 @@ class DeltaSink:
             dst = _fs.join(self.path, rel)
             self.fs.makedirs(dst.rsplit("/", 1)[0])
             self.fs.move(src, dst)
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": part_values,
-                        "size": self.fs.getsize(dst),
-                        "modificationTime": now,
-                        "dataChange": data_change,
-                        "stats": file_stats_json(meta)
-                        if meta is not None
-                        else json.dumps(
-                            {
-                                "numRecords": counts.get(
-                                    self.fs.normalize(src), 0
-                                )
-                            }
-                        ),
+            add = {
+                "path": rel,
+                "partitionValues": part_values,
+                "size": self.fs.getsize(dst),
+                "modificationTime": now,
+                "dataChange": data_change,
+                "stats": file_stats_json(meta)
+                if meta is not None
+                else json.dumps(
+                    {
+                        "numRecords": counts.get(
+                            self.fs.normalize(src), 0
+                        )
                     }
-                }
-            )
+                ),
+            }
+            if tags:
+                add["tags"] = dict(tags)
+            actions.append({"add": add})
         self.fs.rmtree(tmp)
         return actions
 
@@ -2927,6 +2929,8 @@ class DeltaSink:
                         "defaultRowCommitVersion": f.get(
                             "defaultRowCommitVersion"
                         ),
+                        # same physical file: clustering stays valid
+                        **({"tags": dict(f["tags"])} if f.get("tags") else {}),
                     }
                 }
             )
@@ -3467,6 +3471,7 @@ class DeltaSink:
         zorder_by: Sequence[str] | None = None,
         partition_predicate: str | None = None,
         cluster_by: Sequence[str] | None = None,
+        full: bool = False,
     ) -> int:
         """Compact each partition group toward ``target_file_bytes``-sized
         files; every action carries ``dataChange: false`` — the churn
@@ -3498,7 +3503,11 @@ class DeltaSink:
         neither ``zorder_by`` nor ``cluster_by`` is given and the table
         DECLARES clustering (:meth:`set_cluster_by`), the declared
         columns apply automatically — Delta's ``OPTIMIZE`` semantics on
-        a clustered table."""
+        a clustered table.  Clustered OPTIMIZE is INCREMENTAL by
+        default: already-clustered files (tagged by a prior rewrite
+        under the same keys) stay put and only new data rewrites —
+        O(new data), not O(table), per maintenance pass.  ``full=True``
+        forces a whole-table re-cluster (``OPTIMIZE FULL``)."""
         import math as _math
 
         from .delta_log import _prune_partitions, latest_metadata, snapshot_files
@@ -3552,8 +3561,26 @@ class DeltaSink:
         for f in files:
             key = tuple(sorted((f["partitionValues"] or {}).items()))
             groups.setdefault(key, []).append(f)
+        cluster_tag = ",".join(zcols) if hilbert else None
         actions: list[dict] = []
         for key, files in groups.items():
+            if hilbert and not full:
+                # INCREMENTAL clustering (the liquid model, and the
+                # 100 TB requirement): files a previous CLUSTER BY
+                # rewrite produced under the SAME key set are already
+                # tight and stay put; only new/unclustered files (and
+                # files clustered under different keys) rewrite.
+                # Generations may overlap in key space — that is the
+                # accepted trade for O(new data) maintenance instead
+                # of O(table); pass full=True to re-cluster everything.
+                files = [
+                    f
+                    for f in files
+                    if (f.get("tags") or {}).get("MLK_CLUSTERED_BY")
+                    != cluster_tag
+                ]
+                if not files:
+                    continue
             total = sum(f["size"] or 0 for f in files)
             n_out = max(1, _math.ceil(total / target_file_bytes))
             if not zcols and len(files) <= n_out:
@@ -3582,6 +3609,9 @@ class DeltaSink:
                     data_change=False,
                     now=now,
                     read_schema=data_schema,
+                    tags={"MLK_CLUSTERED_BY": cluster_tag}
+                    if cluster_tag
+                    else None,
                 )
             )
         return self._commit(
@@ -3784,6 +3814,10 @@ class DeltaSink:
                 # the historical snapshot's merge-on-read state restores
                 # verbatim — dropping the DV would resurrect its rows
                 add["deletionVector"] = dict(f["deletionVector"])
+            if f.get("tags"):
+                # clustered-provenance tags restore with the file, so
+                # the next incremental OPTIMIZE doesn't re-cluster it
+                add["tags"] = dict(f["tags"])
             actions.append({"add": add})
         for p, f in current.items():
             if p in target and _dv_key(target[p]) == _dv_key(f):

@@ -156,6 +156,75 @@ def test_optimize_explicit_cluster_by_and_exclusivity(spark, tmp_path):
     assert DL.read_snapshot(spark, sink.path).count() == 5_000
 
 
+def test_optimize_clustering_is_incremental(spark, tmp_path):
+    """The liquid model at 100 TB: a clustered OPTIMIZE rewrites only
+    files a prior CLUSTER BY did not already produce — O(new data) per
+    maintenance pass.  full=True forces the whole-table re-cluster."""
+    sink = _clustered_table(spark, tmp_path, "ci1")
+    sink.set_cluster_by(["a", "b"])
+    sink.optimize(target_file_bytes=40_000)
+    snap1 = DL.snapshot_files(spark, sink.path)
+    assert all(
+        (f.get("tags") or {}).get("MLK_CLUSTERED_BY") == "a,b"
+        for f in snap1
+    )
+    head1 = max(
+        r["version"] for r in sink.history().select("version").collect()
+    )
+    # nothing new -> nothing rewritten, no empty commit
+    sink.optimize(target_file_bytes=40_000)
+    head2 = max(
+        r["version"] for r in sink.history().select("version").collect()
+    )
+    assert head2 == head1
+    assert {f["path"] for f in DL.snapshot_files(spark, sink.path)} == {
+        f["path"] for f in snap1
+    }
+    # new data -> ONLY the new files rewrite; generation 1 stays put
+    sink.append(
+        spark.range(20_000, 22_000).selectExpr(
+            "id AS a", "cast((id * 7919) % 20000 AS long) AS b",
+            "string(id) AS s",
+        )
+    )
+    sink.optimize(target_file_bytes=40_000)
+    snap3 = DL.snapshot_files(spark, sink.path)
+    assert {f["path"] for f in snap1} <= {f["path"] for f in snap3}
+    fresh = [f for f in snap3 if f["path"] not in {g["path"] for g in snap1}]
+    assert fresh and all(
+        (f.get("tags") or {}).get("MLK_CLUSTERED_BY") == "a,b"
+        for f in fresh
+    )
+    # FULL re-cluster replaces every file
+    sink.optimize(target_file_bytes=40_000, full=True)
+    snap4 = {f["path"] for f in DL.snapshot_files(spark, sink.path)}
+    assert not (snap4 & {f["path"] for f in snap3})
+    assert DL.read_snapshot(spark, sink.path).count() == 22_000
+
+
+def test_cluster_tags_survive_checkpoint_and_vacuum(spark, tmp_path):
+    """Provenance tags must ride through checkpoint reconciliation and
+    log truncation, or the first OPTIMIZE after a vacuum re-clusters
+    the whole table for nothing."""
+    sink = _clustered_table(spark, tmp_path, "ci2", n=8_000)
+    sink.set_cluster_by(["a", "b"])
+    sink.optimize(target_file_bytes=40_000)
+    head = max(
+        r["version"] for r in sink.history().select("version").collect()
+    )
+    sink._write_checkpoint(head)
+    sink.vacuum()  # truncates JSON commits <= checkpoint
+    snap = DL.snapshot_files(spark, sink.path)
+    assert all(
+        (f.get("tags") or {}).get("MLK_CLUSTERED_BY") == "a,b"
+        for f in snap
+    )
+    sink.optimize(target_file_bytes=40_000)  # must be a no-op
+    assert {f["path"] for f in DL.snapshot_files(spark, sink.path)} == {
+        f["path"] for f in snap
+    }
+
+
 def test_mirror_clustered_target(spark, tmp_path):
     """optimize_target_cluster_by: the mirror DECLARES clustering on
     its target and every periodic OPTIMIZE Hilbert-clusters it; rows
