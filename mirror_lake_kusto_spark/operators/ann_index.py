@@ -146,6 +146,7 @@ def search_ivf_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Top-k cosine search against a persisted index.
 
@@ -158,7 +159,13 @@ def search_ivf_index(
     shuffles; the scan never touches an unprobed cluster."""
     meta = load_index_meta(path)
     cent = np.asarray(meta["centroids"], dtype=np.float64)
-    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    if max_queries is None:
+        from .similarity import MAX_QUERY_VECTORS
+
+        max_queries = MAX_QUERY_VECTORS
+    qids, qmat, qnorm = _collect_queries(
+        queries, id_col, vec_col, max_queries=max_queries
+    )
     if len(qids) == 0:
         return spark.createDataFrame(
             [], "query_id bigint, cand_id bigint, cos_sim double"

@@ -86,6 +86,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
@@ -95,7 +96,7 @@ def cosine_topk_bruteforce(
     the final window sorts only ~k x n_batches x n_queries rows.
     """
     spark = corpus.sparkSession
-    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -535,6 +536,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     n_assign: int = 1,
     seed: int = 42,
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> DataFrame:
     """IVF approximate top-k: score each query only against the
     ``n_probe`` clusters nearest its vector — candidate volume drops to
@@ -559,7 +561,7 @@ def cosine_topk_ivf(
         F.explode("clusters").alias("cluster"),
     )
 
-    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     probe_rows = [
@@ -743,6 +745,7 @@ def cosine_topk_pq(
     n_codes: int = 256,
     seed: int = 42,
     round_digits: int = 6,
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation
     (ADC): each query precomputes an (m x n_codes) table of subspace
@@ -758,7 +761,7 @@ def cosine_topk_pq(
         corpus, vec_col, id_col, m=m, n_codes=n_codes, seed=seed
     )
     encoded = pq_encode(corpus, books, vec_col).select(id_col, "pq_code")
-    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
     dsub = books.shape[2]
     # (n_queries, m, n_codes) dot tables + per-code squared norms
     tables = np.stack(
@@ -821,6 +824,7 @@ def cosine_topk_ivfpq(
     n_codes: int = 256,
     seed: int = 42,
     round_digits: int = 6,
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> DataFrame:
     """IVF-PQ: the composed FAISS-style index — the IVF coarse
     quantizer restricts each query to its ``n_probe`` nearest clusters,
@@ -848,7 +852,7 @@ def cosine_topk_ivfpq(
         F.explode("clusters").alias("cluster"),
     )
 
-    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col)
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     probe_order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     probes = spark.createDataFrame(
@@ -991,6 +995,7 @@ def cosine_topk_mmr(
     lambda_: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_VECTORS,
 ) -> DataFrame:
     """Diversified top-k: Maximal Marginal Relevance re-ranking of the
     exact cosine candidate pool (Carbonell & Goldstein 1998).
@@ -1007,7 +1012,8 @@ def cosine_topk_mmr(
     1..k.
     """
     pool_df = cosine_topk_bruteforce(
-        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
     )
     cand = pool_df.join(
         corpus.select(

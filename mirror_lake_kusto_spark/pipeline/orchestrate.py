@@ -223,9 +223,13 @@ class MirrorPipeline:
         ):
             if self.optimize_target_cluster_by:
                 # declare once (idempotent), then a bare OPTIMIZE
-                # Hilbert-clusters on the declared columns
-                self.sink.set_cluster_by(self.optimize_target_cluster_by)
-                self.sink.optimize()
+                # Hilbert-clusters on the declared columns.  A target
+                # with no data yet (empty source, all adds skipped)
+                # has nothing to declare ON — degrade to a no-op like
+                # the zorder twin, don't wedge the pipeline
+                if DL.latest_metadata(self.spark, self.sink.path) is not None:
+                    self.sink.set_cluster_by(self.optimize_target_cluster_by)
+                    self.sink.optimize()
             else:
                 self.sink.optimize(zorder_by=self.optimize_target_zorder_by)
         return {
@@ -525,11 +529,7 @@ class MirrorPipeline:
             raise ValueError(f"no metaData action in {self.source}")
         recorded = self._recorded_schema()
         if recorded is None:
-            return {
-                **self._item(hwm + 1, end_tx, "Schema", "Done", self.now_fn().isoformat()),
-                "schema": meta["schemaString"],
-                "partition_columns": json.dumps(meta.get("partitionColumns") or []),
-            }
+            return self._schema_item(hwm, end_tx, meta)
         same_parts = json.loads(recorded["partition_columns"]) == (
             meta.get("partitionColumns") or []
         )
@@ -555,15 +555,7 @@ class MirrorPipeline:
                 and self.sink._current_mapping()
             ):
                 self.sink.evolve_add(meta["schemaString"])
-            return {
-                **self._item(
-                    hwm + 1, end_tx, "Schema", "Done", self.now_fn().isoformat()
-                ),
-                "schema": meta["schemaString"],
-                "partition_columns": json.dumps(
-                    meta.get("partitionColumns") or []
-                ),
-            }
+            return self._schema_item(hwm, end_tx, meta)
         if self.on_schema_change == "widen" and same_parts:
             widen_map = self._widen_delta(
                 recorded["schema"], meta["schemaString"]
@@ -581,7 +573,24 @@ class MirrorPipeline:
                 # commits before AND after the widen.
                 tgt_meta = DL.latest_metadata(self.spark, self.sink.path)
                 if widen_map and tgt_meta is not None:
-                    self.sink.evolve_widen(widen_map)
+                    # only columns the target actually carries: a
+                    # column ADDED and then widened on the source
+                    # before any of its data reached the target has
+                    # nothing to evolve — its first append arrives
+                    # wide (the rename path filters identically)
+                    tgt_names = {
+                        f["name"]
+                        for f in json.loads(tgt_meta["schemaString"])[
+                            "fields"
+                        ]
+                    }
+                    present = {
+                        c: t
+                        for c, t in widen_map.items()
+                        if c in tgt_names
+                    }
+                    if present:
+                        self.sink.evolve_widen(present)
                 added = {
                     f["name"]
                     for f in json.loads(meta["schemaString"])["fields"]
@@ -593,19 +602,7 @@ class MirrorPipeline:
                     # additions on a column-mapped target need explicit
                     # mapping identities (same rule as evolve-rename)
                     self.sink.evolve_add(meta["schemaString"])
-                return {
-                    **self._item(
-                        hwm + 1,
-                        end_tx,
-                        "Schema",
-                        "Done",
-                        self.now_fn().isoformat(),
-                    ),
-                    "schema": meta["schemaString"],
-                    "partition_columns": json.dumps(
-                        meta.get("partitionColumns") or []
-                    ),
-                }
+                return self._schema_item(hwm, end_tx, meta)
         if self.on_schema_change == "evolve-rename":
             renames = self._rename_delta(recorded, meta)
             if renames is not None:
@@ -633,19 +630,7 @@ class MirrorPipeline:
                 }
                 if target_renames:
                     self.sink.evolve_rename(target_renames)
-                return {
-                    **self._item(
-                        hwm + 1,
-                        end_tx,
-                        "Schema",
-                        "Done",
-                        self.now_fn().isoformat(),
-                    ),
-                    "schema": meta["schemaString"],
-                    "partition_columns": json.dumps(
-                        meta.get("partitionColumns") or []
-                    ),
-                }
+                return self._schema_item(hwm, end_tx, meta)
         raise SchemaChangedError(
             "source schema or partition columns changed mid-stream"
             + (
@@ -664,6 +649,20 @@ class MirrorPipeline:
                 else ""
             )
         )
+
+    def _schema_item(self, hwm: int, end_tx: int, meta: dict) -> dict:
+        """The Schema state-store item recording ``meta``'s schema +
+        partition columns for the span starting at hwm+1 — one shape,
+        shared by every _check_schema branch."""
+        return {
+            **self._item(
+                hwm + 1, end_tx, "Schema", "Done", self.now_fn().isoformat()
+            ),
+            "schema": meta["schemaString"],
+            "partition_columns": json.dumps(
+                meta.get("partitionColumns") or []
+            ),
+        }
 
     def _widen_delta(
         self, old_json: str, new_json: str

@@ -328,9 +328,9 @@ class DeltaSink:
                     )
                 body.append({"protocol": proto})
                 body.append({"metaData": self._metadata_action()})
-            elif self._schema_changed() and not any(
-                "metaData" in a for a in actions
-            ):
+            elif (
+                prev_ss := self._schema_changed_from(actions)
+            ) is not None:
                 # appending a different schema records new metaData, so
                 # readers (and the mirror's schema guard) see the change
                 # (skipped when the caller supplies metaData explicitly,
@@ -349,7 +349,7 @@ class DeltaSink:
                 # delta.typeChanges history and gate the feature;
                 # anything lossy fails loudly (silently recording the
                 # new type would corrupt old rows on read)
-                widened = self._annotate_type_changes()
+                widened = self._annotate_type_changes(prev_ss)
                 feats = []
                 if self._schema_uses_variant():
                     feats.append("variantType")
@@ -1111,15 +1111,25 @@ class DeltaSink:
                     return act["metaData"]["schemaString"]
         return None
 
-    def _schema_changed(self) -> bool:
-        if self._pending_schema == "{}":
-            return False
+    def _schema_changed_from(self, actions) -> str | None:
+        """The previous schemaString when this commit's pending schema
+        differs from it (and no caller-supplied metaData overrides it),
+        else None.  ONE reverse log scan, reused by the typeChanges
+        annotation — _schema_changed + a second scan inside the branch
+        would read the whole post-checkpoint JSON tail twice per
+        schema-changing append."""
+        if self._pending_schema == "{}" or any(
+            "metaData" in a for a in actions
+        ):
+            return None
         prev = self._last_schema_string()
-        return prev is not None and self._schema_key(
-            prev
-        ) != self._schema_key(self._pending_schema)
+        if prev is None or self._schema_key(prev) == self._schema_key(
+            self._pending_schema
+        ):
+            return None
+        return prev
 
-    def _annotate_type_changes(self) -> bool:
+    def _annotate_type_changes(self, prev_ss: str) -> bool:
         """Called when an append's schema differs from the table's:
         classify every per-field RETYPE against the previous schema.
         Lossless widenings annotate the field's ``delta.typeChanges``
@@ -1134,9 +1144,6 @@ class DeltaSink:
         history (a later added column must not erase it)."""
         from .delta_log import is_type_widening
 
-        prev_ss = self._last_schema_string()
-        if prev_ss is None:
-            return False
         prev_fields = {
             f["name"]: f for f in json.loads(prev_ss)["fields"]
         }
@@ -3399,7 +3406,16 @@ class DeltaSink:
                 f"{self.path}: set_cluster_by before the table exists — "
                 "append first"
             )
-        part_cols = set(meta.get("partitionColumns") or [])
+        mapping = self._current_mapping()  # logical -> physical
+        # partitionColumns are PHYSICAL on a column-mapped table —
+        # translate to logical before comparing against `cols`, or a
+        # renamed partition column slips past the exclusivity check
+        from .delta_log import column_mapping_of
+
+        log_of = {v: k for k, v in (column_mapping_of(meta) or {}).items()}
+        part_cols = {
+            log_of.get(c, c) for c in (meta.get("partitionColumns") or [])
+        }
         bad = [c for c in cols if c in part_cols]
         if bad:
             raise ValueError(
@@ -3412,7 +3428,6 @@ class DeltaSink:
         missing = [c for c in cols if c not in known]
         if missing:
             raise ValueError(f"unknown cluster column(s): {missing}")
-        mapping = self._current_mapping()  # logical -> physical
         stored = [[mapping.get(c, c) if mapping else c] for c in cols]
         cur = latest_domain_metadata(self.path).get("delta.clustering")
         if cur is not None and (

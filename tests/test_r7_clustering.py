@@ -156,6 +156,46 @@ def test_optimize_explicit_cluster_by_and_exclusivity(spark, tmp_path):
     assert DL.read_snapshot(spark, sink.path).count() == 5_000
 
 
+def test_mirror_cluster_by_with_no_target_data_is_noop(spark, tmp_path):
+    """optimize_target_cluster_by on a sync that landed NO data (all
+    source adds empty-skipped, target never created) must no-op like
+    the zorder twin, not crash run_once."""
+    src_path = str(tmp_path / "mcempty_src")
+    src = DeltaSink(spark, src_path)
+    src.append(spark.range(0).toDF("id"))  # zero-row files only
+    p = MirrorPipeline(
+        spark,
+        src_path,
+        str(tmp_path / "mcempty_dst"),
+        str(tmp_path / "mcempty_state"),
+        table_name="mcempty",
+        optimize_target_every=1,
+        optimize_target_cluster_by=["id"],
+    )
+    res = p.run_until_idle()  # must not raise
+    assert res and res[0]["adds_staged"] == 0
+    # once data arrives, clustering declares + applies
+    src.append(spark.range(100).toDF("id"))
+    p.run_until_idle()
+    assert p.mirror_df().count() == 100
+    assert "clustering" in (
+        DL.latest_protocol(p.sink.path).get("writerFeatures") or []
+    )
+
+
+def test_set_cluster_by_refuses_renamed_partition_column(spark, tmp_path):
+    """On a column-mapped table partitionColumns are PHYSICAL — the
+    exclusivity check must compare logically, or a renamed partition
+    column slips through."""
+    path = str(tmp_path / "cmap")
+    sink = DeltaSink(spark, path, partition_by=["p"])
+    sink.append(spark.range(10).selectExpr("id AS a", "id % 2 AS p"))
+    sink.evolve_rename({"p": "bucket"})  # partition col renamed
+    with pytest.raises(ValueError, match="partition columns"):
+        sink.set_cluster_by(["bucket"])
+    sink.set_cluster_by(["a"])  # data column still fine
+
+
 def test_optimize_clustering_is_incremental(spark, tmp_path):
     """The liquid model at 100 TB: a clustered OPTIMIZE rewrites only
     files a prior CLUSTER BY did not already produce — O(new data) per

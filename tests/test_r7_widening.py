@@ -278,6 +278,43 @@ def test_mirror_widen_refuses_lossy_retype(spark, tmp_path):
         p.run_until_idle()
 
 
+def test_mirror_widen_of_column_never_on_target(spark, tmp_path):
+    """Source ADDs a column metadata-only, then widens it before any of
+    its data reaches the target: the widen follow must skip columns the
+    target doesn't carry (its first append arrives wide) instead of
+    wedging the pipeline on evolve_widen(unknown column)."""
+    src_path = str(tmp_path / "mw6_src")
+    src = DeltaSink(spark, src_path)
+    src.append(spark.range(5).toDF("id"))
+    p = _mk_pipe(spark, tmp_path, src_path, "mw6")
+    p.run_until_idle()                       # target: (id)
+    # v1: metadata-only ADD COLUMN c int (no data file carries it)
+    meta = DL.latest_metadata(spark, src_path)
+    parsed = json.loads(meta["schemaString"])
+    parsed["fields"].append(
+        {"name": "c", "type": "integer", "nullable": True, "metadata": {}}
+    )
+    with open(src_path + "/_delta_log/%020d.json" % 1, "w") as f:
+        f.write(
+            json.dumps(
+                {"metaData": {**meta, "schemaString": json.dumps(parsed)}}
+            )
+            + "\n"
+        )
+    p.run_until_idle()                       # records (id, c int)
+    src._pending_schema = "{}"
+    src._tbl_types_cache = False
+    src.widen_column("c", "long")            # v2: widen the absent col
+    src.append(
+        spark.range(5, 8).selectExpr("id", "cast(id AS long) AS c")
+    )                                        # v3: first data with c
+    p.run_until_idle()                       # must NOT raise
+    out = p.mirror_df()
+    assert dict(out.select("id", "c").dtypes) == {"id": "bigint", "c": "bigint"}
+    assert out.filter("c IS NULL").count() == 5
+    assert out.filter("c = 7").count() == 1
+
+
 def test_mirror_widen_crash_replay_is_idempotent(spark, tmp_path):
     """Crash after the target widen but before state persist: the
     rerun recomputes the widen delta, evolve_widen no-ops, and the
