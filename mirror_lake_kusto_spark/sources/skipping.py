@@ -212,6 +212,79 @@ def zvalue_column(
     return z
 
 
+def stats_proxy_value(value, dtype) -> float | None:
+    """The :func:`numeric_proxy` of a Delta stats min/max VALUE,
+    computed driver-side (no Spark) — must agree with the Spark
+    expression on ordering.  None = this type/value can't be proxied
+    from stats (caller falls back to a scan).  Truncated string stats
+    stay VALID bounds: Delta truncates minValues downward (prefix) and
+    maxValues upward, and the 6-byte big-endian prefix proxy is
+    monotone under byte order."""
+    import calendar as _cal
+
+    if isinstance(dtype, BooleanType):
+        return 1.0 if value else 0.0
+    if isinstance(dtype, NumericType):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        try:
+            ts = _dt.datetime.fromisoformat(str(value))
+        except ValueError:
+            return None
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return _cal.timegm(ts.timetuple()) + ts.microsecond / 1e6
+    if isinstance(dtype, DateType):
+        try:
+            return float(
+                (_dt.date.fromisoformat(str(value)) - _dt.date(1970, 1, 1)).days
+            )
+        except ValueError:
+            return None
+    if isinstance(dtype, StringType):
+        raw = str(value).encode("utf-8")[:6]
+        return float(int.from_bytes(raw.ljust(6, b"\0"), "big"))
+    return None
+
+
+def bounds_from_file_stats(
+    cols: list[str], type_of: dict, files: list[dict]
+) -> "dict[str, tuple[float, float]] | None":
+    """Global per-column proxy [min, max] folded from per-file add
+    stats — pure driver metadata, O(files).  None when any NON-EMPTY
+    file lacks usable min/max for a needed column (all-null files are
+    fine: nulls cluster to bucket 0 regardless of bounds)."""
+    out: dict[str, list[float]] = {}
+    for f in files:
+        raw = f.get("stats")
+        stats = json.loads(raw) if raw else {}
+        n = stats.get("numRecords")
+        if n == 0:
+            continue
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        for c in cols:
+            if c not in mins or c not in maxs:
+                if n is not None and nulls.get(c) == n:
+                    continue  # all-null file: contributes no range
+                return None
+            lo = stats_proxy_value(mins[c], type_of[c])
+            hi = stats_proxy_value(maxs[c], type_of[c])
+            if lo is None or hi is None:
+                return None
+            cur = out.get(c)
+            out[c] = (
+                [lo, hi]
+                if cur is None
+                else [min(cur[0], lo), max(cur[1], hi)]
+            )
+    return {c: tuple(out.get(c, (0.0, 0.0))) for c in cols}
+
+
 def hilbert_index(coords, bits: int):
     """Vectorized Hilbert-curve distance of ``coords`` (shape
     (n_dims, N), uint64 bucket ids in [0, 2^bits)) — John Skilling's
