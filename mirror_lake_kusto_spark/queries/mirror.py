@@ -79,10 +79,21 @@ def mirror_e2e_roundtrip(spark, sf_dir):
 
 @query(
     "mirror_state_machine",
-    None,  # pipeline state is not SQL-expressible; rows-only check
+    """
+    SELECT * FROM (VALUES
+        ('Add', 'Done', TRUE),
+        ('Remove', 'Done', TRUE),
+        ('Schema', 'Done', TRUE),
+        ('StagingTable', 'Done', TRUE)
+    ) AS t(action, state, nonempty)
+    ORDER BY action, state
+    """,
     doc="state-store contents after the sync: every TransactionItem "
     "reaches a terminal state (Done/Skipped) across both batches "
-    "(reference state machine, Storage/TransactionItemState.cs:9-17)",
+    "(reference state machine, Storage/TransactionItemState.cs:9-17). "
+    "The scenario's terminal (action, state) groups are an invariant "
+    "of the state machine, not of the data scale, so the oracle is "
+    "the exact VALUES table — hash-checked since round 7",
 )
 def mirror_state_machine(spark, sf_dir):
     pipe = _run_mirror(spark, sf_dir, _workdir("mirror_state", sf_dir))
