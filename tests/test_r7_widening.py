@@ -278,6 +278,65 @@ def test_mirror_widen_refuses_lossy_retype(spark, tmp_path):
         p.run_until_idle()
 
 
+def test_widen_partition_column(spark, tmp_path):
+    """Partition columns widen too: values live as STRINGS in
+    partitionValues and directory names, so the retype is purely a
+    cast-at-read change — both old and new partition dirs read under
+    the wide type."""
+    path = str(tmp_path / "wpart")
+    sink = DeltaSink(spark, path, partition_by=["bucket"])
+    sink.append(
+        spark.range(10).selectExpr("id", "cast(id % 3 AS int) AS bucket")
+    )
+    sink.widen_column("bucket", "long")
+    sink.append(
+        spark.range(10, 20).selectExpr(
+            "id", "cast(id % 3 AS bigint) AS bucket"
+        )
+    )
+    df = DL.read_snapshot(spark, path)
+    assert dict(df.dtypes) == {"id": "bigint", "bucket": "bigint"}
+    counts = {
+        r["bucket"]: r["count"]
+        for r in df.groupBy("bucket").count().collect()
+    }
+    assert counts == {0: 7, 1: 7, 2: 6}
+    # partition pruning still works under the widened type
+    assert (
+        DL.read_snapshot(
+            spark, path, partition_predicate="bucket = 1"
+        ).count()
+        == 7
+    )
+
+
+def test_mirror_follows_partition_column_widen(spark, tmp_path):
+    """The widen-mode mirror follows a PARTITION column widening on
+    the source (same column names, wider type): partition constants
+    inject under the wide type on both sides of the widen."""
+    src_path = str(tmp_path / "mwp_src")
+    src = DeltaSink(spark, src_path, partition_by=["bucket"])
+    src.append(
+        spark.range(8).selectExpr("id", "cast(id % 2 AS int) AS bucket")
+    )
+    p = _mk_pipe(spark, tmp_path, src_path, "mwp")
+    p.run_until_idle()
+    src.widen_column("bucket", "long")
+    src.append(
+        spark.range(8, 16).selectExpr(
+            "id", "cast(id % 2 AS bigint) AS bucket"
+        )
+    )
+    p.run_until_idle()
+    out = p.mirror_df()
+    assert dict(out.select("id", "bucket").dtypes) == {
+        "id": "bigint",
+        "bucket": "bigint",
+    }
+    assert sorted(r["id"] for r in out.collect()) == list(range(16))
+    assert out.filter("bucket = 1").count() == 8
+
+
 def test_mirror_widen_of_column_never_on_target(spark, tmp_path):
     """Source ADDs a column metadata-only, then widens it before any of
     its data reaches the target: the widen follow must skip columns the
