@@ -3554,7 +3554,6 @@ class DeltaSink:
         _types, data_schema = self._data_schema()
         hilbert = zorder_by is None and bool(cluster_by)
         zcols = list(zorder_by or cluster_by or [])
-        snapshot = snapshot_files(self.spark, self.path)
         if zcols:
             if data_schema is None:
                 return self._commit([])
@@ -3565,8 +3564,10 @@ class DeltaSink:
                     f"{missing} are not data columns "
                     "(partition columns are already file-separated)"
                 )
-            bounds = self._zorder_bounds(zcols, data_schema, snapshot)
-        files = snapshot
+        # one log walk, shared by bounds (stats fold) and the groups
+        files = snapshot_files(self.spark, self.path)
+        if zcols:
+            bounds = self._zorder_bounds(zcols, data_schema, files)
         if partition_predicate is not None and files:
             meta = latest_metadata(self.spark, self.path)
             if meta is not None:

@@ -325,13 +325,23 @@ def main() -> None:
     ]
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_SCALE.md")
-    # preserve the hand-written findings section across regenerations
+    # preserve the clustering-probe section AND the hand-written
+    # findings across regenerations (the clustering section sits
+    # between the table and the findings; truncating at the findings
+    # marker alone would silently erase it)
     tail = ""
     if os.path.exists(out_path):
         prev = open(out_path).read()
-        idx = prev.find("## What the probe caught")
-        if idx >= 0:
-            tail = "\n" + prev[idx:]
+        idxs = [
+            i
+            for i in (
+                prev.find("## Incremental clustering probe"),
+                prev.find("## What the probe caught"),
+            )
+            if i >= 0
+        ]
+        if idxs:
+            tail = "\n" + prev[min(idxs):]
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + tail)
     print(json.dumps({"flags": flags, "docs": n_docs}))
