@@ -278,6 +278,29 @@ def test_mirror_widen_refuses_lossy_retype(spark, tmp_path):
         p.run_until_idle()
 
 
+def test_widened_read_keeps_filter_pushdown(spark, tmp_path):
+    """Filters on a WIDENED column must still reach the parquet scan
+    as PushedFilters even though the files' physical type is narrower
+    than the declared schema — losing pushdown here would silently
+    turn every post-widen query into a full scan."""
+    path = str(tmp_path / "wpush")
+    sink = DeltaSink(spark, path)
+    sink.append(
+        spark.range(1000).selectExpr(
+            "cast(id AS int) AS id", "cast(id*1.5 AS float) AS x"
+        )
+    )
+    sink.widen_column("id", "long")
+    sink.widen_column("x", "double")
+    df = DL.read_snapshot(spark, path).filter("id > 990").select("id", "x")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThan(id,990)" in plan  # pushed into the scan
+    assert "struct<id:bigint,x:double>" in plan  # promoted ReadSchema
+    assert df.count() == 9
+
+
 def test_widen_partition_column(spark, tmp_path):
     """Partition columns widen too: values live as STRINGS in
     partitionValues and directory names, so the retype is purely a
