@@ -3771,6 +3771,70 @@ class DeltaSink:
             predicate=predicate,
         )
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL: one row of table-level metadata — format,
+        id, location, createdTime, partition/clustering columns, live
+        file count + bytes, properties, and the protocol (versions +
+        table features).  Pure driver-side metadata: the file
+        count/size folds over the snapshot's add actions, never the
+        data (Delta's utility of the same name)."""
+        from .delta_log import (
+            latest_metadata,
+            latest_protocol,
+            snapshot_files,
+        )
+
+        meta = latest_metadata(self.spark, self.path) or {}
+        proto = latest_protocol(self.path) or {}
+        files = snapshot_files(self.spark, self.path)
+        feats = sorted(
+            set(proto.get("readerFeatures") or [])
+            | set(proto.get("writerFeatures") or [])
+        )
+        row = {
+            "format": (meta.get("format") or {}).get("provider", "parquet"),
+            "id": meta.get("id"),
+            "location": self.path,
+            "createdAt": meta.get("createdTime"),
+            "partitionColumns": list(meta.get("partitionColumns") or []),
+            "clusteringColumns": self._clustering_columns() or [],
+            "numFiles": len(files),
+            "sizeInBytes": sum(f["size"] or 0 for f in files),
+            "properties": dict(meta.get("configuration") or {}),
+            "minReaderVersion": proto.get("minReaderVersion") or 1,
+            "minWriterVersion": proto.get("minWriterVersion") or 2,
+            "tableFeatures": feats,
+        }
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            LongType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("format", StringType()),
+                StructField("id", StringType()),
+                StructField("location", StringType()),
+                StructField("createdAt", LongType()),
+                StructField("partitionColumns", ArrayType(StringType())),
+                StructField("clusteringColumns", ArrayType(StringType())),
+                StructField("numFiles", LongType()),
+                StructField("sizeInBytes", LongType()),
+                StructField(
+                    "properties", MapType(StringType(), StringType())
+                ),
+                StructField("minReaderVersion", IntegerType()),
+                StructField("minWriterVersion", IntegerType()),
+                StructField("tableFeatures", ArrayType(StringType())),
+            ]
+        )
+        return self.spark.createDataFrame([row], schema)
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per retained commit — version,
         commitInfo timestamp/operation (null for commits written before

@@ -265,6 +265,23 @@ def test_cluster_tags_survive_checkpoint_and_vacuum(spark, tmp_path):
     }
 
 
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: table-level metadata in one metadata-only row
+    — clustering columns, live files/bytes, protocol features."""
+    sink = _clustered_table(spark, tmp_path, "cdet", n=2_000)
+    sink.set_cluster_by(["a", "b"])
+    sink.optimize(target_file_bytes=20_000)
+    d = sink.detail().collect()[0]
+    assert d["format"] == "parquet" and d["location"] == sink.path
+    assert d["partitionColumns"] == []
+    assert d["clusteringColumns"] == ["a", "b"]
+    files = DL.snapshot_files(spark, sink.path)
+    assert d["numFiles"] == len(files)
+    assert d["sizeInBytes"] == sum(f["size"] for f in files)
+    assert "clustering" in d["tableFeatures"]
+    assert d["minWriterVersion"] == 7
+
+
 def test_mirror_clustered_target(spark, tmp_path):
     """optimize_target_cluster_by: the mirror DECLARES clustering on
     its target and every periodic OPTIMIZE Hilbert-clusters it; rows
