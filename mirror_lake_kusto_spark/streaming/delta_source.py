@@ -18,8 +18,13 @@ log tailer hand-rolls at DeltaTableGateway.cs:71-159):
 - ``dataChange=false`` actions (OPTIMIZE churn) are ignored — the
   streaming twin of the mirror's add/remove cancellation (O2);
 - a ``dataChange=true`` remove makes the source raise unless
-  ``skipChangeCommits`` is set (Delta's option of the same name):
-  streams cannot retract rows;
+  ``skipChangeCommits`` is set (Delta's option of the same name) or
+  the commit is delete-only under ``ignoreDeletes``: streams cannot
+  retract rows;
+- the INITIAL SNAPSHOT (vacuumed table materialized from its
+  checkpoint) has batch semantics, so deletion-vector'd files are
+  read with their bitmaps APPLIED — only mid-stream DVs are
+  retractions;
 - ``readChangeFeed`` streams versioned insert/delete ROWS instead
   (``_change_type`` + ``_commit_version`` columns) — the continuous
   twin of ``DeltaSink.changes``; mutually exclusive with
@@ -93,18 +98,14 @@ def _checkpoint_column(path: str, version: int, column: str) -> list:
 def _checkpoint_snapshot_files(path: str, version: int) -> list[dict]:
     """Active files embedded in the checkpoint: adds minus any remove
     tombstones (a reconciled checkpoint's adds ARE the snapshot; the
-    subtraction guards against writers that keep tombstones)."""
+    subtraction guards against writers that keep tombstones).  DV'd
+    adds pass through WITH their descriptor: the initial snapshot has
+    batch semantics, so the reader applies the bitmap at scan time —
+    only MID-STREAM deletion vectors are retractions and refuse."""
     adds = _checkpoint_column(path, version, "add")
     removed = {
         r["path"] for r in _checkpoint_column(path, version, "remove")
     }
-    for a in adds:
-        if (a.get("deletionVector") or {}).get("cardinality"):
-            raise ValueError(
-                f"checkpoint file {a['path']} carries a deletion "
-                "vector; streaming it raw would resurrect deleted "
-                "rows — REORG the table or use the batch reader"
-            )
     return [a for a in adds if a["path"] not in removed]
 
 
@@ -137,6 +138,10 @@ class _FilePartition(InputPartition):
     # the plain-stream path where the columns are absent
     change_type: str = "insert"
     commit_version: int = -1
+    # serialized roaring bitmap of deleted row indices (initial-
+    # snapshot files under merge-on-read; KB-scale, expanded
+    # executor-side)
+    dv_payload: "bytes | None" = None
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
@@ -422,12 +427,21 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 )
             if ckpt <= ev:
                 for f in _checkpoint_snapshot_files(self.path, ckpt):
+                    desc = f.get("deletionVector") or {}
+                    payload = None
+                    if desc.get("cardinality"):
+                        # resolve the KB-scale bitmap driver-side; the
+                        # expansion to row indices runs in read()
+                        from ..sources import dv as _dv
+
+                        payload = _dv.dv_payload(self.path, desc)
                     parts.append(
                         _FilePartition(
                             file_path=os.path.join(self.path, f["path"]),
                             partition_values=f.get("partitionValues") or {},
                             schema_json=schema_json,
                             commit_version=ckpt,
+                            dv_payload=payload,
                         )
                     )
                 begin_v = ckpt + 1  # commits <= ckpt are in the snapshot
@@ -467,6 +481,20 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
         arrow_schema = to_arrow_schema(schema)
         table = pq.read_table(partition.file_path)
+        if partition.dv_payload is not None:
+            # initial-snapshot merge-on-read: drop the deletion
+            # vector's row indices before anything else sees the rows
+            import numpy as np
+
+            from ..sources import dv as _dv
+
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[
+                np.array(
+                    _dv.deserialize(partition.dv_payload), dtype=np.int64
+                )
+            ] = False
+            table = table.filter(pa.array(mask))
         n = table.num_rows
         cols = []
         for field in arrow_schema:

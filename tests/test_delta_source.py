@@ -171,6 +171,33 @@ def test_stream_survives_dv_delete_with_skip_change_commits(spark, tmp_path):
     assert head == list(range(4, 15))
 
 
+def test_initial_snapshot_applies_deletion_vectors(spark, tmp_path):
+    """A fresh stream over a vacuumed merge-on-read table materializes
+    its checkpoint snapshot WITH deletion vectors applied (batch
+    semantics for the initial snapshot) — stream == batch head read."""
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    path, ckpt = str(tmp_path / "t_dvsnap"), str(tmp_path / "ckpt_dvsnap")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(20).coalesce(1).toDF("id"))
+    src.delete_dv("id < 6")          # remove(P) + add(P, DV)
+    head = max(
+        r["version"] for r in src.history().select("version").collect()
+    )
+    src._write_checkpoint(head)
+    src.vacuum()                     # truncates JSON commits <= ckpt
+    out = _drain(spark, path, ckpt, "t_dvsnap")
+    got = sorted(r["id"] for r in out)
+    assert got == list(range(6, 20))
+    assert got == sorted(
+        r["id"] for r in DL.read_snapshot(spark, path).collect()
+    )
+    # post-snapshot commits keep streaming
+    src.append(spark.range(20, 25).toDF("id"))
+    more = _drain(spark, path, ckpt, "t_dvsnap2")
+    assert sorted(r["id"] for r in more) == list(range(20, 25))
+
+
 # -- StreamingMirror (pipeline/stream_mirror.py) -----------------------------
 
 
