@@ -476,7 +476,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = StructType.fromJson(json.loads(partition.schema_json))
+        parsed = json.loads(partition.schema_json)
+        schema = StructType.fromJson(parsed)
+        # column mapping (PROTOCOL.md): data files and partitionValues
+        # carry PHYSICAL names; the declared schema is logical.  A
+        # field that never went through a rename has physicalName ==
+        # its logical name, so this is a no-op on unmapped tables.
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in parsed["fields"]
+        }
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(schema)
@@ -498,8 +509,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         n = table.num_rows
         cols = []
         for field in arrow_schema:
-            if field.name in table.column_names:
-                cols.append(table.column(field.name).cast(field.type))
+            phys = phys_of.get(field.name, field.name)
+            if phys in table.column_names:
+                cols.append(table.column(phys).cast(field.type))
             elif field.name == "_change_type":
                 cols.append(
                     pa.array([partition.change_type] * n, type=pa.string())
@@ -514,7 +526,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 # (BlobStagingOrchestration.cs:309-316)
                 cols.append(pa.array([partition.file_path] * n, type=pa.string()))
             else:
-                raw = partition.partition_values.get(field.name)
+                # partitionValues keys are physical under mapping
+                raw = partition.partition_values.get(
+                    phys, partition.partition_values.get(field.name)
+                )
                 cols.append(
                     pa.array([raw] * n, type=pa.string()).cast(field.type)
                 )

@@ -171,6 +171,28 @@ def test_stream_survives_dv_delete_with_skip_change_commits(spark, tmp_path):
     assert head == list(range(4, 15))
 
 
+def test_stream_reads_column_mapped_table(spark, tmp_path):
+    """Column mapping: files and partitionValues carry PHYSICAL names
+    after a rename; the stream resolves them to the declared logical
+    schema — pre-rename files, post-rename files, and partition dirs
+    all read correctly."""
+    path, ckpt = str(tmp_path / "t_map"), str(tmp_path / "ckpt_map")
+    src = DeltaSink(spark, path, partition_by=["p"])
+    src.append(
+        spark.range(6).selectExpr("id", "string(id) AS name", "id % 2 AS p")
+    )
+    src.evolve_rename({"name": "label", "p": "bucket"})
+    src.append(
+        spark.range(6, 10).selectExpr(
+            "id", "string(id) AS label", "id % 2 AS bucket"
+        )
+    )
+    out = _drain(spark, path, ckpt, "t_map")
+    assert sorted((r["id"], r["label"], r["bucket"]) for r in out) == [
+        (i, str(i), i % 2) for i in range(10)
+    ]
+
+
 def test_initial_snapshot_applies_deletion_vectors(spark, tmp_path):
     """A fresh stream over a vacuumed merge-on-read table materializes
     its checkpoint snapshot WITH deletion vectors applied (batch
