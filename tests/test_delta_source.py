@@ -171,6 +171,29 @@ def test_stream_survives_dv_delete_with_skip_change_commits(spark, tmp_path):
     assert head == list(range(4, 15))
 
 
+def test_stream_reads_widened_table(spark, tmp_path):
+    """typeWidening: pre-widen (narrow physical) and post-widen files
+    both stream under the wide declared schema — the Arrow reader's
+    cast IS the promotion."""
+    path, ckpt = str(tmp_path / "t_wide"), str(tmp_path / "ckpt_wide")
+    src = DeltaSink(spark, path)
+    src.append(
+        spark.range(5).selectExpr(
+            "cast(id AS int) AS id", "cast(id*1.5 AS float) AS x"
+        )
+    )
+    src.widen_column("id", "long")
+    src.widen_column("x", "double")
+    src.append(
+        spark.range(5, 8).selectExpr(
+            "cast(id AS bigint) AS id", "cast(id*1.5 AS double) AS x"
+        )
+    )
+    out = _drain(spark, path, ckpt, "t_wide")
+    got = sorted((r["id"], r["x"]) for r in out)
+    assert got == [(i, i * 1.5) for i in range(8)]
+
+
 def test_stream_reads_column_mapped_table(spark, tmp_path):
     """Column mapping: files and partitionValues carry PHYSICAL names
     after a rename; the stream resolves them to the declared logical
