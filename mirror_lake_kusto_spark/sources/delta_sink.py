@@ -3792,7 +3792,8 @@ class DeltaSink:
             | set(proto.get("writerFeatures") or [])
         )
         row = {
-            "format": (meta.get("format") or {}).get("provider", "parquet"),
+            "format": (meta.get("format") or {}).get("provider")
+            or "parquet",
             "id": meta.get("id"),
             "location": self.path,
             "createdAt": meta.get("createdTime"),

@@ -304,9 +304,15 @@ def dv_file_rel_path(desc: dict) -> str | None:
     return f"{prefix}/{rel}" if prefix else rel
 
 
-def dv_payload(table_path: str, desc: dict) -> bytes:
+def dv_payload(
+    table_path: str, desc: dict, blob_cache: dict | None = None
+) -> bytes:
     """Resolve a descriptor to its serialized bitmap bytes (KB-scale
-    driver metadata; the expansion to row indices runs executor-side)."""
+    driver metadata; the expansion to row indices runs executor-side).
+    ``blob_cache`` (path -> bytes) memoizes the .bin reads across a
+    batch of descriptors — delete_dv packs a whole commit's vectors
+    into ONE shared file, so N descriptors otherwise re-read and
+    re-CRC the same blob N times."""
     st = desc["storageType"]
     size = int(desc["sizeInBytes"])
     if st == "i":
@@ -317,7 +323,14 @@ def dv_payload(table_path: str, desc: dict) -> bytes:
         full = desc["pathOrInlineDv"]
     else:
         raise ValueError(f"unknown deletion-vector storageType {st!r}")
-    blob = _fs.get_fs(full if st == "p" else table_path).read_bytes(full)
+    if blob_cache is not None and full in blob_cache:
+        blob = blob_cache[full]
+    else:
+        blob = _fs.get_fs(full if st == "p" else table_path).read_bytes(
+            full
+        )
+        if blob_cache is not None:
+            blob_cache[full] = blob
     off = desc.get("offset") or 0
     (ln,) = struct.unpack_from(">i", blob, off)
     if ln != size:

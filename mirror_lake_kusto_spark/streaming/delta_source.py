@@ -95,6 +95,24 @@ def _checkpoint_column(path: str, version: int, column: str) -> list:
     return _impl(path, version, column)
 
 
+def _driver_snapshot(path: str, upto: int) -> list[dict]:
+    """Active files at ``upto`` via the batch reader's driver-side
+    replay (checkpoint + JSON tail, no Spark job) — the
+    ``initialSnapshot`` materialization.  A log whose JSON tail
+    exceeds the driver budget fails with a pointer at the batch
+    reader (such tables have checkpoints; write one)."""
+    from ..sources.delta_log import _LogTooBig, _snapshot_files_driver
+
+    try:
+        return _snapshot_files_driver(path, upto)
+    except _LogTooBig:
+        raise ValueError(
+            f"initialSnapshot of {path}: the JSON log tail exceeds the "
+            "driver replay budget — checkpoint the table first (the "
+            "snapshot then materializes from the checkpoint)"
+        ) from None
+
+
 def _checkpoint_snapshot_files(path: str, version: int) -> list[dict]:
     """Active files embedded in the checkpoint: adds minus any remove
     tombstones (a reconciled checkpoint's adds ARE the snapshot; the
@@ -155,6 +173,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         starting_version: int | None = None,
         max_bytes_per_trigger: int | None = None,
         ignore_deletes: bool = False,
+        initial_snapshot: bool = False,
     ):
         self.path = table_path
         self._schema = schema
@@ -165,6 +184,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         #: raise — those need skipChangeCommits, which drops the adds
         #: too.  The narrower of the two opt-outs.
         self.ignore_deletes = ignore_deletes
+        #: Delta's default semantics as an OPT-IN: materialize the
+        #: net snapshot at stream start (DVs applied) and stream only
+        #: commits past it — no retraction errors from historical
+        #: deletes.  Default stays replay-from-v0 (this source's
+        #: established stream==batch-per-commit contract).
+        self.initial_snapshot = initial_snapshot
         self.max_commits_per_trigger = max_commits_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.read_change_feed = read_change_feed
@@ -221,7 +246,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if (cap is None and max_bytes is None) or self._floor is None:
             return {"version": latest}
         floor_v, floor_idx = self._floor
-        if floor_v == -1 and vs and vs[0] > 0:
+        if floor_v == -1 and (self.initial_snapshot or (vs and vs[0] > 0)):
             # initial batch of a vacuumed table: the checkpoint
             # snapshot is one indivisible unit and forms the whole
             # first batch; commit/byte admission control starts on
@@ -412,39 +437,59 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         versions = _versions(self.path)
         # first unconsumed position: mid-commit (sv, sidx) or sv+1
         begin_v = sv if sidx is not None else sv + 1
-        if sv == -1 and sidx is None and (not versions or versions[0] > 0):
-            # initial offset on a vacuumed/truncated log: the surviving
-            # JSON commits miss every checkpoint-only file.  Like
-            # Delta's own streaming source, materialize the checkpoint
-            # snapshot as the first batch, then stream commits past it.
-            ckpt = _last_checkpoint_version(self.path)
-            if ckpt is None or (versions and ckpt < versions[0] - 1):
-                raise ValueError(
-                    f"transaction log of {self.path} starts at version "
-                    f"{versions[0] if versions else '<none>'} with no "
-                    "checkpoint covering the gap — initial snapshot "
-                    "cannot be reconstructed"
+        if sv == -1 and sidx is None and (
+            self.initial_snapshot or not versions or versions[0] > 0
+        ):
+            if self.initial_snapshot and versions and versions[0] == 0:
+                # initialSnapshot option on an intact log: materialize
+                # the snapshot AT THE PLANNED END (delta-spark's
+                # default semantics — net state, no retraction errors
+                # from historical deletes), then stream commits past it
+                snap_v = ev
+                snap_files = _driver_snapshot(self.path, upto=ev)
+            else:
+                # initial offset on a vacuumed/truncated log: the
+                # surviving JSON commits miss every checkpoint-only
+                # file — materialize the checkpoint snapshot as the
+                # first batch, then stream commits past it.
+                ckpt = _last_checkpoint_version(self.path)
+                if ckpt is None or (versions and ckpt < versions[0] - 1):
+                    raise ValueError(
+                        f"transaction log of {self.path} starts at version "
+                        f"{versions[0] if versions else '<none>'} with no "
+                        "checkpoint covering the gap — initial snapshot "
+                        "cannot be reconstructed"
+                    )
+                snap_v = ckpt
+                snap_files = (
+                    _checkpoint_snapshot_files(self.path, ckpt)
+                    if ckpt <= ev
+                    else None
                 )
-            if ckpt <= ev:
-                for f in _checkpoint_snapshot_files(self.path, ckpt):
+            if snap_files is not None and snap_v <= ev:
+                blob_cache: dict = {}
+                for f in snap_files:
                     desc = f.get("deletionVector") or {}
                     payload = None
                     if desc.get("cardinality"):
-                        # resolve the KB-scale bitmap driver-side; the
-                        # expansion to row indices runs in read()
+                        # resolve the KB-scale bitmap driver-side (the
+                        # shared .bin read once per blob); expansion
+                        # to row indices runs in read()
                         from ..sources import dv as _dv
 
-                        payload = _dv.dv_payload(self.path, desc)
+                        payload = _dv.dv_payload(
+                            self.path, desc, blob_cache
+                        )
                     parts.append(
                         _FilePartition(
                             file_path=os.path.join(self.path, f["path"]),
                             partition_values=f.get("partitionValues") or {},
                             schema_json=schema_json,
-                            commit_version=ckpt,
+                            commit_version=snap_v,
                             dv_payload=payload,
                         )
                     )
-                begin_v = ckpt + 1  # commits <= ckpt are in the snapshot
+                begin_v = snap_v + 1  # commits <= snap_v are in the snapshot
         expect = begin_v
         for v in versions:
             if not (begin_v <= v <= ev):
@@ -540,6 +585,9 @@ class DeltaLogDataSource(DataSource):
     """format("mlk_delta") — options: path, skipChangeCommits,
     ignoreDeletes (skip commits that ONLY remove data — retention
     deletes of whole files; commits that rewrite data still raise),
+    initialSnapshot (materialize the net snapshot — DVs applied — as
+    the first batch and stream commits past it, Delta's default
+    semantics; this source's default remains commit replay),
     maxCommitsPerTrigger, maxBytesPerTrigger (admission control by add-
     file bytes: a fat commit splits across triggers at file granularity
     — the knob that bounds executor memory when commit sizes are
@@ -578,9 +626,26 @@ class DeltaLogDataSource(DataSource):
                 "startingVersion and startingTimestamp are mutually "
                 "exclusive"
             )
+        if str(
+            self.options.get("initialsnapshot", "false")
+        ).lower() == "true" and (
+            self.options.get("startingversion") is not None
+            or self.options.get("startingtimestamp") is not None
+        ):
+            raise ValueError(
+                "initialSnapshot and startingVersion/startingTimestamp "
+                "are mutually exclusive: the latter SKIP the snapshot"
+            )
         meta = _latest_metadata(self.options["path"])
         if meta is None:
             raise ValueError(f"no Delta metaData under {self.options['path']}")
+        # fail at load() time on a malformed mapped table (mapping mode
+        # active but a field lacks physicalName): the batch reader's
+        # refuse-to-guess rule — read() would otherwise emit NULLs for
+        # the unresolvable column
+        from ..sources.delta_log import column_mapping_of
+
+        column_mapping_of(meta)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         from pyspark.sql.types import LongType, StringType, StructField
 
@@ -633,6 +698,15 @@ class DeltaLogDataSource(DataSource):
                         f"startingVersion must be >= 0 or 'latest', "
                         f"got {starting!r}"
                     )
+        initial_snapshot = (
+            str(self.options.get("initialsnapshot", "false")).lower()
+            == "true"
+        )
+        if initial_snapshot and starting_version is not None:
+            raise ValueError(
+                "initialSnapshot and startingVersion/startingTimestamp "
+                "are mutually exclusive: the latter SKIP the snapshot"
+            )
         return DeltaLogStreamReader(
             self.options["path"],
             schema,
@@ -645,4 +719,5 @@ class DeltaLogDataSource(DataSource):
                 self.options.get("ignoredeletes", "false")
             ).lower()
             == "true",
+            initial_snapshot=initial_snapshot,
         )

@@ -216,6 +216,51 @@ def test_stream_reads_column_mapped_table(spark, tmp_path):
     ]
 
 
+def test_initial_snapshot_option_on_intact_log(spark, tmp_path):
+    """initialSnapshot=true: the stream starts from the NET snapshot
+    (Delta's default semantics) even on an intact log whose history
+    contains deletes and merge-on-read rewrites — no retraction
+    errors; later commits stream normally."""
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    path, ckpt = str(tmp_path / "t_isnap"), str(tmp_path / "ckpt_isnap")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(20).coalesce(1).toDF("id"))
+    src.delete("id >= 18")      # copy-on-write rewrite in history
+    src.delete_dv("id < 4")     # merge-on-read delete in history
+    out = _drain(
+        spark, path, ckpt, "t_isnap", options={"initialSnapshot": "true"}
+    )
+    got = sorted(r["id"] for r in out)
+    assert got == list(range(4, 18))
+    assert got == sorted(
+        r["id"] for r in DL.read_snapshot(spark, path).collect()
+    )
+    src.append(spark.range(20, 23).toDF("id"))
+    more = _drain(
+        spark, path, ckpt, "t_isnap2", options={"initialSnapshot": "true"}
+    )
+    assert sorted(r["id"] for r in more) == [20, 21, 22]
+    # without the option the same table refuses (established replay
+    # semantics unchanged)
+    with pytest.raises(StreamingQueryException, match="retract|skipChangeCommits"):
+        _drain(spark, path, str(tmp_path / "ckpt_isnap3"), "t_isnap3")
+
+
+def test_initial_snapshot_excludes_starting_version(spark, tmp_path):
+    path = str(tmp_path / "t_isnap_x")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(3).toDF("id"))
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("mlk_delta")
+            .option("path", path)
+            .option("initialSnapshot", "true")
+            .option("startingVersion", "0")
+            .load()
+        )
+
+
 def test_initial_snapshot_applies_deletion_vectors(spark, tmp_path):
     """A fresh stream over a vacuumed merge-on-read table materializes
     its checkpoint snapshot WITH deletion vectors applied (batch
