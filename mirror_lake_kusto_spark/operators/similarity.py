@@ -61,9 +61,12 @@ def _collect_queries(
         query_df.select(id_col, vec_col).limit(max_queries + 1).collect()
     )
     if not rows:
-        raise ValueError(
-            "query frame produced no vectors — nothing to search for "
-            "(check the id filter against the embeddings table)"
+        # a legitimately-empty query batch searches for nothing and
+        # finds nothing — only the OVERFLOW case below is an error
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty((0, 0), dtype=np.float64),
+            np.empty(0, dtype=np.float64),
         )
     if len(rows) > max_queries:
         raise ValueError(
@@ -97,6 +100,10 @@ def cosine_topk_bruteforce(
     """
     spark = corpus.sparkSession
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
+    if not len(qids):  # empty query batch: nothing to search for
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos_sim double"
+        )
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -562,6 +569,10 @@ def cosine_topk_ivf(
     )
 
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
+    if not len(qids):  # empty query batch: nothing to search for
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos_sim double"
+        )
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     probe_rows = [
@@ -762,6 +773,10 @@ def cosine_topk_pq(
     )
     encoded = pq_encode(corpus, books, vec_col).select(id_col, "pq_code")
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
+    if not len(qids):  # empty query batch: nothing to search for
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos_sim double"
+        )
     dsub = books.shape[2]
     # (n_queries, m, n_codes) dot tables + per-code squared norms
     tables = np.stack(
@@ -853,6 +868,10 @@ def cosine_topk_ivfpq(
     )
 
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
+    if not len(qids):  # empty query batch: nothing to search for
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos_sim double"
+        )
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     probe_order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     probes = spark.createDataFrame(

@@ -3428,6 +3428,28 @@ class DeltaSink:
         missing = [c for c in cols if c not in known]
         if missing:
             raise ValueError(f"unknown cluster column(s): {missing}")
+        # curve-eligibility at DECLARATION time: a non-orderable type
+        # (array/map/struct/binary) has no numeric proxy, so every
+        # later bare optimize() — including MirrorPipeline's periodic
+        # pass — would raise mid-sync.  Fail the misconfiguration here.
+        from ..schema import parse_delta_schema_string
+        from .skipping import numeric_proxy
+
+        type_of = {
+            f.name: f.dataType
+            for f in parse_delta_schema_string(meta["schemaString"]).fields
+        }
+        for c in cols:
+            try:
+                numeric_proxy(c, type_of[c])
+            except ValueError:
+                raise ValueError(
+                    f"cluster column {c!r} has type "
+                    f"{type_of[c].simpleString()}, which has no "
+                    "order-preserving numeric proxy — liquid clustering "
+                    "needs an orderable scalar (numeric, string, date, "
+                    "timestamp, boolean)"
+                ) from None
         stored = [[mapping.get(c, c) if mapping else c] for c in cols]
         cur = latest_domain_metadata(self.path).get("delta.clustering")
         if cur is not None and (

@@ -246,7 +246,17 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if (cap is None and max_bytes is None) or self._floor is None:
             return {"version": latest}
         floor_v, floor_idx = self._floor
-        if floor_v == -1 and (self.initial_snapshot or (vs and vs[0] > 0)):
+        if floor_v == -1 and self.initial_snapshot:
+            # initialSnapshot: the net snapshot at stream start is one
+            # indivisible unit and forms the whole first batch at the
+            # HEAD version — a commit boundary, never mid-commit.
+            # Byte-capped admission must not plan a (v, k) end here:
+            # partitions() materializes the FULL snapshot at v while
+            # the floor would record (v, k), re-emitting commit v's
+            # entries[k:] next trigger (duplicates).  Commit/byte
+            # admission control starts on the NEXT trigger.
+            return {"version": latest}
+        if floor_v == -1 and vs and vs[0] > 0:
             # initial batch of a vacuumed table: the checkpoint
             # snapshot is one indivisible unit and forms the whole
             # first batch; commit/byte admission control starts on
@@ -440,11 +450,24 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if sv == -1 and sidx is None and (
             self.initial_snapshot or not versions or versions[0] > 0
         ):
-            if self.initial_snapshot and versions and versions[0] == 0:
-                # initialSnapshot option on an intact log: materialize
-                # the snapshot AT THE PLANNED END (delta-spark's
-                # default semantics — net state, no retraction errors
-                # from historical deletes), then stream commits past it
+            if self.initial_snapshot:
+                # initialSnapshot option: materialize the snapshot AT
+                # THE PLANNED END (delta-spark's default semantics —
+                # net state, no retraction errors from historical
+                # deletes), then stream commits past it.  The replay
+                # starts from the checkpoint when one exists, so this
+                # honors the option's contract on a VACUUMED log too
+                # (the JSON tail past the checkpoint folds into the
+                # snapshot instead of streaming raw and retracting).
+                if versions and versions[0] > 0:
+                    ckpt = _last_checkpoint_version(self.path)
+                    if ckpt is None or ckpt < versions[0] - 1:
+                        raise ValueError(
+                            f"transaction log of {self.path} starts at "
+                            f"version {versions[0]} with no checkpoint "
+                            "covering the gap — initial snapshot cannot "
+                            "be reconstructed"
+                        )
                 snap_v = ev
                 snap_files = _driver_snapshot(self.path, upto=ev)
             else:

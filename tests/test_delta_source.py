@@ -625,3 +625,76 @@ def test_max_bytes_and_commits_compose(spark, tmp_path):
         options={"maxBytesPerTrigger": "1", "maxCommitsPerTrigger": "2"},
     )
     assert sorted(r["id"] for r in rows) == list(range(40))
+
+
+def test_initial_snapshot_with_byte_cap_no_duplicates(spark, tmp_path):
+    """Round-8 (ADVICE high): initialSnapshot + maxBytesPerTrigger on a
+    table with NO checkpoint must plan the first batch at a COMMIT
+    boundary.  Before the fix, byte-capped admission planned a
+    mid-commit end offset (v, k) while partitions() materialized the
+    full net snapshot at v — the next batch re-emitted commit v's
+    entries[k:] on top of the snapshot (duplicates)."""
+    path, ckpt = str(tmp_path / "isnapcap"), str(tmp_path / "ckptisnapcap")
+    src = DeltaSink(spark, path)
+    # multi-file commits so the 1-byte cap would bite mid-commit
+    src.append(spark.range(0, 40).toDF("id").repartition(4))
+    src.append(spark.range(40, 80).toDF("id").repartition(4))
+    src.delete("id >= 70")  # history contains a rewrite: snapshot path
+    rows = _drain(
+        spark,
+        path,
+        ckpt,
+        "t_isnapcap",
+        options={"initialSnapshot": "true", "maxBytesPerTrigger": "1"},
+    )
+    assert sorted(r["id"] for r in rows) == list(range(70))
+    # post-snapshot commits still stream, byte-capped one file per
+    # batch (the availableNow fallback runs ONE new batch per drain on
+    # restart, so drain until the capped tail is exhausted) — and
+    # crucially NOTHING from the snapshot is re-emitted (the dupe bug)
+    src.append(spark.range(80, 90).toDF("id").repartition(2))
+    more: list = []
+    for i in range(6):
+        got = _drain(
+            spark,
+            path,
+            ckpt,
+            f"t_isnapcap2_{i}",
+            options={"initialSnapshot": "true", "maxBytesPerTrigger": "1"},
+        )
+        more.extend(got)
+        if not got:
+            break
+    assert sorted(r["id"] for r in more) == list(range(80, 90))
+
+
+def test_initial_snapshot_on_vacuumed_log_folds_tail_deletes(spark, tmp_path):
+    """Round-8 (ADVICE medium): initialSnapshot's contract ('no
+    retraction errors from historical deletes') must hold on a VACUUMED
+    log too — the JSON tail past the checkpoint (including delete
+    commits) folds into the snapshot replay instead of streaming raw."""
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    path, ckpt = str(tmp_path / "isnapvac"), str(tmp_path / "ckptisnapvac")
+    src = DeltaSink(spark, path)
+    src.append(spark.range(20).coalesce(1).toDF("id"))
+    src.delete_dv("id < 4")
+    head = max(
+        r["version"] for r in src.history().select("version").collect()
+    )
+    src._write_checkpoint(head)
+    src.vacuum()  # truncates JSON commits <= ckpt
+    # tail commits PAST the checkpoint, including a delete: without the
+    # fix the snapshot materializes at the checkpoint and the tail
+    # delete raises a retraction error despite initialSnapshot
+    src.append(spark.range(20, 30).toDF("id"))
+    src.delete_dv("id >= 28")  # merge-on-read delete in the tail
+    out = _drain(
+        spark, path, ckpt, "t_isnapvac",
+        options={"initialSnapshot": "true"},
+    )
+    got = sorted(r["id"] for r in out)
+    assert got == list(range(4, 28))
+    assert got == sorted(
+        r["id"] for r in DL.read_snapshot(spark, path).collect()
+    )
