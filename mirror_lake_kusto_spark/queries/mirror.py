@@ -14,9 +14,11 @@ constant injection, atomic publish, and remove-by-lineage all at once
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
+import uuid
 
 import pyspark.sql.functions as F
 
@@ -57,8 +59,20 @@ def _run_mirror(spark, sf_dir: str, workdir: str):
 
 
 def _workdir(tag: str, sf_dir: str) -> str:
+    """A FRESH fixture dir per invocation (round 8): bench reruns and
+    the correctness gate may execute the same query from concurrent
+    sessions, and a shared path means one session's rmtree+rebuild
+    lands mid-read of another's Delta log — hash flakiness.  The uuid
+    isolates invocations; the sweep is scoped to THIS pid (its own
+    earlier, strictly-sequential invocations) so another live session's
+    fixture is never touched."""
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"mlk_{tag}_{sf}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"mlk_{tag}_{sf}_{os.getpid()}"
+    )
+    for old in glob.glob(base + "_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    return f"{base}_{uuid.uuid4().hex[:8]}"
 
 
 @query(
@@ -781,7 +795,8 @@ def mirror_clustered_target(spark, sf_dir):
     "mirror_type_widening_evolve",
     """
     SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
-           ROUND(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal,
+           CAST(ROUND(CAST(s_acctbal AS DOUBLE), 2) AS DECIMAL(12,2))
+               AS s_acctbal,
            CAST(s_nationkey AS DECIMAL(14,4)) AS s_nationkey
     FROM supplier
     ORDER BY s_suppkey
@@ -840,13 +855,16 @@ def mirror_type_widening_evolve(spark, sf_dir):
     pipe.run_until_idle()                # ONE batch spans v1..v5
     sup.unpersist()
     # ROUND both sides: the narrow files round-trip s_acctbal through
-    # float32, reintroducing ~1e-4 noise on a 2-decimal currency column
+    # float32, reintroducing ~1e-4 noise on a 2-decimal currency
+    # column.  Compare as EXACT DECIMAL(12,2), not double repr — two
+    # doubles can round-trip to different shortest-reprs of the same
+    # 2-decimal value and hash-mismatch (round-8 driver fix)
     return (
         pipe.mirror_df()
         .select(
             "s_suppkey",
             "s_name",
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("s_acctbal", 2).cast("decimal(12,2)").alias("s_acctbal"),
             "s_nationkey",
         )
         .orderBy("s_suppkey")
