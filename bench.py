@@ -284,15 +284,45 @@ def main() -> None:
         tot = sum(d) or 1
         steal_pct = round(d[7] / tot * 100, 2) if len(d) > 7 else None
         busy_pct = round((tot - d[3] - d[4]) / tot * 100, 2)
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": load1,
+        "load_warning": bool(contended),
+        "cpu_busy_pct": busy_pct,
+        "cpu_steal_pct": steal_pct,
+        "steal_retried": sorted(set(retried)),
+    }
+    # full per-query map -> local file; stdout gets a COMPACT summary
+    # as the LAST line (round-8 fix: the 160-query map outgrew the
+    # driver's stdout tail, so BENCH_r07.json recorded parsed: null)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        print(f"full per-query timings -> {full_path}", file=sys.stderr)
+    except OSError as e:  # read-only checkout: summary alone suffices
+        print(f"could not write {full_path}: {e}", file=sys.stderr)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_full_file": full_path,
                 "runs_per_query": RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": full["sf"],
                 "loadavg_start": load1,
                 "load_warning": bool(contended),
                 "cpu_busy_pct": busy_pct,
