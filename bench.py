@@ -157,6 +157,9 @@ EXTENSION_HEADLINE = [
     "mirror_type_widening_evolve",
     "mirror_clustered_target",
     "similarity_topk_mmr",
+    # round-8 additions: merge-on-read UPDATE/MERGE (DV-writing DML)
+    "mirror_update_dv",
+    "mirror_merge_dv",
 ]
 
 

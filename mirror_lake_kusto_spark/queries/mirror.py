@@ -1041,6 +1041,122 @@ def mirror_update(spark, sf_dir):
 
 
 @query(
+    "mirror_update_dv",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN ROUND(CAST(o_totalprice AS DECIMAL(15,2)) * 1.1, 2)
+                ELSE CAST(o_totalprice AS DECIMAL(15,2)) END
+                AS DOUBLE) AS o_totalprice,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 'REPRICED' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 5000
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+    ORDER BY o_orderkey
+    """,
+    doc="merge-on-read UPDATE (round 8): matched rows join their "
+    "file's DELETION VECTOR and only the post-update rows append — "
+    "no touched file rewrites (the 100 TB shape; delta_sink.py "
+    "update_dv).  The fixture first delete_dv's a row subset, so the "
+    "update also proves already-deleted rows never resurrect as "
+    "postimages.  Oracle recomputes both steps relationally",
+)
+def mirror_update_dv(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_udv", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .filter("o_orderkey <= 5000")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(15,2)").alias(
+                "o_totalprice"
+            ),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(base.repartition(4))
+    sink.delete_dv("o_orderstatus = 'F' AND o_orderkey % 10 = 0")
+    sink.update_dv(
+        "o_orderpriority = '1-URGENT'",
+        {
+            "o_totalprice":
+                "cast(round(o_totalprice * 1.1, 2) as decimal(15,2))",
+            "o_orderstatus": "'REPRICED'",
+        },
+    )
+    return (
+        DL.read_snapshot(spark, path)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "mirror_merge_dv",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey > 2000 THEN UPPER(c_name)
+                ELSE c_name END AS c_name,
+           CAST(CASE WHEN c_custkey > 2000
+                THEN CAST(c_acctbal AS DECIMAL(12,2)) * 2
+                ELSE CAST(c_acctbal AS DECIMAL(12,2)) END
+                AS DOUBLE) AS c_acctbal
+    FROM customer
+    WHERE c_custkey > 100 AND c_custkey <= 4000
+    ORDER BY c_custkey
+    """,
+    doc="merge-on-read MERGE (round 8): matched target rows join "
+    "their file's deletion vector, source rows (updates + inserts) "
+    "append as new files, delete_keys DV their rows in the SAME "
+    "commit (delta_sink.py merge_dv).  Update slice 2000<k<=3000, "
+    "insert slice 3000<k<=4000, delete k<=100 — one atomic commit; "
+    "the oracle recomputes the upsert relationally",
+)
+def mirror_merge_dv(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_mdv", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(cust.filter("c_custkey <= 3000").repartition(4))
+    source = cust.filter("c_custkey > 2000 AND c_custkey <= 4000").select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("c_acctbal") * 2).cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    dels = cust.filter("c_custkey <= 100").select("c_custkey")
+    sink.merge_dv(source, ["c_custkey"], delete_keys=dels)
+    return (
+        DL.read_snapshot(spark, path)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "mirror_identity_column",
     """
     SELECT n_nationkey, n_name,

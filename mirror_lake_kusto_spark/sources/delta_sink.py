@@ -2314,37 +2314,14 @@ class DeltaSink:
                 )
         return self._commit(actions, operation="DELETE")
 
-    def update(self, predicate: str, assignments: dict[str, str]) -> int:
-        """UPDATE ... SET — Delta's copy-on-write UPDATE: rewrite only
-        the FILES containing matching rows, applying every assignment
-        to the matching rows (all right-hand sides see the PRE-update
-        row, SQL semantics) and leaving the rest byte-stable.
-
-        - generated columns recompute from the new values and may not
-          be assigned directly (the generatedColumns contract);
-        - CHECK constraints re-validate the updated rows BEFORE any
-          file is rewritten;
-        - partition columns may not be assigned (a value change would
-          move rows across partition directories — Delta's UPDATE
-          rewrites those too; this engine refuses loudly instead);
-        - under CDF the commit stages update_preimage /
-          update_postimage row pairs (Delta's UPDATE change types);
-        - under row tracking the rewrite preserves each row's id and
-          RESETS the materialized commit version of updated rows, so
-          their _row_commit_version reads as the UPDATE's commit (the
-          new add's defaultRowCommitVersion) — PROTOCOL.md Row
-          Tracking's UPDATE semantics.
-
-        The reference never updates in place (K6 is delete-only,
-        DeltaTableOrchestration.cs:85-133); this is standalone-engine
-        surface past that parity point."""
-        import pyspark.sql.functions as F
-
-        self._require_no_dvs("UPDATE")
-        now = int(time.time() * 1000)
-        cdf = self._cdf_enabled()
-        types, data_schema = self._data_schema()
-        gen = self._generated()
+    def _check_update_assignments(
+        self, assignments: dict[str, str], types, data_schema, gen
+    ) -> None:
+        """Shared UPDATE validation (copy-on-write and merge-on-read):
+        no partition-column assignment (rows would move across
+        partitions), no direct generated-column assignment, no unknown
+        columns, and no assignment a generated PARTITION column
+        depends on."""
         data_cols = (
             {f.name for f in data_schema.fields}
             if data_schema is not None
@@ -2374,6 +2351,40 @@ class DeltaSink:
                     "depends on an assigned column; its rows would "
                     "move across partitions"
                 )
+
+    def update(self, predicate: str, assignments: dict[str, str]) -> int:
+        """UPDATE ... SET — Delta's copy-on-write UPDATE: rewrite only
+        the FILES containing matching rows, applying every assignment
+        to the matching rows (all right-hand sides see the PRE-update
+        row, SQL semantics) and leaving the rest byte-stable.
+
+        - generated columns recompute from the new values and may not
+          be assigned directly (the generatedColumns contract);
+        - CHECK constraints re-validate the updated rows BEFORE any
+          file is rewritten;
+        - partition columns may not be assigned (a value change would
+          move rows across partition directories — Delta's UPDATE
+          rewrites those too; this engine refuses loudly instead);
+        - under CDF the commit stages update_preimage /
+          update_postimage row pairs (Delta's UPDATE change types);
+        - under row tracking the rewrite preserves each row's id and
+          RESETS the materialized commit version of updated rows, so
+          their _row_commit_version reads as the UPDATE's commit (the
+          new add's defaultRowCommitVersion) — PROTOCOL.md Row
+          Tracking's UPDATE semantics.
+
+        The reference never updates in place (K6 is delete-only,
+        DeltaTableOrchestration.cs:85-133); this is standalone-engine
+        surface past that parity point.  For the merge-on-read shape
+        (DV the old rows, append only the new) see :meth:`update_dv`."""
+        import pyspark.sql.functions as F
+
+        self._require_no_dvs("UPDATE")
+        now = int(time.time() * 1000)
+        cdf = self._cdf_enabled()
+        types, data_schema = self._data_schema()
+        gen = self._generated()
+        self._check_update_assignments(assignments, types, data_schema, gen)
         groups = self._partition_groups()
 
         def inject(df, pv):
@@ -2477,6 +2488,331 @@ class DeltaSink:
             actions.extend(self._stage_cdc(pre.unionByName(post)))
         return self._commit(actions, operation="UPDATE")
 
+    def _old_dv_pairs_df(self, old_payloads: dict[str, bytes]):
+        """(file, row_index) pairs of EXISTING deletion vectors,
+        exploded executor-side from the compressed payloads — the
+        already-deleted row set DML probes must ignore.  Nothing
+        expands on the driver."""
+        from . import dv as _dv
+
+        pairs_src = self.spark.createDataFrame(
+            [(f, bytearray(p)) for f, p in old_payloads.items()],
+            "_f string, _payload binary",
+        )
+
+        def explode_old(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fpath, payload in zip(pdf["_f"], pdf["_payload"]):
+                    yield pd.DataFrame(
+                        {
+                            "_f": fpath,
+                            "_ridx": list(_dv.deserialize(bytes(payload))),
+                        }
+                    )
+
+        return pairs_src.mapInPandas(explode_old, "_f string, _ridx long")
+
+    def update_dv(self, predicate: str, assignments: dict[str, str]) -> int:
+        """Merge-on-read UPDATE ... SET: matched rows join each
+        affected file's DELETION VECTOR and the post-update rows
+        append as NEW files — write cost O(updated rows + KB-scale
+        bitmaps), never the wholesale file rewrite of copy-on-write
+        :meth:`update`.  At 100 TB an update matching 1% of rows must
+        not rewrite 100% of the touched bytes; this is the DV-based
+        UPDATE shape current Delta writers use.
+
+        Semantics match :meth:`update` exactly (the
+        tests/test_r6_update.py contract): every assignment RHS sees
+        the PRE-update row; generated columns recompute from the new
+        values; CHECK constraints re-validate the updated rows before
+        anything lands; CDF stages update_preimage/update_postimage
+        pairs; row tracking keeps every updated row's id (the original
+        id is MATERIALIZED into the appended files) while its commit
+        version moves to this commit (materialized NULL reads fall
+        back to the new add's defaultRowCommitVersion).  Rows already
+        in a deletion vector are logically gone and never match or
+        re-report.  :meth:`reorg` purges these DVs like any other.
+        The reference never updates in place — K6 is delete-only
+        (DeltaTableOrchestration.cs:85-133)."""
+        import pyspark.sql.functions as F
+
+        from . import dv as _dv
+        from .delta_log import latest_protocol, snapshot_files
+
+        types, data_schema = self._data_schema()
+        if data_schema is None:
+            return -1  # empty table: nothing to update
+        gen = self._generated()
+        self._check_update_assignments(assignments, types, data_schema, gen)
+        now = int(time.time() * 1000)
+        cdf = self._cdf_enabled()
+        rt = self._rt_enabled()
+        mat_id, mat_rcv = self._rt_mat_cols() if rt else (None, None)
+        read_schema = data_schema
+        if rt and (mat_id or mat_rcv):
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            read_schema = StructType(
+                [
+                    *data_schema.fields,
+                    *[
+                        StructField(c, LongType(), True)
+                        for c in (mat_id, mat_rcv)
+                        if c and c not in data_schema.fieldNames()
+                    ],
+                ]
+            )
+        files = snapshot_files(self.spark, self.path)
+        by_norm = {
+            _fs.data_path_spelling(self.path, f["path"]): f for f in files
+        }
+        old_payloads = {
+            _fs.data_path_spelling(self.path, f["path"]): bytes(
+                _dv.dv_payload(self.path, f["deletionVector"])
+            )
+            for f in files
+            if (f.get("deletionVector") or {}).get("cardinality")
+        }
+
+        def inject(df, pv):
+            for c, raw in pv.items():
+                df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+            return df
+
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(sorted((f["partitionValues"] or {}).items()))
+            groups.setdefault(key, []).append(f["path"])
+        probes = []
+        for key, paths in groups.items():
+            df = (
+                self.spark.read.schema(read_schema)
+                .parquet(*[_fs.join(self.path, p) for p in paths])
+                .withColumns(
+                    {
+                        "_f": _fs.spark_scan_path(F.input_file_name()),
+                        "_ridx": F.col("_metadata.row_index"),
+                    }
+                )
+            )
+            probes.append(inject(df, dict(key)))
+        if not probes:
+            return self._commit([], operation="UPDATE (merge-on-read)")
+        probe = probes[0]
+        for pr_ in probes[1:]:
+            probe = probe.unionByName(pr_)
+        if old_payloads:
+            probe = probe.join(
+                self._old_dv_pairs_df(old_payloads),
+                ["_f", "_ridx"],
+                "left_anti",
+            )
+        matched = probe.filter(predicate).persist()
+        try:
+            bc = self.spark.sparkContext.broadcast(old_payloads)
+
+            def per_file(pdf):
+                import pandas as pd
+
+                f = pdf["_f"].iloc[0]
+                idx = set(int(i) for i in pdf["_ridx"])
+                old = bc.value.get(f)
+                if old is not None:
+                    idx |= set(_dv.deserialize(old))
+                ordered = sorted(idx)
+                return pd.DataFrame(
+                    {
+                        "_f": [f],
+                        "payload": [_dv.serialize(ordered)],
+                        "card": [len(ordered)],
+                    }
+                )
+
+            packed = (
+                matched.select("_f", "_ridx")
+                .groupBy("_f")
+                .applyInPandas(
+                    per_file, "_f string, payload binary, card long"
+                )
+                .collect()
+            )
+            if not packed:
+                return self._commit([], operation="UPDATE (merge-on-read)")
+            # post-update rows: materialize original row ids FIRST (an
+            # appended file must carry them, PROTOCOL.md Row Tracking),
+            # null the materialized commit version, THEN apply the
+            # assignments so every RHS sees the pre-update row
+            post = matched
+            if rt and mat_id:
+                affected = sorted({by_norm[r["_f"]]["path"] for r in packed})
+                post = post.withColumn(
+                    "__mlk_rtfile", F.col("_f")
+                ).withColumn("__mlk_rtridx", F.col("_ridx"))
+                post = self._materialize_row_ids(
+                    post, affected, mat_id, None
+                ).drop("__mlk_rtfile", "__mlk_rtridx")
+            if rt and mat_rcv:
+                post = post.withColumn(mat_rcv, F.lit(None).cast("long"))
+            # cast every RHS to the column's DECLARED type (SQL UPDATE
+            # semantics): a bare literal like `100.0` parses as
+            # decimal(4,1) and would silently fork the postimage file's
+            # physical schema off the table schema
+            field_type = {f.name: f.dataType for f in data_schema.fields}
+            post = post.withColumns(
+                {
+                    c: F.expr(e).cast(field_type[c])
+                    for c, e in assignments.items()
+                }
+            )
+            regen = {
+                name: F.expr(gexpr).cast(field_type[name])
+                for name, gexpr in gen.items()
+                if name not in (types or {}) and name in field_type
+            }
+            if regen:
+                post = post.withColumns(regen)
+            post_rows = post.drop("_f", "_ridx")
+            self._enforce_constraints(post_rows, "UPDATE")
+            cdc_actions: list[dict] = []
+            if cdf:
+                mats = [c for c in (mat_id, mat_rcv) if c]
+                pre = matched.drop("_f", "_ridx", *mats).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                postc = post_rows.drop(*mats).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                cdc_actions = self._stage_cdc(pre.unionByName(postc))
+            cur = latest_protocol(self.path)
+            pr = upgraded_protocol(
+                cur, ("deletionVectors",), ("deletionVectors",)
+            )
+            actions: list[dict] = [] if pr == cur else [{"protocol": pr}]
+            actions.extend(cdc_actions)
+            full_deletes, dv_rows = [], []
+            for r in packed:
+                f = by_norm[r["_f"]]
+                n_rec = f.get("numRecords")
+                if n_rec is not None and r["card"] >= n_rec:
+                    full_deletes.append(f)  # every live row updated
+                else:
+                    dv_rows.append((f, r))
+            descs = _dv.pack_dv_file(
+                self.path,
+                [(bytes(r["payload"]), int(r["card"])) for _f, r in dv_rows],
+            )
+            for (f, _r), desc in zip(dv_rows, descs):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f["path"],
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": f["partitionValues"] or {},
+                        }
+                    }
+                )
+                actions.append(
+                    {
+                        "add": {
+                            "path": f["path"],
+                            "partitionValues": f["partitionValues"] or {},
+                            "size": f["size"],
+                            "modificationTime": now,
+                            "dataChange": True,
+                            "stats": f.get("stats"),
+                            "deletionVector": desc,
+                            # same physical file: surviving rows keep
+                            # their identities and clustering tags
+                            "baseRowId": f.get("baseRowId"),
+                            "defaultRowCommitVersion": f.get(
+                                "defaultRowCommitVersion"
+                            ),
+                            **(
+                                {"tags": dict(f["tags"])}
+                                if f.get("tags")
+                                else {}
+                            ),
+                        }
+                    }
+                )
+            for f in full_deletes:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f["path"],
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": f["partitionValues"] or {},
+                        }
+                    }
+                )
+            actions.extend(
+                self._stage_adds(post_rows, data_change=True, skip_empty=True)
+            )
+            return self._commit(actions, operation="UPDATE (merge-on-read)")
+        finally:
+            matched.unpersist()
+
+    def _prep_merge(self, source, key_cols, delete_keys):
+        """Shared MERGE validation (copy-on-write and merge-on-read):
+        partition columns must ride the key, duplicate source keys
+        raise (Delta's multiple-source-rows-matched error), delete
+        keys must be disjoint from upsert keys, generated columns
+        apply, constraints enforce, and the source's column set must
+        equal the target's.  Returns (keys, del_keys, source, types,
+        data_schema)."""
+        import pyspark.sql.functions as F
+
+        keys = list(key_cols)
+        if self.partition_by and not set(self.partition_by) <= set(keys):
+            raise ValueError(
+                f"partitioned merge requires the partition columns "
+                f"{self.partition_by} inside key_cols — otherwise an "
+                "update could silently move a row across partitions"
+            )
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.limit(1).count():
+            raise ValueError(
+                f"merge source has duplicate keys on {keys} — each target "
+                "row may match at most one source row"
+            )
+        del_keys = None
+        if delete_keys is not None:
+            missing_k = [k for k in keys if k not in delete_keys.columns]
+            if missing_k:
+                raise ValueError(
+                    f"delete_keys is missing key columns {missing_k}"
+                )
+            del_keys = delete_keys.select(*keys).distinct()
+            overlap = source.select(*keys).join(del_keys, keys, "inner")
+            if overlap.limit(1).count():
+                raise ValueError(
+                    "a key appears in both source and delete_keys — "
+                    "upsert-then-delete has no defined order inside one "
+                    "atomic commit; split them across batches"
+                )
+        source = self._apply_generated(source, "MERGE")
+        self._enforce_constraints(source, "MERGE")
+        types, data_schema = self._data_schema()
+        if data_schema is not None:
+            # column-set guard: a wider source would write columns the
+            # table metadata doesn't record (readers silently drop
+            # them), a narrower one would null-fill on rewrite — both
+            # are silent drift; Delta's MERGE without autoMerge raises
+            target_cols = set(types) | {f.name for f in data_schema.fields}
+            if set(source.columns) != target_cols:
+                extra = sorted(set(source.columns) - target_cols)
+                missing = sorted(target_cols - set(source.columns))
+                raise ValueError(
+                    f"merge source schema mismatch: extra={extra} "
+                    f"missing={missing} — project the source to the "
+                    "target's columns first"
+                )
+        return keys, del_keys, source, types, data_schema
+
     def merge(
         self,
         source: DataFrame,
@@ -2510,58 +2846,17 @@ class DeltaSink:
         has no defined order inside one atomic commit."""
         import pyspark.sql.functions as F
 
-        keys = list(key_cols)
-        if self.partition_by and not set(self.partition_by) <= set(keys):
-            raise ValueError(
-                f"partitioned merge requires the partition columns "
-                f"{self.partition_by} inside key_cols — otherwise an "
-                "update could silently move a row across partitions"
-            )
-        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
-        if dup.limit(1).count():
-            raise ValueError(
-                f"merge source has duplicate keys on {keys} — each target "
-                "row may match at most one source row"
-            )
-        del_keys = None
-        if delete_keys is not None:
-            missing_k = [k for k in keys if k not in delete_keys.columns]
-            if missing_k:
-                raise ValueError(
-                    f"delete_keys is missing key columns {missing_k}"
-                )
-            del_keys = delete_keys.select(*keys).distinct()
-            overlap = source.select(*keys).join(del_keys, keys, "inner")
-            if overlap.limit(1).count():
-                raise ValueError(
-                    "a key appears in both source and delete_keys — "
-                    "upsert-then-delete has no defined order inside one "
-                    "atomic commit; split them across batches"
-                )
+        keys, del_keys, source, types, data_schema = self._prep_merge(
+            source, key_cols, delete_keys
+        )
         self._require_no_dvs("MERGE")
-        source = self._apply_generated(source, "MERGE")
-        self._enforce_constraints(source, "MERGE")
         now = int(time.time() * 1000)
         cdf = self._cdf_enabled()
-        types, data_schema = self._data_schema()
         if data_schema is None:
             # empty table: a merge is a plain first append, deletes are
             # no-ops — the txn ledger entry must still ride it (I3
             # exactly-once)
             return self.append(source, txn=txn)
-        # column-set guard: a wider source would write columns the
-        # table metadata doesn't record (readers silently drop them),
-        # a narrower one would null-fill on rewrite — both are silent
-        # drift; Delta's MERGE without autoMerge raises too
-        target_cols = set(types) | {f.name for f in data_schema.fields}
-        if set(source.columns) != target_cols:
-            extra = sorted(set(source.columns) - target_cols)
-            missing = sorted(target_cols - set(source.columns))
-            raise ValueError(
-                f"merge source schema mismatch: extra={extra} "
-                f"missing={missing} — project the source to the "
-                "target's columns first"
-            )
         groups = self._partition_groups()
 
         def inject(df, pv):
@@ -2732,6 +3027,297 @@ class DeltaSink:
                 },
             )
         return self._commit(actions, operation="MERGE")
+
+    def merge_dv(
+        self,
+        source: DataFrame,
+        key_cols: Sequence[str],
+        txn: tuple[str, int] | None = None,
+        delete_keys: DataFrame | None = None,
+    ) -> int:
+        """Merge-on-read MERGE (DV-writing upsert): target rows whose
+        key matches the source (or ``delete_keys``) join their file's
+        DELETION VECTOR, and the source rows — matched updates and
+        unmatched inserts alike — append as new files.  One atomic
+        commit; write cost O(source rows + KB-scale bitmaps), never
+        copy-on-write :meth:`merge`'s wholesale rewrite of every file
+        containing a matched key.  At 100 TB a merge touching 1% of
+        keys must not rewrite 100% of the touched bytes.
+
+        Validation, matched-update multiplicity (one output per
+        matched TARGET row carrying the source's values), CDF change
+        types (insert / update_preimage / update_postimage / delete),
+        row tracking (updated rows keep their ids, materialized into
+        the appended files; inserts mint fresh ones) and txn
+        idempotence all match :meth:`merge`.  A target row already in
+        a deletion vector is logically gone: its key does NOT count as
+        matched, so the source row inserts instead.  :meth:`reorg`
+        purges these DVs like any other."""
+        import pyspark.sql.functions as F
+
+        from . import dv as _dv
+        from .delta_log import latest_protocol, snapshot_files
+
+        keys, del_keys, source, types, data_schema = self._prep_merge(
+            source, key_cols, delete_keys
+        )
+        now = int(time.time() * 1000)
+        cdf = self._cdf_enabled()
+        if data_schema is None:
+            # empty table: all-inserts append; deletes are no-ops
+            return self.append(source, txn=txn)
+        rt = self._rt_enabled()
+        mat_id, mat_rcv = self._rt_mat_cols() if rt else (None, None)
+        rt_cols = [c for c in (mat_id, mat_rcv) if c]
+        read_schema = data_schema
+        if rt and rt_cols:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            read_schema = StructType(
+                [
+                    *data_schema.fields,
+                    *[
+                        StructField(c, LongType(), True)
+                        for c in rt_cols
+                        if c not in data_schema.fieldNames()
+                    ],
+                ]
+            )
+        files = snapshot_files(self.spark, self.path)
+        by_norm = {
+            _fs.data_path_spelling(self.path, f["path"]): f for f in files
+        }
+        old_payloads = {
+            _fs.data_path_spelling(self.path, f["path"]): bytes(
+                _dv.dv_payload(self.path, f["deletionVector"])
+            )
+            for f in files
+            if (f.get("deletionVector") or {}).get("cardinality")
+        }
+
+        def inject(df, pv):
+            for c, raw in pv.items():
+                df = df.withColumn(c, F.lit(raw).cast(types.get(c, "string")))
+            return df
+
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(sorted((f["partitionValues"] or {}).items()))
+            groups.setdefault(key, []).append(f["path"])
+        src_keys = source.select(*keys).distinct()
+        all_keys = (
+            src_keys.unionByName(del_keys).distinct()
+            if del_keys is not None
+            else src_keys
+        )
+        probes = []
+        for key, paths in groups.items():
+            df = (
+                self.spark.read.schema(read_schema)
+                .parquet(*[_fs.join(self.path, p) for p in paths])
+                .withColumns(
+                    {
+                        "_f": _fs.spark_scan_path(F.input_file_name()),
+                        "_ridx": F.col("_metadata.row_index"),
+                    }
+                )
+            )
+            probes.append(inject(df, dict(key)))
+        actions: list[dict] = []
+        matched = None
+        packed: list = []
+        if probes:
+            probe = probes[0]
+            for pr_ in probes[1:]:
+                probe = probe.unionByName(pr_)
+            if old_payloads:
+                probe = probe.join(
+                    self._old_dv_pairs_df(old_payloads),
+                    ["_f", "_ridx"],
+                    "left_anti",
+                )
+            matched = probe.join(
+                F.broadcast(all_keys), keys, "inner"
+            ).persist()
+        try:
+            if matched is not None:
+                bc = self.spark.sparkContext.broadcast(old_payloads)
+
+                def per_file(pdf):
+                    import pandas as pd
+
+                    f = pdf["_f"].iloc[0]
+                    idx = set(int(i) for i in pdf["_ridx"])
+                    old = bc.value.get(f)
+                    if old is not None:
+                        idx |= set(_dv.deserialize(old))
+                    ordered = sorted(idx)
+                    return pd.DataFrame(
+                        {
+                            "_f": [f],
+                            "payload": [_dv.serialize(ordered)],
+                            "card": [len(ordered)],
+                        }
+                    )
+
+                packed = (
+                    matched.select("_f", "_ridx")
+                    .groupBy("_f")
+                    .applyInPandas(
+                        per_file, "_f string, payload binary, card long"
+                    )
+                    .collect()
+                )
+            src_cols = source.columns
+            matched_keys = None
+            updated = None
+            m_rows = None
+            if packed:
+                m_rows = matched
+                if rt and mat_id:
+                    affected = sorted(
+                        {by_norm[r["_f"]]["path"] for r in packed}
+                    )
+                    m_rows = m_rows.withColumn(
+                        "__mlk_rtfile", F.col("_f")
+                    ).withColumn("__mlk_rtridx", F.col("_ridx"))
+                    m_rows = self._materialize_row_ids(
+                        m_rows, affected, mat_id, None
+                    ).drop("__mlk_rtfile", "__mlk_rtridx")
+                matched_keys = m_rows.select(*keys).distinct()
+                carry = [c for c in rt_cols if c in m_rows.columns]
+                # one output per matched TARGET row with the SOURCE's
+                # values (Delta's matched-update multiplicity); the
+                # target row's materialized id rides along, its commit
+                # version resets to this commit
+                updated = (
+                    m_rows.select(*keys, *carry)
+                    .join(source, keys, "inner")
+                    .select(*src_cols, *carry)
+                )
+                if mat_rcv and mat_rcv in (updated.columns):
+                    updated = updated.withColumn(
+                        mat_rcv, F.lit(None).cast("long")
+                    )
+            inserts = (
+                source.join(matched_keys, keys, "left_anti")
+                if matched_keys is not None
+                else source
+            )
+            cdc_actions: list[dict] = []
+            if cdf:
+                ct = "_change_type"
+                changes = inserts.select(*src_cols).withColumn(
+                    ct, F.lit("insert")
+                )
+                if packed:
+                    pre = (
+                        m_rows.join(F.broadcast(src_keys), keys, "inner")
+                        .select(*src_cols)
+                        .withColumn(ct, F.lit("update_preimage"))
+                    )
+                    post = (
+                        updated.select(*src_cols)
+                        .withColumn(ct, F.lit("update_postimage"))
+                    )
+                    changes = changes.unionByName(pre).unionByName(post)
+                    if del_keys is not None:
+                        changes = changes.unionByName(
+                            m_rows.join(
+                                F.broadcast(del_keys), keys, "inner"
+                            )
+                            .select(*src_cols)
+                            .withColumn(ct, F.lit("delete"))
+                        )
+                cdc_actions = self._stage_cdc(changes)
+            if packed:
+                cur = latest_protocol(self.path)
+                pr = upgraded_protocol(
+                    cur, ("deletionVectors",), ("deletionVectors",)
+                )
+                if pr != cur:
+                    actions.append({"protocol": pr})
+            actions.extend(cdc_actions)
+            full_deletes, dv_rows = [], []
+            for r in packed:
+                f = by_norm[r["_f"]]
+                n_rec = f.get("numRecords")
+                if n_rec is not None and r["card"] >= n_rec:
+                    full_deletes.append(f)
+                else:
+                    dv_rows.append((f, r))
+            descs = _dv.pack_dv_file(
+                self.path,
+                [(bytes(r["payload"]), int(r["card"])) for _f, r in dv_rows],
+            )
+            for (f, _r), desc in zip(dv_rows, descs):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f["path"],
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": f["partitionValues"] or {},
+                        }
+                    }
+                )
+                actions.append(
+                    {
+                        "add": {
+                            "path": f["path"],
+                            "partitionValues": f["partitionValues"] or {},
+                            "size": f["size"],
+                            "modificationTime": now,
+                            "dataChange": True,
+                            "stats": f.get("stats"),
+                            "deletionVector": desc,
+                            "baseRowId": f.get("baseRowId"),
+                            "defaultRowCommitVersion": f.get(
+                                "defaultRowCommitVersion"
+                            ),
+                            **(
+                                {"tags": dict(f["tags"])}
+                                if f.get("tags")
+                                else {}
+                            ),
+                        }
+                    }
+                )
+            for f in full_deletes:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f["path"],
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": f["partitionValues"] or {},
+                        }
+                    }
+                )
+            if updated is not None:
+                actions.extend(
+                    self._stage_adds(
+                        updated, data_change=True, skip_empty=True
+                    )
+                )
+            actions.extend(
+                self._stage_adds(inserts, data_change=True, skip_empty=True)
+            )
+            if txn is not None:
+                actions.insert(
+                    0,
+                    {
+                        "txn": {
+                            "appId": txn[0],
+                            "version": txn[1],
+                            "lastUpdated": now,
+                        }
+                    },
+                )
+            return self._commit(actions, operation="MERGE (merge-on-read)")
+        finally:
+            if matched is not None:
+                matched.unpersist()
 
     def delete_dv(self, predicate: str) -> int:
         """Merge-on-read row-level delete: instead of rewriting every
