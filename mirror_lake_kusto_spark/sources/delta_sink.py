@@ -1434,6 +1434,80 @@ class DeltaSink:
         )
     # -- data operations ----------------------------------------------------
 
+    def _cluster_batch(self, df: DataFrame):
+        """WRITE-TIME liquid clustering (round 8): when the table
+        declares CLUSTER BY, order every fresh append along the same
+        Hilbert curve OPTIMIZE uses, so per-file min/max stats prune
+        BETWEEN optimize passes — a freshly-ingested, never-OPTIMIZEd
+        clustered table already reads clustered.  The adds carry the
+        clustering provenance tag, so the incremental OPTIMIZE leaves
+        them in place (O(new data) maintenance; generations may
+        overlap in key space — ``optimize(full=True)`` consolidates).
+
+        Curve bounds = the table's per-file-stats fold (driver
+        metadata, free) UNIONED with the batch's own min/max (one
+        aggregate over the incoming frame — the one extra pass
+        write-time clustering costs).  The union matters: monotonic
+        appends (timestamps, increasing keys) land past the table's
+        known range, and without batch bounds every row would clamp
+        into the curve's edge cell and never separate.
+
+        Returns (possibly re-ordered df, add tags or None)."""
+        import pyspark.sql.functions as F
+
+        from .delta_log import snapshot_files
+        from .skipping import (
+            bounds_from_file_stats,
+            hilbert_column,
+            numeric_proxy,
+        )
+
+        try:
+            ccols = self._clustering_columns()
+        except FileNotFoundError:
+            return df, None  # table doesn't exist yet (first append)
+        if not ccols or any(c not in df.columns for c in ccols):
+            # no declaration, or schema drift — the schema-change
+            # handling downstream owns that failure mode
+            return df, None
+        type_of = {f.name: f.dataType for f in df.schema.fields}
+        try:
+            proxies = {c: numeric_proxy(c, type_of[c]) for c in ccols}
+        except ValueError:
+            return df, None  # legacy non-orderable declaration
+        row = df.agg(
+            *[F.min(proxies[c]).alias(f"lo_{c}") for c in ccols],
+            *[F.max(proxies[c]).alias(f"hi_{c}") for c in ccols],
+        ).collect()[0]
+        bounds: dict[str, tuple[float, float]] = {}
+        for c in ccols:
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None:  # all-null / empty batch
+                lo = hi = 0.0
+            bounds[c] = (float(lo), float(hi))
+        try:
+            files = snapshot_files(self.spark, self.path)
+        except FileNotFoundError:
+            files = []
+        if files:
+            got = bounds_from_file_stats(ccols, type_of, files)
+            if got is not None:
+                bounds = {
+                    c: (
+                        min(bounds[c][0], got[c][0]),
+                        max(bounds[c][1], got[c][1]),
+                    )
+                    for c in ccols
+                }
+        z = hilbert_column(ccols, bounds, df.schema)
+        n = max(1, df.rdd.getNumPartitions())
+        out = df.withColumn("_mlk_z", z)
+        out = (
+            out.repartitionByRange(n, "_mlk_z") if n > 1 else out.coalesce(1)
+        )
+        out = out.sortWithinPartitions("_mlk_z").drop("_mlk_z")
+        return out, {"MLK_CLUSTERED_BY": ",".join(ccols)}
+
     def append(
         self,
         df: DataFrame,
@@ -1460,7 +1534,10 @@ class DeltaSink:
             df = self._assign_identity(df, idents)
         self._pending_schema = df.schema.json()
         self._enforce_constraints(df, "WRITE")
-        adds = self._stage_adds(df, data_change)
+        cluster_tags = None
+        if data_change:
+            df, cluster_tags = self._cluster_batch(df)
+        adds = self._stage_adds(df, data_change, tags=cluster_tags)
         if idents:
             wm = self._identity_watermark_action(adds, idents)
             if wm is not None:
@@ -1560,7 +1637,11 @@ class DeltaSink:
         return self._mapping_cache
 
     def _stage_adds(
-        self, df: DataFrame, data_change: bool, skip_empty: bool = False
+        self,
+        df: DataFrame,
+        data_change: bool,
+        skip_empty: bool = False,
+        tags: dict[str, str] | None = None,
     ) -> list[dict]:
         """Distributed parquet write to a staging dir, then O(new files)
         driver-side moves into place — returns the add actions (with
@@ -1619,18 +1700,17 @@ class DeltaSink:
                 dst = _fs.join(self.path, rel)
                 self.fs.makedirs(dst.rsplit("/", 1)[0])
                 self.fs.move(src, dst)
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": part_values,
-                            "size": self.fs.getsize(dst),
-                            "modificationTime": int(time.time() * 1000),
-                            "dataChange": data_change,
-                            "stats": stats,
-                        }
-                    }
-                )
+                add = {
+                    "path": rel,
+                    "partitionValues": part_values,
+                    "size": self.fs.getsize(dst),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": data_change,
+                    "stats": stats,
+                }
+                if tags:
+                    add["tags"] = dict(tags)
+                adds.append({"add": add})
         self.fs.rmtree(tmp)
         return adds
 
