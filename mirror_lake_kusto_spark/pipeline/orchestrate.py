@@ -296,6 +296,12 @@ class MirrorPipeline:
         hwm = self.state.high_water(self.table)
         versions = DL.list_commit_versions(self.source)
         if not versions or versions[-1] <= hwm:
+            # a coordinated/catalog source can look "up-to-date" on the
+            # filesystem while the coordinator holds staged commits the
+            # mirror can never serve — stall LOUDLY, not silently
+            # (round 8; the staleness branch of the protocol check)
+            if versions and DL.unbackfilled_commit_versions(self.source):
+                DL.check_protocol_supported(self.source)
             return None
         end_tx = versions[-1]
         # the incremental path must not outrun the reader's protocol

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 import pyarrow.parquet as _pq
@@ -723,6 +724,35 @@ def is_type_widening(from_t, to_t) -> bool:
     return s2 >= s1 and p2 - s2 >= p1 - s1
 
 
+def collations_of(meta: dict | None) -> dict[str, str]:
+    """Non-default collations declared in the schema's field metadata
+    (Delta "collations" preview: StructField metadata key
+    ``__COLLATIONS`` maps field paths to ``<provider>.<name>``
+    identifiers).  Returns {top-level column -> collation} for every
+    column declaring anything other than the UTF8_BINARY default.
+    Values READ normally — parquet string bytes are collation-agnostic
+    — but collation-SENSITIVE file skipping must be disabled on these
+    columns: per-file min/max stats are binary-ordered, and a range
+    predicate pruned in binary order can drop files that match under
+    the declared collation."""
+    if not meta:
+        return {}
+    try:
+        fields = json.loads(meta["schemaString"])["fields"]
+    except (KeyError, TypeError, ValueError):
+        return {}
+    out: dict[str, str] = {}
+    for f in fields:
+        coll = (f.get("metadata") or {}).get("__COLLATIONS") or {}
+        for _path, ident in coll.items():
+            if (
+                isinstance(ident, str)
+                and ident.split(".", 1)[-1].upper() != "UTF8_BINARY"
+            ):
+                out[f["name"]] = ident
+    return out
+
+
 class UnsupportedTableFeature(RuntimeError):
     """The table's Delta protocol requires reader features this engine
     does not implement (deletion vectors, column mapping, ...).
@@ -754,12 +784,43 @@ _FEATURE_NOTES: dict[str, str] = {
         "coordinator; unbacked filesystem commits may be missing — "
         "read through the coordinator"
     ),
-    "collations": (
-        "string columns carry non-default collations; this engine "
-        "would compare/sort/group them in UTF8_BINARY order and "
-        "return differently-ordered (wrong) results"
-    ),
 }
+
+
+#: staged-commit directories of catalog-coordinated tables
+#: (PROTOCOL.md coordinated commits / catalog-managed tables: commits
+#: land here as <version>.<uuid>.json first, owned by the coordinator,
+#: and are later BACKFILLED into the plain <version>.json files)
+_STAGED_COMMIT_DIRS = ("_commits", "_staged_commits")
+
+_STAGED_RE = re.compile(r"^(\d{20})\.[0-9a-fA-F-]+\.json$")
+
+
+def unbackfilled_commit_versions(table_path: str) -> list[int]:
+    """Versions staged in the log's ``_commits`` / ``_staged_commits``
+    directory — the coordinator-owned tail of a coordinated-commits /
+    catalog-managed table.  A staged version ≤ the backfilled head is
+    a published duplicate; versions PAST it are commits a filesystem
+    reader cannot serve."""
+    out: set[int] = set()
+    fs = _fs.get_fs(table_path)
+    for d in _STAGED_COMMIT_DIRS:
+        p = _fs.join(table_path, "_delta_log", d)
+        try:
+            names = fs.listdir(p)
+        except (FileNotFoundError, NotADirectoryError, OSError):
+            continue
+        for n in names:
+            m = _STAGED_RE.match(n)
+            if m:
+                out.add(int(m.group(1)))
+    return sorted(out)
+
+
+#: catalog-coordination features (stable names): the backfilled prefix
+#: of such a table's filesystem log is still a correct, immutable
+#: Delta log — serve it; refuse only a VISIBLY unpublished tail
+_CATALOG_FEATURES = {"catalogManaged", "catalogOwned", "coordinatedCommits"}
 
 
 #: (abs table path, head version, upto) triples already verified OK
@@ -843,6 +904,17 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
             # variant layouts natively (test_r6_variant)
             "variantType",
             "variantType-preview",
+            # collations (round 8): parquet string BYTES are
+            # collation-agnostic, so values read normally and the
+            # declared collation surfaces through the schema's field
+            # metadata (__COLLATIONS); what MUST not happen is
+            # collation-sensitive file skipping — read_snapshot
+            # disables stats/bloom/partition pruning on collated
+            # columns (binary min/max order is not the collation's
+            # order).  Predicates still evaluate with Spark's
+            # UTF8_BINARY semantics (surfaced, not re-collated).
+            "collations",
+            "collations-preview",
         }
         ok = (
             reader == 1
@@ -857,6 +929,36 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
                 for k in (f.removesuffix("-preview"),)
                 if k in _FEATURE_NOTES
             )
+            if unknown and all(
+                f.removesuffix("-preview") in _CATALOG_FEATURES
+                for f in unknown
+            ):
+                # coordinated-commits PARTIAL READ (round 8): the
+                # BACKFILLED prefix of the filesystem log is immutable
+                # and totally ordered (PROTOCOL.md backfill rules), so
+                # a snapshot at or below the last backfilled commit is
+                # exact.  Refuse only when the staged (coordinator-
+                # owned) tail is VISIBLY unpublished past the read
+                # point — and say how stale the filesystem view is.
+                staged = unbackfilled_commit_versions(table_path)
+                pending = [v for v in staged if v > head]
+                if upto is not None and upto <= head:
+                    pending = []  # historical read below head: exact
+                if not pending:
+                    # serve the backfilled snapshot.  NOT cached in
+                    # _PROTOCOL_OK: a staged commit can appear without
+                    # moving the backfilled head, and the staleness
+                    # courtesy must stay exact.
+                    return
+                raise UnsupportedTableFeature(
+                    f"table {table_path}: commits "
+                    f"{pending} are staged by the commit coordinator "
+                    "but not yet backfilled — a filesystem read would "
+                    f"serve a STALE snapshot at version {head}, "
+                    f"{len(pending)} commit(s) behind v{max(pending)}; "
+                    "read through the owning catalog, or retry after "
+                    "backfill" + notes
+                )
             raise UnsupportedTableFeature(
                 f"table {table_path} requires minReaderVersion={reader} "
                 f"readerFeatures={sorted(features)}; this engine "
@@ -1130,6 +1232,15 @@ def read_snapshot(
         from .skipping import prune_files
 
         pred_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        collated = set(collations_of(meta))
+        if collated:
+            # collated columns: stats/partition/bloom pruning would
+            # compare in binary order — drop them from the pruners'
+            # view (their conjuncts become non-prunable; the row
+            # filter below keeps the result exact)
+            pred_schema = StructType(
+                [f for f in pred_schema.fields if f.name not in collated]
+            )
         files = prune_files(
             files,
             predicate,

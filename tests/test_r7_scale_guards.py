@@ -142,13 +142,15 @@ def test_collect_queries_budget(spark):
         ("catalogManaged", "catalog"),
         ("catalogOwned-preview", "owning catalog"),
         ("coordinatedCommits", "commit coordinator"),
-        ("collations-preview", "UTF8_BINARY"),
     ],
 )
 def test_fail_closed_error_names_feature(spark, tmp_path, feature, hint):
-    """catalogManaged / coordinatedCommits / collations tables fail
-    CLOSED with an error that names the feature AND says what it
-    changes (the filesystem log is stale / ordering is wrong)."""
+    """Unsupported feature reads fail CLOSED with an error that names
+    the feature AND says what it changes.  Round 8: the catalog-
+    coordination features now serve the BACKFILLED prefix and refuse
+    only a visibly-unpublished staged tail (see test_r8_coordinated),
+    so those rows stage one to trigger the refusal; the staleness
+    error must still carry the feature name and the hint."""
     from mirror_lake_kusto_spark.sources import delta_log as DL
 
     sink = DeltaSink(spark, str(tmp_path / f"t_{feature}"))
@@ -167,6 +169,16 @@ def test_fail_closed_error_names_feature(spark, tmp_path, feature, hint):
             )
             + "\n"
         )
+    if feature.removesuffix("-preview") in DL._CATALOG_FEATURES:
+        staged = _os.path.join(log, "_commits")
+        _os.makedirs(staged, exist_ok=True)
+        with open(
+            _os.path.join(
+                staged, "%020d.%s.json" % (2, "0" * 8 + "-dead-beef")
+            ),
+            "w",
+        ) as f:
+            f.write("{}\n")
     with pytest.raises(DL.UnsupportedTableFeature) as ei:
         DL.snapshot_files(spark, sink.path)
     msg = str(ei.value)
