@@ -4278,12 +4278,26 @@ class DeltaSink:
                 # Generations may overlap in key space — that is the
                 # accepted trade for O(new data) maintenance instead
                 # of O(table); pass full=True to re-cluster everything.
+                # EXCEPTION: clustered files well under the target
+                # size (write-time clustering emits one small
+                # generation per append) re-enter the rewrite — they
+                # compact together along the curve and then stay put,
+                # so repeated small appends converge instead of
+                # accumulating a small-file tail forever.
+                floor = target_file_bytes // 4
                 files = [
                     f
                     for f in files
                     if (f.get("tags") or {}).get("MLK_CLUSTERED_BY")
                     != cluster_tag
+                    or (f["size"] or 0) < floor
                 ]
+                if len(files) <= 1 and all(
+                    (f.get("tags") or {}).get("MLK_CLUSTERED_BY")
+                    == cluster_tag
+                    for f in files
+                ):
+                    continue  # one small clustered file alone: no-op
                 if not files:
                     continue
             total = sum(f["size"] or 0 for f in files)

@@ -155,14 +155,14 @@ def test_protocol_guard_still_rejects_unknown_features(spark, tmp_path):
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors", "catalogOwned"],
+                "readerFeatures": ["deletionVectors", "someFutureFeature"],
             }
         }
     ]
     FS.get_fs(path).write_text(
         DL._commit_file(path, 1), json.dumps(acts[0]) + "\n"
     )
-    with pytest.raises(UnsupportedTableFeature, match="catalogOwned"):
+    with pytest.raises(UnsupportedTableFeature, match="someFutureFeature"):
         DL.read_snapshot(spark, path).collect()
 
 

@@ -1192,16 +1192,18 @@ def test_hybrid_search_refuses_missing_query_vec(spark, sf_dir=None):
         )
 
 
-def test_collect_queries_empty_raises_clearly(spark):
+def test_collect_queries_empty_returns_empty(spark):
+    # round 8 (ADVICE): a legitimately-empty query batch is a no-op,
+    # not an error — only the driver-budget OVERFLOW raises
     from mirror_lake_kusto_spark.operators import similarity
 
     corpus = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="no vectors"):
-        similarity.cosine_topk_bruteforce(
-            corpus, corpus.filter("vec_id < 0"), k=5
-        )
+    out = similarity.cosine_topk_bruteforce(
+        corpus, corpus.filter("vec_id < 0"), k=5
+    )
+    assert out.count() == 0
 
 
 def test_wav_roundtrip_and_envelope(spark):

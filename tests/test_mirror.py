@@ -1294,7 +1294,7 @@ def test_multi_table_failure_isolation(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["catalogOwned"],
+                        "readerFeatures": ["someFutureFeature"],
                     }
                 }
             )

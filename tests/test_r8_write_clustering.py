@@ -78,13 +78,17 @@ def test_incremental_optimize_leaves_write_clustered_adds(spark, tmp_path):
         .selectExpr("id AS a", "cast((id * 31) % 5000 AS long) AS b")
         .repartition(4)
     )
-    clustered_paths = {
-        f["path"]
+    clustered = [
+        f
         for f in DL.snapshot_files(spark, path)
         if (f.get("tags") or {}).get("MLK_CLUSTERED_BY") == "a,b"
-    }
-    assert clustered_paths
-    sink.optimize(target_file_bytes=1 << 20)
+    ]
+    assert clustered
+    clustered_paths = {f["path"] for f in clustered}
+    # target chosen so every tagged file sits AT/ABOVE the small-file
+    # compaction floor (target/4) — at-scale-sized generations stay put
+    target = 4 * min(f["size"] for f in clustered)
+    sink.optimize(target_file_bytes=target)
     after = {f["path"] for f in DL.snapshot_files(spark, path)}
     assert clustered_paths <= after  # incremental: tagged files stay put
 
@@ -133,4 +137,42 @@ def test_unclustered_table_append_unchanged(spark, tmp_path):
     assert all(
         not (f.get("tags") or {})
         for f in DL.snapshot_files(spark, path)
+    )
+
+
+def test_incremental_optimize_compacts_small_clustered_files(spark, tmp_path):
+    """Repeated small appends each emit a small clustered generation;
+    incremental OPTIMIZE compacts those along the curve (files under
+    target/4 re-enter the rewrite) instead of skipping them forever —
+    and once compacted past the floor they stay put."""
+    path = str(tmp_path / "wcc")
+    sink = DeltaSink(spark, path)
+    sink.append(spark.range(2).selectExpr("id AS a", "id AS b"))
+    sink.set_cluster_by(["a", "b"])
+    for i in range(4):  # 4 small clustered generations
+        sink.append(
+            spark.range(i * 1000, (i + 1) * 1000)
+            .selectExpr("id AS a", "cast(id * 13 % 4000 AS long) AS b")
+            .coalesce(1)
+        )
+    n_before = len(DL.snapshot_files(spark, path))
+    assert n_before >= 5
+    sink.optimize(target_file_bytes=64 << 20)  # all files under floor
+    files = DL.snapshot_files(spark, path)
+    assert len(files) < n_before  # compacted
+    assert all(
+        (f.get("tags") or {}).get("MLK_CLUSTERED_BY") == "a,b"
+        for f in files
+    )
+    # rows intact
+    assert DL.read_snapshot(spark, path).count() == 4002
+    # converged: a second incremental OPTIMIZE is a no-op (the one
+    # compacted file sits alone under the floor — rewriting it solo
+    # would churn the log forever)
+    head = DL.list_commit_versions(path)[-1]
+    sink.optimize(target_file_bytes=64 << 20)
+    new_head = DL.list_commit_versions(path)[-1]
+    assert (
+        new_head == head
+        or len(DL.snapshot_files(spark, path)) == len(files)
     )

@@ -109,7 +109,9 @@ def test_unsupported_protocol_raises(spark, tmp_path):
             + "\n"
         )
     assert len(DL.snapshot_files(spark, sink.path)) > 0
-    # an UNKNOWN reader feature still fails closed
+    # an UNKNOWN reader feature still fails closed (catalogOwned now
+    # partial-reads the backfilled prefix — test_r8_coordinated — so
+    # this guard pins a feature the engine genuinely does not know)
     with open(os.path.join(log, "%020d.json" % 2), "w") as f:
         f.write(
             json.dumps(
@@ -117,13 +119,13 @@ def test_unsupported_protocol_raises(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["catalogOwned"],
+                        "readerFeatures": ["someFutureFeature"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DL.UnsupportedTableFeature, match="catalogOwned"):
+    with pytest.raises(DL.UnsupportedTableFeature, match="someFutureFeature"):
         DL.snapshot_files(spark, sink.path)
     with pytest.raises(DL.UnsupportedTableFeature):
         DL.read_changes(spark, sink.path, 0)

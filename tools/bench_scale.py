@@ -264,7 +264,9 @@ def probe_widened_scan(spark) -> list[str]:
     sink.append(
         spark.range(n)
         .selectExpr("cast(id AS int) AS id", "cast(id * 1.5 AS float) AS x")
-        .repartition(32)
+        .repartitionByRange(32, "id")  # disjoint per-file id ranges:
+        # the filtered read below measures real stats skipping (a hash
+        # repartition would make every file span the whole range)
     )
 
     def scan_sec():
@@ -403,8 +405,13 @@ def probe_fat_commit(spark) -> list[str]:
         f"- drained in **{len(results)} chunked batches**, "
         f"**{wall:.1f} s** wall ({done:,} items reach terminal state)",
         f"- peak driver RSS moved {rss0:.0f} -> {rss1:.0f} MB "
-        f"(**{rss1 - rss0:+.0f} MB** across the whole drain — the "
-        "chunker holds at most one cap-sized item batch at a time)",
+        f"(**{rss1 - rss0:+.0f} MB**).  The growth tracks the STATE "
+        "STORE, not the chunker: the snapshot diff is computed "
+        "Spark-side and `.limit(cap+1)` bounds what reaches the "
+        "driver per batch, but the CSV state backend's atomic "
+        "compaction (A12) rewrites all items driver-side — O(commit "
+        "items) by design.  The default Delta state backend keeps "
+        "that path distributed.",
         "",
     ]
 
@@ -449,26 +456,11 @@ def main() -> None:
         print(json.dumps({"r8_probes": "done"}))
         return
     if "--clustering-only" in sys.argv:
-        section = probe_incremental_clustering(spark)
-        out_path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_SCALE.md",
+        _splice_section(
+            out_path,
+            "## Incremental clustering probe (round 7)",
+            probe_incremental_clustering(spark),
         )
-        prev = open(out_path).read() if os.path.exists(out_path) else ""
-        marker = "## Incremental clustering probe (round 7)"
-        findings = "## What the probe caught"
-        tail = ""
-        fi = prev.find(findings)
-        if fi >= 0:  # hand-written findings always survive regeneration
-            tail = "\n\n" + prev[fi:].rstrip() + "\n"
-            prev = prev[:fi]
-        mi = prev.find(marker)
-        if mi >= 0:  # replace a previous clustering section
-            prev = prev[:mi]
-        with open(out_path, "w") as f:
-            f.write(
-                prev.rstrip() + "\n" + "\n".join(section).rstrip() + "\n" + tail
-            )
         print(json.dumps({"clustering_probe": "done"}))
         return
     if "--rebuild" in sys.argv or not os.path.exists(
