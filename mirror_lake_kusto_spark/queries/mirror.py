@@ -1194,3 +1194,320 @@ def mirror_identity_column(spark, sf_dir):
         .coalesce(1)
     )
     return DL.read_snapshot(spark, path).orderBy("n_nationkey")
+
+
+@query(
+    "mirror_restore",
+    """
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier WHERE s_suppkey <= 60
+    ORDER BY s_suppkey
+    """,
+    doc="RESTORE TABLE TO VERSION (round 8, delta_sink.restore): two "
+    "append commits, a copy-on-write DELETE that drops every third "
+    "supplier, then restore(1) — one metadata commit whose adds/"
+    "removes turn the head back into the pre-delete snapshot (the "
+    "rewritten files drop out, the original files return).  The "
+    "oracle is the full slice: hash-equality proves the restore "
+    "resurrected exactly the deleted rows and nothing else",
+)
+def mirror_restore(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_restore", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .filter("s_suppkey <= 60")
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(sup.filter("s_suppkey <= 30"))
+    sink.append(sup.filter("s_suppkey > 30"))
+    sink.delete("s_suppkey % 3 = 0")
+    sink.restore(1)
+    return DL.read_snapshot(spark, path).orderBy("s_suppkey")
+
+
+@query(
+    "mirror_vacuum",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, TRUE AS gc_ran
+    FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+    doc="VACUUM + metadata cleanup (round 8, delta_sink.vacuum): a "
+    "checkpointed table whose copy-on-write DELETE stranded the "
+    "original files; vacuum physically deletes the orphans AND "
+    "truncates the pre-checkpoint commit JSONs, so the read that "
+    "follows MUST replay checkpoint-then-tail (the A2/A3 path). "
+    "gc_ran pins that both sweeps actually removed something; the "
+    "row set pins that vacuum deleted only dead bytes",
+)
+def mirror_vacuum(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_vac", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    ords = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .filter("o_orderkey <= 2000")
+    )
+    sink = DeltaSink(spark, path, checkpoint_interval=2)
+    sink.append(ords.filter("o_orderkey <= 1000").repartition(2))
+    sink.append(ords.filter("o_orderkey > 1000").repartition(2))
+    sink.delete("o_orderstatus = 'F'")
+    stats = sink.vacuum()
+    gc_ran = stats["data_files"] > 0 and stats["log_files"] > 0
+    return (
+        DL.read_snapshot(spark, path)
+        .withColumn("gc_ran", F.lit(bool(gc_ran)))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "mirror_shallow_clone",
+    """
+    SELECT p_partkey, p_name, p_size,
+           (SELECT COUNT(*) FROM part WHERE p_partkey <= 800)
+               AS src_rows
+    FROM part WHERE p_partkey <= 800 AND p_size >= 20
+    ORDER BY p_partkey
+    """,
+    doc="SHALLOW CLONE (round 8, delta_sink.shallow_clone): the "
+    "clone's first commit references the source files by absolute "
+    "path (zero copy), then a copy-on-write DELETE on the CLONE "
+    "rewrites into the clone's own directory.  The result is the "
+    "clone's survivors plus src_rows = the source's row count read "
+    "AFTER the clone-side delete — hash-equality proves the clone "
+    "diverged while the source stayed byte-identical",
+)
+def mirror_shallow_clone(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_clone", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    dst_path = os.path.join(workdir, "clone")
+    part = (
+        load_table(spark, "part", sf_dir)
+        .select("p_partkey", "p_name", "p_size")
+        .filter("p_partkey <= 800")
+    )
+    DeltaSink(spark, src_path).append(part.repartition(2))
+    clone = DeltaSink.shallow_clone(spark, src_path, dst_path)
+    clone.delete("p_size < 20")
+    src_rows = DL.read_snapshot(spark, src_path).count()
+    return (
+        DL.read_snapshot(spark, dst_path)
+        .withColumn("src_rows", F.lit(int(src_rows)).cast("bigint"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "mirror_convert",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier WHERE s_nationkey <= 10
+    ORDER BY s_suppkey
+    """,
+    doc="CONVERT TO DELTA (round 8, delta_sink.convert): a plain "
+    "hive-partitioned parquet directory (written by Spark's own "
+    "partitionBy) gains a Delta log in place — no file moves, every "
+    "existing parquet listed with footer stats, k=v dirs becoming "
+    "partition columns.  The partition-predicate read after "
+    "conversion proves both the partition mapping and that pruning "
+    "works from commit 0",
+)
+def mirror_convert(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_conv", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src = os.path.join(workdir, "plain")
+    (
+        load_table(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.partitionBy("s_nationkey")
+        .parquet(src)
+    )
+    DeltaSink.convert(spark, src)
+    return (
+        DL.read_snapshot(spark, src, predicate="s_nationkey <= 10")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "mirror_v2_checkpoint",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer WHERE c_custkey <= 900
+    ORDER BY c_custkey
+    """,
+    doc="V2 checkpoints end-to-end (round 8, delta_sink._write_"
+    "checkpoint_v2): a sink created with checkpoint_format='v2' "
+    "writes the manifest+sidecar layout (v2Checkpoint reader+writer "
+    "feature), and the vacuum that follows truncates every pre-"
+    "checkpoint commit JSON — so this read has NO choice but to "
+    "resolve the manifest, follow the sidecar references, and replay "
+    "the JSON tail on top.  Hash-equality against the full slice "
+    "proves the v2 path end to end",
+)
+def mirror_v2_checkpoint(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_v2ck", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_name", "c_nationkey")
+        .filter("c_custkey <= 900")
+    )
+    sink = DeltaSink(
+        spark, path, checkpoint_interval=2, checkpoint_format="v2"
+    )
+    sink.append(cust.filter("c_custkey <= 300"))
+    sink.append(cust.filter("c_custkey > 300 AND c_custkey <= 600"))
+    sink.append(cust.filter("c_custkey > 600"))
+    sink.vacuum()
+    return DL.read_snapshot(spark, path).orderBy("c_custkey")
+
+
+@query(
+    "mirror_coordinated_read",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="Coordinated-commits PARTIAL READ (round 8, delta_log.check_"
+    "protocol_supported): the table's protocol declares "
+    "catalogManaged (reader v3), and the coordinator's _delta_log/"
+    "_commits directory holds a staged file for an ALREADY-"
+    "backfilled version — a published duplicate per PROTOCOL.md's "
+    "backfill rules.  The filesystem read serves the backfilled "
+    "prefix exactly; only a visibly-unpublished tail refuses (pinned "
+    "separately in test_r8_coordinated)",
+)
+def mirror_coordinated_read(spark, sf_dir):
+    import json as _json
+
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_coord", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(nat.filter("n_nationkey < 12"))
+    sink.append(nat.filter("n_nationkey >= 12"))
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "%020d.json" % 2), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["catalogManaged"],
+                        "writerFeatures": ["catalogManaged"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    staged = os.path.join(log, "_commits")
+    os.makedirs(staged, exist_ok=True)
+    with open(
+        os.path.join(staged, "%020d.%s.json" % (2, "deadbeef-0042")), "w"
+    ) as f:
+        f.write("{}\n")
+    return DL.read_snapshot(spark, path).orderBy("n_nationkey")
+
+
+@query(
+    "mirror_collated_read",
+    """
+    SELECT r_regionkey, r_name, 'ICU.UNICODE_CI' AS r_name_collation
+    FROM region ORDER BY r_regionkey
+    """,
+    doc="Collations read-through (round 8, delta_log.collations_of): "
+    "a collation-aware writer stamped r_name with __COLLATIONS "
+    "metadata and the collations-preview reader feature.  Parquet "
+    "string BYTES are collation-agnostic, so values read normally; "
+    "the declared collation surfaces through the schema (returned "
+    "here as a column) and collation-sensitive file skipping is "
+    "disabled (plan-pinned in test_r8_collations)",
+)
+def mirror_collated_read(spark, sf_dir):
+    import json as _json
+
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_coll", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    reg = load_table(spark, "region", sf_dir).select(
+        "r_regionkey", "r_name"
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(reg)
+    meta = DL.latest_metadata(spark, path)
+    schema = _json.loads(meta["schemaString"])
+    for fld in schema["fields"]:
+        if fld["name"] == "r_name":
+            fld.setdefault("metadata", {})["__COLLATIONS"] = {
+                "r_name": "ICU.UNICODE_CI"
+            }
+    head = DL.list_commit_versions(path)[-1]
+    with open(
+        os.path.join(path, "_delta_log", "%020d.json" % (head + 1)), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["collations-preview"],
+                        "writerFeatures": ["collations-preview"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            _json.dumps(
+                {"metaData": {**meta, "schemaString": _json.dumps(schema)}}
+            )
+            + "\n"
+        )
+    coll = DL.collations_of(DL.latest_metadata(spark, path))
+    return (
+        DL.read_snapshot(spark, path)
+        .withColumn(
+            "r_name_collation", F.lit(coll.get("r_name", "UTF8_BINARY"))
+        )
+        .orderBy("r_regionkey")
+    )

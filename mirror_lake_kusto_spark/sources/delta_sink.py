@@ -205,6 +205,24 @@ class LockCommitCoordinator(CommitCoordinator):
 _UNSAFE_EXCLUSIVE_SCHEMES = {"s3", "s3a", "s3n"}
 
 
+def _actions_parquet_bytes(rows: list[dict], spark_schema) -> bytes:
+    """Serialize driver-side action rows to checkpoint parquet bytes
+    with pyarrow — the checkpoint state already lives on the driver,
+    so a Spark write job would only round-trip it through a pickled
+    Python RDD (measured seconds of overhead per checkpoint even for
+    tiny logs).  The arrow schema is derived from the SAME Spark
+    schema the readers use, so spark.read.parquet and the pyarrow
+    checkpoint-column reader see byte-identical layouts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pa.Table.from_pylist(rows, schema=to_arrow_schema(spark_schema))
+    buf = pa.BufferOutputStream()
+    pq.write_table(tbl, buf, compression="snappy")
+    return buf.getvalue().to_pybytes()
+
+
 class DeltaSink:
     """Append / delete / optimize on a local or shared-FS Delta table."""
 
@@ -1249,40 +1267,40 @@ class DeltaSink:
         instead (see _write_checkpoint_v2)."""
         if self.checkpoint_format == "v2":
             return self._write_checkpoint_v2(version)
-        from .delta_log import reconciled_actions
+        from .delta_log import ACTIONS_SCHEMA, reconciled_action_rows
 
-        acts = reconciled_actions(self.spark, self.path, upto=version)
-        tmp = _fs.join(_log_dir(self.path), f"_tmp_ckpt_{uuid.uuid4().hex}")
-        n_parts = self.checkpoint_parts or 1
-        acts.coalesce(n_parts).write.parquet(tmp)
-        written = sorted(
-            _fs.join(tmp, f)
-            for f in self.fs.listdir(tmp)
-            if f.endswith(".parquet")
-        )
-        pointer: dict = {"version": version, "size": acts.count()}
-        if len(written) == 1:
-            self.fs.move(
-                written[0],
-                _fs.join(
-                    _log_dir(self.path), TX_FMT.format(version) + ".checkpoint.parquet"
-                ),
-            )
+        rows = reconciled_action_rows(self.spark, self.path, upto=version)
+        log = _log_dir(self.path)
+        n_parts = min(self.checkpoint_parts or 1, max(1, len(rows)))
+        pointer: dict = {"version": version, "size": len(rows)}
+        if n_parts == 1:
+            dests = [
+                _fs.join(log, TX_FMT.format(version) + ".checkpoint.parquet")
+            ]
+            chunks = [rows]
         else:
-            for i, src in enumerate(written, start=1):
-                self.fs.move(
-                    src,
-                    _fs.join(
-                        _log_dir(self.path),
-                        TX_FMT.format(version)
-                        + f".checkpoint.{i:010d}.{len(written):010d}.parquet",
-                    ),
+            dests = [
+                _fs.join(
+                    log,
+                    TX_FMT.format(version)
+                    + f".checkpoint.{i:010d}.{n_parts:010d}.parquet",
                 )
-            pointer["parts"] = len(written)
-        self.fs.rmtree(tmp)
+                for i in range(1, n_parts + 1)
+            ]
+            # striped split: every part non-empty whenever
+            # len(rows) >= n_parts (replay order is irrelevant)
+            chunks = [rows[i::n_parts] for i in range(n_parts)]
+            pointer["parts"] = n_parts
+        # write-then-move so a concurrent reader listing the log never
+        # sees a torn checkpoint file under its final name
+        for dest, chunk in zip(dests, chunks):
+            tmp = _fs.join(log, f"_tmp_ckpt_{uuid.uuid4().hex}.parquet")
+            self.fs.write_bytes(
+                tmp, _actions_parquet_bytes(chunk, ACTIONS_SCHEMA)
+            )
+            self.fs.move(tmp, dest)
         self.fs.write_text(
-            _fs.join(_log_dir(self.path), "_last_checkpoint"),
-            json.dumps(pointer),
+            _fs.join(log, "_last_checkpoint"), json.dumps(pointer)
         )
 
     def _commit_protocol_upgrade(
@@ -1330,7 +1348,7 @@ class DeltaSink:
         from .delta_log import (
             ACTIONS_SCHEMA,
             latest_protocol,
-            reconciled_actions,
+            reconciled_action_rows,
         )
 
         cur = latest_protocol(self.path) or {}
@@ -1341,24 +1359,32 @@ class DeltaSink:
                 reader_features=("v2Checkpoint",),
                 writer_features=("v2Checkpoint",),
             )
-        acts = reconciled_actions(self.spark, self.path, upto=version)
+        all_rows = reconciled_action_rows(self.spark, self.path, upto=version)
         log = _log_dir(self.path)
         side_dir = _fs.join(log, "_sidecars")
         self.fs.makedirs(side_dir)
-        tmp = _fs.join(log, f"_tmp_ckpt_{uuid.uuid4().hex}")
-        n_parts = self.checkpoint_parts or 1
-        files_df = acts.filter(
-            "add IS NOT NULL OR remove IS NOT NULL"
-        ).select("add", "remove")
-        files_df.coalesce(n_parts).write.parquet(tmp)
+        file_rows = [
+            {"add": r.get("add"), "remove": r.get("remove")}
+            for r in all_rows
+            if r.get("add") is not None or r.get("remove") is not None
+        ]
+        sidecar_file_schema = StructType(
+            [ACTIONS_SCHEMA["add"], ACTIONS_SCHEMA["remove"]]
+        )
+        n_parts = min(
+            self.checkpoint_parts or 1, max(1, len(file_rows))
+        )
         sidecars: list[dict] = []
         now = int(time.time() * 1000)
-        for f in sorted(self.fs.listdir(tmp)):
-            if not f.endswith(".parquet"):
-                continue
+        for i in range(n_parts):
+            # striped split: every shard non-empty when there are at
+            # least n_parts file actions
+            chunk = file_rows[i::n_parts]
             name = f"{uuid.uuid4()}.parquet"
             dst = _fs.join(side_dir, name)
-            self.fs.move(_fs.join(tmp, f), dst)
+            self.fs.write_bytes(
+                dst, _actions_parquet_bytes(chunk, sidecar_file_schema)
+            )
             sidecars.append(
                 {
                     "path": name,
@@ -1366,13 +1392,13 @@ class DeltaSink:
                     "modificationTime": now,
                 }
             )
-        self.fs.rmtree(tmp)
         non_file = [
-            r.asDict(recursive=True)
-            for r in acts.filter(
-                "metaData IS NOT NULL OR protocol IS NOT NULL "
-                "OR txn IS NOT NULL OR domainMetadata IS NOT NULL"
-            ).collect()
+            r
+            for r in all_rows
+            if r.get("metaData") is not None
+            or r.get("protocol") is not None
+            or r.get("txn") is not None
+            or r.get("domainMetadata") is not None
         ]
         sidecar_schema = StructType(
             [
@@ -1418,16 +1444,12 @@ class DeltaSink:
                 }
             )
         rows.extend({**blank, "sidecar": sc} for sc in sidecars)
-        tmp2 = _fs.join(log, f"_tmp_ckptm_{uuid.uuid4().hex}")
-        self.spark.createDataFrame(rows, manifest_schema).coalesce(
-            1
-        ).write.parquet(tmp2)
         manifest_name = f"{TX_FMT.format(version)}.checkpoint.{uuid.uuid4()}.parquet"
-        written = [
-            f for f in self.fs.listdir(tmp2) if f.endswith(".parquet")
-        ]
-        self.fs.move(_fs.join(tmp2, written[0]), _fs.join(log, manifest_name))
-        self.fs.rmtree(tmp2)
+        tmp2 = _fs.join(log, f"_tmp_ckptm_{uuid.uuid4().hex}.parquet")
+        self.fs.write_bytes(
+            tmp2, _actions_parquet_bytes(rows, manifest_schema)
+        )
+        self.fs.move(tmp2, _fs.join(log, manifest_name))
         self.fs.write_text(
             _fs.join(log, "_last_checkpoint"),
             json.dumps({"version": version, "size": len(rows)}),

@@ -416,6 +416,179 @@ def probe_fat_commit(spark) -> list[str]:
     ]
 
 
+def probe_mor_dml(spark) -> list[str]:
+    """Round-8 scale evidence: merge-on-read UPDATE must cost
+    O(changed rows), not O(touched files).  A 1%-selectivity predicate
+    that hits EVERY file is the worst case for copy-on-write (it
+    rewrites 100% of the table's bytes); update_dv should write ~1%
+    plus small deletion vectors.  Two identical tables, same update,
+    wall time and commit add-bytes compared."""
+    import shutil
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    n = 4_000_000
+    pred = "a % 100 = 0"          # 1% of rows, present in every file
+    sets = {"payload": "upper(payload)"}
+
+    def build(path):
+        shutil.rmtree(path, ignore_errors=True)
+        sink = DeltaSink(spark, path)
+        sink.append(
+            spark.range(n)
+            .selectExpr("id AS a", "repeat(uuid(), 2) AS payload")
+            .repartition(32)
+        )
+        return sink
+
+    def data_files(path):
+        """(relpath -> size) of every DATA byte on disk (parquet +
+        deletion-vector bins), excluding the log."""
+        out = {}
+        for dirpath, _dirs, names in os.walk(path):
+            if "_delta_log" in dirpath:
+                continue
+            for nme in names:
+                full = os.path.join(dirpath, nme)
+                out[os.path.relpath(full, path)] = os.path.getsize(full)
+        return out
+
+    def new_bytes(before, after):
+        # a merge-on-read add that re-references an existing file
+        # writes nothing; only files that APPEARED count
+        return sum(s for p, s in after.items() if p not in before)
+
+    cow = build("/tmp/mlk_scale_cow")
+    pre = data_files("/tmp/mlk_scale_cow")
+    t0 = time.time()
+    cow.update(pred, sets)
+    t_cow = time.time() - t0
+    b_cow = new_bytes(pre, data_files("/tmp/mlk_scale_cow"))
+
+    mor = build("/tmp/mlk_scale_mor")
+    pre = data_files("/tmp/mlk_scale_mor")
+    t0 = time.time()
+    mor.update_dv(pred, sets)
+    t_mor = time.time() - t0
+    b_mor = new_bytes(pre, data_files("/tmp/mlk_scale_mor"))
+
+    # reads on the MoR result still prune/filter correctly
+    t0 = time.time()
+    n_upd = (
+        DL.read_snapshot(spark, "/tmp/mlk_scale_mor")
+        .filter("payload = upper(payload)")
+        .count()
+    )
+    t_read = time.time() - t0
+    shutil.rmtree("/tmp/mlk_scale_cow", ignore_errors=True)
+    shutil.rmtree("/tmp/mlk_scale_mor", ignore_errors=True)
+    pct_bytes = 100.0 * b_mor / max(b_cow, 1)
+    print(
+        f"  mor-dml: cow={t_cow:.1f}s/{b_cow >> 20}MB "
+        f"mor={t_mor:.1f}s/{b_mor >> 20}MB "
+        f"(bytes {pct_bytes:.1f}%) read={t_read:.1f}s",
+        flush=True,
+    )
+    return [
+        "",
+        "## Merge-on-read DML probe (round 8)",
+        "",
+        f"{n:,}-row table (32 files), UPDATE of a 1% predicate that "
+        "hits every file — copy-on-write's worst case:",
+        "",
+        f"- copy-on-write `update`: **{t_cow:.1f} s**, "
+        f"**{b_cow >> 20} MB** of new data bytes on disk (every "
+        "touched file rewritten whole)",
+        f"- merge-on-read `update_dv`: **{t_mor:.1f} s**, "
+        f"**{max(b_mor >> 20, 1)} MB** of new bytes "
+        f"(= {pct_bytes:.1f}% of the CoW bytes: the changed rows "
+        "append, old rows join KB-scale deletion-vector bitmaps — "
+        "the DV'd add actions re-reference the EXISTING files, "
+        "writing nothing)",
+        f"- post-update scan (DV-filtered) verifying all {n_upd:,} "
+        f"updated rows: {t_read:.1f} s",
+        "",
+        "At 100 TB the CoW row rewrites every touched byte of a "
+        "1%-selectivity update; the DV row writes ~1% of the data plus "
+        "kilobyte-scale bitmaps — merge-on-read is the only viable "
+        "shape, and the commit byte counts above are the proof.",
+        "",
+    ]
+
+
+def probe_checkpoint_encode(spark) -> list[str]:
+    """Round-8 scale evidence for the driver-side checkpoint writer:
+    the pyarrow encode of the reconciled action rows must stay cheap
+    at large file counts (a 10M-file table is ~10M add actions)."""
+    import json as _json
+
+    from mirror_lake_kusto_spark.sources.delta_log import ACTIONS_SCHEMA
+    from mirror_lake_kusto_spark.sources.delta_sink import (
+        _actions_parquet_bytes,
+    )
+
+    n = 200_000
+    stats = _json.dumps(
+        {
+            "numRecords": 12345,
+            "minValues": {"a": 0, "b": "aaaa"},
+            "maxValues": {"a": 99999, "b": "zzzz"},
+            "nullCount": {"a": 0, "b": 0},
+        }
+    )
+    blank = {
+        "metaData": None,
+        "add": None,
+        "remove": None,
+        "protocol": None,
+        "txn": None,
+        "domainMetadata": None,
+    }
+    rows = [
+        {
+            **blank,
+            "add": {
+                "path": f"part-{i:07d}-0000.snappy.parquet",
+                "partitionValues": {"p": str(i % 100)},
+                "size": 128 << 20,
+                "modificationTime": 0,
+                "dataChange": False,
+                "stats": stats,
+            },
+        }
+        for i in range(n)
+    ]
+    r0 = rss_mb()
+    t0 = time.time()
+    blob = _actions_parquet_bytes(rows, ACTIONS_SCHEMA)
+    t_enc = time.time() - t0
+    r1 = rss_mb()
+    mb = len(blob) >> 20
+    print(
+        f"  ckpt-encode: {n} adds -> {mb} MB parquet in {t_enc:.2f}s "
+        f"(rss {r0:.0f}->{r1:.0f} MB)",
+        flush=True,
+    )
+    per_10m = t_enc * (10_000_000 / n)
+    return [
+        "",
+        "## Checkpoint-encode probe (round 8)",
+        "",
+        f"The checkpoint writer serializes driver-resident action rows "
+        f"straight to parquet with pyarrow (no Spark job round-trip). "
+        f"{n:,} synthetic add actions with full stats encode to "
+        f"{mb} MB in **{t_enc:.2f} s** (driver RSS "
+        f"{r0:.0f}→{r1:.0f} MB).  Linear extrapolation to a 10M-file "
+        f"table: ~{per_10m:.0f} s of driver CPU — and `checkpoint_parts` "
+        "shards the encode into independent chunks if that ever "
+        "matters.  The prior Spark-job path cost ~5 s of fixed "
+        "overhead per checkpoint regardless of size (Python-RDD "
+        "pickling), which dominated every small-table sync.",
+        "",
+    ]
+
+
 def _splice_section(out_path: str, marker: str, section: list[str]) -> None:
     """Insert/replace ``marker``'s section, keeping every OTHER section
     (other probes, the hand-written findings) intact."""
@@ -444,6 +617,17 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.md",
     )
+    if "--r8-dml-probes" in sys.argv:
+        _splice_section(
+            out_path, "## Merge-on-read DML probe (round 8)",
+            probe_mor_dml(spark),
+        )
+        _splice_section(
+            out_path, "## Checkpoint-encode probe (round 8)",
+            probe_checkpoint_encode(spark),
+        )
+        print(json.dumps({"r8_dml_probes": "done"}))
+        return
     if "--r8-probes" in sys.argv:
         _splice_section(
             out_path, "## Widened-scan probe (round 8)",
