@@ -1511,3 +1511,42 @@ def mirror_collated_read(spark, sf_dir):
         )
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "mirror_column_defaults",
+    """
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey <= 30 THEN 'legacy' ELSE 'active' END
+               AS status
+    FROM supplier WHERE s_suppkey <= 60
+    ORDER BY s_suppkey
+    """,
+    doc="Column DEFAULT values (round 8, delta_sink.set_column_"
+    "default; PROTOCOL.md Default Columns / allowColumnDefaults "
+    "writer feature): the first append supplies status='legacy' "
+    "explicitly, SET DEFAULT 'active' lands CURRENT_DEFAULT field "
+    "metadata, and the second append OMITS the column entirely — "
+    "the writer fills it per row.  Existing rows keep their values "
+    "(defaults affect future writes only); the oracle recomputes "
+    "the split by key range",
+)
+def mirror_column_defaults(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_defaults", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name"
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(
+        sup.filter("s_suppkey <= 30").withColumn(
+            "status", F.lit("legacy")
+        )
+    )
+    sink.set_column_default("status", "'active'")
+    sink.append(sup.filter("s_suppkey > 30 AND s_suppkey <= 60"))
+    return DL.read_snapshot(spark, path).orderBy("s_suppkey")

@@ -1240,6 +1240,7 @@ class DeltaSink:
                         k: v
                         for k, v in prev_meta.get(f["name"], {}).items()
                         if k.startswith("delta.generationExpression")
+                        or k == "CURRENT_DEFAULT"
                     }
                     if keep and not (f.get("metadata") or {}):
                         f["metadata"] = keep
@@ -1265,7 +1266,19 @@ class DeltaSink:
         ``_last_checkpoint`` (read path: DeltaTableGateway.cs:285-300).
         ``checkpoint_format='v2'`` writes the manifest+sidecar layout
         instead (see _write_checkpoint_v2)."""
-        if self.checkpoint_format == "v2":
+        # the delta.checkpointPolicy TABLE PROPERTY is authoritative
+        # when set (Delta's own switch — a foreign writer or
+        # set_properties can flip a table to v2 checkpoints without
+        # every writer changing its constructor args); the
+        # constructor's checkpoint_format is the fallback
+        policy = self.checkpoint_format
+        try:
+            policy = self.properties().get(
+                "delta.checkpointPolicy"
+            ) or policy
+        except Exception:
+            pass
+        if policy == "v2":
             return self._write_checkpoint_v2(version)
         from .delta_log import ACTIONS_SCHEMA, reconciled_action_rows
 
@@ -1549,6 +1562,7 @@ class DeltaSink:
         after committing discovers the fact via last_txn_version and
         does not re-append (I3 exactly-once).
         """
+        df = self._apply_defaults(df)
         df = self._apply_generated(df, "WRITE")
         df = self._upcast_widened(df)
         idents = self._identity_cols()
@@ -2025,6 +2039,126 @@ class DeltaSink:
             [{"metaData": {**meta, "schemaString": new_schema}}],
             operation="ADD COLUMNS (generated)",
         )
+
+    def set_column_default(self, column: str, sql_expr: str) -> int:
+        """ALTER COLUMN ... SET DEFAULT (PROTOCOL.md "Default
+        Columns", writer feature ``allowColumnDefaults``): the
+        expression lands in the field's ``CURRENT_DEFAULT`` metadata,
+        and an append whose frame OMITS the column gets the default
+        evaluated per row (an explicitly supplied value always wins —
+        defaults are a writer-side fill, never validation).  Writer-
+        only feature: readers see ordinary data, so the reader version
+        stays put.  Existing rows are untouched (Delta's own
+        semantics: SET DEFAULT affects future writes only)."""
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {self.path}")
+        parsed = json.loads(meta["schemaString"])
+        field = next(
+            (f for f in parsed["fields"] if f["name"] == column), None
+        )
+        if field is None:
+            raise ValueError(f"no such column: {column!r}")
+        # fail at DECLARATION if the expression doesn't evaluate or
+        # can't cast to the column's type — not at every later append
+        probe = self.spark.sql(f"SELECT ({sql_expr}) AS v")
+        from ..schema import delta_type_to_spark
+
+        probe.select(
+            probe["v"].cast(delta_type_to_spark(field["type"]))
+        ).collect()
+        self._commit_protocol_upgrade(
+            writer_features=("allowColumnDefaults",)
+        )
+        field.setdefault("metadata", {})["CURRENT_DEFAULT"] = sql_expr
+        new_schema = json.dumps(parsed)
+        self._pending_schema = new_schema
+        self._tbl_types_cache = False
+        return self._commit(
+            [{"metaData": {**meta, "schemaString": new_schema}}],
+            operation=f"ALTER COLUMN (set default {column})",
+        )
+
+    def drop_column_default(self, column: str) -> int:
+        """ALTER COLUMN ... DROP DEFAULT: removes ``CURRENT_DEFAULT``
+        from the field metadata (the feature stays in the protocol —
+        Delta features are never retracted by ordinary DDL)."""
+        from .delta_log import latest_metadata
+
+        meta = latest_metadata(self.spark, self.path)
+        parsed = json.loads(meta["schemaString"])
+        field = next(
+            (f for f in parsed["fields"] if f["name"] == column), None
+        )
+        if field is None or "CURRENT_DEFAULT" not in (
+            field.get("metadata") or {}
+        ):
+            raise ValueError(f"no default on column: {column!r}")
+        del field["metadata"]["CURRENT_DEFAULT"]
+        new_schema = json.dumps(parsed)
+        self._pending_schema = new_schema
+        return self._commit(
+            [{"metaData": {**meta, "schemaString": new_schema}}],
+            operation=f"ALTER COLUMN (drop default {column})",
+        )
+
+    def _defaults(self) -> dict[str, tuple[str, str]]:
+        """name -> (default expression, Delta type) from field
+        metadata ``CURRENT_DEFAULT``."""
+        from .delta_log import latest_metadata
+
+        try:
+            meta = latest_metadata(self.spark, self.path)
+        except FileNotFoundError:
+            return {}
+        if meta is None:
+            return {}
+        return {
+            f["name"]: (f["metadata"]["CURRENT_DEFAULT"], f["type"])
+            for f in json.loads(meta["schemaString"])["fields"]
+            if (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+        }
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """Fill columns ABSENT from the frame with their declared
+        default (cast to the column's table type); supplied values —
+        including explicit NULLs — always win.  Runs before generated-
+        column handling so a generation expression may reference a
+        defaulted column."""
+        import pyspark.sql.functions as F
+
+        from ..schema import delta_type_to_spark
+
+        defaults = self._defaults()
+        missing = [n for n in defaults if n not in df.columns]
+        if not missing:
+            return df
+        df = df.withColumns(
+            {
+                n: F.expr(defaults[n][0]).cast(
+                    delta_type_to_spark(defaults[n][1])
+                )
+                for n in missing
+            }
+        )
+        # keep the table's declared column order where possible, so a
+        # defaults-filled append doesn't reorder the metaData schema
+        try:
+            from .delta_log import latest_metadata
+
+            order = [
+                f["name"]
+                for f in json.loads(
+                    latest_metadata(self.spark, self.path)["schemaString"]
+                )["fields"]
+            ]
+            if set(order) == set(df.columns):
+                df = df.select(*order)
+        except Exception:
+            pass
+        return df
 
     def _generated(self) -> dict[str, str]:
         """name -> generation expression, from schema field metadata."""
@@ -2896,6 +3030,7 @@ class DeltaSink:
                     "upsert-then-delete has no defined order inside one "
                     "atomic commit; split them across batches"
                 )
+        source = self._apply_defaults(source)
         source = self._apply_generated(source, "MERGE")
         self._enforce_constraints(source, "MERGE")
         types, data_schema = self._data_schema()
@@ -4402,16 +4537,60 @@ class DeltaSink:
             for c in zcols
         }
 
-    def vacuum(self) -> dict:
+    def vacuum(self, retention_hours: float | None = None) -> dict:
         """Physically delete data files no longer referenced by the
         current snapshot, and truncate commit JSONs older than the last
         checkpoint (Delta's VACUUM + metadata cleanup).  After this,
         readers MUST take the checkpoint path (O1) and incremental
         consumers past the truncation point must snapshot-diff (C2) —
-        both exercised in tests."""
+        both exercised in tests.
+
+        ``retention_hours`` is Delta's ``VACUUM ... RETAIN N HOURS``
+        window: an unreferenced file is deleted only once its
+        tombstone (the remove action's deletionTimestamp; file mtime
+        as the fallback for untracked garbage like superseded DV
+        bins) is older than the window — so time travel within the
+        window and in-flight readers keep working, exactly the
+        guarantee Delta's default 168 h exists for.  Commit JSONs
+        that still carry an in-window tombstone survive the metadata
+        truncation too (they are below the checkpoint, so replay
+        ignores them; they persist only to keep the tombstone clock
+        honest for the NEXT vacuum).  ``None`` keeps this sink's
+        historical aggressive default (retain nothing) — fine for
+        single-writer mirror targets whose readers replay from the
+        checkpoint, wrong for shared production tables: pass 168
+        there."""
         from .delta_log import read_last_checkpoint, snapshot_files
 
         from . import dv as _dv
+
+        retention_ms = int((retention_hours or 0.0) * 3_600_000)
+        cutoff = int(time.time() * 1000) - retention_ms
+        tomb: dict[str, int] = {}
+        commit_rm_ts: dict[int, int] = {}
+        if retention_ms > 0:
+            from .delta_log import _read_commit as _rc
+
+            for v in _list_versions(self.path):
+                for act in _rc(self.path, v):
+                    r = act.get("remove")
+                    if r and r.get("path"):
+                        ts = int(r.get("deletionTimestamp") or 0)
+                        tomb[r["path"]] = max(tomb.get(r["path"], 0), ts)
+                        commit_rm_ts[v] = max(commit_rm_ts.get(v, 0), ts)
+
+        def _expired(rel: str, full: str) -> bool:
+            """True when the unreferenced file's tombstone clock (or
+            mtime, for untracked garbage) has left the window."""
+            if retention_ms <= 0:
+                return True
+            ts = tomb.get(rel)
+            if ts is None:
+                try:
+                    ts = self.fs.getmtime_ms(full)
+                except OSError:
+                    return False
+            return ts < cutoff
 
         ckpt = read_last_checkpoint(self.path)
         snap = snapshot_files(self.spark, self.path)
@@ -4447,24 +4626,33 @@ class DeltaSink:
                 full = _fs.join(dirpath, name)
                 rel = full[len(root):].lstrip("/")
                 if rel.startswith("_change_data/"):
-                    if name.endswith(".parquet") and rel not in live_cdc:
+                    if (
+                        name.endswith(".parquet")
+                        and rel not in live_cdc
+                        and _expired(rel, full)
+                    ):
                         self.fs.remove(full)
                         removed_data += 1
                     continue
-                if name.endswith(".parquet") and rel not in live:
+                if (
+                    name.endswith(".parquet")
+                    and rel not in live
+                    and _expired(rel, full)
+                ):
                     self.fs.remove(full)
                     removed_data += 1
                 elif (
                     name.startswith("deletion_vector_")
                     and name.endswith(".bin")
                     and rel not in live_dv
+                    and _expired(rel, full)
                 ):
                     self.fs.remove(full)
                     removed_data += 1
         removed_commits = 0
         if ckpt is not None:
             for v in _list_versions(self.path):
-                if v <= ckpt:
+                if v <= ckpt and commit_rm_ts.get(v, 0) < cutoff:
                     self.fs.remove(
                         _fs.join(_log_dir(self.path), TX_FMT.format(v) + ".json")
                     )
