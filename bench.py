@@ -160,6 +160,18 @@ EXTENSION_HEADLINE = [
     # round-8 additions: merge-on-read UPDATE/MERGE (DV-writing DML)
     "mirror_update_dv",
     "mirror_merge_dv",
+    # round-8 continuation: table-maintenance surface driver-visible
+    # (restore/vacuum/clone/convert/v2-checkpoint/coordinated/
+    # collations/defaults) + the first hash-checked SimHash
+    "mirror_restore",
+    "mirror_vacuum",
+    "mirror_shallow_clone",
+    "mirror_convert",
+    "mirror_v2_checkpoint",
+    "mirror_coordinated_read",
+    "mirror_collated_read",
+    "mirror_column_defaults",
+    "dedup_simhash_md5",
 ]
 
 

@@ -544,6 +544,116 @@ def _simhash_from_hashes(hashes: Column) -> Column:
     return out
 
 
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs over an md5-derived 64-bit token hash —
+    the CROSS-ENGINE-DETERMINISTIC variant of :func:`simhash_pairs`.
+
+    ``simhash_pairs`` hashes tokens with Spark's xxhash64, which no
+    other engine reproduces, so its output can only be rows-only
+    checked.  This variant derives the 64 token-hash bits from the
+    LOWER 8 bytes of ``md5(token)`` read little-endian — exactly
+    DuckDB's ``md5_number_lower`` — so an independent SQL engine can
+    re-derive every signature, band, candidate and hamming distance
+    bit-for-bit (the ``dedup_simhash_md5`` oracle does).  Tie rule:
+    a zero bit-sum rounds UP (bit = 1).
+
+    Same scale shape as simhash_pairs: banded LSH on 4x16-bit slices
+    (never all-pairs; pigeonhole-exact for max_hamming < 4), exact
+    ``bit_count(xor)`` verification on candidates.  Everything is
+    JVM-side expressions — per-token md5 + byte slicing, 64
+    conditional sums, band equi-join — no Python in the plan.
+    """
+    bands, width = 4, 16
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("t"),
+    )
+    h = F.md5(F.col("t"))
+    # digest bytes 8..15 little-endian == DuckDB md5_number_lower:
+    # byte k of the value is hex chars (17+2k, 18+2k) of the digest
+    tb = toks.select(
+        "id",
+        *[
+            F.conv(F.substring(h, 17 + 2 * k, 2), 16, 10)
+            .cast("int")
+            .alias(f"b{k}")
+            for k in range(8)
+        ],
+    )
+    sums = tb.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"b{i // 8}"), i % 8)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    band_cols = []
+    for b in range(bands):
+        expr = F.lit(0).cast("long")
+        for j in range(width):
+            i = b * width + j
+            expr = expr + F.shiftleft(
+                (F.col(f"s{i}") >= 0).cast("long"), j
+            )
+        band_cols.append(expr.alias(f"band{b}"))
+    sig = sums.select("id", *band_cols)
+    sl = sig.select(
+        "id",
+        *[f"band{b}" for b in range(bands)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.col(f"band{b}").alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "id",
+        *[f"band{b}" for b in range(bands)],
+        F.col("e.bi").alias("bi"),
+        F.col("e.bv").alias("bv"),
+    )
+    a, b2 = sl.alias("a"), sl.alias("b")
+    ham = None
+    for k in range(bands):
+        t = F.bit_count(
+            F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}"))
+        )
+        ham = t if ham is None else ham + t
+    return (
+        a.join(
+            b2,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

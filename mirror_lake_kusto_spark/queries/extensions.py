@@ -89,6 +89,63 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_SIMHASH_MD5_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+bits AS (
+  SELECT id, i,
+         SUM(CASE WHEN ((md5_number_lower(t) >> i) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS i)
+  GROUP BY id, i
+),
+sig AS (
+  SELECT id,
+    SUM(CASE WHEN s >= 0 AND i < 16
+             THEN 1::BIGINT << (i % 16) ELSE 0 END) AS band0,
+    SUM(CASE WHEN s >= 0 AND i >= 16 AND i < 32
+             THEN 1::BIGINT << (i % 16) ELSE 0 END) AS band1,
+    SUM(CASE WHEN s >= 0 AND i >= 32 AND i < 48
+             THEN 1::BIGINT << (i % 16) ELSE 0 END) AS band2,
+    SUM(CASE WHEN s >= 0 AND i >= 48
+             THEN 1::BIGINT << (i % 16) ELSE 0 END) AS band3
+  FROM bits GROUP BY id
+),
+sl AS (
+  SELECT id, band0, band1, band2, band3, b,
+         CASE b WHEN 0 THEN band0 WHEN 1 THEN band1
+                WHEN 2 THEN band2 ELSE band3 END AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+             AS hamming
+  FROM sl a JOIN sl b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_simhash_md5",
+    _SIMHASH_MD5_ORACLE,
+    doc="SimHash near-dup pairs with an md5-derived token hash (the "
+    "lower 8 digest bytes little-endian == DuckDB md5_number_lower), "
+    "so the oracle re-derives every signature/band/hamming distance "
+    "bit-for-bit: the first HASH-CHECKED SimHash.  Banded LSH "
+    "(4x16-bit slices, pigeonhole-exact for hamming<4), "
+    "bit_count(xor) verify, all JVM-side expressions",
+)
+def dedup_simhash_md5(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).filter("doc_id % 5 = 0")
+    return dedup.simhash_md5_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 @query(
     "dedup_simhash",
     None,
