@@ -410,6 +410,7 @@ class DeltaSink:
                 # must be re-derived before we retry
                 self._mapping_cache = False
                 self._tbl_types_cache = False
+                self._fields_cache = False
                 self._ict_cache = None
                 self._rt_cache = None
                 self._rt_hwm_cache = None
@@ -422,6 +423,7 @@ class DeltaSink:
                 # behaviors (ICT, column mapping, row tracking,
                 # identity, column types) — re-derive next time
                 self._tbl_types_cache = False
+                self._fields_cache = False
                 self._ict_cache = None
                 self._rt_cache = None
                 self._rt_mats_cache = False
@@ -2107,31 +2109,56 @@ class DeltaSink:
     def _defaults(self) -> dict[str, tuple[str, str]]:
         """name -> (default expression, Delta type) from field
         metadata ``CURRENT_DEFAULT``."""
-        from .delta_log import latest_metadata
-
-        try:
-            meta = latest_metadata(self.spark, self.path)
-        except FileNotFoundError:
-            return {}
-        if meta is None:
-            return {}
+        fields = self._default_fields()
         return {
             f["name"]: (f["metadata"]["CURRENT_DEFAULT"], f["type"])
-            for f in json.loads(meta["schemaString"])["fields"]
+            for f in fields
             if (f.get("metadata") or {}).get("CURRENT_DEFAULT")
         }
+
+    #: memoized table-schema field dicts for the defaults fill;
+    #: False = not yet derived.  Invalidated with _tbl_types_cache
+    #: (lost commit race, own metaData commits) — the same events
+    #: that can change the schema.
+    _fields_cache: "list | bool" = False
+
+    def _default_fields(self) -> list[dict]:
+        """The table schema's field dicts (one memoized driver-side
+        metadata read, shared by the defaults fill and its
+        column-order fix) — the append hot path must not pay a
+        remote log scan per write for a feature the table may not
+        even use (same rationale as _current_mapping)."""
+        if self._fields_cache is False:
+            from .delta_log import latest_metadata
+
+            try:
+                meta = latest_metadata(self.spark, self.path)
+            except FileNotFoundError:
+                meta = None
+            self._fields_cache = (
+                []
+                if meta is None
+                else json.loads(meta["schemaString"])["fields"]
+            )
+        return self._fields_cache
 
     def _apply_defaults(self, df: DataFrame) -> DataFrame:
         """Fill columns ABSENT from the frame with their declared
         default (cast to the column's table type); supplied values —
         including explicit NULLs — always win.  Runs before generated-
         column handling so a generation expression may reference a
-        defaulted column."""
+        defaulted column.  ONE metadata read, and none of this touches
+        the plan when the table declares no defaults."""
         import pyspark.sql.functions as F
 
         from ..schema import delta_type_to_spark
 
-        defaults = self._defaults()
+        fields = self._default_fields()
+        defaults = {
+            f["name"]: (f["metadata"]["CURRENT_DEFAULT"], f["type"])
+            for f in fields
+            if (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+        }
         missing = [n for n in defaults if n not in df.columns]
         if not missing:
             return df
@@ -2145,19 +2172,9 @@ class DeltaSink:
         )
         # keep the table's declared column order where possible, so a
         # defaults-filled append doesn't reorder the metaData schema
-        try:
-            from .delta_log import latest_metadata
-
-            order = [
-                f["name"]
-                for f in json.loads(
-                    latest_metadata(self.spark, self.path)["schemaString"]
-                )["fields"]
-            ]
-            if set(order) == set(df.columns):
-                df = df.select(*order)
-        except Exception:
-            pass
+        order = [f["name"] for f in fields]
+        if set(order) == set(df.columns):
+            df = df.select(*order)
         return df
 
     def _generated(self) -> dict[str, str]:
