@@ -462,6 +462,97 @@ def d13(spark, sf_dir):
     )
 
 
+_HLL_P, _HLL_M, _HLL_RCAP = 8, 256, 44
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT md5_number_lower(CAST(o_custkey AS VARCHAR)) AS v FROM orders
+),
+rb AS (
+  SELECT (v & {_HLL_M - 1})::BIGINT AS bucket,
+         COALESCE((SELECT MIN(j.j) + 1
+                   FROM (SELECT unnest(range({64 - _HLL_P})) AS j) j
+                   WHERE ((v >> ({_HLL_P} + j.j)) & 1) = 1),
+                  {64 - _HLL_P + 1}) AS rho
+  FROM h
+),
+regs AS (SELECT bucket, MAX(rho) AS r FROM rb GROUP BY bucket),
+agg AS (
+  SELECT SUM((1::BIGINT << ({_HLL_RCAP} - LEAST(r, {_HLL_RCAP}))))::BIGINT
+             AS s,
+         COUNT(*)::BIGINT AS nb
+  FROM regs
+)
+SELECT regs.bucket, CAST(regs.r AS BIGINT) AS r,
+       ROUND((0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M} /
+             (agg.s / CAST(1::BIGINT << {_HLL_RCAP} AS DOUBLE)
+              + ({_HLL_M} - agg.nb)), 2) AS est
+FROM regs, agg
+ORDER BY regs.bucket
+"""
+
+
+@query(
+    "d16_hll_sketch",
+    _HLL_ORACLE,
+    doc="deterministic cross-engine HyperLogLog: 64-bit hash = lower 8 "
+    "md5 digest bytes little-endian (DuckDB md5_number_lower), "
+    "p=8 buckets, rho = first set bit above the bucket bits; the "
+    "oracle re-derives EVERY register integer bit-for-bit plus the "
+    "harmonic-mean estimate (integer-scaled sum, so no float-order "
+    "nondeterminism).  The verifiable twin of d13's opaque engine "
+    "sketch — the registers are exactly the thing a 1000-executor "
+    "partial-aggregate would merge, one row per populated bucket",
+)
+def d16(spark, sf_dir):
+    P, M, RCAP = _HLL_P, _HLL_M, _HLL_RCAP
+    hexh = F.md5(F.col("o_custkey").cast("string"))
+    t = _t(spark, sf_dir, "orders").select(
+        *[
+            F.conv(F.substring(hexh, 17 + 2 * k, 2), 16, 10)
+            .cast("long")
+            .alias(f"b{k}")
+            for k in range(8)
+        ]
+    )
+    val = None
+    for k in range(8):
+        term = F.shiftleft(F.col(f"b{k}"), 8 * k)
+        val = term if val is None else val + term
+    rho = F.lit(64 - P + 1)
+    for j in range(64 - P - 1, -1, -1):
+        bit = F.shiftrightunsigned(val, P + j).bitwiseAND(F.lit(1))
+        rho = F.when(bit == 1, F.lit(j + 1)).otherwise(rho)
+    regs = (
+        t.select(
+            F.col("b0").bitwiseAND(F.lit(M - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("r"))
+    )
+    agg = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, {RCAP} - least(r, {RCAP}))")
+        ).alias("s"),
+        F.count("*").alias("nb"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / M)
+    est = F.round(
+        F.lit(alpha * M * M)
+        / (
+            F.col("s") / F.lit(float(1 << RCAP))
+            + (F.lit(M) - F.col("nb"))
+        ),
+        2,
+    ).alias("est")
+    return (
+        regs.crossJoin(F.broadcast(agg.select(est)))
+        .select("bucket", "r", "est")
+        .orderBy("bucket")
+    )
+
+
 @query(
     "d14_percentiles",
     """
