@@ -568,8 +568,7 @@ def simhash_md5_pairs(
     JVM-side expressions — per-token md5 + byte slicing, 64
     conditional sums, band equi-join — no Python in the plan.
     """
-    bands, width = 4, 16
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.col(text_col), " "))
@@ -598,59 +597,12 @@ def simhash_md5_pairs(
             for i in range(64)
         ]
     )
-    band_cols = []
-    for b in range(bands):
-        expr = F.lit(0).cast("long")
-        for j in range(width):
-            i = b * width + j
-            expr = expr + F.shiftleft(
-                (F.col(f"s{i}") >= 0).cast("long"), j
-            )
-        band_cols.append(expr.alias(f"band{b}"))
-    sig = sums.select("id", *band_cols)
-    sl = sig.select(
-        "id",
-        *[f"band{b}" for b in range(bands)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bi"),
-                        F.col(f"band{b}").alias("bv"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select(
-        "id",
-        *[f"band{b}" for b in range(bands)],
-        F.col("e.bi").alias("bi"),
-        F.col("e.bv").alias("bv"),
-    )
-    a, b2 = sl.alias("a"), sl.alias("b")
-    ham = None
-    for k in range(bands):
-        t = F.bit_count(
-            F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}"))
-        )
-        ham = t if ham is None else ham + t
-    return (
-        a.join(
-            b2,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("long").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
-    )
+    sig_expr = None
+    for i in range(64):
+        bit = F.shiftleft((F.col(f"s{i}") >= 0).cast("long"), i)
+        sig_expr = bit if sig_expr is None else sig_expr.bitwiseOR(bit)
+    sigs = sums.select("id", sig_expr.alias("sig"))
+    return _sig_banded_pairs(sigs, max_hamming)
 
 
 
@@ -670,7 +622,6 @@ def simhash_pairs(
     high-recall heuristic; candidates are exact-verified via
     bit_count(xor).
     """
-    width = 64 // bands
     sigs = (
         _spread(df)
         .select(
@@ -682,6 +633,19 @@ def simhash_pairs(
         )
         .select("id", _simhash_from_hashes(F.col("_th")).alias("sig"))
     )
+    return _sig_banded_pairs(sigs, max_hamming, bands)
+
+
+def _sig_banded_pairs(
+    sigs: DataFrame, max_hamming: int, bands: int = 4
+) -> DataFrame:
+    """Shared banded-LSH core over ``(id, sig)`` 64-bit signatures:
+    explode into ``bands`` equal slices, equi-join on (band, slice)
+    (pigeonhole-complete for hamming < bands), exact-verify candidates
+    with ``bit_count(xor)``.  Both SimHash front-ends (xxhash64-fast
+    and md5-oracle-checkable) produce the same signature shape and
+    share this tail."""
+    width = 64 // bands
     slices = sigs.select(
         "id",
         "sig",

@@ -120,14 +120,14 @@ sl AS (
   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
 ),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  SELECT DISTINCT a.id AS id1, b.id AS id2,
          bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
          bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
              AS hamming
   FROM sl a JOIN sl b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id
 )
-SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
+SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 ORDER BY id1, id2
 """
 
 
@@ -143,7 +143,11 @@ FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
 )
 def dedup_simhash_md5(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).filter("doc_id % 5 = 0")
-    return dedup.simhash_md5_pairs(docs, "doc_id", "text", max_hamming=3)
+    return (
+        dedup.simhash_md5_pairs(docs, "doc_id", "text", max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id1", "id2")
+    )
 
 
 @query(

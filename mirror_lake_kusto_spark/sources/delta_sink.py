@@ -1278,8 +1278,8 @@ class DeltaSink:
             policy = self.properties().get(
                 "delta.checkpointPolicy"
             ) or policy
-        except Exception:
-            pass
+        except FileNotFoundError:
+            pass  # first-ever commit: no metadata yet
         if policy == "v2":
             return self._write_checkpoint_v2(version)
         from .delta_log import ACTIONS_SCHEMA, reconciled_action_rows
@@ -2064,13 +2064,23 @@ class DeltaSink:
         if field is None:
             raise ValueError(f"no such column: {column!r}")
         # fail at DECLARATION if the expression doesn't evaluate or
-        # can't cast to the column's type — not at every later append
-        probe = self.spark.sql(f"SELECT ({sql_expr}) AS v")
+        # can't cast to the column's type — not at every later append.
+        # The null-check (not just the cast) makes this independent of
+        # spark.sql.ansi.enabled: with ANSI off a bad cast returns
+        # NULL instead of raising, which would otherwise defer the
+        # failure to silent NULL fills on every later append
         from ..schema import delta_type_to_spark
 
-        probe.select(
-            probe["v"].cast(delta_type_to_spark(field["type"]))
-        ).collect()
+        tname = delta_type_to_spark(field["type"]).simpleString()
+        probe = self.spark.sql(
+            f"SELECT ({sql_expr}) AS v, "
+            f"TRY_CAST(({sql_expr}) AS {tname}) AS c"
+        ).collect()[0]
+        if probe.v is not None and probe.c is None:
+            raise ValueError(
+                f"default ({sql_expr}) does not cast to {column}'s "
+                f"type {tname}"
+            )
         self._commit_protocol_upgrade(
             writer_features=("allowColumnDefaults",)
         )
@@ -2153,12 +2163,7 @@ class DeltaSink:
 
         from ..schema import delta_type_to_spark
 
-        fields = self._default_fields()
-        defaults = {
-            f["name"]: (f["metadata"]["CURRENT_DEFAULT"], f["type"])
-            for f in fields
-            if (f.get("metadata") or {}).get("CURRENT_DEFAULT")
-        }
+        defaults = self._defaults()
         missing = [n for n in defaults if n not in df.columns]
         if not missing:
             return df
@@ -2172,7 +2177,7 @@ class DeltaSink:
         )
         # keep the table's declared column order where possible, so a
         # defaults-filled append doesn't reorder the metaData schema
-        order = [f["name"] for f in fields]
+        order = [f["name"] for f in self._default_fields()]
         if set(order) == set(df.columns):
             df = df.select(*order)
         return df
@@ -3047,6 +3052,9 @@ class DeltaSink:
                     "upsert-then-delete has no defined order inside one "
                     "atomic commit; split them across batches"
                 )
+        fill_cols = [
+            n for n in self._defaults() if n not in source.columns
+        ]
         source = self._apply_defaults(source)
         source = self._apply_generated(source, "MERGE")
         self._enforce_constraints(source, "MERGE")
@@ -3065,7 +3073,7 @@ class DeltaSink:
                     f"missing={missing} — project the source to the "
                     "target's columns first"
                 )
-        return keys, del_keys, source, types, data_schema
+        return keys, del_keys, source, types, data_schema, fill_cols
 
     def merge(
         self,
@@ -3100,8 +3108,8 @@ class DeltaSink:
         has no defined order inside one atomic commit."""
         import pyspark.sql.functions as F
 
-        keys, del_keys, source, types, data_schema = self._prep_merge(
-            source, key_cols, delete_keys
+        keys, del_keys, source, types, data_schema, fill_cols = (
+            self._prep_merge(source, key_cols, delete_keys)
         )
         self._require_no_dvs("MERGE")
         now = int(time.time() * 1000)
@@ -3187,11 +3195,26 @@ class DeltaSink:
                     # source's values (Delta's matched-update
                     # multiplicity).  No forced broadcast: the source
                     # can be arbitrarily large — AQE broadcasts it only
-                    # when it actually fits
+                    # when it actually fits.  Columns the source
+                    # OMITTED and the prep default-filled keep the
+                    # TARGET row's value here (UPDATE SET * semantics:
+                    # a default never clobbers stored data)
+                    keep = [
+                        F.col(c).alias(f"__mlk_keep_{c}")
+                        for c in fill_cols
+                    ]
                     updated = (
-                        full.select(*keys, *rt_cols)
+                        full.select(*keys, *rt_cols, *keep)
                         .join(source, keys, "inner")
-                        .select(*src_cols, *rt_cols)
+                        .select(
+                            *[
+                                F.col(f"__mlk_keep_{c}").alias(c)
+                                if c in fill_cols
+                                else F.col(c)
+                                for c in src_cols
+                            ],
+                            *rt_cols,
+                        )
                     )
                     if mat_rcv and mat_rcv in rt_cols:
                         updated = updated.withColumn(
@@ -3251,11 +3274,31 @@ class DeltaSink:
                     .select(*src_cols)
                     .withColumn(ct, F.lit("update_preimage"))
                 )
-                post = (
-                    source.join(matched_keys, keys, "inner")
-                    .select(*src_cols)
-                    .withColumn(ct, F.lit("update_postimage"))
-                )
+                if fill_cols:
+                    keepp = [
+                        F.col(c).alias(f"__mlk_keep_{c}")
+                        for c in fill_cols
+                    ]
+                    post = (
+                        hit_probe.join(F.broadcast(src_keys), keys, "inner")
+                        .select(*keys, *keepp)
+                        .join(source, keys, "inner")
+                        .select(
+                            *[
+                                F.col(f"__mlk_keep_{c}").alias(c)
+                                if c in fill_cols
+                                else F.col(c)
+                                for c in src_cols
+                            ]
+                        )
+                        .withColumn(ct, F.lit("update_postimage"))
+                    )
+                else:
+                    post = (
+                        source.join(matched_keys, keys, "inner")
+                        .select(*src_cols)
+                        .withColumn(ct, F.lit("update_postimage"))
+                    )
                 changes = changes.unionByName(pre).unionByName(post)
                 if del_keys is not None:
                     changes = changes.unionByName(
@@ -3312,8 +3355,8 @@ class DeltaSink:
         from . import dv as _dv
         from .delta_log import latest_protocol, snapshot_files
 
-        keys, del_keys, source, types, data_schema = self._prep_merge(
-            source, key_cols, delete_keys
+        keys, del_keys, source, types, data_schema, fill_cols = (
+            self._prep_merge(source, key_cols, delete_keys)
         )
         now = int(time.time() * 1000)
         cdf = self._cdf_enabled()
@@ -3443,11 +3486,25 @@ class DeltaSink:
                 # one output per matched TARGET row with the SOURCE's
                 # values (Delta's matched-update multiplicity); the
                 # target row's materialized id rides along, its commit
-                # version resets to this commit
+                # version resets to this commit.  Default-filled
+                # columns the source omitted keep the TARGET value
+                # (UPDATE SET * semantics) — the postimage derives
+                # from this frame, so CDF stays consistent for free
+                keep = [
+                    F.col(c).alias(f"__mlk_keep_{c}") for c in fill_cols
+                ]
                 updated = (
-                    m_rows.select(*keys, *carry)
+                    m_rows.select(*keys, *carry, *keep)
                     .join(source, keys, "inner")
-                    .select(*src_cols, *carry)
+                    .select(
+                        *[
+                            F.col(f"__mlk_keep_{c}").alias(c)
+                            if c in fill_cols
+                            else F.col(c)
+                            for c in src_cols
+                        ],
+                        *carry,
+                    )
                 )
                 if mat_rcv and mat_rcv in (updated.columns):
                     updated = updated.withColumn(
@@ -4583,18 +4640,31 @@ class DeltaSink:
 
         retention_ms = int((retention_hours or 0.0) * 3_600_000)
         cutoff = int(time.time() * 1000) - retention_ms
+        ckpt = read_last_checkpoint(self.path)
+        # ONE pass over the commit JSONs collects both the tombstone
+        # clocks (retention) and the cdc references — these files can
+        # live on slow object storage, so vacuum must not parse the
+        # log twice
+        from .delta_log import _read_commit
+
         tomb: dict[str, int] = {}
         commit_rm_ts: dict[int, int] = {}
-        if retention_ms > 0:
-            from .delta_log import _read_commit as _rc
-
-            for v in _list_versions(self.path):
-                for act in _rc(self.path, v):
+        cdc_by_commit: dict[int, set] = {}
+        for v in _list_versions(self.path):
+            if retention_ms <= 0 and ckpt is not None and v <= ckpt:
+                # no retention: this commit truncates below, so its
+                # cdc files are garbage and its removes irrelevant
+                continue
+            for act in _read_commit(self.path, v):
+                if retention_ms > 0:
                     r = act.get("remove")
                     if r and r.get("path"):
                         ts = int(r.get("deletionTimestamp") or 0)
                         tomb[r["path"]] = max(tomb.get(r["path"], 0), ts)
                         commit_rm_ts[v] = max(commit_rm_ts.get(v, 0), ts)
+                c = act.get("cdc")
+                if c is not None:
+                    cdc_by_commit.setdefault(v, set()).add(c["path"])
 
         def _expired(rel: str, full: str) -> bool:
             """True when the unreferenced file's tombstone clock (or
@@ -4609,7 +4679,6 @@ class DeltaSink:
                     return False
             return ts < cutoff
 
-        ckpt = read_last_checkpoint(self.path)
         snap = snapshot_files(self.spark, self.path)
         live = {f["path"] for f in snap}
         # deletion-vector .bin files referenced by live adds must
@@ -4624,16 +4693,14 @@ class DeltaSink:
         # the snapshot's live set — the feed for the retained span
         # would silently vanish); cdc files of truncated commits are
         # garbage like their commits
-        from .delta_log import _read_commit
-
         live_cdc: set[str] = set()
-        for v in _list_versions(self.path):
-            if ckpt is not None and v <= ckpt:
-                continue
-            for act in _read_commit(self.path, v):
-                c = act.get("cdc")
-                if c is not None:
-                    live_cdc.add(c["path"])
+        for v, paths in cdc_by_commit.items():
+            if (
+                ckpt is None
+                or v > ckpt
+                or commit_rm_ts.get(v, 0) >= cutoff
+            ):
+                live_cdc |= paths
         removed_data = 0
         root = self.path.rstrip("/")
         for dirpath, _dirs, files in self.fs.walk(self.path):

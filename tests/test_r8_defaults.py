@@ -139,3 +139,87 @@ def test_default_casts_to_column_type(spark, tmp_path):
         for r in DL.read_snapshot(spark, sink.path).collect()
     }
     assert got[2] == 3.0
+
+
+def _merge_fixture(spark, tmp_path, name):
+    sink = DeltaSink(spark, str(tmp_path / name))
+    sink.append(
+        spark.createDataFrame(
+            [(1, "a", "legacy"), (2, "b", "keepme")],
+            "id long, name string, status string",
+        )
+    )
+    sink.set_column_default("status", "'active'")
+    return sink
+
+
+def test_merge_matched_keeps_target_value(spark, tmp_path):
+    """UPDATE SET * semantics: a source that OMITS a defaulted column
+    must not clobber matched rows' stored values with the default —
+    only the INSERTED row gets it."""
+    sink = _merge_fixture(spark, tmp_path, "t")
+    sink.merge(
+        spark.createDataFrame(
+            [(2, "b2"), (9, "i")], "id long, name string"
+        ),
+        ["id"],
+    )
+    got = {
+        (r.id): (r.name, r.status)
+        for r in DL.read_snapshot(spark, sink.path).collect()
+    }
+    assert got[2] == ("b2", "keepme")      # matched: target value kept
+    assert got[9] == ("i", "active")       # inserted: default fills
+    assert got[1] == ("a", "legacy")       # untouched
+
+
+def test_merge_dv_matched_keeps_target_value(spark, tmp_path):
+    sink = _merge_fixture(spark, tmp_path, "t2")
+    sink.merge_dv(
+        spark.createDataFrame(
+            [(2, "b2"), (9, "i")], "id long, name string"
+        ),
+        ["id"],
+    )
+    got = {
+        (r.id): (r.name, r.status)
+        for r in DL.read_snapshot(spark, sink.path).collect()
+    }
+    assert got[2] == ("b2", "keepme")
+    assert got[9] == ("i", "active")
+    assert got[1] == ("a", "legacy")
+
+
+def test_merge_cdf_postimage_shows_kept_value(spark, tmp_path):
+    """The change feed's update_postimage must agree with what the
+    table actually contains after the merge (kept target value, not
+    the default)."""
+    sink = _merge_fixture(spark, tmp_path, "t3")
+    sink.set_properties({"delta.enableChangeDataFeed": "true"})
+    v = sink.merge(
+        spark.createDataFrame([(2, "b2")], "id long, name string"),
+        ["id"],
+    )
+    post = [
+        r
+        for r in sink.changes(v, v).collect()
+        if r["_change_type"] == "update_postimage"
+    ]
+    assert len(post) == 1
+    assert (post[0].name, post[0].status) == ("b2", "keepme")
+
+
+def test_merge_dv_cdf_postimage_shows_kept_value(spark, tmp_path):
+    sink = _merge_fixture(spark, tmp_path, "t4")
+    sink.set_properties({"delta.enableChangeDataFeed": "true"})
+    v = sink.merge_dv(
+        spark.createDataFrame([(2, "b2")], "id long, name string"),
+        ["id"],
+    )
+    post = [
+        r
+        for r in sink.changes(v, v).collect()
+        if r["_change_type"] == "update_postimage"
+    ]
+    assert len(post) == 1
+    assert (post[0].name, post[0].status) == ("b2", "keepme")

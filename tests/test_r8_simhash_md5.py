@@ -21,7 +21,7 @@ def test_identical_docs_pair_at_hamming_zero(spark):
         "text",
         max_hamming=0,
     ).collect()
-    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+    assert [(r.id1, r.id2, r.hamming) for r in out] == [(1, 2, 0)]
 
 
 def test_near_dup_found_distinct_not(spark):
@@ -40,7 +40,7 @@ def test_near_dup_found_distinct_not(spark):
         "text",
         max_hamming=6,
     ).collect()
-    pairs = {(r.id_a, r.id_b) for r in out}
+    pairs = {(r.id1, r.id2) for r in out}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
@@ -58,7 +58,7 @@ def test_token_bits_match_md5_reference(spark):
         _df(spark, [(1, tok), (2, tok)]), "doc_id", "text", max_hamming=0
     )
     row = out.collect()[0]
-    assert (row.id_a, row.id_b, row.hamming) == (1, 2, 0)
+    assert (row.id1, row.id2, row.hamming) == (1, 2, 0)
     # reconstruct doc 1's signature via the operator's internals: a
     # single token means bit i of the signature == bit i of the hash
     from pyspark.sql import functions as F
