@@ -172,6 +172,9 @@ EXTENSION_HEADLINE = [
     "mirror_collated_read",
     "mirror_column_defaults",
     "dedup_simhash_md5",
+    "mirror_drop_column",
+    "mirror_vacuum_retention",
+    "d16_hll_sketch",
 ]
 
 

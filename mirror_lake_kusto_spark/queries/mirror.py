@@ -1550,3 +1550,102 @@ def mirror_column_defaults(spark, sf_dir):
     sink.set_column_default("status", "'active'")
     sink.append(sup.filter("s_suppkey > 30 AND s_suppkey <= 60"))
     return DL.read_snapshot(spark, path).orderBy("s_suppkey")
+
+
+@query(
+    "mirror_drop_column",
+    """
+    SELECT s_suppkey, s_name,
+           CAST(NULL AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey <= 40
+    ORDER BY s_suppkey
+    """,
+    doc="ALTER TABLE DROP COLUMN via column mapping (round 8, "
+    "delta_sink.evolve_drop): metadata-only drop of s_acctbal (data "
+    "files keep their bytes), then a RE-ADD of the same name via "
+    "evolve_add — the new field's col-<uuid> physical name "
+    "guarantees the dropped bytes never resurrect, so every row "
+    "reads NULL.  The oracle is the slice with a NULL column: "
+    "hash-equality proves both the logical drop and the "
+    "no-resurrection contract",
+)
+def mirror_drop_column(spark, sf_dir):
+    import json as _json
+
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_dropc", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double"))
+        .filter("s_suppkey <= 40")
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(sup)
+    sink.evolve_drop(["s_acctbal"])
+    meta = DL.latest_metadata(spark, path)
+    schema = _json.loads(meta["schemaString"])
+    schema["fields"].append(
+        {
+            "name": "s_acctbal",
+            "type": "double",
+            "nullable": True,
+            "metadata": {},
+        }
+    )
+    sink.evolve_add(_json.dumps(schema))
+    return DL.read_snapshot(spark, path).orderBy("s_suppkey")
+
+
+@query(
+    "mirror_vacuum_retention",
+    """
+    SELECT o_orderkey, o_orderstatus, TRUE AS retained,
+           CAST(COUNT(*) OVER () AS BIGINT) AS survivors
+    FROM orders WHERE o_orderkey <= 1500 AND o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+    doc="VACUUM RETAIN N HOURS (round 8, delta_sink.vacuum "
+    "retention_hours): after a copy-on-write delete strands the "
+    "original files, vacuum with a 168 h window deletes NO data "
+    "(retained pins data_files == 0: every tombstone is in-window), "
+    "so time travel to the checkpointed pre-delete version still "
+    "reads the full slice — asserted inside the fixture (a mismatch "
+    "raises, failing the gate).  Tombstone-free commit JSONs below "
+    "the checkpoint still truncate (log retention is a separate "
+    "knob, exactly like Delta's metadata cleanup)",
+)
+def mirror_vacuum_retention(spark, sf_dir):
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_vret", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    ords = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderstatus")
+        .filter("o_orderkey <= 1500")
+    )
+    n_before = ords.count()
+    sink = DeltaSink(spark, path, checkpoint_interval=2)
+    sink.append(ords.filter("o_orderkey <= 700").repartition(2))
+    sink.append(ords.filter("o_orderkey > 700").repartition(2))
+    sink.delete("o_orderstatus = 'F'")
+    stats = sink.vacuum(retention_hours=168)
+    retained = stats["data_files"] == 0
+    n_v1 = DL.read_snapshot(spark, path, upto=1).count()
+    if n_v1 != n_before:
+        raise RuntimeError(
+            f"time travel within the retention window broke: "
+            f"v1 has {n_v1} rows, expected {n_before}"
+        )
+    cur = DL.read_snapshot(spark, path)
+    return (
+        cur.withColumn("retained", F.lit(bool(retained)))
+        .withColumn("survivors", F.lit(int(cur.count())).cast("bigint"))
+        .orderBy("o_orderkey")
+    )

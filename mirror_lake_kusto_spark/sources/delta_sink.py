@@ -4140,8 +4140,10 @@ class DeltaSink:
         """ADDITIVE schema evolution on a column-mapped table: every
         existing logical field must survive with an identical type;
         new fields are appended with fresh mapping identities
-        (physicalName = their logical name — no data file carries them
-        yet — and the next columnMapping.id).  Idempotent: when the
+        (physicalName = ``col-<uuid>`` under 'name'-mode mapping —
+        Delta's own convention, which guarantees a column RE-ADDED
+        after evolve_drop can never resurrect the dropped column's
+        bytes from old files — and the next columnMapping.id).  Idempotent: when the
         recorded schema already covers every incoming field, no commit
         is written.  This is the path the mirror's evolve-rename mode
         uses when the SOURCE adds a column after a rename — a plain
@@ -4167,6 +4169,7 @@ class DeltaSink:
             return -1  # nothing to add — replay-safe no-op
         conf = dict(meta.get("configuration") or {})
         max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+        mapped = conf.get("delta.columnMapping.mode") == "name"
         added = []
         for f in new_fields:
             max_id += 1
@@ -4175,7 +4178,9 @@ class DeltaSink:
                     **f,
                     "metadata": {
                         **(f.get("metadata") or {}),
-                        "delta.columnMapping.physicalName": f["name"],
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4()}" if mapped else f["name"]
+                        ),
                         "delta.columnMapping.id": max_id,
                     },
                 }
@@ -4197,6 +4202,115 @@ class DeltaSink:
                 }
             ],
             operation="ADD COLUMNS",
+        )
+
+    def evolve_drop(self, columns: Sequence[str]) -> int:
+        """ALTER TABLE DROP COLUMN via column mapping (PROTOCOL.md
+        "Column Mapping"): metadata-only — the dropped fields leave
+        the logical schema while every data file keeps its bytes, so
+        the drop is O(1) regardless of table size.  First use enables
+        'name'-mode mapping exactly like :meth:`evolve_rename`
+        (physicalName = current spelling for every SURVIVING field,
+        so old files keep reading).  A column later re-added via
+        :meth:`evolve_add` gets a fresh ``col-<uuid>`` physical name,
+        so the dropped bytes can never resurrect under the new field.
+
+        Refused loudly for: partition columns (the directory layout
+        IS the column), clustering columns (OPTIMIZE would lose its
+        curve), columns referenced by a CHECK constraint or by a
+        surviving field's generation expression, and dropping every
+        column."""
+        import re as _re
+
+        from .delta_log import latest_metadata, latest_protocol
+
+        cols = list(columns)
+        meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"{self.path}: no metaData to evolve")
+        parsed = json.loads(meta["schemaString"])
+        known = {f["name"] for f in parsed["fields"]}
+        missing = set(cols) - known
+        if missing:
+            raise ValueError(
+                f"drop of unknown column(s): {sorted(missing)}"
+            )
+        if len(cols) >= len(parsed["fields"]):
+            raise ValueError("cannot drop every column")
+        part_hit = set(cols) & set(meta.get("partitionColumns") or [])
+        if part_hit:
+            raise ValueError(
+                f"cannot drop partition column(s) {sorted(part_hit)}"
+            )
+        ccols = self._clustering_columns() or []
+        clust_hit = set(cols) & set(ccols)
+        if clust_hit:
+            raise ValueError(
+                f"cannot drop clustering column(s) {sorted(clust_hit)}"
+            )
+        conf = dict(meta.get("configuration") or {})
+        word = {c: _re.compile(rf"\b{_re.escape(c)}\b") for c in cols}
+        for k, expr in conf.items():
+            if k.startswith("delta.constraints."):
+                hit = [c for c in cols if word[c].search(expr)]
+                if hit:
+                    raise ValueError(
+                        f"cannot drop {hit}: referenced by CHECK "
+                        f"constraint {k.removeprefix('delta.constraints.')}"
+                        f" = ({expr})"
+                    )
+        for f in parsed["fields"]:
+            if f["name"] in cols:
+                continue
+            gen = (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            if gen:
+                hit = [c for c in cols if word[c].search(gen)]
+                if hit:
+                    raise ValueError(
+                        f"cannot drop {hit}: referenced by generated "
+                        f"column {f['name']} = ({gen})"
+                    )
+        max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+        survivors = []
+        for f in parsed["fields"]:
+            md = dict(f.get("metadata") or {})
+            if "delta.columnMapping.physicalName" not in md:
+                md["delta.columnMapping.physicalName"] = f["name"]
+            if "delta.columnMapping.id" not in md:
+                max_id += 1
+                md["delta.columnMapping.id"] = max_id
+            if f["name"] not in cols:
+                survivors.append({**f, "metadata": md})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        new_schema = json.dumps({**parsed, "fields": survivors})
+        actions: list[dict] = []
+        cur_pr = latest_protocol(self.path)
+        if "columnMapping" not in set(
+            (cur_pr or {}).get("readerFeatures") or []
+        ):
+            pr = upgraded_protocol(
+                cur_pr, ("columnMapping",), ("columnMapping",)
+            )
+            if pr != cur_pr:
+                actions.append({"protocol": pr})
+        actions.append(
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": new_schema,
+                    "configuration": conf,
+                }
+            }
+        )
+        self._pending_schema = new_schema
+        self._mapping_cache = False
+        self._tbl_types_cache = False
+        self._fields_cache = False
+        return self._commit(
+            actions, operation=f"DROP COLUMNS ({', '.join(cols)})"
         )
 
     def widen_column(self, column: str, to_type: str) -> int:

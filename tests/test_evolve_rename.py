@@ -261,7 +261,12 @@ def test_mirror_add_column_after_rename(spark, tmp_path):
     fields = json.loads(meta["schemaString"])["fields"]
     by_name = {f["name"]: f["metadata"] for f in fields}
     assert by_name["val"]["delta.columnMapping.physicalName"] == "v"
-    assert by_name["extra"]["delta.columnMapping.physicalName"] == "extra"
+    # columns added AFTER mapping enablement get col-<uuid> physical
+    # names (Delta's convention since round 8's evolve_drop: a
+    # re-added name must never collide with dropped bytes)
+    assert by_name["extra"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
 
 
 def test_evolve_add_idempotent_and_rejects_retype(spark, tmp_path):

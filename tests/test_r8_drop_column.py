@@ -1,0 +1,137 @@
+"""Round-8 ALTER TABLE DROP COLUMN (column-mapping logical drop).
+
+Metadata-only: data files keep their bytes, the field leaves the
+logical schema, reads stop surfacing it, and a column RE-ADDED later
+gets a fresh ``col-<uuid>`` physical name so the dropped bytes never
+resurrect — Delta's own drop semantics.
+"""
+
+import json
+import os
+
+import pytest
+
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+
+def _mk(spark, tmp_path, name="t", partition_by=()):
+    sink = DeltaSink(spark, str(tmp_path / name), partition_by=partition_by)
+    sink.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "id long, name string, score double",
+        )
+    )
+    return sink
+
+
+def _data_files(path):
+    out = []
+    for dirpath, _dirs, names in os.walk(path):
+        if "_delta_log" in dirpath:
+            continue
+        out += [n for n in names if n.endswith(".parquet")]
+    return sorted(out)
+
+
+def test_drop_is_metadata_only(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    before = _data_files(sink.path)
+    sink.evolve_drop(["score"])
+    assert _data_files(sink.path) == before, "no data file may move"
+    df = DL.read_snapshot(spark, sink.path)
+    assert sorted(df.columns) == ["id", "name"]
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    proto = DL.latest_protocol(sink.path)
+    assert "columnMapping" in (proto["readerFeatures"] or [])
+
+
+def test_append_and_read_after_drop(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.evolve_drop(["score"])
+    sink.append(
+        spark.createDataFrame([(3, "c")], "id long, name string")
+    )
+    got = sorted(
+        (r.id, r.name)
+        for r in DL.read_snapshot(spark, sink.path).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_readd_never_resurrects_dropped_bytes(spark, tmp_path):
+    """The key Delta semantics: dropping `score` and re-adding a
+    column named `score` must read NULL for the old rows, not the old
+    bytes still sitting in the parquet files."""
+    sink = _mk(spark, tmp_path)
+    sink.evolve_drop(["score"])
+    meta = DL.latest_metadata(spark, sink.path)
+    schema = json.loads(meta["schemaString"])
+    schema["fields"].append(
+        {"name": "score", "type": "double", "nullable": True, "metadata": {}}
+    )
+    sink.evolve_add(json.dumps(schema))
+    fields = {
+        f["name"]: f.get("metadata") or {}
+        for f in json.loads(
+            DL.latest_metadata(spark, sink.path)["schemaString"]
+        )["fields"]
+    }
+    phys = fields["score"]["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-"), phys
+    got = {
+        r.id: r.score
+        for r in DL.read_snapshot(spark, sink.path).collect()
+    }
+    assert got == {1: None, 2: None}
+
+
+def test_drop_on_previously_renamed_table(spark, tmp_path):
+    sink = _mk(spark, tmp_path, "t2")
+    sink.evolve_rename({"name": "label"})
+    sink.evolve_drop(["score"])
+    df = DL.read_snapshot(spark, sink.path)
+    assert sorted(df.columns) == ["id", "label"]
+    assert sorted((r.id, r.label) for r in df.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_drop_refusals(spark, tmp_path):
+    part = DeltaSink(
+        spark, str(tmp_path / "p"), partition_by=["name"]
+    )
+    part.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "id long, name string, score double"
+        )
+    )
+    with pytest.raises(ValueError, match="partition"):
+        part.evolve_drop(["name"])
+    sink = _mk(spark, tmp_path, "t3")
+    with pytest.raises(ValueError, match="unknown"):
+        sink.evolve_drop(["nope"])
+    with pytest.raises(ValueError, match="every column"):
+        sink.evolve_drop(["id", "name", "score"])
+    sink.add_constraint("pos_score", "score >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        sink.evolve_drop(["score"])
+    sink.drop_constraint("pos_score")
+    sink.add_generated_column("dbl", "double", "score * 2")
+    with pytest.raises(ValueError, match="generated"):
+        sink.evolve_drop(["score"])
+    # dropping the generated column itself is fine
+    sink.evolve_drop(["dbl"])
+    assert "dbl" not in DL.read_snapshot(spark, sink.path).columns
+
+
+def test_drop_clustering_column_refused(spark, tmp_path):
+    sink = _mk(spark, tmp_path, "t4")
+    sink.set_cluster_by(["id", "score"])
+    with pytest.raises(ValueError, match="clustering"):
+        sink.evolve_drop(["score"])
