@@ -116,10 +116,12 @@ class MirrorPipeline:
             "evolve-add",
             "evolve-rename",
             "widen",
+            "evolve-drop",
         ):
             raise ValueError(
                 f"on_schema_change must be 'fail', 'evolve-add', "
-                f"'evolve-rename' or 'widen', got {on_schema_change!r}"
+                f"'evolve-rename', 'widen' or 'evolve-drop', "
+                f"got {on_schema_change!r}"
             )
         # "fail" = reference parity (TransactionLog.cs:153-157 throws);
         # "evolve-add" = Kusto `.create-merge` posture (K1): purely
@@ -637,6 +639,39 @@ class MirrorPipeline:
                 if target_renames:
                     self.sink.evolve_rename(target_renames)
                 return self._schema_item(hwm, end_tx, meta)
+        if self.on_schema_change == "evolve-drop" and same_parts:
+            dropped = self._drop_delta(
+                recorded["schema"], meta["schemaString"]
+            )
+            if dropped is not None:
+                # follow the source's drop on the TARGET before any
+                # load: evolve_drop is metadata-only, and filtering to
+                # the columns the target still carries makes a crash
+                # replay a no-op.  Loads read source files (wide
+                # pre-drop ones included) under the schema at end_tx —
+                # parquet readers ignore physical columns the schema
+                # no longer names
+                tgt_meta = DL.latest_metadata(self.spark, self.sink.path)
+                if tgt_meta is not None:
+                    tgt_names = {
+                        f["name"]
+                        for f in json.loads(tgt_meta["schemaString"])[
+                            "fields"
+                        ]
+                    }
+                    present = sorted(set(dropped) & tgt_names)
+                    if present:
+                        self.sink.evolve_drop(present)
+                added = {
+                    f["name"]
+                    for f in json.loads(meta["schemaString"])["fields"]
+                } - {
+                    f["name"]
+                    for f in json.loads(recorded["schema"])["fields"]
+                }
+                if added and self.sink._current_mapping():
+                    self.sink.evolve_add(meta["schemaString"])
+                return self._schema_item(hwm, end_tx, meta)
         raise SchemaChangedError(
             "source schema or partition columns changed mid-stream"
             + (
@@ -652,6 +687,9 @@ class MirrorPipeline:
                 "int->long, float->double, decimal growth — never "
                 "drops or lossy retypes)"
                 if self.on_schema_change == "widen"
+                else " (not an add or drop; evolve-drop accepts added "
+                "and dropped columns, never renames or retypes)"
+                if self.on_schema_change == "evolve-drop"
                 else ""
             )
         )
@@ -669,6 +707,23 @@ class MirrorPipeline:
                 meta.get("partitionColumns") or []
             ),
         }
+
+    def _drop_delta(
+        self, old_json: str, new_json: str
+    ) -> list[str] | None:
+        """Columns the source DROPPED when the schema change is
+        adds + drops only (surviving fields keep name and type);
+        None when any surviving field was retyped — that is not a
+        drop-shaped change."""
+        old_f = {f["name"]: f for f in json.loads(old_json)["fields"]}
+        new_f = {f["name"]: f for f in json.loads(new_json)["fields"]}
+        dropped = sorted(set(old_f) - set(new_f))
+        if not dropped:
+            return None
+        for name in set(old_f) & set(new_f):
+            if old_f[name]["type"] != new_f[name]["type"]:
+                return None
+        return dropped
 
     def _widen_delta(
         self, old_json: str, new_json: str

@@ -135,3 +135,111 @@ def test_drop_clustering_column_refused(spark, tmp_path):
     sink.set_cluster_by(["id", "score"])
     with pytest.raises(ValueError, match="clustering"):
         sink.evolve_drop(["score"])
+
+
+def test_mirror_follows_source_drop(spark, tmp_path):
+    """on_schema_change='evolve-drop': a SOURCE column drop narrows
+    the TARGET metadata-only mid-stream, and the sync continues —
+    pre-drop source files read fine under the narrow schema."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import (
+        MirrorPipeline,
+        SchemaChangedError,
+    )
+
+    src = str(tmp_path / "src")
+    s = DeltaSink(spark, src)
+    s.append(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)],
+            "id long, name string, score double",
+        )
+    )
+    pipe = MirrorPipeline(
+        spark,
+        src,
+        str(tmp_path / "dst"),
+        str(tmp_path / "state"),
+        table_name="t",
+        on_schema_change="evolve-drop",
+    )
+    pipe.run_until_idle()
+    s.evolve_drop(["score"])
+    s.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    pipe.run_until_idle()
+    df = DL.read_snapshot(spark, pipe.sink.path)
+    # the target also carries the mirror's MLK_* lineage columns —
+    # what matters is that score is GONE and the data columns remain
+    assert "score" not in df.columns
+    assert {"id", "name"} <= set(df.columns)
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # replay idempotence: nothing further to do
+    assert pipe.run_once()["status"] == "up-to-date"
+    # 'fail' parity: the same change under the default mode throws
+    src2 = str(tmp_path / "src2")
+    s2 = DeltaSink(spark, src2)
+    s2.append(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, n string, x double")
+    )
+    pipe2 = MirrorPipeline(
+        spark,
+        src2,
+        str(tmp_path / "dst2"),
+        str(tmp_path / "state2"),
+        table_name="t2",
+    )
+    pipe2.run_until_idle()
+    s2.evolve_drop(["x"])
+    s2.append(spark.createDataFrame([(2, "b")], "id long, n string"))
+    with pytest.raises(SchemaChangedError):
+        pipe2.run_until_idle()
+
+
+def test_mirror_drop_rejects_rename_shaped_change(spark, tmp_path):
+    """evolve-drop must not swallow a rename (drop+add of the same
+    type would lose the data silently if misread as such — but a
+    RENAME on the source is drop+add by name, and evolve-drop
+    follows it as drop-then-null-add only when the SOURCE really
+    did that; a retype of a surviving column always raises."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import (
+        MirrorPipeline,
+        SchemaChangedError,
+    )
+
+    src = str(tmp_path / "src")
+    s = DeltaSink(spark, src)
+    s.append(
+        spark.createDataFrame([(1, "a", 5)], "id long, n string, v long")
+    )
+    pipe = MirrorPipeline(
+        spark,
+        src,
+        str(tmp_path / "dst"),
+        str(tmp_path / "state"),
+        table_name="t",
+        on_schema_change="evolve-drop",
+    )
+    pipe.run_until_idle()
+    # retype v: long -> string on the source (surviving-field retype)
+    import json as _json
+
+    meta = DL.latest_metadata(spark, src)
+    schema = _json.loads(meta["schemaString"])
+    s.evolve_drop(["v"])
+    schema2 = _json.loads(
+        DL.latest_metadata(spark, src)["schemaString"]
+    )
+    schema2["fields"].append(
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}}
+    )
+    s.evolve_add(_json.dumps(schema2))
+    s.append(
+        spark.createDataFrame([(2, "b", "s")], "id long, n string, v string")
+    )
+    # drop+re-add with a DIFFERENT type reaches the mirror as a
+    # retype of v -> not drop-shaped -> loud failure, no silent loss
+    with pytest.raises(SchemaChangedError):
+        pipe.run_until_idle()
