@@ -115,11 +115,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--on-schema-change",
-        choices=("fail", "evolve-add"),
+        choices=(
+            "fail", "evolve-add", "evolve-rename", "widen", "evolve-drop"
+        ),
         default="fail",
         help="fail: reference parity (mid-stream schema change throws); "
         "evolve-add: additive column changes re-record the schema and "
-        "the sync continues (Kusto .create-merge posture)",
+        "the sync continues (Kusto .create-merge posture); "
+        "evolve-rename: adds + column-mapping renames follow; "
+        "widen: adds + lossless type widenings follow "
+        "(PROTOCOL.md Type Widening); "
+        "evolve-drop: adds + column drops follow (column-mapping "
+        "logical drop on the target)",
     )
     ap.add_argument(
         "--cpus", type=int, default=None, help="local[N] parallelism"
@@ -289,6 +296,15 @@ def vacuum_main(argv: list[str]) -> int:
         "same contract as Delta's VACUUM.",
     )
     ap.add_argument("table_path")
+    ap.add_argument(
+        "--retention-hours",
+        type=float,
+        default=None,
+        help="Delta's RETAIN N HOURS: unreferenced files survive "
+        "until their tombstone leaves the window (time travel within "
+        "it keeps working).  Default: retain nothing — this sink's "
+        "historical aggressive mode; pass 168 for Delta's default",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     from .session import build_session
@@ -296,7 +312,13 @@ def vacuum_main(argv: list[str]) -> int:
 
     spark = build_session(app_name="mlk-vacuum", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(DeltaSink(spark, args.table_path).vacuum()))
+    print(
+        json.dumps(
+            DeltaSink(spark, args.table_path).vacuum(
+                retention_hours=args.retention_hours
+            )
+        )
+    )
     return 0
 
 
