@@ -175,6 +175,7 @@ EXTENSION_HEADLINE = [
     "mirror_drop_column",
     "mirror_vacuum_retention",
     "d16_hll_sketch",
+    "kql_scalar_toolkit5",
 ]
 
 

@@ -839,6 +839,37 @@ def translate_expr(e: str) -> str:
         e, "hash_md5", lambda a: f"md5(CAST({a[0]} AS STRING))"
     )
     e = _rewrite_calls(
+        e, "hash_sha1", lambda a: f"sha1(CAST({a[0]} AS STRING))"
+    )
+    # parse_urlquery -> Kusto's {"Query Parameters": {...}} bag; the
+    # inner map comes from Spark's str_to_map over the raw query part
+    # (works on both a full URL and a bare k=v&k=v string)
+    e = _rewrite_calls(
+        e,
+        "parse_urlquery",
+        lambda a: (
+            "to_json(named_struct('Query Parameters', "
+            f"str_to_map(CASE WHEN instr({a[0]}, '?') > 0 "
+            f"THEN parse_url({a[0]}, 'QUERY') ELSE {a[0]} END, "
+            "'&', '=')))"
+        ),
+    )
+    # parse_ipv4_mask(ip, prefix) -> masked 32-bit value; emits a
+    # parse_ipv4( call for the LATER parse_ipv4 rewrite to lower
+    e = _rewrite_calls(
+        e,
+        "parse_ipv4_mask",
+        lambda a: (
+            f"(parse_ipv4({a[0]}) & (shiftleft(CAST(-1 AS BIGINT), "
+            f"32 - CAST({a[1]} AS INT)) & 4294967295))"
+        ),
+    )
+    e = _rewrite_calls(
+        e,
+        "unixtime_nanoseconds_todatetime",
+        lambda a: f"timestamp_micros(CAST({a[0]} / 1000 AS BIGINT))",
+    )
+    e = _rewrite_calls(
         e,
         "strcmp",
         # null propagates (a bare ELSE would report null args as 1)
@@ -1435,6 +1466,7 @@ def translate_expr(e: str) -> str:
             raise KqlParseError("pack/bag_pack need key1, val1, ... pairs")
         return f"to_json(named_struct({', '.join(a)}))"
 
+    e = _rewrite_calls(e, "pack_dictionary", _pack)
     e = _rewrite_calls(e, "bag_pack", _pack)
     e = _rewrite_calls(e, "pack", _pack)
 

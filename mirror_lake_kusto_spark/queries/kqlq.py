@@ -2304,3 +2304,61 @@ def kql_join_hints(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "nation", "supplier"),
     )
+
+
+@query(
+    "kql_scalar_toolkit5",
+    """
+    SELECT p_partkey,
+           ROUND(atan2(CAST(p_size AS DOUBLE), 7.0), 6) AS a2,
+           ROUND(cot(CAST(p_size AS DOUBLE) / 10 + 0.1), 6) AS ct,
+           ROUND(degrees(CAST(p_size AS DOUBLE) / 50), 6) AS dg,
+           ROUND(log10(CAST(p_size AS DOUBLE) + 1), 6) AS l10,
+           ROUND(log2(CAST(p_size AS DOUBLE) + 1), 6) AS l2,
+           dayofyear(DATE '1995-01-01'
+                     + CAST(p_size AS BIGINT) * INTERVAL 3 DAY) AS doy,
+           '{"Query Parameters":{"a":"' || CAST(p_size AS VARCHAR)
+               || '","b":"' || CAST(p_partkey AS VARCHAR) || '"}}'
+               AS urlq,
+           CAST(
+             10 * 16777216 + (p_size % 256) * 65536
+             + ((p_partkey % 256) * 256 + 7) // 256 * 256
+             AS BIGINT) AS ipmask,
+           '{"sz":' || CAST(p_size AS VARCHAR) || ',"brand":"'
+               || p_brand || '"}' AS bag,
+           make_timestamp(p_partkey * 1000000) AS ts
+    FROM part WHERE p_partkey <= 400
+    ORDER BY p_partkey
+    """,
+    doc="KQL scalar batch 5 (round 8): atan2/cot/degrees/log10/log2/"
+    "dayofyear pass through to Spark's own functions; parse_urlquery "
+    "(Kusto's Query Parameters bag via str_to_map), parse_ipv4_mask "
+    "(prefix-masked 32-bit value), pack_dictionary (bag from pairs), "
+    "unixtime_nanoseconds_todatetime — each re-derived arithmetically "
+    "by the oracle",
+)
+def kql_scalar_toolkit5(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        part
+        | where p_partkey <= 400
+        | project p_partkey,
+            a2 = round(atan2(todouble(p_size), 7.0), 6),
+            ct = round(cot(todouble(p_size) / 10 + 0.1), 6),
+            dg = round(degrees(todouble(p_size) / 50), 6),
+            l10 = round(log10(todouble(p_size) + 1), 6),
+            l2 = round(log2(todouble(p_size) + 1), 6),
+            doy = dayofyear(datetime(1995-01-01) + 3d * p_size),
+            urlq = parse_urlquery(strcat('a=', tostring(p_size),
+                                         '&b=', tostring(p_partkey))),
+            ipmask = parse_ipv4_mask(
+                strcat('10.', tostring(p_size % 256), '.',
+                       tostring(p_partkey % 256), '.7'), 24),
+            bag = pack_dictionary('sz', p_size, 'brand', p_brand),
+            ts = unixtime_nanoseconds_todatetime(
+                p_partkey * 1000000000)
+        | order by p_partkey asc
+        """,
+        tables=_tables(spark, sf_dir, "part"),
+    )

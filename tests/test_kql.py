@@ -2821,3 +2821,31 @@ def test_weighted_percentiles_covariance_make_list_with_nulls(spark):
     assert abs(out.cvp - 4.0 / 3.0) < 1e-9
     # make_list_with_nulls keeps the null element collect_list drops
     assert len(out.ln) == 4 and sum(1 for v in out.ln if v is None) == 1
+
+
+def test_r8_scalar_batch5_sha1_and_pack_dictionary(spark):
+    """hash_sha1 (no DuckDB twin — verified against hashlib) and
+    pack_dictionary arity validation."""
+    import hashlib
+
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    df = kql(
+        spark,
+        "t | project h = hash_sha1(s), d = pack_dictionary('k', s)",
+        tables={"t": spark.createDataFrame([("abc",)], "s string")},
+    )
+    row = df.collect()[0]
+    assert row.h == hashlib.sha1(b"abc").hexdigest()
+    assert row.d == '{"k":"abc"}'
+    import pytest as _pytest
+
+    with _pytest.raises(KqlParseError):
+        kql(
+            spark,
+            "t | project d = pack_dictionary('k')",
+            tables={"t": spark.createDataFrame([("x",)], "s string")},
+        )
