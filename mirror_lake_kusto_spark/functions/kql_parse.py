@@ -1286,6 +1286,16 @@ def translate_expr(e: str) -> str:
 
     e = _rewrite_calls(e, "bag_merge", _bag_merge)
     e = _rewrite_calls(e, "dcount", lambda a: f"count(DISTINCT {a[0]})")
+    e = _rewrite_calls(
+        e, "count_distinct", lambda a: f"count(DISTINCT {a[0]})"
+    )
+    # population-variance family (Kusto stdevp/variancep); the sample
+    # forms spell out Spark's canonical names so they never depend on
+    # alias availability
+    e = _rewrite_calls(e, "stdevp", lambda a: f"stddev_pop({a[0]})")
+    e = _rewrite_calls(e, "variancep", lambda a: f"var_pop({a[0]})")
+    e = _rewrite_calls(e, "stdev", lambda a: f"stddev_samp({a[0]})")
+    e = _rewrite_calls(e, "variance", lambda a: f"var_samp({a[0]})")
     # conditional aggregates -> SQL FILTER clauses (JVM-side, one pass)
     for kql_fn, sql_fn in (
         ("sumif", "sum"),
@@ -1316,6 +1326,14 @@ def translate_expr(e: str) -> str:
     e = _rewrite_calls(
         e, "count_distinctif",
         lambda a: f"count(DISTINCT {a[0]}) FILTER (WHERE {a[1]})",
+    )
+    # make_bag_if: non-matching rows yield NULL bags, which the
+    # make_bag fold (collect_list under the hood) already skips —
+    # rewritten BEFORE make_bag so the emitted call lowers next
+    e = _rewrite_calls(
+        e, "make_bag_if",
+        lambda a: f"make_bag(CASE WHEN {a[1]} THEN {a[0]} END)",
+        self_referential=True,
     )
     # bitwise fold aggregates
     e = _rewrite_calls(e, "binary_all_or", lambda a: f"bit_or({a[0]})")

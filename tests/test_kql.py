@@ -2849,3 +2849,26 @@ def test_r8_scalar_batch5_sha1_and_pack_dictionary(spark):
             "t | project d = pack_dictionary('k')",
             tables={"t": spark.createDataFrame([("x",)], "s string")},
         )
+
+
+def test_r8_agg_batch(spark):
+    """count_distinct / stdevp / variancep / stdev / make_bag_if."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    t = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 4.0), (2, None, 8.0)],
+        "g int, s string, v double",
+    )
+    rows = kql(
+        spark,
+        """t | summarize nd = count_distinct(s),
+              sp = round(stdevp(v), 4), vp = round(variancep(v), 4),
+              sd = round(stdev(v), 4),
+              bag = make_bag_if(pack('s', s), isnotempty(s))
+           by g | order by g asc""",
+        tables={"t": t},
+    ).collect()
+    assert [(r.g, r.nd, r.sp, r.vp, r.sd, r.bag) for r in rows] == [
+        (1, 2, 0.5, 0.25, 0.7071, '{"s":"b"}'),
+        (2, 1, 2.0, 4.0, 2.8284, '{"s":"a"}'),
+    ]
