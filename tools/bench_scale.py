@@ -589,6 +589,50 @@ def probe_checkpoint_encode(spark) -> list[str]:
     ]
 
 
+def probe_simhash_md5(spark) -> list[str]:
+    """Round-8 scale evidence for the hash-checked SimHash: the
+    64-conditional-sum aggregation + banded join must scale linearly
+    in documents (the oracle-checkable md5 path must not cost more
+    shape-wise than the xxhash fast path)."""
+    import time as _t
+
+    from mirror_lake_kusto_spark.operators import dedup
+
+    if not os.path.exists(f"{DST}/documents.parquet"):
+        print("building sf1 corpus ...", flush=True)
+        build_sf1(spark)
+    out = []
+    rows = {}
+    secs = {}
+    for label, path in (("sf0.1", SRC), ("sf1", DST)):
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        best = 9e9
+        n = 0
+        for _ in range(2):
+            t0 = _t.time()
+            n = dedup.simhash_md5_pairs(
+                docs, "doc_id", "text", max_hamming=3
+            ).count()
+            best = min(best, _t.time() - t0)
+        rows[label], secs[label] = n, best
+        print(f"  simhash_md5 {label}: {n} pairs in {best:.1f}s", flush=True)
+    ratio = secs["sf1"] / max(secs["sf0.1"], 0.01)
+    return [
+        "",
+        "## Hash-checked SimHash probe (round 8)",
+        "",
+        f"`simhash_md5_pairs` (md5-derived bits, 64 conditional sums, "
+        f"banded LSH): sf0.1 = {rows['sf0.1']:,} pairs in "
+        f"**{secs['sf0.1']:.1f} s**; sf1 (10x documents, near-dup "
+        f"replicas) = {rows['sf1']:,} pairs in **{secs['sf1']:.1f} s** "
+        f"— **{ratio:.1f}x** wall at 10x data.  The oracle-checkable "
+        "hash path keeps the same banded (never all-pairs) shape as "
+        "the xxhash fast path; the 64-sum aggregation is one "
+        "map-side-combined shuffle regardless of scale.",
+        "",
+    ]
+
+
 def _splice_section(out_path: str, marker: str, section: list[str]) -> None:
     """Insert/replace ``marker``'s section, keeping every OTHER section
     (other probes, the hand-written findings) intact."""
@@ -617,6 +661,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.md",
     )
+    if "--r8-simhash-probe" in sys.argv:
+        _splice_section(
+            out_path, "## Hash-checked SimHash probe (round 8)",
+            probe_simhash_md5(spark),
+        )
+        print(json.dumps({"r8_simhash_probe": "done"}))
+        return
     if "--r8-dml-probes" in sys.argv:
         _splice_section(
             out_path, "## Merge-on-read DML probe (round 8)",
