@@ -841,33 +841,56 @@ def translate_expr(e: str) -> str:
     e = _rewrite_calls(
         e, "hash_sha1", lambda a: f"sha1(CAST({a[0]} AS STRING))"
     )
-    # parse_urlquery -> Kusto's {"Query Parameters": {...}} bag; the
-    # inner map comes from Spark's str_to_map over the raw query part
-    # (works on both a full URL and a bare k=v&k=v string)
-    e = _rewrite_calls(
-        e,
-        "parse_urlquery",
-        lambda a: (
+    # parse_urlquery -> Kusto's {"Query Parameters": {...}} bag.
+    # NOT str_to_map: that throws on duplicate keys (Spark's
+    # mapKeyDedupPolicy=EXCEPTION default) and on the empty segments
+    # repeated delimiters produce — both routine in real URLs (the
+    # parse-kv implementation documents the same trap).  Entries are
+    # built with array expressions, first occurrence of a key wins,
+    # then map_from_entries sees no duplicates by construction.
+    def _urlquery(a: list[str]) -> str:
+        q = (
+            f"(CASE WHEN instr({a[0]}, '?') > 0 "
+            f"THEN parse_url({a[0]}, 'QUERY') ELSE {a[0]} END)"
+        )
+        ents = (
+            f"transform(filter(split({q}, '&'), s -> s != ''), "
+            "s -> struct(split_part(s, '=', 1) AS key, "
+            "CASE WHEN instr(s, '=') > 0 "
+            "THEN substring(s, instr(s, '=') + 1) ELSE '' END AS value))"
+        )
+        dedup = (
+            f"filter({ents}, (e, i) -> array_position("
+            f"transform({ents}, x -> x.key), e.key) = i + 1)"
+        )
+        return (
             "to_json(named_struct('Query Parameters', "
-            f"str_to_map(CASE WHEN instr({a[0]}, '?') > 0 "
-            f"THEN parse_url({a[0]}, 'QUERY') ELSE {a[0]} END, "
-            "'&', '=')))"
-        ),
-    )
+            f"map_from_entries({dedup})))"
+        )
+
+    e = _rewrite_calls(e, "parse_urlquery", _urlquery)
     # parse_ipv4_mask(ip, prefix) -> masked 32-bit value; emits a
-    # parse_ipv4( call for the LATER parse_ipv4 rewrite to lower
+    # parse_ipv4( call for the LATER parse_ipv4 rewrite to lower.
+    # Out-of-range prefixes -> NULL (Kusto's contract): a bare
+    # shiftleft would wrap the shift count mod 64 and return a wrong
+    # VALUE instead of refusing
     e = _rewrite_calls(
         e,
         "parse_ipv4_mask",
         lambda a: (
-            f"(parse_ipv4({a[0]}) & (shiftleft(CAST(-1 AS BIGINT), "
-            f"32 - CAST({a[1]} AS INT)) & 4294967295))"
+            f"(CASE WHEN CAST({a[1]} AS INT) BETWEEN 0 AND 32 "
+            f"THEN parse_ipv4({a[0]}) & (shiftleft(CAST(-1 AS BIGINT), "
+            f"32 - CAST({a[1]} AS INT)) & 4294967295) "
+            "ELSE CAST(NULL AS BIGINT) END)"
         ),
     )
+    # integer DIV, not /: float division loses sub-microsecond
+    # precision at 1e18-scale nanosecond longs (same lesson as
+    # sources/tables.py's nanos handling)
     e = _rewrite_calls(
         e,
         "unixtime_nanoseconds_todatetime",
-        lambda a: f"timestamp_micros(CAST({a[0]} / 1000 AS BIGINT))",
+        lambda a: f"timestamp_micros(CAST({a[0]} AS BIGINT) DIV 1000)",
     )
     e = _rewrite_calls(
         e,

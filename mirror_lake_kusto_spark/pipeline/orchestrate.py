@@ -547,7 +547,8 @@ class MirrorPipeline:
         ):
             return None
         if (
-            self.on_schema_change in ("evolve-add", "evolve-rename")
+            self.on_schema_change
+            in ("evolve-add", "evolve-rename", "evolve-drop")
             and same_parts
             and self._is_additive(recorded["schema"], meta["schemaString"])
         ):
@@ -559,7 +560,7 @@ class MirrorPipeline:
             # changing appends on mapped tables — so evolve it
             # explicitly (idempotent no-op on crash replay)
             if (
-                self.on_schema_change == "evolve-rename"
+                self.on_schema_change in ("evolve-rename", "evolve-drop")
                 and self.sink._current_mapping()
             ):
                 self.sink.evolve_add(meta["schemaString"])
@@ -713,8 +714,12 @@ class MirrorPipeline:
     ) -> list[str] | None:
         """Columns the source DROPPED when the schema change is
         adds + drops only (surviving fields keep name and type);
-        None when any surviving field was retyped — that is not a
-        drop-shaped change."""
+        None when any surviving field was retyped, or when a
+        "dropped" field's column-mapping physical identity reappears
+        under a new logical name — that is a RENAME, and following it
+        as drop+null-re-add would silently blank the target column
+        (renames always carry mapping metadata: Delta requires
+        columnMapping for them)."""
         old_f = {f["name"]: f for f in json.loads(old_json)["fields"]}
         new_f = {f["name"]: f for f in json.loads(new_json)["fields"]}
         dropped = sorted(set(old_f) - set(new_f))
@@ -723,6 +728,16 @@ class MirrorPipeline:
         for name in set(old_f) & set(new_f):
             if old_f[name]["type"] != new_f[name]["type"]:
                 return None
+
+        def phys(f: dict) -> str:
+            return (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+
+        dropped_phys = {phys(old_f[n]) for n in dropped}
+        for n in set(new_f) - set(old_f):
+            if phys(new_f[n]) in dropped_phys:
+                return None  # rename-shaped, not a drop
         return dropped
 
     def _widen_delta(

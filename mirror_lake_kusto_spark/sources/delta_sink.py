@@ -223,6 +223,28 @@ def _actions_parquet_bytes(rows: list[dict], spark_schema) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+def _stamp_mapping_identity(
+    fields: list[dict], conf: dict
+) -> tuple[list[dict], int]:
+    """Column-mapping enablement: assign every field missing one its
+    physical identity — ``physicalName`` = the current logical
+    spelling (what the EXISTING parquet files carry) plus the next
+    ``columnMapping.id``.  Shared by evolve_rename and evolve_drop so
+    the enablement rules can never diverge.  Returns (stamped field
+    copies, new maxColumnId)."""
+    max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+    out = []
+    for f in fields:
+        md = dict(f.get("metadata") or {})
+        if "delta.columnMapping.physicalName" not in md:
+            md["delta.columnMapping.physicalName"] = f["name"]
+        if "delta.columnMapping.id" not in md:
+            max_id += 1
+            md["delta.columnMapping.id"] = max_id
+        out.append({**f, "metadata": md})
+    return out, max_id
+
+
 class DeltaSink:
     """Append / delete / optimize on a local or shared-FS Delta table."""
 
@@ -4089,22 +4111,11 @@ class DeltaSink:
                 f"rename would produce duplicate column names: {new_names}"
             )
         conf = dict(meta.get("configuration") or {})
-        max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
-        new_fields = []
-        for f in parsed["fields"]:
-            md = dict(f.get("metadata") or {})
-            if "delta.columnMapping.physicalName" not in md:
-                md["delta.columnMapping.physicalName"] = f["name"]
-            if "delta.columnMapping.id" not in md:
-                max_id += 1
-                md["delta.columnMapping.id"] = max_id
-            new_fields.append(
-                {
-                    **f,
-                    "name": renames.get(f["name"], f["name"]),
-                    "metadata": md,
-                }
-            )
+        stamped, max_id = _stamp_mapping_identity(parsed["fields"], conf)
+        new_fields = [
+            {**f, "name": renames.get(f["name"], f["name"])}
+            for f in stamped
+        ]
         conf["delta.columnMapping.mode"] = "name"
         conf["delta.columnMapping.maxColumnId"] = str(max_id)
         new_schema = json.dumps({**parsed, "fields": new_fields})
@@ -4272,17 +4283,11 @@ class DeltaSink:
                         f"cannot drop {hit}: referenced by generated "
                         f"column {f['name']} = ({gen})"
                     )
-        max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
-        survivors = []
-        for f in parsed["fields"]:
-            md = dict(f.get("metadata") or {})
-            if "delta.columnMapping.physicalName" not in md:
-                md["delta.columnMapping.physicalName"] = f["name"]
-            if "delta.columnMapping.id" not in md:
-                max_id += 1
-                md["delta.columnMapping.id"] = max_id
-            if f["name"] not in cols:
-                survivors.append({**f, "metadata": md})
+        # stamp identity on the SURVIVORS only — allocating mapping
+        # ids to fields being dropped would burn them permanently
+        survivors, max_id = _stamp_mapping_identity(
+            [f for f in parsed["fields"] if f["name"] not in cols], conf
+        )
         conf["delta.columnMapping.mode"] = "name"
         conf["delta.columnMapping.maxColumnId"] = str(max_id)
         new_schema = json.dumps({**parsed, "fields": survivors})

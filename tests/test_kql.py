@@ -2872,3 +2872,23 @@ def test_r8_agg_batch(spark):
         (1, 2, 0.5, 0.25, 0.7071, '{"s":"b"}'),
         (2, 1, 2.0, 4.0, 2.8284, '{"s":"a"}'),
     ]
+
+
+def test_r8_scalar_batch5_edge_cases(spark):
+    """Review-pinned edges: duplicate/empty query params (first
+    occurrence wins, no crash), out-of-range ipv4 prefix -> NULL,
+    nanosecond conversion keeps exact microseconds at 1e18 scale."""
+    from mirror_lake_kusto_spark.functions.kql_parse import kql
+
+    r = kql(
+        spark,
+        """t | project
+          dup = parse_urlquery('a=1&a=2&&b=3'),
+          m33 = parse_ipv4_mask('1.2.3.4', 33),
+          mneg = parse_ipv4_mask('1.2.3.4', -1),
+          ns = unixtime_nanoseconds_todatetime(1600000000000000999)""",
+        tables={"t": spark.createDataFrame([("x",)], "s string")},
+    ).collect()[0]
+    assert r.dup == '{"Query Parameters":{"a":"1","b":"3"}}'
+    assert r.m33 is None and r.mneg is None
+    assert r.ns.microsecond == 0 and r.ns.second == 40

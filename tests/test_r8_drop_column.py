@@ -198,12 +198,10 @@ def test_mirror_follows_source_drop(spark, tmp_path):
         pipe2.run_until_idle()
 
 
-def test_mirror_drop_rejects_rename_shaped_change(spark, tmp_path):
-    """evolve-drop must not swallow a rename (drop+add of the same
-    type would lose the data silently if misread as such — but a
-    RENAME on the source is drop+add by name, and evolve-drop
-    follows it as drop-then-null-add only when the SOURCE really
-    did that; a retype of a surviving column always raises."""
+def test_mirror_drop_rejects_retype_shaped_change(spark, tmp_path):
+    """A drop+re-add with a DIFFERENT type reaches the mirror as a
+    retype of the column — not drop-shaped — and must raise loudly
+    rather than silently losing data."""
     from mirror_lake_kusto_spark.pipeline.orchestrate import (
         MirrorPipeline,
         SchemaChangedError,
@@ -243,3 +241,70 @@ def test_mirror_drop_rejects_rename_shaped_change(spark, tmp_path):
     # retype of v -> not drop-shaped -> loud failure, no silent loss
     with pytest.raises(SchemaChangedError):
         pipe.run_until_idle()
+
+
+def test_mirror_drop_rejects_real_rename(spark, tmp_path):
+    """A SOURCE RENAME is drop+add by logical name, but the mapping
+    physicalName survives — evolve-drop must recognize the identity
+    and raise instead of silently blanking the target column."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import (
+        MirrorPipeline,
+        SchemaChangedError,
+    )
+
+    src = str(tmp_path / "src")
+    s = DeltaSink(spark, src)
+    s.append(
+        spark.createDataFrame(
+            [(1, "a", 5.0)], "id long, n string, v double"
+        )
+    )
+    pipe = MirrorPipeline(
+        spark,
+        src,
+        str(tmp_path / "dst"),
+        str(tmp_path / "state"),
+        table_name="t",
+        on_schema_change="evolve-drop",
+    )
+    pipe.run_until_idle()
+    s.evolve_rename({"v": "w"})
+    s.append(
+        spark.createDataFrame([(2, "b", 7.0)], "id long, n string, w double")
+    )
+    with pytest.raises(SchemaChangedError):
+        pipe.run_until_idle()
+
+
+def test_mirror_drop_mode_follows_pure_add(spark, tmp_path):
+    """The documented contract: evolve-drop accepts ADDED columns too
+    (a pure add is the most routine schema change — the mode must not
+    halt on it)."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+
+    src = str(tmp_path / "src")
+    s = DeltaSink(spark, src)
+    s.append(spark.createDataFrame([(1, "a")], "id long, n string"))
+    pipe = MirrorPipeline(
+        spark,
+        src,
+        str(tmp_path / "dst"),
+        str(tmp_path / "state"),
+        table_name="t",
+        on_schema_change="evolve-drop",
+    )
+    pipe.run_until_idle()
+    s.append(
+        spark.createDataFrame([(2, "b", 9.0)], "id long, n string, x double")
+    )
+    pipe.run_until_idle()
+    df = DL.read_snapshot(spark, pipe.sink.path)
+    got = {(r.id): (r.n, r.x) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.0)}
+    # ...and a drop AFTER the add still follows
+    s.evolve_drop(["x"])
+    s.append(spark.createDataFrame([(3, "c")], "id long, n string"))
+    pipe.run_until_idle()
+    df2 = DL.read_snapshot(spark, pipe.sink.path)
+    assert "x" not in df2.columns
+    assert sorted(r.id for r in df2.collect()) == [1, 2, 3]
