@@ -698,3 +698,37 @@ def test_initial_snapshot_on_vacuumed_log_folds_tail_deletes(spark, tmp_path):
     assert got == sorted(
         r["id"] for r in DL.read_snapshot(spark, path).collect()
     )
+
+
+def test_stream_update_dv_mid_stream(spark, tmp_path):
+    """Merge-on-read UPDATE mid-stream has the same commit shape as a
+    DV delete (remove + add-with-DV + fresh appended rows): the
+    default stream raises (a rewrite is not append-only), and
+    skipChangeCommits drops the whole commit — delivered rows equal
+    the pre-update snapshot plus later appends, while the batch head
+    read reflects the update."""
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+
+    path, ckpt = str(tmp_path / "t_udv"), str(tmp_path / "ckpt_udv")
+    src = DeltaSink(spark, path)
+    src.append(
+        spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    )
+    first = _drain(spark, path, ckpt, skip_change=True)
+    assert len(first) == 10
+    src.update_dv("id < 3", {"s": "'upd'"})
+    src.append(
+        spark.range(10, 12).selectExpr("id", "CAST(id AS STRING) AS s")
+    )
+    second = _drain(spark, path, ckpt, skip_change=True)
+    assert sorted(r["id"] for r in second) == [10, 11]
+    # default mode (fresh checkpoint): the rewrite commit raises
+    with pytest.raises(
+        StreamingQueryException, match="retract|skipChangeCommits"
+    ):
+        _drain(spark, path, str(tmp_path / "ckpt_udv2"))
+    # batch head read reflects the merge-on-read update
+    head = {
+        r["id"]: r["s"] for r in DL.read_snapshot(spark, path).collect()
+    }
+    assert head[0] == "upd" and head[5] == "5" and head[11] == "11"

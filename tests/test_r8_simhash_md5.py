@@ -85,3 +85,48 @@ def test_all_jvm_side_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapsInPandas" not in plan
+
+
+def test_randomized_pairs_match_python_reference(spark):
+    """25 seeded random near-dup pairs, disjoint vocabularies: the
+    operator's reported hamming must equal a pure-Python md5 SimHash
+    reference exactly — pair present iff reference hamming <= 3."""
+    import random
+
+    rng = random.Random(80808)
+
+    def py_sig(tokens):
+        sums = [0] * 64
+        for t in set(tokens):
+            h = int.from_bytes(
+                hashlib.md5(t.encode()).digest()[8:16], "little"
+            )
+            for i in range(64):
+                sums[i] += 1 if (h >> i) & 1 else -1
+        return sum((1 << i) for i in range(64) if sums[i] >= 0)
+
+    rows, expected = [], {}
+    for p in range(25):
+        vocab = [f"p{p}w{j}" for j in range(rng.randint(30, 80))]
+        a = list(vocab)
+        b = list(vocab)
+        for _ in range(rng.randint(0, 3)):  # 0-3 token mutations
+            b[rng.randrange(len(b))] = f"p{p}mut{rng.randrange(1000)}"
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+        ham = bin(py_sig(a) ^ py_sig(b)).count("1")
+        if ham <= 3:
+            expected[(2 * p, 2 * p + 1)] = ham
+    out = dedup.simhash_md5_pairs(
+        _df(spark, rows), "doc_id", "text", max_hamming=3
+    ).collect()
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in out
+        if r.id2 == r.id1 + 1 and r.id1 % 2 == 0
+    }
+    assert got == expected
+    # cross-pair hits (disjoint vocabularies) must exceed hamming 3
+    # and therefore never appear
+    cross = [r for r in out if (r.id1, r.id2) not in expected]
+    assert cross == []
