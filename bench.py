@@ -176,6 +176,7 @@ EXTENSION_HEADLINE = [
     "mirror_vacuum_retention",
     "d16_hll_sketch",
     "kql_scalar_toolkit5",
+    "kql_percentilew",
 ]
 
 

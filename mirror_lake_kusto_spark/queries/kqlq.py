@@ -2362,3 +2362,60 @@ def kql_scalar_toolkit5(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "part"),
     )
+
+
+@query(
+    "kql_percentilew",
+    """
+    WITH t AS (
+      SELECT l_returnflag g, l_extendedprice x,
+             CAST(l_quantity AS BIGINT) w
+      FROM lineitem WHERE l_orderkey <= 20000
+    ),
+    s AS (
+      SELECT g, x, w,
+             SUM(w) OVER (PARTITION BY g ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY g) AS tw
+      FROM t
+    ),
+    j AS (
+      SELECT s.g, s.x, s.cw, pr.p, pr.p * (s.tw - 1) AS r
+      FROM s CROSS JOIN (SELECT UNNEST([0.50, 0.90]) AS p) pr
+    ),
+    q AS (
+      SELECT g, p,
+             MIN(x) FILTER (WHERE cw > FLOOR(r)) AS lo,
+             MIN(x) FILTER (WHERE cw > CEIL(r))  AS hi,
+             ANY_VALUE(r) AS r
+      FROM j GROUP BY g, p
+    )
+    SELECT g AS l_returnflag,
+           ROUND(MAX(CASE WHEN p = 0.50
+                 THEN lo + (r - FLOOR(r)) * (hi - lo) END), 4) AS p50w,
+           ROUND(MAX(CASE WHEN p = 0.90
+                 THEN lo + (r - FLOOR(r)) * (hi - lo) END), 4) AS p90w
+    FROM q GROUP BY g ORDER BY g
+    """,
+    doc="KQL percentilew (weighted percentile): lowers to Spark's "
+    "exact percentile(expr, frac, frequency) single-pass aggregate — "
+    "no row explosion.  The oracle re-derives the expanded-multiset "
+    "continuous quantile with cumulative-weight window math (lo/hi = "
+    "first values past floor/ceil of p*(W-1), linear interpolation) "
+    "— the exact definition Spark's frequency argument implements",
+)
+def kql_percentilew(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        lineitem
+        | where l_orderkey <= 20000
+        | summarize p50w = round(percentilew(l_extendedprice,
+                                 tolong(l_quantity), 50), 4),
+                    p90w = round(percentilew(l_extendedprice,
+                                 tolong(l_quantity), 90), 4)
+          by l_returnflag
+        | order by l_returnflag asc
+        """,
+        tables=_tables(spark, sf_dir, "lineitem"),
+    )
