@@ -177,6 +177,7 @@ EXTENSION_HEADLINE = [
     "d16_hll_sketch",
     "kql_scalar_toolkit5",
     "kql_percentilew",
+    "kql_active_users_count",
 ]
 
 

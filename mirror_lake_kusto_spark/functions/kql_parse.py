@@ -4080,6 +4080,7 @@ class KqlQuery:
             "narrow",
             "activity_counts_metrics",
             "sliding_window_counts",
+            "active_users_count",
             "activity_engagement",
             "activity_metrics",
             "sequence_detect",
@@ -4105,6 +4106,8 @@ class KqlQuery:
             return self._activity_counts_metrics(frame, args)
         if plugin == "sliding_window_counts":
             return self._sliding_window_counts(frame, args)
+        if plugin == "active_users_count":
+            return self._active_users_count(frame, args)
         if plugin == "activity_engagement":
             return self._activity_engagement(frame, args)
         if plugin == "activity_metrics":
@@ -4484,6 +4487,66 @@ class KqlQuery:
                 ).alias("Timeline"),
                 "Count",
                 "Dcount",
+            )
+        )
+        return KqlFrame(out)
+
+    def _active_users_count(self, frame, args):
+        """``evaluate active_users_count(Id, Timeline, Start, End,
+        LookbackWindow, Period, ActivePeriodsCount)`` — per Period
+        grid point b in [Start, End]: distinct ids that were active
+        in at least ActivePeriodsCount DISTINCT periods within
+        (b-Lookback, b] (Kusto's "stickiness" dcount; a plain sliding
+        dcount is the ActivePeriodsCount=1 special case).  Scale
+        shape: the per-event explode is bounded by Lookback/Period
+        (same as sliding_window_counts), then two hash aggregations —
+        no self-join, no window over the full event set."""
+        idc, tc, start_sql, end_sql = self._span_args(args, 2)
+        win_us = self._win_us(args[4], "LookbackWindow")
+        per_us = self._win_us(args[5], "Period")
+        try:
+            k_min = int(str(args[6]).strip())
+        except (IndexError, ValueError) as exc:
+            raise KqlParseError(
+                "active_users_count needs an integer "
+                f"ActivePeriodsCount, got {args[6:]!r}"
+            ) from exc
+        if win_us % per_us:
+            raise KqlParseError(
+                "LookbackWindow must be a multiple of Period"
+            )
+        spark = self._spark or frame.df.sparkSession
+        s_us = f"unix_micros({start_sql})"
+        e_us = f"unix_micros({end_sql})"
+        covered = self._covered_bins(
+            frame.df, tc, start_sql, end_sql, win_us, per_us
+        )
+        t_us = f"unix_micros({tc})"
+        per = (
+            covered.withColumn(
+                "_p", F.expr(f"(({t_us}) - ({s_us})) DIV {per_us}")
+            )
+            .groupBy("_k", idc)
+            .agg(F.countDistinct("_p").alias("_np"))
+            .filter(F.col("_np") >= k_min)
+            .groupBy("_k")
+            .agg(F.countDistinct(idc).alias("dcount"))
+        )
+        grid = spark.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(0L, (({e_us}) - ({s_us})) DIV {per_us})"
+                )
+            ).alias("_k")
+        )
+        out = (
+            grid.join(per, "_k", "left")
+            .fillna({"dcount": 0})
+            .select(
+                F.expr(
+                    f"timestamp_micros(({s_us}) + _k * {per_us})"
+                ).alias("Timeline"),
+                "dcount",
             )
         )
         return KqlFrame(out)

@@ -2419,3 +2419,53 @@ def kql_percentilew(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "lineitem"),
     )
+
+
+@query(
+    "kql_active_users_count",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)
+                  - TIMESTAMP '2024-01-03') / 86400) AS BIGINT) AS p
+      FROM events
+      WHERE event_type = 'click'
+        AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03'
+        AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-17'
+    ), grid AS (
+      SELECT CAST(g AS BIGINT) AS k,
+             TIMESTAMP '2024-01-03' + CAST(g AS BIGINT) * INTERVAL 1 DAY
+               AS Timeline
+      FROM generate_series(0, 14) s(g)
+    ), sticky AS (
+      SELECT g.k, e.user_id
+      FROM grid g JOIN ev e
+        ON e.t <= g.Timeline AND e.t > g.Timeline - INTERVAL 7 DAY
+      GROUP BY g.k, e.user_id
+      HAVING COUNT(DISTINCT e.p) >= 3
+    )
+    SELECT g.Timeline,
+           CAST(COUNT(s.user_id) AS BIGINT) AS dcount
+    FROM grid g LEFT JOIN sticky s ON s.k = g.k
+    GROUP BY g.Timeline
+    ORDER BY g.Timeline
+    """,
+    doc="KQL active_users_count plugin (round 8): per daily grid "
+    "point, distinct users active on >= 3 DISTINCT days of the "
+    "trailing 7 — Kusto's stickiness dcount.  Engine shape: bounded "
+    "per-event bin explode (x lookback/period) then two hash "
+    "aggregations, no bins-to-events range join; the oracle "
+    "re-derives it with an explicit grid join",
+)
+def kql_active_users_count(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | where event_type == 'click'
+        | evaluate active_users_count(user_id, ts,
+            datetime(2024-01-03), datetime(2024-01-17), 7d, 1d, 3)
+        | order by Timeline asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
