@@ -178,6 +178,7 @@ EXTENSION_HEADLINE = [
     "kql_scalar_toolkit5",
     "kql_percentilew",
     "kql_active_users_count",
+    "kql_funnel_completion",
 ]
 
 

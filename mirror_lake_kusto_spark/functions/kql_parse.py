@@ -4084,6 +4084,7 @@ class KqlQuery:
             "activity_engagement",
             "activity_metrics",
             "sequence_detect",
+            "funnel_sequence_completion",
             "new_activity_metrics",
             "dcount_intersect",
             "funnel_sequence",
@@ -4120,6 +4121,8 @@ class KqlQuery:
             return self._dcount_intersect(frame, args)
         if plugin == "funnel_sequence":
             return self._funnel_sequence(frame, args)
+        if plugin == "funnel_sequence_completion":
+            return self._funnel_sequence_completion(frame, args)
         if plugin == "session_count":
             return self._session_count(frame, args)
         if plugin == "rolling_percentile":
@@ -4759,6 +4762,120 @@ class KqlQuery:
                 F.expr("0" + "".join(terms)).cast("long").alias(f"s{i}")
             )
         return KqlFrame(df.select(*keep, *outs))
+
+    def _funnel_sequence_completion(self, frame, args):
+        """``evaluate funnel_sequence_completion(Id, Timeline, Start,
+        End, BinSize, StateColumn, Sequence, MaxSequenceWindows)`` —
+        per funnel-START bin and per sequence PREFIX: distinct ids
+        that completed the prefix (states in order, not necessarily
+        adjacent, earliest-completion matching) with the prefix's
+        last step within MaxSequenceWindows[k-1] of the FIRST step.
+
+        Scale shape: one filtered event set, then L-1 id-keyed
+        aggregate-join rounds (L = len(Sequence), guarded small) —
+        each round is min-per-id over candidate next events, hash-
+        partitioned on the id; no window over the global event set,
+        no explode, no Python."""
+        import json as _json
+
+        if len(args) != 8:
+            raise KqlParseError(
+                "funnel_sequence_completion needs (IdColumn, "
+                "TimelineColumn, Start, End, BinSize, StateColumn, "
+                "Sequence, MaxSequenceWindows)"
+            )
+        idc, tc, start_sql, end_sql = self._span_args(args, 2)
+        bin_us = self._win_us(args[4], "BinSize")
+        state = args[5].strip()
+
+        def _arr(raw, what):
+            raw = raw.strip()
+            m = re.match(r"^dynamic\s*\((.*)\)$", raw, re.DOTALL)
+            if m:
+                raw = m.group(1).strip()
+            try:
+                val = _json.loads(raw.replace("'", '"'))
+            except Exception:
+                raise KqlParseError(
+                    f"funnel_sequence_completion: {what} must be a "
+                    f"dynamic array literal, got {raw!r}"
+                ) from None
+            if not isinstance(val, list) or not val:
+                raise KqlParseError(
+                    f"funnel_sequence_completion: {what} must be a "
+                    "non-empty array"
+                )
+            return val
+
+        seq = _arr(args[6], "Sequence")
+        wins_raw = _arr(args[7], "MaxSequenceWindows")
+        if len(wins_raw) != len(seq):
+            raise KqlParseError(
+                "MaxSequenceWindows must have one window per "
+                "sequence step"
+            )
+        if len(seq) > 8:
+            raise KqlParseError(
+                "funnel_sequence_completion: sequence longer than 8 "
+                "steps (each step is an aggregate-join round)"
+            )
+        wins_us = [
+            self._win_us(str(w), "MaxSequenceWindows") for w in wins_raw
+        ]
+        s_us = f"unix_micros({start_sql})"
+        df = frame.df.filter(
+            F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
+        )
+        ev = df.select(
+            F.col(idc).alias("_id"),
+            F.expr(f"unix_micros({tc})").alias("_t"),
+            F.col(state).cast("string").alias("_s"),
+        )
+
+        def lit_state(v):
+            return F.lit(str(v))
+
+        cur = (
+            ev.filter(F.col("_s") == lit_state(seq[0]))
+            .groupBy("_id")
+            .agg(F.min("_t").alias("_t1"))
+        )
+        reached = [cur]  # reached[k]: ids with _t1.._t{k+1}
+        for k in range(1, len(seq)):
+            prev_t = f"_t{k}"
+            nxt = (
+                ev.filter(F.col("_s") == lit_state(seq[k]))
+                .join(reached[-1], "_id")
+                .filter(F.col("_t") > F.col(prev_t))
+                .groupBy("_id", *[f"_t{j}" for j in range(1, k + 1)])
+                .agg(F.min("_t").alias(f"_t{k + 1}"))
+            )
+            reached.append(nxt)
+        spark = self._spark or frame.df.sparkSession
+        outs = []
+        for k in range(len(seq)):
+            # prefix k+1 complete iff _t{k+1} - _t1 <= wins_us[k]
+            r = reached[k].filter(
+                F.col(f"_t{k + 1}") - F.col("_t1") <= F.lit(wins_us[k])
+            )
+            outs.append(
+                r.select(
+                    F.expr(
+                        f"timestamp_micros(({s_us}) + "
+                        f"((_t1 - ({s_us})) DIV {bin_us}) * {bin_us})"
+                    ).alias("Timeline"),
+                    F.lit(
+                        ", ".join(str(v) for v in seq[: k + 1])
+                    ).alias("StateSequence"),
+                    F.col("_id"),
+                )
+                .groupBy("Timeline", "StateSequence")
+                .agg(F.countDistinct("_id").alias("dcount"))
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return KqlFrame(out)
 
     def _funnel_sequence(self, frame, args):
         """``evaluate funnel_sequence(Id, Timeline, Start, End,

@@ -2469,3 +2469,62 @@ def kql_active_users_count(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_funnel_completion",
+    """
+    WITH e AS (
+      SELECT user_id AS id, CAST(ts AS TIMESTAMP) AS t,
+             event_type AS s
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'
+    ),
+    s1 AS (SELECT id, MIN(t) AS t1 FROM e WHERE s = 'view' GROUP BY id),
+    s2 AS (SELECT e.id, s1.t1, MIN(e.t) AS t2
+           FROM e JOIN s1 ON e.id = s1.id
+           WHERE e.s = 'click' AND e.t > s1.t1 GROUP BY e.id, s1.t1),
+    s3 AS (SELECT e.id, s2.t1, MIN(e.t) AS t3
+           FROM e JOIN s2 ON e.id = s2.id
+           WHERE e.s = 'purchase' AND e.t > s2.t2
+           GROUP BY e.id, s2.t1),
+    binned AS (
+      SELECT 'view' AS StateSequence, id,
+             t1 AS tl, t1 FROM s1
+      UNION ALL
+      SELECT 'view, click', id, t2, t1 FROM s2
+        WHERE t2 - t1 <= INTERVAL 3 DAY
+      UNION ALL
+      SELECT 'view, click, purchase', id, t3, t1 FROM s3
+        WHERE t3 - t1 <= INTERVAL 7 DAY
+    )
+    SELECT TIMESTAMP '2024-01-01'
+             + CAST(FLOOR(EPOCH(t1 - TIMESTAMP '2024-01-01') / 86400)
+               AS BIGINT) * INTERVAL 1 DAY AS Timeline,
+           StateSequence,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS dcount
+    FROM binned
+    GROUP BY 1, 2 ORDER BY Timeline, StateSequence
+    """,
+    doc="KQL funnel_sequence_completion plugin (round 8): per "
+    "funnel-START day and sequence prefix (view -> click -> "
+    "purchase), distinct users whose earliest-completion prefix "
+    "finished within its max window (1d/3d/7d from the first step). "
+    "Engine shape: L-1 id-keyed aggregate-join rounds, no global "
+    "window; the oracle hand-unrolls the same earliest-completion "
+    "recurrence",
+)
+def kql_funnel_completion(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        events
+        | evaluate funnel_sequence_completion(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 1d,
+            event_type, dynamic(['view', 'click', 'purchase']),
+            dynamic(['1d', '3d', '7d']))
+        | order by Timeline asc, StateSequence asc
+        """,
+        tables=_tables(spark, sf_dir, "events"),
+    )
