@@ -179,6 +179,7 @@ EXTENSION_HEADLINE = [
     "kql_percentilew",
     "kql_active_users_count",
     "kql_funnel_completion",
+    "kql_basket",
 ]
 
 

@@ -4094,6 +4094,7 @@ class KqlQuery:
             "ipv4_lookup",
             "diffpatterns",
             "autocluster",
+            "basket",
         ):
             raise KqlParseError(f"unsupported evaluate plugin: {plugin!r}")
         args, end = _find_args(rest, rest.index("("))
@@ -4133,6 +4134,8 @@ class KqlQuery:
             return self._ipv4_lookup(frame, args)
         if plugin == "diffpatterns":
             return self._diffpatterns(frame, args)
+        if plugin == "basket":
+            return self._basket(frame, args)
         if plugin == "autocluster":
             return self._autocluster(frame, args)
         pcol = args[0].strip()
@@ -5374,6 +5377,96 @@ class KqlQuery:
             )
         )
         return KqlFrame(ranked)
+
+    def _basket(self, frame, args):
+        """``evaluate basket([Threshold])`` — FREQUENT attribute
+        patterns (Apriori's output): every conjunction of
+        attribute=value terms, any size, whose row count is at least
+        Threshold (default 0.05) of the input.  DETERMINISTIC
+        restricted profile of Kusto's heuristic miner: attributes are
+        every string column (cap 8), patterns enumerate via one CUBE
+        hash aggregation (2^attrs grouping sets — bounded by the
+        cap), ranked by Count descending with a full deterministic
+        tiebreak.  Output: SegmentId, Count, Percent, attribute
+        columns (null = wildcard).
+
+        Scale shape: ONE grouping-sets pass over the input; the
+        threshold filter and ranking run on the tiny pattern table —
+        the frequent-itemset lattice never materializes row-wise."""
+        import itertools as _it
+
+        from pyspark.sql import Window as _W
+
+        threshold = 0.05
+        if len(args) > 1:
+            raise KqlParseError(
+                "basket supports at most (Threshold) in this profile"
+            )
+        if args and args[0].strip():
+            try:
+                threshold = float(args[0])
+            except ValueError:
+                raise KqlParseError(
+                    f"basket: bad Threshold {args[0]!r}"
+                ) from None
+            if not 0 < threshold < 1:
+                raise KqlParseError("basket: Threshold must be in (0, 1)")
+        df = frame.df
+        attrs = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        if not attrs:
+            raise KqlParseError("basket: no string attribute columns")
+        if len(attrs) > 8:
+            raise KqlParseError(
+                f"basket: {len(attrs)} attribute columns exceed the "
+                "profile cap (8)"
+            )
+        sets = [
+            "(" + ", ".join(f"`{a}`" for a in combo) + ")"
+            for r in range(1, len(attrs) + 1)
+            for combo in _it.combinations(attrs, r)
+        ] + ["()"]
+        quoted = ", ".join(f"`{a}`" for a in attrs)
+        gid_all = (1 << len(attrs)) - 1
+        null_guard = " AND ".join(
+            f"(grouping(`{a}`) = 1 OR `{a}` IS NOT NULL)" for a in attrs
+        )
+        spark = df.sparkSession
+        agg = spark.sql(
+            f"""
+            SELECT {quoted}, CAST(count(*) AS BIGINT) AS Count,
+                   grouping_id({quoted}) AS __gid
+            FROM {{src}}
+            GROUP BY GROUPING SETS ({", ".join(sets)})
+            HAVING {null_guard}
+            """,
+            src=df,
+        )
+        totals = (
+            agg.filter(F.col("__gid") == gid_all)
+            .select(F.col("Count").alias("_t"))
+        )
+        order = [F.col("Count").desc()] + [
+            F.col(a).asc_nulls_last() for a in attrs
+        ]
+        out = (
+            agg.filter(F.col("__gid") != gid_all)
+            .drop("__gid")
+            .join(F.broadcast(totals))
+            .filter(F.col("Count") >= F.col("_t") * F.lit(threshold))
+            .withColumn(
+                "Percent",
+                F.round(F.col("Count") * 100.0 / F.col("_t"), 2),
+            )
+            .withColumn(
+                "SegmentId", F.row_number().over(_W.orderBy(*order)) - 1
+            )
+            .select("SegmentId", "Count", "Percent", *attrs)
+        )
+        return KqlFrame(out)
 
     def _autocluster(self, frame, args):
         """``evaluate autocluster([SizeWeight])`` — the most COMMON

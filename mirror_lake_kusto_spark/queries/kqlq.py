@@ -2528,3 +2528,55 @@ def kql_funnel_completion(spark, sf_dir):
         """,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "kql_basket",
+    """
+    WITH src AS (
+      SELECT o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey <= 30000
+    ),
+    agg AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             COUNT(*) AS cnt,
+             GROUPING(o_orderstatus) AS gs,
+             GROUPING(o_orderpriority) AS gp
+      FROM src
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+    ),
+    tot AS (SELECT cnt AS t FROM agg WHERE gs = 1 AND gp = 1),
+    pat AS (
+      SELECT s, p, cnt FROM agg, tot
+      WHERE NOT (gs = 1 AND gp = 1)
+        AND (gs = 1 OR s IS NOT NULL)
+        AND (gp = 1 OR p IS NOT NULL)
+        AND cnt >= t * 0.05
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                 s ASC NULLS LAST, p ASC NULLS LAST) - 1 AS INT)
+               AS SegmentId,
+           CAST(cnt AS BIGINT) AS Count,
+           ROUND(cnt * 100.0 / (SELECT t FROM tot), 2) AS Percent,
+           s AS o_orderstatus, p AS o_orderpriority
+    FROM pat ORDER BY SegmentId
+    """,
+    doc="KQL basket plugin (round 8): frequent attribute patterns "
+    "(Apriori's output) over order status x priority at the default "
+    "0.05 threshold — one CUBE-style grouping-sets pass, threshold "
+    "and ranking on the tiny pattern table; null attribute = "
+    "wildcard.  Oracle re-derives the identical lattice in DuckDB",
+)
+def kql_basket(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        orders
+        | where o_orderkey <= 30000
+        | project o_orderstatus, o_orderpriority
+        | evaluate basket()
+        | order by SegmentId asc
+        """,
+        tables=_tables(spark, sf_dir, "orders"),
+    )

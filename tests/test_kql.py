@@ -223,7 +223,7 @@ def test_parse_errors_are_loud(spark):
 
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(KqlParseError, match="unsupported evaluate plugin"):
-        kql(spark, "t | evaluate basket()", tables={"t": df})
+        kql(spark, "t | evaluate mystery_plugin()", tables={"t": df})
     # autocluster IS supported now, but stays loud without attributes
     with pytest.raises(KqlParseError, match="no string attribute"):
         kql(spark, "t | evaluate autocluster()", tables={"t": df})
