@@ -4459,6 +4459,19 @@ class KqlQuery:
             F.explode(F.expr(f"sequence({k0}, {k1})")),
         )
 
+    def _grid_frame(self, spark, s_us: str, e_us: str, step_us: int):
+        """Start-anchored index grid 0..(End-Start)/step as ``_k`` —
+        the zero-fill backbone every windowed activity plugin joins
+        its per-bin aggregates onto (shared so the grid arithmetic
+        can never drift between plugins)."""
+        return spark.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(0L, (({e_us}) - ({s_us})) DIV {step_us})"
+                )
+            ).alias("_k")
+        )
+
     def _sliding_window_counts(self, frame, args):
         """``evaluate sliding_window_counts(Id, Timeline, Start, End,
         LookbackWindow, Bin)`` — per Bin grid point b in [Start, End]:
@@ -4477,13 +4490,7 @@ class KqlQuery:
             F.count("*").alias("Count"),
             F.countDistinct(idc).alias("Dcount"),
         )
-        grid = spark.range(1).select(
-            F.explode(
-                F.expr(
-                    f"sequence(0L, (({e_us}) - ({s_us})) DIV {bin_us})"
-                )
-            ).alias("_k")
-        )
+        grid = self._grid_frame(spark, s_us, e_us, bin_us)
         out = (
             grid.join(per, "_k", "left")
             .fillna({"Count": 0, "Dcount": 0})
@@ -4507,15 +4514,23 @@ class KqlQuery:
         shape: the per-event explode is bounded by Lookback/Period
         (same as sliding_window_counts), then two hash aggregations —
         no self-join, no window over the full event set."""
+        if len(args) != 7:
+            raise KqlParseError(
+                "active_users_count needs exactly (IdColumn, "
+                "TimelineColumn, Start, End, LookbackWindow, Period, "
+                "ActivePeriodsCount) — Kusto's optional dimension "
+                "columns are not supported in this profile (silently "
+                "dropping them would return wrong global counts)"
+            )
         idc, tc, start_sql, end_sql = self._span_args(args, 2)
         win_us = self._win_us(args[4], "LookbackWindow")
         per_us = self._win_us(args[5], "Period")
         try:
             k_min = int(str(args[6]).strip())
-        except (IndexError, ValueError) as exc:
+        except ValueError as exc:
             raise KqlParseError(
                 "active_users_count needs an integer "
-                f"ActivePeriodsCount, got {args[6:]!r}"
+                f"ActivePeriodsCount, got {args[6]!r}"
             ) from exc
         if win_us % per_us:
             raise KqlParseError(
@@ -4538,13 +4553,7 @@ class KqlQuery:
             .groupBy("_k")
             .agg(F.countDistinct(idc).alias("dcount"))
         )
-        grid = spark.range(1).select(
-            F.explode(
-                F.expr(
-                    f"sequence(0L, (({e_us}) - ({s_us})) DIV {per_us})"
-                )
-            ).alias("_k")
-        )
+        grid = self._grid_frame(spark, s_us, e_us, per_us)
         out = (
             grid.join(per, "_k", "left")
             .fillna({"dcount": 0})
@@ -4766,6 +4775,29 @@ class KqlQuery:
             )
         return KqlFrame(df.select(*keep, *outs))
 
+    @staticmethod
+    def _dyn_array_literal(raw: str, plugin: str, what: str) -> list:
+        """Parse a ``dynamic([...])`` literal argument (shared by the
+        funnel plugins so the accepted spelling can never diverge)."""
+        import json as _json
+
+        raw = raw.strip()
+        m = re.match(r"^dynamic\s*\((.*)\)$", raw, re.DOTALL)
+        if m:
+            raw = m.group(1).strip()
+        try:
+            val = _json.loads(raw.replace("'", '"'))
+        except Exception:
+            raise KqlParseError(
+                f"{plugin}: {what} must be a dynamic array literal, "
+                f"got {raw!r}"
+            ) from None
+        if not isinstance(val, list) or not val:
+            raise KqlParseError(
+                f"{plugin}: {what} must be a non-empty array"
+            )
+        return val
+
     def _funnel_sequence_completion(self, frame, args):
         """``evaluate funnel_sequence_completion(Id, Timeline, Start,
         End, BinSize, StateColumn, Sequence, MaxSequenceWindows)`` —
@@ -4779,8 +4811,6 @@ class KqlQuery:
         each round is min-per-id over candidate next events, hash-
         partitioned on the id; no window over the global event set,
         no explode, no Python."""
-        import json as _json
-
         if len(args) != 8:
             raise KqlParseError(
                 "funnel_sequence_completion needs (IdColumn, "
@@ -4791,27 +4821,12 @@ class KqlQuery:
         bin_us = self._win_us(args[4], "BinSize")
         state = args[5].strip()
 
-        def _arr(raw, what):
-            raw = raw.strip()
-            m = re.match(r"^dynamic\s*\((.*)\)$", raw, re.DOTALL)
-            if m:
-                raw = m.group(1).strip()
-            try:
-                val = _json.loads(raw.replace("'", '"'))
-            except Exception:
-                raise KqlParseError(
-                    f"funnel_sequence_completion: {what} must be a "
-                    f"dynamic array literal, got {raw!r}"
-                ) from None
-            if not isinstance(val, list) or not val:
-                raise KqlParseError(
-                    f"funnel_sequence_completion: {what} must be a "
-                    "non-empty array"
-                )
-            return val
-
-        seq = _arr(args[6], "Sequence")
-        wins_raw = _arr(args[7], "MaxSequenceWindows")
+        seq = self._dyn_array_literal(
+            args[6], "funnel_sequence_completion", "Sequence"
+        )
+        wins_raw = self._dyn_array_literal(
+            args[7], "funnel_sequence_completion", "MaxSequenceWindows"
+        )
         if len(wins_raw) != len(seq):
             raise KqlParseError(
                 "MaxSequenceWindows must have one window per "
@@ -4829,14 +4844,34 @@ class KqlQuery:
         df = frame.df.filter(
             F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
         )
-        ev = df.select(
-            F.col(idc).alias("_id"),
-            F.expr(f"unix_micros({tc})").alias("_t"),
-            F.col(state).cast("string").alias("_s"),
+        def _render_state(v):
+            # JSON spelling, not Python's: True -> 'true' (matching
+            # CAST(boolean AS STRING)); numbers/strings pass through
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if v is None:
+                raise KqlParseError(
+                    "funnel_sequence_completion: null is not a "
+                    "matchable state"
+                )
+            return str(v)
+
+        states = [_render_state(v) for v in seq]
+        # each union branch re-derives its reached-chain from ev, so
+        # the SEQUENCE-STATES-ONLY event set is persisted once
+        # (bounded; L <= 8 branches reuse it)
+        ev = (
+            df.select(
+                F.col(idc).alias("_id"),
+                F.expr(f"unix_micros({tc})").alias("_t"),
+                F.col(state).cast("string").alias("_s"),
+            )
+            .filter(F.col("_s").isin(states))
+            .persist()
         )
 
         def lit_state(v):
-            return F.lit(str(v))
+            return F.lit(_render_state(v))
 
         cur = (
             ev.filter(F.col("_s") == lit_state(seq[0]))
@@ -4854,12 +4889,18 @@ class KqlQuery:
                 .agg(F.min("_t").alias(f"_t{k + 1}"))
             )
             reached.append(nxt)
-        spark = self._spark or frame.df.sparkSession
         outs = []
         for k in range(len(seq)):
-            # prefix k+1 complete iff _t{k+1} - _t1 <= wins_us[k]
-            r = reached[k].filter(
-                F.col(f"_t{k + 1}") - F.col("_t1") <= F.lit(wins_us[k])
+            # prefix k+1 complete iff _t{k+1} - _t1 <= wins_us[k];
+            # for k=0 that is 0 <= window by construction, so the
+            # filter is skipped rather than written as a constant
+            r = (
+                reached[k]
+                if k == 0
+                else reached[k].filter(
+                    F.col(f"_t{k + 1}") - F.col("_t1")
+                    <= F.lit(wins_us[k])
+                )
             )
             outs.append(
                 r.select(
@@ -4911,21 +4952,9 @@ class KqlQuery:
         max_us = self._win_us(args[4], "MaxSequenceStepWindow")
         self._win_us(args[5], "Step")  # validated; unused in this view
         state = args[6].strip()
-        seq_raw = args[7].strip()
-        m = re.match(r"^dynamic\s*\((.*)\)$", seq_raw, re.DOTALL)
-        if m:
-            seq_raw = m.group(1).strip()
-        try:
-            seq = _json.loads(seq_raw.replace("'", '"'))
-        except Exception:
-            raise KqlParseError(
-                f"funnel_sequence: Sequence must be a dynamic array "
-                f"literal, got {args[7]!r}"
-            ) from None
-        if not isinstance(seq, list) or not seq:
-            raise KqlParseError(
-                "funnel_sequence: Sequence must be a non-empty array"
-            )
+        seq = self._dyn_array_literal(
+            args[7], "funnel_sequence", "Sequence"
+        )
         L = len(seq)
         df = frame.df.filter(
             F.expr(f"({tc}) >= {start_sql} AND ({tc}) < {end_sql}")
@@ -5378,57 +5407,25 @@ class KqlQuery:
         )
         return KqlFrame(ranked)
 
-    def _basket(self, frame, args):
-        """``evaluate basket([Threshold])`` — FREQUENT attribute
-        patterns (Apriori's output): every conjunction of
-        attribute=value terms, any size, whose row count is at least
-        Threshold (default 0.05) of the input.  DETERMINISTIC
-        restricted profile of Kusto's heuristic miner: attributes are
-        every string column (cap 8), patterns enumerate via one CUBE
-        hash aggregation (2^attrs grouping sets — bounded by the
-        cap), ranked by Count descending with a full deterministic
-        tiebreak.  Output: SegmentId, Count, Percent, attribute
-        columns (null = wildcard).
-
-        Scale shape: ONE grouping-sets pass over the input; the
-        threshold filter and ranking run on the tiny pattern table —
-        the frequent-itemset lattice never materializes row-wise."""
-        import itertools as _it
-
-        from pyspark.sql import Window as _W
-
-        threshold = 0.05
-        if len(args) > 1:
-            raise KqlParseError(
-                "basket supports at most (Threshold) in this profile"
-            )
-        if args and args[0].strip():
-            try:
-                threshold = float(args[0])
-            except ValueError:
-                raise KqlParseError(
-                    f"basket: bad Threshold {args[0]!r}"
-                ) from None
-            if not 0 < threshold < 1:
-                raise KqlParseError("basket: Threshold must be in (0, 1)")
-        df = frame.df
+    def _pattern_scaffold(self, df, plugin: str, sets_of):
+        """Shared frequent-pattern machinery for basket/autocluster:
+        string-attribute discovery (cap 8), ONE grouping-sets hash
+        aggregation (``sets_of(attrs)`` picks the lattice slice), the
+        global total, the data-null guard, and the deterministic
+        ranking order.  Returns (attrs, agg, totals, order, gid_all)."""
         attrs = [
             f.name
             for f in df.schema.fields
             if f.dataType.simpleString() == "string"
         ]
         if not attrs:
-            raise KqlParseError("basket: no string attribute columns")
+            raise KqlParseError(f"{plugin}: no string attribute columns")
         if len(attrs) > 8:
             raise KqlParseError(
-                f"basket: {len(attrs)} attribute columns exceed the "
+                f"{plugin}: {len(attrs)} attribute columns exceed the "
                 "profile cap (8)"
             )
-        sets = [
-            "(" + ", ".join(f"`{a}`" for a in combo) + ")"
-            for r in range(1, len(attrs) + 1)
-            for combo in _it.combinations(attrs, r)
-        ] + ["()"]
+        sets = sets_of(attrs) + ["()"]
         quoted = ", ".join(f"`{a}`" for a in attrs)
         gid_all = (1 << len(attrs)) - 1
         null_guard = " AND ".join(
@@ -5452,11 +5449,65 @@ class KqlQuery:
         order = [F.col("Count").desc()] + [
             F.col(a).asc_nulls_last() for a in attrs
         ]
+        return attrs, agg, totals, order, gid_all
+
+    def _basket(self, frame, args):
+        """``evaluate basket([Threshold])`` — FREQUENT attribute
+        patterns (Apriori's output): every conjunction of
+        attribute=value terms, any size, whose row count is at least
+        Threshold (default 0.05) of the input.  DETERMINISTIC
+        restricted profile of Kusto's heuristic miner: attributes are
+        every string column (cap 8), patterns enumerate via one CUBE
+        hash aggregation (2^attrs grouping sets — bounded by the
+        cap), ranked by Count descending with a full deterministic
+        tiebreak.  Output: SegmentId, Count, Percent, attribute
+        columns (null = wildcard).
+
+        Scale shape: ONE grouping-sets pass over the input; the
+        threshold filter and ranking run on the tiny pattern table —
+        the frequent-itemset lattice never materializes row-wise."""
+        import itertools as _it
+
+        from pyspark.sql import Window as _W
+
+        from fractions import Fraction
+
+        threshold = Fraction(1, 20)  # Kusto default 0.05
+        if len(args) > 1:
+            raise KqlParseError(
+                "basket supports at most (Threshold) in this profile"
+            )
+        if args and args[0].strip():
+            try:
+                # exact rational from the literal's decimal digits —
+                # a binary double would misjudge counts landing
+                # exactly on the threshold (7500 * 0.05 != 375.0)
+                threshold = Fraction(args[0].strip())
+            except ValueError:
+                raise KqlParseError(
+                    f"basket: bad Threshold {args[0]!r}"
+                ) from None
+            if not 0 < threshold < 1:
+                raise KqlParseError("basket: Threshold must be in (0, 1)")
+        df = frame.df
+        attrs, agg, totals, order, gid_all = self._pattern_scaffold(
+            df,
+            "basket",
+            lambda attrs: [
+                "(" + ", ".join(f"`{a}`" for a in combo) + ")"
+                for r in range(1, len(attrs) + 1)
+                for combo in _it.combinations(attrs, r)
+            ],
+        )
         out = (
             agg.filter(F.col("__gid") != gid_all)
             .drop("__gid")
             .join(F.broadcast(totals))
-            .filter(F.col("Count") >= F.col("_t") * F.lit(threshold))
+            # integer cross-multiply: Count/total >= num/den, exact
+            .filter(
+                F.col("Count") * F.lit(threshold.denominator)
+                >= F.col("_t") * F.lit(threshold.numerator)
+            )
             .withColumn(
                 "Percent",
                 F.round(F.col("Count") * 100.0 / F.col("_t"), 2),
@@ -5497,53 +5548,24 @@ class KqlQuery:
                 raise KqlParseError(
                     "autocluster: SizeWeight must be in (0, 1)"
                 )
-        df = frame.df
-        attrs = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString() == "string"
-        ]
-        if not attrs:
-            raise KqlParseError("autocluster: no string attribute columns")
-        if len(attrs) > 8:
-            raise KqlParseError(
-                f"autocluster: {len(attrs)} attribute columns exceed "
-                "the profile cap (8)"
-            )
         import itertools as _it
 
         from pyspark.sql import Window as _W
 
+        df = frame.df
         # one pass: the global () grouping set carries the total,
         # separated by grouping_id(); the HAVING grouping() guard
         # drops rows whose pattern term is a null DATA value (they
         # would be indistinguishable from the wildcard-null spelling)
-        sets = [f"(`{a}`)" for a in attrs] + [
-            f"(`{a}`, `{b}`)" for a, b in _it.combinations(attrs, 2)
-        ] + ["()"]
-        quoted = ", ".join(f"`{a}`" for a in attrs)
-        gid_all = (1 << len(attrs)) - 1
-        null_guard = " AND ".join(
-            f"(grouping(`{a}`) = 1 OR `{a}` IS NOT NULL)" for a in attrs
+        attrs, agg, totals, order, gid_all = self._pattern_scaffold(
+            df,
+            "autocluster",
+            lambda attrs: [f"(`{a}`)" for a in attrs]
+            + [
+                f"(`{a}`, `{b}`)"
+                for a, b in _it.combinations(attrs, 2)
+            ],
         )
-        spark = df.sparkSession
-        agg = spark.sql(
-            f"""
-            SELECT {quoted}, CAST(count(*) AS BIGINT) AS Count,
-                   grouping_id({quoted}) AS __gid
-            FROM {{src}}
-            GROUP BY GROUPING SETS ({", ".join(sets)})
-            HAVING {null_guard}
-            """,
-            src=df,
-        )
-        totals = (
-            agg.filter(F.col("__gid") == gid_all)
-            .select(F.col("Count").alias("_t"))
-        )
-        order = [F.col("Count").desc()] + [
-            F.col(a).asc_nulls_last() for a in attrs
-        ]
         out = (
             agg.filter(F.col("__gid") != gid_all)
             .drop("__gid")

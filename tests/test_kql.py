@@ -2892,3 +2892,37 @@ def test_r8_scalar_batch5_edge_cases(spark):
     assert r.dup == '{"Query Parameters":{"a":"1","b":"3"}}'
     assert r.m33 is None and r.mneg is None
     assert r.ns.microsecond == 0 and r.ns.second == 40
+
+
+def test_r8_basket_exact_threshold_and_arity(spark):
+    """A pattern landing EXACTLY on the threshold passes (integer
+    cross-multiply, not binary-double 0.05), and active_users_count
+    rejects trailing dimension args loudly instead of silently
+    dropping them."""
+    from mirror_lake_kusto_spark.functions.kql_parse import (
+        KqlParseError,
+        kql,
+    )
+
+    # 20 rows, one value appears exactly once: 1/20 == 0.05 exactly
+    t = spark.createDataFrame(
+        [(("rare" if i == 0 else "common"),) for i in range(20)],
+        "s string",
+    )
+    rows = kql(
+        spark, "t | evaluate basket(0.05)", tables={"t": t}
+    ).collect()
+    got = {(r.s): r.Count for r in rows}
+    assert got == {"common": 19, "rare": 1}
+    import pytest as _pytest
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00", "x")], "id long, ts string, d string"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts", "d")
+    with _pytest.raises(KqlParseError, match="dimension"):
+        kql(
+            spark,
+            "e | evaluate active_users_count(id, ts, "
+            "datetime(2024-01-01), datetime(2024-01-02), 1d, 1d, 1, d)",
+            tables={"e": ev},
+        )
