@@ -884,13 +884,16 @@ def translate_expr(e: str) -> str:
             "ELSE CAST(NULL AS BIGINT) END)"
         ),
     )
-    # integer DIV, not /: float division loses sub-microsecond
+    # integer arithmetic, not /: float division loses sub-microsecond
     # precision at 1e18-scale nanosecond longs (same lesson as
-    # sources/tables.py's nanos handling)
+    # sources/tables.py's nanos handling).  Subtract pmod first so the
+    # division FLOORS: bare DIV truncates toward zero, landing
+    # pre-1970 non-multiple-of-1000 nanos 1 us late (round-9 ADVICE)
     e = _rewrite_calls(
         e,
         "unixtime_nanoseconds_todatetime",
-        lambda a: f"timestamp_micros(CAST({a[0]} AS BIGINT) DIV 1000)",
+        lambda a: f"timestamp_micros((CAST({a[0]} AS BIGINT) - "
+        f"pmod(CAST({a[0]} AS BIGINT), 1000)) DIV 1000)",
     )
     e = _rewrite_calls(
         e,
@@ -4919,6 +4922,13 @@ class KqlQuery:
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
+        # snapshot the small aggregated union (bins x <=8 sequences),
+        # then drop the shared event cache: localCheckpoint blocks are
+        # freed with the result's GC, so repeated plugin invocations
+        # don't accumulate session-lifetime executor storage
+        # (round-9 ADVICE)
+        out = out.localCheckpoint(eager=True)
+        ev.unpersist()
         return KqlFrame(out)
 
     def _funnel_sequence(self, frame, args):

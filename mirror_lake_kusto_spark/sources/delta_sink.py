@@ -2122,6 +2122,8 @@ class DeltaSink:
         from .delta_log import latest_metadata
 
         meta = latest_metadata(self.spark, self.path)
+        if meta is None:
+            raise ValueError(f"no Delta table at {self.path}")
         parsed = json.loads(meta["schemaString"])
         field = next(
             (f for f in parsed["fields"] if f["name"] == column), None
@@ -4260,7 +4262,15 @@ class DeltaSink:
                 f"cannot drop clustering column(s) {sorted(clust_hit)}"
             )
         conf = dict(meta.get("configuration") or {})
-        word = {c: _re.compile(rf"\b{_re.escape(c)}\b") for c in cols}
+        # IGNORECASE + backtick spellings: Spark resolves identifiers
+        # case-insensitively, so a constraint written (PRICE > 0) or
+        # (`price` > 0) still references column `price` (round-9 ADVICE)
+        word = {
+            c: _re.compile(
+                rf"(?:\b|`){_re.escape(c)}(?:\b|`)", _re.IGNORECASE
+            )
+            for c in cols
+        }
         for k, expr in conf.items():
             if k.startswith("delta.constraints."):
                 hit = [c for c in cols if word[c].search(expr)]
