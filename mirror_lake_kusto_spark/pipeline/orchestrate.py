@@ -62,6 +62,53 @@ class SchemaChangedError(NotImplementedError):
     the reference (Storage/TransactionLog.cs:153-157)."""
 
 
+def _row_field(r, key):
+    """Field access across the row shapes discovery produces (pyspark
+    Row from the DataFrame paths, plain dict from the driver-local
+    path); missing field -> None."""
+    try:
+        v = r[key]
+    except (KeyError, ValueError, TypeError):
+        return None
+    return v
+
+
+def _dv_norm(d) -> dict | None:
+    """Normalize a deletionVector descriptor (Row or dict) to a plain
+    dict; None when absent or empty (cardinality 0)."""
+    if d is None:
+        return None
+    if hasattr(d, "asDict"):
+        d = d.asDict(recursive=True)
+    if not (d.get("cardinality") or 0):
+        return None
+    return dict(d)
+
+
+def _dv_id(desc: dict | None) -> str | None:
+    """Stable identity of a DV descriptor for change detection — must
+    stay in lockstep with the SQL twin in ``_dv_delta_snapshot``."""
+    if desc is None:
+        return None
+    return (
+        f"{desc.get('storageType') or ''}:"
+        f"{desc.get('pathOrInlineDv') or ''}:"
+        f"{desc.get('offset') or 0}"
+    )
+
+
+def _item_dv(it: dict) -> tuple[dict | None, bool]:
+    """(descriptor, restage) recorded in an Add item's internal_state."""
+    raw = it.get("internal_state")
+    if not raw or not str(raw).startswith("{"):
+        return None, False
+    try:
+        d = json.loads(raw)
+    except (ValueError, TypeError):
+        return None, False
+    return d.get("dv"), bool(d.get("restage"))
+
+
 def _utcnow() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
@@ -85,6 +132,7 @@ class MirrorPipeline:
         optimize_target_zorder_by: list[str] | None = None,
         optimize_target_cluster_by: list[str] | None = None,
         commit_coordinator=None,
+        on_dv: str = "fail",
     ):
         self.spark = spark
         self.source = source_path
@@ -139,6 +187,21 @@ class MirrorPipeline:
         # on both sides promote natively on read.  Lossy retypes and
         # drops still fail loudly
         self.on_schema_change = on_schema_change
+        if on_dv not in ("fail", "materialize"):
+            raise ValueError(
+                f"on_dv must be 'fail' or 'materialize', got {on_dv!r}"
+            )
+        # "fail" = reference parity (TransactionLogEntry.cs:341-342
+        # throws on unsupported log shapes): a DV-carrying source add
+        # refuses loudly.  "materialize" (round 9): stage the file's
+        # SURVIVING rows (bitmap applied at read, the same
+        # _apply_deletion_vectors pass read_snapshot uses) and record
+        # the DV descriptor as provenance in the item state; when a
+        # path's DV changes later (merge-on-read delete grows the
+        # bitmap), the path re-stages — old lineage rows are deleted
+        # in the same guarded staging step, so re-stages stay
+        # idempotent and exactly-once
+        self.on_dv = on_dv
         self.now_fn = now_fn or _utcnow
         self.app_id = f"mlk-mirror:{table_name}"
         self.compact_every = compact_every
@@ -353,12 +416,25 @@ class MirrorPipeline:
                         self.spark, self.source, after=hwm, upto=end_tx
                     )
                     add_rows, remove_rows = adds.collect(), removes.collect()
-        self._check_no_deletion_vectors(add_rows)
-        # the coalesced/cancelled view above can HIDE a delete_dv
-        # commit (remove(P) + add(P, DV) on one path cancels to
-        # nothing) — scan the RAW span too, else the mirror silently
-        # diverges from the source
-        self._check_span_has_no_dvs(hwm, end_tx)
+        dv_extra_adds: list[dict] = []
+        if self.on_dv == "materialize":
+            # DV'd adds are legal: surviving rows are staged with the
+            # bitmap applied.  The coalesced view HIDES a DV recommit
+            # (remove(P)+add(P,DV) cancels), so a dedicated delta pass
+            # finds paths whose DV changed vs recorded provenance
+            if snapshot_chunk is not None and versions[0] > hwm + 1:
+                dv_extra_adds = self._dv_delta_snapshot(end_tx, add_rows)
+            else:
+                dv_extra_adds = self._dv_delta_incremental(
+                    hwm, end_tx, add_rows
+                )
+        else:
+            self._check_no_deletion_vectors(add_rows)
+            # the coalesced/cancelled view above can HIDE a delete_dv
+            # commit (remove(P) + add(P, DV) on one path cancels to
+            # nothing) — scan the RAW span too, else the mirror
+            # silently diverges from the source
+            self._check_span_has_no_dvs(hwm, end_tx)
         now = self.now_fn().isoformat()
         staging = self._item(start_tx, end_tx, "StagingTable", "Initial", now)
         if snapshot_chunk is not None:
@@ -368,15 +444,29 @@ class MirrorPipeline:
             # persisted WITH the batch so a crash here leaves no
             # complete-looking partial batch in the state store
             items.append(schema_item)
-        for r in add_rows:
+        for r in list(add_rows) + dv_extra_adds:
             it = self._item(start_tx, end_tx, "Add", "Initial", now)
+            pv = _row_field(r, "partitionValues")
+            if hasattr(pv, "asDict"):
+                pv = pv.asDict()
             it.update(
                 blob_path=r["path"],
-                partition_values=json.dumps(r["partitionValues"] or {}),
-                size=r["size"],
-                record_count=r["numRecords"],
-                delta_timestamp=str(r["modificationTime"]),
+                partition_values=json.dumps(pv or {}),
+                size=_row_field(r, "size"),
+                record_count=_row_field(r, "numRecords"),
+                delta_timestamp=str(_row_field(r, "modificationTime")),
             )
+            if self.on_dv == "materialize":
+                desc = _dv_norm(_row_field(r, "deletionVector"))
+                restage = bool(_row_field(r, "_mlk_restage"))
+                if desc is not None or restage:
+                    it["internal_state"] = json.dumps(
+                        {
+                            "dv": desc,
+                            "dv_id": _dv_id(desc),
+                            "restage": restage,
+                        }
+                    )
             items.append(it)
         for r in remove_rows:
             it = self._item(start_tx, end_tx, "Remove", "Initial", now)
@@ -445,30 +535,7 @@ class MirrorPipeline:
         since removes are derived FROM processed state)."""
         import pyspark.sql.functions as F2
 
-        current = DL.file_actions(self.spark, self.source, upto=end_tx)
-        # replay to active files (same argmax as snapshot_files, kept as
-        # a DataFrame for the anti-joins)
-        active = (
-            current.groupBy("path")
-            .agg(
-                F2.max_by(
-                    F2.struct(
-                        "is_add", "partitionValues", "size", "numRecords",
-                        "modificationTime", "deletionVector",
-                    ),
-                    F2.struct("tx_id", F2.col("is_add").cast("int")),
-                ).alias("last")
-            )
-            .filter(F2.col("last.is_add"))
-            .select(
-                "path",
-                F2.col("last.partitionValues").alias("partitionValues"),
-                F2.col("last.size").alias("size"),
-                F2.col("last.numRecords").alias("numRecords"),
-                F2.col("last.modificationTime").alias("modificationTime"),
-                F2.col("last.deletionVector").alias("deletionVector"),
-            )
-        )
+        active = self._active_files(end_tx)
         if hasattr(self.state, "adds_df"):
             # scale path: processed state stays a DataFrame end-to-end —
             # the driver never materializes the historical add list
@@ -509,6 +576,35 @@ class MirrorPipeline:
             ).alias("partitionValues"),
         )
         return new_adds, new_removes
+
+    def _active_files(self, end_tx: int) -> DataFrame:
+        """Active file set at ``end_tx`` as a DataFrame — the same
+        argmax replay snapshot_files performs, kept distributed for
+        the snapshot-diff anti-joins and the DV-provenance join."""
+        import pyspark.sql.functions as F2
+
+        current = DL.file_actions(self.spark, self.source, upto=end_tx)
+        return (
+            current.groupBy("path")
+            .agg(
+                F2.max_by(
+                    F2.struct(
+                        "is_add", "partitionValues", "size", "numRecords",
+                        "modificationTime", "deletionVector",
+                    ),
+                    F2.struct("tx_id", F2.col("is_add").cast("int")),
+                ).alias("last")
+            )
+            .filter(F2.col("last.is_add"))
+            .select(
+                "path",
+                F2.col("last.partitionValues").alias("partitionValues"),
+                F2.col("last.size").alias("size"),
+                F2.col("last.numRecords").alias("numRecords"),
+                F2.col("last.modificationTime").alias("modificationTime"),
+                F2.col("last.deletionVector").alias("deletionVector"),
+            )
+        )
 
     def _item(self, start_tx, end_tx, action, state, now) -> dict[str, Any]:
         return {
@@ -823,8 +919,11 @@ class MirrorPipeline:
         parameterized print/union query, O7)."""
         add_items = [i for i in items if i["action"] == "Add" and i["state"] == "Initial"]
         for it in add_items:
-            if it["record_count"] == 0:
-                it["state"] = "Done"  # nothing to ingest
+            if it["record_count"] == 0 and not _item_dv(it)[1]:
+                # empty file, nothing to ingest — UNLESS this is a DV
+                # re-stage, whose staging step still owes the delete
+                # of the previously mirrored rows
+                it["state"] = "Done"
         if self.go_back_days is None:
             for it in add_items:
                 if it["state"] == "Initial":
@@ -917,6 +1016,28 @@ class MirrorPipeline:
             for it in todo:
                 it["state"] = "Staged"
             return len(todo)
+        # DV re-stages (materialize mode): the path's previously
+        # mirrored rows come out FIRST, keyed on lineage and bounded to
+        # PRIOR batches (MLK_BatchTxId < end_tx), so a crash-and-resume
+        # re-issues an idempotent no-op delete and the guarded append
+        # below never double-lands rows
+        dv_descs: dict[str, dict] = {}
+        restage_paths: list[str] = []
+        for it in todo:
+            desc, restage = _item_dv(it)
+            if desc is not None:
+                dv_descs[it["blob_path"]] = desc
+            if restage:
+                restage_paths.append(it["blob_path"])
+        if restage_paths:
+            abs_paths = [self._lineage_path(p) for p in sorted(restage_paths)]
+            quoted = ", ".join(
+                "'" + p.replace("'", "\\'") + "'" for p in abs_paths
+            )
+            self.sink.delete(
+                f"MLK_BlobPath IN ({quoted}) "
+                f"AND MLK_BatchTxId < {int(end_tx)}"
+            )
         meta = DL.latest_metadata(self.spark, self.source, upto=end_tx)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         type_of = {f.name: f.dataType for f in schema.fields}
@@ -977,35 +1098,87 @@ class MirrorPipeline:
             )
             groups.setdefault(pv, []).append(it["blob_path"])
         parts: list[DataFrame] = []
+        dv_parts: list[DataFrame] = []
+        dv_files: list[dict] = []
         for pv, rel_paths in groups.items():
-            df = self.spark.read.schema(read_schema).parquet(
-                *[os.path.join(self.source, p) for p in rel_paths]
-            )
-            if mapping is not None:
-                df = df.select(
-                    *[
-                        F.col(mapping[f.name]).alias(f.name)
-                        for f in data_fields
+            for subset, with_dv in (
+                ([p for p in rel_paths if p not in dv_descs], False),
+                ([p for p in rel_paths if p in dv_descs], True),
+            ):
+                if not subset:
+                    continue
+                df = self.spark.read.schema(read_schema).parquet(
+                    *[os.path.join(self.source, p) for p in subset]
+                )
+                extra: list[str] = []
+                if with_dv:
+                    # merge-on-read source file: capture (file, physical
+                    # row index) at scan so the bitmap anti-join below
+                    # keeps only SURVIVING rows.  Distinct column names
+                    # from the row-tracking __mlk_ridx, which must keep
+                    # the physical index after the DV filter
+                    df = df.withColumns(
+                        {
+                            "__mlk_dvfile": _fsmod.spark_scan_path(
+                                F.input_file_name()
+                            ),
+                            "__mlk_dvridx": F.col("_metadata.row_index"),
+                        }
+                    )
+                    extra = ["__mlk_dvfile", "__mlk_dvridx"]
+                if mapping is not None:
+                    df = df.select(
+                        *[
+                            F.col(mapping[f.name]).alias(f.name)
+                            for f in data_fields
+                        ],
+                        *extra,
+                    )
+                for col_name, raw in pv:
+                    df = df.withColumn(
+                        col_name, F.lit(raw).cast(type_of[col_name])
+                    )
+                keep = [f.name for f in schema.fields]
+                if rt_src and src_mat_id:
+                    keep.append(src_mat_id)
+                df = df.select(*keep, *extra).withColumns(
+                    {
+                        "MLK_BlobPath": _fsmod.spark_scan_path(
+                            F.input_file_name()
+                        ),
+                        "MLK_BatchTxId": F.lit(end_tx).cast("long"),
+                    }
+                )
+                if rt_src:
+                    df = df.withColumn(
+                        "__mlk_ridx", F.col("_metadata.row_index")
+                    )
+                if with_dv:
+                    dv_parts.append(df)
+                    dv_files += [
+                        {"path": p, "deletionVector": dv_descs[p]}
+                        for p in subset
                     ]
+                else:
+                    parts.append(df)
+        if dv_parts:
+            dv_out = dv_parts[0]
+            for p in dv_parts[1:]:
+                dv_out = dv_out.unionByName(p)
+            # one bitmap anti-join across every DV'd file in the batch
+            # (KB-scale compressed bitmaps driver-side, exploded
+            # executor-side, broadcast under 10M deleted rows — the
+            # same pass read_snapshot applies)
+            parts.append(
+                DL._apply_deletion_vectors(
+                    self.spark,
+                    self.source,
+                    dv_out,
+                    dv_files,
+                    file_col="__mlk_dvfile",
+                    ridx_col="__mlk_dvridx",
                 )
-            for col_name, raw in pv:
-                df = df.withColumn(col_name, F.lit(raw).cast(type_of[col_name]))
-            keep = [f.name for f in schema.fields]
-            if rt_src and src_mat_id:
-                keep.append(src_mat_id)
-            df = df.select(*keep).withColumns(
-                {
-                    "MLK_BlobPath": _fsmod.spark_scan_path(
-                        F.input_file_name()
-                    ),
-                    "MLK_BatchTxId": F.lit(end_tx).cast("long"),
-                }
             )
-            if rt_src:
-                df = df.withColumn(
-                    "__mlk_ridx", F.col("_metadata.row_index")
-                )
-            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1089,6 +1262,185 @@ class MirrorPipeline:
                         "merge-on-read tables is not supported — REORG "
                         "the source to materialize deletes first"
                     )
+
+    def _latest_add_items(
+        self, paths: set[str]
+    ) -> dict[str, tuple[str, str | None]]:
+        """blob_path -> (state, internal_state) of the LATEST Add item
+        per path, for a bounded probe set — driver map under the
+        steering threshold, broadcast-probe join past it (the same
+        split _apply_removes uses)."""
+        if not paths:
+            return {}
+        driver_side = getattr(
+            self.state, "steering_is_driver_side", lambda: True
+        )()
+        if hasattr(self.state, "adds_df") and not driver_side:
+            probe = self.spark.createDataFrame(
+                [(p,) for p in sorted(paths)], "blob_path string"
+            )
+            latest = (
+                self.state.adds_df(self.table)
+                .join(F.broadcast(probe), "blob_path")
+                .groupBy("blob_path")
+                .agg(
+                    F.max_by(
+                        F.struct("state", "internal_state"),
+                        F.struct("start_tx_id", "end_tx_id"),
+                    ).alias("last")
+                )
+            )
+            return {
+                r["blob_path"]: (r["last"]["state"], r["last"]["internal_state"])
+                for r in latest.collect()
+            }
+        out: dict[str, tuple[str, str | None]] = {}
+        # current_items sorts ascending by start_tx — last write wins
+        for it in self.state.current_items(self.table, "Add"):
+            if it["blob_path"] in paths:
+                out[it["blob_path"]] = (it["state"], it.get("internal_state"))
+        return out
+
+    def _dv_delta_incremental(
+        self, hwm: int, end_tx: int, add_rows
+    ) -> list[dict]:
+        """Materialize-mode DV delta over the raw span (hwm, end_tx]:
+        paths whose FINAL span action is an add but which the
+        coalescing cancelled (remove(P)+add(P,DV) pairs) are compared
+        against recorded DV provenance; a changed bitmap synthesizes a
+        re-stage Add (old lineage rows deleted in the staging step).
+        Driver cost: the same commit JSONs _cap_span already read."""
+        final: dict[str, dict | None] = {}
+        for v in DL.list_commit_versions(self.source):
+            if not (hwm < v <= end_tx):
+                continue
+            for act in DL._read_commit(self.source, v):
+                if "add" in act:
+                    final[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    final[act["remove"]["path"]] = None
+        live_paths = {r["path"] for r in add_rows}
+        candidates = {
+            p: a
+            for p, a in final.items()
+            if a is not None and p not in live_paths
+        }
+        if not candidates:
+            return []
+        prior = self._latest_add_items(set(candidates))
+        extra: list[dict] = []
+        for p, a in sorted(candidates.items()):
+            desc = _dv_norm(a.get("deletionVector"))
+            state, internal = prior.get(p, (None, None))
+            rec_desc, _ = _item_dv({"internal_state": internal})
+            if desc is None and rec_desc is None:
+                # no DV on either side: plain coalescing churn (or a
+                # pending later chunk on the fat-commit path) — keep
+                # the existing cancellation semantics
+                continue
+            if _dv_id(desc) == _dv_id(rec_desc):
+                continue  # DV unchanged
+            if state == "Skipped":
+                # the reference invariant (BlobLoadingOrchestration.cs:
+                # 96-115): a skipped add skips its follow-ups.  Record
+                # the new provenance (so detection converges) but do
+                # not resurrect skipped data — the item re-enters
+                # analyze, which re-applies the same skip policy
+                restage = False
+            else:
+                restage = state is not None
+            extra.append(
+                {
+                    "path": p,
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size"),
+                    "numRecords": DL._num_records(a.get("stats")),
+                    "modificationTime": a.get("modificationTime"),
+                    "deletionVector": desc,
+                    "_mlk_restage": restage,
+                }
+            )
+        return extra
+
+    def _dv_delta_snapshot(self, end_tx: int, add_rows) -> list[dict]:
+        """Materialize-mode DV delta on the vacuumed-log snapshot path:
+        commits are gone, so changed bitmaps are found by joining the
+        active file set against recorded provenance in the state —
+        one metadata-scale shuffle, collected bounded."""
+        import pyspark.sql.functions as F2
+
+        active = self._active_files(end_tx)
+        if hasattr(self.state, "adds_df"):
+            adds = self.state.adds_df(self.table)
+        else:
+            adds = self.spark.createDataFrame(
+                [
+                    (
+                        r["blob_path"],
+                        r["start_tx_id"],
+                        r["end_tx_id"],
+                        r["state"],
+                        r.get("internal_state"),
+                    )
+                    for r in self.state.current_items(self.table, "Add")
+                ],
+                "blob_path string, start_tx_id long, end_tx_id long, "
+                "state string, internal_state string",
+            )
+        latest = adds.groupBy("blob_path").agg(
+            F2.max_by(
+                F2.struct("state", "internal_state"),
+                F2.struct("start_tx_id", "end_tx_id"),
+            ).alias("last")
+        )
+        # SQL twin of _dv_id — keep in lockstep
+        act_id = F2.when(
+            F2.col("deletionVector").isNotNull()
+            & (F2.coalesce(F2.col("deletionVector.cardinality"), F2.lit(0)) > 0),
+            F2.concat_ws(
+                ":",
+                F2.coalesce(F2.col("deletionVector.storageType"), F2.lit("")),
+                F2.coalesce(
+                    F2.col("deletionVector.pathOrInlineDv"), F2.lit("")
+                ),
+                F2.coalesce(F2.col("deletionVector.offset"), F2.lit(0)),
+            ),
+        )
+        rec_id = F2.get_json_object(F2.col("last.internal_state"), "$.dv_id")
+        changed = (
+            active.join(
+                latest, active["path"] == latest["blob_path"], "inner"
+            )
+            .filter(~act_id.eqNullSafe(rec_id))
+            .select(
+                "path", "partitionValues", "size", "numRecords",
+                "modificationTime", "deletionVector",
+                F2.col("last.state").alias("_prior_state"),
+            )
+        )
+        cap = self.max_items_per_batch
+        rows = changed.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"more than {cap} DV-changed files in one snapshot "
+                "batch; raise max_items_per_batch or sync the source "
+                "more often"
+            )
+        extra: list[dict] = []
+        for r in rows:
+            desc = _dv_norm(r["deletionVector"])
+            extra.append(
+                {
+                    "path": r["path"],
+                    "partitionValues": dict(r["partitionValues"] or {}),
+                    "size": r["size"],
+                    "numRecords": r["numRecords"],
+                    "modificationTime": r["modificationTime"],
+                    "deletionVector": desc,
+                    "_mlk_restage": r["_prior_state"] != "Skipped",
+                }
+            )
+        return extra
 
     @staticmethod
     def _check_no_deletion_vectors(add_rows) -> None:

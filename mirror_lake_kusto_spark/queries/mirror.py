@@ -92,6 +92,55 @@ def mirror_e2e_roundtrip(spark, sf_dir):
 
 
 @query(
+    "mirror_dv_source_materialize",
+    f"""
+    SELECT {", ".join(_COLS)} FROM lineitem
+    WHERE l_orderkey <= 4000
+      AND NOT (l_linestatus = 'F' AND l_quantity < 10)
+      AND NOT (l_returnflag = 'R' AND l_linenumber >= 5)
+    """,
+    doc="on_dv='materialize' (round 9): the SOURCE is a merge-on-read "
+    "Delta table — two delete_dv commits rewrite files in place with "
+    "deletion-vector bitmaps (remove(P)+add(P,DV), which coalescing "
+    "cancels) — and the mirror FOLLOWS instead of refusing: surviving "
+    "rows are staged with the bitmap applied at read, DV provenance "
+    "is recorded in the item state, and the second (grown) bitmap "
+    "re-stages the path after deleting the previously mirrored rows "
+    "inside the same exactly-once staging step.  Reference analogue "
+    "surpassed: TransactionLogEntry.cs:341-342 throws on DV adds; "
+    "BlobStagingOrchestration.cs:244-289 copies raw bytes",
+)
+def mirror_dv_source_materialize(spark, sf_dir):
+    workdir = _workdir("mirror_dvsrc", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        "l_orderkey <= 4000"
+    ).cache()
+    src = DeltaSink(spark, src_path)
+    src.append(li.filter("l_linenumber <= 3"))
+    src.append(li.filter("l_linenumber > 3"))
+    li.unpersist()
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        os.path.join(workdir, "dst"),
+        os.path.join(workdir, "state"),
+        table_name="lineitem_dv",
+        on_dv="materialize",
+    )
+    pipe.run_until_idle()
+    src.delete_dv("l_linestatus = 'F' AND l_quantity < 10")
+    pipe.run_until_idle()
+    # second merge-on-read delete GROWS bitmaps on already-DV'd files:
+    # the changed descriptors re-stage those paths
+    src.delete_dv("l_returnflag = 'R' AND l_linenumber >= 5")
+    pipe.run_until_idle()
+    return pipe.mirror_df().select(*_COLS)
+
+
+@query(
     "mirror_state_machine",
     """
     SELECT * FROM (VALUES

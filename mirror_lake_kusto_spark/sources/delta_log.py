@@ -1393,7 +1393,12 @@ def _attach_row_ids(
 
 
 def _apply_deletion_vectors(
-    spark: SparkSession, table_path: str, out: DataFrame, dv_files: list[dict]
+    spark: SparkSession,
+    table_path: str,
+    out: DataFrame,
+    dv_files: list[dict],
+    file_col: str = "__mlk_file",
+    ridx_col: str = "__mlk_ridx",
 ) -> DataFrame:
     """Filter ``out`` (which carries ``__mlk_file``/``__mlk_ridx``) by
     each file's deletion vector — Delta merge-on-read (PROTOCOL.md
@@ -1416,7 +1421,7 @@ def _apply_deletion_vectors(
         for f in dv_files
     ]
     dv_df = spark.createDataFrame(
-        payloads, "__mlk_file string, __mlk_payload binary"
+        payloads, f"{file_col} string, __mlk_payload binary"
     )
 
     def explode(batches):
@@ -1424,22 +1429,22 @@ def _apply_deletion_vectors(
 
         for pdf in batches:
             for fpath, payload in zip(
-                pdf["__mlk_file"], pdf["__mlk_payload"]
+                pdf[file_col], pdf["__mlk_payload"]
             ):
                 idx = _dv.deserialize(bytes(payload))
                 yield pd.DataFrame(
-                    {"__mlk_file": fpath, "__mlk_ridx": idx}
+                    {file_col: fpath, ridx_col: idx}
                 )
 
     deleted = dv_df.mapInPandas(
-        explode, "__mlk_file string, __mlk_ridx long"
+        explode, f"{file_col} string, {ridx_col} long"
     )
     total = sum(int(f["deletionVector"]["cardinality"]) for f in dv_files)
     if total <= 10_000_000:
         deleted = F.broadcast(deleted)
     return out.join(
-        deleted, ["__mlk_file", "__mlk_ridx"], "left_anti"
-    ).drop("__mlk_file", "__mlk_ridx")
+        deleted, [file_col, ridx_col], "left_anti"
+    ).drop(file_col, ridx_col)
 
 
 def read_changes(

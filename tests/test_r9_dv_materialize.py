@@ -1,0 +1,217 @@
+"""Round-9 DV-materializing mirror mode (``on_dv='materialize'``).
+
+The reference refuses DV-carrying sources outright
+(TransactionLogEntry.cs:341-342); modern Delta writers enable deletion
+vectors by default, so the engine goes further: stage each DV'd file's
+SURVIVING rows (bitmap anti-join at read), record the DV descriptor as
+provenance in the item state, and when a path's bitmap changes later
+re-stage it — deleting the previously mirrored rows inside the same
+exactly-once staging step (delete bounded to MLK_BatchTxId < end_tx,
+append guarded by the sink txn ledger, so crash/resume never
+double-lands or double-deletes).
+"""
+
+import datetime
+import os
+
+import pytest
+
+from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+
+def _src(spark, tmp_path, n=100):
+    src = DeltaSink(spark, str(tmp_path / "src"))
+    src.append(
+        spark.range(n).selectExpr("id", "id % 7 AS k")
+    )
+    return src
+
+
+def _pipe(spark, tmp_path, tag="t", **kw):
+    return MirrorPipeline(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / f"dst_{tag}"),
+        str(tmp_path / f"state_{tag}"),
+        table_name=tag,
+        on_dv="materialize",
+        **kw,
+    )
+
+
+def _ids(pipe):
+    return sorted(r.id for r in pipe.mirror_df().collect())
+
+
+def test_on_dv_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="on_dv"):
+        MirrorPipeline(
+            spark,
+            str(tmp_path / "s"),
+            str(tmp_path / "d"),
+            str(tmp_path / "st"),
+            on_dv="nope",
+        )
+
+
+def test_incremental_dv_delete_and_growth(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    assert _ids(pipe) == list(range(100))
+    src.delete_dv("k = 3")
+    pipe.run_until_idle()
+    assert _ids(pipe) == [i for i in range(100) if i % 7 != 3]
+    # second merge-on-read delete GROWS the same files' bitmaps
+    src.delete_dv("k = 5")
+    pipe.run_until_idle()
+    expect = [i for i in range(100) if i % 7 not in (3, 5)]
+    assert _ids(pipe) == expect
+    # idempotence: re-running changes nothing
+    pipe.run_until_idle()
+    assert _ids(pipe) == expect
+
+
+def test_one_shot_equals_two_shot(spark, tmp_path):
+    """The VERDICT acceptance: a mirror built AFTER the DV commits
+    equals one that followed them incrementally."""
+    src = _src(spark, tmp_path)
+    stepwise = _pipe(spark, tmp_path, "step")
+    stepwise.run_until_idle()
+    src.delete_dv("k = 2")
+    stepwise.run_until_idle()
+    oneshot = _pipe(spark, tmp_path, "once")
+    oneshot.run_until_idle()
+    assert _ids(oneshot) == _ids(stepwise) == [
+        i for i in range(100) if i % 7 != 2
+    ]
+
+
+def test_provenance_recorded_and_stable(spark, tmp_path):
+    """The DV descriptor lands in the Add item's internal_state, and a
+    no-change rerun does NOT synthesize another restage item."""
+    import json
+
+    src = _src(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    src.delete_dv("k = 3")
+    pipe.run_until_idle()
+    adds = pipe.state.current_items("t", "Add")
+    prov = [
+        json.loads(a["internal_state"])
+        for a in adds
+        if a["internal_state"] and str(a["internal_state"]).startswith("{")
+    ]
+    assert prov and all(p["dv"]["cardinality"] > 0 for p in prov)
+    assert all(p["dv_id"] for p in prov)
+    n_items = len(adds)
+    pipe.run_until_idle()
+    assert len(pipe.state.current_items("t", "Add")) == n_items
+
+
+def test_default_mode_still_refuses(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.delete_dv("k = 3")
+    p = MirrorPipeline(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst_f"),
+        str(tmp_path / "state_f"),
+        table_name="f",
+    )
+    with pytest.raises(DL.UnsupportedTableFeature, match="deletion vector"):
+        p.run_until_idle()
+
+
+def test_skipped_add_skips_dv_restage(spark, tmp_path):
+    """Reference invariant (BlobLoadingOrchestration.cs:96-115): a
+    skipped add skips its follow-ups — a DV change on a path whose add
+    was retention-skipped records the new provenance but resurrects
+    nothing, and the pipeline converges (no endless re-detection)."""
+    src = _src(spark, tmp_path)
+    future = datetime.datetime.utcnow() + datetime.timedelta(days=365)
+    pipe = _pipe(
+        spark, tmp_path, go_back_days=30, now_fn=lambda: future
+    )
+    pipe.run_until_idle()
+    assert pipe.mirror_df().count() == 0  # everything retention-skipped
+    src.delete_dv("k = 3")
+    pipe.run_until_idle()
+    assert pipe.mirror_df().count() == 0
+    states = {
+        i["state"] for i in pipe.state.current_items("t", "Add")
+    }
+    assert states == {"Skipped"}
+    assert pipe.run_once()["status"] == "up-to-date"  # converged
+
+
+def test_vacuumed_snapshot_path_follows_dv(spark, tmp_path):
+    """DV change discovered through the SNAPSHOT-DIFF path: commits
+    vacuumed below a checkpoint, so the changed bitmap is found by
+    joining the active set against recorded provenance."""
+    src = _src(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path, state_backend="csv")
+    pipe.run_until_idle()
+    src.delete_dv("k = 3")
+    src.append(spark.range(100, 120).selectExpr("id", "id % 7 AS k"))
+    vers = DL.list_commit_versions(src.path)
+    src._write_checkpoint(vers[-1])
+    for v in vers[:-1]:
+        os.remove(
+            os.path.join(src.path, "_delta_log", f"{v:020d}.json")
+        )
+    pipe.run_until_idle()
+    expect = sorted(
+        [i for i in range(100) if i % 7 != 3] + list(range(100, 120))
+    )
+    assert _ids(pipe) == expect
+    pipe.run_until_idle()
+    assert _ids(pipe) == expect  # idempotent
+
+
+def test_fresh_mirror_of_dv_source(spark, tmp_path):
+    """First sync of a source that ALREADY carries DVs: the span's
+    cancelled remove+add pairs still surface the DV'd files."""
+    src = _src(spark, tmp_path)
+    src.delete_dv("k = 0")
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    assert _ids(pipe) == [i for i in range(100) if i % 7 != 0]
+
+
+def test_fully_deleted_file_restage(spark, tmp_path):
+    """A bitmap covering EVERY row of a file: the re-stage still owes
+    (and performs) the delete of the previously mirrored rows."""
+    src = _src(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    src.delete_dv("id >= 0")  # everything
+    pipe.run_until_idle()
+    assert pipe.mirror_df().count() == 0
+
+
+def test_crash_between_delete_and_append_recovers(spark, tmp_path):
+    """Crash AFTER the restage delete but BEFORE the guarded append:
+    resume re-issues a no-op delete and lands the surviving rows
+    exactly once."""
+    src = _src(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    src.delete_dv("k = 3")
+
+    real_append = pipe.sink.append
+    calls = {"n": 0}
+
+    def dying_append(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before append")
+
+    pipe.sink.append = dying_append
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run_once()
+    pipe.sink.append = real_append
+    pipe.run_until_idle()  # resume from persisted items
+    assert _ids(pipe) == [i for i in range(100) if i % 7 != 3]
