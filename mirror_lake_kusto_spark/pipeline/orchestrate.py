@@ -1097,9 +1097,76 @@ class MirrorPipeline:
                 )
             )
             groups.setdefault(pv, []).append(it["blob_path"])
+        # widened columns Spark cannot promote natively at scan
+        # (byte/short era under decimal): era-split by sniffed
+        # physical type, cast right after the scan — same pass
+        # read_snapshot uses
+        problem_cols = {
+            (mapping[f] if mapping else f): type_of[f]
+            for f in DL.legacy_promote_cols(
+                json.loads(meta["schemaString"])["fields"]
+            )
+        }
         parts: list[DataFrame] = []
         dv_parts: list[DataFrame] = []
         dv_files: list[dict] = []
+
+        def stage_scan(era_paths, variant_schema, cast_cols, with_dv, pv, rel_subset):
+            df = self.spark.read.schema(variant_schema).parquet(*era_paths)
+            for c in cast_cols:
+                df = df.withColumn(c, F.col(c).cast(problem_cols[c]))
+            extra: list[str] = []
+            if with_dv:
+                # merge-on-read source file: capture (file, physical
+                # row index) at scan so the bitmap anti-join below
+                # keeps only SURVIVING rows.  Distinct column names
+                # from the row-tracking __mlk_ridx, which must keep
+                # the physical index after the DV filter
+                df = df.withColumns(
+                    {
+                        "__mlk_dvfile": _fsmod.spark_scan_path(
+                            F.input_file_name()
+                        ),
+                        "__mlk_dvridx": F.col("_metadata.row_index"),
+                    }
+                )
+                extra = ["__mlk_dvfile", "__mlk_dvridx"]
+            if mapping is not None:
+                df = df.select(
+                    *[
+                        F.col(mapping[f.name]).alias(f.name)
+                        for f in data_fields
+                    ],
+                    *extra,
+                )
+            for col_name, raw in pv:
+                df = df.withColumn(
+                    col_name, F.lit(raw).cast(type_of[col_name])
+                )
+            keep = [f.name for f in schema.fields]
+            if rt_src and src_mat_id:
+                keep.append(src_mat_id)
+            df = df.select(*keep, *extra).withColumns(
+                {
+                    "MLK_BlobPath": _fsmod.spark_scan_path(
+                        F.input_file_name()
+                    ),
+                    "MLK_BatchTxId": F.lit(end_tx).cast("long"),
+                }
+            )
+            if rt_src:
+                df = df.withColumn(
+                    "__mlk_ridx", F.col("_metadata.row_index")
+                )
+            if with_dv:
+                dv_parts.append(df)
+                dv_files.extend(
+                    {"path": p, "deletionVector": dv_descs[p]}
+                    for p in rel_subset
+                )
+            else:
+                parts.append(df)
+
         for pv, rel_paths in groups.items():
             for subset, with_dv in (
                 ([p for p in rel_paths if p not in dv_descs], False),
@@ -1107,60 +1174,24 @@ class MirrorPipeline:
             ):
                 if not subset:
                     continue
-                df = self.spark.read.schema(read_schema).parquet(
-                    *[os.path.join(self.source, p) for p in subset]
-                )
-                extra: list[str] = []
-                if with_dv:
-                    # merge-on-read source file: capture (file, physical
-                    # row index) at scan so the bitmap anti-join below
-                    # keeps only SURVIVING rows.  Distinct column names
-                    # from the row-tracking __mlk_ridx, which must keep
-                    # the physical index after the DV filter
-                    df = df.withColumns(
-                        {
-                            "__mlk_dvfile": _fsmod.spark_scan_path(
-                                F.input_file_name()
-                            ),
-                            "__mlk_dvridx": F.col("_metadata.row_index"),
-                        }
+                abs_of = {
+                    os.path.join(self.source, p): p for p in subset
+                }
+                if problem_cols:
+                    era_groups = DL.physical_read_groups(
+                        sorted(abs_of), read_schema, problem_cols
                     )
-                    extra = ["__mlk_dvfile", "__mlk_dvridx"]
-                if mapping is not None:
-                    df = df.select(
-                        *[
-                            F.col(mapping[f.name]).alias(f.name)
-                            for f in data_fields
-                        ],
-                        *extra,
-                    )
-                for col_name, raw in pv:
-                    df = df.withColumn(
-                        col_name, F.lit(raw).cast(type_of[col_name])
-                    )
-                keep = [f.name for f in schema.fields]
-                if rt_src and src_mat_id:
-                    keep.append(src_mat_id)
-                df = df.select(*keep, *extra).withColumns(
-                    {
-                        "MLK_BlobPath": _fsmod.spark_scan_path(
-                            F.input_file_name()
-                        ),
-                        "MLK_BatchTxId": F.lit(end_tx).cast("long"),
-                    }
-                )
-                if rt_src:
-                    df = df.withColumn(
-                        "__mlk_ridx", F.col("_metadata.row_index")
-                    )
-                if with_dv:
-                    dv_parts.append(df)
-                    dv_files += [
-                        {"path": p, "deletionVector": dv_descs[p]}
-                        for p in subset
-                    ]
                 else:
-                    parts.append(df)
+                    era_groups = [(sorted(abs_of), read_schema, [])]
+                for era_paths, variant_schema, cast_cols in era_groups:
+                    stage_scan(
+                        era_paths,
+                        variant_schema,
+                        cast_cols,
+                        with_dv,
+                        pv,
+                        [abs_of[p] for p in era_paths],
+                    )
         if dv_parts:
             dv_out = dv_parts[0]
             for p in dv_parts[1:]:

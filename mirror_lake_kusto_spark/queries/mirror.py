@@ -990,6 +990,72 @@ def mirror_twe_probe_exactcols(spark, sf_dir):
 
 
 @query(
+    "mirror_widen_chain",
+    """
+    SELECT p_partkey,
+           CAST(p_size AS BIGINT) AS sz,
+           CAST(p_size AS BIGINT) * 100 AS szd_e2
+    FROM part WHERE p_partkey <= 2000
+    ORDER BY p_partkey
+    """,
+    doc="round-9 full widening matrix: a 3-STEP chain "
+    "(byte->short->integer->long, four file eras in one table) plus "
+    "the era-split pair (byte->decimal — Spark's vectorized reader "
+    "cannot promote INT(8) physicals to decimal, so those scans group "
+    "by sniffed footer type and cast after the scan, "
+    "delta_log.physical_read_groups).  The mirror follows every step "
+    "with on_schema_change='widen' in ONE spanning batch; the hashed "
+    "contract is pure BIGINT (decimal scaled e2).  Reference: "
+    "TransactionLog.cs:153-157 refuses all retypes",
+)
+def mirror_widen_chain(spark, sf_dir):
+    workdir = _workdir("mirror_wchain", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    part = load_table(spark, "part", sf_dir).filter(
+        "p_partkey <= 2000"
+    ).select("p_partkey", "p_size").cache()
+
+    def era(pred, t_sz, t_szd):
+        return part.filter(pred).select(
+            "p_partkey",
+            F.col("p_size").cast(t_sz).alias("sz"),
+            F.col("p_size").cast(t_szd).alias("szd"),
+        )
+
+    src = DeltaSink(spark, src_path)
+    src.append(era("p_partkey % 4 = 0", "byte", "byte"))        # v0
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        os.path.join(workdir, "dst"),
+        os.path.join(workdir, "state"),
+        table_name="part_wchain",
+        on_schema_change="widen",
+    )
+    pipe.run_until_idle()                      # target created byte/byte
+    src.widen_column("sz", "short")
+    src.append(era("p_partkey % 4 = 1", "short", "byte"))
+    src.widen_column("sz", "integer")
+    src.append(era("p_partkey % 4 = 2", "int", "byte"))
+    src.widen_column("sz", "long")
+    src.widen_column("szd", "decimal(9,2)")    # the era-split pair
+    src.append(era("p_partkey % 4 = 3", "bigint", "decimal(9,2)"))
+    pipe.run_until_idle()                      # ONE batch spans it all
+    part.unpersist()
+    return (
+        pipe.mirror_df()
+        .select(
+            "p_partkey",
+            F.col("sz").cast("bigint").alias("sz"),
+            (F.col("szd") * 100).cast("bigint").alias("szd_e2"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
     "mirror_variant_roundtrip",
     """
     SELECT n_nationkey,

@@ -1293,6 +1293,13 @@ def read_snapshot(
             ]
         )
     need_identity = bool(dv_files) or row_ids
+    # columns whose widening history Spark cannot promote natively
+    # (byte/short era under a decimal logical type): era-split those
+    # scans by sniffed physical type, cast right after the scan
+    problem_cols = {
+        (mapping[c] if mapping else c): type_of[c]
+        for c in legacy_promote_cols(json.loads(meta["schemaString"])["fields"])
+    }
     groups: dict[tuple, list[str]] = {}
     for f in files:
         key = tuple(sorted((f["partitionValues"] or {}).items()))
@@ -1300,8 +1307,19 @@ def read_snapshot(
             _fs.join(table_path, f["path"])
         )
     parts: list[DataFrame] = []
+    flat: list[tuple[tuple, list[str], StructType, list[str]]] = []
     for key, paths in groups.items():
-        df = spark.read.schema(read_schema).parquet(*paths)
+        if problem_cols:
+            for ps, variant, cast_cols in physical_read_groups(
+                paths, read_schema, problem_cols
+            ):
+                flat.append((key, ps, variant, cast_cols))
+        else:
+            flat.append((key, paths, read_schema, []))
+    for key, paths, variant_schema, cast_cols in flat:
+        df = spark.read.schema(variant_schema).parquet(*paths)
+        for c in cast_cols:
+            df = df.withColumn(c, F.col(c).cast(problem_cols[c]))
         if need_identity:
             # merge-on-read: carry the file identity + physical row
             # index so deletion vectors can filter below (must come
@@ -1389,6 +1407,116 @@ def _attach_row_ids(
             else fresh_rcv,
         }
     ).drop("__mlk_base", "__mlk_rcv", *[c for c in (mat_id, mat_rcv) if c])
+    return out
+
+
+#: fromTypes whose parquet annotation (INT(8)/INT(16)) Spark's
+#: vectorized reader cannot promote to DECIMAL — the one hole in the
+#: otherwise-native Type Widening read path (probed on Spark 4.1)
+_VECTOR_BLIND_FROM = {"byte", "short"}
+
+
+def legacy_promote_cols(schema_fields: list[dict]) -> set[str]:
+    """Names of columns whose ``delta.typeChanges`` history makes the
+    CURRENT type unreadable by Spark's native parquet promotion: a
+    byte/short-era physical column under a decimal logical type.
+    Every other spec widening (byte->short->int->long, int/long->
+    decimal, ->double, float->double, date->timestamp_ntz, decimal
+    growth) promotes natively and never lands here."""
+    out: set[str] = set()
+    for f in schema_fields:
+        t = f.get("type")
+        if not (isinstance(t, str) and t.startswith("decimal(")):
+            continue
+        for ch in (f.get("metadata") or {}).get("delta.typeChanges") or []:
+            if ch.get("fromType") in _VECTOR_BLIND_FROM:
+                out.add(f["name"])
+                break
+    return out
+
+
+def _arrow_to_spark_type(at):
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    if pa.types.is_int8(at):
+        return ByteType()
+    if pa.types.is_int16(at):
+        return ShortType()
+    if pa.types.is_int32(at):
+        return IntegerType()
+    if pa.types.is_int64(at):
+        return LongType()
+    if pa.types.is_decimal(at):
+        return DecimalType(at.precision, at.scale)
+    if pa.types.is_float32(at):
+        return FloatType()
+    if pa.types.is_float64(at):
+        return DoubleType()
+    if pa.types.is_date(at):
+        return DateType()
+    return None
+
+
+def physical_read_groups(
+    paths: list[str],
+    read_schema,
+    problem_cols: dict,
+) -> list[tuple[list[str], "StructType", list[str]]]:
+    """Era-split for type-widened columns Spark cannot promote
+    natively: group ``paths`` by the SNIFFED physical type of each
+    problem column (footer-only driver reads, KB each — same metadata
+    class as the log itself) and return ``(paths, schema_variant,
+    cast_cols)`` groups.  Each group scans natively/vectorized with
+    the file's own physical type, and the caller casts ``cast_cols``
+    to the logical type right after the scan — exact, era-proof
+    (survives vacuumed logs: no commit-version guesswork), and the
+    data path stays whole-stage-codegen.  ``problem_cols`` maps the
+    column name AS IT APPEARS IN read_schema to its logical type."""
+    names = sorted(problem_cols)
+    by_key: dict[tuple, list[str]] = {}
+    key_types: dict[tuple, dict] = {}
+    for p in paths:
+        arrow = _fs.parquet_metadata(p).schema.to_arrow_schema()
+        key = []
+        types = {}
+        for c in names:
+            idx = arrow.get_field_index(c)
+            st = (
+                _arrow_to_spark_type(arrow.field(idx).type)
+                if idx >= 0
+                else None
+            )
+            if st is not None and st == problem_cols[c]:
+                st = None  # already the logical type: no override
+            key.append(None if st is None else st.simpleString())
+            if st is not None:
+                types[c] = st
+        k = tuple(key)
+        by_key.setdefault(k, []).append(p)
+        key_types[k] = types
+    out = []
+    for k, ps in by_key.items():
+        types = key_types[k]
+        if not types:
+            out.append((ps, read_schema, []))
+            continue
+        variant = StructType(
+            [
+                StructField(f.name, types.get(f.name, f.dataType), f.nullable)
+                for f in read_schema.fields
+            ]
+        )
+        out.append((ps, variant, sorted(types)))
     return out
 
 
