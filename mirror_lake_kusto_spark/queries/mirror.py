@@ -1630,6 +1630,78 @@ def mirror_coordinated_read(spark, sf_dir):
 
 
 @query(
+    "mirror_coordinated_tail",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="Coordinated-commits TAIL READ (round 9, sources/coordinator "
+    "+ delta_log._coordinated_tail): the table's metaData names the "
+    "'filesystem' commit coordinator and its newest commit exists "
+    "ONLY as a staged _delta_log/_commits/<v>.<uuid>.json — no plain "
+    "backfilled spelling.  The registered coordinator client serves "
+    "the ratified tail, list_commit_versions/_commit_file splice it "
+    "in, and the snapshot includes the staged commit's rows.  An "
+    "UNKNOWN coordinator keeps the round-8 fail-closed staleness "
+    "refusal (pinned in test_r9_coordinated_tail)",
+)
+def mirror_coordinated_tail(spark, sf_dir):
+    import json as _json
+    import uuid as _uuid
+
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_ctail", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(nat.filter("n_nationkey < 12"))                     # v0
+    meta = DL.latest_metadata(spark, path)
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.coordinatedCommits.commitCoordinator-preview"] = "filesystem"
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "%020d.json" % 1), "w") as f:       # v1
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["catalogManaged"],
+                        "writerFeatures": ["catalogManaged"],
+                    }
+                }
+            )
+            + "\n"
+            + _json.dumps({"metaData": {**meta, "configuration": conf}})
+            + "\n"
+        )
+    # the tail: a REAL data commit staged by the coordinator, never
+    # backfilled — authored via an aux table, parquet copied in
+    aux = DeltaSink(spark, os.path.join(workdir, "aux"))
+    aux.append(nat.filter("n_nationkey >= 12").coalesce(1))
+    staged_dir = os.path.join(log, "_commits")
+    os.makedirs(staged_dir, exist_ok=True)
+    lines = []
+    for a in DL._read_commit(aux.path, 0):
+        if "add" in a:
+            shutil.copy(
+                os.path.join(aux.path, a["add"]["path"]),
+                os.path.join(path, a["add"]["path"]),
+            )
+            lines.append(_json.dumps({"add": a["add"]}))
+    with open(
+        os.path.join(staged_dir, "%020d.%s.json" % (2, _uuid.uuid4())), "w"
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+    return DL.read_snapshot(spark, path).orderBy("n_nationkey")
+
+
+@query(
     "mirror_collated_read",
     """
     SELECT r_regionkey, r_name, 'ICU.UNICODE_CI' AS r_name_collation

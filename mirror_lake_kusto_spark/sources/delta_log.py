@@ -133,7 +133,9 @@ ACTIONS_SCHEMA = StructType(
     ]
 )
 
-_TX_RE = r"(\d{20})\.(?:json|checkpoint\.parquet)$"
+#: version extractor for log file names — plain commits/checkpoints
+#: AND staged coordinated commits (<version>.<uuid>.json)
+_TX_RE = r"(\d{20})(?:\.[0-9a-fA-F-]+)?\.(?:json|checkpoint\.parquet)$"
 
 # JSON commits up to this total size are parsed on the driver (a commit
 # is O(files-touched) metadata, KBs-to-MBs even on huge tables — the log
@@ -147,7 +149,104 @@ def log_dir(table_path: str) -> str:
 
 
 def _commit_file(table_path: str, version: int) -> str:
+    tail = _coordinated_tail(table_path)
+    if version in tail:
+        return _fs.join(log_dir(table_path), tail[version])
     return _fs.join(log_dir(table_path), f"{version:020d}.json")
+
+
+#: (normalized table path, backfilled head) -> declared coordinator name
+_COORD_NAME_CACHE: dict[tuple, str | None] = {}
+
+
+def _declared_coordinator(table_path: str) -> str | None:
+    """The commit-coordinator name the table's metaData declares
+    (``delta.coordinatedCommits.commitCoordinator[-preview]``), read
+    from the BACKFILLED prefix only (newest-first commit scan, then
+    checkpoint metaData) — staged commits are exactly what we cannot
+    read yet."""
+    versions = _backfilled_commit_versions(table_path)
+    key = (
+        table_path if _fs.scheme_of(table_path) else os.path.abspath(table_path),
+        versions[-1] if versions else -1,
+    )
+    if key in _COORD_NAME_CACHE:
+        return _COORD_NAME_CACHE[key]
+
+    def conf_name(meta) -> str | None:
+        conf = (meta or {}).get("configuration") or {}
+        for k in (
+            "delta.coordinatedCommits.commitCoordinator-preview",
+            "delta.coordinatedCommits.commitCoordinator",
+        ):
+            if conf.get(k):
+                return conf[k]
+        return None
+
+    name = None
+    for v in reversed(versions):
+        metas = [
+            a["metaData"]
+            for a in _read_backfilled_commit(table_path, v)
+            if "metaData" in a
+        ]
+        if metas:
+            name = conf_name(metas[-1])
+            break
+    else:
+        ckpt = read_last_checkpoint(table_path)
+        if ckpt is not None:
+            for m in _checkpoint_column(table_path, ckpt, "metaData"):
+                name = conf_name(m)
+    _COORD_NAME_CACHE[key] = name
+    if len(_COORD_NAME_CACHE) > 4096:
+        _COORD_NAME_CACHE.clear()
+    return name
+
+
+def _coordinated_tail(table_path: str) -> dict[int, str]:
+    """{version: path-under-_delta_log} of the RATIFIED staged tail —
+    non-empty only when staged commits exist past the backfilled head
+    AND the table names a coordinator this process has a registered
+    client for.  The fast path (no staged dirs) is two failed
+    listdirs."""
+    from . import coordinator as _coord
+
+    staged = _coord.staged_files(table_path)
+    if not staged:
+        return {}
+    versions = _backfilled_commit_versions(table_path)
+    head = versions[-1] if versions else -1
+    if not any(v > head for v in staged):
+        return {}
+    client = _coord.commit_coordinator_for(_declared_coordinator(table_path))
+    if client is None:
+        return {}
+    out = {
+        v: p
+        for v, p in client.get_commits(table_path, head + 1).items()
+        if v > head
+    }
+    # contiguity: a ratified tail with a hole would replay a torn log
+    expect = head + 1
+    for v in sorted(out):
+        if v != expect:
+            raise UnsupportedTableFeature(
+                f"coordinated table {table_path}: ratified tail "
+                f"{sorted(out)} is not contiguous after backfilled "
+                f"head {head} — refusing a torn snapshot"
+            )
+        expect += 1
+    return out
+
+
+def _read_backfilled_commit(table_path: str, version: int) -> list[dict]:
+    """Like _read_commit but never consults the coordinator — used by
+    the coordinator-resolution path itself to avoid recursion."""
+    text = _fs.get_fs(table_path).read_text(
+        _fs.join(log_dir(table_path), f"{version:020d}.json")
+    )
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
 def _read_commit(table_path: str, version: int) -> list[dict]:
@@ -185,14 +284,26 @@ def _driver_commit_rows(table_path: str, versions: list[int]) -> list[dict]:
     return rows
 
 
-def list_commit_versions(table_path: str) -> list[int]:
-    """A4/A5: enumerate JSON commit txIds from blob names."""
+def _backfilled_commit_versions(table_path: str) -> list[int]:
+    """A4/A5: enumerate plain JSON commit txIds from blob names."""
     d = log_dir(table_path)
     out = []
     for name in _fs.get_fs(table_path).listdir(d):
         if name.endswith(".json") and len(name) == 25 and name[:20].isdigit():
             out.append(int(name[:20]))
     return sorted(out)
+
+
+def list_commit_versions(table_path: str) -> list[int]:
+    """Readable commit versions: the backfilled prefix plus — for a
+    coordinated table naming a REGISTERED coordinator — the ratified
+    staged tail (round 9; _commit_file resolves those versions to
+    their staged spelling)."""
+    out = _backfilled_commit_versions(table_path)
+    tail = _coordinated_tail(table_path)
+    if tail:
+        out = sorted(set(out) | set(tail))
+    return out
 
 
 def _commit_info_of(table_path: str, version: int) -> dict | None:
@@ -459,7 +570,9 @@ def read_actions(
         )
         versions = [v for v in versions if v > ckpt_version]
     if versions:
-        paths = [_fs.join(d, f"{v:020d}.json") for v in versions]
+        # _commit_file resolves a coordinated table's ratified tail
+        # versions to their staged <v>.<uuid>.json spelling
+        paths = [_commit_file(table_path, v) for v in versions]
         row_schema = StructType(
             [*ACTIONS_SCHEMA.fields, StructField("tx_id", LongType())]
         )
@@ -787,34 +900,15 @@ _FEATURE_NOTES: dict[str, str] = {
 }
 
 
-#: staged-commit directories of catalog-coordinated tables
-#: (PROTOCOL.md coordinated commits / catalog-managed tables: commits
-#: land here as <version>.<uuid>.json first, owned by the coordinator,
-#: and are later BACKFILLED into the plain <version>.json files)
-_STAGED_COMMIT_DIRS = ("_commits", "_staged_commits")
-
-_STAGED_RE = re.compile(r"^(\d{20})\.[0-9a-fA-F-]+\.json$")
-
-
 def unbackfilled_commit_versions(table_path: str) -> list[int]:
     """Versions staged in the log's ``_commits`` / ``_staged_commits``
     directory — the coordinator-owned tail of a coordinated-commits /
     catalog-managed table.  A staged version ≤ the backfilled head is
     a published duplicate; versions PAST it are commits a filesystem
-    reader cannot serve."""
-    out: set[int] = set()
-    fs = _fs.get_fs(table_path)
-    for d in _STAGED_COMMIT_DIRS:
-        p = _fs.join(table_path, "_delta_log", d)
-        try:
-            names = fs.listdir(p)
-        except (FileNotFoundError, NotADirectoryError, OSError):
-            continue
-        for n in names:
-            m = _STAGED_RE.match(n)
-            if m:
-                out.add(int(m.group(1)))
-    return sorted(out)
+    reader cannot serve (without a registered coordinator client)."""
+    from . import coordinator as _coord
+
+    return sorted(_coord.staged_files(table_path))
 
 
 #: catalog-coordination features (stable names): the backfilled prefix
