@@ -3399,7 +3399,7 @@ class KqlQuery:
             aggs[name] = F.expr(expr_t)
         return frame.summarize(by=by_cols, **aggs)
 
-    def _op_order_by(self, frame, rest):
+    def _sort_cols(self, rest):
         cols, frags = [], []
         for part in _split_top(rest, ","):
             part = part.strip()
@@ -3421,6 +3421,10 @@ class KqlQuery:
                 col = expr.asc_nulls_first() if nulls == "first" else expr.asc_nulls_last()
             cols.append(col)
             frags.append(f"{sql} {direction.upper()} NULLS {nulls.upper()}")
+        return cols, frags
+
+    def _op_order_by(self, frame, rest):
+        cols, frags = self._sort_cols(rest)
         self._order_sql = frags  # the row set is now serialized
         return KqlFrame(frame.df.orderBy(*cols))
 
@@ -5765,6 +5769,12 @@ class KqlQuery:
                 f"partition needs 'by Col ( subquery )': {rest!r}"
             )
         col, inner = m.group(1), m.group(2).strip()
+        hints = dict(self._hints or {})
+        if (hints.get("strategy") or "").lower() == "shuffle" or (
+            "shufflekey" in hints
+        ):
+            stages = [s.strip() for s in _split_top(inner, "|") if s.strip()]
+            return self._partition_shuffle(frame, col, stages, hints)
         vals = [
             r[0]
             for r in frame.df.select(col)
@@ -5775,8 +5785,8 @@ class KqlQuery:
         if len(vals) > self._PARTITION_MAX:
             raise KqlParseError(
                 f"partition by {col}: more than {self._PARTITION_MAX} "
-                "distinct values (Kusto's legacy cap; use summarize/"
-                "window idioms for high-cardinality keys)"
+                "distinct values (Kusto's legacy cap; use "
+                "hint.strategy=shuffle for high-cardinality keys)"
             )
         if not vals:
             return frame
@@ -5791,6 +5801,93 @@ class KqlQuery:
         for p in parts[1:]:
             out = out.unionByName(p)
         return KqlFrame(out)
+
+    #: inner stages that are row-local (key-preserving) and lower
+    #: unchanged under the shuffle strategy
+    _SHUFFLE_ROW_LOCAL = {
+        "where", "extend", "parse", "parse-kv", "parse-where",
+        "mv-expand", "mv-apply", "serialize", "search",
+        "project-away", "project-rename", "project-reorder",
+    }
+
+    def _partition_shuffle(self, frame, col, stages, hints):
+        """``partition hint.strategy=shuffle by Col ( subquery )`` —
+        Kusto's shuffle strategy: NO 64-key cap and no per-key loop.
+        The subquery lowers onto hash-partitioned rewrites keyed on an
+        internal copy of the partition column: ``summarize`` gains the
+        key in its grouping, ``top N by`` becomes a row_number window
+        partitioned by the key, ``count`` becomes a per-key groupBy,
+        row-local stages (where/extend/project.../parse/mv-expand)
+        apply unchanged, and ``sort`` orders globally (a partition
+        operator's output order is unspecified in Kusto).  Stages
+        whose per-key semantics would need a loop (``take`` without
+        an order, ``sample``) raise, naming the alternatives.
+
+        Scale shape: ONE hash-partitioned pass per aggregating stage —
+        exactly the plan a 1000-executor cluster wants for a
+        high-cardinality key; the legacy strategy's N filtered scans
+        never happen."""
+        key = "__kql_pkey"
+        if key in frame.df.columns:
+            raise KqlParseError(f"column name {key} is reserved")
+        if col not in frame.df.columns:
+            raise KqlParseError(f"partition by {col}: unknown column")
+        df = frame.df.withColumn(key, F.col(col))
+        if "num_partitions" in hints:
+            df = df.repartition(int(hints["num_partitions"]), key)
+        sub = KqlFrame(df)
+        for st in stages:
+            head = re.match(r"[A-Za-z][\w-]*", st.strip())
+            verb = (head.group(0).lower() if head else "")
+            rest = st.strip()[len(verb):].strip() if head else ""
+            if verb in self._SHUFFLE_ROW_LOCAL or verb in ("sort", "order"):
+                sub = self._apply(sub, st)
+            elif verb in ("project", "project-keep"):
+                # keep the internal key alive through the projection
+                sub = self._apply(sub, f"{st}, {key}")
+            elif verb == "summarize":
+                sub = self._apply(
+                    sub, self._inject_summarize_key(st, key)
+                )
+            elif verb == "top":
+                m2 = re.match(
+                    r"^(\d+)\s+by\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
+                )
+                if not m2:
+                    raise KqlParseError(f"top needs 'top N by col': {rest!r}")
+                n = int(m2.group(1))
+                order_cols, _frags = self._sort_cols(m2.group(2))
+                w = Window.partitionBy(key).orderBy(*order_cols)
+                sub = KqlFrame(
+                    sub.df.withColumn(
+                        "__kql_prn", F.row_number().over(w)
+                    )
+                    .filter(F.col("__kql_prn") <= n)
+                    .drop("__kql_prn")
+                )
+            elif verb == "count":
+                sub = KqlFrame(
+                    sub.df.groupBy(key).agg(F.count("*").alias("Count"))
+                )
+            else:
+                raise KqlParseError(
+                    f"partition hint.strategy=shuffle cannot lower "
+                    f"{verb!r} per key without a loop; use summarize/"
+                    "top/where/extend/project forms, or the legacy "
+                    "partition strategy (<= 64 keys)"
+                )
+        return KqlFrame(sub.df.drop(key))
+
+    @staticmethod
+    def _inject_summarize_key(stage: str, key: str) -> str:
+        """``summarize aggs [by g...]`` -> grouping gains the internal
+        key (top-level ``by`` only; one inside an agg's parens is the
+        agg's own)."""
+        for m in re.finditer(r"\bby\b", stage, re.IGNORECASE):
+            prefix = stage[: m.start()]
+            if prefix.count("(") == prefix.count(")"):
+                return f"{stage}, {key}"
+        return f"{stage} by {key}"
 
     def _op_facet(self, frame, rest):
         """``facet by c1, c2, ...`` — value-frequency table per column.

@@ -561,6 +561,41 @@ def kql_partition_topk(spark, sf_dir):
 
 
 @query(
+    "kql_partition_shuffle",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders WHERE o_orderkey <= 30000)
+    WHERE rn <= 2
+    """,
+    doc="KQL partition operator, hint.strategy=shuffle (round 9): "
+    "Kusto's shuffle strategy has NO 64-key cap — the subquery lowers "
+    "onto ONE hash-partitioned window pass keyed on an internal copy "
+    "of the partition column (kql_parse._partition_shuffle), never a "
+    "per-key loop of filtered scans.  Top-2 orders per CUSTOMER "
+    "(hundreds of keys at every SF — the legacy strategy raises on "
+    "this query, pinned in test_kql)",
+)
+def kql_partition_shuffle(spark, sf_dir):
+    return kql(
+        spark,
+        """
+        orders
+        | where o_orderkey <= 30000
+        | partition hint.strategy=shuffle by o_custkey (
+            top 2 by o_totalprice desc, o_orderkey asc )
+        | project o_custkey, o_orderkey, o_totalprice
+        """,
+        tables=_tables(spark, sf_dir, "orders"),
+    )
+
+
+@query(
     "kql_facet_overview",
     """
     SELECT 'o_orderpriority' AS "column", o_orderpriority AS value,
