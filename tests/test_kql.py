@@ -1112,11 +1112,17 @@ def test_let_materialize_caches_subquery(spark):
     )
     rows = [(r["k"], r["s"], r["s2"]) for r in out.collect()]
     assert rows == [("a", 3, 3), ("b", 3, 3)]
-    # the cached frame backs both references: the plan reads InMemory
+    # the one-shot frame backs both references: the plan reads the
+    # eagerly-materialized snapshot (localCheckpoint since round 9 —
+    # blocks free with the frame's GC, unlike a session-lifetime
+    # persist), never the source twice
     plan = spark._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple"
     )
-    assert "InMemory" in plan
+    assert "ExistingRDD" in plan or "InMemory" in plan
+    # and the aggregation ran ONCE at let-time: neither join input
+    # re-derives it (no HashAggregate below the join)
+    assert "HashAggregate" not in plan
 
 
 def test_scan_state_survives_arrow_batch_boundaries(spark):
