@@ -215,3 +215,103 @@ def test_crash_between_delete_and_append_recovers(spark, tmp_path):
     pipe.sink.append = real_append
     pipe.run_until_idle()  # resume from persisted items
     assert _ids(pipe) == [i for i in range(100) if i % 7 != 3]
+
+
+def test_partitioned_source_dv_materialize(spark, tmp_path):
+    """DV'd files of a PARTITIONED source: partition constants inject
+    correctly on the DV-filtered scan path too."""
+    src = DeltaSink(
+        spark, str(tmp_path / "src"), partition_by=["k"]
+    )
+    src.append(
+        spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS k")
+    )
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    src.delete_dv("id % 10 = 3")
+    pipe.run_until_idle()
+    rows = {r.id: r.k for r in pipe.mirror_df().collect()}
+    assert sorted(rows) == [i for i in range(100) if i % 10 != 3]
+    assert all(rows[i] == i % 4 for i in rows)
+
+
+def test_row_tracked_source_dv_materialize(spark, tmp_path):
+    """A source with BOTH row tracking and deletion vectors: surviving
+    rows keep their SOURCE row ids through the DV-filtered staging
+    scan (the physical row index must survive the bitmap anti-join)."""
+    src = DeltaSink(
+        spark, str(tmp_path / "src"), checkpoint_interval=10**6
+    )
+    src.append(spark.range(0, 20).toDF("id").coalesce(1))
+    src.set_properties({"delta.enableRowTracking": "true"})
+    src.append(spark.range(20, 30).toDF("id").coalesce(1))
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    before = {
+        r["id"]: r["MLK_SourceRowId"]
+        for r in pipe.mirror_df().select("id", "MLK_SourceRowId").collect()
+    }
+    src.delete_dv("id % 5 = 1")
+    pipe.run_until_idle()
+    after = {
+        r["id"]: r["MLK_SourceRowId"]
+        for r in pipe.mirror_df().select("id", "MLK_SourceRowId").collect()
+    }
+    assert sorted(after) == [i for i in range(30) if i % 5 != 1]
+    # surviving rows keep the ids they had before the DV re-stage
+    assert all(after[i] == before[i] for i in after)
+
+
+def test_column_mapped_source_dv_materialize(spark, tmp_path):
+    """Column-mapped source (files store physical names) + DV: the
+    bitmap applies on the physical staging scan, logical names come
+    out.  The DV commit is hand-authored (a foreign writer's shape —
+    this sink's own DML refuses mapped tables by design)."""
+    import json
+
+    from mirror_lake_kusto_spark.sources import dv as DVMOD
+
+    src = DeltaSink(spark, str(tmp_path / "src"))
+    src.append(spark.range(50).selectExpr("id", "id * 2 AS v").coalesce(1))
+    src.evolve_rename({"v": "doubled"})  # flips on 'name' mapping
+    # foreign merge-on-read delete of rows 40..49 (row order = id
+    # order in the single coalesced file)
+    add0 = next(
+        a["add"] for a in DL._read_commit(src.path, 0) if "add" in a
+    )
+    desc = DVMOD.pack_dv_file(
+        src.path, [(DVMOD.serialize(list(range(40, 50))), 10)]
+    )[0]
+    v = DL.list_commit_versions(src.path)[-1] + 1
+    lines = [
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "columnMapping"],
+                    "writerFeatures": ["deletionVectors", "columnMapping"],
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "remove": {
+                    "path": add0["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                    "partitionValues": {},
+                }
+            }
+        ),
+        json.dumps({"add": {**add0, "deletionVector": desc}}),
+    ]
+    with open(
+        os.path.join(src.path, "_delta_log", f"{v:020d}.json"), "w"
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    rows = {r.id: r.doubled for r in pipe.mirror_df().collect()}
+    assert sorted(rows) == list(range(40))
+    assert all(rows[i] == 2 * i for i in rows)
