@@ -2397,7 +2397,11 @@ class KqlQuery:
                 # every multi-consumer frame here uses); its blocks
                 # free with the frame's GC instead of living for the
                 # session like a bare persist would (round-9 sweep of
-                # the funnel-plugin leak class)
+                # the funnel-plugin leak class).  Known tradeoff: the
+                # snapshot is lineage-truncated and non-replicated, so
+                # losing an executor mid-query fails the query instead
+                # of recomputing — rerun; acceptable against unbounded
+                # storage growth on a long session
                 df = self._run_pipe(mam.group(1).strip()).localCheckpoint(
                     eager=True
                 )
@@ -4934,7 +4938,9 @@ class KqlQuery:
         # then drop the shared event cache: localCheckpoint blocks are
         # freed with the result's GC, so repeated plugin invocations
         # don't accumulate session-lifetime executor storage
-        # (round-9 ADVICE)
+        # (round-9 ADVICE).  Tradeoff: the snapshot is non-replicated;
+        # an executor lost mid-query fails the query (rerun) instead
+        # of recomputing — the frame is tiny, the window is seconds
         out = out.localCheckpoint(eager=True)
         ev.unpersist()
         return KqlFrame(out)
@@ -5807,10 +5813,12 @@ class KqlQuery:
         return KqlFrame(out)
 
     #: inner stages that are row-local (key-preserving) and lower
-    #: unchanged under the shuffle strategy
+    #: unchanged under the shuffle strategy.  NOT ``search``: it
+    #: matches ALL columns, and the internal key copy would make rows
+    #: match on a value the user may have projected away
     _SHUFFLE_ROW_LOCAL = {
         "where", "extend", "parse", "parse-kv", "parse-where",
-        "mv-expand", "mv-apply", "serialize", "search",
+        "mv-expand", "mv-apply", "serialize",
         "project-away", "project-rename", "project-reorder",
     }
 

@@ -423,7 +423,7 @@ class MirrorPipeline:
             # (remove(P)+add(P,DV) cancels), so a dedicated delta pass
             # finds paths whose DV changed vs recorded provenance
             if snapshot_chunk is not None and versions[0] > hwm + 1:
-                dv_extra_adds = self._dv_delta_snapshot(end_tx, add_rows)
+                dv_extra_adds = self._dv_delta_snapshot(end_tx)
             else:
                 dv_extra_adds = self._dv_delta_incremental(
                     hwm, end_tx, add_rows
@@ -933,6 +933,15 @@ class MirrorPipeline:
         pending = [i for i in add_items if i["state"] == "Initial"]
         creation = self._creation_times(pending)
         for it in pending:
+            if _item_dv(it)[1]:
+                # a DV re-stage CORRECTS rows already in the mirror
+                # (prior add was staged, not skipped — _dv_delta only
+                # sets restage then); the retention skip is about not
+                # ingesting old data, and skipping here would swallow
+                # the owed delete, stranding source-deleted rows
+                # forever (round-9 review finding)
+                it["state"] = "Analyzed"
+                continue
             ct = creation.get(it["blob_path"])
             if ct is not None and ct < cutoff:
                 it["state"] = "Skipped"  # O5: predates retention window
@@ -1345,11 +1354,19 @@ class MirrorPipeline:
         for v in DL.list_commit_versions(self.source):
             if not (hwm < v <= end_tx):
                 continue
-            for act in DL._read_commit(self.source, v):
+            # two passes per commit — removes then adds — so a commit
+            # carrying both actions for one path resolves ADD-WINS
+            # regardless of physical line order, matching the
+            # argmax(tx_id, is_add) tie-break the snapshot replay uses
+            # (round-9 review finding: a writer emitting [add, remove]
+            # order must not hide the DV change)
+            acts = DL._read_commit(self.source, v)
+            for act in acts:
+                if "remove" in act:
+                    final[act["remove"]["path"]] = None
+            for act in acts:
                 if "add" in act:
                     final[act["add"]["path"]] = act["add"]
-                elif "remove" in act:
-                    final[act["remove"]["path"]] = None
         live_paths = {r["path"] for r in add_rows}
         candidates = {
             p: a
@@ -1391,13 +1408,25 @@ class MirrorPipeline:
                     "_mlk_restage": restage,
                 }
             )
+        if len(extra) > self.max_items_per_batch:
+            # same driver-item ceiling the snapshot twin enforces — a
+            # fat delete_dv commit must not sneak an unbounded item
+            # list past max_items_per_batch via the DV delta
+            raise ValueError(
+                f"more than {self.max_items_per_batch} DV-changed "
+                "files in one batch; raise max_items_per_batch or "
+                "sync the source more often"
+            )
         return extra
 
-    def _dv_delta_snapshot(self, end_tx: int, add_rows) -> list[dict]:
+    def _dv_delta_snapshot(self, end_tx: int) -> list[dict]:
         """Materialize-mode DV delta on the vacuumed-log snapshot path:
         commits are gone, so changed bitmaps are found by joining the
         active file set against recorded provenance in the state —
-        one metadata-scale shuffle, collected bounded."""
+        one metadata-scale shuffle, collected bounded.  Fresh adds
+        need no handling here: the inner join against PROCESSED state
+        excludes them, and their provenance records from their own
+        add rows."""
         import pyspark.sql.functions as F2
 
         active = self._active_files(end_tx)

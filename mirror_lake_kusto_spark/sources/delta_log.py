@@ -148,9 +148,26 @@ def log_dir(table_path: str) -> str:
     return _fs.join(table_path, "_delta_log")
 
 
+#: last resolved coordinated tail per table — REFRESHED by every
+#: list_commit_versions call (which all log-reading flows perform
+#: before resolving individual commit files), READ here without
+#: recomputation so _commit_file stays a pure string join for the
+#: overwhelmingly-common uncoordinated table (a per-call
+#: staged-dir listdir would add 2-3 remote LISTs per commit read)
+_TAIL_CACHE: dict[str, dict[int, str]] = {}
+
+
+def _norm_table(table_path: str) -> str:
+    return (
+        table_path
+        if _fs.scheme_of(table_path)
+        else os.path.abspath(table_path)
+    )
+
+
 def _commit_file(table_path: str, version: int) -> str:
-    tail = _coordinated_tail(table_path)
-    if version in tail:
+    tail = _TAIL_CACHE.get(_norm_table(table_path))
+    if tail and version in tail:
         return _fs.join(log_dir(table_path), tail[version])
     return _fs.join(log_dir(table_path), f"{version:020d}.json")
 
@@ -204,18 +221,23 @@ def _declared_coordinator(table_path: str) -> str | None:
     return name
 
 
-def _coordinated_tail(table_path: str) -> dict[int, str]:
+def _coordinated_tail(
+    table_path: str, backfilled: list[int] | None = None
+) -> dict[int, str]:
     """{version: path-under-_delta_log} of the RATIFIED staged tail —
     non-empty only when staged commits exist past the backfilled head
     AND the table names a coordinator this process has a registered
-    client for.  The fast path (no staged dirs) is two failed
-    listdirs."""
+    client for."""
     from . import coordinator as _coord
 
     staged = _coord.staged_files(table_path)
     if not staged:
         return {}
-    versions = _backfilled_commit_versions(table_path)
+    versions = (
+        backfilled
+        if backfilled is not None
+        else _backfilled_commit_versions(table_path)
+    )
     head = versions[-1] if versions else -1
     if not any(v > head for v in staged):
         return {}
@@ -286,23 +308,43 @@ def _driver_commit_rows(table_path: str, versions: list[int]) -> list[dict]:
 
 def _backfilled_commit_versions(table_path: str) -> list[int]:
     """A4/A5: enumerate plain JSON commit txIds from blob names."""
-    d = log_dir(table_path)
-    out = []
-    for name in _fs.get_fs(table_path).listdir(d):
-        if name.endswith(".json") and len(name) == 25 and name[:20].isdigit():
-            out.append(int(name[:20]))
-    return sorted(out)
+    return _versions_of(_fs.get_fs(table_path).listdir(log_dir(table_path)))
+
+
+def _versions_of(names) -> list[int]:
+    return sorted(
+        int(n[:20])
+        for n in names
+        if n.endswith(".json") and len(n) == 25 and n[:20].isdigit()
+    )
 
 
 def list_commit_versions(table_path: str) -> list[int]:
     """Readable commit versions: the backfilled prefix plus — for a
     coordinated table naming a REGISTERED coordinator — the ratified
-    staged tail (round 9; _commit_file resolves those versions to
-    their staged spelling)."""
-    out = _backfilled_commit_versions(table_path)
-    tail = _coordinated_tail(table_path)
+    staged tail (round 9).  ONE directory listing for the common
+    uncoordinated table: the staged dirs are subdirectories of
+    _delta_log, so their presence is read from the same listing and
+    the tail machinery only engages when one exists.  The resolved
+    tail is cached per table so _commit_file (called once per commit
+    read by every replay flow, always after an enumeration through
+    here) resolves staged spellings without re-listing."""
+    from . import coordinator as _coord
+
+    names = _fs.get_fs(table_path).listdir(log_dir(table_path))
+    out = _versions_of(names)
+    key = _norm_table(table_path)
+    tail = {}
+    if any(n in _coord.STAGED_COMMIT_DIRS for n in names):
+        tail = _coordinated_tail(table_path, backfilled=out)
     if tail:
+        _TAIL_CACHE[key] = tail
+        if len(_TAIL_CACHE) > 1024:
+            _TAIL_CACHE.clear()
+            _TAIL_CACHE[key] = tail
         out = sorted(set(out) | set(tail))
+    else:
+        _TAIL_CACHE.pop(key, None)
     return out
 
 
@@ -1561,6 +1603,11 @@ def _arrow_to_spark_type(at):
     return None
 
 
+#: (file path, problem-column tuple) -> sniffed (era key, overrides);
+#: parquet files are immutable so entries never invalidate
+_SNIFF_CACHE: dict[tuple, tuple] = {}
+
+
 def physical_read_groups(
     paths: list[str],
     read_schema,
@@ -1580,22 +1627,34 @@ def physical_read_groups(
     by_key: dict[tuple, list[str]] = {}
     key_types: dict[tuple, dict] = {}
     for p in paths:
-        arrow = _fs.parquet_metadata(p).schema.to_arrow_schema()
-        key = []
-        types = {}
-        for c in names:
-            idx = arrow.get_field_index(c)
-            st = (
-                _arrow_to_spark_type(arrow.field(idx).type)
-                if idx >= 0
-                else None
-            )
-            if st is not None and st == problem_cols[c]:
-                st = None  # already the logical type: no override
-            key.append(None if st is None else st.simpleString())
-            if st is not None:
-                types[c] = st
-        k = tuple(key)
+        cache_key = (p, tuple(names))
+        cached = _SNIFF_CACHE.get(cache_key)
+        if cached is None:
+            # parquet files are immutable: one footer read per
+            # (file, column-set), ever — without this a table that
+            # EVER recorded a byte/short->decimal change would pay
+            # O(files) footer fetches on every read
+            arrow = _fs.parquet_metadata(p).schema.to_arrow_schema()
+            key = []
+            types = {}
+            for c in names:
+                idx = arrow.get_field_index(c)
+                st = (
+                    _arrow_to_spark_type(arrow.field(idx).type)
+                    if idx >= 0
+                    else None
+                )
+                if st is not None and st == problem_cols[c]:
+                    st = None  # already the logical type: no override
+                key.append(None if st is None else st.simpleString())
+                if st is not None:
+                    types[c] = st
+            cached = (tuple(key), types)
+            _SNIFF_CACHE[cache_key] = cached
+            if len(_SNIFF_CACHE) > 262_144:
+                _SNIFF_CACHE.clear()
+                _SNIFF_CACHE[cache_key] = cached
+        k, types = cached
         by_key.setdefault(k, []).append(p)
         key_types[k] = types
     out = []

@@ -2980,6 +2980,9 @@ class DeltaSink:
         for pr_ in probes[1:]:
             probe = probe.unionByName(pr_)
         if old_pairs is not None:
+            # consumed twice (probe anti-join + bitmap merge): persist
+            # so each existing payload is fetched/exploded ONCE
+            old_pairs = old_pairs.persist()
             probe = probe.join(old_pairs, ["_f", "_ridx"], "left_anti")
         matched = probe.filter(predicate).persist()
         try:
@@ -3101,6 +3104,8 @@ class DeltaSink:
             return self._commit(actions, operation="UPDATE (merge-on-read)")
         finally:
             matched.unpersist()
+            if old_pairs is not None:
+                old_pairs.unpersist()
 
     def _prep_merge(self, source, key_cols, delete_keys):
         """Shared MERGE validation (copy-on-write and merge-on-read):
@@ -3510,6 +3515,9 @@ class DeltaSink:
             for pr_ in probes[1:]:
                 probe = probe.unionByName(pr_)
             if old_pairs is not None:
+                # consumed twice (probe anti-join + bitmap merge):
+                # persist so each payload is fetched/exploded ONCE
+                old_pairs = old_pairs.persist()
                 probe = probe.join(old_pairs, ["_f", "_ridx"], "left_anti")
             matched = probe.join(
                 F.broadcast(all_keys), keys, "inner"
@@ -3681,6 +3689,26 @@ class DeltaSink:
         finally:
             if matched is not None:
                 matched.unpersist()
+            if old_pairs is not None:
+                old_pairs.unpersist()
+
+    def _delete_dv_cdc(self, probe, predicate, old_pairs, packed):
+        """Row-level change feed for delete_dv: only the NEWLY deleted
+        rows — a row already in a prior deletion vector must not
+        re-report.  The old-vector pairs anti-join the matches;
+        nothing expands on the driver."""
+        import pyspark.sql.functions as F
+
+        if not (packed and self._cdf_enabled()):
+            return []
+        newly = probe.filter(predicate)
+        if old_pairs is not None:
+            newly = newly.join(old_pairs, ["_f", "_ridx"], "left_anti")
+        return self._stage_cdc(
+            newly.drop("_f", "_ridx").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
 
     def delete_dv(self, predicate: str) -> int:
         """Merge-on-read row-level delete: instead of rewriting every
@@ -3749,22 +3777,18 @@ class DeltaSink:
         for pr in probes[1:]:
             probe = probe.unionByName(pr)
         matched = probe.filter(predicate).select("_f", "_ridx")
-        packed = self._pack_merged_dvs(matched, old_pairs)
-        cdc_actions: list[dict] = []
-        if packed and self._cdf_enabled():
-            # row-level change feed: only the NEWLY deleted rows — a
-            # row already in a prior deletion vector must not re-report.
-            # The old-vector (file, row_index) pairs explode executor-
-            # side (descriptor rows past the distributed threshold) and
-            # anti-join the matches; nothing expands on the driver.
-            newly = probe.filter(predicate)
-            if old_pairs is not None:
-                newly = newly.join(old_pairs, ["_f", "_ridx"], "left_anti")
-            cdc_actions = self._stage_cdc(
-                newly.drop("_f", "_ridx").withColumn(
-                    "_change_type", F.lit("delete")
-                )
+        if old_pairs is not None:
+            # consumed twice (bitmap merge + CDC anti-join): persist
+            # so each payload is fetched/exploded ONCE
+            old_pairs = old_pairs.persist()
+        try:
+            packed = self._pack_merged_dvs(matched, old_pairs)
+            cdc_actions = self._delete_dv_cdc(
+                probe, predicate, old_pairs, packed
             )
+        finally:
+            if old_pairs is not None:
+                old_pairs.unpersist()
         if not packed:
             return self._commit([], operation="DELETE (merge-on-read)")
         # protocol upgrade MERGES with whatever the table already

@@ -315,3 +315,61 @@ def test_column_mapped_source_dv_materialize(spark, tmp_path):
     rows = {r.id: r.doubled for r in pipe.mirror_df().collect()}
     assert sorted(rows) == list(range(40))
     assert all(rows[i] == 2 * i for i in rows)
+
+
+def test_retention_window_does_not_swallow_restage(spark, tmp_path):
+    """Round-9 review finding: a DV re-stage CORRECTS already-mirrored
+    rows; the O5 retention skip must not swallow its owed delete even
+    when the re-added file's creation time predates the go-back
+    cutoff (e.g. the mirror catches up a year later)."""
+    import datetime as dt
+
+    clock = {"now": dt.datetime.utcnow()}
+    src = _src(spark, tmp_path)
+    pipe = _pipe(
+        spark, tmp_path, go_back_days=30, now_fn=lambda: clock["now"]
+    )
+    pipe.run_until_idle()
+    assert len(_ids(pipe)) == 100  # fresh: admitted
+    src.delete_dv("k = 3")
+    clock["now"] += dt.timedelta(days=365)  # the mirror wakes up late
+    pipe.run_until_idle()
+    # the restage ran: source-deleted rows are OUT, not stranded
+    assert _ids(pipe) == [i for i in range(100) if i % 7 != 3]
+
+
+def test_add_before_remove_commit_order_detected(spark, tmp_path):
+    """Round-9 review finding: a writer emitting [add(P,DV),
+    remove(P)] in that physical line order must still resolve
+    ADD-WINS (the same tie-break the snapshot replay uses)."""
+    import json
+
+    src = _src(spark, tmp_path)
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    src.delete_dv("k = 3")
+    # rewrite the DV commit with its action lines REVERSED
+    v = DL.list_commit_versions(src.path)[-1]
+    cf = os.path.join(src.path, "_delta_log", f"{v:020d}.json")
+    acts = [json.loads(ln) for ln in open(cf) if ln.strip()]
+    order = {"add": 0, "remove": 1, "commitInfo": 2, "protocol": 3}
+    acts.sort(key=lambda a: order.get(next(iter(a)), 9))
+    with open(cf, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    pipe.run_until_idle()
+    assert _ids(pipe) == [i for i in range(100) if i % 7 != 3]
+
+
+def test_incremental_dv_delta_respects_item_cap(spark, tmp_path):
+    """Round-9 review finding: the incremental DV delta enforces the
+    same driver-item ceiling the snapshot twin does."""
+    src = DeltaSink(spark, str(tmp_path / "src"))
+    src.append(
+        spark.range(100).selectExpr("id", "id % 7 AS k").repartition(4)
+    )
+    pipe = _pipe(spark, tmp_path)
+    pipe.run_until_idle()
+    src.delete_dv("k = 3")  # DVs land on every file
+    pipe.max_items_per_batch = 1
+    with pytest.raises(ValueError, match="DV-changed"):
+        pipe.run_until_idle()

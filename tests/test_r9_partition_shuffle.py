@@ -117,3 +117,18 @@ def test_shuffle_num_partitions_hint_honored(spark, t):
     )
     assert "7" in plan  # the explicit repartition width survives
     assert df.count() == 200
+
+
+def test_shuffle_refuses_search(spark, t):
+    """Round-9 review finding: search matches ALL columns, so the
+    internal key copy would leak matches the user projected away —
+    refuse instead of silently diverging from the legacy strategy."""
+    from mirror_lake_kusto_spark.functions.kql_parse import KqlParseError
+
+    with pytest.raises(KqlParseError, match="cannot lower"):
+        kql(
+            spark,
+            """t | partition hint.strategy=shuffle by k (
+                 project v | search "7" )""",
+            tables={"t": t},
+        ).collect()
