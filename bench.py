@@ -186,6 +186,7 @@ EXTENSION_HEADLINE = [
     "mirror_dv_source_materialize",
     "mirror_widen_chain",
     "mirror_coordinated_tail",
+    "mirror_coordinated_write",
     "kql_partition_shuffle",
 ]
 

@@ -1702,6 +1702,52 @@ def mirror_coordinated_tail(spark, sf_dir):
 
 
 @query(
+    "mirror_coordinated_write",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey
+    """,
+    doc="Coordinated-commits WRITE path (round 9, DeltaSink "
+    "coordinated_commits= + StagedCommitCoordinator): commits after "
+    "the plain v0 bootstrap land as staged _delta_log/_commits/"
+    "<v>.<uuid>.json files ratified by a TrackingCommitCoordinator — "
+    "arbitration without filesystem conditional-create (the raw-S3 "
+    "shape).  The snapshot reads THROUGH the registered client "
+    "(append + row-level delete both live only in the staged tail), "
+    "then backfill_commits publishes and the result must not change",
+)
+def mirror_coordinated_write(spark, sf_dir):
+    from ..sources import coordinator as COORD
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_cwrite", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    name = f"mlkq-tracker-{os.path.basename(workdir)}"
+    tracker = COORD.TrackingCommitCoordinator()
+    COORD.register_commit_coordinator(name, tracker)
+    try:
+        nat = load_table(spark, "nation", sf_dir).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink = DeltaSink(spark, path, coordinated_commits=name)
+        sink.append(nat.filter("n_nationkey < 12"))        # v0 plain
+        sink.append(nat.filter("n_nationkey >= 12"))       # v1 staged
+        sink.delete("n_regionkey = 2")                     # v2 staged
+        staged_rows = DL.read_snapshot(spark, path).count()
+        sink.backfill_commits()
+        out = DL.read_snapshot(spark, path)
+        if out.count() != staged_rows:
+            raise AssertionError(
+                "backfill changed the snapshot row count"
+            )
+        return out.orderBy("n_nationkey")
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+@query(
     "mirror_collated_read",
     """
     SELECT r_regionkey, r_name, 'ICU.UNICODE_CI' AS r_name_collation

@@ -55,16 +55,30 @@ def staged_files(table_path: str) -> dict[int, list[str]]:
     return out
 
 
+class CommitConflict(Exception):
+    """Another writer's staged commit was ratified for this version —
+    rebase and retry at the next one."""
+
+
 class CommitCoordinatorClient:
-    """One method matters for reads: the ratified staged commits at or
-    past ``start_version``, as ``{version: path-under-_delta_log}``.
+    """Reads need :meth:`get_commits` — the ratified staged commits at
+    or past ``start_version``, as ``{version: path-under-_delta_log}``.
     Ratification is the coordinator's knowledge — the filesystem alone
-    cannot provide it when writers race."""
+    cannot provide it when writers race.  Writers additionally need
+    :meth:`commit` — the arbitration point; clients that cannot
+    arbitrate stay read-only and refuse."""
 
     def get_commits(
         self, table_path: str, start_version: int
     ) -> dict[int, str]:
         raise NotImplementedError
+
+    def commit(self, table_path: str, version: int, rel_path: str) -> None:
+        raise NotImplementedError(
+            f"{type(self).__name__} is read-only: it cannot arbitrate "
+            "which staged candidate wins a version; write through a "
+            "TrackingCommitCoordinator (or another arbitrating client)"
+        )
 
 
 class FileSystemCommitCoordinator(CommitCoordinatorClient):
@@ -99,17 +113,37 @@ class TrackingCommitCoordinator(CommitCoordinatorClient):
     simply never ratified."""
 
     def __init__(self):
+        import threading
+
         self._ratified: dict[str, dict[int, str]] = {}
+        self._lock = threading.Lock()
 
     def ratify(self, table_path: str, version: int, rel_path: str) -> None:
         """Record ``rel_path`` (under ``_delta_log``) as the ratified
-        commit for ``version``."""
-        self._ratified.setdefault(_norm(table_path), {})[version] = rel_path
+        commit for ``version`` — unconditional (test/admin override)."""
+        with self._lock:
+            self._ratified.setdefault(_norm(table_path), {})[
+                version
+            ] = rel_path
+
+    def commit(self, table_path: str, version: int, rel_path: str) -> None:
+        """Arbitrated write-side ratification: first staged candidate
+        for a version wins; losers get CommitConflict and must rebase
+        onto the winner and retry at the next version."""
+        with self._lock:
+            m = self._ratified.setdefault(_norm(table_path), {})
+            if version in m:
+                raise CommitConflict(
+                    f"version {version} of {table_path} already "
+                    f"ratified as {m[version]}"
+                )
+            m[version] = rel_path
 
     def get_commits(
         self, table_path: str, start_version: int
     ) -> dict[int, str]:
-        m = self._ratified.get(_norm(table_path), {})
+        with self._lock:
+            m = dict(self._ratified.get(_norm(table_path), {}))
         return {v: p for v, p in m.items() if v >= start_version}
 
 

@@ -199,6 +199,59 @@ class LockCommitCoordinator(CommitCoordinator):
             fs.write_text(path, data)
 
 
+class StagedCommitCoordinator(CommitCoordinator):
+    """Coordinated-commits WRITER (round 9, PROTOCOL.md coordinated
+    commits): instead of creating the plain ``<v>.json``, stage the
+    commit as ``_delta_log/_commits/<v>.<uuid>.json`` and ask the
+    NAMED coordinator client to RATIFY it — the client is the single
+    arbiter of which staged candidate wins a version, so this works on
+    stores with no conditional create at all (the raw-S3 gap).  A
+    ratification conflict surfaces as FileExistsError, driving
+    DeltaSink._commit's ordinary rebase-and-retry loop.  Version 0
+    bootstraps PLAIN (the spec requires commit 0 backfilled) so any
+    reader can discover the table and its declared coordinator.
+    Race-loser staged files are simply never ratified; readers through
+    the client ignore them, and :meth:`DeltaSink.backfill_commits`
+    publishes only ratified spellings."""
+
+    def __init__(self, name: str):
+        from .coordinator import commit_coordinator_for
+
+        client = commit_coordinator_for(name)
+        if client is None:
+            raise ValueError(
+                f"no registered commit coordinator {name!r}; register "
+                "one via coordinator.register_commit_coordinator"
+            )
+        self.name = name
+        self.client = client
+
+    def create_commit(self, fs, path: str, data: str) -> None:
+        import os as _os
+        import re as _re
+        import uuid as _uuid
+
+        from .coordinator import CommitConflict
+
+        m = _re.search(r"(\d{20})\.json$", path)
+        if not m:
+            raise ValueError(f"not a commit path: {path}")
+        v = int(m.group(1))
+        if v == 0:
+            fs.create_exclusive(path, data)  # bootstrap stays plain
+            return
+        log = _os.path.dirname(path)
+        rel = f"_commits/{v:020d}.{_uuid.uuid4()}.json"
+        fs.makedirs(f"{log}/_commits")
+        fs.write_text(f"{log}/{rel}", data)
+        try:
+            self.client.commit(_os.path.dirname(log), v, rel)
+        except CommitConflict as exc:
+            # the staged file stays on disk unratified (harmless);
+            # FileExistsError is the retry signal _commit understands
+            raise FileExistsError(str(exc)) from exc
+
+
 #: schemes whose plain create cannot be made conditional — commits
 #: there MUST go through an explicit coordinator or they can tear
 #: under concurrent writers (delta-io's S3 single-cluster caveat)
@@ -257,9 +310,18 @@ class DeltaSink:
         checkpoint_parts: int | None = None,
         checkpoint_format: str = "classic",
         commit_coordinator: CommitCoordinator | None = None,
+        coordinated_commits: str | None = None,
     ):
         self.spark = spark
         self.path = table_path
+        if coordinated_commits is not None:
+            if commit_coordinator is not None:
+                raise ValueError(
+                    "pass either commit_coordinator or "
+                    "coordinated_commits, not both"
+                )
+            commit_coordinator = StagedCommitCoordinator(coordinated_commits)
+        self.coordinated_commits = coordinated_commits
         self.partition_by = list(partition_by)
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_parts = checkpoint_parts
@@ -300,7 +362,44 @@ class DeltaSink:
         vs = _list_versions(self.path)
         ckpt = read_last_checkpoint(self.path)
         cands = vs[-1:] + ([ckpt] if ckpt is not None else [])
+        if isinstance(self.coordinator, StagedCommitCoordinator):
+            # ratified-but-unbackfilled tail counts toward the head
+            rat = self.coordinator.client.get_commits(self.path, 0)
+            if rat:
+                cands.append(max(rat))
         return (max(cands) + 1) if cands else 0
+
+    def backfill_commits(self, upto: int | None = None) -> int:
+        """Publish ratified staged commits as plain ``<v>.json`` files
+        (PROTOCOL.md backfill rules): version order, idempotent, and
+        tolerant of a concurrent backfiller (losing the exclusive
+        create means someone else already published the identical
+        bytes).  After backfill the staged spellings become published
+        duplicates every reader tolerates.  Returns the number of
+        commits published."""
+        if not isinstance(self.coordinator, StagedCommitCoordinator):
+            raise ValueError(
+                "backfill_commits needs a coordinated sink "
+                "(coordinated_commits=...)"
+            )
+        log = _log_dir(self.path)
+        n = 0
+        for v, rel in sorted(
+            self.coordinator.client.get_commits(self.path, 0).items()
+        ):
+            if upto is not None and v > upto:
+                break
+            plain = _fs.join(log, TX_FMT.format(v) + ".json")
+            if self.fs.exists(plain):
+                continue
+            try:
+                self.fs.create_exclusive(
+                    plain, self.fs.read_text(_fs.join(log, rel))
+                )
+            except FileExistsError:
+                continue
+            n += 1
+        return n
 
     def _commit(
         self,
@@ -358,6 +457,13 @@ class DeltaSink:
                     # leave the table unreadable — skip the commit
                     return -1
                 proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+                if getattr(self, "coordinated_commits", None):
+                    # writer feature only: readers read the backfilled
+                    # prefix normally; writers must route through the
+                    # coordinator or they could tear versions
+                    proto = upgraded_protocol(
+                        proto, (), ("coordinatedCommits",)
+                    )
                 if self._schema_uses_variant():
                     # VARIANT columns are feature-gated (PROTOCOL.md
                     # "Variant Data Type"): readers that don't know the
@@ -1246,6 +1352,13 @@ class DeltaSink:
             conf = dict((prev or {}).get("configuration") or {})
         else:
             self._pending_configuration = None
+        if getattr(self, "coordinated_commits", None):
+            # declare the coordinator so READERS can resolve the
+            # registered client and serve the staged tail
+            conf.setdefault(
+                "delta.coordinatedCommits.commitCoordinator-preview",
+                self.coordinated_commits,
+            )
         # field metadata the TABLE owns (generation expressions) must
         # survive a schema-evolving append: an input frame's schema
         # never carries it, so regenerating schemaString from the df
