@@ -192,6 +192,9 @@ def _declared_coordinator(table_path: str) -> str | None:
 
     def conf_name(meta) -> str | None:
         conf = (meta or {}).get("configuration") or {}
+        if not isinstance(conf, dict):
+            # checkpoint parquet MAP columns surface as key/value pairs
+            conf = dict(conf)
         for k in (
             "delta.coordinatedCommits.commitCoordinator-preview",
             "delta.coordinatedCommits.commitCoordinator",
@@ -239,6 +242,12 @@ def _coordinated_tail(
         else _backfilled_commit_versions(table_path)
     )
     head = versions[-1] if versions else -1
+    # a vacuumed coordinated table may keep NO plain JSONs: the
+    # checkpoint is then the published head, and the tail must splice
+    # after IT (head=-1 would demand a tail starting at version 0)
+    ckpt = read_last_checkpoint(table_path)
+    if ckpt is not None:
+        head = max(head, ckpt)
     if not any(v > head for v in staged):
         return {}
     client = _coord.commit_coordinator_for(_declared_coordinator(table_path))

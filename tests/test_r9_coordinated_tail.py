@@ -164,3 +164,20 @@ def test_backfill_after_tail_read_is_stable(spark, tmp_path):
     after = sorted(r.id for r in DL.read_snapshot(spark, path).collect())
     assert before == after == list(range(12))
     assert DL.list_commit_versions(path) == [0, 1, 2, 3]
+
+
+def test_vacuumed_coordinated_table_tail_after_checkpoint(spark, tmp_path):
+    """A coordinated table whose plain JSON prefix was vacuumed below
+    a checkpoint: the published head is the CHECKPOINT, and the
+    ratified staged tail splices after it (head=-1 from the empty
+    JSON listing must not demand a tail starting at version 0)."""
+    path, rel = _coordinated_with_tail(spark, tmp_path, "cvac", "filesystem")
+    # checkpoint at the backfilled head (v2), drop all plain JSONs
+    sink = DeltaSink(spark, path)
+    sink._write_checkpoint(2)
+    for v in (0, 1, 2):
+        _os.remove(_os.path.join(path, "_delta_log", "%020d.json" % v))
+    assert DL.list_commit_versions(path) == [3]
+    assert sorted(
+        r.id for r in DL.read_snapshot(spark, path).collect()
+    ) == list(range(12))
