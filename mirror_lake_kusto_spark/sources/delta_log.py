@@ -172,7 +172,12 @@ def _commit_file(table_path: str, version: int) -> str:
     return _fs.join(log_dir(table_path), f"{version:020d}.json")
 
 
-#: (normalized table path, backfilled head) -> declared coordinator name
+#: (normalized table path, backfilled head, last checkpoint) ->
+#: declared coordinator name.  The checkpoint version is part of the
+#: key because a fully vacuumed coordinated table keeps NO plain
+#: JSONs — its backfilled head pins at -1, and a coordinator name
+#: (re)declared via a NEWER checkpoint's metaData must invalidate the
+#: cached resolution.
 _COORD_NAME_CACHE: dict[tuple, str | None] = {}
 
 
@@ -183,9 +188,11 @@ def _declared_coordinator(table_path: str) -> str | None:
     checkpoint metaData) — staged commits are exactly what we cannot
     read yet."""
     versions = _backfilled_commit_versions(table_path)
+    last_ckpt = read_last_checkpoint(table_path)
     key = (
         table_path if _fs.scheme_of(table_path) else os.path.abspath(table_path),
         versions[-1] if versions else -1,
+        -1 if last_ckpt is None else last_ckpt,
     )
     if key in _COORD_NAME_CACHE:
         return _COORD_NAME_CACHE[key]
@@ -214,9 +221,8 @@ def _declared_coordinator(table_path: str) -> str | None:
             name = conf_name(metas[-1])
             break
     else:
-        ckpt = read_last_checkpoint(table_path)
-        if ckpt is not None:
-            for m in _checkpoint_column(table_path, ckpt, "metaData"):
+        if last_ckpt is not None:
+            for m in _checkpoint_column(table_path, last_ckpt, "metaData"):
                 name = conf_name(m)
     _COORD_NAME_CACHE[key] = name
     if len(_COORD_NAME_CACHE) > 4096:
@@ -282,7 +288,20 @@ def _read_backfilled_commit(table_path: str, version: int) -> list[dict]:
 
 def _read_commit(table_path: str, version: int) -> list[dict]:
     """One commit's newline-delimited JSON actions, driver-side (A1)."""
-    text = _fs.get_fs(table_path).read_text(_commit_file(table_path, version))
+    fs = _fs.get_fs(table_path)
+    try:
+        text = fs.read_text(_commit_file(table_path, version))
+    except FileNotFoundError:
+        # the process-global _TAIL_CACHE may have been cleared/evicted
+        # by a CONCURRENT reader of another coordinated table between
+        # our list_commit_versions and this read — a ratified tail
+        # version would then resolve to the nonexistent plain
+        # <v>.json.  Re-resolve the tail authoritatively before
+        # failing: the coordinator, not the cache, owns ratification.
+        tail = _coordinated_tail(table_path)
+        if version not in tail:
+            raise
+        text = fs.read_text(_fs.join(log_dir(table_path), tail[version]))
     return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 

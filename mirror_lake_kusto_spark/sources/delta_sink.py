@@ -215,13 +215,29 @@ class StagedCommitCoordinator(CommitCoordinator):
     publishes only ratified spellings."""
 
     def __init__(self, name: str):
-        from .coordinator import commit_coordinator_for
+        from .coordinator import (
+            CommitCoordinatorClient,
+            commit_coordinator_for,
+        )
 
         client = commit_coordinator_for(name)
         if client is None:
             raise ValueError(
                 f"no registered commit coordinator {name!r}; register "
                 "one via coordinator.register_commit_coordinator"
+            )
+        # a client that cannot arbitrate (base-class commit()) must
+        # never see a staged candidate: its ratification failure would
+        # strand a sole staged file that a uniqueness-inferring reader
+        # (FileSystemCommitCoordinator) then serves as ratified — a
+        # FAILED commit becoming readable is the atomicity violation
+        # this writer exists to prevent.
+        if type(client).commit is CommitCoordinatorClient.commit:
+            raise ValueError(
+                f"commit coordinator {name!r} "
+                f"({type(client).__name__}) is read-only — it cannot "
+                "arbitrate staged candidates; write through an "
+                "arbitrating client (e.g. TrackingCommitCoordinator)"
             )
         self.name = name
         self.client = client
@@ -247,9 +263,25 @@ class StagedCommitCoordinator(CommitCoordinator):
         try:
             self.client.commit(_os.path.dirname(log), v, rel)
         except CommitConflict as exc:
-            # the staged file stays on disk unratified (harmless);
+            # our candidate LOST — remove it so no uniqueness-inferring
+            # reader can ever mistake it for the winner;
             # FileExistsError is the retry signal _commit understands
+            self._discard(fs, f"{log}/{rel}")
             raise FileExistsError(str(exc)) from exc
+        except Exception:
+            # ratification status unknown (client crashed mid-call):
+            # deleting risks a LOUD FileNotFoundError if the client
+            # did record it, keeping it risks a SILENT torn read via
+            # ratified-by-uniqueness inference — fail loud, not torn
+            self._discard(fs, f"{log}/{rel}")
+            raise
+
+    @staticmethod
+    def _discard(fs, staged_path: str) -> None:
+        try:
+            fs.remove(staged_path)
+        except Exception:
+            pass  # best-effort: an arbitrating reader ignores it anyway
 
 
 #: schemes whose plain create cannot be made conditional — commits

@@ -1,0 +1,228 @@
+"""Round-10 ADVICE pin tests (round-9 review findings).
+
+1. StagedCommitCoordinator must REJECT read-only (non-arbitrating)
+   clients at construction: a failed client.commit() would otherwise
+   strand a sole staged candidate that FileSystemCommitCoordinator's
+   ratified-by-uniqueness inference then serves as ratified — a FAILED
+   commit becoming readable (atomicity violation).
+2. A race-losing staged candidate is REMOVED on CommitConflict, and a
+   staged candidate whose ratification call crashed is removed too
+   (fail loud, never torn).
+3. _read_commit survives a concurrent _TAIL_CACHE eviction: a ratified
+   tail version whose plain spelling does not exist re-resolves
+   through the coordinator instead of failing FileNotFoundError.
+4. _COORD_NAME_CACHE keys on the last-checkpoint version too, so a
+   fully vacuumed coordinated table (backfilled head pinned at -1)
+   picks up a coordinator name declared by a NEWER checkpoint.
+5. The float->double widening path verifies FRACTIONAL values exactly
+   (the hashed driver contract is floor-integral by design, so this
+   pytest is the fractional coverage — queries/mirror.py:905).
+"""
+
+import os
+
+import pytest
+
+from mirror_lake_kusto_spark.sources import coordinator as COORD
+from mirror_lake_kusto_spark.sources import delta_log as DL
+from mirror_lake_kusto_spark.sources.delta_sink import (
+    DeltaSink,
+    StagedCommitCoordinator,
+)
+
+# ---------------------------------------------------------------- 1+2
+
+
+def test_staged_writer_rejects_read_only_client(tmp_path):
+    name = f"ro-{tmp_path.name}"
+    COORD.register_commit_coordinator(name, COORD.FileSystemCommitCoordinator())
+    try:
+        with pytest.raises(ValueError, match="read-only"):
+            StagedCommitCoordinator(name)
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+def test_staged_writer_accepts_arbitrating_client(tmp_path):
+    name = f"rw-{tmp_path.name}"
+    COORD.register_commit_coordinator(name, COORD.TrackingCommitCoordinator())
+    try:
+        StagedCommitCoordinator(name)  # must not raise
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+class _FS:
+    """Minimal fs double for exercising create_commit standalone."""
+
+    def makedirs(self, d):
+        os.makedirs(d, exist_ok=True)
+
+    def write_text(self, p, data):
+        with open(p, "w") as f:
+            f.write(data)
+
+    def create_exclusive(self, p, data):
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+
+    def remove(self, p):
+        os.remove(p)
+
+    def exists(self, p):
+        return os.path.exists(p)
+
+
+def _staged_candidates(table):
+    d = os.path.join(table, "_delta_log", "_commits")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_conflict_loser_staged_file_is_removed(tmp_path):
+    name = f"cf-{tmp_path.name}"
+    tracker = COORD.TrackingCommitCoordinator()
+    COORD.register_commit_coordinator(name, tracker)
+    try:
+        table = str(tmp_path / "t")
+        log = os.path.join(table, "_delta_log")
+        os.makedirs(log)
+        # someone else already won version 1
+        tracker.ratify(table, 1, "_commits/x.json")
+        w = StagedCommitCoordinator(name)
+        with pytest.raises(FileExistsError):
+            w.create_commit(_FS(), os.path.join(log, f"{1:020d}.json"), "{}")
+        assert _staged_candidates(table) == []  # loser cleaned up
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+def test_crashed_ratification_staged_file_is_removed(tmp_path):
+    class _Crashing(COORD.TrackingCommitCoordinator):
+        def commit(self, table_path, version, rel_path):
+            raise RuntimeError("coordinator unreachable")
+
+    name = f"cr-{tmp_path.name}"
+    COORD.register_commit_coordinator(name, _Crashing())
+    try:
+        table = str(tmp_path / "t")
+        log = os.path.join(table, "_delta_log")
+        os.makedirs(log)
+        w = StagedCommitCoordinator(name)
+        with pytest.raises(RuntimeError, match="unreachable"):
+            w.create_commit(_FS(), os.path.join(log, f"{1:020d}.json"), "{}")
+        # the unratified candidate must NOT linger: a sole staged file
+        # would read as ratified-by-uniqueness through the filesystem
+        # coordinator double
+        assert _staged_candidates(table) == []
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+# ------------------------------------------------------------------ 3
+
+
+def test_read_commit_survives_tail_cache_eviction(spark, tmp_path):
+    name = f"ev-{tmp_path.name}"
+    COORD.register_commit_coordinator(name, COORD.TrackingCommitCoordinator())
+    try:
+        table = str(tmp_path / "t")
+        sink = DeltaSink(spark, table, coordinated_commits=name)
+        sink.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+        sink.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+        # v1 exists ONLY in its staged spelling
+        assert not os.path.exists(
+            os.path.join(table, "_delta_log", f"{1:020d}.json")
+        )
+        assert DL.list_commit_versions(table) == [0, 1]
+        # simulate a CONCURRENT reader of another coordinated table
+        # clearing the process-global cache between enumeration and read
+        DL._TAIL_CACHE.clear()
+        acts = DL._read_commit(table, 1)  # re-resolves, not FileNotFound
+        assert any(a.get("add") for a in acts)
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+# ------------------------------------------------------------------ 4
+
+
+def _vacuum_plain_jsons(table):
+    log = os.path.join(table, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and len(f) == 25 and f[:20].isdigit():
+            os.remove(os.path.join(log, f))
+
+
+def test_coord_name_cache_sees_newer_checkpoint_declaration(spark, tmp_path):
+    table = str(tmp_path / "t")
+    name = f"ck-{tmp_path.name}"
+    sink = DeltaSink(spark, table)
+    sink.append(spark.createDataFrame([(1, "a")], "id long, name string"))
+    v = sink.set_properties(
+        {"delta.coordinatedCommits.commitCoordinator-preview": name}
+    )
+    sink._write_checkpoint(v)
+    _vacuum_plain_jsons(table)
+    # prime the cache at this (head=-1, ckpt=v) state
+    assert DL._declared_coordinator(table) == name
+    # a NEWER checkpoint re-declares a different coordinator: the
+    # cache key must include the checkpoint version or this stays stale
+    v2 = sink.set_properties(
+        {"delta.coordinatedCommits.commitCoordinator-preview": name + "-2"}
+    )
+    sink._write_checkpoint(v2)
+    _vacuum_plain_jsons(table)
+    assert DL._declared_coordinator(table) == name + "-2"
+
+
+# ------------------------------------------------------------------ 5
+
+
+def test_float_to_double_widen_preserves_fractions(spark, tmp_path):
+    """Mirror follow across a float->double widen with FRACTIONAL
+    values: every float32-representable fraction must survive the
+    promotion bit-exactly (compared as DECIMAL strings, no hashing)."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+
+    src_path = str(tmp_path / "src")
+    src = DeltaSink(spark, src_path)
+    # .25 steps are exact in float32 AND in decimal(12,3)
+    src.append(
+        spark.sql(
+            "SELECT id, CAST(id + (id % 4) * 0.25 AS float) AS bal "
+            "FROM range(1, 51) AS t(id)"
+        )
+    )
+    pipe = MirrorPipeline(
+        spark,
+        src_path,
+        str(tmp_path / "dst"),
+        str(tmp_path / "state"),
+        table_name="frac",
+        on_schema_change="widen",
+    )
+    pipe.run_until_idle()
+    src.widen_column("bal", "double")
+    src.append(
+        spark.sql(
+            "SELECT id, CAST(id + 0.125 AS double) AS bal "
+            "FROM range(51, 101) AS t(id)"
+        )
+    )
+    pipe.run_until_idle()
+    got = {
+        r.id: str(r.bal)
+        for r in pipe.mirror_df()
+        .selectExpr("id", "CAST(bal AS decimal(12,3)) AS bal")
+        .collect()
+    }
+    want = {
+        r.id: str(r.bal)
+        for r in DL.read_snapshot(spark, src_path)
+        .selectExpr("id", "CAST(bal AS decimal(12,3)) AS bal")
+        .collect()
+    }
+    assert got == want and len(got) == 100
+    # spot-check actual fractional content (not all integral)
+    assert want[2].endswith(".500") and want[51].endswith(".125")

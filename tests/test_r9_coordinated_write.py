@@ -88,11 +88,12 @@ def test_race_loser_staged_file_is_ignored(spark, tmp_path, tracker):
 
 
 def test_filesystem_client_is_read_only(spark, tmp_path):
-    path = str(tmp_path / "t")
-    sink = DeltaSink(spark, path, coordinated_commits="filesystem")
-    sink.append(spark.range(3).toDF("id"))  # bootstrap ok (plain)
-    with pytest.raises(NotImplementedError, match="read-only"):
-        sink.append(spark.range(3, 6).toDF("id"))
+    # round-10 ADVICE: rejection moved from first-staged-append to
+    # CONSTRUCTION — a failed ratification after staging would strand
+    # a sole candidate that ratified-by-uniqueness then serves as a
+    # readable FAILED commit (atomicity violation)
+    with pytest.raises(ValueError, match="read-only"):
+        DeltaSink(spark, str(tmp_path / "t"), coordinated_commits="filesystem")
 
 
 def test_unknown_coordinator_name_raises(spark, tmp_path):
