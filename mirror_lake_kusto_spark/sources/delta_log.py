@@ -1756,6 +1756,42 @@ def _apply_deletion_vectors(
     ).drop(file_col, ridx_col)
 
 
+def prior_dv_desc(
+    table_path: str, path_rel: str, before_version: int
+) -> dict | None:
+    """The deletion-vector descriptor ``path_rel`` carried just BEFORE
+    ``before_version``: its latest add in earlier commits (add wins
+    over a same-commit remove, matching snapshot replay), falling back
+    to the newest checkpoint when the add predates the retained JSON
+    log.  ``None`` if the file had no DV (or was not live).  Driver
+    metadata only — the payload stays compressed; shared by the batch
+    change feed and the streaming source's DV-delta synthesis."""
+    for v in reversed(list_commit_versions(table_path)):
+        if v >= before_version:
+            continue
+        acts = _read_commit(table_path, v)
+        adds = [
+            a["add"]
+            for a in acts
+            if a.get("add") and a["add"].get("path") == path_rel
+        ]
+        if adds:
+            d = adds[-1].get("deletionVector")
+            return d if (d or {}).get("cardinality") else None
+        if any(
+            a.get("remove") and a["remove"].get("path") == path_rel
+            for a in acts
+        ):
+            return None
+    ckpt = read_last_checkpoint(table_path)
+    if ckpt is not None and ckpt < before_version:
+        for a in _checkpoint_column(table_path, ckpt, "add"):
+            if a and a.get("path") == path_rel:
+                d = a.get("deletionVector")
+                return d if (d or {}).get("cardinality") else None
+    return None
+
+
 def read_changes(
     spark: SparkSession,
     table_path: str,
@@ -1825,6 +1861,19 @@ def read_changes(
     # change_type "__cdc__" marks row-level change files whose
     # _change_type column lives IN the file
     groups: dict[tuple, list[str]] = {}
+    #: DV rewrites: (version, pv) -> [(rel, new_payload, old_payload,
+    #: cardinality)] — change rows are the bitmap DELTA (inner join)
+    delta_groups: dict[tuple, list[tuple]] = {}
+    #: one-sided DV masks: (version, change, pv) -> [(rel, payload,
+    #: cardinality)] — survivors only (anti join)
+    apply_groups: dict[tuple, list[tuple]] = {}
+    from . import dv as _dv
+
+    _dv_blob_cache: dict = {}
+    proto = latest_protocol(table_path, to_version)
+    dv_possible = "deletionVectors" in (
+        (proto or {}).get("readerFeatures") or []
+    )
     for v in span:
         acts = _read_commit(table_path, v)
         cdc_acts = [a["cdc"] for a in acts if a.get("cdc") is not None]
@@ -1843,27 +1892,74 @@ def read_changes(
                 pv = tuple(sorted((a.get("partitionValues") or {}).items()))
                 groups.setdefault((v, "__cdc__", pv), []).append(full)
             continue
+        adds_d: dict[str, dict] = {}
+        removes_d: dict[str, dict] = {}
         for act in acts:
-            for key, change in (("add", "insert"), ("remove", "delete")):
-                a = act.get(key)
-                if a is None or not a.get("dataChange", True):
-                    continue
-                if (a.get("deletionVector") or {}).get("cardinality"):
-                    raise UnsupportedTableFeature(
-                        f"change feed over a deletion-vector add "
-                        f"({a['path']}, commit {v}) would report "
-                        "deleted rows as inserts — not supported "
-                        "(enable delta.enableChangeDataFeed so "
-                        "delete_dv writes row-level change files)"
+            a = act.get("add")
+            if a is not None and a.get("dataChange", True):
+                adds_d[a["path"]] = a
+            r = act.get("remove")
+            if r is not None and r.get("dataChange", True):
+                removes_d[r["path"]] = r
+        for p, a in sorted(adds_d.items()):
+            desc = a.get("deletionVector")
+            desc = desc if (desc or {}).get("cardinality") else None
+            pv = tuple(sorted((a.get("partitionValues") or {}).items()))
+            if desc is None:
+                groups.setdefault((v, "insert", pv), []).append(
+                    _fs.join(table_path, p)
+                )
+                continue
+            # merge-on-read (PROTOCOL.md "Deletion Vectors"): the
+            # COMPRESSED bitmaps ride the driver (KB-scale metadata);
+            # expansion to row indices happens executor-side below
+            new_payload = _dv.dv_payload(table_path, desc, _dv_blob_cache)
+            if p in removes_d:
+                # DV rewrite (delete_dv/update_dv/merge_dv shape:
+                # remove(P)+add(P, DV')): the CHANGE is the bitmap
+                # delta — rows in new∖old stream as deletes, rows in
+                # old∖new (a RESTORE shrinking the vector) as inserts
+                removes_d.pop(p)
+                old = prior_dv_desc(table_path, p, v)
+                old_payload = (
+                    _dv.dv_payload(table_path, old, _dv_blob_cache)
+                    if old
+                    else None
+                )
+                delta_groups.setdefault((v, pv), []).append(
+                    (p, new_payload, old_payload, int(desc["cardinality"]))
+                )
+            else:
+                # file BORN with a DV (modern default-DV writers):
+                # its change rows are the SURVIVORS
+                apply_groups.setdefault((v, "insert", pv), []).append(
+                    (p, new_payload, int(desc["cardinality"]))
+                )
+        for p, r in sorted(removes_d.items()):
+            full = _fs.join(table_path, p)
+            if not _fs.get_fs(table_path).exists(full):
+                raise ValueError(
+                    f"removed file {p} (commit {v}) was "
+                    "vacuumed; the change feed for this span is gone"
+                )
+            pv = tuple(sorted((r.get("partitionValues") or {}).items()))
+            old = r.get("deletionVector")
+            old = old if (old or {}).get("cardinality") else None
+            if old is None and dv_possible:
+                # a remove of a file that carried a DV must retract
+                # only its LIVE rows — the already-deleted ones never
+                # streamed as inserts
+                old = prior_dv_desc(table_path, p, v)
+            if old:
+                apply_groups.setdefault((v, "delete", pv), []).append(
+                    (
+                        p,
+                        _dv.dv_payload(table_path, old, _dv_blob_cache),
+                        int(old["cardinality"]),
                     )
-                full = _fs.join(table_path, a["path"])
-                if change == "delete" and not _fs.get_fs(table_path).exists(full):
-                    raise ValueError(
-                        f"removed file {a['path']} (commit {v}) was "
-                        "vacuumed; the change feed for this span is gone"
-                    )
-                pv = tuple(sorted((a.get("partitionValues") or {}).items()))
-                groups.setdefault((v, change, pv), []).append(full)
+                )
+            else:
+                groups.setdefault((v, "delete", pv), []).append(full)
 
     parts: list[DataFrame] = []
     for (v, change, pv), paths in groups.items():
@@ -1885,6 +1981,111 @@ def read_changes(
             df.select(*([f.name for f in schema.fields] + ["_change_type"]))
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
+
+    def _identity_scan(rels):
+        return (
+            spark.read.schema(data_schema)
+            .parquet(*[_fs.join(table_path, r) for r in rels])
+            .withColumns(
+                {
+                    "__mlk_file": _fs.spark_scan_path(
+                        F.col("_metadata.file_path")
+                    ),
+                    "__mlk_ridx": F.col("_metadata.row_index"),
+                }
+            )
+        )
+
+    def _pair_frame(entries, delta: bool):
+        """(file, row_index[, _change_type]) pairs exploded from the
+        compressed bitmaps executor-side — the driver ships only the
+        KB-scale payloads (same shape as _apply_deletion_vectors)."""
+        rows = [
+            (
+                _fs.data_path_spelling(table_path, e[0]),
+                bytearray(e[1]),
+                bytearray(e[2]) if delta and e[2] is not None else None,
+            )
+            for e in entries
+        ]
+        pair_src = spark.createDataFrame(
+            rows, "__mlk_file string, __n binary, __o binary"
+        )
+
+        def explode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fp, nb, ob in zip(
+                    pdf["__mlk_file"], pdf["__n"], pdf["__o"]
+                ):
+                    new = set(_dv.deserialize(bytes(nb)))
+                    old = (
+                        set(_dv.deserialize(bytes(ob)))
+                        if ob is not None
+                        else set()
+                    )
+                    if delta:
+                        dels = sorted(new - old)
+                        ins = sorted(old - new)
+                        yield pd.DataFrame(
+                            {
+                                "__mlk_file": fp,
+                                "__mlk_ridx": dels + ins,
+                                "_change_type": ["delete"] * len(dels)
+                                + ["insert"] * len(ins),
+                            }
+                        )
+                    else:
+                        yield pd.DataFrame(
+                            {
+                                "__mlk_file": fp,
+                                "__mlk_ridx": sorted(new),
+                                "_change_type": "delete",
+                            }
+                        )
+
+        pairs = pair_src.mapInPandas(
+            explode, "__mlk_file string, __mlk_ridx long, _change_type string"
+        )
+        total = sum(e[-1] for e in entries)
+        return F.broadcast(pairs) if total <= 10_000_000 else pairs
+
+    def _finish(df, pv, v):
+        for col_name, raw in pv:
+            df = df.withColumn(
+                col_name,
+                F.lit(raw).cast(type_of.get(col_name, StringType())),
+            )
+        parts.append(
+            df.select(*([f.name for f in schema.fields] + ["_change_type"]))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+
+    for (v, pv), entries in delta_groups.items():
+        # the bitmap delta: inner join keeps exactly the changed rows,
+        # _change_type rides the pair (delete for new∖old, insert for
+        # the old∖new of a shrinking vector)
+        df = (
+            _identity_scan([e[0] for e in entries])
+            .join(_pair_frame(entries, delta=True), ["__mlk_file", "__mlk_ridx"])
+            .drop("__mlk_file", "__mlk_ridx")
+        )
+        _finish(df, pv, v)
+    for (v, change, pv), entries in apply_groups.items():
+        # one-sided mask: survivors only (fresh DV-born file's inserts,
+        # or the live rows of a fully-removed DV'd file as deletes)
+        df = (
+            _identity_scan([e[0] for e in entries])
+            .join(
+                _pair_frame(entries, delta=False),
+                ["__mlk_file", "__mlk_ridx"],
+                "left_anti",
+            )
+            .drop("__mlk_file", "__mlk_ridx")
+            .withColumn("_change_type", F.lit(change))
+        )
+        _finish(df, pv, v)
     if not parts:
         empty = StructType(
             schema.fields

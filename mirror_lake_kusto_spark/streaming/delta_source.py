@@ -160,6 +160,12 @@ class _FilePartition(InputPartition):
     # snapshot files under merge-on-read; KB-scale, expanded
     # executor-side)
     dv_payload: "bytes | None" = None
+    # how dv_payload filters the file: "apply" drops its indices
+    # (survivors stream), "select_delta" keeps exactly the indices in
+    # dv_payload MINUS dv_old_payload (the bitmap delta a DV-rewrite
+    # commit contributes to the change feed)
+    dv_mode: str = "apply"
+    dv_old_payload: "bytes | None" = None
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
@@ -174,6 +180,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         max_bytes_per_trigger: int | None = None,
         ignore_deletes: bool = False,
         initial_snapshot: bool = False,
+        on_dv: str = "fail",
     ):
         self.path = table_path
         self._schema = schema
@@ -190,6 +197,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         #: deletes.  Default stays replay-from-v0 (this source's
         #: established stream==batch-per-commit contract).
         self.initial_snapshot = initial_snapshot
+        #: onDv='materialize': files BORN with a deletion vector stream
+        #: their SURVIVING rows (the bitmap applied at scan, exactly
+        #: like the initial snapshot); DV REWRITES of already-emitted
+        #: files still refuse — an append-only stream cannot retract.
+        #: Default 'fail' keeps the loud refusal on any DV'd add.
+        self.on_dv = on_dv
         self.max_commits_per_trigger = max_commits_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.read_change_feed = read_change_feed
@@ -342,40 +355,108 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     )
             else:
                 # CDF mode: removes stream as delete rows instead of
-                # erroring — the continuous twin of DeltaSink.changes
+                # erroring — the continuous twin of DeltaSink.changes.
+                # Merge-on-read commits synthesize from the bitmaps
+                # (round 10, same semantics as delta_log.read_changes):
+                # a DV REWRITE (remove(P)+add(P,DV')) contributes the
+                # bitmap DELTA; a file BORN with a DV contributes its
+                # survivors; a remove of a DV'd file retracts only its
+                # LIVE rows.  Compressed payloads ride the partition;
+                # expansion stays executor-side in read().
+                from ..sources import delta_log as _DL
+                from ..sources import dv as _dv
+
+                blob_cache: dict = {}
+                adds_d: dict[str, dict] = {}
+                removes_d: dict[str, dict] = {}
                 for a in acts:
-                    for key, change in (
-                        ("add", "insert"),
-                        ("remove", "delete"),
-                    ):
-                        act = a.get(key)
-                        if act is None or not act.get("dataChange", True):
-                            continue
-                        if (act.get("deletionVector") or {}).get(
-                            "cardinality"
-                        ):
-                            raise ValueError(
-                                f"commit {v} rewrites {act['path']} with "
-                                "a deletion vector; the change feed "
-                                "cannot stream merge-on-read rewrites"
-                            )
-                        full = os.path.join(self.path, act["path"])
-                        if change == "delete" and not os.path.exists(full):
-                            raise ValueError(
-                                f"removed file {act['path']} (commit {v}) "
-                                "was vacuumed; its change rows are gone"
-                            )
-                        out.append(
-                            {
-                                "path": full,
-                                "partitionValues": act.get(
-                                    "partitionValues"
-                                )
-                                or {},
-                                "change_type": change,
-                                "size": act.get("size") or 0,
-                            }
+                    act = a.get("add")
+                    if act is not None and act.get("dataChange", True):
+                        adds_d[act["path"]] = act
+                    act = a.get("remove")
+                    if act is not None and act.get("dataChange", True):
+                        removes_d[act["path"]] = act
+
+                def _entry(act, change, **dv):
+                    return {
+                        "path": os.path.join(self.path, act["path"]),
+                        "partitionValues": act.get("partitionValues")
+                        or {},
+                        "change_type": change,
+                        "size": act.get("size") or 0,
+                        **dv,
+                    }
+
+                for p, act in sorted(adds_d.items()):
+                    desc = act.get("deletionVector")
+                    desc = desc if (desc or {}).get("cardinality") else None
+                    if desc is None:
+                        out.append(_entry(act, "insert"))
+                        continue
+                    new_pl = _dv.dv_payload(self.path, desc, blob_cache)
+                    if p in removes_d:
+                        removes_d.pop(p)
+                        old = _DL.prior_dv_desc(self.path, p, v)
+                        old_pl = (
+                            _dv.dv_payload(self.path, old, blob_cache)
+                            if old
+                            else None
                         )
+                        out.append(
+                            _entry(
+                                act,
+                                "delete",
+                                dv_payload=new_pl,
+                                dv_mode="select_delta",
+                                dv_old_payload=old_pl,
+                            )
+                        )
+                        if old_pl is not None:
+                            # a SHRINKING vector (RESTORE) resurrects
+                            # old∖new as inserts; normally empty
+                            out.append(
+                                _entry(
+                                    act,
+                                    "insert",
+                                    dv_payload=old_pl,
+                                    dv_mode="select_delta",
+                                    dv_old_payload=new_pl,
+                                    size=0,
+                                )
+                            )
+                    else:
+                        out.append(
+                            _entry(act, "insert", dv_payload=new_pl)
+                        )
+                dv_possible = removes_d and "deletionVectors" in (
+                    (_DL.latest_protocol(self.path) or {}).get(
+                        "readerFeatures"
+                    )
+                    or []
+                )
+                for p, act in sorted(removes_d.items()):
+                    full = os.path.join(self.path, p)
+                    if not os.path.exists(full):
+                        raise ValueError(
+                            f"removed file {p} (commit {v}) "
+                            "was vacuumed; its change rows are gone"
+                        )
+                    old = act.get("deletionVector")
+                    old = old if (old or {}).get("cardinality") else None
+                    if old is None and dv_possible:
+                        old = _DL.prior_dv_desc(self.path, p, v)
+                    if old:
+                        out.append(
+                            _entry(
+                                act,
+                                "delete",
+                                dv_payload=_dv.dv_payload(
+                                    self.path, old, blob_cache
+                                ),
+                            )
+                        )
+                    else:
+                        out.append(_entry(act, "delete"))
         else:
             has_data_remove = any(
                 a["remove"].get("dataChange", True)
@@ -389,6 +470,33 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     if "add" in a
                 )
                 if not (self.ignore_deletes and delete_only):
+                    rm_paths = {
+                        a["remove"]["path"]
+                        for a in acts
+                        if "remove" in a
+                        and a["remove"].get("dataChange", True)
+                    }
+                    dv_restage = any(
+                        (a["add"].get("deletionVector") or {}).get(
+                            "cardinality"
+                        )
+                        and a["add"]["path"] in rm_paths
+                        for a in acts
+                        if "add" in a
+                    )
+                    if dv_restage and self.on_dv == "materialize":
+                        # documented limit: materialize covers files
+                        # BORN with DVs; a rewrite retracts rows this
+                        # stream may already have emitted
+                        raise ValueError(
+                            f"commit {v} re-stages files with changed "
+                            "deletion vectors; an append-only stream "
+                            "cannot retract rows it already emitted — "
+                            "onDv='materialize' covers only files BORN "
+                            "with deletion vectors.  Stream row-level "
+                            "deletes with readChangeFeed, or drop "
+                            "rewrite commits with skipChangeCommits"
+                        )
                     raise ValueError(
                         f"commit {v} removes data; streams cannot "
                         "retract rows (set ignoreDeletes to skip "
@@ -399,13 +507,26 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 for a in acts:
                     add = a.get("add")
                     if add and add.get("dataChange", True):
-                        if (add.get("deletionVector") or {}).get(
-                            "cardinality"
-                        ):
-                            raise ValueError(
-                                f"commit {v} adds {add['path']} with a "
-                                "deletion vector; streaming it raw would "
-                                "resurrect deleted rows"
+                        desc = add.get("deletionVector")
+                        desc = (
+                            desc
+                            if (desc or {}).get("cardinality")
+                            else None
+                        )
+                        dv_payload = None
+                        if desc is not None:
+                            if self.on_dv != "materialize":
+                                raise ValueError(
+                                    f"commit {v} adds {add['path']} "
+                                    "with a deletion vector; streaming "
+                                    "it raw would resurrect deleted "
+                                    "rows (set onDv='materialize' to "
+                                    "stream its surviving rows)"
+                                )
+                            from ..sources import dv as _dv
+
+                            dv_payload = _dv.dv_payload(
+                                self.path, desc, {}
                             )
                         out.append(
                             {
@@ -417,6 +538,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                                 )
                                 or {},
                                 "change_type": "insert",
+                                "dv_payload": dv_payload,
                                 "size": add.get("size") or 0,
                             }
                         )
@@ -534,6 +656,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                         schema_json=schema_json,
                         change_type=e["change_type"],
                         commit_version=v,
+                        dv_payload=e.get("dv_payload"),
+                        dv_mode=e.get("dv_mode", "apply"),
+                        dv_old_payload=e.get("dv_old_payload"),
                     )
                 )
         return parts
@@ -561,18 +686,29 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         arrow_schema = to_arrow_schema(schema)
         table = pq.read_table(partition.file_path)
         if partition.dv_payload is not None:
-            # initial-snapshot merge-on-read: drop the deletion
-            # vector's row indices before anything else sees the rows
+            # merge-on-read: "apply" drops the deletion vector's row
+            # indices (survivors stream); "select_delta" keeps exactly
+            # the indices in dv_payload MINUS dv_old_payload (the
+            # bitmap delta a DV-rewrite commit contributes to the
+            # change feed).  Expansion happens HERE, executor-side.
             import numpy as np
 
             from ..sources import dv as _dv
 
-            mask = np.ones(table.num_rows, dtype=bool)
-            mask[
-                np.array(
-                    _dv.deserialize(partition.dv_payload), dtype=np.int64
-                )
-            ] = False
+            idx = np.array(
+                _dv.deserialize(partition.dv_payload), dtype=np.int64
+            )
+            if partition.dv_mode == "apply":
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[idx] = False
+            else:
+                keep = set(idx.tolist())
+                if partition.dv_old_payload is not None:
+                    keep -= set(
+                        _dv.deserialize(partition.dv_old_payload)
+                    )
+                mask = np.zeros(table.num_rows, dtype=bool)
+                mask[np.array(sorted(keep), dtype=np.int64)] = True
             table = table.filter(pa.array(mask))
         n = table.num_rows
         cols = []
@@ -608,6 +744,12 @@ class DeltaLogDataSource(DataSource):
     """format("mlk_delta") — options: path, skipChangeCommits,
     ignoreDeletes (skip commits that ONLY remove data — retention
     deletes of whole files; commits that rewrite data still raise),
+    onDv ('fail' default | 'materialize': files BORN with deletion
+    vectors stream their surviving rows, bitmap applied at scan; DV
+    REWRITES of already-streamed files still refuse with a pointer —
+    an append-only stream cannot retract.  readChangeFeed needs no
+    option: DV rewrites there synthesize the bitmap DELTA as row-level
+    delete rows, matching delta_log.read_changes),
     initialSnapshot (materialize the net snapshot — DVs applied — as
     the first batch and stream commits past it, Delta's default
     semantics; this source's default remains commit replay),
@@ -658,6 +800,15 @@ class DeltaLogDataSource(DataSource):
             raise ValueError(
                 "initialSnapshot and startingVersion/startingTimestamp "
                 "are mutually exclusive: the latter SKIP the snapshot"
+            )
+        if str(self.options.get("ondv", "fail")).lower() not in (
+            "fail",
+            "materialize",
+        ):
+            # fail at load() time, not first trigger
+            raise ValueError(
+                "onDv must be 'fail' or 'materialize', got "
+                f"{self.options.get('ondv')!r}"
             )
         meta = _latest_metadata(self.options["path"])
         if meta is None:
@@ -730,6 +881,11 @@ class DeltaLogDataSource(DataSource):
                 "initialSnapshot and startingVersion/startingTimestamp "
                 "are mutually exclusive: the latter SKIP the snapshot"
             )
+        on_dv = str(self.options.get("ondv", "fail")).lower()
+        if on_dv not in ("fail", "materialize"):
+            raise ValueError(
+                f"onDv must be 'fail' or 'materialize', got {on_dv!r}"
+            )
         return DeltaLogStreamReader(
             self.options["path"],
             schema,
@@ -743,4 +899,5 @@ class DeltaLogDataSource(DataSource):
             ).lower()
             == "true",
             initial_snapshot=initial_snapshot,
+            on_dv=on_dv,
         )

@@ -180,11 +180,17 @@ def test_mirror_refuses_dv_source(spark, tmp_path):
         pipe.run_once()
 
 
-def test_change_feed_refuses_dv_span(spark, tmp_path):
+def test_change_feed_synthesizes_dv_add(spark, tmp_path):
+    """Round 10: the change feed no longer refuses DV commits — an
+    add carrying a deletion vector (no same-commit remove: the
+    born-with-DV shape) contributes its SURVIVORS as inserts."""
     path = str(tmp_path / "t")
     _author_dv_table(spark, path, [1])
-    with pytest.raises(UnsupportedTableFeature, match="change feed"):
-        DL.read_changes(spark, path, 0).collect()
+    got = sorted(
+        (r["n"], r["_change_type"])
+        for r in DL.read_changes(spark, path, 1).collect()
+    )
+    assert got == [(n, "insert") for n in range(10) if n != 1]
 
 
 # -- write side: merge-on-read delete + reorg -----------------------------
