@@ -2019,3 +2019,92 @@ def mirror_dv_stream_follow(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "mirror_catalog_managed_read",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="catalogManaged READ through the coordinator-client seam "
+    "(round 10): the table's protocol advertises the catalogManaged "
+    "reader feature but its metaData carries NO coordinator name — "
+    "the managing catalog is out-of-band, exactly the spec's shape.  "
+    "The application binds the path to a registered client "
+    "(coordinator.register_catalog_table) and the newest commit, "
+    "which exists ONLY as a staged _staged_commits/<v>.<uuid>.json "
+    "ratified by the catalog, splices into the snapshot.  An UNBOUND "
+    "table keeps the fail-closed staleness refusal (pinned in "
+    "test_r10_catalog_managed).  Reference analogue surpassed: "
+    "TransactionLogEntry.cs:341-342 throws on any unrecognized log "
+    "shape",
+)
+def mirror_catalog_managed_read(spark, sf_dir):
+    import json as _json
+    import uuid as _uuid
+
+    from ..sources import coordinator as COORD
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_catmg", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sink = DeltaSink(spark, path)
+    sink.append(nat.filter("n_nationkey < 12"))                     # v0
+    meta = DL.latest_metadata(spark, path)
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "%020d.json" % 1), "w") as f:       # v1
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["catalogManaged"],
+                        "writerFeatures": ["catalogManaged"],
+                    }
+                }
+            )
+            + "\n"
+            + _json.dumps({"metaData": meta})
+            + "\n"
+        )
+    # the catalog-owned tail: a REAL data commit staged, never
+    # backfilled — only the catalog knows it is ratified
+    aux = DeltaSink(spark, os.path.join(workdir, "aux"))
+    aux.append(nat.filter("n_nationkey >= 12").coalesce(1))
+    staged_dir = os.path.join(log, "_staged_commits")
+    os.makedirs(staged_dir, exist_ok=True)
+    lines = []
+    for a in DL._read_commit(aux.path, 0):
+        if "add" in a:
+            shutil.copy(
+                os.path.join(aux.path, a["add"]["path"]),
+                os.path.join(path, a["add"]["path"]),
+            )
+            lines.append(_json.dumps({"add": a["add"]}))
+    rel = "_staged_commits/%020d.%s.json" % (2, _uuid.uuid4())
+    with open(os.path.join(log, os.path.basename(staged_dir),
+                           os.path.basename(rel)), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    cat_name = f"mlkq-catalog-{os.path.basename(workdir)}"
+    catalog = COORD.TrackingCommitCoordinator()
+    catalog.ratify(path, 2, rel)
+    COORD.register_commit_coordinator(cat_name, catalog)
+    COORD.register_catalog_table(path, cat_name)
+    try:
+        out = DL.read_snapshot(spark, path)
+        n = out.count()  # materialize THROUGH the binding
+        if n != nat.count():
+            raise AssertionError(
+                f"catalog-managed read returned {n} rows"
+            )
+    finally:
+        COORD.unregister_catalog_table(path)
+        COORD.unregister_commit_coordinator(cat_name)
+    return out.orderBy("n_nationkey")

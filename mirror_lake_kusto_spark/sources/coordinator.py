@@ -178,3 +178,32 @@ def commit_coordinator_for(name: str | None) -> CommitCoordinatorClient | None:
     if name is None:
         return None
     return _REGISTRY.get(name)
+
+
+#: normalized table path -> registered client name.  catalogManaged /
+#: catalogOwned tables (round 10) carry NO coordinator name in their
+#: metaData — the managing catalog is out-of-band knowledge (the spec
+#: deliberately leaves it to the client's catalog configuration), so
+#: the application binds a table to a registered client explicitly.
+#: Unknown catalogs stay fail-closed (the r7/r8 staleness refusal).
+_CATALOG_OF: dict[str, str] = {}
+
+
+def register_catalog_table(table_path: str, client_name: str) -> None:
+    """Declare ``client_name`` (a registered commit-coordinator client)
+    as the managing catalog for ``table_path`` — the catalogManaged
+    analogue of the metaData-declared coordinator name."""
+    if client_name not in _REGISTRY:
+        raise ValueError(
+            f"no registered commit coordinator {client_name!r}; register "
+            "one via register_commit_coordinator first"
+        )
+    _CATALOG_OF[_norm(table_path)] = client_name
+
+
+def unregister_catalog_table(table_path: str) -> None:
+    _CATALOG_OF.pop(_norm(table_path), None)
+
+
+def catalog_for_table(table_path: str) -> str | None:
+    return _CATALOG_OF.get(_norm(table_path))

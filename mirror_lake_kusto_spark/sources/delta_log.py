@@ -256,7 +256,13 @@ def _coordinated_tail(
         head = max(head, ckpt)
     if not any(v > head for v in staged):
         return {}
-    client = _coord.commit_coordinator_for(_declared_coordinator(table_path))
+    # resolution order: the metaData-declared coordinator name, then a
+    # catalog binding registered for this path (catalogManaged tables
+    # carry no in-log name — the managing catalog is out-of-band)
+    client = _coord.commit_coordinator_for(
+        _declared_coordinator(table_path)
+        or _coord.catalog_for_table(table_path)
+    )
     if client is None:
         return {}
     out = {
@@ -1120,8 +1126,10 @@ def check_protocol_supported(table_path: str, upto: int | None = None) -> None:
                     "but not yet backfilled — a filesystem read would "
                     f"serve a STALE snapshot at version {head}, "
                     f"{len(pending)} commit(s) behind v{max(pending)}; "
-                    "read through the owning catalog, or retry after "
-                    "backfill" + notes
+                    "read through the owning catalog (register a "
+                    "client and bind it with "
+                    "coordinator.register_catalog_table), or retry "
+                    "after backfill" + notes
                 )
             raise UnsupportedTableFeature(
                 f"table {table_path} requires minReaderVersion={reader} "
