@@ -923,7 +923,16 @@ def collations_of(meta: dict | None) -> dict[str, str]:
     — but collation-SENSITIVE file skipping must be disabled on these
     columns: per-file min/max stats are binary-ordered, and a range
     predicate pruned in binary order can drop files that match under
-    the declared collation."""
+    the declared collation.
+
+    Round 10: comparators are HONORED, not merely surfaced —
+    ``StructType.fromJson`` parses ``__COLLATIONS`` into Spark 4's
+    native collated string types, and read_snapshot builds every scan
+    from that schema, so filters/sorts/joins/groupings on a collated
+    column compare under the DECLARED collation inside Catalyst (both
+    SPARK.* and ICU.* providers; pinned in test_r10_collation).  This
+    map is therefore only needed where collation must be EXCLUDED:
+    the binary-ordered stats/bloom/partition pruners above."""
     if not meta:
         return {}
     try:
