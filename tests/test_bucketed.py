@@ -41,9 +41,9 @@ def bucketed_tables(spark, tmp_path_factory):
 
 
 def _plan(spark, df):
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    from mirror_lake_kusto_spark import plans
+
+    return plans.explain(df)
 
 
 def test_colocated_join_has_no_exchange(spark, bucketed_tables):

@@ -5,6 +5,7 @@ broadcast, and top-k avoids a global sort."""
 
 from __future__ import annotations
 
+from mirror_lake_kusto_spark import plans
 from mirror_lake_kusto_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
@@ -12,10 +13,7 @@ REGISTRY = all_queries()
 
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR)
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return plans.explain(REGISTRY[name].fn(spark, SF_DIR))
 
 
 def test_q6_filter_pushdown(spark):
