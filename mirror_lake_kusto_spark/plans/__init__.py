@@ -77,7 +77,13 @@ def assert_not_in_plan(df: DataFrame, *needles: str) -> None:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans in the formatted plan — widen
-    them: every span boundary is a codegen break (Python UDF, shuffle,
+    """Number of WholeStageCodegen subtrees ('codegen' explain mode:
+    the formatted tree numbers them without naming them) — widen the
+    spans: every boundary is a codegen break (Python UDF, shuffle,
     unsupported expression)."""
-    return explain(df).count("WholeStageCodegen")
+    import re
+
+    m = re.search(
+        r"Found (\d+) WholeStageCodegen subtrees", explain(df, "codegen")
+    )
+    return int(m.group(1)) if m else 0
