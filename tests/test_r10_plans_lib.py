@@ -34,5 +34,11 @@ def test_assert_in_plan_raises_with_plan_text(spark):
 
 
 def test_whole_stage_codegen_counter(spark):
-    df = spark.range(1000).selectExpr("sum(id) AS s")
+    # a shuffle-free plan: AQE leaves it unwrapped, so the codegen
+    # subtrees are visible before execution
+    df = spark.range(1000).selectExpr("id * 2 AS d")
     assert plans.whole_stage_codegen_spans(df) >= 1
+    # an un-executed ADAPTIVE plan reports 0 (codegen happens after
+    # AQE finalizes) — the counter must not crash on it
+    agg = spark.range(1000).groupBy("id").count()
+    assert plans.whole_stage_codegen_spans(agg) >= 0
