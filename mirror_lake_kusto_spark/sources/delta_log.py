@@ -1773,40 +1773,66 @@ def _apply_deletion_vectors(
     ).drop(file_col, ridx_col)
 
 
-def prior_dv_desc(
-    table_path: str, path_rel: str, before_version: int
-) -> dict | None:
-    """The deletion-vector descriptor ``path_rel`` carried just BEFORE
-    ``before_version``: its latest add in earlier commits (add wins
-    over a same-commit remove, matching snapshot replay), falling back
-    to the newest checkpoint when the add predates the retained JSON
-    log.  ``None`` if the file had no DV (or was not live).  Driver
-    metadata only — the payload stays compressed; shared by the batch
-    change feed and the streaming source's DV-delta synthesis."""
+def prior_dv_descs(
+    table_path: str, paths, before_version: int
+) -> dict[str, dict | None]:
+    """The deletion-vector descriptor each of ``paths`` carried just
+    BEFORE ``before_version``: the latest add in earlier commits (add
+    wins over a same-commit remove, matching snapshot replay), falling
+    back to the newest checkpoint when the add predates the retained
+    JSON log.  ``None`` for files with no DV (or not live).  Driver
+    metadata only — payloads stay compressed; shared by the batch
+    change feed and the streaming source's DV-delta synthesis.
+
+    BATCHED by construction: one backward replay resolves every path
+    (the r10 probe caught the per-path variant re-parsing the previous
+    commit's JSON once per rewritten file — quadratic driver cost on a
+    2,000-file delete_dv)."""
+    remaining = set(paths)
+    out: dict[str, dict | None] = {}
+
+    def _desc(action) -> dict | None:
+        d = action.get("deletionVector")
+        return d if (d or {}).get("cardinality") else None
+
     for v in reversed(list_commit_versions(table_path)):
+        if not remaining:
+            break
         if v >= before_version:
             continue
         acts = _read_commit(table_path, v)
-        adds = [
-            a["add"]
-            for a in acts
-            if a.get("add") and a["add"].get("path") == path_rel
-        ]
-        if adds:
-            d = adds[-1].get("deletionVector")
-            return d if (d or {}).get("cardinality") else None
-        if any(
-            a.get("remove") and a["remove"].get("path") == path_rel
-            for a in acts
-        ):
-            return None
-    ckpt = read_last_checkpoint(table_path)
-    if ckpt is not None and ckpt < before_version:
-        for a in _checkpoint_column(table_path, ckpt, "add"):
-            if a and a.get("path") == path_rel:
-                d = a.get("deletionVector")
-                return d if (d or {}).get("cardinality") else None
-    return None
+        hit_adds: dict[str, dict] = {}
+        hit_removes: set[str] = set()
+        for a in acts:
+            ad = a.get("add")
+            if ad and ad.get("path") in remaining:
+                hit_adds[ad["path"]] = ad  # last add wins
+            rm = a.get("remove")
+            if rm and rm.get("path") in remaining:
+                hit_removes.add(rm["path"])
+        for p, ad in hit_adds.items():
+            out[p] = _desc(ad)
+            remaining.discard(p)
+        for p in hit_removes - set(hit_adds):
+            out[p] = None  # file was dead before this span
+            remaining.discard(p)
+    if remaining:
+        ckpt = read_last_checkpoint(table_path)
+        if ckpt is not None and ckpt < before_version:
+            for a in _checkpoint_column(table_path, ckpt, "add"):
+                if a and a.get("path") in remaining:
+                    out[a["path"]] = _desc(a)
+                    remaining.discard(a["path"])
+    for p in remaining:
+        out[p] = None
+    return out
+
+
+def prior_dv_desc(
+    table_path: str, path_rel: str, before_version: int
+) -> dict | None:
+    """Single-path convenience over :func:`prior_dv_descs`."""
+    return prior_dv_descs(table_path, {path_rel}, before_version)[path_rel]
 
 
 def read_changes(
@@ -1829,6 +1855,17 @@ def read_changes(
     stream the mirror itself consumes — C1/C3).  ``dataChange:
     false`` layout churn (OPTIMIZE / ZORDER / REORG) produces no
     change rows (O2).
+
+    Merge-on-read commits (round 10) synthesize from the bitmaps: a DV
+    REWRITE (remove(P)+add(P,DV') — the delete_dv/update_dv/merge_dv
+    shape) contributes the bitmap DELTA (rows in new∖old as deletes;
+    rows in old∖new, a RESTORE shrinking the vector, as resurrecting
+    inserts), a file BORN with a DV contributes its survivors as
+    inserts, and a remove of a DV'd file retracts only its LIVE rows.
+    Compressed payloads stay driver-side metadata; expansion to row
+    indices happens executor-side.  The mlk_delta streaming source's
+    readChangeFeed mode implements the SAME semantics (stream ≡ batch,
+    pinned in test_r10_dv_stream).
 
     Output = data columns (partition values injected, A7) plus
     ``_change_type`` and ``_commit_version``.  Plumbing is O(commits)
@@ -1918,6 +1955,24 @@ def read_changes(
             r = act.get("remove")
             if r is not None and r.get("dataChange", True):
                 removes_d[r["path"]] = r
+        # ONE batched backward replay resolves every prior descriptor
+        # this commit needs (rewritten paths + undescribed removes)
+        need_prior = {
+            p
+            for p, a in adds_d.items()
+            if p in removes_d
+            and ((a.get("deletionVector") or {}).get("cardinality"))
+        }
+        if dv_possible:
+            need_prior |= {
+                p
+                for p, r in removes_d.items()
+                if p not in adds_d
+                and not (r.get("deletionVector") or {}).get("cardinality")
+            }
+        prior = (
+            prior_dv_descs(table_path, need_prior, v) if need_prior else {}
+        )
         for p, a in sorted(adds_d.items()):
             desc = a.get("deletionVector")
             desc = desc if (desc or {}).get("cardinality") else None
@@ -1937,7 +1992,7 @@ def read_changes(
                 # delta — rows in new∖old stream as deletes, rows in
                 # old∖new (a RESTORE shrinking the vector) as inserts
                 removes_d.pop(p)
-                old = prior_dv_desc(table_path, p, v)
+                old = prior.get(p)
                 old_payload = (
                     _dv.dv_payload(table_path, old, _dv_blob_cache)
                     if old
@@ -1966,7 +2021,7 @@ def read_changes(
                 # a remove of a file that carried a DV must retract
                 # only its LIVE rows — the already-deleted ones never
                 # streamed as inserts
-                old = prior_dv_desc(table_path, p, v)
+                old = prior.get(p)
             if old:
                 apply_groups.setdefault((v, "delete", pv), []).append(
                     (

@@ -387,6 +387,36 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                         **dv,
                     }
 
+                # ONE batched backward replay for every prior
+                # descriptor this commit needs (the r10 probe caught
+                # per-path lookups re-parsing the previous commit's
+                # JSON once per rewritten file)
+                need_prior = {
+                    p
+                    for p, a in adds_d.items()
+                    if p in removes_d
+                    and (a.get("deletionVector") or {}).get("cardinality")
+                }
+                dv_possible = removes_d and "deletionVectors" in (
+                    (_DL.latest_protocol(self.path) or {}).get(
+                        "readerFeatures"
+                    )
+                    or []
+                )
+                if dv_possible:
+                    need_prior |= {
+                        p
+                        for p, r in removes_d.items()
+                        if p not in adds_d
+                        and not (r.get("deletionVector") or {}).get(
+                            "cardinality"
+                        )
+                    }
+                prior = (
+                    _DL.prior_dv_descs(self.path, need_prior, v)
+                    if need_prior
+                    else {}
+                )
                 for p, act in sorted(adds_d.items()):
                     desc = act.get("deletionVector")
                     desc = desc if (desc or {}).get("cardinality") else None
@@ -396,7 +426,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     new_pl = _dv.dv_payload(self.path, desc, blob_cache)
                     if p in removes_d:
                         removes_d.pop(p)
-                        old = _DL.prior_dv_desc(self.path, p, v)
+                        old = prior.get(p)
                         old_pl = (
                             _dv.dv_payload(self.path, old, blob_cache)
                             if old
@@ -428,12 +458,6 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                         out.append(
                             _entry(act, "insert", dv_payload=new_pl)
                         )
-                dv_possible = removes_d and "deletionVectors" in (
-                    (_DL.latest_protocol(self.path) or {}).get(
-                        "readerFeatures"
-                    )
-                    or []
-                )
                 for p, act in sorted(removes_d.items()):
                     full = os.path.join(self.path, p)
                     if not os.path.exists(full):
@@ -444,7 +468,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     old = act.get("deletionVector")
                     old = old if (old or {}).get("cardinality") else None
                     if old is None and dv_possible:
-                        old = _DL.prior_dv_desc(self.path, p, v)
+                        old = prior.get(p)
                     if old:
                         out.append(
                             _entry(
