@@ -1967,7 +1967,8 @@ def mirror_vacuum_retention(spark, sf_dir):
     "mlk_delta streaming source in readChangeFeed mode synthesizes "
     "the bitmap DELTA as row-level delete rows "
     "(streaming/delta_source.py _commit_entries, shared semantics "
-    "with delta_log.read_changes/prior_dv_desc), a real AvailableNow "
+    "with delta_log.classify_mor_commit/prior_dv_descs), a real "
+    "AvailableNow "
     "stream drains into a memory sink, and the query reconstructs "
     "the NET state from the change rows — which must hash-match the "
     "logical survivors.  Reference analogue surpassed: the "
@@ -2004,7 +2005,8 @@ def mirror_dv_stream_follow(spark, sf_dir):
         .option("checkpointLocation", os.path.join(workdir, "ckpt"))
         .start()
     )
-    q.awaitTermination(300)
+    q.awaitTermination()  # availableNow self-terminates; no timeout
+    # that could silently hash a partially-drained sink
     # net-state reconstruction from the streamed change rows: a row
     # survives iff its inserts outnumber its deletes
     return (
@@ -2089,8 +2091,7 @@ def mirror_catalog_managed_read(spark, sf_dir):
             )
             lines.append(_json.dumps({"add": a["add"]}))
     rel = "_staged_commits/%020d.%s.json" % (2, _uuid.uuid4())
-    with open(os.path.join(log, os.path.basename(staged_dir),
-                           os.path.basename(rel)), "w") as f:
+    with open(os.path.join(log, *rel.split("/")), "w") as f:
         f.write("\n".join(lines) + "\n")
     cat_name = f"mlkq-catalog-{os.path.basename(workdir)}"
     catalog = COORD.TrackingCommitCoordinator()

@@ -1828,11 +1828,130 @@ def prior_dv_descs(
     return out
 
 
-def prior_dv_desc(
-    table_path: str, path_rel: str, before_version: int
-) -> dict | None:
-    """Single-path convenience over :func:`prior_dv_descs`."""
-    return prior_dv_descs(table_path, {path_rel}, before_version)[path_rel]
+def classify_mor_commit(
+    table_path: str, acts: list[dict], v: int, dv_possible: bool
+) -> list[dict]:
+    """Classify one commit's dataChange adds/removes into change-feed
+    entries — the SINGLE home of the merge-on-read synthesis semantics
+    shared by :func:`read_changes` and the mlk_delta streaming
+    source's readChangeFeed mode (stream ≡ batch lives here, pinned in
+    test_r10_dv_stream).
+
+    Entry kinds (each ``{"path": rel, "pv": dict, "size": int, ...}``):
+
+    - ``insert`` / ``delete``: plain file-granularity change (the
+      caller performs its own vacuum-existence check on deletes);
+    - ``insert_apply``: a file BORN with a DV — its SURVIVORS insert
+      (``payload`` = the new bitmap, applied as a drop-mask);
+    - ``delete_apply``: a DV'd file fully removed — only its LIVE rows
+      retract (``payload`` = the prior bitmap);
+    - ``delta``: a DV rewrite (remove(P)+add(P,DV')) — the bitmap
+      delta: rows in new∖old are deletes, rows in old∖new (a RESTORE
+      shrinking the vector) are resurrecting inserts
+      (``new_payload``/``old_payload``/``cardinality``).
+
+    Prior descriptors resolve in ONE batched backward replay
+    (:func:`prior_dv_descs`); ``dv_possible`` (protocol advertises
+    deletionVectors) gates those lookups so plain CoW tables pay
+    nothing.  Compressed payloads only — expansion is the caller's
+    executor-side job."""
+    from . import dv as _dv
+
+    blob_cache: dict = {}
+    adds_d: dict[str, dict] = {}
+    removes_d: dict[str, dict] = {}
+    for a in acts:
+        ad = a.get("add")
+        if ad is not None and ad.get("dataChange", True):
+            adds_d[ad["path"]] = ad
+        rm = a.get("remove")
+        if rm is not None and rm.get("dataChange", True):
+            removes_d[rm["path"]] = rm
+
+    def _card(action) -> int:
+        return int(
+            (action.get("deletionVector") or {}).get("cardinality") or 0
+        )
+
+    # one batched backward replay resolves every prior descriptor this
+    # commit needs: rewritten paths (old side of the delta), removes
+    # with no recorded descriptor, AND rewrites whose NEW add carries
+    # no vector (a RESTORE-in-place: the remove still needs the prior
+    # bitmap or previously-dead rows would wrongly retract)
+    need_prior: set[str] = {
+        # a rewrite carrying a NEW vector always needs the old side,
+        # feature flag or not (the vector in hand IS the evidence)
+        p
+        for p, a in adds_d.items()
+        if p in removes_d and _card(a)
+    }
+    if dv_possible:
+        need_prior |= {
+            p
+            for p, r in removes_d.items()
+            if not _card(r) and not _card(adds_d.get(p, {}))
+        }
+    prior = prior_dv_descs(table_path, need_prior, v) if need_prior else {}
+
+    def _payload(desc):
+        return _dv.dv_payload(table_path, desc, blob_cache)
+
+    out: list[dict] = []
+    for p, a in sorted(adds_d.items()):
+        desc = a.get("deletionVector")
+        desc = desc if (desc or {}).get("cardinality") else None
+        base = {
+            "path": p,
+            "pv": dict(a.get("partitionValues") or {}),
+            "size": int(a.get("size") or 0),
+        }
+        if desc is None:
+            out.append({**base, "kind": "insert"})
+            continue
+        new_payload = _payload(desc)
+        if p in removes_d:
+            removes_d.pop(p)
+            old = prior.get(p)
+            out.append(
+                {
+                    **base,
+                    "kind": "delta",
+                    "new_payload": new_payload,
+                    "old_payload": _payload(old) if old else None,
+                    "cardinality": int(desc["cardinality"]),
+                }
+            )
+        else:
+            out.append(
+                {
+                    **base,
+                    "kind": "insert_apply",
+                    "payload": new_payload,
+                    "cardinality": int(desc["cardinality"]),
+                }
+            )
+    for p, r in sorted(removes_d.items()):
+        base = {
+            "path": p,
+            "pv": dict(r.get("partitionValues") or {}),
+            "size": 0,
+        }
+        old = r.get("deletionVector")
+        old = old if (old or {}).get("cardinality") else None
+        if old is None and dv_possible:
+            old = prior.get(p)
+        if old:
+            out.append(
+                {
+                    **base,
+                    "kind": "delete_apply",
+                    "payload": _payload(old),
+                    "cardinality": int(old["cardinality"]),
+                }
+            )
+        else:
+            out.append({**base, "kind": "delete"})
+    return out
 
 
 def read_changes(
@@ -1921,9 +2040,8 @@ def read_changes(
     #: one-sided DV masks: (version, change, pv) -> [(rel, payload,
     #: cardinality)] — survivors only (anti join)
     apply_groups: dict[tuple, list[tuple]] = {}
-    from . import dv as _dv
+    from . import dv as _dv  # used by the pair-frame explode below
 
-    _dv_blob_cache: dict = {}
     proto = latest_protocol(table_path, to_version)
     dv_possible = "deletionVectors" in (
         (proto or {}).get("readerFeatures") or []
@@ -1946,92 +2064,40 @@ def read_changes(
                 pv = tuple(sorted((a.get("partitionValues") or {}).items()))
                 groups.setdefault((v, "__cdc__", pv), []).append(full)
             continue
-        adds_d: dict[str, dict] = {}
-        removes_d: dict[str, dict] = {}
-        for act in acts:
-            a = act.get("add")
-            if a is not None and a.get("dataChange", True):
-                adds_d[a["path"]] = a
-            r = act.get("remove")
-            if r is not None and r.get("dataChange", True):
-                removes_d[r["path"]] = r
-        # ONE batched backward replay resolves every prior descriptor
-        # this commit needs (rewritten paths + undescribed removes)
-        need_prior = {
-            p
-            for p, a in adds_d.items()
-            if p in removes_d
-            and ((a.get("deletionVector") or {}).get("cardinality"))
-        }
-        if dv_possible:
-            need_prior |= {
-                p
-                for p, r in removes_d.items()
-                if p not in adds_d
-                and not (r.get("deletionVector") or {}).get("cardinality")
-            }
-        prior = (
-            prior_dv_descs(table_path, need_prior, v) if need_prior else {}
-        )
-        for p, a in sorted(adds_d.items()):
-            desc = a.get("deletionVector")
-            desc = desc if (desc or {}).get("cardinality") else None
-            pv = tuple(sorted((a.get("partitionValues") or {}).items()))
-            if desc is None:
-                groups.setdefault((v, "insert", pv), []).append(
-                    _fs.join(table_path, p)
-                )
-                continue
-            # merge-on-read (PROTOCOL.md "Deletion Vectors"): the
-            # COMPRESSED bitmaps ride the driver (KB-scale metadata);
-            # expansion to row indices happens executor-side below
-            new_payload = _dv.dv_payload(table_path, desc, _dv_blob_cache)
-            if p in removes_d:
-                # DV rewrite (delete_dv/update_dv/merge_dv shape:
-                # remove(P)+add(P, DV')): the CHANGE is the bitmap
-                # delta — rows in new∖old stream as deletes, rows in
-                # old∖new (a RESTORE shrinking the vector) as inserts
-                removes_d.pop(p)
-                old = prior.get(p)
-                old_payload = (
-                    _dv.dv_payload(table_path, old, _dv_blob_cache)
-                    if old
-                    else None
-                )
+        for e in classify_mor_commit(table_path, acts, v, dv_possible):
+            pv = tuple(sorted(e["pv"].items()))
+            kind = e["kind"]
+            if kind in ("insert", "delete"):
+                full = _fs.join(table_path, e["path"])
+                if kind == "delete" and not _fs.get_fs(table_path).exists(
+                    full
+                ):
+                    raise ValueError(
+                        f"removed file {e['path']} (commit {v}) was "
+                        "vacuumed; the change feed for this span is gone"
+                    )
+                groups.setdefault((v, kind, pv), []).append(full)
+            elif kind == "delta":
                 delta_groups.setdefault((v, pv), []).append(
-                    (p, new_payload, old_payload, int(desc["cardinality"]))
-                )
-            else:
-                # file BORN with a DV (modern default-DV writers):
-                # its change rows are the SURVIVORS
-                apply_groups.setdefault((v, "insert", pv), []).append(
-                    (p, new_payload, int(desc["cardinality"]))
-                )
-        for p, r in sorted(removes_d.items()):
-            full = _fs.join(table_path, p)
-            if not _fs.get_fs(table_path).exists(full):
-                raise ValueError(
-                    f"removed file {p} (commit {v}) was "
-                    "vacuumed; the change feed for this span is gone"
-                )
-            pv = tuple(sorted((r.get("partitionValues") or {}).items()))
-            old = r.get("deletionVector")
-            old = old if (old or {}).get("cardinality") else None
-            if old is None and dv_possible:
-                # a remove of a file that carried a DV must retract
-                # only its LIVE rows — the already-deleted ones never
-                # streamed as inserts
-                old = prior.get(p)
-            if old:
-                apply_groups.setdefault((v, "delete", pv), []).append(
                     (
-                        p,
-                        _dv.dv_payload(table_path, old, _dv_blob_cache),
-                        int(old["cardinality"]),
+                        e["path"],
+                        e["new_payload"],
+                        e["old_payload"],
+                        e["cardinality"],
                     )
                 )
-            else:
-                groups.setdefault((v, "delete", pv), []).append(full)
+            else:  # insert_apply / delete_apply: survivors only
+                change = "insert" if kind == "insert_apply" else "delete"
+                if change == "delete" and not _fs.get_fs(table_path).exists(
+                    _fs.join(table_path, e["path"])
+                ):
+                    raise ValueError(
+                        f"removed file {e['path']} (commit {v}) was "
+                        "vacuumed; the change feed for this span is gone"
+                    )
+                apply_groups.setdefault((v, change, pv), []).append(
+                    (e["path"], e["payload"], e["cardinality"])
+                )
 
     parts: list[DataFrame] = []
     for (v, change, pv), paths in groups.items():

@@ -269,10 +269,26 @@ class StagedCommitCoordinator(CommitCoordinator):
             self._discard(fs, f"{log}/{rel}")
             raise FileExistsError(str(exc)) from exc
         except Exception:
-            # ratification status unknown (client crashed mid-call):
-            # deleting risks a LOUD FileNotFoundError if the client
-            # did record it, keeping it risks a SILENT torn read via
-            # ratified-by-uniqueness inference — fail loud, not torn
+            # ratification status unknown (client crashed mid-call).
+            # Deleting blindly can DESTROY a commit the client DID
+            # record before failing (its only copy is the staged file,
+            # and backfill copies from it); keeping it blindly risks a
+            # torn read via ratified-by-uniqueness inference.  Ask the
+            # client what it actually recorded:
+            try:
+                recorded = self.client.get_commits(
+                    _os.path.dirname(log), v
+                ).get(v)
+            except Exception:
+                # client unreachable for reads too: keep the file (it
+                # may be the ratified copy) and surface the original
+                # error — a later read resolves through the client,
+                # never through uniqueness, because writers on this
+                # path are arbitrating clients by construction
+                raise
+            if recorded == rel:
+                return  # the commit actually succeeded
+            # not ratified (or another candidate won): safe to discard
             self._discard(fs, f"{log}/{rel}")
             raise
 

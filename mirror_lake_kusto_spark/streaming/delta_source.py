@@ -319,6 +319,34 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # offsets derive from the immutable log; nothing to ack
 
+    def _dv_possible(self, v: int, acts: list[dict]) -> bool:
+        """Does the table's protocol (as of commit ``v``) advertise
+        deletionVectors?  True is STICKY (features are add-only in
+        practice; a stale True only costs extra prior-descriptor
+        lookups, never wrongness); False memoizes per version so a
+        delete-heavy replay doesn't re-scan the log per commit
+        (latest_protocol is a reverse scan — the r10 review caught
+        the O(commits²) shape).  The commit's OWN protocol action is
+        checked first: delete_dv bundles the upgrade with the first
+        DV'd rewrite."""
+        cached = getattr(self, "_dv_possible_memo", None)
+        if cached is not None and (cached[0] or cached[1] == v):
+            return cached[0]
+        val = any(
+            "deletionVectors"
+            in ((a.get("protocol") or {}).get("readerFeatures") or [])
+            for a in acts
+        )
+        if not val:
+            from ..sources.delta_log import latest_protocol
+
+            val = "deletionVectors" in (
+                (latest_protocol(self.path) or {}).get("readerFeatures")
+                or []
+            )
+        self._dv_possible_memo = (val, v)
+        return val
+
     def _commit_entries(self, v: int) -> list[dict]:
         """The files commit ``v`` emits under this reader's mode, in
         the commit's own (stable) order: {path, partitionValues,
@@ -356,131 +384,75 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             else:
                 # CDF mode: removes stream as delete rows instead of
                 # erroring — the continuous twin of DeltaSink.changes.
-                # Merge-on-read commits synthesize from the bitmaps
-                # (round 10, same semantics as delta_log.read_changes):
-                # a DV REWRITE (remove(P)+add(P,DV')) contributes the
-                # bitmap DELTA; a file BORN with a DV contributes its
-                # survivors; a remove of a DV'd file retracts only its
-                # LIVE rows.  Compressed payloads ride the partition;
-                # expansion stays executor-side in read().
+                # Merge-on-read commits synthesize from the bitmaps;
+                # classification is SHARED with delta_log.read_changes
+                # (classify_mor_commit — stream ≡ batch lives there).
+                # Compressed payloads ride the partition; expansion
+                # stays executor-side in read(), which skips the file
+                # read entirely when a delta selection is empty (the
+                # grow-only delete case's resurrect twin).
                 from ..sources import delta_log as _DL
-                from ..sources import dv as _dv
 
-                blob_cache: dict = {}
-                adds_d: dict[str, dict] = {}
-                removes_d: dict[str, dict] = {}
-                for a in acts:
-                    act = a.get("add")
-                    if act is not None and act.get("dataChange", True):
-                        adds_d[act["path"]] = act
-                    act = a.get("remove")
-                    if act is not None and act.get("dataChange", True):
-                        removes_d[act["path"]] = act
-
-                def _entry(act, change, **dv):
-                    return {
-                        "path": os.path.join(self.path, act["path"]),
-                        "partitionValues": act.get("partitionValues")
-                        or {},
-                        "change_type": change,
-                        "size": act.get("size") or 0,
-                        **dv,
+                for e in _DL.classify_mor_commit(
+                    self.path, acts, v, self._dv_possible(v, acts)
+                ):
+                    base = {
+                        "path": os.path.join(self.path, e["path"]),
+                        "partitionValues": e["pv"],
+                        "size": e["size"],
                     }
-
-                # ONE batched backward replay for every prior
-                # descriptor this commit needs (the r10 probe caught
-                # per-path lookups re-parsing the previous commit's
-                # JSON once per rewritten file)
-                need_prior = {
-                    p
-                    for p, a in adds_d.items()
-                    if p in removes_d
-                    and (a.get("deletionVector") or {}).get("cardinality")
-                }
-                dv_possible = removes_d and "deletionVectors" in (
-                    (_DL.latest_protocol(self.path) or {}).get(
-                        "readerFeatures"
-                    )
-                    or []
-                )
-                if dv_possible:
-                    need_prior |= {
-                        p
-                        for p, r in removes_d.items()
-                        if p not in adds_d
-                        and not (r.get("deletionVector") or {}).get(
-                            "cardinality"
-                        )
-                    }
-                prior = (
-                    _DL.prior_dv_descs(self.path, need_prior, v)
-                    if need_prior
-                    else {}
-                )
-                for p, act in sorted(adds_d.items()):
-                    desc = act.get("deletionVector")
-                    desc = desc if (desc or {}).get("cardinality") else None
-                    if desc is None:
-                        out.append(_entry(act, "insert"))
-                        continue
-                    new_pl = _dv.dv_payload(self.path, desc, blob_cache)
-                    if p in removes_d:
-                        removes_d.pop(p)
-                        old = prior.get(p)
-                        old_pl = (
-                            _dv.dv_payload(self.path, old, blob_cache)
-                            if old
-                            else None
-                        )
-                        out.append(
-                            _entry(
-                                act,
-                                "delete",
-                                dv_payload=new_pl,
-                                dv_mode="select_delta",
-                                dv_old_payload=old_pl,
-                            )
-                        )
-                        if old_pl is not None:
-                            # a SHRINKING vector (RESTORE) resurrects
-                            # old∖new as inserts; normally empty
-                            out.append(
-                                _entry(
-                                    act,
-                                    "insert",
-                                    dv_payload=old_pl,
-                                    dv_mode="select_delta",
-                                    dv_old_payload=new_pl,
-                                    size=0,
-                                )
-                            )
-                    else:
-                        out.append(
-                            _entry(act, "insert", dv_payload=new_pl)
-                        )
-                for p, act in sorted(removes_d.items()):
-                    full = os.path.join(self.path, p)
-                    if not os.path.exists(full):
+                    kind = e["kind"]
+                    if kind in ("delete", "delete_apply") and not (
+                        os.path.exists(base["path"])
+                    ):
                         raise ValueError(
-                            f"removed file {p} (commit {v}) "
+                            f"removed file {e['path']} (commit {v}) "
                             "was vacuumed; its change rows are gone"
                         )
-                    old = act.get("deletionVector")
-                    old = old if (old or {}).get("cardinality") else None
-                    if old is None and dv_possible:
-                        old = prior.get(p)
-                    if old:
+                    if kind == "insert":
+                        out.append({**base, "change_type": "insert"})
+                    elif kind == "delete":
+                        out.append({**base, "change_type": "delete"})
+                    elif kind == "insert_apply":
                         out.append(
-                            _entry(
-                                act,
-                                "delete",
-                                dv_payload=_dv.dv_payload(
-                                    self.path, old, blob_cache
-                                ),
-                            )
+                            {
+                                **base,
+                                "change_type": "insert",
+                                "dv_payload": e["payload"],
+                            }
                         )
-                    else:
-                        out.append(_entry(act, "delete"))
+                    elif kind == "delete_apply":
+                        out.append(
+                            {
+                                **base,
+                                "change_type": "delete",
+                                "dv_payload": e["payload"],
+                            }
+                        )
+                    else:  # delta: new∖old deletes + old∖new inserts
+                        out.append(
+                            {
+                                **base,
+                                "change_type": "delete",
+                                "dv_payload": e["new_payload"],
+                                "dv_mode": "select_delta",
+                                "dv_old_payload": e["old_payload"],
+                            }
+                        )
+                        if e["old_payload"] is not None:
+                            # a SHRINKING vector (RESTORE) resurrects
+                            # old∖new as inserts; normally empty —
+                            # read() short-circuits before the file
+                            out.append(
+                                {
+                                    **base,
+                                    "change_type": "insert",
+                                    "dv_payload": e["old_payload"],
+                                    "dv_mode": "select_delta",
+                                    "dv_old_payload": e["new_payload"],
+                                    "size": 0,
+                                }
+                            )
         else:
             has_data_remove = any(
                 a["remove"].get("dataChange", True)
@@ -528,6 +500,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                         "drop data-rewriting commits wholesale)"
                     )
             if not has_data_remove:
+                # one blob cache per commit: many DV-born files often
+                # pack their bitmaps into ONE shared .bin
+                dv_blob_cache: dict = {}
                 for a in acts:
                     add = a.get("add")
                     if add and add.get("dataChange", True):
@@ -550,7 +525,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                             from ..sources import dv as _dv
 
                             dv_payload = _dv.dv_payload(
-                                self.path, desc, {}
+                                self.path, desc, dv_blob_cache
                             )
                         out.append(
                             {
@@ -693,6 +668,22 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if (
+            partition.dv_payload is not None
+            and partition.dv_mode == "select_delta"
+        ):
+            # compute the selection BEFORE touching the file: the
+            # resurrect twin of a grow-only DV rewrite selects
+            # old∖new == ∅, and skipping the parquet read entirely
+            # halves the scan cost of every ordinary delete_dv commit
+            from ..sources import dv as _dv
+
+            keep_idx = set(_dv.deserialize(partition.dv_payload))
+            if partition.dv_old_payload is not None:
+                keep_idx -= set(_dv.deserialize(partition.dv_old_payload))
+            if not keep_idx:
+                return
+
         parsed = json.loads(partition.schema_json)
         schema = StructType.fromJson(parsed)
         # column mapping (PROTOCOL.md): data files and partitionValues
@@ -719,20 +710,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
             from ..sources import dv as _dv
 
-            idx = np.array(
-                _dv.deserialize(partition.dv_payload), dtype=np.int64
-            )
             if partition.dv_mode == "apply":
                 mask = np.ones(table.num_rows, dtype=bool)
-                mask[idx] = False
-            else:
-                keep = set(idx.tolist())
-                if partition.dv_old_payload is not None:
-                    keep -= set(
-                        _dv.deserialize(partition.dv_old_payload)
+                mask[
+                    np.array(
+                        _dv.deserialize(partition.dv_payload),
+                        dtype=np.int64,
                     )
+                ] = False
+            else:
+                # keep_idx computed (non-empty) before the file read
                 mask = np.zeros(table.num_rows, dtype=bool)
-                mask[np.array(sorted(keep), dtype=np.int64)] = True
+                mask[np.array(sorted(keep_idx), dtype=np.int64)] = True
             table = table.filter(pa.array(mask))
         n = table.num_rows
         cols = []

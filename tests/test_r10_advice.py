@@ -226,3 +226,35 @@ def test_float_to_double_widen_preserves_fractions(spark, tmp_path):
     assert got == want and len(got) == 100
     # spot-check actual fractional content (not all integral)
     assert want[2].endswith(".500") and want[51].endswith(".125")
+
+
+def test_ratified_then_crashed_call_keeps_the_commit(spark, tmp_path):
+    """Round-10 review: if client.commit durably RECORDS the version
+    and then the call fails (timeout after the write), the staged file
+    is the commit's only copy — it must survive and the write must
+    count as succeeded, not be discarded (which would permanently lose
+    a ratified commit)."""
+
+    class _RecordsThenRaises(COORD.TrackingCommitCoordinator):
+        def commit(self, table_path, version, rel_path):
+            super().commit(table_path, version, rel_path)  # recorded!
+            raise RuntimeError("timeout after the record")
+
+    name = f"rr-{tmp_path.name}"
+    tracker = _RecordsThenRaises()
+    COORD.register_commit_coordinator(name, tracker)
+    try:
+        table = str(tmp_path / "t")
+        sink = DeltaSink(spark, table, coordinated_commits=name)
+        sink.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+        # the staged v1 write's ratification call "crashes" AFTER
+        # recording: the append must succeed end-to-end
+        sink.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+        assert len(_staged_candidates(table)) == 1  # kept, not discarded
+        got = sorted(
+            r["id"]
+            for r in DL.read_snapshot(spark, table).collect()
+        )
+        assert got == [1, 2]
+    finally:
+        COORD.unregister_commit_coordinator(name)

@@ -336,3 +336,62 @@ def test_cdf_stream_update_dv_mid_stream(spark, tmp_path):
         (r["n"], r["v"]) for r in DL.read_snapshot(spark, path).collect()
     )
     assert ("patched" in {r["v"] for r in rows})
+
+
+def test_restore_in_place_resurrects_via_prior_bitmap(spark, tmp_path):
+    """Round-10 review gap: a rewrite whose NEW add carries NO vector
+    (RESTORE-in-place: all deletions undone, remove(P, no desc) +
+    add(P, no DV)) must emit the previously-dead rows as net inserts —
+    the remove side retracts only the rows that were LIVE under the
+    prior bitmap, so resurrected rows net to +1, not 0."""
+    path = str(tmp_path / "t")
+    s = DeltaSink(spark, path)
+    s.append(spark.range(6).selectExpr("id AS n", "'x' AS v").coalesce(1))
+    s.delete_dv("n IN (1, 4)")                          # v1: DV {1,4}
+    f = [x for x in DL.snapshot_files(spark, path)][0]
+    acts = [
+        {
+            "remove": {
+                "path": f["path"],
+                "deletionTimestamp": 0,
+                "dataChange": True,
+                "partitionValues": {},
+            }
+        },
+        {
+            "add": {
+                "path": f["path"],
+                "partitionValues": {},
+                "size": f["size"],
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": f["stats"],
+                # NO deletionVector: every row live again
+            }
+        },
+    ]
+    FS.get_fs(path).write_text(
+        DL._commit_file(path, 2),
+        "\n".join(json.dumps(a) for a in acts) + "\n",
+    )
+    snap = sorted(r["n"] for r in DL.read_snapshot(spark, path).collect())
+    assert snap == [0, 1, 2, 3, 4, 5]                   # restored
+    # batch feed nets to the snapshot
+    rows = DL.read_changes(spark, path, 0).collect()
+    assert [n for n, _v in _net(rows)] == snap
+    # v2's delete side must exclude the previously-dead rows
+    v2_deletes = sorted(
+        r["n"]
+        for r in rows
+        if r["_commit_version"] == 2 and r["_change_type"] == "delete"
+    )
+    assert v2_deletes == [0, 2, 3, 5]
+    # stream agrees (shared classifier)
+    srows = _drain(
+        spark, path, str(tmp_path / "ck"), {"readChangeFeed": "true"}
+    )
+    assert sorted(
+        (r["n"], r["_change_type"], r["_commit_version"]) for r in srows
+    ) == sorted(
+        (r["n"], r["_change_type"], r["_commit_version"]) for r in rows
+    )
