@@ -1906,7 +1906,24 @@ def classify_mor_commit(
             "size": int(a.get("size") or 0),
         }
         if desc is None:
-            out.append({**base, "kind": "insert"})
+            old = prior.get(p) if p in removes_d else None
+            if old:
+                # RESTORE-in-place: the re-add DROPS the prior vector
+                # (all deletions undone).  A shrink-to-empty delta —
+                # the change is exactly the resurrected rows, not a
+                # full retract+reinsert of the file
+                removes_d.pop(p)
+                out.append(
+                    {
+                        **base,
+                        "kind": "delta",
+                        "new_payload": _dv.serialize([]),
+                        "old_payload": _payload(old),
+                        "cardinality": int(old["cardinality"]),
+                    }
+                )
+            else:
+                out.append({**base, "kind": "insert"})
             continue
         new_payload = _payload(desc)
         if p in removes_d:

@@ -379,14 +379,45 @@ def test_restore_in_place_resurrects_via_prior_bitmap(spark, tmp_path):
     # batch feed nets to the snapshot
     rows = DL.read_changes(spark, path, 0).collect()
     assert [n for n, _v in _net(rows)] == snap
-    # v2's delete side must exclude the previously-dead rows
-    v2_deletes = sorted(
-        r["n"]
+    # the commit is a shrink-to-empty delta: EXACTLY the resurrected
+    # rows stream, nothing retracts and nothing re-inserts live rows
+    v2 = sorted(
+        (r["n"], r["_change_type"])
         for r in rows
-        if r["_commit_version"] == 2 and r["_change_type"] == "delete"
+        if r["_commit_version"] == 2
     )
-    assert v2_deletes == [0, 2, 3, 5]
+    assert v2 == [(1, "insert"), (4, "insert")]
     # stream agrees (shared classifier)
+    srows = _drain(
+        spark, path, str(tmp_path / "ck"), {"readChangeFeed": "true"}
+    )
+    assert sorted(
+        (r["n"], r["_change_type"], r["_commit_version"]) for r in srows
+    ) == sorted(
+        (r["n"], r["_change_type"], r["_commit_version"]) for r in rows
+    )
+
+
+def test_restore_across_delete_dv_feeds_resurrection(spark, tmp_path):
+    """A REAL writer producing the shrink shape: restore() to the
+    pre-delete version re-adds the file with its older (absent)
+    vector — the change feed must resurrect the deleted rows and net
+    to the restored snapshot, batch and stream agreeing."""
+    path = str(tmp_path / "t")
+    s = DeltaSink(spark, path)
+    s.append(spark.range(8).selectExpr("id AS n", "'x' AS v").coalesce(1))
+    s.delete_dv("n IN (2, 5)")                          # v1
+    s.restore(0)                                        # v2: undo
+    snap = sorted(r["n"] for r in DL.read_snapshot(spark, path).collect())
+    assert snap == list(range(8))
+    rows = DL.read_changes(spark, path, 0).collect()
+    assert [n for n, _v in _net(rows)] == snap
+    v2 = sorted(
+        (r["n"], r["_change_type"])
+        for r in rows
+        if r["_commit_version"] == 2
+    )
+    assert v2 == [(2, "insert"), (5, "insert")]         # pure resurrection
     srows = _drain(
         spark, path, str(tmp_path / "ck"), {"readChangeFeed": "true"}
     )
