@@ -189,8 +189,10 @@ EXTENSION_HEADLINE = [
     "mirror_coordinated_write",
     "kql_partition_shuffle",
     # round-10 additions: streaming through mid-stream deletion
-    # vectors (CDF bitmap-delta synthesis, a REAL AvailableNow stream)
+    # vectors (CDF bitmap-delta synthesis, a REAL AvailableNow stream),
+    # catalogManaged write through the catalog binding
     "mirror_dv_stream_follow",
+    "mirror_catalog_managed_write",
 ]
 
 

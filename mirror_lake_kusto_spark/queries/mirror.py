@@ -2201,3 +2201,53 @@ def mirror_collated_sort(spark, sf_dir):
         )
         .orderBy("rk")
     )
+
+
+@query(
+    "mirror_catalog_managed_write",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey
+    """,
+    doc="catalogManaged WRITE path (round 10, DeltaSink "
+    "catalog_managed=True): the managing catalog comes from the "
+    "path binding (coordinator.register_catalog_table) — the metaData "
+    "carries NO coordinator name, exactly the spec's out-of-band "
+    "shape; the v0 bootstrap advertises the catalogManaged "
+    "reader+writer feature so unbound filesystem readers fail "
+    "closed.  Append + row-level delete land only in the "
+    "catalog-ratified staged tail, the snapshot reads THROUGH the "
+    "binding, then backfill_commits publishes and the result must "
+    "not change.  Completes the round-10 read side "
+    "(mirror_catalog_managed_read)",
+)
+def mirror_catalog_managed_write(spark, sf_dir):
+    from ..sources import coordinator as COORD
+    from ..sources import delta_log as DL
+
+    workdir = _workdir("mirror_cmwrite", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    name = f"mlkq-catalog-w-{os.path.basename(workdir)}"
+    COORD.register_commit_coordinator(name, COORD.TrackingCommitCoordinator())
+    COORD.register_catalog_table(path, name)
+    try:
+        nat = load_table(spark, "nation", sf_dir).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        sink = DeltaSink(spark, path, catalog_managed=True)
+        sink.append(nat.filter("n_nationkey < 12"))        # v0 plain
+        sink.append(nat.filter("n_nationkey >= 12"))       # v1 staged
+        sink.delete("n_regionkey = 2")                     # v2 staged
+        staged_rows = DL.read_snapshot(spark, path).count()
+        sink.backfill_commits()
+        out = DL.read_snapshot(spark, path)
+        if out.count() != staged_rows:
+            raise AssertionError(
+                "backfill changed the snapshot row count"
+            )
+        return out.orderBy("n_nationkey")
+    finally:
+        COORD.unregister_catalog_table(path)
+        COORD.unregister_commit_coordinator(name)

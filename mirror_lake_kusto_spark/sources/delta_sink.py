@@ -242,6 +242,23 @@ class StagedCommitCoordinator(CommitCoordinator):
         self.name = name
         self.client = client
 
+    @classmethod
+    def for_catalog(cls, table_path: str) -> "StagedCommitCoordinator":
+        """Resolve the arbitrating client through the CATALOG BINDING
+        (round 10): catalogManaged tables carry no coordinator name in
+        their metaData — the managing catalog is bound per path via
+        coordinator.register_catalog_table."""
+        from .coordinator import catalog_for_table
+
+        name = catalog_for_table(table_path)
+        if name is None:
+            raise ValueError(
+                f"{table_path} is not bound to a managing catalog; "
+                "bind it with coordinator.register_catalog_table("
+                "path, client_name) before writing catalog-managed"
+            )
+        return cls(name)
+
     def create_commit(self, fs, path: str, data: str) -> None:
         import os as _os
         import re as _re
@@ -359,17 +376,32 @@ class DeltaSink:
         checkpoint_format: str = "classic",
         commit_coordinator: CommitCoordinator | None = None,
         coordinated_commits: str | None = None,
+        catalog_managed: bool = False,
     ):
         self.spark = spark
         self.path = table_path
+        if sum(
+            x is not None
+            for x in (commit_coordinator, coordinated_commits)
+        ) + bool(catalog_managed) > 1:
+            raise ValueError(
+                "pass at most one of commit_coordinator, "
+                "coordinated_commits, catalog_managed"
+            )
         if coordinated_commits is not None:
-            if commit_coordinator is not None:
-                raise ValueError(
-                    "pass either commit_coordinator or "
-                    "coordinated_commits, not both"
-                )
             commit_coordinator = StagedCommitCoordinator(coordinated_commits)
+        elif catalog_managed:
+            # catalogManaged WRITE (round 10): commits stage and are
+            # ratified by the catalog client bound to this path; the
+            # metaData carries NO coordinator name (the spec leaves
+            # the catalog identity out-of-band), and the v0 bootstrap
+            # advertises the catalogManaged reader+writer feature so
+            # unbound filesystem readers fail closed
+            commit_coordinator = StagedCommitCoordinator.for_catalog(
+                table_path
+            )
         self.coordinated_commits = coordinated_commits
+        self.catalog_managed = bool(catalog_managed)
         self.partition_by = list(partition_by)
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_parts = checkpoint_parts
@@ -511,6 +543,13 @@ class DeltaSink:
                     # coordinator or they could tear versions
                     proto = upgraded_protocol(
                         proto, (), ("coordinatedCommits",)
+                    )
+                if getattr(self, "catalog_managed", False):
+                    # reader AND writer feature: the filesystem log can
+                    # lag the catalog-owned truth, so unbound readers
+                    # must fail closed (delta_log._FEATURE_NOTES)
+                    proto = upgraded_protocol(
+                        proto, ("catalogManaged",), ("catalogManaged",)
                     )
                 if self._schema_uses_variant():
                     # VARIANT columns are feature-gated (PROTOCOL.md

@@ -123,3 +123,82 @@ def test_declared_coordinator_wins_over_catalog_binding(spark, tmp_path):
             COORD.unregister_commit_coordinator(other)
     finally:
         COORD.unregister_commit_coordinator(name)
+
+
+# ------------------------------------------------------- write side
+
+
+def _bound_catalog(tmp_path, path):
+    name = f"wcat-{tmp_path.name}"
+    catalog = COORD.TrackingCommitCoordinator()
+    COORD.register_commit_coordinator(name, catalog)
+    COORD.register_catalog_table(path, name)
+    return name
+
+
+def test_catalog_managed_write_roundtrip(spark, tmp_path):
+    """catalogManaged WRITE (round 10): commits after the v0 bootstrap
+    stage under the bound catalog's arbitration; the v0 protocol
+    advertises catalogManaged (reader+writer) and the metaData carries
+    NO coordinator name; reads resolve through the binding; backfill
+    publishes and the snapshot must not change."""
+    path = str(tmp_path / "t")
+    name = _bound_catalog(tmp_path, path)
+    try:
+        sink = DeltaSink(spark, path, catalog_managed=True)
+        sink.append(spark.range(3).toDF("n"))            # v0 plain
+        sink.append(spark.range(3, 6).toDF("n"))         # v1 staged
+        sink.delete("n = 4")                             # v2 staged
+        proto = DL.latest_protocol(path)
+        assert "catalogManaged" in (proto.get("readerFeatures") or [])
+        assert "catalogManaged" in (proto.get("writerFeatures") or [])
+        meta = DL.latest_metadata(spark, path)
+        conf = meta.get("configuration") or {}
+        assert not any("commitCoordinator" in k for k in conf)
+        got = sorted(r["n"] for r in DL.read_snapshot(spark, path).collect())
+        assert got == [0, 1, 2, 3, 5]
+        n = sink.backfill_commits()
+        assert n == 2
+        assert sorted(
+            r["n"] for r in DL.read_snapshot(spark, path).collect()
+        ) == got
+    finally:
+        COORD.unregister_catalog_table(path)
+        COORD.unregister_commit_coordinator(name)
+    # backfilled prefix readable even unbound (partial-read rule)
+    assert sorted(
+        r["n"] for r in DL.read_snapshot(spark, path).collect()
+    ) == [0, 1, 2, 3, 5]
+
+
+def test_catalog_managed_write_requires_binding(spark, tmp_path):
+    with pytest.raises(ValueError, match="not bound"):
+        DeltaSink(spark, str(tmp_path / "t"), catalog_managed=True)
+
+
+def test_catalog_managed_unbound_tail_fails_closed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    name = _bound_catalog(tmp_path, path)
+    try:
+        sink = DeltaSink(spark, path, catalog_managed=True)
+        sink.append(spark.range(3).toDF("n"))
+        sink.append(spark.range(3, 6).toDF("n"))         # staged only
+    finally:
+        COORD.unregister_catalog_table(path)
+        COORD.unregister_commit_coordinator(name)
+    from mirror_lake_kusto_spark.sources.delta_log import (
+        UnsupportedTableFeature,
+    )
+
+    with pytest.raises(UnsupportedTableFeature, match="STALE"):
+        DL.read_snapshot(spark, path).collect()
+
+
+def test_catalog_managed_exclusive_with_coordinated(spark, tmp_path):
+    with pytest.raises(ValueError, match="at most one"):
+        DeltaSink(
+            spark,
+            str(tmp_path / "t"),
+            coordinated_commits="filesystem",
+            catalog_managed=True,
+        )

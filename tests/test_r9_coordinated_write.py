@@ -101,7 +101,7 @@ def test_unknown_coordinator_name_raises(spark, tmp_path):
         DeltaSink(
             spark, str(tmp_path / "t"), coordinated_commits="nope"
         )
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         from mirror_lake_kusto_spark.sources.delta_sink import (
             FsCommitCoordinator,
         )
