@@ -202,3 +202,33 @@ def test_catalog_managed_exclusive_with_coordinated(spark, tmp_path):
             coordinated_commits="filesystem",
             catalog_managed=True,
         )
+
+
+def test_mirror_follows_catalog_managed_source(spark, tmp_path):
+    """The pipeline consumes a catalogManaged SOURCE through the
+    binding: staged-tail commits (append + row-level delete) mirror
+    exactly once, like any coordinated source."""
+    from mirror_lake_kusto_spark.pipeline.orchestrate import MirrorPipeline
+
+    path = str(tmp_path / "src")
+    name = _bound_catalog(tmp_path, path)
+    try:
+        src = DeltaSink(spark, path, catalog_managed=True)
+        src.append(spark.range(6).toDF("id"))
+        pipe = MirrorPipeline(
+            spark,
+            path,
+            str(tmp_path / "dst"),
+            str(tmp_path / "state"),
+            table_name="cmsrc",
+        )
+        pipe.run_until_idle()
+        src.append(spark.range(6, 10).toDF("id"))   # staged tail
+        src.delete("id = 3")                        # staged tail too
+        pipe.run_until_idle()
+        assert sorted(r.id for r in pipe.mirror_df().collect()) == [
+            i for i in range(10) if i != 3
+        ]
+    finally:
+        COORD.unregister_catalog_table(path)
+        COORD.unregister_commit_coordinator(name)
