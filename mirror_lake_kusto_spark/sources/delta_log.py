@@ -1829,7 +1829,11 @@ def prior_dv_descs(
 
 
 def classify_mor_commit(
-    table_path: str, acts: list[dict], v: int, dv_possible: bool
+    table_path: str,
+    acts: list[dict],
+    v: int,
+    dv_possible,
+    blob_cache: dict | None = None,
 ) -> list[dict]:
     """Classify one commit's dataChange adds/removes into change-feed
     entries — the SINGLE home of the merge-on-read synthesis semantics
@@ -1851,13 +1855,18 @@ def classify_mor_commit(
       (``new_payload``/``old_payload``/``cardinality``).
 
     Prior descriptors resolve in ONE batched backward replay
-    (:func:`prior_dv_descs`); ``dv_possible`` (protocol advertises
-    deletionVectors) gates those lookups so plain CoW tables pay
-    nothing.  Compressed payloads only — expansion is the caller's
+    (:func:`prior_dv_descs`); ``dv_possible`` — a bool or a zero-arg
+    callable evaluated ONLY when a descriptor-less remove actually
+    needs it (protocol scans are not free; round-10 review) — gates
+    those lookups so plain CoW tables pay nothing.  ``blob_cache``
+    lets a multi-commit caller share .bin reads across the span
+    (consecutive delete_dv commits reuse each other's blobs).
+    Compressed payloads only — expansion is the caller's
     executor-side job."""
     from . import dv as _dv
 
-    blob_cache: dict = {}
+    if blob_cache is None:
+        blob_cache = {}
     adds_d: dict[str, dict] = {}
     removes_d: dict[str, dict] = {}
     for a in acts:
@@ -1885,12 +1894,15 @@ def classify_mor_commit(
         for p, a in adds_d.items()
         if p in removes_d and _card(a)
     }
-    if dv_possible:
-        need_prior |= {
-            p
-            for p, r in removes_d.items()
-            if not _card(r) and not _card(adds_d.get(p, {}))
-        }
+    undescribed_removes = {
+        p
+        for p, r in removes_d.items()
+        if not _card(r) and not _card(adds_d.get(p, {}))
+    }
+    if undescribed_removes and (
+        dv_possible() if callable(dv_possible) else dv_possible
+    ):
+        need_prior |= undescribed_removes
     prior = prior_dv_descs(table_path, need_prior, v) if need_prior else {}
 
     def _payload(desc):
@@ -1951,7 +1963,9 @@ def classify_mor_commit(
         base = {
             "path": p,
             "pv": dict(r.get("partitionValues") or {}),
-            "size": 0,
+            # the removed file is RE-READ to stream its delete rows, so
+            # byte-based admission control must charge its size
+            "size": int(r.get("size") or 0),
         }
         old = r.get("deletionVector")
         old = old if (old or {}).get("cardinality") else None
@@ -2059,6 +2073,8 @@ def read_changes(
     apply_groups: dict[tuple, list[tuple]] = {}
     from . import dv as _dv  # used by the pair-frame explode below
 
+    _dv_blob_cache: dict = {}  # span-wide: consecutive delete_dv
+    # commits share .bin blobs (old side == previous new side)
     proto = latest_protocol(table_path, to_version)
     dv_possible = "deletionVectors" in (
         (proto or {}).get("readerFeatures") or []
@@ -2081,7 +2097,9 @@ def read_changes(
                 pv = tuple(sorted((a.get("partitionValues") or {}).items()))
                 groups.setdefault((v, "__cdc__", pv), []).append(full)
             continue
-        for e in classify_mor_commit(table_path, acts, v, dv_possible):
+        for e in classify_mor_commit(
+            table_path, acts, v, dv_possible, _dv_blob_cache
+        ):
             pv = tuple(sorted(e["pv"].items()))
             kind = e["kind"]
             if kind in ("insert", "delete"):

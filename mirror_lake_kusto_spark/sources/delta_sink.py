@@ -285,7 +285,7 @@ class StagedCommitCoordinator(CommitCoordinator):
             # FileExistsError is the retry signal _commit understands
             self._discard(fs, f"{log}/{rel}")
             raise FileExistsError(str(exc)) from exc
-        except Exception:
+        except Exception as commit_err:
             # ratification status unknown (client crashed mid-call).
             # Deleting blindly can DESTROY a commit the client DID
             # record before failing (its only copy is the staged file,
@@ -298,11 +298,12 @@ class StagedCommitCoordinator(CommitCoordinator):
                 ).get(v)
             except Exception:
                 # client unreachable for reads too: keep the file (it
-                # may be the ratified copy) and surface the original
-                # error — a later read resolves through the client,
-                # never through uniqueness, because writers on this
-                # path are arbitrating clients by construction
-                raise
+                # may be the ratified copy) and surface the ORIGINAL
+                # commit error, not the probe's — a later read
+                # resolves through the client, never through
+                # uniqueness, because writers on this path are
+                # arbitrating clients by construction
+                raise commit_err from None
             if recorded == rel:
                 return  # the commit actually succeeded
             # not ratified (or another candidate won): safe to discard
@@ -428,6 +429,46 @@ class DeltaSink:
         self._pending_configuration: dict | None = None
         self.fs = _fs.get_fs(table_path)
         self.fs.makedirs(_log_dir(table_path))
+        if self.catalog_managed:
+            self._adopt_catalog_managed()
+
+    def _adopt_catalog_managed(self) -> None:
+        """Adopting an EXISTING table as catalog-managed publishes the
+        catalogManaged protocol upgrade as a PLAIN (backfilled) commit
+        BEFORE any staged writes: a staged upgrade is invisible to
+        unbound filesystem readers, who would then silently serve the
+        stale published prefix instead of failing closed (round-10
+        review finding).  No-op for new tables (the v0 bootstrap
+        declares the feature) and already-declared tables."""
+        import json as _json
+
+        from .delta_log import latest_protocol
+
+        for _ in range(5):
+            v = self._next_version()
+            if v == 0:
+                return  # new table: bootstrap declares the feature
+            cur = latest_protocol(self.path)
+            up = upgraded_protocol(
+                cur, ("catalogManaged",), ("catalogManaged",)
+            )
+            if up == cur:
+                return
+            target = _fs.join(
+                _log_dir(self.path), TX_FMT.format(v) + ".json"
+            )
+            try:
+                self.fs.create_exclusive(
+                    target, _json.dumps({"protocol": up}) + "\n"
+                )
+                return
+            except FileExistsError:
+                continue  # lost a race to the plain spelling: re-read
+        raise ConcurrentCommitConflict(
+            f"{self.path}: could not publish the catalogManaged "
+            "protocol upgrade after 5 attempts — concurrent writers "
+            "keep taking the next version"
+        )
 
     # -- commit machinery ---------------------------------------------------
 

@@ -319,33 +319,39 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # offsets derive from the immutable log; nothing to ack
 
-    def _dv_possible(self, v: int, acts: list[dict]) -> bool:
-        """Does the table's protocol (as of commit ``v``) advertise
-        deletionVectors?  True is STICKY (features are add-only in
-        practice; a stale True only costs extra prior-descriptor
-        lookups, never wrongness); False memoizes per version so a
-        delete-heavy replay doesn't re-scan the log per commit
-        (latest_protocol is a reverse scan — the r10 review caught
-        the O(commits²) shape).  The commit's OWN protocol action is
-        checked first: delete_dv bundles the upgrade with the first
-        DV'd rewrite."""
-        cached = getattr(self, "_dv_possible_memo", None)
-        if cached is not None and (cached[0] or cached[1] == v):
-            return cached[0]
-        val = any(
+    def _dv_possible(self, acts: list[dict]):
+        """Zero-arg thunk answering "does the protocol advertise
+        deletionVectors?" for classify_mor_commit — evaluated ONLY
+        when a descriptor-less remove actually needs it.  ONE
+        latest_protocol scan per reader lifetime: True is sticky
+        (features are add-only in practice; a stale True only costs
+        extra prior-descriptor lookups, never wrongness), and False
+        can only flip via a protocol action in a LATER commit — whose
+        acts this reader scans as it streams (the in-commit check
+        below), so no rescans (the r10 reviews caught first the
+        per-commit and then the per-version O(commits²) shapes)."""
+        if any(
             "deletionVectors"
             in ((a.get("protocol") or {}).get("readerFeatures") or [])
             for a in acts
-        )
-        if not val:
-            from ..sources.delta_log import latest_protocol
+        ):
+            self._dv_flag = True
 
-            val = "deletionVectors" in (
-                (latest_protocol(self.path) or {}).get("readerFeatures")
-                or []
-            )
-        self._dv_possible_memo = (val, v)
-        return val
+        def thunk() -> bool:
+            flag = getattr(self, "_dv_flag", None)
+            if flag is None:
+                from ..sources.delta_log import latest_protocol
+
+                flag = "deletionVectors" in (
+                    (latest_protocol(self.path) or {}).get(
+                        "readerFeatures"
+                    )
+                    or []
+                )
+                self._dv_flag = flag
+            return flag
+
+        return thunk
 
     def _commit_entries(self, v: int) -> list[dict]:
         """The files commit ``v`` emits under this reader's mode, in
@@ -393,8 +399,16 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 # grow-only delete case's resurrect twin).
                 from ..sources import delta_log as _DL
 
+                if not hasattr(self, "_dv_blob_cache"):
+                    self._dv_blob_cache = {}
+                if len(self._dv_blob_cache) > 64:
+                    self._dv_blob_cache.clear()  # bounded reader cache
                 for e in _DL.classify_mor_commit(
-                    self.path, acts, v, self._dv_possible(v, acts)
+                    self.path,
+                    acts,
+                    v,
+                    self._dv_possible(acts),
+                    self._dv_blob_cache,
                 ):
                     base = {
                         "path": os.path.join(self.path, e["path"]),

@@ -258,3 +258,118 @@ def test_ratified_then_crashed_call_keeps_the_commit(spark, tmp_path):
         assert got == [1, 2]
     finally:
         COORD.unregister_commit_coordinator(name)
+
+
+def test_probe_failure_surfaces_original_commit_error(spark, tmp_path):
+    """If the post-crash ratification probe ALSO fails, the caller
+    must see the ORIGINAL commit error (alerting keys on it), and the
+    staged file must survive (it may be the ratified copy)."""
+
+    class _BothFail(COORD.TrackingCommitCoordinator):
+        def commit(self, table_path, version, rel_path):
+            raise TimeoutError("commit timed out")
+
+        def get_commits(self, table_path, start_version):
+            raise ConnectionError("probe also failed")
+
+    name = f"bf-{tmp_path.name}"
+    COORD.register_commit_coordinator(name, _BothFail())
+    try:
+        table = str(tmp_path / "t")
+        log = os.path.join(table, "_delta_log")
+        os.makedirs(log)
+        w = StagedCommitCoordinator(name)
+        with pytest.raises(TimeoutError, match="commit timed out"):
+            w.create_commit(_FS(), os.path.join(log, f"{1:020d}.json"), "{}")
+        assert len(_staged_candidates(table)) == 1  # kept: may be ratified
+    finally:
+        COORD.unregister_commit_coordinator(name)
+
+
+def test_adopted_table_gains_catalog_managed_feature(spark, tmp_path):
+    """An EXISTING plain table adopted with catalog_managed=True must
+    declare the catalogManaged reader feature with its FIRST staged
+    commit — otherwise unbound filesystem readers silently serve the
+    stale published prefix instead of failing closed."""
+    table = str(tmp_path / "t")
+    plain = DeltaSink(spark, table)
+    plain.append(spark.range(3).toDF("n"))      # v0 published, no feature
+    name = f"ad-{tmp_path.name}"
+    COORD.register_commit_coordinator(name, COORD.TrackingCommitCoordinator())
+    COORD.register_catalog_table(table, name)
+    try:
+        sink = DeltaSink(spark, table, catalog_managed=True)
+        sink.append(spark.range(3, 6).toDF("n"))  # v1 staged + upgrade
+        proto = DL.latest_protocol(table)
+        assert "catalogManaged" in (proto.get("readerFeatures") or [])
+        got = sorted(r["n"] for r in DL.read_snapshot(spark, table).collect())
+        assert got == [0, 1, 2, 3, 4, 5]
+    finally:
+        COORD.unregister_catalog_table(table)
+        COORD.unregister_commit_coordinator(name)
+    # unbound: the staged tail is now VISIBLY gated
+    with pytest.raises(Exception, match="STALE|catalogManaged"):
+        DL.read_snapshot(spark, table).collect()
+
+
+def test_classifier_charges_remove_size(spark, tmp_path):
+    """Byte-based admission control must charge a removed file's size
+    (the file is re-read to stream its delete rows)."""
+    acts = [
+        {
+            "remove": {
+                "path": "f.parquet",
+                "dataChange": True,
+                "partitionValues": {},
+                "size": 12345,
+            }
+        }
+    ]
+    out = DL.classify_mor_commit(str(tmp_path), acts, 1, False)
+    assert out == [
+        {
+            "path": "f.parquet",
+            "pv": {},
+            "size": 12345,
+            "kind": "delete",
+        }
+    ]
+
+
+def test_dv_possible_thunk_scans_protocol_once(spark, tmp_path):
+    """The streaming reader's protocol check runs at most ONE
+    latest_protocol scan per reader lifetime: False is sticky until a
+    protocol action in a later commit's acts flips it (a delete-heavy
+    CDF replay was O(commits^2) before)."""
+    from mirror_lake_kusto_spark.streaming.delta_source import (
+        DeltaLogStreamReader,
+    )
+
+    table = str(tmp_path / "t")
+    DeltaSink(spark, table).append(spark.range(3).toDF("n"))
+    reader = DeltaLogStreamReader(
+        table, spark.range(1).schema, False, read_change_feed=True
+    )
+    calls = {"n": 0}
+    real = DL.latest_protocol
+
+    def counting(path, upto=None):
+        calls["n"] += 1
+        return real(path, upto)
+
+    import mirror_lake_kusto_spark.sources.delta_log as dlmod
+
+    dlmod.latest_protocol = counting
+    try:
+        for v in range(5):
+            thunk = reader._dv_possible([])
+            assert thunk() is False
+        assert calls["n"] == 1
+        # a protocol action in a later commit flips it WITHOUT a scan
+        reader._dv_possible(
+            [{"protocol": {"readerFeatures": ["deletionVectors"]}}]
+        )
+        assert reader._dv_possible([])() is True
+        assert calls["n"] == 1
+    finally:
+        dlmod.latest_protocol = real
