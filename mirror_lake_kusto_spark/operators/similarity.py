@@ -567,6 +567,14 @@ def cosine_topk_ivf(
         F.col(vec_col).alias("_cvec"),
         F.explode("clusters").alias("cluster"),
     )
+    # eagerly persist the coarse-assignment frame: the probe join +
+    # top-k window otherwise re-run the Python assignment stage on
+    # recompute, the source of this query's r7-documented heavy-tail
+    # variance (isolated shots 3-41s on identical code).  KB-per-row
+    # metadata + vectors; the same eager-persist idiom as the MinHash
+    # signature frame.
+    assigned = assigned.persist()
+    assigned.count()
 
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
     if not len(qids):  # empty query batch: nothing to search for

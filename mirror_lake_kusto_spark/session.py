@@ -60,6 +60,11 @@ def build_session(
         # modern parquet spec type and carries stats
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
+        # pin Python worker reuse explicitly (default-true, but the
+        # Arrow-UDF families' latency depends on it — a fresh worker
+        # per stage re-pays interpreter+import startup; r7-documented
+        # similarity_topk_ivf variance traces to worker churn)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.streaming.schemaInference", "true")
         # the ContextCleaner that releases shuffle files / broadcast
         # blocks is GC-driven; on a large heap the driver may not GC
