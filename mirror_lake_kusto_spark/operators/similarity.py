@@ -558,10 +558,15 @@ def cosine_topk_ivf(
     list is a broadcast equi-join on cluster, so no shuffle of the
     corpus is ever needed.
     """
+    spark = corpus.sparkSession
+    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
+    if not len(qids):  # empty query batch: nothing to search for
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cos_sim double"
+        )
     cent = ivf_centroids(
         corpus, vec_col, id_col, n_clusters=n_clusters, seed=seed
     )
-    spark = corpus.sparkSession
     assigned = ivf_assign(corpus, vec_col, cent, n_assign=n_assign).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cvec"),
@@ -572,15 +577,11 @@ def cosine_topk_ivf(
     # recompute, the source of this query's r7-documented heavy-tail
     # variance (isolated shots 3-41s on identical code).  KB-per-row
     # metadata + vectors; the same eager-persist idiom as the MinHash
-    # signature frame.
+    # signature frame.  The result is localCheckpoint-materialized
+    # below, so the cache lives only for this call (r10 review: don't
+    # leak cached blocks across repeated calls in one session).
     assigned = assigned.persist()
     assigned.count()
-
-    qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
-    if not len(qids):  # empty query batch: nothing to search for
-        return spark.createDataFrame(
-            [], "query_id bigint, cand_id bigint, cos_sim double"
-        )
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     probe_rows = [
@@ -595,7 +596,7 @@ def cosine_topk_ivf(
     if n_assign > 1:
         joined = joined.dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
+    out = (
         joined.select(
             "query_id",
             "cand_id",
@@ -605,6 +606,12 @@ def cosine_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos_sim")
     )
+    # materialize the (bounded: <= |queries| x k rows) result and cut
+    # its lineage so the coarse-assignment cache can be released here
+    # rather than accumulating until LRU eviction (round-10 review)
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1823,6 +1823,22 @@ def prior_dv_descs(
                 if a and a.get("path") in remaining:
                     out[a["path"]] = _desc(a)
                     remaining.discard(a["path"])
+        elif ckpt is not None:
+            # the only checkpoint is AT/AFTER the commit being
+            # classified: it reflects state past before_version and
+            # cannot witness the prior descriptor.  If the retained
+            # JSON log didn't resolve the path either (log cleanup
+            # removed the prior add), defaulting to None would emit a
+            # full-bitmap retract — re-deleting rows that were already
+            # dead.  Fail loud instead (round-10 review; same posture
+            # as the vacuumed-file ValueError in read_changes).
+            raise ValueError(
+                f"cannot resolve prior deletion vectors before version "
+                f"{before_version} of {table_path}: the add actions for "
+                f"{sorted(remaining)!r} are in neither the retained JSON "
+                f"log nor a checkpoint older than {before_version} "
+                f"(last checkpoint: {ckpt})"
+            )
     for p in remaining:
         out[p] = None
     return out
@@ -1969,7 +1985,14 @@ def classify_mor_commit(
         }
         old = r.get("deletionVector")
         old = old if (old or {}).get("cardinality") else None
-        if old is None and dv_possible:
+        if old is None:
+            # no second protocol-gate evaluation here: rewritten paths
+            # were popped from removes_d above, so a pure remove's
+            # entry in `prior` can only have been populated through
+            # the undescribed_removes lookup — which already ran under
+            # the dv_possible gate (round-10 review: the previous
+            # `and dv_possible` tested the truthiness of the CALLABLE,
+            # silently bypassing the gate at this site)
             old = prior.get(p)
         if old:
             out.append(
