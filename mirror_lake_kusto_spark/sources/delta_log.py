@@ -1413,24 +1413,32 @@ def read_snapshot(
         from .skipping import prune_files
 
         pred_schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        collated = set(collations_of(meta))
-        if collated:
-            # collated columns: stats/partition/bloom pruning would
-            # compare in binary order — drop them from the pruners'
-            # view (their conjuncts become non-prunable; the row
-            # filter below keeps the result exact)
-            pred_schema = StructType(
-                [f for f in pred_schema.fields if f.name not in collated]
-            )
+        collated = collations_of(meta)
+        # collated columns prune collation-AWARE (round 11): stats
+        # min/max are binary-ordered, so prune_files applies the
+        # case-variant interval test on the SPARK.UTF8_LCASE family
+        # (equality/IN only) and keeps every other collation's
+        # conjuncts non-prunable; the row filter below keeps the
+        # result exact either way
         files = prune_files(
             files,
             predicate,
             pred_schema,
             list(meta.get("partitionColumns") or []),
+            collations=collated,
         )
         # a Bloom sidecar (if built) additionally prunes equality/IN
-        # lookups on high-cardinality columns; advisory and stale-safe
-        files = prune_files_bloom(table_path, files, predicate, pred_schema)
+        # lookups on high-cardinality columns; advisory and stale-safe.
+        # Blooms hash raw bytes — a case VARIANT of the literal would
+        # miss — so collated columns stay outside the bloom's view
+        bloom_schema = (
+            StructType(
+                [f for f in pred_schema.fields if f.name not in collated]
+            )
+            if collated
+            else pred_schema
+        )
+        files = prune_files_bloom(table_path, files, predicate, bloom_schema)
     if not files or meta is None:
         return spark.createDataFrame(
             [],

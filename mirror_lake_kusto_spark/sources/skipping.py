@@ -557,13 +557,59 @@ def _comparable(stat_val: Any, lit_val: Any) -> bool:
 
 
 class _Conjunct:
-    """One parsed conjunct: decide keep/skip per file from its stats."""
+    """One parsed conjunct: decide keep/skip per file from its stats.
 
-    def __init__(self, kind: str, col: str, op: str | None, values: list[Any]):
+    ``ci=True`` marks a case-insensitive conjunct (SPARK.UTF8_LCASE
+    column, ASCII literal): equality tests the CASE-VARIANT hulls
+    instead of the literal itself.  For an ASCII string L, the case
+    variants v (the only strings with lower(v) == lower(L)) grouped by
+    their FIRST character's case form two binary-order intervals —
+    within a fixed prefix, lowering a later byte only increases the
+    string, so each group's all-upper-rest variant is its minimum and
+    all-lower-rest its maximum:
+
+        [upper(L),              upper(L[0]) + lower(L[1:])]
+        [lower(L[0]) + upper(L[1:]), lower(L)]
+
+    A file is skippable iff its binary [min, max] misses BOTH hulls.
+    (One convex hull [upper(L), lower(L)] would be sound but loose —
+    it spans the entire upper-vs-lower first-byte gap, keeping nearly
+    every case-clustered file; the first-char split restores real
+    pruning for the common all-lower/all-upper file layouts.)  Range
+    operators (< <= > >=) never prune under ci: lower() is not
+    monotone in binary order (``'Z' < 'a'`` but ``'z' > 'a'``), so no
+    sound interval test exists over binary-ordered stats."""
+
+    def __init__(
+        self,
+        kind: str,
+        col: str,
+        op: str | None,
+        values: list[Any],
+        ci: bool = False,
+    ):
         self.kind = kind  # "cmp" | "in" | "isnull" | "notnull"
         self.col = col
         self.op = op
         self.values = values
+        self.ci = ci
+
+    def _eq_keep(self, lo, hi, v) -> bool:
+        """Can a row equal to ``v`` (under the conjunct's collation)
+        exist inside binary stats [lo, hi]?"""
+        if not self.ci:
+            return lo <= v <= hi
+        if not v:
+            return lo <= v <= hi  # '' has exactly one variant
+        head_u, head_l = v[0].upper(), v[0].lower()
+        rest_u, rest_l = v[1:].upper(), v[1:].lower()
+        return any(
+            lo <= h_hi and hi >= h_lo
+            for h_lo, h_hi in {
+                (head_u + rest_u, head_u + rest_l),
+                (head_l + rest_u, head_l + rest_l),
+            }
+        )
 
     def keep(self, stats: dict, part_value: Any) -> bool:
         """True unless the stats PROVE no row in the file matches."""
@@ -584,15 +630,20 @@ class _Conjunct:
             return True
         if self.kind == "in":
             return any(
-                _comparable(lo, v) and lo <= v <= hi for v in self.values
+                _comparable(lo, v) and self._eq_keep(lo, hi, v)
+                for v in self.values
             ) or not all(_comparable(lo, v) for v in self.values)
         v = self.values[0]
         if not _comparable(lo, v):
             return True
         op = self.op
         if op in ("=", "=="):
-            return lo <= v <= hi
+            return self._eq_keep(lo, hi, v)
         if op in ("!=", "<>"):
+            if self.ci:
+                # every row is the single string lo; skip only when
+                # that string IS a case variant of the literal
+                return not (lo == hi and lo.lower() == v.lower())
             return not (lo == hi == v)
         if op == "<":
             return lo < v
@@ -605,12 +656,55 @@ class _Conjunct:
         return True
 
 
-def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
+#: the one collation family whose comparison is pure ASCII-safe
+#: lowercase folding — the only one with a sound stats test over
+#: binary-ordered min/max (see _Conjunct).  RTRIM variants and ICU
+#: collations stay non-prunable.
+_LCASE_IDENT = "SPARK.UTF8_LCASE"
+
+
+def _collation_mode(ident: str | None, values: list[Any]) -> str | None:
+    """'binary' = prune normally, 'ci' = case-variant interval test,
+    None = not prunable under this collation/literal combination."""
+    if ident is None:
+        return "binary"
+    if (ident or "").upper() != _LCASE_IDENT:
+        return None  # ICU / RTRIM: no sound binary-stats test
+    # UTF8_LCASE folds via Unicode simple case mapping; Python's
+    # str.lower/upper match it only on ASCII, and the variant-interval
+    # argument (upper byte < lower byte, length preserved) is
+    # ASCII-only anyway
+    if all(isinstance(v, str) and v.isascii() for v in values):
+        return "ci"
+    return None
+
+
+def parse_conjuncts(
+    predicate: str,
+    schema: StructType,
+    collations: "dict[str, str] | None" = None,
+) -> list[_Conjunct]:
     """Parse the prunable top-level conjuncts of ``predicate``.
-    Anything not understood is silently dropped (no pruning — safe)."""
+    Anything not understood is silently dropped (no pruning — safe).
+
+    ``collations`` maps column -> declared collation identifier for
+    non-UTF8_BINARY columns: null-checks prune regardless (collation
+    never affects nullness), SPARK.UTF8_LCASE equality/IN prunes via
+    the case-variant interval, everything else on a collated column is
+    dropped (round-11; the round-8 posture was no pruning at all)."""
     type_of = {f.name: f.dataType for f in schema.fields}
     colset = frozenset(type_of)
+    collations = collations or {}
     out: list[_Conjunct] = []
+
+    def _add_cmp(col: str, op: str, v: Any) -> None:
+        mode = _collation_mode(collations.get(col), [v])
+        if mode is None:
+            return
+        if mode == "ci" and op not in ("=", "==", "!=", "<>"):
+            return  # no sound range test under case folding
+        out.append(_Conjunct("cmp", col, op, [v], ci=mode == "ci"))
+
     for raw in split_conjuncts(predicate):
         c = _strip_parens(raw)
         m = _NULL_RE.match(c)
@@ -626,7 +720,13 @@ def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
                 for v in m.group(2).split(",")
             ]
             if all(v is not None for v in vals) and vals:
-                out.append(_Conjunct("in", m.group(1), None, vals))
+                mode = _collation_mode(collations.get(m.group(1)), vals)
+                if mode is not None:
+                    out.append(
+                        _Conjunct(
+                            "in", m.group(1), None, vals, ci=mode == "ci"
+                        )
+                    )
             continue
         m = _CMP_RE.match(c)
         if not (m and m.group(1) in type_of):
@@ -636,12 +736,12 @@ def parse_conjuncts(predicate: str, schema: StructType) -> list[_Conjunct]:
                 col, op, lit = m2.group(3), _FLIP[m2.group(2)], m2.group(1)
                 v = _parse_literal(lit, type_of[col], colset)
                 if v is not None:
-                    out.append(_Conjunct("cmp", col, op, [v]))
+                    _add_cmp(col, op, v)
             continue
         col, op, lit = m.group(1), m.group(2), m.group(3)
         v = _parse_literal(lit, type_of[col], colset)
         if v is not None:
-            out.append(_Conjunct("cmp", col, op, [v]))
+            _add_cmp(col, op, v)
     return out
 
 
@@ -650,12 +750,15 @@ def prune_files(
     predicate: str,
     schema: StructType,
     partition_columns: list[str] | None = None,
+    collations: "dict[str, str] | None" = None,
 ) -> list[dict]:
     """Keep only the files whose stats (or partition value) admit rows
     matching ``predicate``.  Partition-column conjuncts test the file's
     single partition value; data-column conjuncts test [min, max] /
-    nullCount.  Files without stats are always kept."""
-    conjuncts = parse_conjuncts(predicate, schema)
+    nullCount.  Files without stats are always kept.  ``collations``
+    enables the case-variant interval test on SPARK.UTF8_LCASE columns
+    (see parse_conjuncts) instead of disabling pruning wholesale."""
+    conjuncts = parse_conjuncts(predicate, schema, collations)
     if not conjuncts:
         return files
     part_cols = set(partition_columns or [])

@@ -145,6 +145,12 @@ def _latest_metadata(path: str) -> dict | None:
 
 
 LINEAGE_COL = "MLK_BlobPath"
+#: changeRowIds columns: the (file, index-in-file) physical identity of
+#: each change row — Delta row tracking's (base file, row index) pair,
+#: synthesizable for free because every change partition knows exactly
+#: which file rows it emits (full file, DV survivors, or a bitmap delta)
+ROW_ID_FILE_COL = "_mlk_src_file"
+ROW_ID_IDX_COL = "_mlk_src_row_idx"
 
 
 @dataclasses.dataclass
@@ -370,6 +376,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             # _change_type stored in the file — the add/remove
             # churn of the same commit is layout, not change
             cdc_acts = [a["cdc"] for a in acts if a.get("cdc") is not None]
+            if cdc_acts and ROW_ID_IDX_COL in self._schema.fieldNames():
+                # _change_data files carry row VALUES, not positions in
+                # the table's data files — there is no positional
+                # identity to mint.  Refuse loudly rather than emit ids
+                # that could never match the rows' insert-side identity
+                raise ValueError(
+                    f"commit {v} of {self.path} carries _change_data "
+                    "files (delta.enableChangeDataFeed); changeRowIds "
+                    "needs the synthesized feed's positional identity. "
+                    "Disable the table's change-data files or drop "
+                    "changeRowIds"
+                )
             if cdc_acts:
                 for act in cdc_acts:
                     full = os.path.join(self.path, act["path"])
@@ -713,15 +731,17 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(schema)
+        want_row_ids = any(f.name == ROW_ID_IDX_COL for f in arrow_schema)
         table = pq.read_table(partition.file_path)
+        import numpy as np
+
+        row_idx = None  # original in-file indices of the emitted rows
         if partition.dv_payload is not None:
             # merge-on-read: "apply" drops the deletion vector's row
             # indices (survivors stream); "select_delta" keeps exactly
             # the indices in dv_payload MINUS dv_old_payload (the
             # bitmap delta a DV-rewrite commit contributes to the
             # change feed).  Expansion happens HERE, executor-side.
-            import numpy as np
-
             from ..sources import dv as _dv
 
             if partition.dv_mode == "apply":
@@ -737,6 +757,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 mask = np.zeros(table.num_rows, dtype=bool)
                 mask[np.array(sorted(keep_idx), dtype=np.int64)] = True
             table = table.filter(pa.array(mask))
+            if want_row_ids:
+                row_idx = np.nonzero(mask)[0]
+        elif want_row_ids:
+            row_idx = np.arange(table.num_rows, dtype=np.int64)
         n = table.num_rows
         cols = []
         for field in arrow_schema:
@@ -756,6 +780,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 # reference injects via its SourceLocation mapping
                 # (BlobStagingOrchestration.cs:309-316)
                 cols.append(pa.array([partition.file_path] * n, type=pa.string()))
+            elif field.name == ROW_ID_FILE_COL:
+                cols.append(
+                    pa.array([partition.file_path] * n, type=pa.string())
+                )
+            elif field.name == ROW_ID_IDX_COL:
+                cols.append(pa.array(row_idx, type=pa.int64()))
             else:
                 # partitionValues keys are physical under mapping
                 raw = partition.partition_values.get(
@@ -777,6 +807,10 @@ class DeltaLogDataSource(DataSource):
     an append-only stream cannot retract.  readChangeFeed needs no
     option: DV rewrites there synthesize the bitmap DELTA as row-level
     delete rows, matching delta_log.read_changes),
+    changeRowIds (readChangeFeed only: stamp every change row with its
+    physical (file, index-in-file) identity — _mlk_src_file +
+    _mlk_src_row_idx — the MERGE key a change-consuming replica needs;
+    refuses _change_data commits, which carry values, not positions),
     initialSnapshot (materialize the net snapshot — DVs applied — as
     the first batch and stream commits past it, Delta's default
     semantics; this source's default remains commit replay),
@@ -852,6 +886,14 @@ class DeltaLogDataSource(DataSource):
 
         if str(self.options.get("lineage", "false")).lower() == "true":
             schema = StructType([*schema.fields, StructField(LINEAGE_COL, StringType())])
+        row_ids = (
+            str(self.options.get("changerowids", "false")).lower() == "true"
+        )
+        if row_ids and not self._cdf():
+            raise ValueError(
+                "changeRowIds requires readChangeFeed: positional row "
+                "identity only exists on change rows"
+            )
         if self._cdf():
             schema = StructType(
                 [
@@ -860,6 +902,20 @@ class DeltaLogDataSource(DataSource):
                     StructField("_commit_version", LongType()),
                 ]
             )
+            if row_ids:
+                # stable physical row identity (file, index-in-file) —
+                # the key a change-consuming replica MERGEs on: a row's
+                # identity never changes while its file lives, deletes
+                # synthesized from deletion-vector deltas target the
+                # exact index, and a copy-on-write rewrite retires the
+                # whole old file's identities and mints new ones
+                schema = StructType(
+                    [
+                        *schema.fields,
+                        StructField(ROW_ID_FILE_COL, StringType()),
+                        StructField(ROW_ID_IDX_COL, LongType()),
+                    ]
+                )
         return schema
 
     def streamReader(self, schema: StructType) -> DeltaLogStreamReader:
