@@ -772,6 +772,7 @@ def cosine_topk_pq(
     seed: int = 42,
     round_digits: int = 6,
     max_queries: int = MAX_QUERY_VECTORS,
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation
     (ADC): each query precomputes an (m x n_codes) table of subspace
@@ -781,10 +782,18 @@ def cosine_topk_pq(
     exactness anchor is cosine_topk_bruteforce; tests pin recall@k.
 
     Norms use the reconstructed codewords (||x~||), matching what a
-    PQ-only index can know.  Per-batch partial top-k like bruteforce."""
+    PQ-only index can know.  Per-batch partial top-k like bruteforce.
+
+    ``codebooks`` (m, n_codes, d/m) overrides the k-means training —
+    data-derived seed codebooks make the whole encode/ADC pipeline
+    replayable by a SQL oracle (similarity_pq_voronoi)."""
     spark = corpus.sparkSession
-    books = train_pq_codebooks(
-        corpus, vec_col, id_col, m=m, n_codes=n_codes, seed=seed
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            corpus, vec_col, id_col, m=m, n_codes=n_codes, seed=seed
+        )
     )
     encoded = pq_encode(corpus, books, vec_col).select(id_col, "pq_code")
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)

@@ -278,6 +278,101 @@ def similarity_topk_pq(spark, sf_dir):
     return similarity.cosine_topk_pq(corpus, queries_df, k=10, m=8)
 
 
+@query(
+    "similarity_pq_voronoi",
+    """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM emb ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT UNNEST(range(4)) AS s),
+    books AS (
+      SELECT subs.s, seeds.code,
+             seeds.v[subs.s * 16 + 1 : subs.s * 16 + 16] AS cw
+      FROM seeds CROSS JOIN subs
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT e.vec_id, b.s, b.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id, b.s
+                 ORDER BY list_distance(
+                   e.v[b.s * 16 + 1 : b.s * 16 + 16], b.cw
+                 ), b.code
+               ) AS rn
+        FROM emb e CROSS JOIN books b
+      ) WHERE rn = 1
+    ),
+    recn AS (
+      SELECT enc.vec_id,
+             sqrt(SUM(list_inner_product(b.cw, b.cw))) AS nrm
+      FROM enc JOIN books b ON b.s = enc.s AND b.code = enc.code
+      GROUP BY enc.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_inner_product(v, v)) AS qn
+      FROM emb ORDER BY vec_id LIMIT 16
+    ),
+    adc AS (
+      SELECT q.query_id, enc.vec_id AS cand_id,
+             SUM(list_inner_product(
+               q.qv[enc.s * 16 + 1 : enc.s * 16 + 16], b.cw
+             )) AS dots
+      FROM q CROSS JOIN enc
+      JOIN books b ON b.s = enc.s AND b.code = enc.code
+      GROUP BY q.query_id, enc.vec_id
+    ),
+    scored AS (
+      SELECT adc.query_id, adc.cand_id,
+             ROUND(adc.dots /
+               (CASE WHEN r.nrm = 0 THEN 1.0 ELSE r.nrm END *
+                CASE WHEN q.qn = 0 THEN 1.0 ELSE q.qn END), 6) AS cos_sim
+      FROM adc
+      JOIN recn r ON r.vec_id = adc.cand_id
+      JOIN q ON q.query_id = adc.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rk FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="hash-checkable twin of similarity_topk_pq covering the FULL "
+    "product-quantization machinery (round-11 VERDICT ask #4, the "
+    "same move that gave IVF its Voronoi twin in round 10): codebooks "
+    "are DATA-DERIVED — codeword j of subspace s is the s-th "
+    "16-float slice of the j-th lowest-vec_id embedding — so a DuckDB "
+    "oracle re-derives encode (argmin subspace L2, ties to lowest "
+    "code) and the ADC scan (summed subspace dot-table lookups over "
+    "reconstructed norms) exactly.  The k-means-trained variant keeps "
+    "its recall pytest gates (similarity.cosine_topk_pq codebooks=)",
+)
+def similarity_pq_voronoi(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = emb.orderBy("vec_id").limit(16).select("embedding").collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    m = 4
+    dsub = mat.shape[1] // m
+    books = np.stack(
+        [mat[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, 16, dsub) — replayable: lowest-vec_id subvectors
+    return similarity.cosine_topk_pq(
+        emb,
+        emb.orderBy("vec_id").limit(16),
+        k=10,
+        m=m,
+        n_codes=16,
+        codebooks=books,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,163 @@
+"""Unity-Catalog-shaped REST commit-coordinator client (round 11).
+
+The round-9/10 coordinator seam (:mod:`coordinator`) ships filesystem
+and in-memory doubles; this module adds the first NETWORKED client,
+shaped after the OSS Unity Catalog coordinated-commits REST API
+(unitycatalog.io, the public `delta/preview/commits` resource that
+delta-spark's UCCommitCoordinatorClient drives):
+
+- ``GET  {base}/api/2.1/unity-catalog/delta/preview/commits``
+  with ``table_id``, ``table_uri``, ``start_version`` query params →
+  ``{"commits": [{"version": N, "file_name": ...}, ...],
+  "latest_table_version": M}`` — the RATIFIED staged commits.
+- ``POST`` to the same resource with ``{"table_id", "table_uri",
+  "commit_info": {"version", "file_name", ...}}`` → arbitration; an
+  HTTP 409 (or an ``already``/``conflict`` error body) means another
+  writer's candidate won the version.
+
+The catalog assigns each managed table an id out-of-band (table
+creation is a catalog operation, not a filesystem one), so the client
+carries an explicit ``table_path -> table_id`` binding registered by
+the application — the same posture as
+``coordinator.register_catalog_table``.  Field names are accepted in
+both snake_case and camelCase (the OSS server and the spec examples
+differ).  Everything here is stdlib urllib: no SDK, no background
+threads, fail-loud on any HTTP or shape surprise.
+
+Reference analogue surpassed: the reference throws on any
+unrecognized log shape (TransactionLogEntry.cs:341-342); it has no
+catalog integration at all.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from .coordinator import CommitCoordinatorClient, CommitConflict, _norm
+
+#: the OSS Unity Catalog coordinated-commits resource
+COMMITS_ENDPOINT = "/api/2.1/unity-catalog/delta/preview/commits"
+
+
+class UCRestCommitCoordinator(CommitCoordinatorClient):
+    """Read+write commit coordinator over the UC commits resource.
+
+    Register it like any other client, then bind managed paths::
+
+        uc = UCRestCommitCoordinator("http://localhost:8080")
+        uc.bind_table("/data/events", table_id="2f9a...")
+        coordinator.register_commit_coordinator("uc", uc)
+        coordinator.register_catalog_table("/data/events", "uc")
+
+    Unbound paths fail loudly — a guessable table id would let reads
+    silently serve the WRONG table's ratified tail.
+    """
+
+    def __init__(self, base_url: str, timeout: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._table_ids: dict[str, str] = {}
+
+    # ------------------------------------------------------------ binding
+
+    def bind_table(self, table_path: str, table_id: str) -> None:
+        """Record the catalog-assigned id for ``table_path`` (out-of-
+        band knowledge: UC mints the id at table creation)."""
+        self._table_ids[_norm(table_path)] = table_id
+
+    def unbind_table(self, table_path: str) -> None:
+        self._table_ids.pop(_norm(table_path), None)
+
+    def _table_id(self, table_path: str) -> str:
+        tid = self._table_ids.get(_norm(table_path))
+        if tid is None:
+            raise ValueError(
+                f"{table_path} has no bound Unity Catalog table id; "
+                "bind it with UCRestCommitCoordinator.bind_table("
+                "path, table_id) — the id is assigned by the catalog "
+                "at table creation"
+            )
+        return tid
+
+    # --------------------------------------------------------------- http
+
+    def _request(self, method: str, url: str, body: dict | None = None):
+        data = None
+        headers = {"Accept": "application/json"}
+        if body is not None:
+            data = json.dumps(body).encode()
+            headers["Content-Type"] = "application/json"
+        req = urllib.request.Request(
+            url, data=data, headers=headers, method=method
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode(errors="replace")[:500]
+            if e.code == 409 or "conflict" in detail.lower():
+                raise CommitConflict(
+                    f"{method} {url}: version already ratified ({detail})"
+                ) from None
+            raise RuntimeError(
+                f"Unity Catalog {method} {url} failed: HTTP {e.code} "
+                f"{detail}"
+            ) from None
+        except urllib.error.URLError as e:
+            raise RuntimeError(
+                f"Unity Catalog {method} {url} unreachable: {e.reason}"
+            ) from None
+        if not raw:
+            return {}
+        try:
+            return json.loads(raw)
+        except ValueError:
+            raise RuntimeError(
+                f"Unity Catalog {method} {url}: non-JSON response "
+                f"{raw[:200]!r}"
+            ) from None
+
+    # ------------------------------------------------------------- client
+
+    def get_commits(
+        self, table_path: str, start_version: int
+    ) -> dict[int, str]:
+        params = urllib.parse.urlencode(
+            {
+                "table_id": self._table_id(table_path),
+                "table_uri": table_path,
+                "start_version": start_version,
+            }
+        )
+        resp = self._request(
+            "GET", f"{self.base_url}{COMMITS_ENDPOINT}?{params}"
+        )
+        out: dict[int, str] = {}
+        for c in resp.get("commits") or []:
+            v = c.get("version")
+            rel = c.get("file_name", c.get("fileName"))
+            if v is None or rel is None:
+                raise RuntimeError(
+                    f"Unity Catalog commit entry missing version/"
+                    f"file_name: {c!r}"
+                )
+            if int(v) >= start_version:
+                out[int(v)] = str(rel)
+        return out
+
+    def commit(self, table_path: str, version: int, rel_path: str) -> None:
+        self._request(
+            "POST",
+            f"{self.base_url}{COMMITS_ENDPOINT}",
+            {
+                "table_id": self._table_id(table_path),
+                "table_uri": table_path,
+                "commit_info": {
+                    "version": version,
+                    "file_name": rel_path,
+                },
+            },
+        )

@@ -666,6 +666,88 @@ def probe_dv_stream_delta(spark) -> list[str]:
     ]
 
 
+def probe_prior_dv_ckpt_fallback(spark) -> list[str]:
+    """Round-11 scale evidence for prior_dv_descs' CHECKPOINT branch:
+    a vacuumed-log table (JSON commits below the checkpoint deleted)
+    whose every file is DV'd, hit with a bitmap-changing delete — the
+    change-feed classification must resolve EVERY file's prior
+    descriptor through the checkpoint's add column, in one pass, with
+    flat driver RSS and near-linear wall in file count.  (The r10
+    probe covered only the retained-JSON resolution path.)"""
+    import os as _os
+    import shutil
+
+    from mirror_lake_kusto_spark.sources import delta_log as DL
+    from mirror_lake_kusto_spark.sources.delta_sink import DeltaSink
+
+    results = []
+    for n_files in (2_000, 10_000):
+        rows_per = 10
+        n = n_files * rows_per
+        path = f"/tmp/mlk_scale_priordv_{n_files}"
+        shutil.rmtree(path, ignore_errors=True)
+        # checkpoint_interval=2: checkpoint lands at v1, BELOW the
+        # commit being classified (v2) — the resolvable shape; JSON
+        # commits 0-1 are then removed (metadata cleanup)
+        sink = DeltaSink(spark, path, checkpoint_interval=2)
+        sink.append(
+            spark.range(n)
+            .selectExpr("id", "id % 10 AS k")
+            .repartition(n_files)
+        )                                  # v0
+        sink.delete_dv("k = 0")            # v1: every file gains a DV + ckpt
+        log = _os.path.join(path, "_delta_log")
+        assert _os.path.exists(
+            _os.path.join(log, "%020d.checkpoint.parquet" % 1)
+        )
+        rss0 = rss_mb()
+        t0 = time.time()
+        sink.delete_dv("k = 1")            # v2: every bitmap CHANGES
+        build_wall = time.time() - t0
+        for v in (0, 1):
+            _os.unlink(_os.path.join(log, "%020d.json" % v))
+        t0 = time.time()
+        ch = DL.read_changes(spark, path, 2, 2)
+        n_changes = ch.count()
+        feed_wall = time.time() - t0
+        rss1 = rss_mb()
+        assert n_changes == n // 10, n_changes
+        types = {r[0] for r in ch.select("_change_type").distinct().collect()}
+        assert types == {"delete"}, types
+        shutil.rmtree(path, ignore_errors=True)
+        results.append((n_files, build_wall, feed_wall, rss1 - rss0))
+        print(
+            f"  prior-dv ckpt fallback: {n_files:,} files build "
+            f"{build_wall:.1f}s feed {feed_wall:.1f}s "
+            f"rss_delta={rss1 - rss0:.1f}MB",
+            flush=True,
+        )
+    (nf_a, _, feed_a, rss_a), (nf_b, _, feed_b, rss_b) = results
+    ratio = feed_b / max(feed_a, 1e-9)
+    return [
+        "",
+        "## prior-DV checkpoint-fallback probe (round 11)",
+        "",
+        "A VACUUMED-log table (JSON commits below the checkpoint "
+        "deleted), every file DV'd, hit with a bitmap-changing delete; "
+        "classifying the rewrite resolves every prior descriptor "
+        "through the checkpoint's add column (delta_log.prior_dv_descs "
+        "fallback branch — the r10 probe covered only retained-JSON "
+        "resolution):",
+        "",
+        f"- {nf_a:,} files: feed **{feed_a:.1f} s**, rss_delta "
+        f"{rss_a:.1f} MB; {nf_b:,} files: feed **{feed_b:.1f} s**, "
+        f"rss_delta {rss_b:.1f} MB",
+        f"- wall ratio at 5x files: **{ratio:.1f}x** (one checkpoint "
+        "column scan + one dict pass — no per-path re-reads)",
+        "",
+        "Unresolvable shapes (checkpoint AT/AFTER the classified "
+        "commit) now fail LOUD instead of emitting a full-bitmap "
+        "retract (round-11; pinned in test_r11_advice).",
+        "",
+    ]
+
+
 def probe_checkpoint_encode(spark) -> list[str]:
     """Round-8 scale evidence for the driver-side checkpoint writer:
     the pyarrow encode of the reconciled action rows must stay cheap
@@ -810,6 +892,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.md",
     )
+    if "--r11-prior-dv-ckpt-probe" in sys.argv:
+        _splice_section(
+            out_path, "## prior-DV checkpoint-fallback probe (round 11)",
+            probe_prior_dv_ckpt_fallback(spark),
+        )
+        print(json.dumps({"r11_prior_dv_ckpt_probe": "done"}))
+        return
     if "--r10-dv-stream-probe" in sys.argv:
         _splice_section(
             out_path, "## DV-delta change feed probe (round 10)",
