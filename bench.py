@@ -193,6 +193,12 @@ EXTENSION_HEADLINE = [
     # catalogManaged write through the catalog binding
     "mirror_dv_stream_follow",
     "mirror_catalog_managed_write",
+    # round-11 additions: continuous row-level replication (change
+    # feed -> foreachBatch MERGE replica), collation-aware file
+    # skipping, the hash-checked PQ twin
+    "mirror_stream_replicate",
+    "mirror_collated_skip",
+    "similarity_pq_voronoi",
 ]
 
 

@@ -544,6 +544,7 @@ def cosine_topk_ivf(
     n_assign: int = 1,
     seed: int = 42,
     max_queries: int = MAX_QUERY_VECTORS,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: score each query only against the
     ``n_probe`` clusters nearest its vector — candidate volume drops to
@@ -557,6 +558,14 @@ def cosine_topk_ivf(
     the natural partition/bucket key for a persisted index); the probe
     list is a broadcast equi-join on cluster, so no shuffle of the
     corpus is ever needed.
+
+    ``materialize=True`` (default) localCheckpoint-materializes the
+    (bounded: <= |queries| x k rows) result so the coarse-assignment
+    cache releases inside the call; ``materialize=False`` returns the
+    LAZY plan with the assignment frame left persisted — for plan
+    inspection (test_plans pins the broadcast probe join) or callers
+    composing further before collecting, who then own the cache
+    lifecycle (unpersist via spark.catalog.clearCache or a re-call).
     """
     spark = corpus.sparkSession
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
@@ -606,6 +615,8 @@ def cosine_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos_sim")
     )
+    if not materialize:
+        return out  # lazy plan; caller owns the assignment cache
     # materialize the (bounded: <= |queries| x k rows) result and cut
     # its lineage so the coarse-assignment cache can be released here
     # rather than accumulating until LRU eviction (round-10 review)
@@ -831,7 +842,14 @@ def cosine_topk_pq(
                 qn = norm_q[j] if norm_q[j] != 0 else 1.0
                 col = np.round(dots / (rec_norm * qn), round_digits)
                 take = min(k, len(col))
-                top = np.argpartition(-col, take - 1)[:take]
+                # deterministic (sim desc, cand_id asc) even on ties —
+                # and PQ ties are COMMON (few codebooks collapse many
+                # vectors to identical codes, hence identical ADC
+                # scores): argpartition kept an ARBITRARY k of a tied
+                # group, so the batch-level prune could drop the very
+                # candidate the final (desc, id asc) window would rank
+                # inside top-k.  Same fix as cosine_topk_bruteforce.
+                top = np.lexsort((cids, -col))[:take]
                 out.append(
                     pd.DataFrame(
                         {"query_id": qid, "cand_id": cids[top], "cos_sim": col[top]}

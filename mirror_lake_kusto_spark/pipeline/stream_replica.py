@@ -71,10 +71,37 @@ class StreamReplica:
         except Exception:
             pass  # already registered in this session
 
+    def _follow_additive_evolution(self, batch_df) -> None:
+        """ADD-only schema follow (the streaming slice of the batch
+        pipeline's evolve matrix): a source column added before a
+        stream RESTART (the mlk_delta source fails loud on MID-stream
+        evolution; the restart picks the new schema up) appends to the
+        replica via evolve_add before the merge — non-additive changes
+        (retype/rename) stay loud there."""
+        meta = DL.latest_metadata(self.spark, self.sink.path)
+        if meta is None:
+            return  # first batch creates the table with the new schema
+        import json
+
+        from pyspark.sql.types import StructType
+
+        have = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
+        new = [
+            f
+            for f in batch_df.schema.fields
+            if f.name not in have and f.name not in _FEED_COLS
+        ]
+        if new:
+            target = StructType.fromJson(json.loads(meta["schemaString"]))
+            for f in new:
+                target = target.add(f)
+            self.sink.evolve_add(target.json())
+
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         committed = DL.last_txn_version(self.spark, self.sink.path, self.app_id)
         if committed is not None and committed >= epoch_id:
             return  # replayed epoch after restart: already landed (I3)
+        self._follow_additive_evolution(batch_df)
         key = [ROW_ID_FILE_COL, ROW_ID_IDX_COL]
         data_cols = [c for c in batch_df.columns if c not in _FEED_COLS]
         # net the batch to ONE change per physical row identity: the

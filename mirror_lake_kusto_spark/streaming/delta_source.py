@@ -144,6 +144,34 @@ def _latest_metadata(path: str) -> dict | None:
     return meta
 
 
+def _schema_fingerprint(schema_string: "str | None") -> "str | None":
+    """Canonical form of a metaData schemaString for the mid-stream
+    evolution guard: NULLABILITY is normalized away (the sink re-emits
+    metaData whenever an appended frame's nullable flags differ, e.g.
+    spark.range's NOT NULL id — a change that never affects what a
+    reader must do), while names, types, ORDER, and field metadata
+    (collations, column-mapping physicalName) all stay significant."""
+    if schema_string is None:
+        return None
+    try:
+        parsed = json.loads(schema_string)
+    except ValueError:
+        return schema_string
+
+    def norm(node):
+        if isinstance(node, dict):
+            return {
+                k: (True if k in ("nullable", "containsNull",
+                                  "valueContainsNull") else norm(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [norm(x) for x in node]
+        return node
+
+    return json.dumps(norm(parsed), sort_keys=True)
+
+
 LINEAGE_COL = "MLK_BlobPath"
 #: changeRowIds columns: the (file, index-in-file) physical identity of
 #: each change row — Delta row tracking's (base file, row index) pair,
@@ -212,6 +240,23 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.max_commits_per_trigger = max_commits_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.read_change_feed = read_change_feed
+        #: mid-stream schema-evolution guard (round 11): the stream's
+        #: schema is pinned at load, so a metaData change LANDING AFTER
+        #: this reader started would silently drop new columns (or
+        #: mis-read renamed ones) from every subsequent batch.  Delta's
+        #: own source fails the stream on schema change; so do we.
+        #: Historical evolution (commits at/below the head we loaded
+        #: from) replays fine: files are read WITH the latest schema
+        #: (null-fill added columns, cast widened ones).
+        meta0 = _latest_metadata(table_path)
+        self._declared_schema_fp = _schema_fingerprint(
+            (meta0 or {}).get("schemaString")
+        )
+        vs0 = _versions(table_path)
+        ckpt0 = _last_checkpoint_version(table_path)
+        self._init_head = max(
+            vs0[-1] if vs0 else -1, ckpt0 if ckpt0 is not None else -1
+        )
         #: per-version cache of this reader's emitted-entry lists
         #: (driver metadata; bounded)
         self._entries_cache: dict[int, list] = {}
@@ -368,6 +413,26 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         if v in self._entries_cache:
             return self._entries_cache[v]
         acts = _commit_actions(self.path, v)
+        if v > self._init_head:
+            for a in acts:
+                md = a.get("metaData")
+                if (
+                    md is not None
+                    and self._declared_schema_fp is not None
+                    and _schema_fingerprint(md.get("schemaString"))
+                    != self._declared_schema_fp
+                ):
+                    # post-load schema evolution: this stream's schema
+                    # is pinned — continuing would silently drop the
+                    # new/renamed columns from every later batch.
+                    # Fail like Delta's own source; a RESTART picks up
+                    # the new schema (offsets live in the checkpoint)
+                    raise ValueError(
+                        f"schema of {self.path} changed at version {v} "
+                        "after this stream started; restart the stream "
+                        "to pick up the new schema (the streaming "
+                        "checkpoint resumes from the stored offset)"
+                    )
         out: list[dict] = []
         if self.read_change_feed:
             # a commit carrying cdc actions (DML under

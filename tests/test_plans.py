@@ -163,9 +163,23 @@ def test_q22_anti_join_shape(spark):
 
 def test_ivf_probe_broadcasts_queries(spark):
     """IVF probing must broadcast the (tiny) query/probe list, never
-    shuffle the corpus."""
-    plan = _plan(spark, "similarity_topk_ivf")
+    shuffle the corpus.  The registry query localCheckpoint-
+    materializes its result (round-11 cache-lifecycle fix), which cuts
+    the inspectable lineage — so pin the plan through the operator's
+    lazy variant, which is the identical plan pre-checkpoint."""
+    from mirror_lake_kusto_spark.operators import similarity
+    from mirror_lake_kusto_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    df = similarity.cosine_topk_ivf(
+        emb.filter("vec_id >= 5"),
+        emb.filter("vec_id < 5"),
+        k=10,
+        materialize=False,
+    )
+    plan = plans.explain(df)
     assert "BroadcastHashJoin" in plan
+    spark.catalog.clearCache()  # release the lazy variant's cache
 
 
 def test_q16_not_in_is_anti_join(spark):

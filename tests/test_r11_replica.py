@@ -144,6 +144,71 @@ def test_replica_duplicate_row_values_tracked_positionally(spark, tmp_path):
     assert got == [(1, "same"), (1, "same"), (2, "y")]
 
 
+def test_replica_follows_added_column_across_restart(spark, tmp_path):
+    """ADD-only schema follow: source evolves between stream runs (the
+    source refuses MID-stream evolution, test_r11_schema_guard); the
+    restarted replica evolve_adds the new column before merging, and
+    pre-evolution replica rows read it back null — exactly like the
+    source's own old files."""
+    src = str(tmp_path / "src")
+    s = DeltaSink(spark, src)
+    s.append(spark.range(4).toDF("n").coalesce(1))           # v0
+    rep = StreamReplica(
+        spark, src, str(tmp_path / "rep"), str(tmp_path / "ck")
+    )
+    rep.run_until_idle()                                     # narrow epoch
+    s.evolve_add(
+        spark.createDataFrame([], "n long, extra string").schema.json()
+    )                                                        # v1
+    s.append(
+        spark.createDataFrame([(9, "x")], "n long, extra string")
+    )                                                        # v2
+    s.delete_dv("n = 1")                                     # v3
+    rep.run_until_idle()                                     # restart run
+    got = sorted(
+        (r["n"], r["extra"]) for r in rep.replica_df().collect()
+    )
+    assert got == [(0, None), (2, None), (3, None), (9, "x")]
+    assert got == sorted(
+        (r["n"], r["extra"])
+        for r in DL.read_snapshot(spark, src).collect()
+    )
+
+
+def test_replica_continuous_mode_follows_live_commits(spark, tmp_path):
+    """processingTime trigger: the replica converges on the source
+    while commits land live (the reference's 5 s poll loop analogue,
+    I1 — here WITH row-level deletes)."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    s = DeltaSink(spark, src)
+    s.append(spark.range(6).toDF("n").coalesce(1))           # v0
+    rep = StreamReplica(
+        spark, src, str(tmp_path / "rep"), str(tmp_path / "ck")
+    )
+    q = rep.start(processing_time="200 milliseconds")
+    try:
+        s.append(spark.range(6, 9).toDF("n").coalesce(1))    # v1
+        s.delete_dv("n % 3 = 1")                             # v2
+        want = sorted(
+            r["n"] for r in DL.read_snapshot(spark, src).collect()
+        )
+        deadline = _time.time() + 150
+        got = None
+        while _time.time() < deadline:
+            try:
+                got = sorted(r["n"] for r in rep.replica_df().collect())
+            except Exception:
+                got = None  # replica table mid-creation
+            if got == want:
+                break
+            _time.sleep(0.5)
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_change_row_ids_requires_cdf(spark, tmp_path):
     src = str(tmp_path / "src")
     DeltaSink(spark, src).append(spark.range(3).toDF("n"))
