@@ -559,13 +559,13 @@ def cosine_topk_ivf(
     list is a broadcast equi-join on cluster, so no shuffle of the
     corpus is ever needed.
 
-    ``materialize=True`` (default) localCheckpoint-materializes the
-    (bounded: <= |queries| x k rows) result so the coarse-assignment
-    cache releases inside the call; ``materialize=False`` returns the
-    LAZY plan with the assignment frame left persisted — for plan
-    inspection (test_plans pins the broadcast probe join) or callers
-    composing further before collecting, who then own the cache
-    lifecycle (unpersist via spark.catalog.clearCache or a re-call).
+    ``materialize=True`` (default) persists the coarse-assignment
+    frame for the duration of the call (recompute protection) and
+    localCheckpoint-materializes the (bounded: <= |queries| x k rows)
+    result so the cache releases inside the call; ``materialize=False``
+    returns the LAZY plan and caches NOTHING — for plan inspection
+    (test_plans pins the broadcast probe join) or callers composing
+    further before collecting, who own their caching decisions.
     """
     spark = corpus.sparkSession
     qids, qmat, qnorm = _collect_queries(queries, id_col, vec_col, max_queries=max_queries)
@@ -588,9 +588,14 @@ def cosine_topk_ivf(
     # metadata + vectors; the same eager-persist idiom as the MinHash
     # signature frame.  The result is localCheckpoint-materialized
     # below, so the cache lives only for this call (r10 review: don't
-    # leak cached blocks across repeated calls in one session).
-    assigned = assigned.persist()
-    assigned.count()
+    # leak cached blocks across repeated calls in one session).  The
+    # lazy path (materialize=False) persists NOTHING — it hands back a
+    # plan the caller composes and collects on their own terms, and a
+    # cache with no returned handle could only be released by nuking
+    # the whole session's caches (round-11 review).
+    if materialize:
+        assigned = assigned.persist()
+        assigned.count()
     qunit = qmat / np.where(qnorm[:, None] == 0, 1.0, qnorm[:, None])
     order = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
     probe_rows = [

@@ -99,7 +99,25 @@ class StreamReplica:
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         committed = DL.last_txn_version(self.spark, self.sink.path, self.app_id)
-        if committed is not None and committed >= epoch_id:
+        if committed is not None and committed > epoch_id:
+            # epoch ids are monotone within ONE streaming checkpoint;
+            # a crash-replay re-delivers exactly the LAST epoch (==),
+            # never an older one.  Strictly-behind means the query is
+            # running against a RESET or foreign checkpoint over an
+            # existing replica — every batch would be skipped as
+            # "already landed" and the replica would silently freeze
+            # while the query reports healthy progress (round-11
+            # review).  Fail loud; replicate into a fresh target (or
+            # keep the original checkpoint) instead.
+            raise ValueError(
+                f"replica txn ledger for {self.app_id!r} is at epoch "
+                f"{committed} but this stream delivered epoch "
+                f"{epoch_id}: the streaming checkpoint was reset or "
+                f"replaced against an existing replica at "
+                f"{self.sink.path}. Resume with the original "
+                "checkpoint, or replicate into a fresh target"
+            )
+        if committed is not None and committed == epoch_id:
             return  # replayed epoch after restart: already landed (I3)
         self._follow_additive_evolution(batch_df)
         key = [ROW_ID_FILE_COL, ROW_ID_IDX_COL]

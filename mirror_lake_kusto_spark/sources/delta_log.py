@@ -490,6 +490,28 @@ def read_last_checkpoint(table_path: str) -> int | None:
     return int(json.loads(fs.read_text(p))["version"])
 
 
+def list_checkpoint_versions(table_path: str) -> list[int]:
+    """ALL on-disk checkpoint versions (classic, multi-part, v2
+    manifest), ascending — not just the ``_last_checkpoint`` pointer.
+    A busy table can hold several: a reader resolving state BEFORE
+    some version must consult the newest checkpoint OLDER than it,
+    which the pointer alone cannot name (round-11 review:
+    prior_dv_descs wrongly failed loud when the newest checkpoint was
+    too new but an older one could witness)."""
+    fs = _fs.get_fs(table_path)
+    d = log_dir(table_path)
+    try:
+        names = fs.listdir(d)
+    except (FileNotFoundError, NotADirectoryError, OSError):
+        return []
+    out: set[int] = set()
+    for n in names:
+        m = re.match(r"^(\d{20})\.checkpoint(\..+)?\.parquet$", n)
+        if m:
+            out.add(int(m.group(1)))
+    return sorted(out)
+
+
 def checkpoint_files(table_path: str, version: int) -> list[str]:
     """The checkpoint's parquet file(s) at ``version`` — classic
     single-file ``v.checkpoint.parquet`` or the protocol's multi-part
@@ -1825,18 +1847,24 @@ def prior_dv_descs(
             out[p] = None  # file was dead before this span
             remaining.discard(p)
     if remaining:
-        ckpt = read_last_checkpoint(table_path)
-        if ckpt is not None and ckpt < before_version:
-            for a in _checkpoint_column(table_path, ckpt, "add"):
+        ckpts = list_checkpoint_versions(table_path)
+        older = [c for c in ckpts if c < before_version]
+        if older:
+            # the NEWEST checkpoint older than the classified commit
+            # witnesses every file alive at it; adds past it live in
+            # the JSON replay above (round-11 review: consulting only
+            # the _last_checkpoint pointer wrongly failed loud when a
+            # newer checkpoint existed alongside an older usable one)
+            for a in _checkpoint_column(table_path, older[-1], "add"):
                 if a and a.get("path") in remaining:
                     out[a["path"]] = _desc(a)
                     remaining.discard(a["path"])
-        elif ckpt is not None:
-            # the only checkpoint is AT/AFTER the commit being
-            # classified: it reflects state past before_version and
-            # cannot witness the prior descriptor.  If the retained
-            # JSON log didn't resolve the path either (log cleanup
-            # removed the prior add), defaulting to None would emit a
+        elif ckpts:
+            # every checkpoint is AT/AFTER the commit being
+            # classified: each reflects state past before_version and
+            # cannot witness the prior descriptor.  The retained JSON
+            # log didn't resolve the path either (log cleanup removed
+            # the prior add); defaulting to None would emit a
             # full-bitmap retract — re-deleting rows that were already
             # dead.  Fail loud instead (round-10 review; same posture
             # as the vacuumed-file ValueError in read_changes).
@@ -1845,7 +1873,7 @@ def prior_dv_descs(
                 f"{before_version} of {table_path}: the add actions for "
                 f"{sorted(remaining)!r} are in neither the retained JSON "
                 f"log nor a checkpoint older than {before_version} "
-                f"(last checkpoint: {ckpt})"
+                f"(on-disk checkpoints: {ckpts})"
             )
     for p in remaining:
         out[p] = None

@@ -670,11 +670,21 @@ def _collation_mode(ident: str | None, values: list[Any]) -> str | None:
         return "binary"
     if (ident or "").upper() != _LCASE_IDENT:
         return None  # ICU / RTRIM: no sound binary-stats test
-    # UTF8_LCASE folds via Unicode simple case mapping; Python's
-    # str.lower/upper match it only on ASCII, and the variant-interval
-    # argument (upper byte < lower byte, length preserved) is
-    # ASCII-only anyway
-    if all(isinstance(v, str) and v.isascii() for v in values):
+    # The hull argument needs every LCASE-match of the literal to be a
+    # same-length ASCII case variant.  UTF8_LCASE compares full-mapping
+    # lowercase (Java toLowerCase(Locale.ROOT)); an exhaustive probe of
+    # U+0080..U+2FFFF against all ASCII found exactly ONE non-ASCII
+    # codepoint equal to an ASCII char: U+212A KELVIN SIGN == 'k'
+    # (U+0130 'İ' lowers to i+U+0307, so it does NOT equal 'i').  A
+    # row containing U+212A sorts far above both ASCII hulls, so a
+    # 'k'-bearing literal could wrongly skip the file that holds its
+    # Kelvin spelling — those literals are not prunable (round-11
+    # review).  Stats-side non-ASCII needs no guard beyond this: with
+    # Kelvin excluded, every match IS an ASCII variant inside a hull.
+    if all(
+        isinstance(v, str) and v.isascii() and "k" not in v.lower()
+        for v in values
+    ):
         return "ci"
     return None
 

@@ -98,7 +98,17 @@ class UCRestCommitCoordinator(CommitCoordinatorClient):
                 raw = resp.read()
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")[:500]
-            if e.code == 409 or "conflict" in detail.lower():
+            low = detail.lower()
+            # conflict = the server ARBITRATED against us: 409, or a
+            # 4xx whose body says another candidate already won.  A
+            # 5xx is a server fault, never an arbitration verdict —
+            # classifying it as CommitConflict would make the writer
+            # abandon a commit that may never have been stored
+            # (round-11 review).
+            if e.code == 409 or (
+                400 <= e.code < 500
+                and ("conflict" in low or "already" in low)
+            ):
                 raise CommitConflict(
                     f"{method} {url}: version already ratified ({detail})"
                 ) from None

@@ -215,6 +215,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         ignore_deletes: bool = False,
         initial_snapshot: bool = False,
         on_dv: str = "fail",
+        guard_anchor: "tuple[int, str | None] | None" = None,
     ):
         self.path = table_path
         self._schema = schema
@@ -247,16 +248,22 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         #: own source fails the stream on schema change; so do we.
         #: Historical evolution (commits at/below the head we loaded
         #: from) replays fine: files are read WITH the latest schema
-        #: (null-fill added columns, cast widened ones).
-        meta0 = _latest_metadata(table_path)
-        self._declared_schema_fp = _schema_fingerprint(
-            (meta0 or {}).get("schemaString")
-        )
-        vs0 = _versions(table_path)
-        ckpt0 = _last_checkpoint_version(table_path)
-        self._init_head = max(
-            vs0[-1] if vs0 else -1, ckpt0 if ckpt0 is not None else -1
-        )
+        #: (null-fill added columns, cast widened ones).  The anchor
+        #: (head, schemaString) comes from DataSource.schema() — the
+        #: SAME metadata read that pinned the stream schema — so an
+        #: evolution racing between the two reads cannot disarm the
+        #: guard (round-11 review); re-derived here only when a
+        #: user-supplied schema bypassed schema().
+        if guard_anchor is None:
+            vs0 = _versions(table_path)
+            ckpt0 = _last_checkpoint_version(table_path)
+            head0 = max(
+                vs0[-1] if vs0 else -1, ckpt0 if ckpt0 is not None else -1
+            )
+            meta0 = _latest_metadata(table_path)
+            guard_anchor = (head0, (meta0 or {}).get("schemaString"))
+        self._init_head = guard_anchor[0]
+        self._declared_schema_fp = _schema_fingerprint(guard_anchor[1])
         #: per-version cache of this reader's emitted-entry lists
         #: (driver metadata; bounded)
         self._entries_cache: dict[int, list] = {}
@@ -936,9 +943,25 @@ class DeltaLogDataSource(DataSource):
                 "onDv must be 'fail' or 'materialize', got "
                 f"{self.options.get('ondv')!r}"
             )
+        # evolution-guard anchor (round-11 review): head is listed
+        # BEFORE the metadata read, so the schema fingerprint the
+        # reader guards with always corresponds to a version AT OR
+        # PAST the anchored head — a metaData commit racing in between
+        # lands above the head, matches the fingerprint we are about
+        # to read (it IS that commit's schema), and the pinned stream
+        # schema is consistent with it; anything landing later that
+        # differs raises.  Reading the metadata first would leave a
+        # window where the guard fingerprints a schema NEWER than the
+        # one the stream pins, silently disarming it.
+        vs0 = _versions(self.options["path"])
+        ckpt0 = _last_checkpoint_version(self.options["path"])
+        guard_head = max(
+            vs0[-1] if vs0 else -1, ckpt0 if ckpt0 is not None else -1
+        )
         meta = _latest_metadata(self.options["path"])
         if meta is None:
             raise ValueError(f"no Delta metaData under {self.options['path']}")
+        self._guard_anchor = (guard_head, meta.get("schemaString"))
         # fail at load() time on a malformed mapped table (mapping mode
         # active but a field lacks physicalName): the batch reader's
         # refuse-to-guess rule — read() would otherwise emit NULLs for
@@ -1048,4 +1071,5 @@ class DeltaLogDataSource(DataSource):
             == "true",
             initial_snapshot=initial_snapshot,
             on_dv=on_dv,
+            guard_anchor=getattr(self, "_guard_anchor", None),
         )

@@ -179,7 +179,7 @@ def test_ivf_probe_broadcasts_queries(spark):
     )
     plan = plans.explain(df)
     assert "BroadcastHashJoin" in plan
-    spark.catalog.clearCache()  # release the lazy variant's cache
+    # the lazy variant caches nothing — no cleanup needed
 
 
 def test_q16_not_in_is_anti_join(spark):
