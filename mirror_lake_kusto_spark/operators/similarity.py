@@ -51,6 +51,27 @@ def _with_cols(df: DataFrame, extra: list[tuple[str, str]]):
 MAX_QUERY_VECTORS = 100_000
 
 
+def _partial_topk(col: np.ndarray, cids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the batch-local top-k by the global total order
+    (score desc, cand_id asc) — identical output to
+    ``np.lexsort((cids, -col))[:k]`` but O(n + t log t), where t is k
+    plus the candidates TIED with the k-th score: argpartition finds
+    the k-th score, the cut widens to every candidate tied with it
+    (ties are COMMON under PQ — few codebooks collapse many vectors to
+    identical ADC scores), and only that prefix is lexsorted
+    (round-11 advice: the full n-log-n lexsort per query per batch was
+    a measurable regression on large corpora)."""
+    n = len(col)
+    take = min(k, n)
+    if n > 4 * take:
+        head = np.argpartition(-col, take - 1)[:take]
+        keep = np.flatnonzero(col >= col[head].min())
+    else:
+        keep = np.arange(n)
+    order = np.lexsort((cids[keep], -col[keep]))[:take]
+    return keep[order]
+
+
 def _collect_queries(
     query_df: DataFrame,
     id_col: str,
@@ -120,13 +141,12 @@ def cosine_topk_bruteforce(
             out = []
             for j, qid in enumerate(ids_q):
                 col = np.round(sims[:, j], round_digits)
-                take = min(k, len(col))
                 # deterministic (sim desc, cand_id asc) even on ties:
                 # a plain argpartition keeps an ARBITRARY k of tied
                 # candidates, so results would vary with Arrow batch
                 # boundaries — this is the exactness oracle, it must
                 # not
-                top = np.lexsort((cids, -col))[:take]
+                top = _partial_topk(col, cids, k)
                 out.append(
                     pd.DataFrame(
                         {
@@ -846,15 +866,15 @@ def cosine_topk_pq(
                 dots = tab[j][sub_idx[None, :], codes].sum(axis=1)
                 qn = norm_q[j] if norm_q[j] != 0 else 1.0
                 col = np.round(dots / (rec_norm * qn), round_digits)
-                take = min(k, len(col))
                 # deterministic (sim desc, cand_id asc) even on ties —
                 # and PQ ties are COMMON (few codebooks collapse many
                 # vectors to identical codes, hence identical ADC
-                # scores): argpartition kept an ARBITRARY k of a tied
-                # group, so the batch-level prune could drop the very
-                # candidate the final (desc, id asc) window would rank
-                # inside top-k.  Same fix as cosine_topk_bruteforce.
-                top = np.lexsort((cids, -col))[:take]
+                # scores): argpartition alone kept an ARBITRARY k of a
+                # tied group, so the batch-level prune could drop the
+                # very candidate the final (desc, id asc) window would
+                # rank inside top-k.  Same fix as
+                # cosine_topk_bruteforce.
+                top = _partial_topk(col, cids, k)
                 out.append(
                     pd.DataFrame(
                         {"query_id": qid, "cand_id": cids[top], "cos_sim": col[top]}

@@ -33,7 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..sources import delta_log as DL
 from ..sources.delta_sink import DeltaSink
-from ..streaming.delta_source import DeltaLogDataSource
+from ..streaming.delta_source import register_source
 
 
 class StreamingMirror:
@@ -50,10 +50,7 @@ class StreamingMirror:
         self.sink = DeltaSink(spark, target_path)
         self.checkpoint_dir = checkpoint_dir
         self.app_id = f"mlk-stream-mirror:{table_name}"
-        try:
-            spark.dataSource.register(DeltaLogDataSource)
-        except Exception:
-            pass  # already registered in this session
+        register_source(spark)
 
     def _write_batch(self, batch_df, epoch_id: int) -> None:
         committed = DL.last_txn_version(self.spark, self.sink.path, self.app_id)

@@ -29,6 +29,16 @@ Design:
   a batch replayed after a crash is detected and skipped — the same
   exactly-once contract as StreamingMirror (I3;
   DeltaTableOrchestration.cs:85-133,181-200).
+- A CDF-ENABLED source (``delta.enableChangeDataFeed``) streams its
+  DML from ``_change_data`` files, whose rows carry values — no
+  positional identity exists.  Passing ``key_cols`` switches to a
+  VALUE-KEYED merge on that business key: ``update_postimage`` /
+  ``insert`` upsert, ``update_preimage`` / ``delete`` delete (a
+  key-preserving update's preimage is shadowed by its postimage in
+  the same commit; a key-CHANGING update nets to delete(old key) +
+  upsert(new key)).  NULL keys fail loud — merge equality cannot
+  match them.  Without ``key_cols`` the positional mode's source-side
+  refusal of ``_change_data`` commits is the documented fallback.
 
 Scale shape: the per-batch window shuffles only the BATCH's change
 rows (never the replica), and merge's probe/rewrite cost is
@@ -46,7 +56,7 @@ from ..sources.delta_sink import DeltaSink
 from ..streaming.delta_source import (
     ROW_ID_FILE_COL,
     ROW_ID_IDX_COL,
-    DeltaLogDataSource,
+    register_source,
 )
 
 _FEED_COLS = ("_change_type", "_commit_version", ROW_ID_FILE_COL, ROW_ID_IDX_COL)
@@ -60,16 +70,37 @@ class StreamReplica:
         target_path: str,
         checkpoint_dir: str,
         table_name: str = "replica",
+        key_cols: "list[str] | None" = None,
     ):
         self.spark = spark
         self.source = source_path
         self.sink = DeltaSink(spark, target_path)
         self.checkpoint_dir = checkpoint_dir
         self.app_id = f"mlk-stream-replica:{table_name}"
-        try:
-            spark.dataSource.register(DeltaLogDataSource)
-        except Exception:
-            pass  # already registered in this session
+        # VALUE-KEYED mode (round-12): a source table under
+        # delta.enableChangeDataFeed writes _change_data files whose
+        # rows carry VALUES, not positions — there is no positional
+        # identity to mint, so changeRowIds refuses such commits
+        # loudly (streaming/delta_source.py).  Ironically the tables
+        # most likely to be replicated are CDF-enabled; a caller names
+        # a business key instead and the merge keys on it.  Without a
+        # key the positional mode stays the default and the source's
+        # refusal is the documented loud fallback.
+        if key_cols is not None:
+            if not key_cols or not all(
+                isinstance(k, str) and k for k in key_cols
+            ):
+                raise ValueError(
+                    "key_cols must be a non-empty list of column "
+                    f"names, got {key_cols!r}"
+                )
+            if set(key_cols) & set(_FEED_COLS):
+                raise ValueError(
+                    f"key_cols {sorted(set(key_cols) & set(_FEED_COLS))} "
+                    "collide with the change-feed columns"
+                )
+        self.key_cols = list(key_cols) if key_cols else None
+        register_source(spark)
 
     def _follow_additive_evolution(self, batch_df) -> None:
         """ADD-only schema follow (the streaming slice of the batch
@@ -120,16 +151,28 @@ class StreamReplica:
         if committed is not None and committed == epoch_id:
             return  # replayed epoch after restart: already landed (I3)
         self._follow_additive_evolution(batch_df)
-        key = [ROW_ID_FILE_COL, ROW_ID_IDX_COL]
+        key = self.key_cols or [ROW_ID_FILE_COL, ROW_ID_IDX_COL]
+        missing = [k for k in key if k not in batch_df.columns]
+        if missing:
+            raise ValueError(
+                f"key_cols {missing} are not columns of the change "
+                f"feed ({batch_df.columns})"
+            )
         data_cols = [c for c in batch_df.columns if c not in _FEED_COLS]
-        # net the batch to ONE change per physical row identity: the
-        # highest _commit_version wins; within a single commit an
-        # insert and a delete of the same identity can only co-occur
-        # when a file is removed and re-added in one commit, where
-        # Delta's action reconciliation lets the add win
+        # net the batch to ONE change per row identity: the highest
+        # _commit_version wins; within a single commit the upsert side
+        # wins — positionally an insert and a delete of the same
+        # identity only co-occur when a file is removed and re-added
+        # in one commit (Delta's action reconciliation lets the add
+        # win), and value-keyed an update's preimage/postimage pair
+        # shares its key exactly when the key did NOT change, where
+        # the postimage IS the surviving row.  A key-changing update
+        # nets naturally: the old key's preimage (no postimage beside
+        # it) deletes, the new key's postimage upserts.
+        upsert_types = ("insert", "update_postimage")
         w = Window.partitionBy(*key).orderBy(
             F.desc("_commit_version"),
-            F.desc(F.col("_change_type") == F.lit("insert")),
+            F.desc(F.col("_change_type").isin(*upsert_types)),
         )
         last = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -138,10 +181,23 @@ class StreamReplica:
             .persist()
         )
         try:
-            ups = last.filter("_change_type = 'insert'").select(
-                *data_cols, *key
-            )
-            dels = last.filter("_change_type = 'delete'").select(*key)
+            if self.key_cols is not None:
+                # merge cannot match a NULL key (SQL equality), so a
+                # null business key would silently strand its changes
+                null_pred = " OR ".join(f"`{k}` IS NULL" for k in key)
+                if last.filter(null_pred).limit(1).count():
+                    raise ValueError(
+                        f"change feed of {self.source} carries NULL "
+                        f"values in key_cols {key}; a value-keyed "
+                        "replica needs a total business key"
+                    )
+            sel = data_cols + [k for k in key if k not in data_cols]
+            ups = last.filter(
+                F.col("_change_type").isin(*upsert_types)
+            ).select(*sel)
+            dels = last.filter(
+                ~F.col("_change_type").isin(*upsert_types)
+            ).select(*key)
             # one atomic commit: upserts + matched-deletes + the epoch
             # txn marker (upsert/delete identity sets are disjoint by
             # the rn=1 net above, satisfying merge's contract)
@@ -159,13 +215,15 @@ class StreamReplica:
         available_now: bool = True,
         processing_time: str | None = None,
     ) -> StreamingQuery:
-        stream = (
+        reader = (
             self.spark.readStream.format("mlk_delta")
             .option("path", self.source)
             .option("readChangeFeed", "true")
-            .option("changeRowIds", "true")
-            .load()
         )
+        if self.key_cols is None:
+            # positional identity; refuses _change_data commits loudly
+            reader = reader.option("changeRowIds", "true")
+        stream = reader.load()
         writer = stream.writeStream.foreachBatch(self._apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

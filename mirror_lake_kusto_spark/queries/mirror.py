@@ -1976,7 +1976,7 @@ def mirror_vacuum_retention(spark, sf_dir):
     "deletion vectors entirely",
 )
 def mirror_dv_stream_follow(spark, sf_dir):
-    from ..streaming.delta_source import DeltaLogDataSource
+    from ..streaming.delta_source import register_source
 
     workdir = _workdir("mirror_dvsf", sf_dir)
     shutil.rmtree(workdir, ignore_errors=True)
@@ -1989,10 +1989,7 @@ def mirror_dv_stream_follow(spark, sf_dir):
     sink.append(sup.repartition(2))                     # v0: 2 files
     sink.delete_dv("s_suppkey % 7 = 3")                 # v1: DVs born
     sink.delete_dv("s_suppkey % 5 = 0")                 # v2: bitmaps CHANGE
-    try:
-        spark.dataSource.register(DeltaLogDataSource)
-    except Exception:
-        pass  # already registered in this session
+    register_source(spark)
     qname = f"mlk_dvsf_{uuid.uuid4().hex[:12]}"
     q = (
         spark.readStream.format("mlk_delta")

@@ -1859,6 +1859,21 @@ def prior_dv_descs(
                 if a and a.get("path") in remaining:
                     out[a["path"]] = _desc(a)
                     remaining.discard(a["path"])
+            if remaining:
+                # every requested path was live at before_version (they
+                # come from the commit's own removes/rewrites), so an
+                # add unwitnessed by BOTH the retained JSON span and
+                # the newest older checkpoint is an inconsistent log —
+                # defaulting to None here would emit the same
+                # full-bitmap retract the elif branch below guards
+                # against (round-11 advice: symmetric fail-loud)
+                raise ValueError(
+                    f"cannot resolve prior deletion vectors before "
+                    f"version {before_version} of {table_path}: the "
+                    f"add actions for {sorted(remaining)!r} are in "
+                    f"neither the retained JSON log nor checkpoint "
+                    f"{older[-1]} (on-disk checkpoints: {ckpts})"
+                )
         elif ckpts:
             # every checkpoint is AT/AFTER the commit being
             # classified: each reflects state past before_version and

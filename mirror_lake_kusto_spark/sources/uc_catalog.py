@@ -98,16 +98,23 @@ class UCRestCommitCoordinator(CommitCoordinatorClient):
                 raw = resp.read()
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")[:500]
-            low = detail.lower()
-            # conflict = the server ARBITRATED against us: 409, or a
-            # 4xx whose body says another candidate already won.  A
-            # 5xx is a server fault, never an arbitration verdict —
-            # classifying it as CommitConflict would make the writer
-            # abandon a commit that may never have been stored
-            # (round-11 review).
-            if e.code == 409 or (
-                400 <= e.code < 500
-                and ("conflict" in low or "already" in low)
+            # conflict = the server ARBITRATED against us: HTTP 409,
+            # or a structured error_code naming the conflict.  A 5xx
+            # is a server fault, never an arbitration verdict; and a
+            # generic 4xx whose body merely CONTAINS "conflict"/
+            # "already" ("token already expired", "table already
+            # exists") is a validation failure, not a lost race —
+            # substring-sniffing would abandon a commit that was never
+            # arbitrated (round-11 advice).
+            err_code = ""
+            try:
+                err_code = str(json.loads(detail).get("error_code", ""))
+            except ValueError:
+                pass
+            if e.code == 409 or err_code.upper() in (
+                "COMMIT_CONFLICT",
+                "COMMIT_LIMIT_REACHED",
+                "ALREADY_EXISTS",
             ):
                 raise CommitConflict(
                     f"{method} {url}: version already ratified ({detail})"
@@ -159,7 +166,7 @@ class UCRestCommitCoordinator(CommitCoordinatorClient):
         return out
 
     def commit(self, table_path: str, version: int, rel_path: str) -> None:
-        self._request(
+        resp = self._request(
             "POST",
             f"{self.base_url}{COMMITS_ENDPOINT}",
             {
@@ -171,3 +178,23 @@ class UCRestCommitCoordinator(CommitCoordinatorClient):
                 },
             },
         )
+        # the OSS UC commits resource replies with an empty body on
+        # success; a 2xx carrying an error/rejection payload (or a
+        # latest_table_version that contradicts the commit we just
+        # posted) must not be silently taken as ratified (round-11
+        # advice: fail-loud on every surprise)
+        if resp:
+            if resp.get("error_code") or resp.get("error"):
+                raise RuntimeError(
+                    f"Unity Catalog POST {COMMITS_ENDPOINT} returned "
+                    f"2xx with an error payload: {resp!r}"
+                )
+            latest = resp.get(
+                "latest_table_version", resp.get("latestTableVersion")
+            )
+            if latest is not None and int(latest) < version:
+                raise RuntimeError(
+                    f"Unity Catalog acknowledged commit {version} but "
+                    f"reports latest_table_version={latest} — commit "
+                    f"not ratified"
+                )

@@ -1073,3 +1073,20 @@ class DeltaLogDataSource(DataSource):
             on_dv=on_dv,
             guard_anchor=getattr(self, "_guard_anchor", None),
         )
+
+
+def register_source(spark) -> None:
+    """Idempotently register ``mlk_delta`` on ``spark``.
+
+    Re-registering the same DataSource class is a harmless overwrite
+    in Spark 4 (DataSourceManager logs a WARN and replaces), so the
+    only exceptions ``register`` can raise are GENUINE failures — API
+    mismatch, broken import — which must propagate instead of
+    resurfacing later as a confusing "unknown data source mlk_delta"
+    at ``start()`` (round-11 advice: call sites wrapped this in a bare
+    ``except Exception: pass``).  A per-session flag skips the repeat
+    call purely to avoid the replace-WARN log noise."""
+    if getattr(spark, "_mlk_delta_registered", False):
+        return
+    spark.dataSource.register(DeltaLogDataSource)
+    spark._mlk_delta_registered = True

@@ -148,9 +148,30 @@ def test_uc_5xx_conflict_body_is_not_commit_conflict(tmp_path):
         # arbitration verdict — must not be treated as lost-the-race
         with pytest.raises(RuntimeError, match="HTTP 503"):
             uc.commit(str(tmp_path / "t"), 1, "_commits/x.json")
-        # 400 'already exists': arbitration verdict without a 409
-        H.code, H.body = 400, b'{"error": "commit version 1 already exists"}'
+        # 400 with free-text 'already' in the body is a VALIDATION
+        # failure ("token already expired", "table already exists"),
+        # not a lost arbitration — round-12 advice: only HTTP 409 or a
+        # structured error_code may classify as CommitConflict
+        H.code, H.body = 400, b'{"error": "token already expired"}'
+        with pytest.raises(RuntimeError, match="HTTP 400"):
+            uc.commit(str(tmp_path / "t"), 1, "_commits/x.json")
+        # structured arbitration verdict without a 409
+        H.code = 400
+        H.body = b'{"error_code": "COMMIT_CONFLICT", "message": "v1 taken"}'
         with pytest.raises(COORD.CommitConflict):
+            uc.commit(str(tmp_path / "t"), 1, "_commits/x.json")
+        # plain 409 is always arbitration
+        H.code, H.body = 409, b'{"message": "version 1 ratified"}'
+        with pytest.raises(COORD.CommitConflict):
+            uc.commit(str(tmp_path / "t"), 1, "_commits/x.json")
+        # 2xx carrying an error payload must not read as ratified
+        H.code = 200
+        H.body = b'{"error_code": "INTERNAL", "error": "store failed"}'
+        with pytest.raises(RuntimeError, match="error payload"):
+            uc.commit(str(tmp_path / "t"), 1, "_commits/x.json")
+        # 2xx whose echo contradicts the posted version fails loud
+        H.code, H.body = 200, b'{"latest_table_version": 0}'
+        with pytest.raises(RuntimeError, match="not ratified"):
             uc.commit(str(tmp_path / "t"), 1, "_commits/x.json")
     finally:
         srv.shutdown()
