@@ -61,6 +61,10 @@ from ..streaming.delta_source import (
 
 _FEED_COLS = ("_change_type", "_commit_version", ROW_ID_FILE_COL, ROW_ID_IDX_COL)
 
+#: replica-side table property pinning the source schemaString the
+#: replica was built against — the diff base for rename/widen follow
+_SRC_SCHEMA_PROP = "mlk.replica.sourceSchema"
+
 
 class StreamReplica:
     def __init__(
@@ -107,8 +111,7 @@ class StreamReplica:
         pipeline's evolve matrix): a source column added before a
         stream RESTART (the mlk_delta source fails loud on MID-stream
         evolution; the restart picks the new schema up) appends to the
-        replica via evolve_add before the merge — non-additive changes
-        (retype/rename) stay loud there."""
+        replica via evolve_add before the merge."""
         meta = DL.latest_metadata(self.spark, self.sink.path)
         if meta is None:
             return  # first batch creates the table with the new schema
@@ -127,6 +130,154 @@ class StreamReplica:
             for f in new:
                 target = target.add(f)
             self.sink.evolve_add(target.json())
+
+    def _follow_source_evolution(self, batch_df) -> None:
+        """RENAME / WIDEN follow across a stream restart (round-12:
+        the r11 replica followed evolve_add only, so a source rename
+        or type-widen stopped replication permanently — the restart
+        re-failed in the merge forever).
+
+        The replica records the source ``schemaString`` it was built
+        against in its own table property ``mlk.replica.sourceSchema``;
+        when the source's current metaData differs, the delta is
+        diffed by COLUMN-MAPPING PHYSICAL IDENTITY (the same rule as
+        the batch mirror's ``_rename_delta``, orchestrate.py — a
+        rename never changes ``delta.columnMapping.physicalName``, and
+        a field that lacked one takes its then-logical name at mapping
+        enablement): surviving fields with a new logical name rename
+        on the target via ``evolve_rename``, fields with a widened
+        type follow via ``evolve_widen`` (its lossless-matrix check
+        keeps an illegal source retype LOUD), and genuinely-new fields
+        fall through to the additive follow.  A DROPPED source column
+        stays loud by design.
+
+        In-flight-batch guard: the stream's schema is pinned at start,
+        so a batch generated BEFORE a newer source evolution carries
+        the old shape while ``latest_metadata(source)`` is already
+        ahead — evolving the target against that future schema would
+        desynchronize it from the batch about to merge.  The follow
+        only fires when the batch's own (name → dataType) map matches
+        the current source schema; otherwise the source's mid-stream
+        fingerprint guard is about to fail the stream loudly and the
+        RESTART follows cleanly."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        tgt_meta = DL.latest_metadata(self.spark, self.sink.path)
+        if tgt_meta is None:
+            return  # first batch creates the table; recorded post-merge
+        src_meta = DL.latest_metadata(self.spark, self.source)
+        if src_meta is None:
+            return
+        cur = src_meta["schemaString"]
+        recorded = (tgt_meta.get("configuration") or {}).get(
+            _SRC_SCHEMA_PROP
+        )
+        if recorded == cur:
+            return
+        cur_struct = StructType.fromJson(json.loads(cur))
+        batch_types = {
+            f.name: f.dataType
+            for f in batch_df.schema.fields
+            if f.name not in _FEED_COLS
+        }
+        if batch_types != {f.name: f.dataType for f in cur_struct.fields}:
+            return  # in-flight batch predates a newer source schema
+        if recorded is None:
+            # pre-r12 replica (or creation-crash): start recording;
+            # adds are handled by the additive follow as before
+            self.sink.set_properties({_SRC_SCHEMA_PROP: cur})
+            return
+
+        def phys(f):
+            return (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+
+        old_fields = json.loads(recorded)["fields"]
+        new_by_phys = {phys(f): f for f in json.loads(cur)["fields"]}
+        renames: dict[str, str] = {}
+        widens: dict[str, str] = {}
+        dropped: list[str] = []
+        for f in old_fields:
+            nf = new_by_phys.get(phys(f))
+            if nf is None:
+                dropped.append(f["name"])
+                continue
+            if nf["name"] != f["name"]:
+                renames[f["name"]] = nf["name"]
+            if nf["type"] != f["type"]:
+                # keyed by the POST-rename logical name; evolve_widen's
+                # widening-matrix check keeps illegal retypes loud
+                widens[nf["name"]] = nf["type"]
+        if dropped:
+            raise ValueError(
+                f"source {self.source} dropped column(s) "
+                f"{sorted(dropped)}; StreamReplica follows rename/"
+                "widen/add evolution only — drop the replica column "
+                "by hand (sink.evolve_drop) and restart, or replicate "
+                "into a fresh target"
+            )
+        tgt_names = {
+            f["name"]
+            for f in json.loads(tgt_meta["schemaString"])["fields"]
+        }
+        # filter to what the target actually carries: a column added
+        # AND renamed/widened on the source before any of its data
+        # reached the target arrives already-new (same rule as the
+        # batch mirror's follow); crash-replay idempotence falls out —
+        # an already-applied rename leaves old names absent
+        target_renames = {
+            o: n for o, n in renames.items() if o != n and o in tgt_names
+        }
+        if target_renames:
+            self.sink.evolve_rename(target_renames)
+            tgt_names = (tgt_names - set(target_renames)) | set(
+                target_renames.values()
+            )
+        present_widens = {
+            c: t for c, t in widens.items() if c in tgt_names
+        }
+        if present_widens:
+            self.sink.evolve_widen(present_widens)
+        self.sink.set_properties({_SRC_SCHEMA_PROP: cur})
+
+    def _record_source_schema(self) -> None:
+        """After the batch that CREATES the replica, pin the source
+        schema it was built against (merge cannot carry properties;
+        a crash between the two commits converges via the
+        recorded-is-None fallback in _follow_source_evolution)."""
+        tgt_meta = DL.latest_metadata(self.spark, self.sink.path)
+        if tgt_meta is None:
+            return
+        if _SRC_SCHEMA_PROP in (tgt_meta.get("configuration") or {}):
+            return
+        src_meta = DL.latest_metadata(self.spark, self.source)
+        if src_meta is None:
+            return
+        import json
+
+        from pyspark.sql.types import StructType
+
+        # same in-flight guard as _follow_source_evolution: only pin a
+        # source schema whose logical shape the replica actually has —
+        # recording a FUTURE schema would mark an evolution as
+        # followed without applying it
+        cur_struct = StructType.fromJson(
+            json.loads(src_meta["schemaString"])
+        )
+        tgt_types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(
+                json.loads(tgt_meta["schemaString"])
+            ).fields
+            if f.name not in _FEED_COLS
+        }
+        if tgt_types == {f.name: f.dataType for f in cur_struct.fields}:
+            self.sink.set_properties(
+                {_SRC_SCHEMA_PROP: src_meta["schemaString"]}
+            )
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         committed = DL.last_txn_version(self.spark, self.sink.path, self.app_id)
@@ -150,6 +301,7 @@ class StreamReplica:
             )
         if committed is not None and committed == epoch_id:
             return  # replayed epoch after restart: already landed (I3)
+        self._follow_source_evolution(batch_df)
         self._follow_additive_evolution(batch_df)
         key = self.key_cols or [ROW_ID_FILE_COL, ROW_ID_IDX_COL]
         missing = [k for k in key if k not in batch_df.columns]
@@ -209,6 +361,7 @@ class StreamReplica:
             )
         finally:
             last.unpersist()
+        self._record_source_schema()
 
     def start(
         self,

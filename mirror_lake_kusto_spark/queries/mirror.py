@@ -2074,6 +2074,87 @@ def mirror_stream_replicate(spark, sf_dir):
 
 
 @query(
+    "mirror_stream_replicate_cdf",
+    """
+    WITH base AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+      FROM supplier
+    ),
+    merged AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 6 = 2 THEN s_name || '_m'
+                  ELSE s_name END AS s_name
+      FROM base
+      WHERE NOT (s_suppkey % 9 = 4)
+      UNION ALL
+      SELECT CAST(1000000007 AS BIGINT), 'new_supplier'
+    )
+    SELECT s_suppkey, s_name FROM merged
+    WHERE NOT (s_suppkey % 7 = 3)
+    ORDER BY s_suppkey
+    """,
+    doc="Round-12 top ask: replicating a CDF-ENABLED source.  The "
+    "source table sets delta.enableChangeDataFeed, so its MERGE "
+    "writes _change_data files carrying all four change types "
+    "(update_preimage / update_postimage / insert / delete) as row "
+    "VALUES — no positional identity exists, and changeRowIds "
+    "refuses such commits loudly.  StreamReplica(key_cols=) "
+    "(pipeline/stream_replica.py) instead merges on the business "
+    "key: postimage/insert upsert, preimage/delete delete, netted "
+    "per key per batch; a CoW delete commit follows through the "
+    "same feed.  The replica must hash-match the logical final "
+    "state.  Reference analogue: the batch remove handling "
+    "(BlobLoadingOrchestration.cs:117-138) has no CDF restriction; "
+    "now neither does the streaming twin",
+)
+def mirror_stream_replicate_cdf(spark, sf_dir):
+    from ..pipeline.stream_replica import StreamReplica
+
+    workdir = _workdir("mirror_replcdf", sf_dir)
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    src_path = os.path.join(workdir, "src")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name"
+    )
+    sink = DeltaSink(spark, src_path)
+    sink.append(sup.repartition(2))                          # v0: 2 files
+    sink.set_properties(
+        {"delta.enableChangeDataFeed": "true"}
+    )                                                        # v1: CDF on
+    # v2: ONE MERGE commit staging all four cdc change types.  The
+    # upsert keys (s_suppkey % 6 = 2 → ≡2 mod 3) and delete keys
+    # (s_suppkey % 9 = 4 → ≡1 mod 3) are disjoint by construction
+    # (merge's upsert∩delete contract).
+    ups = sup.filter("s_suppkey % 6 = 2").withColumn(
+        "s_name", F.concat(F.col("s_name"), F.lit("_m"))
+    )
+    new_row = spark.sql(
+        "SELECT CAST(1000000007 AS BIGINT) AS s_suppkey, "
+        "'new_supplier' AS s_name"
+    )
+    sink.merge(
+        ups.unionByName(new_row),
+        key_cols=["s_suppkey"],
+        delete_keys=sup.filter("s_suppkey % 9 = 4").select("s_suppkey"),
+    )
+    sink.delete("s_suppkey % 7 = 3")                         # v3: CoW cdc
+    rep = StreamReplica(
+        spark,
+        src_path,
+        os.path.join(workdir, "replica"),
+        os.path.join(workdir, "ckpt"),
+        key_cols=["s_suppkey"],
+    )
+    rep.run_until_idle()
+    return (
+        rep.replica_df()
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "mirror_catalog_managed_read",
     """
     SELECT n_nationkey, n_name, n_regionkey

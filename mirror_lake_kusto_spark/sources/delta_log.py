@@ -2134,6 +2134,32 @@ def read_changes(
     part_cols = list(meta.get("partitionColumns") or [])
     type_of = {f.name: f.dataType for f in schema.fields}
     data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    # column mapping (round 12): data AND change files carry PHYSICAL
+    # column names; reads respell physically and alias back to logical
+    mapping = column_mapping_of(meta) or {}
+    log_of = {p: l for l, p in mapping.items()}
+
+    def _phys_st(st: StructType) -> StructType:
+        if not mapping:
+            return st
+        return StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in st.fields
+            ]
+        )
+
+    def _to_logical(df):
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(log_of.get(c, c)) for c in df.columns]
+        )
 
     # (version, change_type, partition tuple) -> file paths; the
     # change_type "__cdc__" marks row-level change files whose
@@ -2212,13 +2238,17 @@ def read_changes(
     for (v, change, pv), paths in groups.items():
         if change == "__cdc__":
             cdc_schema = StructType(
-                data_schema.fields
+                _phys_st(data_schema).fields
                 + [StructField("_change_type", StringType())]
             )
-            df = spark.read.schema(cdc_schema).parquet(*paths)
+            df = _to_logical(spark.read.schema(cdc_schema).parquet(*paths))
         else:
-            df = spark.read.schema(data_schema).parquet(*paths)
+            df = _to_logical(
+                spark.read.schema(_phys_st(data_schema)).parquet(*paths)
+            )
         for col_name, raw in pv:
+            # partitionValues keys are physical under column mapping
+            col_name = log_of.get(col_name, col_name)
             df = df.withColumn(
                 col_name, F.lit(raw).cast(type_of.get(col_name, StringType()))
             )
@@ -2230,8 +2260,8 @@ def read_changes(
         )
 
     def _identity_scan(rels):
-        return (
-            spark.read.schema(data_schema)
+        return _to_logical(
+            spark.read.schema(_phys_st(data_schema))
             .parquet(*[_fs.join(table_path, r) for r in rels])
             .withColumns(
                 {
@@ -2300,6 +2330,7 @@ def read_changes(
 
     def _finish(df, pv, v):
         for col_name, raw in pv:
+            col_name = log_of.get(col_name, col_name)
             df = df.withColumn(
                 col_name,
                 F.lit(raw).cast(type_of.get(col_name, StringType())),

@@ -609,43 +609,73 @@ class DeltaSink:
                 # readers (and the mirror's schema guard) see the change
                 # (skipped when the caller supplies metaData explicitly,
                 # e.g. evolve_rename)
+                record_meta = True
                 if self._current_mapping():
-                    raise ValueError(
-                        "schema-changing append on a column-mapped "
-                        "table would clobber the logical->physical "
-                        "mapping; rename via evolve_rename(), add "
-                        "columns via evolve_add(), then append under "
-                        "the current logical schema"
-                    )
-                # a retype inside the change: lossless widenings are
-                # legal but make the old (narrow) files readable only
-                # under typeWidening promotion — annotate the per-field
-                # delta.typeChanges history and gate the feature;
-                # anything lossy fails loudly (silently recording the
-                # new type would corrupt old rows on read)
-                widened = self._annotate_type_changes(prev_ss)
-                feats = []
-                if self._schema_uses_variant():
-                    feats.append("variantType")
-                if widened:
-                    feats.append("typeWidening")
-                if feats:
-                    from .delta_log import latest_protocol
+                    def _nn(key):
+                        # nullability-normalized: an incoming frame
+                        # with tighter nullability (spark.range's NOT
+                        # NULL id) is storable under the recorded
+                        # nullable schema as-is
+                        def relax(node):
+                            if isinstance(node, dict):
+                                return {
+                                    k: (True if k == "nullable" else relax(v))
+                                    for k, v in node.items()
+                                }
+                            if isinstance(node, list):
+                                return [relax(v) for v in node]
+                            return node
 
-                    cur = latest_protocol(self.path)
-                    need = [
-                        f
-                        for f in feats
-                        if f
-                        not in ((cur or {}).get("readerFeatures") or [])
-                    ]
-                    if need:
-                        pr = upgraded_protocol(
-                            cur, tuple(need), tuple(need)
+                        return relax(key)
+
+                    if _nn(self._schema_key(prev_ss)) == _nn(
+                        self._schema_key(self._pending_schema)
+                    ):
+                        # nullability-only drift on a mapped table:
+                        # keep the recorded metaData (round 12 — the
+                        # unmapped path re-records it; here recording
+                        # would clobber the mapping annotations)
+                        self._pending_schema = prev_ss
+                        record_meta = False
+                    else:
+                        raise ValueError(
+                            "schema-changing append on a column-mapped "
+                            "table would clobber the logical->physical "
+                            "mapping; rename via evolve_rename(), add "
+                            "columns via evolve_add(), then append "
+                            "under the current logical schema"
                         )
-                        if pr != cur:
-                            body.append({"protocol": pr})
-                body.append({"metaData": self._metadata_action()})
+                if record_meta:
+                    # a retype inside the change: lossless widenings
+                    # are legal but make the old (narrow) files
+                    # readable only under typeWidening promotion —
+                    # annotate the per-field delta.typeChanges history
+                    # and gate the feature; anything lossy fails loudly
+                    # (silently recording the new type would corrupt
+                    # old rows on read)
+                    widened = self._annotate_type_changes(prev_ss)
+                    feats = []
+                    if self._schema_uses_variant():
+                        feats.append("variantType")
+                    if widened:
+                        feats.append("typeWidening")
+                    if feats:
+                        from .delta_log import latest_protocol
+
+                        cur = latest_protocol(self.path)
+                        need = [
+                            f
+                            for f in feats
+                            if f
+                            not in ((cur or {}).get("readerFeatures") or [])
+                        ]
+                        if need:
+                            pr = upgraded_protocol(
+                                cur, tuple(need), tuple(need)
+                            )
+                            if pr != cur:
+                                body.append({"protocol": pr})
+                    body.append({"metaData": self._metadata_action()})
             body.extend(actions)
             if not [a for a in body if "commitInfo" not in a]:
                 # nothing to record (e.g. OPTIMIZE/DELETE that matched
@@ -2213,7 +2243,11 @@ class DeltaSink:
         from .delta_log import latest_metadata
 
         new_hwm: dict[str, int] = {}
+        mapping = self._current_mapping() or {}
         for name, info in idents.items():
+            # stats keys (and the fallback scan's columns) are
+            # PHYSICAL on a column-mapped table
+            pname = mapping.get(name, name)
             vals = []
             missing = []
             stat_key = "maxValues" if info["step"] > 0 else "minValues"
@@ -2222,7 +2256,7 @@ class DeltaSink:
                 if add is None:
                     continue
                 st = json.loads(add.get("stats") or "{}")
-                v = (st.get(stat_key) or {}).get(name)
+                v = (st.get(stat_key) or {}).get(pname)
                 if v is None:
                     if st.get("numRecords", 1):
                         missing.append(add["path"])
@@ -2232,7 +2266,7 @@ class DeltaSink:
                 scan = self.spark.read.parquet(
                     *[_fs.join(self.path, p) for p in missing]
                 )
-                agg = F.max(name) if info["step"] > 0 else F.min(name)
+                agg = F.max(pname) if info["step"] > 0 else F.min(pname)
                 row = scan.agg(agg).collect()[0]
                 if row[0] is not None:
                     vals.append(int(row[0]))
@@ -2502,6 +2536,57 @@ class DeltaSink:
             == "true"
         )
 
+    def _phys_read_schema(self, logical_schema):
+        """``logical_schema`` respelled with the table's PHYSICAL
+        column names (identity when the table is unmapped) — what the
+        parquet files actually carry under column mapping."""
+        mapping = self._current_mapping()
+        if not mapping or logical_schema is None:
+            return logical_schema
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in logical_schema.fields
+            ]
+        )
+
+    def _scan_logical(self, paths, logical_schema, with_pos=False):
+        """Scan table data files yielding LOGICAL column names — the
+        ONE home of the physical→logical respelling that makes the
+        copy-on-write rewrite paths work on column-mapped tables
+        (round 12; they previously refused outright).  ``with_pos``
+        attaches the physical position columns (``_f``/``_ridx``)
+        BEFORE the alias: ``_metadata`` resolves only directly on the
+        scan."""
+        import pyspark.sql.functions as F
+
+        reader = self.spark.read
+        phys = self._phys_read_schema(logical_schema)
+        if phys is not None:
+            reader = reader.schema(phys)
+        df = reader.parquet(*[_fs.join(self.path, p) for p in paths])
+        if with_pos:
+            df = df.withColumns(
+                {
+                    "_f": _fs.spark_scan_path(F.input_file_name()),
+                    "_ridx": F.col("_metadata.row_index"),
+                }
+            )
+        mapping = self._current_mapping()
+        if mapping:
+            inv = {p: l for l, p in mapping.items()}
+            df = df.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+            )
+        return df
+
     def _hit_frame(self, hit_parts, data_schema, inject) -> DataFrame:
         """Union of ONLY the hit files (per partition group, partition
         values injected) — the frame the CDF staging scans, so change
@@ -2509,17 +2594,7 @@ class DeltaSink:
         probe."""
         frames = []
         for paths, pv in hit_parts:
-            reader = self.spark.read
-            if data_schema is not None:
-                reader = reader.schema(data_schema)
-            frames.append(
-                inject(
-                    reader.parquet(
-                        *[_fs.join(self.path, p) for p in paths]
-                    ),
-                    pv,
-                )
-            )
+            frames.append(inject(self._scan_logical(paths, data_schema), pv))
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -2533,9 +2608,15 @@ class DeltaSink:
         rows carry only the data columns + ``_change_type``.  cdc
         actions always record ``dataChange: false`` (PROTOCOL.md) and
         are never checkpointed (reconciled_actions rebuilds from
-        adds only).  No logical->physical rename here (unlike
-        _stage_adds): every CDF DML path goes through _data_schema,
-        which refuses column-mapped tables outright."""
+        adds only).  On a column-mapped table the change files carry
+        PHYSICAL data-column names like the data files (PROTOCOL.md
+        "Change Data Files" store their columns exactly as data files
+        do); ``_change_type`` is a literal spec column and stays."""
+        mapping = self._current_mapping()
+        if mapping:
+            df = df.select(
+                *[df[c].alias(mapping.get(c, c)) for c in df.columns]
+            )
         tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write
         if self.partition_by:
@@ -2609,19 +2690,23 @@ class DeltaSink:
 
         rt = self._rt_enabled()
         mats = self._rt_mat_cols() if rt else (None, None)
+        mapping = self._current_mapping()
         reader = self.spark.read
         if read_schema is not None:
-            schema = read_schema
+            # physical spelling under column mapping (the files carry
+            # physical names); the row-tracking materialization columns
+            # are ALREADY physical by definition
+            schema = self._phys_read_schema(read_schema)
             if rt and mats[0]:
                 from pyspark.sql.types import LongType, StructField, StructType
 
                 schema = StructType(
                     [
-                        *read_schema.fields,
+                        *schema.fields,
                         *[
                             StructField(c, LongType(), True)
                             for c in mats
-                            if c and c not in read_schema.fieldNames()
+                            if c and c not in schema.fieldNames()
                         ],
                     ]
                 )
@@ -2637,7 +2722,20 @@ class DeltaSink:
                 _fs.spark_scan_path(F.col("_metadata.file_path")),
             ).withColumn("__mlk_rtridx", F.col("_metadata.row_index"))
             df = self._materialize_row_ids(df, paths, *mats)
+        if mapping:
+            # transforms (predicates, assignments, joins) speak LOGICAL
+            # names; alias after the _metadata attach above
+            inv = {p: l for l, p in mapping.items()}
+            df = df.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+            )
         out = transform(df).drop("__mlk_rtfile", "__mlk_rtridx")
+        if mapping:
+            # the rewritten files must carry PHYSICAL names again so
+            # stats/readers line up (same rule as _stage_adds)
+            out = out.select(
+                *[out[c].alias(mapping.get(c, c)) for c in out.columns]
+            )
         tmp = _fs.join(self.path, f"_staging_{uuid.uuid4().hex}")
         out.write.parquet(tmp)
         actions: list[dict] = [
@@ -2726,29 +2824,33 @@ class DeltaSink:
 
     def _data_schema(self):
         """(partition-col types, data-col StructType) from the table
-        metadata — both driver-side reads.  Raises on column-mapped
-        tables: this writer's rewrite paths (delete/merge/optimize)
-        address files by LOGICAL name and would null every column of a
-        physical-named file."""
+        metadata — both driver-side reads.  The StructType is LOGICAL;
+        on a column-mapped table the rewrite paths respell reads/
+        writes physically through _scan_logical/_phys_read_schema
+        (round 12 — mapped tables previously refused outright).
+        Mapped AND partitioned stays loud: partitionValues keys,
+        directory names, and the inject() casts are keyed physically
+        and the rewrite paths don't translate them yet."""
         from .delta_log import (
             UnsupportedTableFeature,
             column_mapping_of,
             latest_metadata as _lm,
         )
 
-        if column_mapping_of(_lm(self.spark, self.path)) is not None:
-            raise UnsupportedTableFeature(
-                f"table {self.path} uses Delta column mapping; "
-                "DeltaSink rewrite operations are not supported on it "
-                "(reads work via delta_log.read_snapshot)"
-            )
         from pyspark.sql.types import StructType as _St
 
-        from .delta_log import latest_metadata
-
-        meta = latest_metadata(self.spark, self.path)
+        meta = _lm(self.spark, self.path)
         if meta is None:
             return {}, None
+        if column_mapping_of(meta) is not None and (
+            meta.get("partitionColumns") or []
+        ):
+            raise UnsupportedTableFeature(
+                f"table {self.path} uses Delta column mapping AND "
+                "partitioning; DeltaSink rewrite operations support "
+                "mapping on unpartitioned tables only (reads work via "
+                "delta_log.read_snapshot)"
+            )
         schema = _St.fromJson(json.loads(meta["schemaString"]))
         part_cols = set(meta.get("partitionColumns") or [])
         types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
@@ -2778,13 +2880,9 @@ class DeltaSink:
 
         probes = []
         for key, paths in groups.items():
-            reader = self.spark.read
-            if data_schema is not None:
-                reader = reader.schema(data_schema)
             probes.append(
                 inject(
-                    reader.parquet(*[_fs.join(self.path, p) for p in paths]),
-                    dict(key),
+                    self._scan_logical(paths, data_schema), dict(key)
                 ).withColumn("_f", F.input_file_name())
             )
         actions: list[dict] = []
@@ -2938,13 +3036,9 @@ class DeltaSink:
 
         probes = []
         for key, paths in groups.items():
-            reader = self.spark.read
-            if data_schema is not None:
-                reader = reader.schema(data_schema)
             probes.append(
                 inject(
-                    reader.parquet(*[_fs.join(self.path, p) for p in paths]),
-                    dict(key),
+                    self._scan_logical(paths, data_schema), dict(key)
                 ).withColumn("_f", F.input_file_name())
             )
         if not probes:
@@ -3204,16 +3298,7 @@ class DeltaSink:
             groups.setdefault(key, []).append(f["path"])
         probes = []
         for key, paths in groups.items():
-            df = (
-                self.spark.read.schema(read_schema)
-                .parquet(*[_fs.join(self.path, p) for p in paths])
-                .withColumns(
-                    {
-                        "_f": _fs.spark_scan_path(F.input_file_name()),
-                        "_ridx": F.col("_metadata.row_index"),
-                    }
-                )
-            )
+            df = self._scan_logical(paths, read_schema, with_pos=True)
             probes.append(inject(df, dict(key)))
         if not probes:
             return self._commit([], operation="UPDATE (merge-on-read)")
@@ -3472,11 +3557,9 @@ class DeltaSink:
         )
         probes = []
         for key, paths in groups.items():
-            reader = self.spark.read.schema(data_schema)
             probes.append(
                 inject(
-                    reader.parquet(*[_fs.join(self.path, p) for p in paths]),
-                    dict(key),
+                    self._scan_logical(paths, data_schema), dict(key)
                 ).withColumn("_f", F.input_file_name())
             )
         actions: list[dict] = []
@@ -3737,16 +3820,7 @@ class DeltaSink:
         )
         probes = []
         for key, paths in groups.items():
-            df = (
-                self.spark.read.schema(read_schema)
-                .parquet(*[_fs.join(self.path, p) for p in paths])
-                .withColumns(
-                    {
-                        "_f": _fs.spark_scan_path(F.input_file_name()),
-                        "_ridx": F.col("_metadata.row_index"),
-                    }
-                )
-            )
+            df = self._scan_logical(paths, read_schema, with_pos=True)
             probes.append(inject(df, dict(key)))
         actions: list[dict] = []
         matched = None
@@ -4001,16 +4075,7 @@ class DeltaSink:
             groups.setdefault(key, []).append(f["path"])
         probes = []
         for key, paths in groups.items():
-            df = (
-                self.spark.read.schema(data_schema)
-                .parquet(*[_fs.join(self.path, p) for p in paths])
-                .withColumns(
-                    {
-                        "_f": _fs.spark_scan_path(F.input_file_name()),
-                        "_ridx": F.col("_metadata.row_index"),
-                    }
-                )
-            )
+            df = self._scan_logical(paths, data_schema, with_pos=True)
             probes.append(inject(df, dict(key)))
         if not probes:
             return self._commit([], operation="DELETE (merge-on-read)")
