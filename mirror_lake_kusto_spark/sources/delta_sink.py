@@ -3198,28 +3198,93 @@ class DeltaSink:
 
         return desc_df.mapInPandas(explode_desc, "_f string, _ridx long")
 
-    def _pack_merged_dvs(self, matched_pairs, old_pairs):
-        """Per-file merged bitmaps: the matched NEW (file, row) pairs
-        unioned with those files' EXISTING pairs, serialized per file
-        by an Arrow-grouped pass — no payload broadcast, no driver
-        dict.  Returns collected (_f, payload, card) rows (one per
-        AFFECTED file — batch-metadata-scale)."""
-        pairs = matched_pairs.select("_f", "_ridx")
-        if old_pairs is not None:
-            relevant = old_pairs.join(
-                pairs.select("_f").distinct(), "_f", "left_semi"
-            )
-            pairs = pairs.unionByName(relevant.select("_f", "_ridx"))
+    def _old_dv_desc_df(self, files):
+        """(file, descriptor-JSON) DataFrame of the table's EXISTING
+        deletion vectors, or None when it carries none.  One metadata
+        row per DV'd file — the compressed-payload handle
+        ``_pack_merged_dvs`` merges from executor-side, replacing the
+        r11 shape that EXPLODED every old bitmap to (file, row) rows
+        through a Python stage + shuffle before regrouping them (r12
+        optimization: two Python passes + two exchanges → one cogrouped
+        pass; old bitmaps of unmatched files never even deserialize)."""
+        import json as _json
 
-        def per_file(pdf):
+        dv_files = [
+            f
+            for f in files
+            if (f.get("deletionVector") or {}).get("cardinality")
+        ]
+        if not dv_files:
+            return None
+        return self.spark.createDataFrame(
+            [
+                (
+                    _fs.data_path_spelling(self.path, f["path"]),
+                    _json.dumps(f["deletionVector"]),
+                )
+                for f in dv_files
+            ],
+            "_f string, _desc string",
+        )
+
+    def _pack_merged_dvs(self, matched_pairs, old_descs):
+        """Per-file merged bitmaps: the matched NEW (file, row) pairs
+        cogrouped with those files' EXISTING descriptors; each file's
+        old payload is fetched + deserialized executor-side and merged
+        with the new rows in ONE Arrow pass — no payload broadcast, no
+        driver dict, no row-level explosion of old bitmaps.  Returns
+        collected (_f, payload, card) rows (one per AFFECTED file —
+        batch-metadata-scale)."""
+        pairs = matched_pairs.select("_f", "_ridx")
+
+        if old_descs is None:
+
+            def per_file(pdf):
+                import pandas as pd
+
+                from mirror_lake_kusto_spark.sources import dv as _dvx
+
+                ordered = sorted(set(int(i) for i in pdf["_ridx"]))
+                return pd.DataFrame(
+                    {
+                        "_f": [pdf["_f"].iloc[0]],
+                        "payload": [_dvx.serialize(ordered)],
+                        "card": [len(ordered)],
+                    }
+                )
+
+            return (
+                pairs.groupBy("_f")
+                .applyInPandas(
+                    per_file, "_f string, payload binary, card long"
+                )
+                .collect()
+            )
+
+        table_path = self.path
+
+        def per_file_merged(key, new_pdf, old_pdf):
+            import json as _j
+
             import pandas as pd
 
             from mirror_lake_kusto_spark.sources import dv as _dvx
 
-            ordered = sorted(set(int(i) for i in pdf["_ridx"]))
+            if not len(new_pdf):
+                # file has an old DV but no newly-matched rows: bitmap
+                # unchanged, nothing to pack (and nothing deserializes)
+                return pd.DataFrame(
+                    {"_f": [], "payload": [], "card": []}
+                ).astype({"card": "int64"})
+            rows = set(int(i) for i in new_pdf["_ridx"])
+            if len(old_pdf):
+                desc = _j.loads(old_pdf["_desc"].iloc[0])
+                payload = _dvx.dv_payload(table_path, desc)
+                rows.update(_dvx.deserialize(bytes(payload)))
+            ordered = sorted(rows)
             return pd.DataFrame(
                 {
-                    "_f": [pdf["_f"].iloc[0]],
+                    "_f": [key[0]],
                     "payload": [_dvx.serialize(ordered)],
                     "card": [len(ordered)],
                 }
@@ -3227,7 +3292,10 @@ class DeltaSink:
 
         return (
             pairs.groupBy("_f")
-            .applyInPandas(per_file, "_f string, payload binary, card long")
+            .cogroup(old_descs.groupBy("_f"))
+            .applyInPandas(
+                per_file_merged, "_f string, payload binary, card long"
+            )
             .collect()
         )
 
@@ -3286,6 +3354,7 @@ class DeltaSink:
             _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
         old_pairs = self._old_dv_pairs(files)
+        old_descs = self._old_dv_desc_df(files)
 
         def inject(df, pv):
             for c, raw in pv.items():
@@ -3306,13 +3375,14 @@ class DeltaSink:
         for pr_ in probes[1:]:
             probe = probe.unionByName(pr_)
         if old_pairs is not None:
-            # consumed twice (probe anti-join + bitmap merge): persist
-            # so each existing payload is fetched/exploded ONCE
-            old_pairs = old_pairs.persist()
+            # single consumer now (the probe anti-join); the bitmap
+            # merge reads compressed payloads via old_descs instead of
+            # these exploded rows, and `matched` is persisted below so
+            # the explosion runs once regardless
             probe = probe.join(old_pairs, ["_f", "_ridx"], "left_anti")
         matched = probe.filter(predicate).persist()
         try:
-            packed = self._pack_merged_dvs(matched, old_pairs)
+            packed = self._pack_merged_dvs(matched, old_descs)
             if not packed:
                 return self._commit([], operation="UPDATE (merge-on-read)")
             # post-update rows: materialize original row ids FIRST (an
@@ -3430,8 +3500,6 @@ class DeltaSink:
             return self._commit(actions, operation="UPDATE (merge-on-read)")
         finally:
             matched.unpersist()
-            if old_pairs is not None:
-                old_pairs.unpersist()
 
     def _prep_merge(self, source, key_cols, delete_keys):
         """Shared MERGE validation (copy-on-write and merge-on-read):
@@ -3802,6 +3870,7 @@ class DeltaSink:
             _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
         old_pairs = self._old_dv_pairs(files)
+        old_descs = self._old_dv_desc_df(files)
 
         def inject(df, pv):
             for c, raw in pv.items():
@@ -3830,16 +3899,16 @@ class DeltaSink:
             for pr_ in probes[1:]:
                 probe = probe.unionByName(pr_)
             if old_pairs is not None:
-                # consumed twice (probe anti-join + bitmap merge):
-                # persist so each payload is fetched/exploded ONCE
-                old_pairs = old_pairs.persist()
+                # single consumer now (the probe anti-join); the bitmap
+                # merge reads compressed payloads via old_descs, and
+                # `matched` is persisted so the explosion runs once
                 probe = probe.join(old_pairs, ["_f", "_ridx"], "left_anti")
             matched = probe.join(
                 F.broadcast(all_keys), keys, "inner"
             ).persist()
         try:
             if matched is not None:
-                packed = self._pack_merged_dvs(matched, old_pairs)
+                packed = self._pack_merged_dvs(matched, old_descs)
             src_cols = source.columns
             matched_keys = None
             updated = None
@@ -4004,8 +4073,6 @@ class DeltaSink:
         finally:
             if matched is not None:
                 matched.unpersist()
-            if old_pairs is not None:
-                old_pairs.unpersist()
 
     def _delete_dv_cdc(self, probe, predicate, old_pairs, packed):
         """Row-level change feed for delete_dv: only the NEWLY deleted
@@ -4062,7 +4129,15 @@ class DeltaSink:
         by_norm: dict[str, dict] = {
             _fs.data_path_spelling(self.path, f["path"]): f for f in files
         }
-        old_pairs = self._old_dv_pairs(files)
+        old_descs = self._old_dv_desc_df(files)
+        # the exploded (file, row) form of the old vectors is only
+        # needed by the CDC anti-join (newly-deleted rows must exclude
+        # already-deleted ones); the bitmap merge itself reads the
+        # compressed payloads via old_descs.  With CDF off, no old
+        # bitmap ever explodes at all (r12 optimization)
+        old_pairs = (
+            self._old_dv_pairs(files) if self._cdf_enabled() else None
+        )
 
         def inject(df, pv):
             for c, raw in pv.items():
@@ -4083,18 +4158,10 @@ class DeltaSink:
         for pr in probes[1:]:
             probe = probe.unionByName(pr)
         matched = probe.filter(predicate).select("_f", "_ridx")
-        if old_pairs is not None:
-            # consumed twice (bitmap merge + CDC anti-join): persist
-            # so each payload is fetched/exploded ONCE
-            old_pairs = old_pairs.persist()
-        try:
-            packed = self._pack_merged_dvs(matched, old_pairs)
-            cdc_actions = self._delete_dv_cdc(
-                probe, predicate, old_pairs, packed
-            )
-        finally:
-            if old_pairs is not None:
-                old_pairs.unpersist()
+        packed = self._pack_merged_dvs(matched, old_descs)
+        cdc_actions = self._delete_dv_cdc(
+            probe, predicate, old_pairs, packed
+        )
         if not packed:
             return self._commit([], operation="DELETE (merge-on-read)")
         # protocol upgrade MERGES with whatever the table already
