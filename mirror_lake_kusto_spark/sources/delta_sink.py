@@ -2600,6 +2600,32 @@ class DeltaSink:
             out = out.unionByName(f)
         return out
 
+    def _concurrent_stage(self, thunks):
+        """Run independent staging jobs — each its own Spark action plus
+        driver-side file moves — CONCURRENTLY, returning their action
+        lists in the thunks' order (deterministic commit assembly).
+
+        Spark's scheduler happily overlaps jobs; they are sequential
+        only because driver code awaits them one at a time (guide
+        §2.6).  Inside one DML commit the per-partition-group rewrites,
+        the insert staging, and the CDC staging share no state (each
+        writes to its own uuid staging dir; the fs layer is
+        lock-protected), so the next job's tasks back-fill executors
+        freed by the previous job's tail — on the 100 TB posture the
+        tail of a skewed rewrite no longer serializes the whole
+        commit's staging.  2-3 jobs in flight is enough to fill the
+        tail without fighting for executors."""
+        if len(thunks) <= 1:
+            return [t() for t in thunks]
+        from concurrent.futures import ThreadPoolExecutor
+
+        # memoize the mapping once before the race (double-compute is
+        # benign but wasteful)
+        self._current_mapping()
+        with ThreadPoolExecutor(max_workers=min(len(thunks), 3)) as pool:
+            futures = [pool.submit(t) for t in thunks]
+            return [f.result() for f in futures]
+
     def _stage_cdc(self, df: DataFrame) -> list[dict]:
         """Stage change-data files (df = full logical rows incl.
         partition columns + ``_change_type``) under ``_change_data/``
@@ -2897,6 +2923,7 @@ class DeltaSink:
             # relative normally but absolute for shallow-cloned files,
             # and join passes an absolute second arg through on local FS
             hit_parts: list[tuple[list[str], dict]] = []
+            thunks = []
             for key, paths in groups.items():
                 part_values = dict(key)
                 hit = [
@@ -2907,11 +2934,11 @@ class DeltaSink:
                 if not hit:
                     continue
                 hit_parts.append((hit, part_values))
-                actions.extend(
-                    self._rewrite_group(
+                thunks.append(
+                    lambda hit=hit, pv=part_values: self._rewrite_group(
                         hit,
-                        part_values,
-                        lambda df, pv=part_values: inject(df, pv)
+                        pv,
+                        lambda df, pv=pv: inject(df, pv)
                         .filter(f"NOT ({predicate})")
                         .drop(*pv.keys()),
                         data_change=True,
@@ -2926,13 +2953,15 @@ class DeltaSink:
                 # (every matching row lives in one by construction) —
                 # not a second whole-table probe
                 hit_probe = self._hit_frame(hit_parts, data_schema, inject)
-                actions.extend(
-                    self._stage_cdc(
+                thunks.append(
+                    lambda: self._stage_cdc(
                         hit_probe.filter(predicate).withColumn(
                             "_change_type", F.lit("delete")
                         )
                     )
                 )
+            for acts in self._concurrent_stage(thunks):
+                actions.extend(acts)
         return self._commit(actions, operation="DELETE")
 
     def _check_update_assignments(
@@ -3068,6 +3097,7 @@ class DeltaSink:
             self._rt_mat_cols()[1] if self._rt_enabled() else None
         )
         actions: list[dict] = []
+        thunks = []
         for hit, part_values in hit_parts:
 
             def transform(df, pv=part_values):
@@ -3085,15 +3115,16 @@ class DeltaSink:
                     )
                 return out.drop("__mlk_hit", *pv.keys())
 
-            actions.extend(
-                self._rewrite_group(
-                    hit,
-                    part_values,
-                    transform,
-                    data_change=True,
-                    now=now,
-                    read_schema=data_schema,
-                )
+            thunks.append(
+                lambda hit=hit, pv=part_values, transform=transform:
+                    self._rewrite_group(
+                        hit,
+                        pv,
+                        transform,
+                        data_change=True,
+                        now=now,
+                        read_schema=data_schema,
+                    )
             )
         if cdf:
             pre = hit_probe.filter(predicate).withColumn(
@@ -3102,7 +3133,11 @@ class DeltaSink:
             post = updated.withColumn(
                 "_change_type", F.lit("update_postimage")
             )
-            actions.extend(self._stage_cdc(pre.unionByName(post)))
+            thunks.append(
+                lambda: self._stage_cdc(pre.unionByName(post))
+            )
+        for acts in self._concurrent_stage(thunks):
+            actions.extend(acts)
         return self._commit(actions, operation="UPDATE")
 
     def _old_dv_pairs_df(self, old_payloads: dict[str, bytes]):
@@ -3631,6 +3666,7 @@ class DeltaSink:
                 ).withColumn("_f", F.input_file_name())
             )
         actions: list[dict] = []
+        thunks = []
         matched_keys = None
         hit_probe = None
         if probes:
@@ -3707,11 +3743,13 @@ class DeltaSink:
                         )
                     return kept.unionByName(updated).drop(*pv.keys())
 
-                actions.extend(
-                    self._rewrite_group(
-                        hit, part_values, rewrite,
-                        data_change=True, now=now, read_schema=data_schema,
-                    )
+                thunks.append(
+                    lambda hit=hit, pv=part_values, rewrite=rewrite:
+                        self._rewrite_group(
+                            hit, pv, rewrite,
+                            data_change=True, now=now,
+                            read_schema=data_schema,
+                        )
                 )
             # keys present in ANY affected file = the matched set.
             # Derived from the HIT files only (every match lives in
@@ -3738,8 +3776,10 @@ class DeltaSink:
         )
         # unmatched rows become fresh files inside the SAME commit
         # (partition-aware via the shared staging path)
-        actions.extend(
-            self._stage_adds(inserts, data_change=True, skip_empty=True)
+        thunks.append(
+            lambda: self._stage_adds(
+                inserts, data_change=True, skip_empty=True
+            )
         )
         if cdf:
             # row-level change feed: updated target rows (pre/post
@@ -3793,7 +3833,9 @@ class DeltaSink:
                         .select(*src_cols)
                         .withColumn(ct, F.lit("delete"))
                     )
-            actions.extend(self._stage_cdc(changes))
+            thunks.append(lambda: self._stage_cdc(changes))
+        for acts in self._concurrent_stage(thunks):
+            actions.extend(acts)
         if txn is not None:
             # same idempotence contract as append(): the txn action
             # rides the MERGE commit, so a replayed micro-batch can
