@@ -3455,7 +3455,11 @@ class DeltaSink:
                 post = post.withColumns(regen)
             post_rows = post.drop("_f", "_ridx")
             self._enforce_constraints(post_rows, "UPDATE")
-            cdc_actions: list[dict] = []
+            # CDC staging and the post-update append are independent
+            # jobs (own staging dirs, both read the persisted
+            # `matched`): overlap them so the append's tasks back-fill
+            # executors freed by the CDC write's tail (guide §2.6)
+            thunks = []
             if cdf:
                 mats = [c for c in (mat_id, mat_rcv) if c]
                 pre = matched.drop("_f", "_ridx", *mats).withColumn(
@@ -3464,7 +3468,16 @@ class DeltaSink:
                 postc = post_rows.drop(*mats).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
-                cdc_actions = self._stage_cdc(pre.unionByName(postc))
+                cdc_df = pre.unionByName(postc)
+                thunks.append(lambda df=cdc_df: self._stage_cdc(df))
+            thunks.append(
+                lambda df=post_rows: self._stage_adds(
+                    df, data_change=True, skip_empty=True
+                )
+            )
+            staged = self._concurrent_stage(thunks)
+            cdc_actions: list[dict] = staged[0] if cdf else []
+            add_actions = staged[-1]
             cur = latest_protocol(self.path)
             pr = upgraded_protocol(
                 cur, ("deletionVectors",), ("deletionVectors",)
@@ -3529,9 +3542,7 @@ class DeltaSink:
                         }
                     }
                 )
-            actions.extend(
-                self._stage_adds(post_rows, data_change=True, skip_empty=True)
-            )
+            actions.extend(add_actions)
             return self._commit(actions, operation="UPDATE (merge-on-read)")
         finally:
             matched.unpersist()
@@ -3554,11 +3565,10 @@ class DeltaSink:
                 "update could silently move a row across partitions"
             )
         dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
-        if dup.limit(1).count():
-            raise ValueError(
-                f"merge source has duplicate keys on {keys} — each target "
-                "row may match at most one source row"
-            )
+        dup_msg = (
+            f"merge source has duplicate keys on {keys} — each target "
+            "row may match at most one source row"
+        )
         del_keys = None
         if delete_keys is not None:
             missing_k = [k for k in keys if k not in delete_keys.columns]
@@ -3568,12 +3578,32 @@ class DeltaSink:
                 )
             del_keys = delete_keys.select(*keys).distinct()
             overlap = source.select(*keys).join(del_keys, keys, "inner")
-            if overlap.limit(1).count():
+            # ONE validation action for both probes: each
+            # `.limit(1).count()` is its own fixed-overhead Spark job,
+            # and every merge commit paid two of them back to back
+            # (guide §1.2: per-task work after job shape)
+            flags = {
+                r["_k"]
+                for r in (
+                    dup.limit(1)
+                    .select(F.lit("dup").alias("_k"))
+                    .unionAll(
+                        overlap.limit(1)
+                        .select(F.lit("overlap").alias("_k"))
+                    )
+                    .collect()
+                )
+            }
+            if "dup" in flags:
+                raise ValueError(dup_msg)
+            if "overlap" in flags:
                 raise ValueError(
                     "a key appears in both source and delete_keys — "
                     "upsert-then-delete has no defined order inside one "
                     "atomic commit; split them across batches"
                 )
+        elif dup.limit(1).count():
+            raise ValueError(dup_msg)
         fill_cols = [
             n for n in self._defaults() if n not in source.columns
         ]
@@ -4001,7 +4031,12 @@ class DeltaSink:
                 if matched_keys is not None
                 else source
             )
-            cdc_actions: list[dict] = []
+            # the CDC write, the updated-row append and the insert
+            # append are independent staging jobs (own uuid dirs, all
+            # reading the persisted `matched` / the source): run them
+            # concurrently so each job's tasks back-fill executors
+            # freed by the previous one's tail (guide §2.6)
+            thunks = []
             if cdf:
                 ct = "_change_type"
                 changes = inserts.select(*src_cols).withColumn(
@@ -4026,7 +4061,22 @@ class DeltaSink:
                             .select(*src_cols)
                             .withColumn(ct, F.lit("delete"))
                         )
-                cdc_actions = self._stage_cdc(changes)
+                thunks.append(lambda df=changes: self._stage_cdc(df))
+            if updated is not None:
+                thunks.append(
+                    lambda df=updated: self._stage_adds(
+                        df, data_change=True, skip_empty=True
+                    )
+                )
+            thunks.append(
+                lambda df=inserts: self._stage_adds(
+                    df, data_change=True, skip_empty=True
+                )
+            )
+            staged = self._concurrent_stage(thunks)
+            cdc_actions: list[dict] = staged[0] if cdf else []
+            updated_adds = staged[-2] if updated is not None else []
+            insert_adds = staged[-1]
             if packed:
                 cur = latest_protocol(self.path)
                 pr = upgraded_protocol(
@@ -4091,15 +4141,8 @@ class DeltaSink:
                         }
                     }
                 )
-            if updated is not None:
-                actions.extend(
-                    self._stage_adds(
-                        updated, data_change=True, skip_empty=True
-                    )
-                )
-            actions.extend(
-                self._stage_adds(inserts, data_change=True, skip_empty=True)
-            )
+            actions.extend(updated_adds)
+            actions.extend(insert_adds)
             if txn is not None:
                 actions.insert(
                     0,
