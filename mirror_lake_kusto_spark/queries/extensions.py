@@ -1527,14 +1527,42 @@ def pipeline_decontaminate(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     bench = docs.filter(F.col("doc_id") % 100 == 0)
     train = docs.filter(F.col("doc_id") % 100 != 0)
-    bsh = (
-        dedup._shingled(bench, "doc_id", "text", 5)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    tpost = dedup._shingled(train, "doc_id", "text", 5).select(
-        "id", F.explode("sh").alias("g")
-    )
+    # position-explode, then build each 5-gram as a codegen SCALAR:
+    # the array-of-shingles form paid twice — the interpreted
+    # higher-order transform/array_join lambda, and (worse)
+    # InferFiltersFromGenerate + predicate pushdown copied that whole
+    # expression into a Filter BELOW _spread's exchange, so the
+    # entire shingle pass re-ran serially on the one-split parquet
+    # scan (2.7 s of the query's 3.1 s at sf0.1).  Duplicate (id, g)
+    # rows from repeated shingles are fine: both consumers are
+    # distinct/semi-join shaped, so results are identical (r12).
+    def posting(df):
+        cnt = F.size("_toks") - 4
+        return (
+            dedup._spread(df)
+            .select(
+                F.col("doc_id").alias("id"),
+                F.split("text", " ").alias("_toks"),
+            )
+            .select(
+                "id",
+                "_toks",
+                F.explode(
+                    F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+                        F.array().cast("array<int>")
+                    )
+                ).alias("_i"),
+            )
+            .select(
+                "id",
+                F.array_join(
+                    F.slice("_toks", F.col("_i"), 5), " "
+                ).alias("g"),
+            )
+        )
+
+    bsh = posting(bench).select("g").distinct()
+    tpost = posting(train)
     contaminated = (
         tpost.join(F.broadcast(bsh), "g")
         .select(F.col("id").alias("c_id"))

@@ -539,26 +539,31 @@ def d16(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.max("rho").cast("long").alias("r"))
     )
-    agg = regs.agg(
-        F.sum(
-            F.expr(f"shiftleft(1L, {RCAP} - least(r, {RCAP}))")
-        ).alias("s"),
-        F.count("*").alias("nb"),
+    # the harmonic-mean correction aggregates the REGISTER table (≤M
+    # rows), not the base data — a global window over regs computes it
+    # in the same pass.  The previous regs.crossJoin(broadcast(agg))
+    # shape left `regs` unpersisted with two consumers, so the entire
+    # orders scan + per-row md5 + rho chain executed TWICE (two Scan
+    # subtrees in plans/r12/d16_hll_sketch_before.txt); the window
+    # needs one.  M is a constant 256 at any data scale, so the
+    # single-partition window never grows with input (r12, guide §2.4)
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy()
+        .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
     )
+    s = F.sum(
+        F.expr(f"shiftleft(1L, {RCAP} - least(r, {RCAP}))")
+    ).over(w)
+    nb = F.count(F.lit(1)).over(w)
     alpha = 0.7213 / (1 + 1.079 / M)
     est = F.round(
         F.lit(alpha * M * M)
-        / (
-            F.col("s") / F.lit(float(1 << RCAP))
-            + (F.lit(M) - F.col("nb"))
-        ),
+        / (s / F.lit(float(1 << RCAP)) + (F.lit(M) - nb)),
         2,
     ).alias("est")
-    return (
-        regs.crossJoin(F.broadcast(agg.select(est)))
-        .select("bucket", "r", "est")
-        .orderBy("bucket")
-    )
+    return regs.select("bucket", "r", est).orderBy("bucket")
 
 
 @query(
