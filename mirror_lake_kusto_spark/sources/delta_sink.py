@@ -3172,6 +3172,13 @@ class DeltaSink:
     #: hold 10M bitmaps in driver memory (round-9 VERDICT ask)
     _DV_DISTRIBUTED_FILES = 1024
 
+    #: DV'd-file count up to which existing-DV DESCRIPTORS (not
+    #: payloads — ~200 bytes each, already in the driver's snapshot
+    #: listing) ship to executors as one sc.broadcast dict; above it
+    #: they ride as a DataFrame joined per affected file so driver
+    #: memory stays flat (~40 MB at the bound)
+    _DV_DESC_BROADCAST_FILES = 200_000
+
     def _old_dv_pairs(self, files):
         """(file, _ridx) DataFrame of the table's EXISTING deletion
         vectors, or None when it carries none.  Below
@@ -3234,14 +3241,16 @@ class DeltaSink:
         return desc_df.mapInPandas(explode_desc, "_f string, _ridx long")
 
     def _old_dv_desc_df(self, files):
-        """(file, descriptor-JSON) DataFrame of the table's EXISTING
-        deletion vectors, or None when it carries none.  One metadata
-        row per DV'd file — the compressed-payload handle
-        ``_pack_merged_dvs`` merges from executor-side, replacing the
-        r11 shape that EXPLODED every old bitmap to (file, row) rows
-        through a Python stage + shuffle before regrouping them (r12
-        optimization: two Python passes + two exchanges → one cogrouped
-        pass; old bitmaps of unmatched files never even deserialize)."""
+        """Handle on the table's EXISTING deletion-vector DESCRIPTORS
+        (never payloads), or None when it carries none.  Descriptors
+        are ~200 bytes each and already live in the driver's snapshot
+        listing, so up to ``_DV_DESC_BROADCAST_FILES`` of them ship as
+        one ``sc.broadcast`` dict that ``_pack_merged_dvs`` consults
+        executor-side with zero extra Spark jobs; past that bound they
+        become a (file, descriptor-JSON) DataFrame joined in instead.
+        Either way old payloads are fetched + deserialized
+        executor-side only for AFFECTED files (r12: replaces the r11
+        shape that EXPLODED every old bitmap to (file, row) rows)."""
         import json as _json
 
         dv_files = [
@@ -3251,6 +3260,15 @@ class DeltaSink:
         ]
         if not dv_files:
             return None
+        if len(dv_files) <= self._DV_DESC_BROADCAST_FILES:
+            return self.spark.sparkContext.broadcast(
+                {
+                    _fs.data_path_spelling(self.path, f["path"]): f[
+                        "deletionVector"
+                    ]
+                    for f in dv_files
+                }
+            )
         return self.spark.createDataFrame(
             [
                 (
@@ -3264,74 +3282,97 @@ class DeltaSink:
 
     def _pack_merged_dvs(self, matched_pairs, old_descs):
         """Per-file merged bitmaps: the matched NEW (file, row) pairs
-        cogrouped with those files' EXISTING descriptors; each file's
-        old payload is fetched + deserialized executor-side and merged
-        with the new rows in ONE Arrow pass — no payload broadcast, no
-        driver dict, no row-level explosion of old bitmaps.  Returns
-        collected (_f, payload, card) rows (one per AFFECTED file —
-        batch-metadata-scale)."""
+        are grouped per file with a JVM ``collect_list`` (partial,
+        map-side aggregation — guide §2.3), the per-file descriptor
+        rows of EXISTING vectors join on afterwards (broadcast when
+        driver-bounded small), and ONE ``mapInPandas`` pass fetches +
+        deserializes each affected file's old payload executor-side
+        and packs the merged bitmap — no payload broadcast, no driver
+        dict, no row-level explosion of old bitmaps.  Replaces the
+        earlier two-input Python cogroup, which shipped BOTH inputs
+        through sort-based Python grouping (measured ~2x slower at
+        identical data).  Old files with no newly-matched rows drop
+        out at the join (bitmap unchanged, nothing deserializes).
+        Returns collected (_f, payload, card) rows (one per AFFECTED
+        file — batch-metadata-scale)."""
+        import pyspark.sql.functions as F
+        from pyspark.broadcast import Broadcast
+
         pairs = matched_pairs.select("_f", "_ridx")
+        agg = pairs.groupBy("_f").agg(F.collect_list("_ridx").alias("_rows"))
+        table_path = self.path
 
-        if old_descs is None:
+        if old_descs is None or isinstance(old_descs, Broadcast):
+            desc_bc = old_descs
 
-            def per_file(pdf):
+            def pack(batches):
                 import pandas as pd
 
                 from mirror_lake_kusto_spark.sources import dv as _dvx
 
-                ordered = sorted(set(int(i) for i in pdf["_ridx"]))
-                return pd.DataFrame(
-                    {
-                        "_f": [pdf["_f"].iloc[0]],
-                        "payload": [_dvx.serialize(ordered)],
-                        "card": [len(ordered)],
-                    }
-                )
+                descs = desc_bc.value if desc_bc is not None else {}
+                for pdf in batches:
+                    out_f, out_p, out_c = [], [], []
+                    for fpath, ridxs in zip(pdf["_f"], pdf["_rows"]):
+                        rows = set(int(i) for i in ridxs)
+                        desc = descs.get(fpath)
+                        if desc is not None:
+                            payload = _dvx.dv_payload(table_path, desc)
+                            rows.update(
+                                _dvx.deserialize(bytes(payload))
+                            )
+                        ordered = sorted(rows)
+                        out_f.append(fpath)
+                        out_p.append(_dvx.serialize(ordered))
+                        out_c.append(len(ordered))
+                    yield pd.DataFrame(
+                        {"_f": out_f, "payload": out_p, "card": out_c}
+                    ).astype({"card": "int64"})
 
             return (
-                pairs.groupBy("_f")
-                .applyInPandas(
-                    per_file, "_f string, payload binary, card long"
-                )
-                .collect()
+                agg.mapInPandas(
+                    pack, "_f string, payload binary, card long"
+                ).collect()
             )
 
-        table_path = self.path
+        # descriptor count exceeds the broadcast bound: join the
+        # descriptor rows on instead (plain equi-join; the planner is
+        # free to pick its strategy from real sizes)
+        joined = agg.join(old_descs, "_f", "left")
 
-        def per_file_merged(key, new_pdf, old_pdf):
+        def pack_joined(batches):
             import json as _j
 
             import pandas as pd
 
             from mirror_lake_kusto_spark.sources import dv as _dvx
 
-            if not len(new_pdf):
-                # file has an old DV but no newly-matched rows: bitmap
-                # unchanged, nothing to pack (and nothing deserializes)
-                return pd.DataFrame(
-                    {"_f": [], "payload": [], "card": []}
+            for pdf in batches:
+                out_f, out_p, out_c = [], [], []
+                for fpath, ridxs, desc in zip(
+                    pdf["_f"], pdf["_rows"], pdf["_desc"]
+                ):
+                    rows = set(int(i) for i in ridxs)
+                    # null _desc arrives as None or NaN depending on
+                    # the pandas version; only a real JSON string
+                    # means an existing vector
+                    if isinstance(desc, str):
+                        payload = _dvx.dv_payload(
+                            table_path, _j.loads(desc)
+                        )
+                        rows.update(_dvx.deserialize(bytes(payload)))
+                    ordered = sorted(rows)
+                    out_f.append(fpath)
+                    out_p.append(_dvx.serialize(ordered))
+                    out_c.append(len(ordered))
+                yield pd.DataFrame(
+                    {"_f": out_f, "payload": out_p, "card": out_c}
                 ).astype({"card": "int64"})
-            rows = set(int(i) for i in new_pdf["_ridx"])
-            if len(old_pdf):
-                desc = _j.loads(old_pdf["_desc"].iloc[0])
-                payload = _dvx.dv_payload(table_path, desc)
-                rows.update(_dvx.deserialize(bytes(payload)))
-            ordered = sorted(rows)
-            return pd.DataFrame(
-                {
-                    "_f": [key[0]],
-                    "payload": [_dvx.serialize(ordered)],
-                    "card": [len(ordered)],
-                }
-            )
 
         return (
-            pairs.groupBy("_f")
-            .cogroup(old_descs.groupBy("_f"))
-            .applyInPandas(
-                per_file_merged, "_f string, payload binary, card long"
-            )
-            .collect()
+            joined.mapInPandas(
+                pack_joined, "_f string, payload binary, card long"
+            ).collect()
         )
 
     def update_dv(self, predicate: str, assignments: dict[str, str]) -> int:
