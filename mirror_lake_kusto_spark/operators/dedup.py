@@ -644,7 +644,19 @@ def _sig_banded_pairs(
     (pigeonhole-complete for hamming < bands), exact-verify candidates
     with ``bit_count(xor)``.  Both SimHash front-ends (xxhash64-fast
     and md5-oracle-checkable) produce the same signature shape and
-    share this tail."""
+    share this tail.
+
+    The (id, sig) frame is persisted and materialized eagerly: it
+    feeds BOTH sides of the band self-join, and without the cache the
+    whole signature computation (per-token hashing + the 64-term
+    bit-sum aggregate) ran twice — the planner does not recognize the
+    two sides as a reusable exchange (r12, guide §2.4; the same
+    deterministic-eager lesson as the MinHash path).  16 bytes a row,
+    so the cache is metadata-scale at any corpus size."""
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()  # materialize before the two concurrent consumers
     width = 64 // bands
     slices = sigs.select(
         "id",

@@ -1045,8 +1045,16 @@ def hybrid_search_rrf(
             "embedding rows — hybrid search needs exactly one query "
             "vector (a silent fallback would rank by BM25 alone)"
         )
-    qvec = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+    # the validated row IS the query vector: a local 1-row frame skips
+    # the second embeddings scan the broadcast build would otherwise
+    # pay (r12, guide §2.4)
+    from pyspark.sql.types import StructField, StructType
+
+    qvec = embeddings.sparkSession.createDataFrame(
+        [qrows[0]],
+        StructType(
+            [StructField("_qvec", embeddings.schema[vec_col].dataType)]
+        ),
     )
     cos_top = (
         embeddings.crossJoin(F.broadcast(qvec))

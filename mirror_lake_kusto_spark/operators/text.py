@@ -257,26 +257,53 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("_tok_chars"),
     )
 
-    def top_gram_counts(n: int, out: str) -> DataFrame:
+    def gram_array(n: int):
         slices = [F.slice("_toks", i + 1, F.size("_toks") - (n - 1)) for i in range(n)]
         grams = slices[0]
         for s in slices[1:]:
             grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
-        return (
-            base.filter(F.size("_toks") >= n)
-            .select(id_col, F.explode(grams).alias("_g"))
-            .groupBy(id_col, "_g")
-            .agg(F.count("*").alias("_c"))
-            .groupBy(id_col)
-            .agg(F.max("_c").alias(out))
+        # empty below n tokens, so the single explode drops the doc
+        # for this n exactly like the old per-n `size >= n` filter
+        return F.when(F.size("_toks") >= n, grams).otherwise(
+            F.array().cast("array<string>")
         )
 
-    top2 = top_gram_counts(2, "_top2")
-    top3 = top_gram_counts(3, "_top3")
+    # ONE pass for both gram sizes (r12, guide §2.4): the 2- and
+    # 3-grams explode together tagged with their size, one
+    # (doc, n, gram) count + one per-doc pivot replaces two separate
+    # explode->agg->agg chains — 4 exchanges + 2 joins become 2
+    # exchanges + 1 join, and the token array materializes once
+    tops = (
+        base.select(
+            id_col,
+            F.explode(
+                F.concat(
+                    F.transform(
+                        gram_array(2),
+                        lambda g: F.struct(
+                            F.lit(2).alias("_n"), g.alias("_g")
+                        ),
+                    ),
+                    F.transform(
+                        gram_array(3),
+                        lambda g: F.struct(
+                            F.lit(3).alias("_n"), g.alias("_g")
+                        ),
+                    ),
+                )
+            ).alias("_ng"),
+        )
+        .groupBy(id_col, "_ng")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_ng._n") == 2, F.col("_c"))).alias("_top2"),
+            F.max(F.when(F.col("_ng._n") == 3, F.col("_c"))).alias("_top3"),
+        )
+    )
     nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
     return (
-        base.join(top2, id_col, "left")
-        .join(top3, id_col, "left")
+        base.join(tops, id_col, "left")
         .select(
             id_col,
             "n_tokens",
@@ -451,10 +478,14 @@ def bm25_search(
     back onto the tf frame.  Everything is JVM expressions — no UDFs.
     """
     terms = [t.lower() for t in query_terms]
+    # _dl from the raw token array (same length): the stats branch
+    # then prunes to size(split()) alone, never paying the per-token
+    # lower() transform the tf branch needs (r12, guide §2.3)
     base = df.select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.lower(t)).alias("_toks"),
-    ).select(id_col, "_toks", F.size("_toks").cast("double").alias("_dl"))
+        F.size(tokens(text_col)).cast("double").alias("_dl"),
+    )
 
     stats = base.agg(
         F.count("*").cast("double").alias("_n"),

@@ -76,59 +76,91 @@ def make_series(
     in_range = df.filter(
         (F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(stop))
     )
-    slot = F.timestamp_micros(
-        (
-            F.floor((F.unix_micros(F.col(ts_col)) - start_us) / step_us)
-            .cast("bigint")
-            * step_us
-            + start_us
-        )
-    ).alias("__slot")
-    agg = in_range.groupBy(*by, slot).agg(
+    slot_k = (
+        F.floor((F.unix_micros(F.col(ts_col)) - start_us) / step_us)
+        .cast("int")
+        .alias("__k")
+    )
+    agg = in_range.groupBy(*by, slot_k).agg(
         *[c.alias(name) for name, c in aggs.items()]
     )
+    # analysis-only (no job): the aggregate value types, for typed
+    # null gap-fill literals below
+    agg_types = {
+        f.name: f.dataType.simpleString()
+        for f in agg.schema.fields
+        if f.name in aggs
+    }
 
-    # |groups| x n_slots grid; sequence is JVM-side, no driver loop
-    grid = (
-        (in_range.select(*by).distinct() if by else df.sparkSession.range(1).select())
-        .withColumn(
-            "__slot",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_slots - 1)),
-                    lambda i: F.timestamp_micros(
-                        i.cast("bigint") * step_us + start_us
-                    ),
-                )
+    # ONE input pass (r12, guide §2.4): groups and slot values both
+    # come from the aggregate itself.  The old shape re-scanned the
+    # input for the distinct group list, exploded a |groups| x n_slots
+    # grid, left-joined the aggregate back and re-grouped — two input
+    # scans, a join and an extra shuffle.  Instead each group packs
+    # its OBSERVED slots (bounded by n_slots — metadata-scale at any
+    # input size) into a slot-index-sorted struct array, and each
+    # dense series is built by an O(n_slots) sparse-to-dense run
+    # construction: per observed entry emit [value, gap-fill x (next_k
+    # - k - 1)], flatten, pad the lead.  (A map_from_entries + per-
+    # slot lookup variant was built first and measured SLOWER at fine
+    # grids: Catalyst's map element_at is a linear scan, making it
+    # O(n_slots^2) per group.)  Global (no ``by``) aggregation always
+    # returns one row, so the empty-input shape — full axis,
+    # all-default series — is preserved.
+    entries = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("__k"), *[F.col(n) for n in aggs])
+        )
+    ).alias("__e")
+    rows = agg.groupBy(*by).agg(entries) if by else agg.agg(entries)
+
+    def _axis():
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_slots - 1)),
+            lambda i: F.timestamp_micros(
+                i.cast("bigint") * step_us + start_us
             ),
         )
-    )
-    filled = grid.join(agg, [*by, "__slot"], "left").select(
-        *by,
-        "__slot",
-        *[
-            (
-                F.coalesce(F.col(name), F.lit(defaults[name])).alias(name)
-                if defaults.get(name) is not None
-                else F.col(name).alias(name)
-            )
-            for name in aggs
-        ],
-    )
-    packed = F.array_sort(
-        F.collect_list(F.struct(F.col("__slot"), *[F.col(n) for n in aggs]))
-    ).alias("__series")
-    rows = filled.groupBy(*by).agg(packed) if by else filled.agg(packed)
 
-    def _field(name):
-        # NB: must stay a UNARY lambda — a second (default) parameter
-        # would make pyspark treat it as an (element, index) lambda
-        return lambda s: s[name]
+    def _series(name):
+        fill = (
+            F.lit(defaults[name])
+            if defaults.get(name) is not None
+            else F.lit(None).cast(agg_types[name])
+        )
+        e_arr = F.col("__e")
+        m = F.size(e_arr)
+        ks = F.transform(e_arr, lambda e: e["__k"])
+        # next observed index per entry (the last entry's "next" is
+        # n_slots), sizes stay aligned for zip_with
+        nxt = F.concat(
+            F.slice(ks, 2, F.greatest(m - 1, F.lit(0))),
+            F.array(F.lit(n_slots)),
+        )
+        val = (
+            (lambda e: F.coalesce(e[name], fill))
+            if defaults.get(name) is not None
+            else (lambda e: e[name])
+        )
+        body = F.flatten(
+            F.zip_with(
+                e_arr,
+                nxt,
+                lambda e, nk: F.concat(
+                    F.array(val(e)),
+                    F.array_repeat(fill, nk - e["__k"] - 1),
+                ),
+            )
+        )
+        lead = F.array_repeat(fill, F.try_element_at(ks, F.lit(1)))
+        return F.when(
+            m == 0, F.array_repeat(fill, F.lit(n_slots))
+        ).otherwise(F.concat(lead, body))
 
     return rows.select(
         *by,
-        F.transform("__series", _field("__slot")).alias(axis_col),
-        *[F.transform("__series", _field(name)).alias(name) for name in aggs],
+        _axis().alias(axis_col),
+        *[_series(name).alias(name) for name in aggs],
     )
 
 

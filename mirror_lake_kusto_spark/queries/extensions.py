@@ -2019,12 +2019,17 @@ def pipeline_decontaminate_semantic(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
+    # norms hoisted OUT of the cross join (r12, guide §1.2): the old
+    # shape re-derived the train row's self-norm per eval pair (x20)
+    # and the eval norm per train row — higher-order array folds are
+    # interpreted per element, so each redundant dot is real CPU.
+    # Per-pair work drops from 3 interpreted dots to 1.
+    train = train.withColumn("na", dot(F.col("emb"), F.col("emb")))
+    evals = evals.withColumn("nb", dot(F.col("qemb"), F.col("qemb")))
     sim = F.col("dp") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
     scored = (
         train.crossJoin(F.broadcast(evals))
         .withColumn("dp", dot(F.col("emb"), F.col("qemb")))
-        .withColumn("na", dot(F.col("emb"), F.col("emb")))
-        .withColumn("nb", dot(F.col("qemb"), F.col("qemb")))
         .select("vec_id", sim.alias("sim"))
     )
     return scored.groupBy("vec_id").agg(
