@@ -4331,7 +4331,14 @@ class KqlQuery:
 
         Scale shape: distinct (id, bin) pairs once, then a self-join
         shifted by one bin keyed on id — both sides hash-partition on
-        the id, the bin axis stays driver-scale."""
+        the id, the bin axis stays driver-scale.  The pairs frame is
+        persisted + materialized eagerly (r12, guide §2.4/§5): it has
+        FOUR consumers (per-bin counts, first-seen, both retention
+        sides), each of which otherwise re-runs the input scan and the
+        distinct; (id, bin) is bounded by ids x bins — far smaller
+        than the input at any scale."""
+        from pyspark.storagelevel import StorageLevel
+
         idc, tc, start_sql, end_sql = self._span_args(args, 1)
         step_us = self._win_us(args[4], "Window")
         df = frame.df.filter(
@@ -4339,9 +4346,12 @@ class KqlQuery:
         )
         s_us = f"unix_micros({start_sql})"
         kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {step_us}")
-        pairs = df.select(
-            F.col(idc).alias("_id"), kcol.alias("_k")
-        ).distinct()
+        pairs = (
+            df.select(F.col(idc).alias("_id"), kcol.alias("_k"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pairs.count()  # materialize before the concurrent consumers
         per = pairs.groupBy("_k").agg(F.count("*").alias("dcount_values"))
         firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_k"))
         new = firsts.groupBy("_k").agg(
@@ -4638,7 +4648,13 @@ class KqlQuery:
         Scale shape: distinct (id, bin) pairs once, one id-keyed join
         against the per-id first bin, then a per-(cohort, bin) count —
         the output grid is O(bins^2), driver-scale; all id-cardinality
-        work stays hash-distributed."""
+        work stays hash-distributed.  The pairs and first-bin frames
+        are persisted + materialized eagerly (r12, guide §2.4/§5):
+        each has TWO consumers that otherwise re-run the input scan /
+        the distinct / the per-id min; both are bounded by distinct
+        ids — far smaller than the input at any scale."""
+        from pyspark.storagelevel import StorageLevel
+
         if len(args) != 5:
             raise KqlParseError(
                 "new_activity_metrics supports exactly (IdColumn, "
@@ -4653,10 +4669,18 @@ class KqlQuery:
         s_us = f"unix_micros({start_sql})"
         e_us = f"unix_micros({end_sql})"
         kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {win_us}")
-        pairs = df.select(
-            F.col(idc).alias("_id"), kcol.alias("_k")
-        ).distinct()
-        firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_from"))
+        pairs = (
+            df.select(F.col(idc).alias("_id"), kcol.alias("_k"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pairs.count()  # materialize before the concurrent consumers
+        firsts = (
+            pairs.groupBy("_id")
+            .agg(F.min("_k").alias("_from"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        firsts.count()  # same deterministic-eager rule
         new = firsts.groupBy("_from").agg(
             F.count("*").alias("dcount_new_values")
         )
