@@ -4332,11 +4332,11 @@ class KqlQuery:
         Scale shape: distinct (id, bin) pairs once, then a self-join
         shifted by one bin keyed on id — both sides hash-partition on
         the id, the bin axis stays driver-scale.  The pairs frame is
-        persisted + materialized eagerly (r12, guide §2.4/§5): it has
-        FOUR consumers (per-bin counts, first-seen, both retention
-        sides), each of which otherwise re-runs the input scan and the
-        distinct; (id, bin) is bounded by ids x bins — far smaller
-        than the input at any scale."""
+        persisted (r12, guide §2.4/§5): it has FOUR consumers
+        (per-bin counts, first-seen, both retention sides), each of
+        which otherwise re-runs the input scan and the distinct;
+        (id, bin) is bounded by ids x bins — far smaller than the
+        input at any scale."""
         from pyspark.storagelevel import StorageLevel
 
         idc, tc, start_sql, end_sql = self._span_args(args, 1)
@@ -4351,7 +4351,11 @@ class KqlQuery:
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pairs.count()  # materialize before the concurrent consumers
+        # lazily persisted (unlike the dedup paths): the build here is
+        # one scan + distinct, cheap enough that a concurrent first
+        # touch duplicating a partition's build is harmless, while an
+        # eager count() would serialize an extra job ahead of every
+        # consumer
         per = pairs.groupBy("_k").agg(F.count("*").alias("dcount_values"))
         firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_k"))
         new = firsts.groupBy("_k").agg(
@@ -4649,10 +4653,10 @@ class KqlQuery:
         against the per-id first bin, then a per-(cohort, bin) count —
         the output grid is O(bins^2), driver-scale; all id-cardinality
         work stays hash-distributed.  The pairs and first-bin frames
-        are persisted + materialized eagerly (r12, guide §2.4/§5):
-        each has TWO consumers that otherwise re-run the input scan /
-        the distinct / the per-id min; both are bounded by distinct
-        ids — far smaller than the input at any scale."""
+        are persisted (r12, guide §2.4/§5): each has TWO consumers
+        that otherwise re-run the input scan / the distinct / the
+        per-id min; both are bounded by distinct ids — far smaller
+        than the input at any scale."""
         from pyspark.storagelevel import StorageLevel
 
         if len(args) != 5:
@@ -4674,13 +4678,11 @@ class KqlQuery:
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pairs.count()  # materialize before the concurrent consumers
         firsts = (
             pairs.groupBy("_id")
             .agg(F.min("_k").alias("_from"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        firsts.count()  # same deterministic-eager rule
         new = firsts.groupBy("_from").agg(
             F.count("*").alias("dcount_new_values")
         )

@@ -257,53 +257,36 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("_tok_chars"),
     )
 
-    def gram_array(n: int):
+    # NOTE (r12): a fused single-explode variant (both gram sizes
+    # tagged and counted in one pass — 2 fewer scans, 2 fewer
+    # exchanges, 1 fewer join) was built twice (struct-tagged and
+    # prefix-string-tagged) and MEASURED SLOWER both times at sf0.1
+    # (~2.7 s vs ~2.0 s min-of-6, comparable steal): the two per-size
+    # chains are independent stages the scheduler overlaps across
+    # idle cores, while the fused pass serializes the same gram volume
+    # through one chain and pays an extra per-gram tag (string copy or
+    # struct key).  Kept as two chains; revisit only on a saturated
+    # cluster where total work, not concurrency, is the wall.
+    def top_gram_counts(n: int, out: str) -> DataFrame:
         slices = [F.slice("_toks", i + 1, F.size("_toks") - (n - 1)) for i in range(n)]
         grams = slices[0]
         for s in slices[1:]:
             grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
-        # empty below n tokens, so the single explode drops the doc
-        # for this n exactly like the old per-n `size >= n` filter
-        return F.when(F.size("_toks") >= n, grams).otherwise(
-            F.array().cast("array<string>")
+        return (
+            base.filter(F.size("_toks") >= n)
+            .select(id_col, F.explode(grams).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count("*").alias("_c"))
+            .groupBy(id_col)
+            .agg(F.max("_c").alias(out))
         )
 
-    # ONE pass for both gram sizes (r12, guide §2.4): the 2- and
-    # 3-grams explode together tagged with their size, one
-    # (doc, n, gram) count + one per-doc pivot replaces two separate
-    # explode->agg->agg chains — 4 exchanges + 2 joins become 2
-    # exchanges + 1 join, and the token array materializes once
-    tops = (
-        base.select(
-            id_col,
-            F.explode(
-                F.concat(
-                    F.transform(
-                        gram_array(2),
-                        lambda g: F.struct(
-                            F.lit(2).alias("_n"), g.alias("_g")
-                        ),
-                    ),
-                    F.transform(
-                        gram_array(3),
-                        lambda g: F.struct(
-                            F.lit(3).alias("_n"), g.alias("_g")
-                        ),
-                    ),
-                )
-            ).alias("_ng"),
-        )
-        .groupBy(id_col, "_ng")
-        .agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("_ng._n") == 2, F.col("_c"))).alias("_top2"),
-            F.max(F.when(F.col("_ng._n") == 3, F.col("_c"))).alias("_top3"),
-        )
-    )
+    top2 = top_gram_counts(2, "_top2")
+    top3 = top_gram_counts(3, "_top3")
     nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
     return (
-        base.join(tops, id_col, "left")
+        base.join(top2, id_col, "left")
+        .join(top3, id_col, "left")
         .select(
             id_col,
             "n_tokens",
