@@ -1517,6 +1517,32 @@ def read_snapshot(
         groups.setdefault(key, []).append(
             _fs.join(table_path, f["path"])
         )
+    if len(groups) > 1:
+        # multi-tuple table: ONE scan (per era variant — usually
+        # exactly one) over ALL files; partition values are recovered
+        # through a broadcast metadata join on the scan-time file
+        # identity instead of a per-tuple literal-injection scan.  The
+        # old union-of-per-tuple-scans grew the plan (and driver
+        # planning time) O(partition tuples); this shape is O(1).
+        return _read_snapshot_joined_partitions(
+            spark,
+            table_path,
+            files,
+            schema,
+            part_cols,
+            type_of,
+            read_schema,
+            data_schema,
+            mapping,
+            problem_cols,
+            need_identity,
+            mat_cols,
+            dv_files,
+            row_ids,
+            mat_id,
+            mat_rcv,
+            predicate,
+        )
     parts: list[DataFrame] = []
     flat: list[tuple[tuple, list[str], StructType, list[str]]] = []
     for key, paths in groups.items():
@@ -1574,6 +1600,139 @@ def read_snapshot(
         out = out.drop("__mlk_file", "__mlk_ridx")
     if predicate is not None:
         # pruning is advisory; the row filter guarantees exactness
+        out = out.filter(predicate)
+    return out
+
+
+def _read_snapshot_joined_partitions(
+    spark: SparkSession,
+    table_path: str,
+    files: list[dict],
+    schema: StructType,
+    part_cols: list[str],
+    type_of: dict,
+    read_schema: StructType,
+    data_schema: StructType,
+    mapping: dict | None,
+    problem_cols: dict,
+    need_identity: bool,
+    mat_cols: list[str],
+    dv_files: list[dict],
+    row_ids: bool,
+    mat_id: str | None,
+    mat_rcv: str | None,
+    predicate,
+) -> DataFrame:
+    """Single-scan read path for tables with >1 partition tuple: scan
+    every file in one job (one scan per widening-era variant when the
+    table carries vector-blind type changes), then attach partition
+    values by broadcast-joining a one-row-per-file metadata frame on
+    the canonical file identity — the same identity-join machinery the
+    deletion-vector and row-tracking paths use.  Plan size stays O(1)
+    in the number of partition tuples instead of O(tuples).
+
+    Join-key choice: when every file's BASENAME is unique and contains
+    only join-safe characters (no URL-encoding ambiguity between the
+    log spelling and the scan's ``_metadata`` spelling — real tables
+    name files ``part-<uuid>.snappy.parquet``, always safe), the join
+    keys on ``_metadata.file_name`` directly: a constant-per-file
+    string with ZERO per-row canonicalization work.  Otherwise it
+    falls back to the canonical full-path spelling
+    (``spark_scan_path``/``data_path_spelling``), which pays a per-row
+    url_decode + regexp but is exact for any spelling."""
+    import re as _re
+
+    basenames = [f["path"].rsplit("/", 1)[-1] for f in files]
+    fname_join = len(set(basenames)) == len(files) and all(
+        _re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames
+    )
+    all_paths = [_fs.join(table_path, f["path"]) for f in files]
+    if problem_cols:
+        variant_groups = physical_read_groups(
+            all_paths, read_schema, problem_cols
+        )
+    else:
+        variant_groups = [(all_paths, read_schema, [])]
+    parts: list[DataFrame] = []
+    for paths, variant_schema, cast_cols in variant_groups:
+        df = spark.read.schema(variant_schema).parquet(*paths)
+        for c in cast_cols:
+            df = df.withColumn(c, F.col(c).cast(problem_cols[c]))
+        ident = {}
+        if part_cols:
+            ident["__mlk_pvkey"] = (
+                F.col("_metadata.file_name")
+                if fname_join
+                else _fs.spark_scan_path(F.col("_metadata.file_path"))
+            )
+        if need_identity:
+            ident["__mlk_file"] = _fs.spark_scan_path(
+                F.col("_metadata.file_path")
+            )
+            ident["__mlk_ridx"] = F.col("_metadata.row_index")
+        df = df.withColumns(ident)
+        if mapping is not None:
+            keep_extra = (
+                (["__mlk_pvkey"] if part_cols else [])
+                + (["__mlk_file", "__mlk_ridx"] if need_identity else [])
+                + mat_cols
+            )
+            df = df.select(
+                *[
+                    F.col(mapping[f.name]).alias(f.name)
+                    for f in data_schema.fields
+                ],
+                *keep_extra,
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if part_cols:
+        # one row per file: (join key, raw partition values); the
+        # cast from the raw log string to the column type is the same
+        # Cast the literal-injection path applied
+        pv_rows = {
+            (
+                f["path"].rsplit("/", 1)[-1]
+                if fname_join
+                else _fs.data_path_spelling(table_path, f["path"])
+            ): [(f["partitionValues"] or {}).get(c) for c in part_cols]
+            for f in files
+        }
+        pv_schema = StructType(
+            [StructField("__mlk_pvkey", StringType(), False)]
+            + [
+                StructField(f"__mlk_pv{i}", StringType(), True)
+                for i in range(len(part_cols))
+            ]
+        )
+        pv = spark.createDataFrame(
+            [(k, *v) for k, v in pv_rows.items()], pv_schema
+        )
+        out = out.join(F.broadcast(pv), "__mlk_pvkey", "left")
+        out = out.withColumns(
+            {
+                c: F.col(f"__mlk_pv{i}").cast(
+                    type_of.get(c, StringType())
+                )
+                for i, c in enumerate(part_cols)
+            }
+        )
+    keep = [f.name for f in schema.fields]
+    if need_identity:
+        keep += ["__mlk_file", "__mlk_ridx"]
+    keep += mat_cols
+    out = out.select(*keep)
+    if row_ids:
+        out = _attach_row_ids(
+            spark, table_path, out, files, mat_id, mat_rcv
+        )
+    if dv_files:
+        out = _apply_deletion_vectors(spark, table_path, out, dv_files)
+    elif row_ids:
+        out = out.drop("__mlk_file", "__mlk_ridx")
+    if predicate is not None:
         out = out.filter(predicate)
     return out
 

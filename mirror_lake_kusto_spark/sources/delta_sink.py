@@ -3329,11 +3329,20 @@ class DeltaSink:
                         {"_f": out_f, "payload": out_p, "card": out_c}
                     ).astype({"card": "int64"})
 
-            return (
-                agg.mapInPandas(
-                    pack, "_f string, payload binary, card long"
-                ).collect()
-            )
+            try:
+                return (
+                    agg.mapInPandas(
+                        pack, "_f string, payload binary, card long"
+                    ).collect()
+                )
+            finally:
+                # the collect above is the broadcast's ONLY consumer:
+                # release its blocks now instead of waiting for the
+                # 2-min periodic GC — repeated DML on heavily-DV'd
+                # tables otherwise accrues up to ~40 MB per commit
+                # until a driver collection (r12 VERDICT item 6)
+                if desc_bc is not None:
+                    desc_bc.destroy()
 
         # descriptor count exceeds the broadcast bound: join the
         # descriptor rows on instead (plain equi-join; the planner is
