@@ -113,12 +113,39 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+_SPREAD_BARRIERS = (
+    "Aggregate",
+    "Join",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Repartition",
+    "Deduplicate",
+    "GlobalLimit",
+)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to cluster parallelism when the scan
-    under-parallelizes (a small corpus in one parquet file would
-    otherwise hash/shingle serially on one core).  A well-partitioned
-    100 TB input passes through untouched — no shuffle is added."""
+    under-parallelizes (a small corpus in one parquet file — possibly
+    a single row group, which no file-split config can open in
+    parallel — would otherwise hash/shingle serially on one core).  A
+    well-partitioned 100 TB input passes through untouched — no
+    shuffle is added.
+
+    Frames that already contain a shuffle-introducing node pass
+    through WITHOUT the partition probe: under AQE,
+    ``df.rdd.getNumPartitions()`` materializes the intermediate query
+    stages — i.e. it EXECUTES the upstream aggregation just to count
+    partitions (measured: one full extra execution of the pipeline's
+    exact-dedup per call, r13) — and their post-shuffle parallelism is
+    AQE's job (coalescePartitions.minPartitionSize keeps it honest).
+    The probe is only taken for scan-shaped plans, where building the
+    RDD runs no jobs."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(b in plan for b in _SPREAD_BARRIERS):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -283,16 +310,28 @@ def _verify_join(
         v1, v2 = F.broadcast(v1), F.broadcast(v2)
     else:
         v1, v2 = v1.hint("merge"), v2.hint("merge")
-    return (
+    # |A∪B| = |A| + |B| - |A∩B| (hash arrays are sets, and both the
+    # operator and its DuckDB oracle already lean on collision-free
+    # hashing for |A∩B| itself): ONE array_intersect hash build per
+    # pair instead of intersect + union — the verify stage is the
+    # candidate-volume hot loop (513 CPU-s at the 10x corpus, r13).
+    # The threshold filter runs on the materialized _i/_n arithmetic,
+    # never on an expression containing the intersect, so predicate
+    # pushdown cannot duplicate the expensive build (guide §4.4).
+    paired = (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn(
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("hs1", "hs2")).alias("_i"),
+            (F.size("hs1") + F.size("hs2")).alias("_n"),
+        )
+    )
+    return (
+        paired.withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("hs1", "hs2"))
-                / F.size(F.array_union("hs1", "hs2")),
-                4,
-            ),
+            F.round(F.col("_i") / (F.col("_n") - F.col("_i")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
@@ -352,10 +391,22 @@ def minhash_lsh_pairs(
     # where the 2³¹ space would otherwise inflate intersections).
     # Documents with no shingles (shorter than n words) are dropped:
     # they have no content to near-dup against, and their all-null
-    # signatures would otherwise collide in every band.
+    # signatures would otherwise collide in every band.  The emptiness
+    # test is staged on the TOKEN count (size(sh) > 0 ⟺ size(toks)
+    # >= n by construction): a filter on `sh` itself gets pushdown-
+    # copied below _spread's round-robin exchange WITH the whole
+    # interpreted shingle lambda, serializing the shingle pass onto
+    # the unspread scan — measured 29 s of a 38 s query at the 10x
+    # corpus (r13; the same pathology r12 fixed in decontaminate).
+    # The token-count predicate pushes down as split+size only.
     sh = (
-        _shingled(df, id_col, text_col, n)
-        .filter(F.size("sh") > 0)
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select("id", _shingles_from_tokens("_toks", n).alias("sh"))
         .select(
             "id",
             F.array_sort(

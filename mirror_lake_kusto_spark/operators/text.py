@@ -221,9 +221,11 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-key cardinality is bounded by document length, the linear
     shape that survives 100 TB (an all-pairs per-doc expression would
     be O(len^2) per row)."""
+    from .dedup import _spread
+
     lines = F.split(F.col(text_col), "\n")
     toks = F.split(F.col(text_col), " ")
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col),
         F.col(text_col).alias("_text"),
         toks.alias("_toks"),
@@ -257,36 +259,47 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("_tok_chars"),
     )
 
-    # NOTE (r12): a fused single-explode variant (both gram sizes
-    # tagged and counted in one pass — 2 fewer scans, 2 fewer
-    # exchanges, 1 fewer join) was built twice (struct-tagged and
-    # prefix-string-tagged) and MEASURED SLOWER both times at sf0.1
-    # (~2.7 s vs ~2.0 s min-of-6, comparable steal): the two per-size
-    # chains are independent stages the scheduler overlaps across
-    # idle cores, while the fused pass serializes the same gram volume
-    # through one chain and pays an extra per-gram tag (string copy or
-    # struct key).  Kept as two chains; revisit only on a saturated
-    # cluster where total work, not concurrency, is the wall.
-    def top_gram_counts(n: int, out: str) -> DataFrame:
-        slices = [F.slice("_toks", i + 1, F.size("_toks") - (n - 1)) for i in range(n)]
+    # The top-n-gram count is computed PER ROW (r13): sort the gram
+    # array, then the max multiplicity is the longest run of equal
+    # adjacent elements — run boundaries via a filtered index array,
+    # run lengths via one zip_with diff.  O(len log len) per document,
+    # ZERO shuffle, ZERO join (the r12 shape exploded to (doc, gram)
+    # and aggregated twice per gram size — two shuffles + a join back
+    # per size; at the 10x corpus that was ~13.5 s of mostly shuffle
+    # for a per-document statistic).  An r12 attempt merely FUSING the
+    # two explode chains measured slower (scheduler overlap beats one
+    # serialized chain); removing the explode entirely wins at both
+    # scales — A/B in OPTIMIZATION_r13.md.
+    def top_gram_count_expr(n: int):
+        toks = F.col("_toks")
+        slices = [F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
         grams = slices[0]
         for s in slices[1:]:
             grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
-        return (
-            base.filter(F.size("_toks") >= n)
-            .select(id_col, F.explode(grams).alias("_g"))
-            .groupBy(id_col, "_g")
-            .agg(F.count("*").alias("_c"))
-            .groupBy(id_col)
-            .agg(F.max("_c").alias(out))
+        sg = F.array_sort(grams)
+        sz = F.size(sg)
+        # index i starts a new run iff i == 0 or sg[i] != sg[i-1]
+        # (when() keeps element_at(sg, 0) from ever evaluating)
+        starts = F.filter(
+            F.sequence(F.lit(0), sz - 1),
+            lambda i: F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(sg, i + 1) != F.element_at(sg, i)
+            ),
         )
+        # run lengths = diffs of consecutive starts, closed by sz
+        runs = F.zip_with(
+            starts,
+            F.concat(F.slice(starts, 2, F.size(starts)), F.array(sz)),
+            lambda a, b: b - a,
+        )
+        return F.when(
+            F.size(F.col("_toks")) >= n, F.array_max(runs)
+        ).otherwise(F.lit(0)).cast("long")
 
-    top2 = top_gram_counts(2, "_top2")
-    top3 = top_gram_counts(3, "_top3")
     nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
     return (
-        base.join(top2, id_col, "left")
-        .join(top3, id_col, "left")
+        base.withColumn("_top2", top_gram_count_expr(2))
+        .withColumn("_top3", top_gram_count_expr(3))
         .select(
             id_col,
             "n_tokens",
@@ -460,11 +473,13 @@ def bm25_search(
     per-term document frequencies are |query_terms| rows broadcast
     back onto the tf frame.  Everything is JVM expressions — no UDFs.
     """
+    from .dedup import _spread
+
     terms = [t.lower() for t in query_terms]
     # _dl from the raw token array (same length): the stats branch
     # then prunes to size(split()) alone, never paying the per-token
     # lower() transform the tf branch needs (r12, guide §2.3)
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.lower(t)).alias("_toks"),
         F.size(tokens(text_col)).cast("double").alias("_dl"),

@@ -978,7 +978,13 @@ def pipeline_clean_corpus(spark, sf_dir):
     "Every stage is the bucketed/shuffle-bounded shape of its operator",
 )
 def pipeline_dedup_corpus(spark, sf_dir):
-    docs = load_table(spark, "documents", sf_dir)
+    # spread BEFORE the quality filters: on a small/monolithic corpus
+    # file the scan is one split (often one row group — unsplittable
+    # by config), and the heavy per-row predicates (regex punct ratio,
+    # stopword scan) would run serially (r13; same contract as the
+    # operators' internal _spread — a well-partitioned input passes
+    # through untouched)
+    docs = dedup._spread(load_table(spark, "documents", sf_dir))
     kept = docs.filter(
         (text.token_count("text") >= 5)
         & (text.token_count("text") <= 5000)

@@ -46,6 +46,21 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (minPartitionSize, default 1 MB) caps
+        # post-shuffle parallelism at totalShuffleBytes/1MB no matter
+        # how compute-heavy the downstream stage is: any shuffle under
+        # cores x 1 MB under-parallelizes.  The dedup/similarity
+        # family's signature stages (tiny shuffle bytes, heavy per-doc
+        # CPU: shingle + hash + MinHash sweep) ran at 10/32 cores and
+        # measured 1.4-2.1x slower for it at the 10x corpus (r13).
+        # 64 KB keeps AQE's parallelism-first behavior honest; at real
+        # shuffle volumes totalBytes/parallelism >> 64 KB and the
+        # advisory size governs exactly as before (scale-safe, not a
+        # local tune).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
