@@ -2002,6 +2002,18 @@ class DeltaSink:
             writer = writer.partitionBy(*part_by)
         writer.parquet(tmp)
 
+        # NOTE (r13, measured): the commit-assembly tail below (footer
+        # read + rename per file) was suspected as the per-commit
+        # floor's next lever and rebuilt with a 16-thread pool — the
+        # pool measured 14x SLOWER on this page-cached local FS
+        # (footer reads are ~46 µs serial and do not release the GIL
+        # long enough to overlap; 1024 files: 0.047 s serial vs
+        # 0.64 s pooled), and the whole serial tail is ~1.5 % of a
+        # 1024-file commit (0.07 s of 4.5 s — the write JOB is the
+        # floor).  Reverted; see tools/probe_commit_floor.py and
+        # OPTIMIZATION_r13.md.  On an object store (ms-latency
+        # round trips) a pool would win — revisit only with such a
+        # backend to measure against.
         adds: list[dict] = []
         counts: dict[str, int] | None = None
         for dirpath, _dirs, files in self.fs.walk(tmp):
@@ -2617,14 +2629,71 @@ class DeltaSink:
         tail without fighting for executors."""
         if len(thunks) <= 1:
             return [t() for t in thunks]
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import (
+            FIRST_EXCEPTION,
+            ThreadPoolExecutor,
+            wait,
+        )
+
+        import threading
 
         # memoize the mapping once before the race (double-compute is
         # benign but wasteful)
         self._current_mapping()
+        # fail fast: when one staging job raises, queued siblings are
+        # skipped (running ones finish at pool exit — threads cannot
+        # be killed) instead of the whole fan running to completion
+        # before the failure propagates (r12 ADVICE).  future.cancel()
+        # alone is racy — a freed worker dequeues the next thunk
+        # before the waiter can cancel it — so each thunk re-checks a
+        # shared flag at dequeue time.
+        fail_flag = threading.Event()
+
+        def _guarded(t):
+            def run():
+                if fail_flag.is_set():
+                    return None  # skipped: a sibling already failed
+                try:
+                    return t()
+                except BaseException:
+                    fail_flag.set()
+                    raise
+
+            return run
+
         with ThreadPoolExecutor(max_workers=min(len(thunks), 3)) as pool:
-            futures = [pool.submit(t) for t in thunks]
-            return [f.result() for f in futures]
+            futures = [pool.submit(_guarded(t)) for t in thunks]
+            done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+            if any(f.exception() is not None for f in done):
+                for f in not_done:
+                    f.cancel()
+        failed = next(
+            (
+                f
+                for f in futures
+                if not f.cancelled() and f.exception() is not None
+            ),
+            None,
+        )
+        if failed is not None:
+            # best-effort: unstage the completed siblings' files —
+            # they were already moved into the table dir and the
+            # failed commit will never reference them (only add/cdc
+            # actions name NEW files; removes point at existing ones)
+            for f in futures:
+                if f is failed or f.cancelled() or f.exception() is not None:
+                    continue
+                for act in f.result() or []:
+                    rel = (act.get("add") or act.get("cdc") or {}).get(
+                        "path"
+                    )
+                    if rel:
+                        try:
+                            self.fs.remove(_fs.join(self.path, rel))
+                        except OSError:
+                            pass
+            raise failed.exception()
+        return [f.result() for f in futures]
 
     def _stage_cdc(self, df: DataFrame) -> list[dict]:
         """Stage change-data files (df = full logical rows incl.

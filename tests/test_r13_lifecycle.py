@@ -155,3 +155,67 @@ def test_concurrent_stage_sets_no_jobgroup_or_local_properties(
     )
     n = DL.read_snapshot(spark, path).count()
     assert n == 32  # 30 + 5 inserts (30-34) - 2 deleted (33,34) - 1 (id=7)
+
+
+def test_concurrent_stage_fails_fast_and_unstages_siblings(
+    spark, tmp_path
+):
+    """When one staging thunk raises, _concurrent_stage must (a)
+    propagate that exception, (b) cancel queued thunks instead of
+    running the whole fan to completion, and (c) best-effort remove
+    files already staged by completed siblings — they were moved into
+    the table dir and the failed commit will never reference them
+    (r12 ADVICE)."""
+    import os
+    import time as _time
+
+    path = str(tmp_path / "failfast")
+    os.makedirs(path)
+    sink = DeltaSink(spark, path)
+
+    staged_rel = "part-deadbeef.snappy.parquet"
+    staged_abs = os.path.join(path, staged_rel)
+    ran = [False] * 5
+
+    def ok_thunk():
+        ran[1] = True
+        with open(staged_abs, "w") as f:
+            f.write("orphan")
+        _time.sleep(1.0)  # keep a worker busy past the failure
+        return [{"add": {"path": staged_rel}}]
+
+    def slow_ok():
+        ran[2] = True
+        _time.sleep(1.0)
+        return []
+
+    def boom():
+        ran[0] = True
+        _time.sleep(0.3)  # let the in-flight siblings start first
+        raise RuntimeError("staging job died")
+
+    def queued(i):
+        def t():
+            ran[i] = True
+            return []
+
+        return t
+
+    with pytest.raises(RuntimeError, match="staging job died"):
+        # 3 workers: boom/ok/slow_ok start at once; 3 and 4 are queued
+        # and must be cancelled once boom surfaces
+        sink._concurrent_stage(
+            [boom, ok_thunk, slow_ok, queued(3), queued(4)]
+        )
+    assert ran[0] and ran[1] and ran[2]
+    assert not ran[3] and not ran[4], (
+        "queued staging thunks ran after a sibling already failed"
+    )
+    assert not os.path.exists(staged_abs), (
+        "completed sibling's staged file was not cleaned up"
+    )
+    # success path unchanged: results come back in thunk order
+    out = sink._concurrent_stage(
+        [lambda: ["a"], lambda: ["b"], lambda: ["c"], lambda: ["d"]]
+    )
+    assert out == [["a"], ["b"], ["c"], ["d"]]
