@@ -261,39 +261,50 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     # The top-n-gram count is computed PER ROW (r13): sort the gram
     # array, then the max multiplicity is the longest run of equal
-    # adjacent elements — run boundaries via a filtered index array,
-    # run lengths via one zip_with diff.  O(len log len) per document,
+    # adjacent elements, found by ONE F.aggregate pass with a
+    # (prev, run, best) accumulator.  O(len log len) per document,
     # ZERO shuffle, ZERO join (the r12 shape exploded to (doc, gram)
     # and aggregated twice per gram size — two shuffles + a join back
-    # per size; at the 10x corpus that was ~13.5 s of mostly shuffle
-    # for a per-document statistic).  An r12 attempt merely FUSING the
-    # two explode chains measured slower (scheduler overlap beats one
-    # serialized chain); removing the explode entirely wins at both
-    # scales — A/B in OPTIMIZATION_r13.md.
+    # per size; 11.9 s at the 10x corpus vs 1.4 s for this shape).
+    #
+    # SHAPE HAZARD (measured, r13): the aggregate's lambdas must
+    # reference ONLY lambda variables (acc, x).  A first cut built run
+    # boundaries via filter(sequence(..), i -> element_at(sg, i) ..)
+    # — `sg` there is a full expression SUBTREE, and Spark's
+    # higher-order functions re-evaluate non-variable subtrees on
+    # EVERY element, so array_sort(grams) ran O(len) times per row:
+    # O(len² log len) per document, 104.6 s vs 1.35 s at the 10x
+    # corpus (tools/probe_repetition_shapes.py, all three shapes
+    # checksum-identical).
     def top_gram_count_expr(n: int):
         toks = F.col("_toks")
         slices = [F.slice(toks, i + 1, F.size(toks) - (n - 1)) for i in range(n)]
         grams = slices[0]
         for s in slices[1:]:
             grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
-        sg = F.array_sort(grams)
-        sz = F.size(sg)
-        # index i starts a new run iff i == 0 or sg[i] != sg[i-1]
-        # (when() keeps element_at(sg, 0) from ever evaluating)
-        starts = F.filter(
-            F.sequence(F.lit(0), sz - 1),
-            lambda i: F.when(i == 0, F.lit(True)).otherwise(
-                F.element_at(sg, i + 1) != F.element_at(sg, i)
+        # null prev can never equal a gram (split() yields no nulls),
+        # so the first element always opens a run of 1
+        best = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
             ),
-        )
-        # run lengths = diffs of consecutive starts, closed by sz
-        runs = F.zip_with(
-            starts,
-            F.concat(F.slice(starts, 2, F.size(starts)), F.array(sz)),
-            lambda a, b: b - a,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
         )
         return F.when(
-            F.size(F.col("_toks")) >= n, F.array_max(runs)
+            F.size(F.col("_toks")) >= n, best
         ).otherwise(F.lit(0)).cast("long")
 
     nz = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
