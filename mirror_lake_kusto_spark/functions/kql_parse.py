@@ -4332,13 +4332,15 @@ class KqlQuery:
         Scale shape: distinct (id, bin) pairs once, then a self-join
         shifted by one bin keyed on id — both sides hash-partition on
         the id, the bin axis stays driver-scale.  The pairs frame is
-        persisted (r12, guide §2.4/§5): it has FOUR consumers
-        (per-bin counts, first-seen, both retention sides), each of
-        which otherwise re-runs the input scan and the distinct;
-        (id, bin) is bounded by ids x bins — far smaller than the
-        input at any scale."""
-        from pyspark.storagelevel import StorageLevel
-
+        NOT persisted: r12 persisted it for its FOUR consumers
+        (per-bin counts, first-seen, both retention sides), trading a
+        local slowdown for 10x fewer input scans "at real event
+        volume" — and the r13 10x-corpus A/B refuted the trade both
+        times it ran (persisted 1.43–1.50 s vs unpersisted 1.27–1.46 s;
+        tools/probe_activity_persist.py): the consumers are
+        independent stages the scheduler overlaps, and the persist's
+        materialization barrier serializes them for longer than the
+        repeated distinct costs."""
         idc, tc, start_sql, end_sql = self._span_args(args, 1)
         step_us = self._win_us(args[4], "Window")
         df = frame.df.filter(
@@ -4346,16 +4348,9 @@ class KqlQuery:
         )
         s_us = f"unix_micros({start_sql})"
         kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {step_us}")
-        pairs = (
-            df.select(F.col(idc).alias("_id"), kcol.alias("_k"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # lazily persisted (unlike the dedup paths): the build here is
-        # one scan + distinct, cheap enough that a concurrent first
-        # touch duplicating a partition's build is harmless, while an
-        # eager count() would serialize an extra job ahead of every
-        # consumer
+        pairs = df.select(
+            F.col(idc).alias("_id"), kcol.alias("_k")
+        ).distinct()
         per = pairs.groupBy("_k").agg(F.count("*").alias("dcount_values"))
         firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_k"))
         new = firsts.groupBy("_k").agg(
@@ -4653,12 +4648,10 @@ class KqlQuery:
         against the per-id first bin, then a per-(cohort, bin) count —
         the output grid is O(bins^2), driver-scale; all id-cardinality
         work stays hash-distributed.  The pairs and first-bin frames
-        are persisted (r12, guide §2.4/§5): each has TWO consumers
-        that otherwise re-run the input scan / the distinct / the
-        per-id min; both are bounded by distinct ids — far smaller
-        than the input at any scale."""
-        from pyspark.storagelevel import StorageLevel
-
+        are NOT persisted: the r12 persists here lost the r13
+        10x-corpus A/B (persisted 1.29–1.49 s vs unpersisted
+        1.17–1.21 s; tools/probe_activity_persist.py) — see
+        activity_metrics above for the mechanism."""
         if len(args) != 5:
             raise KqlParseError(
                 "new_activity_metrics supports exactly (IdColumn, "
@@ -4673,16 +4666,10 @@ class KqlQuery:
         s_us = f"unix_micros({start_sql})"
         e_us = f"unix_micros({end_sql})"
         kcol = F.expr(f"(unix_micros({tc}) - ({s_us})) DIV {win_us}")
-        pairs = (
-            df.select(F.col(idc).alias("_id"), kcol.alias("_k"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        firsts = (
-            pairs.groupBy("_id")
-            .agg(F.min("_k").alias("_from"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        pairs = df.select(
+            F.col(idc).alias("_id"), kcol.alias("_k")
+        ).distinct()
+        firsts = pairs.groupBy("_id").agg(F.min("_k").alias("_from"))
         new = firsts.groupBy("_from").agg(
             F.count("*").alias("dcount_new_values")
         )

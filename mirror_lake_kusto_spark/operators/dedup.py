@@ -218,6 +218,11 @@ def _sig_udf(k: int):
     return sig
 
 
+#: leading ids per pair-expansion row: a K-wide group spreads its
+#: K²/2 pair emission across ceil(K/C) rows of ≤ C*K pairs each
+_PAIR_CHUNK = 64
+
+
 def _pairs_from_groups(
     grouped: DataFrame,
     star_over: int | None = None,
@@ -234,34 +239,60 @@ def _pairs_from_groups(
     - groups wider than ``drop_over`` are dropped entirely (stopword-
       frequency posting lists excluded from candidate generation).
 
-    An explicit repartition spreads the group arrays first — AQE
+    An explicit repartition spreads the group rows first — AQE
     otherwise coalesces the small aggregate to 1-2 partitions and
-    serializes the quadratic expansion."""
+    serializes the quadratic expansion.
+
+    The all-pairs expansion is CHUNKED (r13, guide §2.5): one
+    K-member group previously emitted its K²/2 pairs from a single
+    row — a single-key quadratic no AQE skew setting can split; the
+    r13 skew probe (tools/probe_ngram_skew.py, one 3000-member
+    near-dup family) measured the expansion stage at max/median
+    task = 14.3x.  Each group now explodes into ceil(K/C) (ids, _j)
+    rows first, and row _j emits only the pairs whose LEFT id sits in
+    slice [_j*C, _j*C+C) — ≤ C*K pairs per row, spread by the
+    repartition; every pair is still emitted exactly once.  Groups at
+    or under C (the overwhelming majority — capped LSH buckets,
+    collapsed posting lists) produce exactly one chunk row, so the
+    common path only pays one extra int column."""
     if drop_over is not None:
         grouped = grouped.filter(F.size("ids") <= drop_over)
-    grouped = grouped.repartition(
-        grouped.sparkSession.sparkContext.defaultParallelism
-    )
+    C = _PAIR_CHUNK
     ids = F.col("ids")
-    all_pairs = F.flatten(
+    grouped = grouped.select(
+        "ids",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size(ids) - 1) / C).cast("int"))
+        ).alias("_j"),
+    ).repartition(grouped.sparkSession.sparkContext.defaultParallelism)
+    j0 = F.col("_j") * C
+    chunk_pairs = F.flatten(
         F.transform(
-            ids,
+            F.slice(ids, j0 + 1, C),
             lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
+                F.slice(ids, j0 + i + 2, F.size(ids)),
                 lambda y: F.struct(x.alias("id1"), y.alias("id2")),
             ),
         )
     )
     if star_over is not None:
+        # star groups emit O(width) pairs — no chunking needed; emit
+        # them from chunk 0 only
         star = F.transform(
             F.slice(ids, 2, F.size(ids)),
             lambda y: F.struct(
                 F.element_at(ids, 1).alias("id1"), y.alias("id2")
             ),
         )
-        pair_expr = F.when(F.size(ids) <= star_over, all_pairs).otherwise(star)
+        empty = F.transform(
+            F.slice(ids, 1, 0),
+            lambda y: F.struct(y.alias("id1"), y.alias("id2")),
+        )
+        pair_expr = F.when(F.size(ids) <= star_over, chunk_pairs).otherwise(
+            F.when(F.col("_j") == 0, star).otherwise(empty)
+        )
     else:
-        pair_expr = all_pairs
+        pair_expr = chunk_pairs
     return grouped.select(F.explode(pair_expr).alias("p")).select(
         "p.id1", "p.id2"
     )

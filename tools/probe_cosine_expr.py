@@ -36,13 +36,6 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.orderBy("vec_id").limit(1).select("embedding").first()[0]
     qlit = F.array(*[F.lit(float(x)) for x in q])
-
-    expr_df = emb.select(
-        "vec_id",
-        _cosine_sim_expr("embedding", "_q").alias("cos_sim"),
-    ).withColumn("_q", qlit)  # placeholder; rebuilt below properly
-
-    # proper frames
     base = emb.withColumn("_q", qlit)
     expr_df = base.select(
         "vec_id", _cosine_sim_expr("embedding", "_q").alias("cos_sim")
